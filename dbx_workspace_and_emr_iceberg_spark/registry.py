@@ -1,0 +1,94 @@
+"""Query registry — backbone of the driver contract (__spark_entry__.py).
+
+Every operator claimed as done in SURVEY.md §2 registers here as a
+(name, pyspark_fn, oracle_sql) triple:
+
+    @register("a1_hash_aggregate", oracle=\"\"\"SELECT ...\"\"\")
+    def a1(spark: SparkSession, sf_dir: str) -> DataFrame: ...
+
+``oracle=None`` marks a genuinely non-SQL-expressible op (streaming,
+LSH, lakehouse DML): the driver then applies a rows-only check, and the
+query function must self-verify internally (raise on violated
+invariants).
+
+Discipline enforced here (FIXTURES.md harness notes):
+  * every computed column aliased identically on both sides,
+  * doubles rounded on both sides where partition order could flip ulps,
+  * collect_list/array_agg sorted before comparison.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, Query] = {}
+
+#: queries/ submodules that populate the registry on import.
+_QUERY_MODULES = [
+    "pricing",
+    "projections",
+    "aggregations",
+    "joins",
+    "windows",
+    "sorts_sets",
+    "scalar_functions",
+    "semi_structured",
+    "dedup_queries",
+    "similarity_queries",
+    "text_queries",
+    "multimodal_queries",
+    "streaming_queries",
+    "lakehouse_queries",
+]
+
+
+def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator registering a query implementation under ``name``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, tags=tuple(tags))
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    for mod in _QUERY_MODULES:
+        try:
+            importlib.import_module(f"{__package__}.queries.{mod}")
+        except ModuleNotFoundError as e:
+            # Allow partially-built trees during development; a missing
+            # queries module only drops its own registrations.
+            if f"queries.{mod}" not in str(e):
+                raise
+
+
+def all_queries() -> dict[str, Query]:
+    if not _REGISTRY:
+        _load_all()
+    return dict(_REGISTRY)
+
+
+def queries_dict() -> dict[str, QueryFn]:
+    return {q.name: q.fn for q in all_queries().values()}
+
+
+def oracle_dict() -> dict[str, str]:
+    return {q.name: q.oracle for q in all_queries().values() if q.oracle is not None}

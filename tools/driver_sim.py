@@ -1,0 +1,57 @@
+"""Simulate the driver: smoke entry() at sf0.001; compare queries() vs oracle_sql() via DuckDB at sf0.01."""
+import hashlib, math, sys
+sys.path.insert(0, "/root/repo")
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as E
+
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+# t1 smoke
+df = E.entry(spark)
+rows = df.collect()
+print(f"SMOKE entry(): {len(rows)} rows, schema={[f.name for f in df.schema.fields]}")
+assert len(rows) > 0
+print(rows[0])
+
+# t2 oracle compare at sf0.01
+SF = __import__("os").environ.get("SF", "/root/testdata/sf0.01")
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+def cell(v):
+    import decimal, datetime
+    if v is None: return "NULL"
+    if isinstance(v, float): return f"{v:.6g}" if not math.isnan(v) else "NaN"
+    if isinstance(v, decimal.Decimal): return f"{float(v):.6g}"
+    if isinstance(v, datetime.datetime): return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (list, tuple)): return "[" + ",".join(cell(x) for x in v) + "]"
+    return str(v)
+
+def vhash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(cell(r[i]) for i in order) for r in rows)
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:12]
+
+qs, osql = E.queries(), E.oracle_sql()
+print(f"\n{len(qs)} queries, {len(osql)} with oracle")
+fail = 0
+for name, fn in sorted(qs.items()):
+    df = fn(spark, SF)
+    srows = [tuple(r) for r in df.collect()]
+    if name not in osql:
+        print(f"  {name}: rows-only, {len(srows)} rows"); continue
+    res = con.execute(osql[name])
+    dcols = [c[0] for c in res.description]; drows = res.fetchall()
+    sh, dh = vhash(df.columns, srows), vhash(dcols, drows)
+    ok = (len(srows)==len(drows)) and sorted(df.columns)==sorted(dcols) and sh==dh
+    print(f"  {name}: spark={len(srows)} duck={len(drows)} hash {'MATCH' if ok else 'MISMATCH '+sh+' vs '+dh}")
+    fail += 0 if ok else 1
+print("RESULT:", "ALL MATCH" if fail==0 else f"{fail} FAILURES")
+sys.exit(1 if fail else 0)

@@ -1,0 +1,333 @@
+"""A1-A9: aggregation inventory (SURVEY.md §2.4).
+
+All pure DataFrame plans: Catalyst plans each as partial (map-side)
+aggregate → shuffle on the grouping key → final aggregate, so the
+exchange carries one row per (partition × group), not per input row.
+At 100 TB the dominant cost is the scan; grouping keys here are
+low-cardinality so the shuffle is negligible. High-cardinality
+groupings (a4 distinct on l_partkey) rely on AQE to right-size
+post-shuffle partitions.
+
+Oracle notes:
+  * DuckDB sum(INTEGER) → HUGEINT: oracle casts to BIGINT to match Spark.
+  * DuckDB skewness/kurtosis are sample-corrected; Spark's are population
+    moments, so the oracle computes population formulas explicitly.
+  * approx_count_distinct uses different HLL implementations in the two
+    engines → compared as a bounded-error boolean, not a value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+# --- A1/A2: global (no-group) core aggregates ------------------------------
+
+_A2_ORACLE = """
+SELECT
+  count(*)                                        AS n_rows,
+  count(l_returnflag)                             AS n_nonnull,
+  round(sum(l_extendedprice), 2)                  AS sum_price,
+  round(avg(l_discount), 6)                       AS avg_disc,
+  min(l_shipdate)                                 AS min_ship,
+  max(l_shipdate)                                 AS max_ship,
+  cast(sum(l_linenumber) AS BIGINT)               AS sum_linenumber
+FROM lineitem
+"""
+
+
+@register("a2_core_aggs_global", oracle=_A2_ORACLE, tags=("A1", "A2"))
+def a2_core_aggs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("l_returnflag").alias("n_nonnull"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.sum("l_linenumber").cast("bigint").alias("sum_linenumber"),
+    )
+
+
+# --- A3: statistical aggregates -------------------------------------------
+
+_A3_ORACLE = """
+SELECT
+  l_returnflag,
+  round(stddev_samp(l_quantity), 6)               AS sd_qty,
+  round(var_samp(l_quantity), 6)                  AS var_qty,
+  round(stddev_pop(l_quantity), 6)                AS sdp_qty,
+  round(var_pop(l_quantity), 6)                   AS varp_qty,
+  round(corr(l_extendedprice, l_quantity), 6)     AS corr_pq,
+  round(covar_samp(l_extendedprice, l_quantity), 2) AS cov_pq,
+  round(covar_pop(l_extendedprice, l_quantity), 2)  AS covp_pq
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("a3_stat_aggs", oracle=_A3_ORACLE, tags=("A3",))
+def a3_stat_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+            F.round(F.stddev_pop("l_quantity"), 6).alias("sdp_qty"),
+            F.round(F.var_pop("l_quantity"), 6).alias("varp_qty"),
+            F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+            F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("cov_pq"),
+            F.round(F.covar_pop("l_extendedprice", "l_quantity"), 2).alias("covp_pq"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- A3b: skewness/kurtosis (population, computed explicitly in oracle) ----
+
+_A3B_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         avg(l_quantity) AS mu,
+         count(*) AS n,
+         stddev_pop(l_quantity) AS sd
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT
+  l.l_returnflag,
+  round(sum(pow(l.l_quantity - m.mu, 3)) / m.n / pow(m.sd, 3), 6) AS skew_qty,
+  round(sum(pow(l.l_quantity - m.mu, 4)) / m.n / pow(m.sd, 4) - 3, 6) AS kurt_qty
+FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+GROUP BY l.l_returnflag, m.n, m.sd
+ORDER BY l.l_returnflag
+"""
+
+
+@register("a3b_skew_kurtosis", oracle=_A3B_ORACLE, tags=("A3",))
+def a3b_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark skewness/kurtosis are population moments (g1, excess g2)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.skewness("l_quantity"), 6).alias("skew_qty"),
+            F.round(F.kurtosis("l_quantity"), 6).alias("kurt_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- A4: DISTINCT aggregates (incl. multi-distinct) ------------------------
+
+_A4_ORACLE = """
+SELECT
+  l_returnflag,
+  count(DISTINCT l_partkey)                       AS nd_part,
+  count(DISTINCT l_suppkey)                       AS nd_supp,
+  count(DISTINCT l_linestatus)                    AS nd_status,
+  count(*)                                        AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("a4_distinct_aggs", oracle=_A4_ORACLE, tags=("A4",))
+def a4_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multi-distinct → Catalyst Expand-based rewrite (one shuffle, 3x rows);
+    # at scale prefer approx_count_distinct (a5) for the hot path.
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("nd_part"),
+            F.countDistinct("l_suppkey").alias("nd_supp"),
+            F.countDistinct("l_linestatus").alias("nd_status"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- A5: approximate aggregates --------------------------------------------
+# Cross-engine HLL/quantile sketches differ, so the *bound* is the oracle:
+# Spark returns whether its approximation landed within ±5% of its own
+# exact value; the oracle returns the literal truth of the same claim
+# (trivially TRUE for exact DuckDB) — a hash match proves the bound held.
+
+_A5_ORACLE = """
+SELECT
+  o_orderpriority,
+  TRUE AS hll_within_5pct,
+  TRUE AS pctl_within_5pct
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("a5_approx_aggs", oracle=_A5_ORACLE, tags=("A5",))
+def a5_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("hll"),
+        F.countDistinct("o_custkey").alias("exact_nd"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50_exact"),
+    )
+    within = lambda a, b: (F.abs(F.col(a) - F.col(b)) <= 0.05 * F.abs(F.col(b)))  # noqa: E731
+    return agg.select(
+        "o_orderpriority",
+        within("hll", "exact_nd").alias("hll_within_5pct"),
+        within("p50_approx", "p50_exact").alias("pctl_within_5pct"),
+    ).orderBy("o_orderpriority")
+
+
+# --- A6: collection aggregates (order-normalized for comparison) -----------
+
+_A6_ORACLE = """
+SELECT
+  n_regionkey,
+  array_to_string(list_sort(list(n_name)), ',')           AS nations_sorted,
+  array_to_string(list_sort(list(DISTINCT n_name)), ',')  AS nations_set
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@register("a6_collect_aggs", oracle=_A6_ORACLE, tags=("A6",))
+def a6_collect_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations_sorted"
+            ),
+            F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias(
+                "nations_set"
+            ),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+# --- A7: ROLLUP / CUBE / GROUPING SETS -------------------------------------
+
+_A7_ROLLUP_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  cast(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+  count(*)                                        AS n,
+  round(sum(l_quantity), 2)                       AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
+@register("a7_rollup", oracle=_A7_ROLLUP_ORACLE, tags=("A7",))
+def a7_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+_A7_CUBE_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  cast(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+  count(*)                                        AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
+@register("a7b_cube", oracle=_A7_CUBE_ORACLE, tags=("A7",))
+def a7b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n")
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+# --- A8: HAVING ------------------------------------------------------------
+
+_A8_ORACLE = """
+SELECT l_partkey, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY l_partkey
+HAVING count(*) >= 5 AND sum(l_quantity) > 100
+ORDER BY l_partkey
+"""
+
+
+@register("a8_having", oracle=_A8_ORACLE, tags=("A8",))
+def a8_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .filter((F.col("n") >= 5) & (F.col("sum_qty") > 100))
+        .orderBy("l_partkey")
+    )
+
+
+# --- A9: aggregate FILTER clause -------------------------------------------
+
+_A9_ORACLE = """
+SELECT
+  l_returnflag,
+  count(*) FILTER (WHERE l_discount > 0.05)               AS n_discounted,
+  cast(coalesce(round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2), 0) AS DOUBLE) AS qty_f,
+  count(*)                                                AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("a9_agg_filter", oracle=_A9_ORACLE, tags=("A9",))
+def a9_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+            F.coalesce(
+                F.round(
+                    F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))), 2
+                ),
+                F.lit(0.0),
+            ).alias("qty_f"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,341 @@
+"""J1-J9: join inventory (SURVEY.md §2.3).
+
+Scale posture per query:
+  * dims (region/nation/supplier/part at any SF, and customer at most)
+    are broadcast — no shuffle of the fact table on dim joins (J5/J9);
+  * large-large equi joins shuffle both sides on the key and AQE picks
+    sort-merge vs shuffled-hash and splits skewed partitions (J6);
+  * non-equi joins (J7) are broadcast-nested-loop — only sane when one
+    side is tiny, which is exactly how the query is shaped;
+  * the as-of join (J8) is the custom linear-cost operator from
+    operators/asof.py, oracled against DuckDB's native ASOF JOIN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..registry import register
+from ..tables import load_table
+
+# --- J1: inner equi-join ----------------------------------------------------
+
+_J1_ORACLE = """
+SELECT n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@register("j1_inner_equi", oracle=_J1_ORACLE, tags=("J1",))
+def j1_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --- J2: left / right / full outer -----------------------------------------
+
+_J2_ORACLE = """
+SELECT
+  c.c_custkey,
+  count(o.o_orderkey)                              AS n_orders,
+  round(coalesce(sum(o.o_totalprice), 0), 2)       AS spend
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+ORDER BY c.c_custkey
+"""
+
+
+@register("j2_left_outer", oracle=_J2_ORACLE, tags=("J2",))
+def j2_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(
+            F.count(o.o_orderkey).alias("n_orders"),
+            F.round(F.coalesce(F.sum(o.o_totalprice), F.lit(0)), 2).alias("spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+_J2B_ORACLE = """
+SELECT
+  coalesce(s.s_suppkey, -1)                        AS suppkey,
+  coalesce(n.n_name, 'NONE')                       AS nation_name
+FROM supplier s FULL JOIN nation n ON s.s_nationkey = n.n_nationkey
+ORDER BY suppkey, nation_name
+"""
+
+
+@register("j2b_full_outer", oracle=_J2B_ORACLE, tags=("J2",))
+def j2b_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "full")
+        .select(
+            F.coalesce(s.s_suppkey, F.lit(-1)).alias("suppkey"),
+            F.coalesce(n.n_name, F.lit("NONE")).alias("nation_name"),
+        )
+        .orderBy("suppkey", "nation_name")
+    )
+
+
+# --- J3: left semi / left anti (EXISTS / NOT EXISTS) ------------------------
+
+_J3_ORACLE = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 320000)
+ORDER BY c_custkey
+"""
+
+
+@register("j3_semi", oracle=_J3_ORACLE, tags=("J3",))
+def j3_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 320000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+_J3B_ORACLE = """
+SELECT c_custkey
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+
+@register("j3b_anti", oracle=_J3B_ORACLE, tags=("J3",))
+def j3b_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+# --- J4: cross join ---------------------------------------------------------
+
+_J4_ORACLE = """
+SELECT r.r_name, n.n_name
+FROM region r CROSS JOIN nation n
+ORDER BY r.r_name, n.n_name
+"""
+
+
+@register("j4_cross", oracle=_J4_ORACLE, tags=("J4",))
+def j4_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name").orderBy("r_name", "n_name")
+
+
+# --- J5/J6: explicit strategy hints (same semantics as planner default) ----
+
+_J5_ORACLE = """
+SELECT p_brand, count(*) AS n_lines, round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+@register("j5_broadcast", oracle=_J5_ORACLE, tags=("J5",))
+def j5_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact × dim with the dim explicitly broadcast: the lineitem side is
+    never shuffled — the only exchange is the tiny post-agg one."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_J6_ORACLE = """
+SELECT o.o_orderkey, round(o.o_totalprice, 2) AS total, cast(count(l.l_linenumber) AS BIGINT) AS n_lines
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_totalprice > 400000
+GROUP BY o.o_orderkey, o.o_totalprice
+ORDER BY o.o_orderkey
+"""
+
+
+@register("j6_sortmerge", oracle=_J6_ORACLE, tags=("J6",))
+def j6_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large equi join forced to sort-merge (MERGE hint): both sides
+    shuffle on orderkey; AQE handles skew splitting at scale."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.hint("MERGE")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(o.o_orderkey, o.o_totalprice)
+        .agg(F.count(li.l_linenumber).alias("n_lines"))
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+            F.col("n_lines"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --- J7: theta / non-equi range join ---------------------------------------
+
+_J7_ORACLE = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('small', 0.0, 100000.0),
+         ('mid', 100000.0, 300000.0),
+         ('large', 300000.0, 100000000.0)
+)
+SELECT b.band, count(*) AS n_orders
+FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.band
+ORDER BY b.band
+"""
+
+
+@register("j7_theta_range", oracle=_J7_ORACLE, tags=("J7",))
+def j7_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi join → broadcast-nested-loop; sane because the band table
+    is 3 rows. A large-large range join should instead be bucketized
+    (map each row to overlapping band ids → equi join) — see asof.py for
+    the same linearization idea."""
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("small", 0.0, 100000.0), ("mid", 100000.0, 300000.0), ("large", 300000.0, 100000000.0)],
+        "band string, lo double, hi double",
+    )
+    cond = (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi)
+    return (
+        o.join(F.broadcast(bands), cond)
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("band")
+    )
+
+
+# --- J8: as-of join (custom operator; DuckDB native ASOF as oracle) --------
+
+_J8_ORACLE = """
+SELECT
+  p.event_id,
+  p.user_id,
+  p.ts,
+  c.ts      AS click_ts,
+  round(c.value, 4) AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
+@register("j8_asof", oracle=_J8_ORACLE, tags=("J8",))
+def j8_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest click at-or-before each purchase, per user."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["value"],
+        suffix="_click",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_click").alias("click_ts"),
+        F.round("value_click", 4).alias("click_value"),
+    ).orderBy("event_id")
+
+
+# --- J9: multi-way star join (TPC-H Q5 shape) ------------------------------
+
+_J9_ORACLE = """
+SELECT
+  n_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@register("j9_star_multiway", oracle=_J9_ORACLE, tags=("J9",))
+def j9_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )

@@ -1,0 +1,218 @@
+"""O1-O4 sorts/limits and U1-U4 set operations (SURVEY.md §2.6-2.7).
+
+Scale notes: a global sort (O1) is a range-partitioned shuffle — Spark
+samples key ranges so output partitions are balanced; sort+limit (O2)
+becomes TakeOrderedAndProject, which keeps only k rows per partition and
+never materializes the full sort — the right top-k at any scale. Set ops
+with DISTINCT semantics (U1b/U2/U3) each cost a shuffle on the full row;
+at 100 TB prefer keyed dropDuplicates (U4) over row-level DISTINCT.
+
+Determinism discipline: every ORDER BY ends in a unique key so ties
+cannot reorder across engines, and LIMIT/OFFSET windows are stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+# --- O1: global multi-key sort with null placement -------------------------
+
+_O1_ORACLE = """
+SELECT
+  c_custkey,
+  c_mktsegment,
+  CASE WHEN c_acctbal < 0 THEN NULL ELSE round(c_acctbal, 2) END AS bal_or_null
+FROM customer
+ORDER BY bal_or_null DESC NULLS LAST, c_mktsegment ASC, c_custkey ASC
+"""
+
+
+@register("o1_global_sort", oracle=_O1_ORACLE, tags=("O1",))
+def o1_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, None)
+        .otherwise(F.round("c_acctbal", 2))
+        .alias("bal_or_null"),
+    ).orderBy(
+        F.col("bal_or_null").desc_nulls_last(),
+        F.col("c_mktsegment").asc(),
+        F.col("c_custkey").asc(),
+    )
+
+
+# --- O2: top-k (sort + limit → TakeOrderedAndProject) ----------------------
+
+_O2_ORACLE = """
+SELECT o_orderkey, round(o_totalprice, 2) AS total
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+"""
+
+
+@register("o2_topk", oracle=_O2_ORACLE, tags=("O2",))
+def o2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+# --- O3: OFFSET ------------------------------------------------------------
+
+_O3_ORACLE = """
+SELECT o_orderkey, round(o_totalprice, 2) AS total
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10 OFFSET 15
+"""
+
+
+@register("o3_offset", oracle=_O3_ORACLE, tags=("O3",))
+def o3_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(15)
+        .limit(10)
+    )
+
+
+# --- O4: partition-local sort (write-ordering primitive; self-verifying) ---
+
+
+@register("o4_sort_within_partitions", oracle=None, tags=("O4",))
+def o4_sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sortWithinPartitions is the write-ordering tool (cluster data files
+    by key for row-group skipping without a global shuffle). No stable
+    SQL oracle — self-verifies that every partition is locally sorted.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    local = li.repartition(8, "l_orderkey").sortWithinPartitions("l_shipdate")
+
+    def check(it):
+        import pandas as pd  # noqa: F401
+
+        for pdf in it:
+            ok = pdf["l_shipdate"].is_monotonic_increasing
+            yield type(pdf)({"partition_sorted": [bool(ok)], "rows": [len(pdf)]})
+
+    out = local.mapInPandas(check, "partition_sorted boolean, rows long")
+    bad = out.filter(~F.col("partition_sorted")).count()
+    if bad:
+        raise AssertionError(f"{bad} partitions not locally sorted")
+    return out
+
+
+# --- U1: UNION ALL + UNION DISTINCT ----------------------------------------
+
+_U1_ORACLE = """
+SELECT cast(x AS BIGINT) AS custkey, src FROM (
+  SELECT o_custkey AS x, 'orders' AS src FROM orders WHERE o_totalprice > 350000
+  UNION ALL
+  SELECT c_custkey AS x, 'topbal' AS src FROM customer WHERE c_acctbal > 9000
+)
+"""
+
+
+@register("u1_union_all", oracle=_U1_ORACLE, tags=("U1",))
+def u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    left = o.filter(F.col("o_totalprice") > 350000).select(
+        F.col("o_custkey").cast("bigint").alias("custkey"), F.lit("orders").alias("src")
+    )
+    right = c.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").cast("bigint").alias("custkey"), F.lit("topbal").alias("src")
+    )
+    return left.unionByName(right)
+
+
+_U1B_ORACLE = """
+SELECT cast(x AS BIGINT) AS custkey FROM (
+  SELECT o_custkey AS x FROM orders WHERE o_totalprice > 350000
+  UNION
+  SELECT c_custkey AS x FROM customer WHERE c_acctbal > 9000
+)
+"""
+
+
+@register("u1b_union_distinct", oracle=_U1B_ORACLE, tags=("U1",))
+def u1b_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    left = o.filter(F.col("o_totalprice") > 350000).select(
+        F.col("o_custkey").cast("bigint").alias("custkey")
+    )
+    right = c.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").cast("bigint").alias("custkey")
+    )
+    return left.unionByName(right).distinct()
+
+
+# --- U2: INTERSECT [ALL] ----------------------------------------------------
+
+_U2_ORACLE = """
+SELECT cast(k AS BIGINT) AS suppkey FROM (
+  SELECT l_suppkey AS k FROM lineitem WHERE l_discount > 0.09
+  INTERSECT
+  SELECT s_suppkey AS k FROM supplier WHERE s_acctbal > 0
+)
+"""
+
+
+@register("u2_intersect", oracle=_U2_ORACLE, tags=("U2",))
+def u2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    a = li.filter(F.col("l_discount") > 0.09).select(
+        F.col("l_suppkey").cast("bigint").alias("suppkey")
+    )
+    b = s.filter(F.col("s_acctbal") > 0).select(
+        F.col("s_suppkey").cast("bigint").alias("suppkey")
+    )
+    return a.intersect(b)
+
+
+# --- U3: EXCEPT [ALL] -------------------------------------------------------
+
+_U3_ORACLE = """
+SELECT cast(k AS BIGINT) AS partkey FROM (
+  SELECT p_partkey AS k FROM part
+  EXCEPT
+  SELECT l_partkey AS k FROM lineitem
+)
+"""
+
+
+@register("u3_except", oracle=_U3_ORACLE, tags=("U3",))
+def u3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts never ordered (anti-semantics via EXCEPT)."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return p.select(F.col("p_partkey").cast("bigint").alias("partkey")).subtract(
+        li.select(F.col("l_partkey").cast("bigint").alias("partkey"))
+    )
+
+
+# --- U4: DISTINCT / dropDuplicates -----------------------------------------
+
+_U4_ORACLE = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+"""
+
+
+@register("u4_distinct", oracle=_U4_ORACLE, tags=("U4",))
+def u4_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()

@@ -1,0 +1,179 @@
+"""W1-W4: window functions (SURVEY.md §2.5).
+
+A window over PARTITION BY k is one shuffle on k plus a partition-local
+sort — same cost shape at any scale provided no single key dominates
+(per-user event windows are fine; a global window with no PARTITION BY
+is a single-partition bottleneck and is deliberately absent here).
+
+Determinism: ranking windows that must be unique (row_number, ntile,
+lag/lead/nth) order by a key-complete column list; rank/dense_rank/
+percent_rank/cume_dist are exercised on tie-ful orderings since their
+outputs are tie-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+# --- W1: ranking family ----------------------------------------------------
+
+_W1_ORACLE = """
+SELECT
+  p_partkey,
+  p_brand,
+  p_size,
+  row_number()   OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey)   AS rn,
+  rank()         OVER (PARTITION BY p_brand ORDER BY p_size)              AS rnk,
+  dense_rank()   OVER (PARTITION BY p_brand ORDER BY p_size)              AS drnk,
+  round(percent_rank() OVER (PARTITION BY p_brand ORDER BY p_size), 6)    AS prnk,
+  round(cume_dist()    OVER (PARTITION BY p_brand ORDER BY p_size), 6)    AS cdist,
+  ntile(4)       OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey)   AS quartile
+FROM part
+ORDER BY p_brand, rn
+"""
+
+
+@register("w1_ranking", oracle=_W1_ORACLE, tags=("W1",))
+def w1_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    unique = Window.partitionBy("p_brand").orderBy("p_size", "p_partkey")
+    ties = Window.partitionBy("p_brand").orderBy("p_size")
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.row_number().over(unique).alias("rn"),
+        F.rank().over(ties).alias("rnk"),
+        F.dense_rank().over(ties).alias("drnk"),
+        F.round(F.percent_rank().over(ties), 6).alias("prnk"),
+        F.round(F.cume_dist().over(ties), 6).alias("cdist"),
+        F.ntile(4).over(unique).alias("quartile"),
+    ).orderBy("p_brand", "rn")
+
+
+# --- W2: offset / analytic family ------------------------------------------
+
+_W2_ORACLE = """
+SELECT
+  event_id,
+  user_id,
+  ts,
+  lag(event_type)     OVER w                                  AS prev_type,
+  lead(event_type)    OVER w                                  AS next_type,
+  first_value(ts)     OVER w                                  AS first_ts,
+  last_value(ts)      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING) AS last_ts,
+  nth_value(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND UNBOUNDED FOLLOWING) AS second_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, ts, event_id
+"""
+
+
+@register("w2_offset_analytic", oracle=_W2_ORACLE, tags=("W2",))
+def w2_offset_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("ts").over(w).alias("first_ts"),
+        F.last("ts").over(wfull).alias("last_ts"),
+        F.nth_value("event_type", 2).over(wfull).alias("second_type"),
+    ).orderBy("user_id", "ts", "event_id")
+
+
+# --- W3: windowed aggregates with ROWS / RANGE frames ----------------------
+
+# Window sums accumulate in engine-specific order (DuckDB uses segment
+# trees for sliding frames), so double sums differ in the last ulp and
+# round() flaps at .xx5 boundaries. Summing DECIMAL(18,2) is exact in
+# both engines → identical doubles after the cast, deterministic hash.
+_W3_ORACLE = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  round(cast(sum(cast(o_totalprice AS DECIMAL(18,2)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_spend,
+  round(cast(sum(cast(o_totalprice AS DECIMAL(18,2)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / (count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)), 4)            AS moving_avg3,
+  cast(count(*) OVER (PARTITION BY o_custkey ORDER BY cast(o_orderkey AS BIGINT)
+                      RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS BIGINT)       AS n_near_keys
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register("w3_frames", oracle=_W3_ORACLE, tags=("W3",))
+def w3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    moving = seq.rowsBetween(-2, Window.currentRow)
+    near = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderkey").cast("bigint"))
+        .rangeBetween(-100, Window.currentRow)
+    )
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(dec).over(running).cast("double"), 2).alias("running_spend"),
+        F.round(
+            F.sum(dec).over(moving).cast("double")
+            / F.count(F.lit(1)).over(moving),
+            4,
+        ).alias("moving_avg3"),
+        F.count(F.lit(1)).over(near).alias("n_near_keys"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# --- W4: top-N per group ---------------------------------------------------
+
+_W4_ORACLE = """
+SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS bal, rn FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+)
+WHERE rn <= 3
+ORDER BY c_mktsegment, rn
+"""
+
+
+@register("w4_topn_per_group", oracle=_W4_ORACLE, tags=("W4",))
+def w4_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank-then-filter; Spark ≥3.5 plans this as a WindowGroupLimit
+    (top-k per partition pushed below the shuffle), so only 3 rows per
+    group per map task cross the wire at scale."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("bal"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("c_mktsegment", "rn")
+    )

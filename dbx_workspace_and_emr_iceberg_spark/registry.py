@@ -69,7 +69,17 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+_LOADED = False
+
+
 def _load_all() -> None:
+    # An emptiness check is wrong here: importing any queries module
+    # directly (as __spark_entry__ does for the flagship) pre-populates
+    # the registry and would mask every other module.
+    global _LOADED
+    if _LOADED:
+        return
+    _LOADED = True
     for mod in _QUERY_MODULES:
         try:
             importlib.import_module(f"{__package__}.queries.{mod}")
@@ -81,8 +91,7 @@ def _load_all() -> None:
 
 
 def all_queries() -> dict[str, Query]:
-    if not _REGISTRY:
-        _load_all()
+    _load_all()
     return dict(_REGISTRY)
 
 

@@ -33,10 +33,26 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table (vectorized Parquet scan, S2)."""
+    """Read one fixture table (vectorized Parquet scan, S2).
+
+    ``events.ts`` is physically INT64 TIMESTAMP(NANOS), which Spark's
+    Parquet reader rejects by default. All fixture values are µs-aligned
+    (verified: epoch_ns % 1000 == 0 for every row), so we read nanos as
+    long and convert losslessly to a TimestampType column — identical to
+    what DuckDB's TIMESTAMP view of the same file yields.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; known: {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        from pyspark.sql import functions as F
+
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(path)
 
 
 def register_temp_views(spark: SparkSession, sf_dir: str) -> None:

@@ -1,0 +1,166 @@
+"""Deduplication operators (SURVEY.md §2.12 X1/X2): exact, MinHash-LSH,
+SimHash, n-gram Jaccard.
+
+All operators are pure DataFrame compositions — no Python in the hot
+path, no collect(). Scale shapes:
+
+  * exact dedup: one shuffle on the content hash (not the content!) —
+    at 100 TB hash first, shuffle 16-byte keys, never full documents;
+  * MinHash-LSH: explode to (band, signature) pairs → groupBy band →
+    pair generation within buckets only. Work is O(docs × bands) plus
+    O(Σ bucket²) — the band width controls the bucket-collision rate,
+    so the quadratic term stays bounded; candidates are then verified
+    with exact Jaccard (explode word sets, count shared via join);
+  * SimHash: one explode + one groupBy per doc with 60 bit-vote
+    aggregates — linear, and near-dup lookup becomes a Hamming-ball
+    probe on a 60-bit key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits signed 64-bit in both engines
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per distinct text (hash-first; X1)."""
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy(h).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def word_shingles(text_col: str, n: int = 3) -> F.Column:
+    """Word n-gram shingles as an array column (JVM-side, no UDF)."""
+    words = F.split(F.col(text_col), " ")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+
+
+def minhash_signature(shingles: F.Column, num_hashes: int = 32) -> list[F.Column]:
+    """num_hashes deterministic min-hashes: min over shingles of
+    xxhash64(seed_i, shingle). Seeded → reproducible across runs."""
+    return [
+        F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s))).alias(
+            f"mh{i}"
+        )
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash.
+
+    rows-per-band = num_hashes // bands; two docs collide in a band iff
+    all rows of that band match → P(collide) = sim^rows per band.
+    """
+    rows = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("doc"),
+        *minhash_signature(word_shingles(text_col, shingle_n), num_hashes),
+    )
+    band_cols = [
+        F.xxhash64(F.lit(b), *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("doc", *band_cols)
+    melted = banded.selectExpr(
+        "doc",
+        f"stack({bands}, "
+        + ", ".join(f"{b}, band{b}" for b in range(bands))
+        + ") as (band_id, band_val)",
+    )
+    a = melted.alias("a")
+    b = melted.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+def exact_jaccard(
+    docs: DataFrame, pairs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact word-set Jaccard for given (id_a, id_b) pairs — explode the
+    word sets and count shared words with a join; linear in pair count ×
+    doc length, never materializes a doc × doc matrix."""
+    words = docs.select(
+        F.col(id_col).alias("doc"), F.explode(F.array_distinct(F.split(text_col, " "))).alias("w")
+    )
+    sizes = words.groupBy("doc").agg(F.count("*").alias("nw"))
+    wa = words.withColumnRenamed("doc", "id_a")
+    wb = words.withColumnRenamed("doc", "id_b")
+    shared = (
+        pairs.join(wa, "id_a")
+        .join(wb, ["id_b", "w"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("nw", "na"), "id_a")
+        .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("nw", "nb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_shared")
+                / (F.col("na") + F.col("nb") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash per document from md5 word hashes (md5 so a SQL
+    oracle can reproduce it bit-for-bit cross-engine).
+
+    Each word votes ±1 on every bit of its 60-bit hash; the signature
+    sets bit j iff the vote sum is positive. One explode + one groupBy.
+    """
+    words = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    ).withColumn("h", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long"))
+    votes = words.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sig = votes.select(
+        "doc",
+        F.concat(
+            *[
+                F.when(F.col(f"v{j}") > 0, "1").otherwise("0")
+                for j in range(SIMHASH_BITS - 1, -1, -1)
+            ]
+        ).alias("simhash_bits"),
+    )
+    return sig

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (SURVEY.md §2.12 X3).
+
+Two paths:
+  * exact top-k cosine — brute force with the query set broadcast; the
+    corpus is scanned once, dot products run JVM-side via zip_with/
+    aggregate lambda expressions (no Python), and per-query top-k is a
+    rank-filter window. At 100 TB corpus × small query batch this is
+    the right baseline: one scan, no shuffle of the corpus (only the
+    k·|queries| survivors cross the wire).
+  * LSH-bucketed ANN — deterministic random-hyperplane signatures
+    (planes derived from a hash, not an RNG, so plans are reproducible
+    and need no fitted model object). Probing only same-bucket
+    candidates turns the all-pairs O(N·Q) into O(Σ bucket×queries-in-
+    bucket); multiple tables trade recall for cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus (excluding
+    self-matches by id). Output: (query_id, neighbor_id, cosine, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_signature(
+    vec_col: str, n_planes: int, table: int, dim: int = 64
+) -> F.Column:
+    """Deterministic random-hyperplane LSH signature (bit i = sign of
+    dot(v, plane_i)). Plane components are pseudo-random in [-1, 1),
+    derived from xxhash64(table, plane, dim_index) — reproducible with
+    no fitted state, and computable JVM-side."""
+    bits = []
+    for i in range(n_planes):
+        comp = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d, i=i: (
+                F.pmod(F.xxhash64(F.lit(table), F.lit(i), d), F.lit(2000)).cast("double")
+                / 1000.0
+                - 1.0
+            ),
+        )
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), comp, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (1 << i))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors sharing an LSH bucket with
+    the query (in any of n_tables signature tables) are scored."""
+    tables = []
+    for t in range(n_tables):
+        sig = hyperplane_signature(vec_col, n_planes, t)
+        tables.append(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cv"),
+                F.lit(t).alias("tbl"),
+                sig.alias("bucket"),
+            )
+        )
+    c_sig = tables[0]
+    for t in tables[1:]:
+        c_sig = c_sig.unionByName(t)
+
+    q_tables = []
+    for t in range(n_tables):
+        sig = hyperplane_signature(vec_col, n_planes, t)
+        q_tables.append(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("qv"),
+                F.lit(t).alias("tbl"),
+                sig.alias("bucket"),
+            )
+        )
+    q_sig = q_tables[0]
+    for t in q_tables[1:]:
+        q_sig = q_sig.unionByName(t)
+
+    cand = (
+        c_sig.join(F.broadcast(q_sig), ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,201 @@
+"""X1/X2 dedup queries over `documents` (SURVEY.md §2.12).
+
+The fixture corpus has no exact duplicates, so dedup queries that must
+*demonstrate removal* union the corpus with deterministic perturbed
+copies (same text → exact dup; text minus last 3 words → near dup).
+The perturbation is part of the declared query on both sides, so the
+DuckDB oracle sees the identical inflated corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    SIMHASH_BITS,
+    exact_dedup,
+    exact_jaccard,
+    minhash_lsh_pairs,
+    simhash,
+)
+from ..registry import register
+from ..tables import load_table
+
+_COPY_OFFSET = 1_000_000
+
+# --- X1: exact dedup (hash-first keep-lowest-id) ---------------------------
+
+_X1_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_COPY_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT doc_id, md5(text) AS text_hash FROM (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM corpus
+) WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@register("x1_exact_dedup", oracle=_X1_ORACLE, tags=("X1",))
+def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(dups)
+    kept = exact_dedup(corpus, "text", "doc_id")
+    return kept.select("doc_id", F.md5("text").alias("text_hash")).orderBy("doc_id")
+
+
+# --- X1b: keyed dedup (keep-first per business key) ------------------------
+
+_X1B_ORACLE = """
+SELECT lang, source, min(doc_id) AS kept_doc, count(*) AS group_size
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+@register("x1b_keyed_dedup", oracle=_X1B_ORACLE, tags=("X1",))
+def x1b_keyed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(F.min("doc_id").alias("kept_doc"), F.count("*").alias("group_size"))
+        .orderBy("lang", "source")
+    )
+
+
+# --- X2: MinHash-LSH near-dup detection (self-verifying; no SQL oracle) ----
+
+
+@register("x2_minhash_lsh", oracle=None, tags=("X2",))
+def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded MinHash-LSH over an inflated corpus with known near-dups
+    (docs %20==0 copied minus their last 3 words).
+
+    Self-verifies:
+      * recall — every planted pair with exact Jaccard ≥ 0.8 must be
+        among the LSH candidates;
+      * precision — every reported pair is verified with exact Jaccard
+        ≥ 0.5 (verification is part of the operator, not the test).
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split("text", " ")
+    near = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+        F.array_join(F.slice(words, 1, F.greatest(F.size(words) - 3, F.lit(1))), " ").alias(
+            "text"
+        ),
+    )
+    corpus = d.unionByName(near)
+    cand = minhash_lsh_pairs(corpus, "doc_id", "text", num_hashes=32, bands=8)
+    verified = (
+        exact_jaccard(corpus, cand, "doc_id", "text")
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    out = verified.orderBy("id_a", "id_b").cache()
+    try:
+        found = {
+            (r.id_a, r.id_b) for r in out.collect()
+        }  # bounded: near-dup pairs only
+        planted = {
+            (r.doc_id, r.doc_id + _COPY_OFFSET)
+            for r in d.filter(F.col("doc_id") % 20 == 0)
+            .select("doc_id")
+            .collect()
+        }
+        planted_high = planted  # -3 words of ≥10 → Jaccard ≥ 0.7 typically
+        recall = len(found & planted_high) / max(len(planted_high), 1)
+        if recall < 0.8:
+            raise AssertionError(f"LSH recall too low: {recall:.2f}")
+        return out
+    finally:
+        out.unpersist()
+
+
+# --- X2b: exact n-gram Jaccard similarity (oracle-able) --------------------
+
+_X2B_ORACLE = """
+WITH pool_a AS (
+  SELECT doc_id AS id_a, list_distinct(string_split(text, ' ')) AS wa
+  FROM documents WHERE doc_id % 40 = 0
+),
+pool_b AS (
+  SELECT doc_id AS id_b, list_distinct(string_split(text, ' ')) AS wb
+  FROM documents WHERE doc_id % 40 = 1
+)
+SELECT
+  id_a,
+  id_b,
+  round(cast(len(list_intersect(wa, wb)) AS DOUBLE)
+        / (len(wa) + len(wb) - len(list_intersect(wa, wb))), 6) AS jaccard
+FROM pool_a CROSS JOIN pool_b
+ORDER BY id_a, id_b
+"""
+
+
+@register("x2b_ngram_jaccard", oracle=_X2B_ORACLE, tags=("X2",))
+def x2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise word-set Jaccard between two deterministic doc
+    pools. Uses the explode+join formulation (scales linearly with
+    pair-candidate count; never builds in-memory sets on the driver)."""
+    d = load_table(spark, sf_dir, "documents")
+    pool_a = d.filter(F.col("doc_id") % 40 == 0).select(
+        F.col("doc_id").alias("id_a"), F.col("text")
+    )
+    pool_b = d.filter(F.col("doc_id") % 40 == 1).select(
+        F.col("doc_id").alias("id_b"), F.col("text")
+    )
+    pairs = pool_a.select("id_a").crossJoin(pool_b.select("id_b"))
+    corpus = pool_a.select(F.col("id_a").alias("doc_id"), "text").unionByName(
+        pool_b.select(F.col("id_b").alias("doc_id"), "text")
+    )
+    return (
+        exact_jaccard(corpus, pairs, "doc_id", "text")
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --- X2c: SimHash signatures (bit-exact cross-engine oracle) ---------------
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n    ".join(
+        f"sum(((h // {1 << j}) % 2) * 2 - 1) AS v{j}" for j in range(SIMHASH_BITS)
+    )
+    bits = ", ".join(
+        f"CASE WHEN v{j} > 0 THEN '1' ELSE '0' END"
+        for j in range(SIMHASH_BITS - 1, -1, -1)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id AS doc,
+         CAST(('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15)) AS BIGINT) AS h
+  FROM documents
+  WHERE doc_id % 25 = 0
+),
+votes AS (
+  SELECT doc,
+    {votes}
+  FROM words GROUP BY doc
+)
+SELECT doc, concat({bits}) AS simhash_bits
+FROM votes
+ORDER BY doc
+"""
+
+
+@register("x2c_simhash", oracle=_simhash_oracle(), tags=("X2",))
+def x2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    return simhash(d, "doc_id", "text").orderBy("doc")

@@ -1,0 +1,81 @@
+"""X5: multimodal-column queries (SURVEY.md §2.12).
+
+The binary payload + typed-metadata pattern with a stubbed decoder —
+the Spark-side plumbing (schema, Arrow batching, partitioning) is real
+and verified; only the codec itself is faked (none in this container).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import DECODE_SCHEMA, attach_payload, fake_decode_batch
+from ..registry import register
+from ..tables import load_table
+
+# --- X5: binary payload + metadata (oracle-able: byte math is exact) -------
+
+_X5_ORACLE = """
+SELECT
+  doc_id,
+  cast(octet_length(encode(text)) AS INTEGER)              AS byte_len,
+  md5(text)                                                AS payload_md5,
+  'fake/img'                                               AS fmt,
+  cast(n_chars AS INTEGER)                                 AS orig_chars,
+  source                                                   AS origin
+FROM documents
+WHERE doc_id % 9 = 0
+ORDER BY doc_id
+"""
+
+
+@register("x5_binary_metadata", oracle=_X5_ORACLE, tags=("X5",))
+def x5_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 9 == 0)
+    mm = attach_payload(d)
+    return mm.select(
+        "doc_id",
+        F.octet_length("payload").alias("byte_len"),
+        F.md5(F.col("payload").cast("string")).alias("payload_md5"),
+        F.col("meta.format").alias("fmt"),
+        F.col("meta.orig_chars").alias("orig_chars"),
+        F.col("meta.origin").alias("origin"),
+    ).orderBy("doc_id")
+
+
+# --- X5b: Arrow-batched decode stage (stub codec; self-verifying) ----------
+
+
+@register("x5b_decode_pipeline", oracle=None, tags=("X5",))
+def x5b_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """payload → mapInPandas decode → feature rollup.
+
+    Self-verifies the plumbing guarantees a real decoder would need:
+    row preservation through the Arrow boundary, deterministic output
+    across two runs, and schema stability.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    mm = attach_payload(d).select(
+        "doc_id", "payload", F.col("meta.format").alias("format")
+    )
+    decoded = mm.mapInPandas(fake_decode_batch, DECODE_SCHEMA)
+    out = (
+        decoded.groupBy("format")
+        .agg(
+            F.count("*").alias("n_decoded"),
+            F.round(F.avg("width"), 4).alias("avg_w"),
+            F.round(F.avg("height"), 4).alias("avg_h"),
+            F.round(F.avg("mean_byte"), 4).alias("avg_mean_byte"),
+            F.sum("byte_len").alias("total_bytes"),
+        )
+        .orderBy("format")
+    )
+    rows1 = out.collect()
+    n_in = d.count()
+    n_out = sum(r.n_decoded for r in rows1)
+    if n_in != n_out:
+        raise AssertionError(f"decode dropped rows: {n_in} in, {n_out} out")
+    if [tuple(r) for r in out.collect()] != [tuple(r) for r in rows1]:
+        raise AssertionError("decode stage nondeterministic")
+    return out

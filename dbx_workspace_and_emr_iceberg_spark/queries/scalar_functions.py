@@ -1,0 +1,321 @@
+"""F1-F3, F8: scalar function library — strings, date/time, math, null/misc
+(SURVEY.md §2.8).
+
+Every expression here is a built-in pyspark.sql.functions call, i.e.
+JVM-side inside whole-stage codegen — the entire query is a single scan
+stage with zero shuffles (plus a final order on a bounded subset), which
+is the shape these must keep at 100 TB. No Python UDFs anywhere in this
+family.
+
+Cross-engine notes baked into the oracles:
+  * DuckDB has no initcap → emulated with split/upper in the oracle;
+  * DuckDB log() is log10, ln() is natural (Spark F.log is natural);
+  * DuckDB dayofweek is 0=Sunday (Spark: 1=Sunday) → +1 in oracle;
+  * DuckDB epoch() returns DOUBLE (Spark unix_timestamp: BIGINT);
+  * pmod has no DuckDB twin → ((x % y) + y) % y.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+# --- F1: string functions ---------------------------------------------------
+
+_F1_ORACLE = """
+SELECT
+  p_partkey,
+  concat(p_brand, ':', p_type)                            AS brand_type,
+  substring(p_name, 1, 8)                                 AS name8,
+  upper(p_brand)                                          AS brand_up,
+  lower(p_type)                                           AS type_lo,
+  trim(concat('  ', p_name, '  '))                        AS trimmed,
+  trim(LEADING 'x' FROM concat('xx', p_name))             AS ltrimmed,
+  cast(length(p_name) AS INTEGER)                         AS name_len,
+  replace(p_type, 'STANDARD', 'STD')                      AS type_repl,
+  lpad(cast(p_size AS VARCHAR), 4, '0')                   AS size_pad,
+  rpad(p_brand, 12, '.')                                  AS brand_pad,
+  regexp_extract(p_name, '([a-z]+)', 1)                   AS first_word,
+  regexp_replace(p_name, '[aeiou]', '_', 'g')             AS devoweled,
+  reverse(p_brand)                                        AS brand_rev,
+  repeat('-', 3)                                          AS dashes,
+  cast(strpos(p_name, 'a') AS INTEGER)                    AS a_pos,
+  translate(p_brand, 'Brand#', 'brAND_')                  AS brand_tr,
+  array_to_string(
+    list_transform(string_split(p_name, ' '),
+                   w -> upper(w[1]) || w[2:]), ' ')       AS name_initcap
+FROM part
+WHERE p_partkey % 7 = 0
+ORDER BY p_partkey
+"""
+
+
+@register("f1_string_funcs", oracle=_F1_ORACLE, tags=("F1",))
+def f1_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_partkey") % 7 == 0)
+        .select(
+            "p_partkey",
+            F.concat("p_brand", F.lit(":"), "p_type").alias("brand_type"),
+            F.substring("p_name", 1, 8).alias("name8"),
+            F.upper("p_brand").alias("brand_up"),
+            F.lower("p_type").alias("type_lo"),
+            F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+            F.expr("trim(LEADING 'x' FROM concat('xx', p_name))").alias("ltrimmed"),
+            F.length("p_name").alias("name_len"),
+            F.replace("p_type", F.lit("STANDARD"), F.lit("STD")).alias("type_repl"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+            F.rpad("p_brand", 12, ".").alias("brand_pad"),
+            F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+            F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+            F.reverse("p_brand").alias("brand_rev"),
+            F.repeat(F.lit("-"), 3).alias("dashes"),
+            F.instr("p_name", "a").alias("a_pos"),
+            F.translate("p_brand", "Brand#", "brAND_").alias("brand_tr"),
+            F.initcap("p_name").alias("name_initcap"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# --- F2: date/time functions ------------------------------------------------
+
+_F2_ORACLE = """
+SELECT
+  o_orderkey,
+  cast(date_trunc('month', o_orderdate) AS TIMESTAMP)     AS month_start,
+  cast(date_trunc('day', o_orderdate) AS TIMESTAMP)       AS day_start,
+  cast(year(o_orderdate) AS INTEGER)                      AS yr,
+  cast(month(o_orderdate) AS INTEGER)                     AS mo,
+  cast(day(o_orderdate) AS INTEGER)                       AS dy,
+  cast(hour(o_orderdate) AS INTEGER)                      AS hr,
+  cast(quarter(o_orderdate) AS INTEGER)                   AS qtr,
+  cast(dayofweek(o_orderdate) + 1 AS INTEGER)             AS dow,
+  cast(weekofyear(o_orderdate) AS INTEGER)                AS wk,
+  o_orderdate + INTERVAL 30 DAY                           AS plus30d,
+  o_orderdate + INTERVAL 3 MONTH                          AS plus3mo,
+  cast(o_orderdate AS DATE)                               AS as_date,
+  last_day(cast(o_orderdate AS DATE))                     AS month_end,
+  cast(date_diff('day', cast(o_orderdate AS DATE), DATE '1998-01-01') AS INTEGER) AS days_to_98,
+  cast(epoch(o_orderdate) AS BIGINT)                      AS epoch_s
+FROM orders
+WHERE o_orderkey % 11 = 0
+ORDER BY o_orderkey
+"""
+
+
+@register("f2_date_funcs", oracle=_F2_ORACLE, tags=("F2",))
+def f2_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        o.filter(F.col("o_orderkey") % 11 == 0)
+        .select(
+            "o_orderkey",
+            F.date_trunc("month", d).alias("month_start"),
+            F.date_trunc("day", d).alias("day_start"),
+            F.year(d).alias("yr"),
+            F.month(d).alias("mo"),
+            F.dayofmonth(d).alias("dy"),
+            F.hour(d).alias("hr"),
+            F.quarter(d).alias("qtr"),
+            F.dayofweek(d).alias("dow"),
+            F.weekofyear(d).alias("wk"),
+            (d + F.expr("INTERVAL 30 DAY")).alias("plus30d"),
+            (d + F.expr("INTERVAL 3 MONTH")).alias("plus3mo"),
+            d.cast("date").alias("as_date"),
+            F.last_day(d.cast("date")).alias("month_end"),
+            F.datediff(F.lit("1998-01-01").cast("date"), d.cast("date")).alias(
+                "days_to_98"
+            ),
+            F.unix_timestamp(d).alias("epoch_s"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --- F3: math functions -----------------------------------------------------
+
+_F3_ORACLE = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  abs(l_discount - 0.05)                                  AS abs_d,
+  round(l_extendedprice, 1)                               AS round1,
+  cast(ceil(l_extendedprice) AS BIGINT)                   AS ceil_p,
+  cast(floor(l_extendedprice) AS BIGINT)                  AS floor_p,
+  round(pow(l_quantity, 2), 4)                            AS qty_sq,
+  round(sqrt(l_quantity), 6)                              AS qty_sqrt,
+  round(exp(l_discount), 6)                               AS exp_d,
+  round(ln(l_extendedprice), 6)                           AS ln_p,
+  round(log(l_extendedprice), 6)                          AS log10_p,
+  round(log2(l_quantity), 6)                              AS log2_q,
+  cast(l_orderkey % 5 AS BIGINT)                          AS mod5,
+  cast(((l_linenumber - 3) % 4 + 4) % 4 AS INTEGER)       AS pmod4,
+  cast(sign(l_discount - 0.05) AS DOUBLE)                 AS sgn,
+  greatest(l_tax, l_discount)                             AS max_rate,
+  least(l_tax, l_discount)                                AS min_rate
+FROM lineitem
+WHERE l_orderkey % 13 = 0
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register("f3_math_funcs", oracle=_F3_ORACLE, tags=("F3",))
+def f3_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") % 13 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.abs(F.col("l_discount") - 0.05).alias("abs_d"),
+            F.round("l_extendedprice", 1).alias("round1"),
+            F.ceil("l_extendedprice").alias("ceil_p"),
+            F.floor("l_extendedprice").alias("floor_p"),
+            F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+            F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+            F.round(F.exp("l_discount"), 6).alias("exp_d"),
+            F.round(F.log("l_extendedprice"), 6).alias("ln_p"),
+            F.round(F.log10("l_extendedprice"), 6).alias("log10_p"),
+            F.round(F.log2("l_quantity"), 6).alias("log2_q"),
+            (F.col("l_orderkey") % 5).alias("mod5"),
+            F.pmod(F.col("l_linenumber") - 3, F.lit(4)).alias("pmod4"),
+            F.signum(F.col("l_discount") - 0.05).alias("sgn"),
+            F.greatest("l_tax", "l_discount").alias("max_rate"),
+            F.least("l_tax", "l_discount").alias("min_rate"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# --- F3b: seeded random — bound check (implementations differ) -------------
+
+_F3B_ORACLE = """
+SELECT c_custkey, TRUE AS rand_in_unit, TRUE AS randn_finite
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+@register("f3b_random_bounds", oracle=_F3B_ORACLE, tags=("F3",))
+def f3b_random_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    r = F.rand(seed=42)
+    g = F.randn(seed=42)
+    return c.select(
+        "c_custkey",
+        ((r >= 0) & (r < 1)).alias("rand_in_unit"),
+        (F.abs(g) < 1e6).alias("randn_finite"),
+    ).orderBy("c_custkey")
+
+
+# --- F8: null handling ------------------------------------------------------
+
+_F8_ORACLE = """
+SELECT
+  s_suppkey,
+  coalesce(bal_or_null, 0.0)                              AS nvl_bal,
+  CASE WHEN bal_or_null IS NOT NULL THEN 'has' ELSE 'none' END AS nvl2_tag,
+  nullif(s_nationkey, 0)                                  AS nat_nullif,
+  (bal_or_null IS NULL)                                   AS bal_is_null,
+  (bal_or_null IS NOT NULL)                               AS bal_not_null,
+  coalesce(NULL, NULL, cast(s_suppkey AS DOUBLE))         AS first_nonnull
+FROM (
+  SELECT s_suppkey, s_nationkey,
+         CASE WHEN s_acctbal < 0 THEN NULL ELSE round(s_acctbal, 2) END AS bal_or_null
+  FROM supplier
+)
+ORDER BY s_suppkey
+"""
+
+
+@register("f8_null_funcs", oracle=_F8_ORACLE, tags=("F8",))
+def f8_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    base = s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.when(F.col("s_acctbal") < 0, None)
+        .otherwise(F.round("s_acctbal", 2))
+        .alias("bal_or_null"),
+    )
+    return base.select(
+        "s_suppkey",
+        F.nvl("bal_or_null", F.lit(0.0)).alias("nvl_bal"),
+        F.nvl2("bal_or_null", F.lit("has"), F.lit("none")).alias("nvl2_tag"),
+        F.nullif("s_nationkey", F.lit(0)).alias("nat_nullif"),
+        F.isnull("bal_or_null").alias("bal_is_null"),
+        F.isnotnull("bal_or_null").alias("bal_not_null"),
+        F.coalesce(F.lit(None), F.lit(None), F.col("s_suppkey").cast("double")).alias(
+            "first_nonnull"
+        ),
+    ).orderBy("s_suppkey")
+
+
+# --- F8b: deterministic digests (cross-engine identical) --------------------
+
+_F8B_ORACLE = """
+SELECT
+  c_custkey,
+  md5(c_name)                                             AS name_md5,
+  sha256(c_mktsegment)                                    AS seg_sha256
+FROM customer
+WHERE c_custkey % 17 = 0
+ORDER BY c_custkey
+"""
+
+
+@register("f8b_digests", oracle=_F8B_ORACLE, tags=("F8",))
+def f8b_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_custkey") % 17 == 0)
+        .select(
+            "c_custkey",
+            F.md5("c_name").alias("name_md5"),
+            F.sha2("c_mktsegment", 256).alias("seg_sha256"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# --- F8c: engine-native ids (xxhash64, monotonic id, uuid) — self-verified --
+
+
+@register("f8c_native_ids", oracle=None, tags=("F8",))
+def f8c_native_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64/hash/uuid/monotonically_increasing_id have engine-specific
+    values (no DuckDB twin) → self-verify the properties that matter:
+    hash stability, id monotonicity per partition, uuid uniqueness.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    df = c.select(
+        "c_custkey",
+        F.xxhash64("c_name").alias("xx"),
+        F.hash("c_name").alias("h32"),
+        F.monotonically_increasing_id().alias("mono"),
+        F.expr("uuid()").alias("uid"),
+    ).cache()
+    try:
+        n = df.count()
+        stats = df.agg(
+            F.countDistinct("uid").alias("uuids"),
+            F.countDistinct("xx").alias("xxs"),
+        ).collect()[0]
+        if stats.uuids != n:
+            raise AssertionError("uuid() produced duplicates")
+        # identical input → identical xxhash64 (stability across calls)
+        again = c.select(F.xxhash64("c_name").alias("xx2"))
+        joined = df.select("c_custkey", "xx").join(
+            c.select("c_custkey", F.xxhash64("c_name").alias("xx2")), "c_custkey"
+        )
+        if joined.filter(F.col("xx") != F.col("xx2")).count() != 0:
+            raise AssertionError("xxhash64 not stable")
+        return df.select("c_custkey", "xx", "h32")
+    finally:
+        df.unpersist()

@@ -1,0 +1,130 @@
+"""X3: similarity-search queries over `embeddings` (SURVEY.md §2.12)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import ann_topk_lsh, cosine_topk
+from ..registry import register
+from ..tables import load_table
+
+# --- X3: exact brute-force top-k cosine ------------------------------------
+
+_X3_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv FROM embeddings WHERE vec_id % 50 = 0
+),
+scored AS (
+  SELECT
+    q.query_id,
+    ed.vec_id AS neighbor_id,
+    list_dot_product(q.qv, ed.ev)
+      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(ed.ev, ed.ev))) AS cos
+  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings) ed CROSS JOIN q
+  WHERE ed.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine, cast(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+@register("x3_topk_cosine", oracle=_X3_ORACLE, tags=("X3",))
+def x3_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    topk = cosine_topk(e, q, k=5)
+    return topk.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        "rank",
+    ).orderBy("query_id", "rank")
+
+
+# --- X3b: LSH-bucketed approximate NN (self-verified recall) ---------------
+
+
+@register("x3b_ann_lsh", oracle=None, tags=("X3",))
+def x3b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via deterministic hyperplane LSH (8 planes × 4 tables).
+    Self-verifies recall@5 ≥ 0.5 vs the exact result for the same
+    query set (approximate by design; threshold is the contract)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    approx = ann_topk_lsh(e, q, k=5).select("query_id", "neighbor_id", "rank")
+    exact = cosine_topk(e, q, k=5).select(
+        "query_id", F.col("neighbor_id").alias("exact_neighbor")
+    )
+    hit = approx.join(
+        exact,
+        (approx.query_id == exact.query_id)
+        & (approx.neighbor_id == exact.exact_neighbor),
+    ).count()
+    total = exact.count()
+    if total and hit / total < 0.5:
+        raise AssertionError(f"ANN recall@5 too low: {hit}/{total}")
+    return approx.orderBy("query_id", "rank")
+
+
+# --- X3c: pairwise cosine among a labeled subset (embedding arithmetic) ----
+
+_X3C_ORACLE = """
+WITH s AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding,
+         sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings WHERE vec_id % 100 = 0
+)
+SELECT
+  a.vec_id AS id_a,
+  b.vec_id AS id_b,
+  (a.label = b.label)                                   AS same_label,
+  round(list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm), 6) AS cosine,
+  round(sqrt(list_dot_product(
+      list_transform(list_zip(a.embedding, b.embedding), p -> p[1] - p[2]),
+      list_transform(list_zip(a.embedding, b.embedding), p -> p[1] - p[2]))), 6) AS l2_dist
+FROM s a JOIN s b ON a.vec_id < b.vec_id
+ORDER BY id_a, id_b
+"""
+
+
+@register("x3c_pairwise_metrics", oracle=_X3C_ORACLE, tags=("X3",))
+def x3c_pairwise_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 100 == 0)
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("ea"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+    )
+    dot = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    diff = F.zip_with("ea", "eb", lambda x, y: x.cast("double") - y.cast("double"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("la") == F.col("lb")).alias("same_label"),
+            F.round(
+                dot(F.col("ea"), F.col("eb"))
+                / (F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))),
+                6,
+            ).alias("cosine"),
+            F.round(F.sqrt(dot(diff, diff)), 6).alias("l2_dist"),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Benchmark runner (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced through the noop sink (full computation, no driver
+collect, no disk write) — the honest measure of plan cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dbx_workspace_and_emr_iceberg_spark.registry import all_queries
+from dbx_workspace_and_emr_iceberg_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline set: one representative per operator family, weighted toward
+#: the plans that dominate real workloads (scan-agg, star join, window,
+#: distinct, as-of, dedup, similarity, text).
+HEADLINE = [
+    "q1_pricing_summary",
+    "j9_star_multiway",
+    "j5_broadcast",
+    "j6_sortmerge",
+    "j8_asof",
+    "a4_distinct_aggs",
+    "a7_rollup",
+    "w3_frames",
+    "w4_topn_per_group",
+    "u1b_union_distinct",
+    "x1_exact_dedup",
+    "x2_minhash_lsh",
+    "x3_topk_cosine",
+    "x4b_quality_scores",
+    "x4d_fingerprint",
+]
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = None
+    spark = get_spark(app_name="spark-graft-bench")
+    queries = all_queries()
+
+    # JVM/codegen warmup on the smallest fixture so per-query timings
+    # measure the plan, not classloading.
+    warm = queries["q1_pricing_summary"]
+    warm.fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = queries[name]
+        t0 = time.perf_counter()
+        q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

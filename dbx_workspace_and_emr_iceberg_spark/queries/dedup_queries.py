@@ -102,24 +102,19 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
+    # cache() stays live for the caller: the self-check below consumes
+    # the pipeline once, and the returned DataFrame re-reads the cached
+    # result instead of recomputing the full LSH pipeline.
     out = verified.orderBy("id_a", "id_b").cache()
-    try:
-        found = {
-            (r.id_a, r.id_b) for r in out.collect()
-        }  # bounded: near-dup pairs only
-        planted = {
-            (r.doc_id, r.doc_id + _COPY_OFFSET)
-            for r in d.filter(F.col("doc_id") % 20 == 0)
-            .select("doc_id")
-            .collect()
-        }
-        planted_high = planted  # -3 words of ≥10 → Jaccard ≥ 0.7 typically
-        recall = len(found & planted_high) / max(len(planted_high), 1)
-        if recall < 0.8:
-            raise AssertionError(f"LSH recall too low: {recall:.2f}")
-        return out
-    finally:
-        out.unpersist()
+    found = {(r.id_a, r.id_b) for r in out.collect()}  # bounded: near-dup pairs
+    planted = {
+        (r.doc_id, r.doc_id + _COPY_OFFSET)
+        for r in d.filter(F.col("doc_id") % 20 == 0).select("doc_id").collect()
+    }
+    recall = len(found & planted) / max(len(planted), 1)
+    if recall < 0.8:
+        raise AssertionError(f"LSH recall too low: {recall:.2f}")
+    return out
 
 
 # --- X2b: exact n-gram Jaccard similarity (oracle-able) --------------------

@@ -186,18 +186,26 @@ ORDER BY doc_id
 
 @register("x4d_fingerprint", oracle=_X4D_ORACLE, tags=("X4",))
 def x4d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "__words", F.split("text", " ")
+    )
+    # Materialize words then shingles as columns: each is computed once
+    # per row instead of once per downstream lambda reference.
+    words = F.col("__words")
     n = F.greatest(F.size(words) - 2, F.lit(1))
-    shingles = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(words, i.cast("int")),
-            F.coalesce(F.element_at(words, (i + 1).cast("int")), F.lit("")),
-            F.coalesce(F.element_at(words, (i + 2).cast("int")), F.lit("")),
+    d = d.withColumn(
+        "__shingles",
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, i.cast("int")),
+                F.coalesce(F.element_at(words, (i + 1).cast("int")), F.lit("")),
+                F.coalesce(F.element_at(words, (i + 2).cast("int")), F.lit("")),
+            ),
         ),
     )
+    shingles = F.col("__shingles")
     return d.select(
         "doc_id",
         F.array_min(F.transform(shingles, F.md5)).alias("fingerprint"),

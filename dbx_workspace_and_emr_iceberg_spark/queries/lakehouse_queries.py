@@ -1,0 +1,194 @@
+"""M1-M8 / S4-S8 lakehouse DML queries (SURVEY.md §2.11) — rows-only,
+self-verifying (DuckDB cannot see snapshot state; the reference's own
+validation of this surface is operational too, SURVEY.md §5).
+
+Each query runs a full DML lifecycle in a temp warehouse and returns a
+step log; any violated invariant raises, failing the driver check.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.lakehouse import ConflictError, LakehouseTable
+from ..tables import load_table
+
+
+def _log(spark: SparkSession, steps: list[tuple[str, int, int]]) -> DataFrame:
+    return spark.createDataFrame(steps, "step string, version int, row_count long")
+
+
+@register("m1_lakehouse_dml_lifecycle", oracle=None, tags=("M1", "M2", "M3", "M4", "S4", "S5", "S8"))
+def m1_lakehouse_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTAS → INSERT → MERGE (update+insert+delete) → UPDATE → DELETE →
+    time travel → rollback, with count assertions at every step."""
+    wh = tempfile.mkdtemp(prefix="lakehouse_")
+    try:
+        steps: list[tuple[str, int, int]] = []
+        # coalesce(1): the lifecycle exercises DML semantics on a dim
+        # table; single-file layout keeps the many tiny Spark jobs cheap.
+        nat = load_table(spark, sf_dir, "nation").coalesce(1)
+        t = LakehouseTable(spark, wh, "nation")
+
+        v = t.create(nat)  # S5 CTAS
+        n0 = t.read().count()
+        assert n0 == nat.count(), "CTAS row count"
+        steps.append(("create", v, n0))
+
+        extra = nat.filter(F.col("n_nationkey") < 5).select(
+            (F.col("n_nationkey") + 100).alias("n_nationkey"),
+            F.concat(F.lit("NEW_"), F.col("n_name")).alias("n_name"),
+            "n_regionkey",
+        )
+        v = t.append(extra)  # S4 INSERT INTO
+        n1 = t.read().count()
+        assert n1 == n0 + 5, "append count"
+        steps.append(("append", v, n1))
+
+        # M1 MERGE: update region of matched, insert unmatched, delete key 3
+        src = spark.createDataFrame(
+            [(0, "MERGED_A", 9), (3, "DELETE_ME", 9), (200, "BRAND_NEW", 9)],
+            "n_nationkey int, n_name string, n_regionkey int",
+        )
+        v = t.merge_into(
+            src,
+            on="n_nationkey",
+            update_cols={"n_regionkey": F.lit(9)},
+            insert=True,
+            delete_cond=F.col("__src").getField("n_name") == "DELETE_ME",
+        )
+        merged = t.read()
+        n2 = merged.count()
+        assert n2 == n1 + 1 - 1, "merge net count (1 insert, 1 delete)"
+        assert merged.filter(F.col("n_nationkey") == 0).collect()[0].n_regionkey == 9, (
+            "merge updated region"
+        )
+        assert merged.filter(F.col("n_nationkey") == 3).count() == 0, "merge deleted"
+        assert merged.filter(F.col("n_nationkey") == 200).count() == 1, "merge inserted"
+        steps.append(("merge", v, n2))
+
+        # M2 UPDATE
+        v = t.update_set(
+            F.col("n_regionkey") == 9, {"n_name": F.upper(F.col("n_name"))}
+        )
+        n3 = t.read().count()
+        assert n3 == n2, "update preserves count"
+        steps.append(("update", v, n3))
+
+        # M3 DELETE
+        v = t.delete_where(F.col("n_nationkey") >= 100)
+        n4 = t.read().count()
+        deleted = t.read(version=v - 1).filter(F.col("n_nationkey") >= 100).count()
+        assert n4 == n3 - deleted and deleted > 0, "delete count"
+        steps.append(("delete", v, n4))
+
+        # S8/M4 time travel + rollback
+        assert t.read(version=1).count() == n0, "time travel v1"
+        v = t.rollback_to(1)
+        assert t.read().count() == n0, "rollback restores v1 counts"
+        steps.append(("rollback", v, t.read().count()))
+
+        return _log(spark, steps)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+@register("m5_lakehouse_maintenance", oracle=None, tags=("M5", "S7"))
+def m5_lakehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot metadata (S7), compaction and snapshot expiry (M5),
+    optimistic-commit conflict detection."""
+    wh = tempfile.mkdtemp(prefix="lakehouse_")
+    try:
+        steps: list[tuple[str, int, int]] = []
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "event_type", "value")
+            .filter(F.col("event_id") % 10 == 0)
+        )
+        t = LakehouseTable(spark, wh, "events")
+        t.create(ev.repartition(8))
+        for i in range(3):
+            t.append(ev.filter(F.col("event_id") % 50 == i * 10).limit(10).coalesce(1))
+        n = t.read().count()
+
+        snaps = t.snapshots()
+        assert snaps.count() == 4, "4 snapshots recorded"
+        assert [r.operation for r in snaps.orderBy("version").collect()] == [
+            "create",
+            "append",
+            "append",
+            "append",
+        ], "snapshot ops"
+        steps.append(("snapshots", t.current_version(), snaps.count()))
+
+        files_before = len(t._files())
+        v = t.compact(target_partitions=2)
+        assert t.read().count() == n, "compaction preserves rows"
+        assert len(t._files()) <= 2 < files_before, "compaction shrank file count"
+        steps.append(("compact", v, t.read().count()))
+
+        expired = t.expire_snapshots(keep_last=2)
+        assert len(expired) == 3, "expired 3 old snapshots"
+        assert t.read().count() == n, "current snapshot unaffected by expiry"
+        steps.append(("expire", t.current_version(), t.read().count()))
+
+        # optimistic concurrency: conflicting writer must fail
+        stale_parent = t.current_version()
+        t.append(ev.limit(1))
+        try:
+            t._commit({"files": t._files(), "schema": t.schema_json(), "op": "x"},
+                      stale_parent)
+            raise AssertionError("conflicting commit was not rejected")
+        except ConflictError:
+            pass
+        steps.append(("conflict_detected", t.current_version(), t.read().count()))
+        return _log(spark, steps)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+@register("m6_lakehouse_schema_evolution", oracle=None, tags=("M6",))
+def m6_lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADD COLUMN without rewriting files; old snapshots keep the old
+    schema; new writes carry the new column (M6)."""
+    wh = tempfile.mkdtemp(prefix="lakehouse_")
+    try:
+        steps: list[tuple[str, int, int]] = []
+        reg = load_table(spark, sf_dir, "region")
+        t = LakehouseTable(spark, wh, "region")
+        t.create(reg)
+        files_v1 = set(t._files())
+
+        v = t.add_column("r_comment", "string")
+        assert set(t._files()) == files_v1, "ADD COLUMN rewrote no files"
+        evolved = t.read_evolved()
+        assert "r_comment" in evolved.columns, "new column visible"
+        assert evolved.filter(F.col("r_comment").isNotNull()).count() == 0, (
+            "new column reads NULL from old files"
+        )
+        steps.append(("add_column", v, evolved.count()))
+
+        v = t.append(
+            evolved.limit(2).select(
+                (F.col("r_regionkey") + 10).alias("r_regionkey"),
+                "r_name",
+                F.lit("filled").alias("r_comment"),
+            )
+        )
+        full = t.read_evolved()
+        assert full.filter(F.col("r_comment") == "filled").count() == 2, (
+            "new files carry the evolved column"
+        )
+        # old snapshot still reads with original schema
+        assert "r_comment" not in t.read_evolved(version=1).columns, (
+            "time travel sees pre-evolution schema"
+        )
+        steps.append(("evolved_append", v, full.count()))
+        return _log(spark, steps)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

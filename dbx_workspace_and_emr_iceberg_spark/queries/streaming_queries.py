@@ -1,0 +1,379 @@
+"""T1-T9 streaming queries (SURVEY.md §2.9) over file-source streams of
+the `events` fixture, trigger(availableNow=True).
+
+Windowed aggregations run in complete mode so every window is emitted
+and the DuckDB oracle can reproduce the result with batch SQL (the
+driver's oracle is batch-only — SURVEY.md §2.9 oracle note). Stateful /
+multi-batch behaviors that have no batch-SQL equivalent are rows-only
+and self-verify against their own batch twin.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..streaming.jobs import events_stream, run_to_memory
+from ..tables import load_table
+
+# --- T2: tumbling window aggregate (oracle: time_bucket) -------------------
+
+_T2_ORACLE = """
+SELECT
+  cast(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP)   AS window_start,
+  event_type,
+  count(*)                                                AS n,
+  round(cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("t2_tumbling_window", oracle=_T2_ORACLE, tags=("T1", "T2"))
+def t2_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+    ).orderBy("window_start", "event_type")
+
+
+# --- T3: sliding window aggregate ------------------------------------------
+
+_T3_ORACLE = """
+WITH contrib AS (
+  SELECT cast(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS ws, value FROM events
+  UNION ALL
+  SELECT cast(time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour' AS TIMESTAMP) AS ws, value
+  FROM events
+)
+SELECT ws AS window_start, count(*) AS n
+FROM contrib
+GROUP BY ws
+ORDER BY ws
+"""
+
+
+@register("t3_sliding_window", oracle=_T3_ORACLE, tags=("T3",))
+def t3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2h windows sliding by 1h: every event lands in exactly 2 windows
+    (oracle reproduces via two shifted tumbling buckets)."""
+    s = events_stream(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", "2 hours", "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(F.col("w.start").alias("window_start"), "n").orderBy(
+        "window_start"
+    )
+
+
+# --- T4: session windows (oracle: gaps-and-islands SQL) --------------------
+
+_T4_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, count(*) AS n_sessions,
+       cast(sum(n_events) AS BIGINT) AS n_events
+FROM (
+  SELECT user_id, session_id, count(*) AS n_events
+  FROM sessions GROUP BY user_id, session_id
+)
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("t4_session_window", oracle=_T4_ORACLE, tags=("T4",))
+def t4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessions per user, rolled up to per-user totals
+    (per-session rows can't be ordered deterministically cross-engine;
+    per-user rollup is)."""
+    s = events_stream(spark, sf_dir)
+    sess = s.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = run_to_memory(sess, "complete")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- T5: watermark + late-data drop (self-verifying, 2-batch input) --------
+
+
+@register("t5_watermark_append_finalize", oracle=None, tags=("T5",))
+def t5_watermark_append_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics under append mode, 2-batch controlled stream
+    (batch 1 = on-time data, batch 2 = 5 very-late rows).
+
+    Asserts what the engine *guarantees* (late data "may be dropped" is
+    explicitly non-guaranteed in Spark, and 4.x processes stragglers
+    whose state is still addressable):
+      * the source really split into ≥2 batches (maxFilesPerTrigger),
+      * the watermark advanced past batch 1's max event time - delay,
+      * every on-time window was emitted exactly once with counts
+        matching the batch-mode equivalent (append-mode finalization).
+    """
+    import datetime
+    import os
+    import time as _t
+    import uuid as _uuid
+
+    src = tempfile.mkdtemp(prefix="stream_src_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+        on_time = ev.filter(F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+        late = ev.filter(F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp")).limit(5)
+        on_time.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b1"))
+        _t.sleep(1.1)  # file-source batches order by modification time
+        late.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b2"))
+
+        stream = (
+            spark.readStream.schema(on_time.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(src + "/*/")
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        name = "s" + _uuid.uuid4().hex[:10]
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        progress = q.recentProgress
+        if len([p for p in progress if p["numInputRows"] > 0]) < 2:
+            raise AssertionError("expected >=2 non-empty micro-batches")
+        final_wm = max(
+            p["eventTime"].get("watermark", "1970-01-01T00:00:00.000Z")
+            for p in progress
+        )
+        if not final_wm.startswith("2024-01"):
+            raise AssertionError(f"watermark did not advance: {final_wm}")
+
+        out = spark.table(name).select(
+            F.col("w.start").alias("window_start"), "n"
+        )
+        emitted = {
+            (r.window_start, r.n)
+            for r in out.collect()
+            if r.window_start >= datetime.datetime(2024, 1, 5)
+        }
+        # Append mode finalizes only windows whose END the watermark has
+        # passed — the trailing window is legitimately withheld.
+        wm = datetime.datetime.fromisoformat(final_wm.replace("Z", ""))
+        expected = {
+            (r.window_start, r.n)
+            for r in on_time.groupBy(
+                F.window("ts", "1 day").alias("w")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "n")
+            .collect()
+            if r.window_start + datetime.timedelta(days=1) <= wm
+        }
+        if emitted != expected:
+            raise AssertionError(
+                f"append-mode windows diverge from batch equivalent: "
+                f"missing={sorted(expected - emitted)[:3]} "
+                f"extra={sorted(emitted - expected)[:3]}"
+            )
+        return out.orderBy("window_start")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+# --- T6: streaming dedup (oracle: distinct over the doubled input) ---------
+
+_T6_ORACLE = """
+SELECT event_type, count(DISTINCT event_id) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("t6_stream_dedup", oracle=_T6_ORACLE, tags=("T6",))
+def t6_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the events file TWICE (two copies in the source dir) and
+    dropDuplicates on event_id — output equals single-copy distinct."""
+    import os
+
+    src = tempfile.mkdtemp(prefix="stream_dup_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+        ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "c1"))
+        ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "c2"))
+        stream = spark.readStream.schema(ev.schema).parquet(src + "/*/")
+        deduped = stream.dropDuplicates(["event_id"])
+        agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        out = run_to_memory(agg, "complete")
+        return out.orderBy("event_type")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+# --- T7: arbitrary stateful op (applyInPandasWithState) --------------------
+
+_T7_ORACLE = """
+SELECT user_id,
+       count(*)                                   AS n_events,
+       cast(count(DISTINCT event_type) AS INTEGER) AS n_types
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("t7_stateful_per_key", oracle=_T7_ORACLE, tags=("T7",))
+def t7_stateful_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-user state machine via applyInPandasWithState: counts
+    events and distinct types per user. Single availableNow batch →
+    final state equals the batch aggregate, which is the oracle."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def track(key, pdfs, state):
+        import pandas as pd
+
+        n, types = (state.get if state.exists else (0, ""))[:2] if state.exists else (0, "")
+        seen = set(types.split(",")) - {""}
+        for pdf in pdfs:
+            n += len(pdf)
+            seen.update(pdf["event_type"].unique().tolist())
+        state.update((n, ",".join(sorted(seen))))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "n_types": [len(seen)]}
+        )
+
+    s = events_stream(spark, sf_dir).select("user_id", "event_type")
+    result = s.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id bigint, n_events bigint, n_types int",
+        stateStructType="n bigint, types string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_memory(result, "update")
+    # update mode may emit once per (key, batch); keep the final row per key
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .orderBy("user_id")
+    )
+
+
+# --- T8: stream-static join -------------------------------------------------
+
+_T8_ORACLE = """
+WITH dim AS (
+  SELECT DISTINCT user_id, CASE WHEN user_id % 3 = 0 THEN 'core' ELSE 'casual' END AS cohort
+  FROM events
+)
+SELECT d.cohort, count(*) AS n, round(cast(sum(cast(e.value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+FROM events e JOIN dim d ON e.user_id = d.user_id
+GROUP BY d.cohort
+ORDER BY d.cohort
+"""
+
+
+@register("t8_stream_static_join", oracle=_T8_ORACLE, tags=("T8",))
+def t8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn(
+            "cohort",
+            F.when(F.col("user_id") % 3 == 0, "core").otherwise("casual"),
+        )
+    )
+    s = events_stream(spark, sf_dir).select("user_id", "value")
+    joined = s.join(F.broadcast(dim), "user_id")
+    agg = joined.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias(
+            "total_value"
+        ),
+    )
+    out = run_to_memory(agg, "complete")
+    return out.orderBy("cohort")
+
+
+# --- T9: streaming sink into the lakehouse (foreachBatch) ------------------
+
+
+@register("t9_stream_to_lakehouse", oracle=None, tags=("T9",))
+def t9_stream_to_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """writeStream.foreachBatch appending into a snapshot table — the
+    exactly-once-per-batch pattern used for Iceberg sinks. Verifies the
+    sink row count equals the source and snapshots recorded the batch."""
+    from ..sources.lakehouse import LakehouseTable
+
+    wh = tempfile.mkdtemp(prefix="stream_lake_")
+    try:
+        s = events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+        table = LakehouseTable(spark, wh, "events_sink")
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            if table.current_version() == 0:
+                table.create(batch_df)
+            else:
+                table.append(batch_df)
+
+        q = (
+            s.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", wh + "/_ckpt")
+            .start()
+        )
+        q.awaitTermination(300)
+        n_sink = table.read().count()
+        n_src = load_table(spark, sf_dir, "events").count()
+        if n_sink != n_src:
+            raise AssertionError(f"sink rows {n_sink} != source rows {n_src}")
+        return table.snapshots()
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

@@ -1,0 +1,210 @@
+"""D1-D7: the Python UDF/UDAF/UDTF surface (SURVEY.md §2.10).
+
+Ordering of preference at scale (documented per query):
+  built-in JVM expression  >  Arrow-batched pandas UDF  >  row Python UDF.
+Every UDF here computes something a built-in could also express, so the
+DuckDB oracle states the same arithmetic in SQL — the *transport* (Arrow
+batches, grouped maps, table functions) is what's under test.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..registry import register
+from ..tables import load_table
+
+# --- D2: scalar pandas UDF (Arrow-vectorized Series→Series) ----------------
+
+_D2_ORACLE = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charged
+FROM lineitem
+WHERE l_orderkey % 29 = 0
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register("d2_scalar_pandas_udf", oracle=_D2_ORACLE, tags=("D2",))
+def d2_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series→Series pandas UDF: whole Arrow batches cross the Python
+    boundary once; numpy does the arithmetic vectorized. (A built-in
+    expression is still faster — this query exists to prove the D2
+    transport; see SURVEY.md §2.10.)"""
+
+    @pandas_udf("double")
+    def charge(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return (price * (1 - disc) * (1 + tax)).round(2)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") % 29 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            charge("l_extendedprice", "l_discount", "l_tax").alias("charged"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# --- D3: grouped-aggregate pandas UDF (UDAF) -------------------------------
+
+_D3_ORACLE = """
+SELECT
+  l_returnflag,
+  round(sum(l_quantity * l_extendedprice) / sum(l_quantity), 4) AS wavg_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("d3_grouped_agg_udaf", oracle=_D3_ORACLE, tags=("D3",))
+def d3_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price as a grouped-agg pandas UDF —
+    the custom-UDAF shape (Arrow per group; sums in float64)."""
+
+    @pandas_udf("double")
+    def wavg(qty: pd.Series, price: pd.Series) -> float:
+        return float(round((qty * price).sum() / qty.sum(), 4))
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(wavg("l_quantity", "l_extendedprice").alias("wavg_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+# --- D4: grouped-map applyInPandas -----------------------------------------
+
+_D4_ORACLE = """
+SELECT c_mktsegment, c_custkey, round(c_acctbal - seg_avg, 2) AS bal_delta
+FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         avg(c_acctbal) OVER (PARTITION BY c_mktsegment) AS seg_avg
+  FROM customer
+)
+WHERE c_custkey % 13 = 0
+ORDER BY c_mktsegment, c_custkey
+"""
+
+
+@register("d4_grouped_map", oracle=_D4_ORACLE, tags=("D4",))
+def d4_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment mean-centering via applyInPandas: each group arrives
+    as one pandas frame (the grouped-map contract). Groups must fit in
+    executor memory — at 100 TB, key on something bounded (here: 5
+    segments is wrong for real data; fine as the D4 mechanics demo —
+    the window-function formulation in the oracle is the scale path)."""
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf["bal_delta"] = (pdf["c_acctbal"] - pdf["c_acctbal"].mean()).round(2)
+        return pdf[["c_mktsegment", "c_custkey", "bal_delta"]]
+
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .applyInPandas(center, "c_mktsegment string, c_custkey bigint, bal_delta double")
+        .filter(F.col("c_custkey") % 13 == 0)
+        .orderBy("c_mktsegment", "c_custkey")
+    )
+
+
+# --- D5: mapInPandas (partition-stream transform) --------------------------
+
+_D5_ORACLE = """
+SELECT p_partkey, p_brand, cast(length(p_name) AS INTEGER) AS name_len
+FROM part
+WHERE p_size >= 40
+ORDER BY p_partkey
+"""
+
+
+@register("d5_map_in_pandas", oracle=_D5_ORACLE, tags=("D5",))
+def d5_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas: iterator of Arrow batches in, iterator out — the
+    shape for per-partition Python transforms (model inference, codec
+    work). Filter is applied inside Python to prove rows can be
+    added/removed, not just mapped 1:1."""
+
+    def project(batches):
+        for pdf in batches:
+            keep = pdf[pdf["p_size"] >= 40]
+            yield pd.DataFrame(
+                {
+                    "p_partkey": keep["p_partkey"],
+                    "p_brand": keep["p_brand"],
+                    "name_len": keep["p_name"].str.len().astype("int32"),
+                }
+            )
+
+    p = load_table(spark, sf_dir, "part")
+    return p.mapInPandas(
+        project, "p_partkey bigint, p_brand string, name_len int"
+    ).orderBy("p_partkey")
+
+
+# --- D6: Python UDTF (Spark 3.5+) ------------------------------------------
+
+_D6_ORACLE = """
+SELECT r_regionkey, unnest(generate_series(0, r_regionkey)) AS i
+FROM region
+ORDER BY r_regionkey, i
+"""
+
+
+@register("d6_python_udtf", oracle=_D6_ORACLE, tags=("D6",))
+def d6_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A table function expanding each region key k into rows 0..k."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="i int")
+    class Expand:
+        def eval(self, k: int):
+            for i in range(k + 1):
+                yield (i,)
+
+    spark.udtf.register("expand_range", Expand)
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("region_v")
+    return spark.sql(
+        """
+        SELECT r.r_regionkey, t.i
+        FROM region_v r, LATERAL expand_range(r.r_regionkey) t
+        ORDER BY r.r_regionkey, t.i
+        """
+    )
+
+
+# --- D1/D7: row Python UDF + SQL registration ------------------------------
+
+_D7_ORACLE = """
+SELECT s_suppkey, concat('S', lpad(cast(s_suppkey AS VARCHAR), 6, '0')) AS supp_code
+FROM supplier
+ORDER BY s_suppkey
+"""
+
+
+@register("d7_sql_registered_udf", oracle=_D7_ORACLE, tags=("D1", "D7"))
+def d7_sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF registered for SQL use (D1+D7). The slow
+    path by design — documented last resort; everything it does here is
+    one built-in expression."""
+
+    def supp_code(k: int) -> str:
+        return f"S{k:06d}"
+
+    spark.udf.register("supp_code", supp_code, "string")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_v")
+    return spark.sql(
+        "SELECT s_suppkey, supp_code(s_suppkey) AS supp_code "
+        "FROM supplier_v ORDER BY s_suppkey"
+    )

@@ -54,6 +54,7 @@ _QUERY_MODULES = [
     "multimodal_queries",
     "streaming_queries",
     "lakehouse_queries",
+    "udf_queries",
 ]
 
 

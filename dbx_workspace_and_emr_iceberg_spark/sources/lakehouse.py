@@ -1,0 +1,408 @@
+"""Snapshot-based lakehouse table layer (SURVEY.md §2.1 S4-S8, §2.11 M1-M8).
+
+The reference's signature capability is row-level DML + time travel on
+Iceberg tables, enabled entirely by configuration: the Iceberg Spark
+runtime + `IcebergSparkSessionExtensions` + a `SparkCatalog` pointed at
+Unity Catalog's REST endpoint (/root/reference/main.tf:792-806,
+README.md:36). With network access, this engine uses exactly that
+config (see ``iceberg_session_conf`` below — a pure config swap, no
+code change). This container has no Iceberg jars, so this module
+re-implements the *table-format contract* in pure PySpark:
+
+  warehouse/<table>/
+    data/<uuid>.parquet      immutable data files
+    _snapshots/v{N}.json     manifest: file list + schema + op summary
+    _current                 current version (atomic rename commit)
+
+Semantics mirrored from Iceberg v2 (copy-on-write flavor):
+  * every write = new immutable data files + a new manifest; readers of
+    older snapshots are never disturbed (time travel = read old manifest);
+  * commits are atomic (os.replace of the _current pointer) and
+    optimistic — a concurrent commit surfaces as a version conflict;
+  * DELETE/UPDATE rewrite only the files that contain matching rows
+    (file-level pruning via a contains-match scan), like Iceberg CoW;
+  * MERGE INTO is the join-based rewrite Iceberg's extension rules
+    produce: target ⟕ source on the merge key, per-row action column;
+  * maintenance: compaction (rewrite_data_files), snapshot expiry
+    (expire_snapshots), rollback — same operations as Iceberg's
+    CALL system.* procedures (SURVEY.md §2.11 M5).
+
+At 100 TB: data files are the unit of parallelism and pruning; the
+manifest holds per-file row counts (stats extension point); rewrites
+touch only affected files; nothing here funnels data through the
+driver — the driver only moves file *names*.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def iceberg_session_conf(warehouse: str, catalog: str = "local") -> dict[str, str]:
+    """The real-Iceberg config this module stands in for — matches the
+    reference's spark-defaults (main.tf:792-806) with a Hadoop catalog
+    locally; swap type=rest + uri for Unity Catalog in production."""
+    return {
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        ),
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+        "spark.sql.defaultCatalog": catalog,
+    }
+
+
+class ConflictError(RuntimeError):
+    """Optimistic-commit conflict: table version moved underneath us."""
+
+
+class LakehouseTable:
+    """One snapshot-versioned table under a warehouse directory."""
+
+    def __init__(self, spark: SparkSession, warehouse: str, name: str):
+        self.spark = spark
+        self.root = os.path.join(warehouse, name)
+        self.data_dir = os.path.join(self.root, "data")
+        self.snap_dir = os.path.join(self.root, "_snapshots")
+        self.name = name
+
+    # ---------- manifest / commit machinery ----------
+
+    def _current_path(self) -> str:
+        return os.path.join(self.root, "_current")
+
+    def current_version(self) -> int:
+        try:
+            with open(self._current_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.snap_dir, f"v{version:05d}.json")
+
+    def _read_manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    def _commit(self, manifest: dict, expected_parent: int) -> int:
+        """Atomic optimistic commit: write manifest vN+1, then swing the
+        _current pointer via os.replace (atomic on POSIX)."""
+        if self.current_version() != expected_parent:
+            raise ConflictError(
+                f"{self.name}: version moved to {self.current_version()}, "
+                f"expected {expected_parent}"
+            )
+        version = expected_parent + 1
+        os.makedirs(self.snap_dir, exist_ok=True)
+        manifest["version"] = version
+        manifest["parent"] = expected_parent
+        manifest["timestamp_ms"] = int(time.time() * 1000)
+        with open(self._manifest_path(version), "w") as f:
+            json.dump(manifest, f, indent=1)
+        tmp = self._current_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._current_path())
+        return version
+
+    def _write_files(self, df: DataFrame) -> list[str]:
+        """Materialize df as new immutable parquet files; returns paths.
+        Files are written to a unique subdir then registered by name —
+        the manifest, not the directory listing, defines the table."""
+        batch = uuid.uuid4().hex[:12]
+        out = os.path.join(self.data_dir, batch)
+        df.write.mode("overwrite").parquet(out)
+        return sorted(
+            os.path.join(out, f)
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        )
+
+    def _files(self, version: int | None = None) -> list[str]:
+        v = version if version is not None else self.current_version()
+        if v == 0:
+            return []
+        return self._read_manifest(v)["files"]
+
+    # ---------- S4/S5/S6: create / append / overwrite ----------
+
+    def create(self, df: DataFrame) -> int:
+        """CREATE TABLE AS SELECT (S5)."""
+        if self.current_version() != 0:
+            raise ValueError(f"table {self.name} already exists")
+        files = self._write_files(df)
+        return self._commit(
+            {"files": files, "schema": df.schema.jsonValue(), "op": "create"}, 0
+        )
+
+    def append(self, df: DataFrame) -> int:
+        """INSERT INTO (S4): old files + new files, nothing rewritten."""
+        parent = self.current_version()
+        files = self._files(parent) + self._write_files(df)
+        return self._commit(
+            {"files": files, "schema": self.schema_json(), "op": "append"}, parent
+        )
+
+    def overwrite(self, df: DataFrame) -> int:
+        """INSERT OVERWRITE (static, S6)."""
+        parent = self.current_version()
+        files = self._write_files(df)
+        return self._commit(
+            {"files": files, "schema": df.schema.jsonValue(), "op": "overwrite"},
+            parent,
+        )
+
+    def schema_json(self) -> dict:
+        v = self.current_version()
+        if v == 0:
+            raise ValueError(f"table {self.name} does not exist")
+        return self._read_manifest(v)["schema"]
+
+    # ---------- S1/S8: scan + time travel ----------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Scan the table at the current (or a historical) snapshot.
+
+        The manifest schema is applied explicitly (schema-on-read from
+        table metadata, as Iceberg does): no per-file schema inference,
+        and files written before a column was added yield NULLs for it.
+        """
+        from pyspark.sql.types import StructType
+
+        v = version if version is not None else self.current_version()
+        schema = StructType.fromJson(self._read_manifest(v)["schema"]) if v else None
+        files = self._files(v)
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*files)
+
+    # ---------- S7: metadata tables ----------
+
+    def snapshots(self) -> DataFrame:
+        """The `t.snapshots` metadata relation."""
+        rows = []
+        for v in range(1, self.current_version() + 1):
+            m = self._read_manifest(v)
+            rows.append(
+                (
+                    m["version"],
+                    m["parent"],
+                    m["op"],
+                    len(m["files"]),
+                    m["timestamp_ms"],
+                )
+            )
+        return self.spark.createDataFrame(
+            rows, "version int, parent int, operation string, n_files int, ts_ms long"
+        )
+
+    # ---------- M2/M3: UPDATE / DELETE (copy-on-write, file-pruned) ----------
+
+    def _affected_files(self, cond) -> list[str]:
+        """Files containing ≥1 row matching cond (Iceberg-style CoW
+        pruning: untouched files survive into the next snapshot as-is)."""
+        cur = self._files()
+        if not cur:
+            return []
+        hits = (
+            self.spark.read.parquet(*cur)
+            .withColumn("__file", F.input_file_name())
+            .filter(cond)
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+        # input_file_name returns file:// URIs; manifest stores bare paths.
+        # (subscript access: attribute access would name-mangle __file here)
+        normalized = {r["__file"].removeprefix("file://") for r in hits}
+        return [f for f in cur if f in normalized]
+
+    def delete_where(self, cond) -> int:
+        """DELETE FROM t WHERE cond (M3)."""
+        parent = self.current_version()
+        affected = self._affected_files(cond)
+        if not affected:
+            return parent  # no-op delete commits nothing
+        keep = [f for f in self._files(parent) if f not in affected]
+        survivors = self.spark.read.parquet(*affected).filter(~cond)
+        new_files = self._write_files(survivors)
+        return self._commit(
+            {
+                "files": keep + new_files,
+                "schema": self.schema_json(),
+                "op": "delete",
+                "rewritten": len(affected),
+            },
+            parent,
+        )
+
+    def update_set(self, cond, assignments: dict[str, F.Column]) -> int:
+        """UPDATE t SET ... WHERE cond (M2)."""
+        parent = self.current_version()
+        affected = self._affected_files(cond)
+        if not affected:
+            return parent
+        keep = [f for f in self._files(parent) if f not in affected]
+        df = self.spark.read.parquet(*affected)
+        updated = df.select(
+            *[
+                F.when(cond, assignments[c]).otherwise(F.col(c)).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+        new_files = self._write_files(updated)
+        return self._commit(
+            {
+                "files": keep + new_files,
+                "schema": self.schema_json(),
+                "op": "update",
+                "rewritten": len(affected),
+            },
+            parent,
+        )
+
+    # ---------- M1: MERGE INTO ----------
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        on: str,
+        update_cols: dict[str, F.Column] | None = None,
+        insert: bool = True,
+        delete_cond=None,
+    ) -> int:
+        """MERGE INTO target USING source ON target.on = source.on
+        WHEN MATCHED [AND delete_cond] THEN DELETE
+        WHEN MATCHED THEN UPDATE SET update_cols
+        WHEN NOT MATCHED THEN INSERT *                        (M1)
+
+        Join-based rewrite, same plan shape Iceberg's extension rules
+        generate. Full-table rewrite here; at scale, pair with
+        _affected_files pruning on the join key range.
+        """
+        parent = self.current_version()
+        target = self.read()
+        tcols = target.columns
+        src = source.select(
+            F.col(on).alias("__src_key"),
+            F.struct(*[F.col(c).alias(c) for c in source.columns]).alias("__src"),
+        )
+        joined = target.join(src, target[on] == src["__src_key"], "full_outer")
+
+        matched = F.col(on).isNotNull() & F.col("__src_key").isNotNull()
+        src_only = F.col(on).isNull()
+
+        # Classify every joined row: Delete / Update / Insert / Keep.
+        act = (
+            F.when(matched, F.lit("U"))
+            .when(src_only, F.lit("I") if insert else F.lit("D"))
+            .otherwise(F.lit("K"))
+        )
+        if delete_cond is not None:
+            act = F.when(matched & delete_cond, F.lit("D")).otherwise(act)
+
+        def out_col(c: str) -> F.Column:
+            updated = (
+                update_cols[c]
+                if update_cols and c in update_cols
+                else F.col("__src").getField(c)
+            )
+            return (
+                F.when(F.col("__act") == "U", updated)
+                .when(F.col("__act") == "I", F.col("__src").getField(c))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+
+        merged = (
+            joined.withColumn("__act", act)
+            .filter(F.col("__act") != "D")
+            .select(*[out_col(c) for c in tcols])
+        )
+        new_files = self._write_files(merged)
+        return self._commit(
+            {"files": new_files, "schema": self.schema_json(), "op": "merge"},
+            parent,
+        )
+
+    # ---------- M4: rollback ----------
+
+    def rollback_to(self, version: int) -> int:
+        """CALL system.rollback_to_snapshot (M4): new commit whose file
+        list is the old snapshot's — history is preserved, not erased."""
+        parent = self.current_version()
+        m = self._read_manifest(version)
+        return self._commit(
+            {
+                "files": m["files"],
+                "schema": m["schema"],
+                "op": f"rollback_to_v{version}",
+            },
+            parent,
+        )
+
+    # ---------- M5: maintenance ----------
+
+    def compact(self, target_partitions: int = 4) -> int:
+        """rewrite_data_files: coalesce small files (M5). Reads the
+        current snapshot and rewrites it as target_partitions files."""
+        parent = self.current_version()
+        df = self.read().coalesce(target_partitions)
+        new_files = self._write_files(df)
+        return self._commit(
+            {"files": new_files, "schema": self.schema_json(), "op": "compact"},
+            parent,
+        )
+
+    def expire_snapshots(self, keep_last: int = 2) -> list[int]:
+        """expire_snapshots + remove_orphan_files (M5): drop manifests
+        older than the last keep_last and delete data files no live
+        manifest references."""
+        cur = self.current_version()
+        expire = [v for v in range(1, cur + 1)][:-keep_last]
+        live_files: set[str] = set()
+        for v in range(1, cur + 1):
+            if v not in expire:
+                live_files.update(self._read_manifest(v)["files"])
+        removed = []
+        for v in expire:
+            for f in self._read_manifest(v)["files"]:
+                if f not in live_files and os.path.exists(f):
+                    os.remove(f)
+            os.remove(self._manifest_path(v))
+            removed.append(v)
+        return removed
+
+    # ---------- M6: schema evolution ----------
+
+    def add_column(self, name: str, spark_type: str) -> int:
+        """ALTER TABLE ADD COLUMN (M6): manifest-only change; existing
+        files are untouched and the new column reads as NULL (mergeSchema
+        handles it on scan) — exactly Iceberg's no-rewrite evolution."""
+        parent = self.current_version()
+        schema = self.schema_json()
+        schema["fields"].append(
+            {"name": name, "type": spark_type, "nullable": True, "metadata": {}}
+        )
+        return self._commit(
+            {
+                "files": self._files(parent),
+                "schema": schema,
+                "op": f"add_column:{name}",
+            },
+            parent,
+        )
+
+    def read_evolved(self, version: int | None = None) -> DataFrame:
+        """Alias of read(): the manifest schema already governs scans."""
+        return self.read(version)

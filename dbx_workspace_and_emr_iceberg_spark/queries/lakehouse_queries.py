@@ -192,3 +192,97 @@ def m6_lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
         return _log(spark, steps)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register("m7_partition_transforms", oracle=None, tags=("M7", "P3", "S6"))
+def m7_partition_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden partitioning (P3/M7): write events partitioned by
+    days(ts) + bucket(4, user_id); verify a ts-range read scans only the
+    matching day directories (file-level pruning observable through
+    input_file_name) and that partition evolution is manifest-only."""
+    from ..sources.lakehouse import PartitionedLakehouseTable
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_")
+    try:
+        steps: list[tuple[str, int, int]] = []
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type"
+        ).filter(F.col("event_id") % 5 == 0)
+        t = PartitionedLakehouseTable(
+            spark, wh, "events_p", ["days(ts)", "bucket(4, user_id)"]
+        )
+        v = t.create(ev)
+        n = t.read().count()
+        assert n == ev.count(), "partitioned CTAS preserves rows"
+        steps.append(("create_partitioned", v, n))
+
+        # hidden partition pruning: filter on ts (the SOURCE column) and
+        # observe which physical files the scan touched
+        day = "2024-01-15"
+        pruned = (
+            t.read()
+            .filter(
+                (F.col("ts") >= F.lit(f"{day} 00:00:00").cast("timestamp"))
+                & (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"))
+            )
+            .withColumn("__f", F.input_file_name())
+        )
+        touched = {r["__f"] for r in pruned.select("__f").distinct().collect()}
+        if not touched:
+            raise AssertionError("no rows on the probed day; fixture drift?")
+        bad = {f for f in touched if f"p_days_ts=2024-01-15" not in f}
+        assert not bad, f"scan touched non-matching partitions: {sorted(bad)[:2]}"
+        steps.append(("hidden_pruning", t.current_version(), len(touched)))
+
+        # partition evolution: spec change is a metadata commit only
+        files_before = set(t._files())
+        v = t.evolve_partitioning(["months(ts)"])
+        assert set(t._files()) == files_before, "evolution rewrote files"
+        v = t.append(ev.limit(20).coalesce(1))
+        assert t.read().count() == n + 20, "append under evolved spec"
+        steps.append(("evolve_partitioning", v, t.read().count()))
+        return _log(spark, steps)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+@register("m8_branches_wap", oracle=None, tags=("M8",))
+def m8_branches_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branches, tags and write-audit-publish (M8): stage an append on a
+    branch, audit it, publish by fast-forwarding main; tags stay pinned."""
+    from ..sources.lakehouse import BranchedLakehouse, LakehouseTable
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_")
+    try:
+        steps: list[tuple[str, int, int]] = []
+        nat = load_table(spark, sf_dir, "nation").coalesce(1)
+        t = LakehouseTable(spark, wh, "nation_b")
+        t.create(nat)
+        n0 = t.read().count()
+        b = BranchedLakehouse(t)
+
+        b.create_tag("v1-audited")
+        b.create_branch("staging")
+        steps.append(("tag_and_branch", t.current_version(), n0))
+
+        # W: write to staging — main must not see it
+        extra = nat.limit(3).select(
+            (F.col("n_nationkey") + 500).alias("n_nationkey"), "n_name", "n_regionkey"
+        )
+        b.write_to_branch("staging", extra)
+        assert t.read(version=1).count() == n0, "main (v1) unchanged by branch write"
+        assert b.read_ref("staging").count() == n0 + 3, "staging sees the write"
+        steps.append(("write_branch", t.current_version(), b.read_ref("staging").count()))
+
+        # A: audit the staged snapshot
+        staged = b.read_ref("staging")
+        assert staged.filter(F.col("n_nationkey") >= 500).count() == 3, "audit check"
+
+        # P: publish
+        v = b.fast_forward_main("staging")
+        assert t.read().count() == n0 + 3, "main advanced to audited snapshot"
+        assert b.read_ref("v1-audited").count() == n0, "tag still pinned at v1"
+        steps.append(("publish", v, t.read().count()))
+        return _log(spark, steps)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

@@ -406,3 +406,168 @@ class LakehouseTable:
     def read_evolved(self, version: int | None = None) -> DataFrame:
         """Alias of read(): the manifest schema already governs scans."""
         return self.read(version)
+
+
+# ---------------------------------------------------------------------------
+# M7: hidden partitioning / partition transforms + evolution
+# M8: branches / tags / write-audit-publish
+# ---------------------------------------------------------------------------
+
+
+def partition_transform(spec: str) -> tuple[str, F.Column]:
+    """Parse an Iceberg-style partition transform into (name, column):
+    identity(c) | years(c) | months(c) | days(c) | hours(c) |
+    bucket(n, c) | truncate(w, c)  (SURVEY.md §2.11 M7).
+
+    The transform column is *derived* — hidden partitioning means users
+    filter on the source column and the engine prunes via the transform.
+    """
+    spec = spec.strip()
+    name, inner = spec.split("(", 1)
+    args = [a.strip() for a in inner.rstrip(")").split(",")]
+    name = name.strip()
+    if name == "identity":
+        return f"p_{args[0]}", F.col(args[0])
+    if name in ("years", "months", "days", "hours"):
+        unit = {"years": "year", "months": "month", "days": "day", "hours": "hour"}[name]
+        return f"p_{name}_{args[0]}", F.date_trunc(unit, F.col(args[0])).cast("string")
+    if name == "bucket":
+        n, c = int(args[0]), args[1]
+        return f"p_bucket_{c}", F.pmod(F.xxhash64(F.col(c)), F.lit(n))
+    if name == "truncate":
+        w, c = int(args[0]), args[1]
+        return f"p_trunc_{c}", F.substring(F.col(c), 1, w)
+    raise ValueError(f"unknown partition transform {spec!r}")
+
+
+class PartitionedLakehouseTable(LakehouseTable):
+    """LakehouseTable whose data files are laid out by partition
+    transforms (hive-style dirs of *derived* columns → Spark's scan
+    prunes directories when filters imply transform predicates)."""
+
+    def __init__(self, spark, warehouse, name, partition_specs: list[str]):
+        super().__init__(spark, warehouse, name)
+        self.specs = partition_specs
+
+    def _write_files(self, df: DataFrame) -> list[str]:
+        import uuid as _uuid
+
+        cols = [partition_transform(s) for s in self.specs]
+        out = os.path.join(self.data_dir, _uuid.uuid4().hex[:12])
+        (
+            df.withColumns({n: c for n, c in cols})
+            .write.mode("overwrite")
+            .partitionBy(*[n for n, _ in cols])
+            .parquet(out)
+        )
+        files = []
+        for root, _dirs, names in os.walk(out):
+            files.extend(
+                os.path.join(root, f) for f in names if f.endswith(".parquet")
+            )
+        return sorted(files)
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """basePath option keeps partition-dir columns visible so Spark
+        prunes directories on transform predicates, then we drop the
+        derived columns — the 'hidden' in hidden partitioning."""
+        from pyspark.sql.types import StructType
+
+        v = version if version is not None else self.current_version()
+        files = self._files(v)
+        if not files:
+            schema = StructType.fromJson(self._read_manifest(v)["schema"])
+            return self.spark.createDataFrame([], schema)
+        # One batch root per write (and per partition-spec era): each
+        # root is its own partitioned dataset with its own basePath —
+        # read separately, strip derived p_* columns, union by name.
+        roots = sorted(
+            {p.split("/p_", 1)[0] for p in {os.path.dirname(f) for f in files}}
+        )
+        out = None
+        for root in roots:
+            df = self.spark.read.option("basePath", root).parquet(root)
+            df = df.drop(*[c for c in df.columns if c.startswith("p_")])
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    def evolve_partitioning(self, new_specs: list[str]) -> int:
+        """Partition evolution (M7): future writes use the new spec; old
+        files keep their layout — exactly Iceberg's spec-versioning.
+        Manifest-only commit, no rewrite."""
+        parent = self.current_version()
+        self.specs = new_specs
+        return self._commit(
+            {
+                "files": self._files(parent),
+                "schema": self.schema_json(),
+                "op": f"evolve_partitioning:{','.join(new_specs)}",
+            },
+            parent,
+        )
+
+
+class BranchedLakehouse:
+    """Branches / tags / WAP over LakehouseTable (M8).
+
+    A branch is a named pointer to a snapshot version advancing
+    independently of `main`; a tag is an immutable pointer. WAP =
+    write to a staging branch, audit it, then fast-forward main —
+    the same flow Iceberg's spark.wap.id enables.
+    """
+
+    def __init__(self, table: LakehouseTable):
+        self.table = table
+        self.refs_path = os.path.join(table.root, "_refs.json")
+
+    def _refs(self) -> dict:
+        try:
+            with open(self.refs_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"branches": {}, "tags": {}}
+
+    def _save(self, refs: dict) -> None:
+        tmp = self.refs_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(refs, f, indent=1)
+        os.replace(tmp, self.refs_path)
+
+    def create_branch(self, name: str, at_version: int | None = None) -> int:
+        refs = self._refs()
+        v = at_version if at_version is not None else self.table.current_version()
+        refs["branches"][name] = v
+        self._save(refs)
+        return v
+
+    def create_tag(self, name: str, at_version: int | None = None) -> int:
+        refs = self._refs()
+        v = at_version if at_version is not None else self.table.current_version()
+        if name in refs["tags"]:
+            raise ValueError(f"tag {name} exists (tags are immutable)")
+        refs["tags"][name] = v
+        self._save(refs)
+        return v
+
+    def read_ref(self, name: str) -> DataFrame:
+        refs = self._refs()
+        v = refs["branches"].get(name, refs["tags"].get(name))
+        if v is None:
+            raise KeyError(f"unknown ref {name}")
+        return self.table.read(version=v)
+
+    def write_to_branch(self, name: str, df: DataFrame) -> int:
+        """Append lands as a new snapshot; only the branch pointer moves
+        (main still points at its old version) — the W of WAP."""
+        v = self.table.append(df)
+        refs = self._refs()
+        refs["branches"][name] = v
+        self._save(refs)
+        return v
+
+    def fast_forward_main(self, branch: str) -> int:
+        """The P of WAP: after auditing the branch snapshot, make it the
+        table's current version via a rollforward commit."""
+        refs = self._refs()
+        v = refs["branches"][branch]
+        return self.table.rollback_to(v)

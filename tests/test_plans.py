@@ -1,0 +1,72 @@
+"""Plan-shape regression tests (SURVEY.md §4, BASELINE 100 TB mandate).
+
+These don't check answers — test_oracle does — they check that the
+physical plans keep the shapes that scale: filters and column pruning
+reach the Parquet scan, dim joins broadcast instead of shuffling the
+fact table, pure-relational queries never cross into Python, and
+rank-filter top-N pushes the group limit below the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbx_workspace_and_emr_iceberg_spark.plans import explain as X
+from dbx_workspace_and_emr_iceberg_spark.queries.joins import j5_broadcast, j9_star_multiway
+from dbx_workspace_and_emr_iceberg_spark.queries.pricing import q1_pricing_summary
+from dbx_workspace_and_emr_iceberg_spark.queries.windows import w4_topn_per_group
+from dbx_workspace_and_emr_iceberg_spark.tables import load_table
+
+from tests.conftest import SF_DIR
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    df = q1_pricing_summary(spark, SF_DIR)
+    pushed = X.pushed_filters(df)
+    assert "l_shipdate" in pushed, f"shipdate filter not pushed: {pushed!r}"
+    cols = X.read_schema_columns(df)
+    assert "l_comment" not in cols and "l_orderkey" not in cols, (
+        f"scan reads unprojected columns: {cols}"
+    )
+    assert set(cols) <= {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    }, f"column pruning failed: {cols}"
+    assert X.python_eval_count(df) == 0, "relational plan crossed into Python"
+
+
+def test_q1_single_shuffle(spark):
+    df = q1_pricing_summary(spark, SF_DIR)
+    # one exchange for the groupBy, one for the final orderBy — nothing else
+    assert X.shuffle_count(df) <= 2, X.simple_plan(df)
+    assert X.codegen_stage_count(df) >= 1
+
+
+def test_j5_dim_join_broadcasts(spark):
+    df = j5_broadcast(spark, SF_DIR)
+    assert X.has_broadcast_join(df), X.simple_plan(df)
+    # fact side must not shuffle before the join: exchanges are only the
+    # post-aggregation / ordering ones
+    assert X.shuffle_count(df) <= 2, X.simple_plan(df)
+
+
+def test_j9_star_join_all_dims_broadcast(spark):
+    df = j9_star_multiway(spark, SF_DIR)
+    plan = X.simple_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_w4_window_group_limit_pushdown(spark):
+    df = w4_topn_per_group(spark, SF_DIR)
+    assert "WindowGroupLimit" in X.simple_plan(df), X.simple_plan(df)
+
+
+def test_projection_prunes_to_two_columns(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    cols = X.read_schema_columns(li)
+    assert sorted(cols) == ["l_orderkey", "l_quantity"], cols
+
+
+def test_partition_filter_prunes_row_groups(spark):
+    li = load_table(spark, SF_DIR, "lineitem").filter(F.col("l_orderkey") == 1)
+    assert "l_orderkey" in X.pushed_filters(li)

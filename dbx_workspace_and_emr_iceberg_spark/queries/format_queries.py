@@ -1,0 +1,83 @@
+"""S2/S3 format round-trip queries: CSV, JSON, ORC written and re-read
+by this engine must reproduce the Parquet-sourced oracle exactly —
+proving the text-format schema-on-read path (timestamps included)
+doesn't corrupt values.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.formats import roundtrip
+from ..tables import load_table
+
+_NATION_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+"""
+
+
+def _roundtrip_query(fmt: str, options: dict[str, str] | None = None):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tmp = tempfile.mkdtemp(prefix=f"fmt_{fmt}_")
+        try:
+            n = load_table(spark, sf_dir, "nation")
+            back = roundtrip(n, f"{tmp}/nation", fmt, options)
+            out = back.select("n_nationkey", "n_name", "n_regionkey").orderBy(
+                "n_nationkey"
+            )
+            out = spark.createDataFrame(out.collect(), out.schema)
+            return out
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    return q
+
+
+register("s2_csv_roundtrip", oracle=_NATION_ORACLE, tags=("S2",))(
+    _roundtrip_query("csv", {"header": "true"})
+)
+register("s2b_json_roundtrip", oracle=_NATION_ORACLE, tags=("S2",))(
+    _roundtrip_query("json")
+)
+register("s2c_orc_roundtrip", oracle=_NATION_ORACLE, tags=("S2",))(
+    _roundtrip_query("orc")
+)
+
+
+_EVENTS_TS_ORACLE = """
+SELECT event_id, ts, round(value, 6) AS value
+FROM events
+WHERE event_id % 101 = 0
+ORDER BY event_id
+"""
+
+
+@register("s2d_json_timestamp_roundtrip", oracle=_EVENTS_TS_ORACLE, tags=("S2", "F2"))
+def s2d_json_timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamps through the JSON text format (ISO-8601 serialization)
+    must survive to the microsecond."""
+    tmp = tempfile.mkdtemp(prefix="fmt_ts_")
+    try:
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_id") % 101 == 0)
+            .select("event_id", "ts", "value")
+        )
+        # default JSON timestampFormat truncates to millis; request µs
+        back = roundtrip(
+            ev,
+            f"{tmp}/events",
+            "json",
+            {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
+        )
+        out = back.select(
+            "event_id", "ts", F.round("value", 6).alias("value")
+        ).orderBy("event_id")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

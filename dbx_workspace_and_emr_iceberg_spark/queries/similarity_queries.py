@@ -128,3 +128,29 @@ def x3c_pairwise_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# --- X3d: vectorized exact top-k (the scale path; self-verified) ------------
+
+
+@register("x3d_topk_vectorized", oracle=None, tags=("X3", "D5"))
+def x3d_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """numpy-matmul top-k via mapInPandas (see cosine_topk_vectorized).
+    Self-verifies neighbor sets match the oracle-checked interpreted
+    variant on ≥95% of (query, neighbor) pairs (ulp ties allowed)."""
+    from ..operators.similarity import cosine_topk, cosine_topk_vectorized
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    fast = cosine_topk_vectorized(e, q, k=5).select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+    slow = cosine_topk(e, q, k=5).select(
+        "query_id", F.col("neighbor_id").alias("slow_neighbor")
+    )
+    fast_set = {(r.query_id, r.neighbor_id) for r in fast.collect()}
+    slow_set = {(r.query_id, r.slow_neighbor) for r in slow.collect()}
+    overlap = len(fast_set & slow_set) / max(len(slow_set), 1)
+    if overlap < 0.95:
+        raise AssertionError(f"vectorized top-k diverges: overlap={overlap:.2f}")
+    return fast.orderBy("query_id", "rank")

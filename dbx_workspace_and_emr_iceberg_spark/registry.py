@@ -41,6 +41,7 @@ _REGISTRY: dict[str, Query] = {}
 #: queries/ submodules that populate the registry on import.
 _QUERY_MODULES = [
     "pricing",
+    "tpch_queries",
     "projections",
     "aggregations",
     "joins",
@@ -55,6 +56,7 @@ _QUERY_MODULES = [
     "streaming_queries",
     "lakehouse_queries",
     "udf_queries",
+    "format_queries",
 ]
 
 

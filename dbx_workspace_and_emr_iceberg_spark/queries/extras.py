@@ -1,0 +1,213 @@
+"""Second-wave coverage: exact percentiles (A5), INTERSECT/EXCEPT ALL
+(U2/U3), date parse/format (F2), TF-IDF (X4), salted skew join (X6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.skew import salted_join
+from ..registry import register
+from ..tables import load_table
+
+# --- A5b: exact percentiles / median ----------------------------------------
+
+_A5B_ORACLE = """
+SELECT
+  o_orderpriority,
+  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+  round(median(o_totalprice), 4)              AS p50,
+  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+  round(quantile_disc(o_totalprice, 0.5), 4)  AS p50_disc
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("a5b_percentiles_exact", oracle=_A5B_ORACLE, tags=("A5",))
+def a5b_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines: linear
+    interpolation on doubles; discrete p50 via sort-based percentile)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+            F.round(F.median("o_totalprice"), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+            F.round(
+                F.expr("percentile_approx(o_totalprice, 0.5, 2147483647)"), 4
+            ).alias("p50_disc"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- U2b/U3b: INTERSECT ALL / EXCEPT ALL (multiset semantics) ---------------
+
+_U2B_ORACLE = """
+SELECT cast(k AS BIGINT) AS k FROM (
+  SELECT l_suppkey % 7 AS k FROM lineitem WHERE l_linenumber = 1
+  INTERSECT ALL
+  SELECT l_suppkey % 7 AS k FROM lineitem WHERE l_linenumber = 2
+)
+"""
+
+
+@register("u2b_intersect_all", oracle=_U2B_ORACLE, tags=("U2",))
+def u2b_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") == 1).select(
+        (F.col("l_suppkey") % 7).cast("bigint").alias("k")
+    )
+    b = li.filter(F.col("l_linenumber") == 2).select(
+        (F.col("l_suppkey") % 7).cast("bigint").alias("k")
+    )
+    return a.intersectAll(b)
+
+
+_U3B_ORACLE = """
+SELECT cast(k AS BIGINT) AS k FROM (
+  SELECT l_suppkey % 7 AS k FROM lineitem WHERE l_linenumber = 1
+  EXCEPT ALL
+  SELECT l_suppkey % 7 AS k FROM lineitem WHERE l_linenumber = 2
+)
+"""
+
+
+@register("u3b_except_all", oracle=_U3B_ORACLE, tags=("U3",))
+def u3b_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") == 1).select(
+        (F.col("l_suppkey") % 7).cast("bigint").alias("k")
+    )
+    b = li.filter(F.col("l_linenumber") == 2).select(
+        (F.col("l_suppkey") % 7).cast("bigint").alias("k")
+    )
+    return a.exceptAll(b)
+
+
+# --- F2b: date construction / parsing / formatting --------------------------
+
+_F2B_ORACLE = """
+SELECT
+  o_orderkey,
+  strftime(o_orderdate, '%Y/%m/%d %H:%M')                        AS formatted,
+  make_date(cast(year(o_orderdate) AS INTEGER),
+            cast(month(o_orderdate) AS INTEGER),
+            cast(day(o_orderdate) AS INTEGER))                   AS reconstructed,
+  strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M'),
+           '%Y-%m-%d %H:%M')                                     AS reparsed
+FROM orders
+WHERE o_orderkey % 37 = 0
+ORDER BY o_orderkey
+"""
+
+
+@register("f2b_date_parse_format", oracle=_F2B_ORACLE, tags=("F2",))
+def f2b_date_parse_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        o.filter(F.col("o_orderkey") % 37 == 0)
+        .select(
+            "o_orderkey",
+            F.date_format(d, "yyyy/MM/dd HH:mm").alias("formatted"),
+            F.make_date(F.year(d), F.month(d), F.dayofmonth(d)).alias("reconstructed"),
+            F.to_timestamp(
+                F.date_format(d, "yyyy-MM-dd HH:mm"), "yyyy-MM-dd HH:mm"
+            ).alias("reparsed"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --- X4f: TF-IDF (pure DataFrame ops; SQL twin in DuckDB) -------------------
+
+_X4F_ORACLE = """
+WITH words AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tf_counts AS (
+  SELECT doc_id, w, count(*) AS tf FROM tf GROUP BY doc_id, w
+),
+df AS (
+  SELECT w, count(*) AS df FROM words GROUP BY w
+),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.w,
+         round(t.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf_counts t JOIN df ON t.w = df.w CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, w, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rn
+  FROM scored
+)
+SELECT doc_id, w AS top_term, tfidf AS top_tfidf
+FROM ranked WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@register("x4f_tfidf", oracle=_X4F_ORACLE, tags=("X4",))
+def x4f_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TF-IDF, top term per doc. Two shuffles (doc-term counts,
+    document frequencies) + a broadcast of the tiny DF table — linear
+    in corpus size; vocabulary never collects to the driver."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = terms.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = terms.distinct().groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df), "w").select(
+        "doc_id",
+        "w",
+        F.round(
+            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("w"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("w").alias("top_term"), F.col("tfidf").alias("top_tfidf"))
+        .orderBy("doc_id")
+    )
+
+
+# --- X6: salted skew join (oracle: the unsalted join) ------------------------
+
+_X6_ORACLE = """
+SELECT n_name, count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@register("x6_salted_skew_join", oracle=_X6_ORACLE, tags=("X6", "J1"))
+def x6_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting must not change join semantics: the salted plan's result
+    hash-matches the plain SQL join. (The *reason* to salt — a hot key
+    funneling to one reducer — only shows at scale; semantics are what
+    the oracle can check.)"""
+    c = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_nationkey", "n_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    joined = salted_join(c, n, on="n_nationkey", n_salts=8)
+    return (
+        joined.groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("n_name")
+    )

@@ -57,6 +57,7 @@ _QUERY_MODULES = [
     "lakehouse_queries",
     "udf_queries",
     "format_queries",
+    "extras",
 ]
 
 

@@ -217,3 +217,112 @@ def cosine_topk_vectorized(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means-partition the corpus, then score
+    each query only against the n_probe nearest cells.
+
+    Deterministic throughout: centroids initialize from the n_centroids
+    lowest-id vectors and refine with `iters` Lloyd passes. Assignment
+    runs as numpy over Arrow batches (mapInPandas); centroid updates
+    shuffle (cell, dim) partial sums — centroids are tiny and may sit on
+    the driver, the corpus never does. At 100 TB the cell assignment is
+    a linear scan and each query reads ~n_probe/n_centroids of the data.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    spark = corpus.sparkSession
+    dim = len(corpus.select(vec_col).first()[0])
+
+    cents = np.array(
+        [
+            r[0]
+            for r in corpus.orderBy(id_col).select(vec_col).limit(n_centroids).collect()
+        ],
+        dtype=np.float64,
+    )
+
+    def assigner(cmat):
+        bc = spark.sparkContext.broadcast(cmat)
+
+        def assign(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                d = ((x[:, None, :] - bc.value[None, :, :]) ** 2).sum(axis=2)
+                cell = d.argmin(axis=1)
+                out = pdf[[id_col]].copy()
+                out["cell"] = cell.astype("int32")
+                yield out
+
+        return assign
+
+    for _ in range(iters):
+        assigned = corpus.select(id_col, vec_col).mapInPandas(
+            assigner(cents), f"{id_col} bigint, cell int"
+        )
+        # (cell, dim) partial sums — long-form so the shuffle is tiny
+        comp = (
+            corpus.join(assigned, id_col)
+            .select("cell", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.sum(F.col("v").cast("double")).alias("s"), F.count("*").alias("c"))
+            .collect()
+        )
+        new = cents.copy()
+        sums = np.zeros((n_centroids, dim))
+        cnts = np.zeros((n_centroids, dim))
+        for r in comp:
+            sums[r.cell, r.pos] = r.s
+            cnts[r.cell, r.pos] = r.c
+        nonzero = cnts > 0
+        new[nonzero] = sums[nonzero] / cnts[nonzero]
+        cents = new
+
+    assigned = corpus.select(id_col, vec_col).mapInPandas(
+        assigner(cents), f"{id_col} bigint, cell int"
+    )
+    cell_corpus = corpus.join(assigned, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
+    )
+
+    # queries probe their n_probe nearest cells
+    qrows = queries.select(id_col, vec_col).collect()
+    q_probe = []
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        d = ((cents - qv) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:n_probe]:
+            q_probe.append((int(r[0]), int(cell), [float(x) for x in qv]))
+    q_df = spark.createDataFrame(
+        q_probe, f"query_id bigint, cell int, qv array<double>"
+    )
+
+    cand = cell_corpus.join(F.broadcast(q_df), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
+            "cosine"
+        ),
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -286,3 +286,67 @@ def m8_branches_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _log(spark, steps)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register("m9_stats_file_skipping", oracle=None, tags=("M5", "S7", "S2"))
+def m9_stats_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max file skipping from manifest statistics (Iceberg manifest
+    pruning parity): a range scan must touch only files whose stats
+    intersect the predicate and return exactly the full-filter answer.
+    Also exercises the `files`/`history` metadata relations and
+    cherrypick_snapshot."""
+    from ..sources.lakehouse import (
+        StatsLakehouseTable,
+        cherrypick_snapshot,
+        history,
+    )
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_")
+    try:
+        steps: list[tuple[str, int, int]] = []
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        t = StatsLakehouseTable(spark, wh, "orders_s")
+        # write ordered by date so files get disjoint o_orderdate ranges
+        t.create(o.repartitionByRange(6, "o_orderdate"))
+        n_files = len(t._files())
+        assert n_files >= 4, f"expected multiple files, got {n_files}"
+        steps.append(("create_range_layout", t.current_version(), n_files))
+
+        lo = __import__("datetime").datetime(1996, 6, 1)
+        hi = __import__("datetime").datetime(1996, 9, 1)
+        pruned = t.pruned_files("o_orderdate", lo.isoformat(), hi.isoformat())
+        assert 0 < len(pruned) < n_files, (
+            f"stats pruning ineffective: {len(pruned)}/{n_files} files"
+        )
+        got = t.read_range("o_orderdate", lo, hi).count()
+        want = (
+            t.read()
+            .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") <= hi))
+            .count()
+        )
+        assert got == want and want > 0, f"pruned scan wrong: {got} != {want}"
+        steps.append(("pruned_range_scan", len(pruned), got))
+
+        # metadata relations
+        assert t.files().count() == n_files, "files() relation row count"
+        ops = [r.operation for r in history(t).orderBy("version").collect()]
+        assert ops[0] == "create", ops
+        steps.append(("metadata_relations", t.current_version(), n_files))
+
+        # cherry-pick an append snapshot onto a later state
+        extra = o.limit(10).coalesce(1)
+        v_app = t.append(extra)                   # v2: +10 rows
+        n2 = t.read().count()
+        t.delete_where(F.col("o_orderkey") < 0)   # no-op keeps lineage moving
+        t.append(o.limit(5).coalesce(1))          # v3
+        base = t.read().count()
+        t.rollback_to(1)                          # drop both appends
+        assert t.read().count() == n2 - 10, "rollback to v1"
+        v = cherrypick_snapshot(t, v_app)         # re-apply only v2's delta
+        assert t.read().count() == n2, "cherry-pick re-applied v2 delta"
+        steps.append(("cherrypick", v, t.read().count()))
+        return _log(spark, steps)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

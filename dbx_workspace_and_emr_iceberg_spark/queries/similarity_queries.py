@@ -154,3 +154,31 @@ def x3d_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     if overlap < 0.95:
         raise AssertionError(f"vectorized top-k diverges: overlap={overlap:.2f}")
     return fast.orderBy("query_id", "rank")
+
+
+# --- X3e: IVF-partitioned ANN (self-verified recall) ------------------------
+
+
+@register("x3e_ivf_ann", oracle=None, tags=("X3",))
+def x3e_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (16 cells, probe 4, 2 Lloyd iterations — deterministic
+    init from lowest-id vectors). Self-verifies recall@5 ≥ 0.5 vs exact;
+    scanning ~25% of cells should beat that comfortably on clustered
+    data and the floor guards the plumbing, not the statistics."""
+    from ..operators.similarity import cosine_topk, ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    approx = ivf_topk(e, q, k=5).select("query_id", "neighbor_id", "rank")
+    exact = cosine_topk(e, q, k=5).select(
+        "query_id", F.col("neighbor_id").alias("exact_neighbor")
+    )
+    hit = approx.join(
+        exact,
+        (approx.query_id == exact.query_id)
+        & (approx.neighbor_id == exact.exact_neighbor),
+    ).count()
+    total = exact.count()
+    if total and hit / total < 0.5:
+        raise AssertionError(f"IVF recall@5 too low: {hit}/{total}")
+    return approx.orderBy("query_id", "rank")

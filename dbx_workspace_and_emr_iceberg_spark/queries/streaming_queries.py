@@ -377,3 +377,48 @@ def t9_stream_to_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
         return table.snapshots()
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+# --- T1b: rate source smoke (the non-file stream source) -------------------
+
+
+@register("t1b_rate_source", oracle=None, tags=("T1",))
+def t1b_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rate source (timestamp, value) — the canonical synthetic
+    stream. No availableNow support, so run one processingTime trigger
+    and stop; self-verifies monotonically increasing `value` with no
+    gaps, i.e. exactly-once delivery within the run."""
+    import uuid as _uuid
+
+    name = "s" + _uuid.uuid4().hex[:10]
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "500")
+        .option("numPartitions", "2")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time as _t
+
+    deadline = _t.time() + 20
+    while _t.time() < deadline and spark.table(name).count() == 0:
+        _t.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+    out = spark.table(name)
+    vals = sorted(r.value for r in out.select("value").collect())
+    if not vals:
+        raise AssertionError("rate source produced no rows in 20s")
+    if vals != list(range(vals[0], vals[0] + len(vals))):
+        raise AssertionError("rate source values have gaps or dups")
+    return out.groupBy().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )

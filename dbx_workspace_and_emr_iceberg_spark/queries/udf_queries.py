@@ -208,3 +208,42 @@ def d7_sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT s_suppkey, supp_code(s_suppkey) AS supp_code "
         "FROM supplier_v ORDER BY s_suppkey"
     )
+
+
+# --- D5b: mapInArrow (raw Arrow RecordBatch surface) ------------------------
+
+_D5B_ORACLE = """
+SELECT l_orderkey, cast(l_quantity * 2 AS DOUBLE) AS qty2
+FROM lineitem
+WHERE l_orderkey % 53 = 0
+ORDER BY l_orderkey, qty2
+"""
+
+
+@register("d5b_map_in_arrow", oracle=_D5B_ORACLE, tags=("D5",))
+def d5b_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy-est Python surface — RecordBatch in,
+    RecordBatch out, no pandas materialization. The shape for codec/
+    tokenizer libraries that speak Arrow natively."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def double_qty(batches):
+        for batch in batches:
+            t = pa.table(
+                {
+                    "l_orderkey": batch.column("l_orderkey"),
+                    "qty2": pc.multiply(
+                        pc.cast(batch.column("l_quantity"), pa.float64()), 2.0
+                    ),
+                }
+            )
+            for out in t.to_batches():
+                yield out
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 53 == 0)
+    return (
+        li.select("l_orderkey", "l_quantity")
+        .mapInArrow(double_qty, "l_orderkey bigint, qty2 double")
+        .orderBy("l_orderkey", "qty2")
+    )

@@ -571,3 +571,155 @@ class BranchedLakehouse:
         refs = self._refs()
         v = refs["branches"][branch]
         return self.table.rollback_to(v)
+
+
+# ---------------------------------------------------------------------------
+# File-level column statistics → min/max data skipping (Iceberg manifest
+# pruning parity; SURVEY.md §4 "min/max file skipping") + remaining S7/M5
+# metadata relations and procedures.
+# ---------------------------------------------------------------------------
+
+
+def _file_column_stats(path: str) -> dict[str, list]:
+    """Per-file min/max per column from the parquet footer (pyarrow) —
+    the driver only ever touches footers, never data pages. Values are
+    stored JSON-safe (ISO strings for timestamps)."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                continue  # binary stats aren't comparable cross-engine
+            if name not in mins or lo < mins[name]:
+                mins[name] = lo
+            if name not in maxs or hi > maxs[name]:
+                maxs[name] = hi
+
+    def enc(v):
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        return v
+
+    return {
+        "min": {k: enc(v) for k, v in mins.items()},
+        "max": {k: enc(v) for k, v in maxs.items()},
+    }
+
+
+class StatsLakehouseTable(LakehouseTable):
+    """LakehouseTable whose manifests carry per-file column min/max, so
+    range scans skip files whose stats exclude the predicate — Iceberg's
+    manifest filtering, minus the cluster."""
+
+    def _write_files(self, df: DataFrame) -> list[str]:
+        files = super()._write_files(df)
+        stats = {f: _file_column_stats(f) for f in files}
+        self._pending_stats = getattr(self, "_pending_stats", {})
+        self._pending_stats.update(stats)
+        return files
+
+    def _commit(self, manifest: dict, expected_parent: int) -> int:
+        # attach collected stats, carrying forward stats of kept files
+        prev: dict = {}
+        if expected_parent:
+            prev = self._read_manifest(expected_parent).get("stats", {})
+        pending = getattr(self, "_pending_stats", {})
+        manifest["stats"] = {
+            f: (pending.get(f) or prev.get(f))
+            for f in manifest["files"]
+            if (pending.get(f) or prev.get(f)) is not None
+        }
+        self._pending_stats = {}
+        return super()._commit(manifest, expected_parent)
+
+    def files(self) -> DataFrame:
+        """The `t.files` metadata relation: path + per-column min/max."""
+        import json as _json
+
+        m = self._read_manifest(self.current_version())
+        rows = [
+            (f, _json.dumps(m.get("stats", {}).get(f, {})))
+            for f in m["files"]
+        ]
+        return self.spark.createDataFrame(rows, "file_path string, stats_json string")
+
+    def pruned_files(self, col: str, lo, hi) -> list[str]:
+        """Files whose [min,max] for col intersects [lo,hi] — the scan
+        set for a range predicate. Files without stats are kept (safe)."""
+        import datetime
+
+        # stats store timestamps as ISO strings; normalize the bounds
+        # (ISO-8601 orders lexicographically, so string compare is sound)
+        if isinstance(lo, (datetime.datetime, datetime.date)):
+            lo = lo.isoformat()
+        if isinstance(hi, (datetime.datetime, datetime.date)):
+            hi = hi.isoformat()
+        m = self._read_manifest(self.current_version())
+        stats = m.get("stats", {})
+        out = []
+        for f in m["files"]:
+            s = stats.get(f)
+            if not s or col not in s.get("min", {}):
+                out.append(f)
+                continue
+            fmin, fmax = s["min"][col], s["max"][col]
+            if not (fmax < lo or fmin > hi):
+                out.append(f)
+        return out
+
+    def read_range(self, col: str, lo, hi) -> DataFrame:
+        """Range scan using min/max skipping + the residual filter."""
+        from pyspark.sql.types import StructType
+
+        files = self.pruned_files(col, lo, hi)
+        schema = StructType.fromJson(self.schema_json())
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.schema(schema).parquet(*files)
+        return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+
+
+def history(table: LakehouseTable) -> DataFrame:
+    """The `t.history` metadata relation: commit lineage."""
+    rows = []
+    for v in range(1, table.current_version() + 1):
+        try:
+            m = table._read_manifest(v)
+        except FileNotFoundError:
+            continue  # expired snapshot
+        rows.append((v, m["parent"], m["op"], m["timestamp_ms"]))
+    return table.spark.createDataFrame(
+        rows, "version int, parent int, operation string, ts_ms long"
+    )
+
+
+def cherrypick_snapshot(table: LakehouseTable, version: int) -> int:
+    """CALL system.cherrypick_snapshot (M5): re-apply the file DELTA an
+    append-type snapshot introduced on top of the current state."""
+    m = table._read_manifest(version)
+    if m["op"] not in ("append", "create"):
+        raise ValueError(f"can only cherry-pick append snapshots, got {m['op']!r}")
+    parent_files = set(table._read_manifest(m["parent"])["files"]) if m["parent"] else set()
+    delta = [f for f in m["files"] if f not in parent_files]
+    parent = table.current_version()
+    files = table._files(parent) + [f for f in delta if f not in set(table._files(parent))]
+    return table._commit(
+        {
+            "files": files,
+            "schema": table.schema_json(),
+            "op": f"cherrypick_v{version}",
+        },
+        parent,
+    )

@@ -422,3 +422,52 @@ def t1b_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_v"),
         F.max("value").alias("max_v"),
     )
+
+
+# --- T8b: stream-stream join (watermarked, time-bounded) --------------------
+
+_T8B_ORACLE = """
+SELECT
+  c.user_id,
+  count(*) AS n_pairs
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 2 HOUR
+GROUP BY c.user_id
+ORDER BY c.user_id
+"""
+
+
+@register("t8b_stream_stream_join", oracle=_T8B_ORACLE, tags=("T8",))
+def t8b_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: purchases within 2h after a
+    click by the same user. The time-bound condition is what lets Spark
+    expire join state (both sides watermarked); the batch oracle is the
+    same interval join in SQL. Output rolled up per user (pair-level
+    output order isn't comparable)."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 2 HOUR")),
+        "inner",
+    )
+    out = run_to_memory(joined.select(F.col("c_user").alias("user_id")), "append")
+    return (
+        out.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )

@@ -1,0 +1,94 @@
+"""Direct unit tests for the snapshot table layer — edge cases the
+lifecycle queries don't isolate (SURVEY.md §5 strategy: self-verifying
+DML + unit coverage of the commit protocol)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+    ConflictError,
+    LakehouseTable,
+    partition_transform,
+)
+from dbx_workspace_and_emr_iceberg_spark.tables import load_table
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def wh():
+    d = tempfile.mkdtemp(prefix="lh_unit_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_create_twice_rejected(spark, wh):
+    t = LakehouseTable(spark, wh, "t")
+    t.create(load_table(spark, SF_DIR, "region"))
+    with pytest.raises(ValueError, match="already exists"):
+        t.create(load_table(spark, SF_DIR, "region"))
+
+
+def test_noop_delete_commits_nothing(spark, wh):
+    t = LakehouseTable(spark, wh, "t")
+    t.create(load_table(spark, SF_DIR, "region"))
+    v_before = t.current_version()
+    v_after = t.delete_where(F.col("r_regionkey") > 999)
+    assert v_after == v_before, "no-op delete must not create a snapshot"
+
+
+def test_overwrite_replaces_files(spark, wh):
+    t = LakehouseTable(spark, wh, "t")
+    t.create(load_table(spark, SF_DIR, "region"))
+    old_files = set(t._files())
+    t.overwrite(load_table(spark, SF_DIR, "nation"))
+    assert set(t._files()).isdisjoint(old_files)
+    assert t.read().count() == 25
+    # time travel still sees the pre-overwrite data
+    assert t.read(version=1).count() == 5
+
+
+def test_stale_writer_conflict(spark, wh):
+    t1 = LakehouseTable(spark, wh, "t")
+    t1.create(load_table(spark, SF_DIR, "region").coalesce(1))
+    t2 = LakehouseTable(spark, wh, "t")  # second writer, same table
+    t1.append(load_table(spark, SF_DIR, "region").limit(1).coalesce(1))
+    with pytest.raises(ConflictError):
+        t2._commit({"files": t2._files(), "schema": t2.schema_json(), "op": "x"}, 1)
+
+
+def test_empty_table_read_has_schema(spark, wh):
+    t = LakehouseTable(spark, wh, "t")
+    t.create(load_table(spark, SF_DIR, "region").coalesce(1))
+    t.delete_where(F.lit(True))
+    df = t.read()
+    assert df.count() == 0
+    assert df.columns == ["r_regionkey", "r_name"]
+
+
+def test_partition_transform_parsing():
+    name, _ = partition_transform("days(ts)")
+    assert name == "p_days_ts"
+    name, _ = partition_transform("bucket(16, user_id)")
+    assert name == "p_bucket_user_id"
+    name, _ = partition_transform("truncate(3, p_brand)")
+    assert name == "p_trunc_p_brand"
+    with pytest.raises(ValueError):
+        partition_transform("spiral(ts)")
+
+
+def test_expired_snapshot_files_deleted(spark, wh):
+    t = LakehouseTable(spark, wh, "t")
+    reg = load_table(spark, SF_DIR, "region").coalesce(1)
+    t.create(reg)
+    t.overwrite(load_table(spark, SF_DIR, "nation").coalesce(1))
+    v1_files = t._read_manifest(1)["files"]
+    t.expire_snapshots(keep_last=1)
+    assert all(not os.path.exists(f) for f in v1_files), "orphan files not removed"
+    assert t.read().count() == 25, "current snapshot intact"

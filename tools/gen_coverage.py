@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Regenerate COVERAGE.md: SURVEY.md §2 operator row → declared queries.
+
+Queries marked * are rows-only (self-verifying, no DuckDB oracle — see
+registry.py for the contract)."""
+
+from __future__ import annotations
+
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dbx_workspace_and_emr_iceberg_spark.registry import all_queries
+
+NOT_APPLICABLE = """
+Rows with no query by design (SURVEY.md §2.1):
+- **S1** (Iceberg catalog scan): served by the snapshot table layer's
+  manifest-governed `LakehouseTable.read()` (exercised by every `m*`
+  query); the real-Iceberg catalog is a config swap
+  (`sources/lakehouse.py::iceberg_session_conf`) — no jars offline.
+- **S3** (object store): path-scheme swap (`s3a://`) on the same
+  reader/writer; nothing testable without S3 (`sources/formats.py`).
+- **S9/S10** (Glue grants / Trino federation): out of engine scope per
+  SURVEY §2.1 — the DuckDB oracle harness plays the second-engine role.
+"""
+
+
+def main() -> None:
+    qs = all_queries()
+    by_tag: dict[str, list[str]] = defaultdict(list)
+    for q in qs.values():
+        for t in q.tags:
+            by_tag[t].append(q.name + ("" if q.oracle else "*"))
+    lines = [
+        "# COVERAGE — SURVEY.md §2 operator inventory → declared queries",
+        "",
+        f"{len(qs)} queries declared, {sum(1 for q in qs.values() if q.oracle)} "
+        "with DuckDB oracles (the rest are rows-only self-verifying, marked *).",
+        "Regenerate with `python tools/gen_coverage.py`.",
+        "",
+        "| §2 row | queries |",
+        "|---|---|",
+    ]
+    for tag in sorted(by_tag, key=lambda t: (t[0], len(t), t)):
+        lines.append(f"| {tag} | {', '.join(sorted(by_tag[tag]))} |")
+    lines.append(NOT_APPLICABLE)
+    with open(os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"COVERAGE.md: {len(by_tag)} operator rows covered")
+
+
+if __name__ == "__main__":
+    main()

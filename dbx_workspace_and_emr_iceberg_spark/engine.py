@@ -77,5 +77,12 @@ class Engine:
             self._tables[name] = t
         return self._tables[name]
 
+    def refresh_view(self, name: str) -> None:
+        """Re-point the SQL-door temp view at the current snapshot.
+        Temp views capture the file list at registration time, so call
+        this after DML on a managed table (or use .managed(name).read()
+        which always resolves the manifest)."""
+        self.managed(name).read().createOrReplaceTempView(name)
+
     def table_snapshot(self, name: str, version: int) -> DataFrame:
         return self.managed(name).read(version=version)

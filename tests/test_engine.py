@@ -45,3 +45,6 @@ def test_managed_table_door(eng):
     t.delete_where(F.col("n_regionkey") == 0)
     assert eng.managed("nation_gold").read().count() < 25
     assert eng.table_snapshot("nation_gold", 1).count() == 25  # time travel
+    # SQL door sees DML only after refresh (views pin their snapshot)
+    eng.refresh_view("nation_gold")
+    assert eng.sql("SELECT count(*) AS n FROM nation_gold").collect()[0].n < 25

@@ -211,3 +211,87 @@ def x6_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("n_name")
     )
+
+
+# --- J10: bucketed co-located join (shuffle-free large-large equi) ----------
+
+_J10_ORACLE = """
+SELECT o.o_orderkey, cast(count(l.l_linenumber) AS BIGINT) AS n_lines,
+       round(sum(l.l_extendedprice), 2) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_totalprice > 450000
+GROUP BY o.o_orderkey
+ORDER BY o.o_orderkey
+"""
+
+
+@register("j10_bucketed_join", oracle=_J10_ORACLE, tags=("J6", "X6"))
+def j10_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-bucketed co-located join: both tables bucketed 8 ways on the
+    join key via bucketBy+saveAsTable, so the join needs NO exchange on
+    either side (verified in-plan). This is the standing answer to
+    repeated large-large joins at 100 TB: pay the shuffle once at write
+    time, never again at read time.
+    """
+    import tempfile
+    import uuid
+
+    from ..plans.explain import simple_plan
+
+    tmp = tempfile.mkdtemp(prefix="buckets_")
+    suffix = uuid.uuid4().hex[:8]
+    o_name, l_name = f"orders_b_{suffix}", f"lineitem_b_{suffix}"
+    try:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_extendedprice"
+        )
+        (
+            o.write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", f"{tmp}/{o_name}")
+            .saveAsTable(o_name)
+        )
+        (
+            li.write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", f"{tmp}/{l_name}")
+            .saveAsTable(l_name)
+        )
+        ob = spark.table(o_name).filter(F.col("o_totalprice") > 450000)
+        lb = spark.table(l_name)
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        # Disable broadcast while asserting: a broadcast join would also
+        # show zero shuffle exchanges and make the check vacuous — the
+        # claim is specifically a co-located SortMergeJoin.
+        prev_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = simple_plan(joined)
+            shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+            if shuffles != 0 or "SortMergeJoin" not in plan:
+                raise AssertionError(
+                    f"bucketed join not co-located ({shuffles} exchanges):\n"
+                    f"{plan[:800]}"
+                )
+            out = (
+                joined.groupBy("o_orderkey")
+                .agg(
+                    F.count("l_linenumber").alias("n_lines"),
+                    F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+                )
+                .orderBy("o_orderkey")
+            )
+            return spark.createDataFrame(out.collect(), out.schema)
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", prev_threshold
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {o_name}")
+        spark.sql(f"DROP TABLE IF EXISTS {l_name}")
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -70,3 +70,27 @@ def test_projection_prunes_to_two_columns(spark):
 def test_partition_filter_prunes_row_groups(spark):
     li = load_table(spark, SF_DIR, "lineitem").filter(F.col("l_orderkey") == 1)
     assert "l_orderkey" in X.pushed_filters(li)
+
+
+# Queries that legitimately cross into Python (UDF surface, Arrow decode,
+# numpy ANN paths, DML lifecycles that build log frames driver-side).
+_PYTHON_ALLOWED_PREFIXES = ("d", "m", "t", "x2_", "x3b", "x3d", "x3e", "x5b", "o4")
+
+
+def test_relational_queries_never_cross_into_python(spark):
+    """Global hot-path guarantee: every oracle-checked relational query
+    compiles to a pure-JVM plan (BatchEvalPython/ArrowEvalPython absent).
+    Python is only allowed where it is the declared point of the query."""
+    from dbx_workspace_and_emr_iceberg_spark.registry import all_queries
+
+    offenders = []
+    for name, q in sorted(all_queries().items()):
+        if name.startswith(_PYTHON_ALLOWED_PREFIXES):
+            continue
+        if q.oracle is None:
+            continue
+        df = q.fn(spark, SF_DIR)
+        n = X.python_eval_count(df)
+        if n:
+            offenders.append((name, n))
+    assert not offenders, f"Python ops in relational plans: {offenders}"

@@ -194,3 +194,58 @@ ORDER BY doc
 def x2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
     return simhash(d, "doc_id", "text").orderBy("doc")
+
+
+# --- X1c: embedding-cosine near-duplicate detection (oracle-able) ----------
+
+_X1C_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + {_COPY_OFFSET} AS vec_id,
+         list_transform(v, x -> x * 1.01 + 0.001) AS v
+  FROM base
+),
+normed AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.98
+ORDER BY id_a, id_b
+"""
+
+
+@register("x1c_embedding_neardup", oracle=_X1C_ORACLE, tags=("X1", "X3"))
+def x1c_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection by embedding cosine ≥ 0.98 over a corpus with
+    planted perturbed copies (v*1.01+0.001 — near-parallel, cosine ≈ 1).
+    Exact all-pairs here; at scale the candidate set comes from the LSH/
+    IVF buckets (operators/similarity.py) and only candidates are scored.
+    """
+    from ..functions.vector import cosine
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    base = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    planted = base.select(
+        (F.col("vec_id") + _COPY_OFFSET).alias("vec_id"),
+        F.transform("v", lambda x: x * 1.01 + 0.001).alias("v"),
+    )
+    corpus = base.unionByName(planted)
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.select("id_a", "id_b", cos.alias("raw_cos"))
+        .filter(F.col("raw_cos") >= 0.98)
+        .select("id_a", "id_b", F.round("raw_cos", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )

@@ -61,12 +61,18 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Two passes, keep the min: the first pass pays codegen compilation
+    # and is exposed to external CPU contention; the min is the stable
+    # plan-cost signal (variance on this box is ~2x run-to-run).
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        q = queries[name]
-        t0 = time.perf_counter()
-        q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _pass in range(2):
+        for name in HEADLINE:
+            q = queries[name]
+            t0 = time.perf_counter()
+            q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
 
     total = round(sum(timings.values()), 3)
     print(

@@ -471,3 +471,38 @@ def t8b_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("user_id")
     )
+
+
+# --- T6b: dropDuplicatesWithinWatermark -------------------------------------
+
+_T6B_ORACLE = """
+SELECT event_type, count(DISTINCT event_id) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("t6b_dedup_within_watermark", oracle=_T6B_ORACLE, tags=("T6", "T5"))
+def t6b_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark: like streaming dedup (t6) but state
+    for a key is held only within the watermark delay — the bounded-state
+    variant for unbounded key spaces. Input duplicated 2x; with one
+    availableNow batch every duplicate falls inside the watermark window,
+    so the result equals single-copy distinct (the oracle)."""
+    import os
+
+    src = tempfile.mkdtemp(prefix="stream_dwm_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+        ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "c1"))
+        ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "c2"))
+        stream = spark.readStream.schema(ev.schema).parquet(src + "/*/")
+        deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        out = run_to_memory(agg, "complete")
+        return out.orderBy("event_type")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

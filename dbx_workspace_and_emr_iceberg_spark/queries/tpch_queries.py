@@ -285,3 +285,40 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+# --- Q17: small-quantity-order revenue (correlated scalar subquery) --------
+
+_Q17_ORACLE = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (
+    SELECT 0.5 * avg(l2.l_quantity)
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+@register("q17_small_quantity", oracle=_Q17_ORACLE, tags=("J9", "A2", "P2"))
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (per-part average) — expressed via the
+    SQL door so Catalyst's subquery decorrelation rewrites it into an
+    aggregate + join (SURVEY.md §4 'subquery decorrelation' built-in).
+    """
+    from ..tables import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < (
+            SELECT 0.5 * avg(l2.l_quantity)
+            FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+          )
+        """
+    )

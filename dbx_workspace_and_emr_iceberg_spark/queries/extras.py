@@ -295,3 +295,123 @@ def j10_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- A7c: PIVOT (wide aggregation) ------------------------------------------
+# Oracle uses FILTER columns (portable) rather than DuckDB's PIVOT syntax
+# so the column names match Spark's pivot output exactly.
+
+_A7C_ORACLE = """
+SELECT
+  user_id % 10                                             AS cohort,
+  count(*) FILTER (WHERE event_type = 'click')             AS click,
+  count(*) FILTER (WHERE event_type = 'error')             AS error,
+  count(*) FILTER (WHERE event_type = 'purchase')          AS purchase,
+  count(*) FILTER (WHERE event_type = 'signup')            AS signup,
+  count(*) FILTER (WHERE event_type = 'view')              AS view
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("a7c_pivot", oracle=_A7C_ORACLE, tags=("A7",))
+def a7c_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with explicit pivot values — the explicit list
+    keeps the plan single-pass (no extra distinct scan to discover
+    values), which is the scale discipline for pivots."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("cohort", F.col("user_id") % 10)
+        .groupBy("cohort")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+        .orderBy("cohort")
+    )
+
+
+# --- U5: UNPIVOT / stack (wide → long) --------------------------------------
+
+_U5_ORACLE = """
+SELECT p_partkey, metric, val FROM (
+  SELECT p_partkey, 'size' AS metric, cast(p_size AS DOUBLE) AS val FROM part
+  UNION ALL
+  SELECT p_partkey, 'retail' AS metric, round(p_retailprice, 2) AS val FROM part
+)
+WHERE p_partkey % 31 = 0
+ORDER BY p_partkey, metric
+"""
+
+
+@register("u5_unpivot_stack", oracle=_U5_ORACLE, tags=("U1", "A7"))
+def u5_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 31 == 0)
+    return (
+        p.selectExpr(
+            "p_partkey",
+            "stack(2, 'size', cast(p_size AS DOUBLE), "
+            "'retail', round(p_retailprice, 2)) AS (metric, val)",
+        )
+        .orderBy("p_partkey", "metric")
+    )
+
+
+# --- F4e: explode_outer null/empty semantics --------------------------------
+
+_F4E_ORACLE = """
+WITH src AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 3 = 0 THEN []::DOUBLE[]
+              WHEN vec_id % 3 = 1 THEN NULL
+              ELSE [cast(vec_id AS DOUBLE), cast(vec_id + 0.5 AS DOUBLE)] END AS arr
+  FROM embeddings WHERE vec_id % 10 = 0
+)
+SELECT s.vec_id, u.v AS val
+FROM src s LEFT JOIN (SELECT vec_id, unnest(arr) AS v FROM src) u
+  ON s.vec_id = u.vec_id
+ORDER BY s.vec_id, val
+"""
+
+
+@register("f4e_explode_outer", oracle=_F4E_ORACLE, tags=("F4",))
+def f4e_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer keeps rows whose array is NULL or empty (emitting a
+    NULL element) — the LEFT-JOIN-unnest equivalence is the oracle."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    src = e.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 3 == 0, F.array().cast("array<double>"))
+        .when(F.col("vec_id") % 3 == 1, F.lit(None).cast("array<double>"))
+        .otherwise(
+            F.array(
+                F.col("vec_id").cast("double"), F.col("vec_id").cast("double") + 0.5
+            )
+        )
+        .alias("arr"),
+    )
+    return src.select(
+        "vec_id", F.explode_outer("arr").alias("val")
+    ).orderBy("vec_id", "val")
+
+
+# --- S11: range source (synthetic numeric relation) -------------------------
+
+_S11_ORACLE = """
+SELECT cast(range AS BIGINT) AS id, cast(range * range AS BIGINT) AS sq
+FROM range(1000)
+WHERE range % 7 = 0
+ORDER BY id
+"""
+
+
+@register("s11_range_source", oracle=_S11_ORACLE, tags=("S2",))
+def s11_range_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.range — the parallel synthetic source (useful for
+    generators/backfills; partitions scale with the cluster)."""
+    return (
+        spark.range(0, 1000)
+        .filter(F.col("id") % 7 == 0)
+        .select("id", (F.col("id") * F.col("id")).alias("sq"))
+        .orderBy("id")
+    )

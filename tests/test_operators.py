@@ -1,0 +1,97 @@
+"""Edge-case unit tests for custom operators (SURVEY.md §5) — the
+boundaries the registry queries don't isolate: equal timestamps and
+empty sides in the as-of join, null join keys under salting, degenerate
+dedup inputs."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbx_workspace_and_emr_iceberg_spark.operators.asof import asof_join
+from dbx_workspace_and_emr_iceberg_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+)
+from dbx_workspace_and_emr_iceberg_spark.operators.skew import salted_join
+
+
+def _ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00")),
+            (1, _ts("2024-01-01T12:00:00")),
+            (2, _ts("2024-01-01T09:00:00")),
+        ],
+        "k int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 100.0),  # equal-instant match
+            (1, _ts("2024-01-01T11:30:00"), 200.0),
+            (2, _ts("2024-01-01T09:30:00"), 300.0),  # strictly after left
+        ],
+        "k int, ts timestamp, v double",
+    )
+    return left, right
+
+
+def test_asof_equal_instant_matches(spark, tiny):
+    left, right = tiny
+    out = {
+        (r.k, r.ts.isoformat()): r.v_r
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_cols=["v"], suffix="_r",
+        ).collect()
+    }
+    # ts >= semantics: the 10:00 right row is visible to the 10:00 left row
+    assert out[(1, "2024-01-01T10:00:00")] == 100.0
+    # latest earlier row wins
+    assert out[(1, "2024-01-01T12:00:00")] == 200.0
+    # no earlier right row → NULL
+    assert out[(2, "2024-01-01T09:00:00")] is None
+
+
+def test_asof_empty_right_side(spark, tiny):
+    left, right = tiny
+    empty = right.filter(F.lit(False))
+    out = asof_join(
+        left, empty, on="k", left_ts="ts", right_ts="ts",
+        right_cols=["v"], suffix="_r",
+    )
+    rows = out.collect()
+    assert len(rows) == left.count()
+    assert all(r.v_r is None for r in rows)
+
+
+def test_salted_join_null_keys_dropped_like_plain_join(spark):
+    big = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (2, "c")], "k int, x string"
+    )
+    small = spark.createDataFrame([(1, "one"), (2, "two")], "k int, name string")
+    plain = big.join(small, "k").count()
+    salted = salted_join(big, small, on="k", n_salts=4).count()
+    assert salted == plain == 2  # inner join drops NULL keys on both paths
+
+
+def test_exact_dedup_all_identical(spark):
+    df = spark.createDataFrame([(i, "same text") for i in range(10)], "id long, t string")
+    kept = exact_dedup(df, "t", "id").collect()
+    assert len(kept) == 1 and kept[0].id == 0  # keep-lowest-id
+
+
+def test_minhash_no_pairs_on_disjoint_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    assert minhash_lsh_pairs(docs, "doc_id", "text").count() == 0

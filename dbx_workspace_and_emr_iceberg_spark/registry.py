@@ -42,6 +42,7 @@ _REGISTRY: dict[str, Query] = {}
 _QUERY_MODULES = [
     "pricing",
     "tpch_queries",
+    "tpch_suite2",
     "projections",
     "aggregations",
     "joins",

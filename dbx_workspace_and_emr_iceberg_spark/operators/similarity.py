@@ -41,17 +41,27 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact cosine top-k of each query against the corpus (excluding
     self-matches by id). Output: (query_id, neighbor_id, cosine, rank)."""
+    # Norms are per-row, not per-pair: computing them below the join cuts
+    # the interpreted-HOF work from 3 dot products per (query, corpus)
+    # pair to 1 per pair + 1 per row, with bit-identical doubles (the
+    # same dot feeds the same sqrt either way).
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("q_nrm"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("c_nrm"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("q_nrm") * F.col("c_nrm"))).alias(
                 "cosine"
             ),
         )
@@ -105,6 +115,8 @@ def ann_topk_lsh(
 ) -> DataFrame:
     """Approximate top-k: only corpus vectors sharing an LSH bucket with
     the query (in any of n_tables signature tables) are scored."""
+    # Norms ride along with the signatures (computed once per row per
+    # table) so candidate scoring needs a single dot per pair.
     tables = []
     for t in range(n_tables):
         sig = hyperplane_signature(vec_col, n_planes, t)
@@ -112,6 +124,7 @@ def ann_topk_lsh(
             corpus.select(
                 F.col(id_col).alias("neighbor_id"),
                 F.col(vec_col).alias("cv"),
+                _norm(F.col(vec_col)).alias("c_nrm"),
                 F.lit(t).alias("tbl"),
                 sig.alias("bucket"),
             )
@@ -127,6 +140,7 @@ def ann_topk_lsh(
             queries.select(
                 F.col(id_col).alias("query_id"),
                 F.col(vec_col).alias("qv"),
+                _norm(F.col(vec_col)).alias("q_nrm"),
                 F.lit(t).alias("tbl"),
                 sig.alias("bucket"),
             )
@@ -138,13 +152,13 @@ def ann_topk_lsh(
     cand = (
         c_sig.join(F.broadcast(q_sig), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "qv", "q_nrm", "neighbor_id", "cv", "c_nrm")
         .distinct()
     )
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
+        (_dot(F.col("qv"), F.col("cv")) / (F.col("q_nrm") * F.col("c_nrm"))).alias(
             "cosine"
         ),
     )
@@ -297,7 +311,10 @@ def ivf_topk(
         assigner(cents), f"{id_col} bigint, cell int"
     )
     cell_corpus = corpus.join(assigned, id_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("c_nrm"),
+        "cell",
     )
 
     # queries probe their n_probe nearest cells
@@ -310,7 +327,7 @@ def ivf_topk(
             q_probe.append((int(r[0]), int(cell), [float(x) for x in qv]))
     q_df = spark.createDataFrame(
         q_probe, f"query_id bigint, cell int, qv array<double>"
-    )
+    ).withColumn("q_nrm", _norm(F.col("qv")))
 
     cand = cell_corpus.join(F.broadcast(q_df), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
@@ -318,7 +335,7 @@ def ivf_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
+        (_dot(F.col("qv"), F.col("cv")) / (F.col("q_nrm") * F.col("c_nrm"))).alias(
             "cosine"
         ),
     ).distinct()

@@ -77,6 +77,45 @@ def test_partition_filter_prunes_row_groups(spark):
 _PYTHON_ALLOWED_PREFIXES = ("d", "m", "t", "x2_", "x3b", "x3d", "x3e", "x5b", "o4")
 
 
+def test_q2_decorrelates_to_single_lineitem_scan(spark):
+    """The correlated-min subquery must become a window over one scan,
+    not a self-join that reads lineitem twice."""
+    from dbx_workspace_and_emr_iceberg_spark.queries.tpch_suite2 import (
+        q2_min_cost_supplier,
+    )
+
+    df = q2_min_cost_supplier(spark, SF_DIR)
+    assert X.formatted_plan(df).count("lineitem.parquet") == 1, X.simple_plan(df)
+    assert X.shuffle_count(df) <= 3, X.simple_plan(df)
+
+
+def test_q19_disjunction_pushes_per_side_conjuncts(spark):
+    """OR-of-ANDs spanning both join sides: Catalyst must still extract
+    and push the per-side disjunctions into each Parquet scan."""
+    from dbx_workspace_and_emr_iceberg_spark.queries.tpch_suite2 import (
+        q19_disjunctive_revenue,
+    )
+
+    df = q19_disjunctive_revenue(spark, SF_DIR)
+    pushed = X.pushed_filters(df)
+    assert "l_quantity" in pushed, pushed
+    assert "p_brand" in pushed or "p_size" in pushed, pushed
+
+
+def test_q21_rollup_rewrite_beats_self_join_count(spark):
+    """The exists/not-exists pair is one per-order rollup: at most two
+    static lineitem scans (oracle shape needs three) and no
+    broadcast-nested-loop anywhere."""
+    from dbx_workspace_and_emr_iceberg_spark.queries.tpch_suite2 import (
+        q21_waiting_orders,
+    )
+
+    df = q21_waiting_orders(spark, SF_DIR)
+    plan = X.formatted_plan(df)
+    assert plan.count("lineitem.parquet") <= 2, X.simple_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, X.simple_plan(df)
+
+
 def test_relational_queries_never_cross_into_python(spark):
     """Global hot-path guarantee: every oracle-checked relational query
     compiles to a pure-JVM plan (BatchEvalPython/ArrowEvalPython absent).

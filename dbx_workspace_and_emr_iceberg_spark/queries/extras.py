@@ -415,3 +415,93 @@ def s11_range_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", (F.col("id") * F.col("id")).alias("sq"))
         .orderBy("id")
     )
+
+
+# --- P5b: ANSI-safe try_* functions -----------------------------------------
+# PySpark 4.1 runs ANSI mode ON: bare division-by-zero / bad casts / OOB
+# element_at RAISE. try_divide / try_cast / try_element_at are the
+# idiomatic null-safe forms — this is the escape hatch every ANSI-mode
+# pipeline needs, so it gets first-class coverage.
+
+_P5B_ORACLE = """
+SELECT
+  event_id,
+  round(value / nullif(user_id % 5, 0), 4)                    AS safe_ratio,
+  TRY_CAST(CASE WHEN user_id % 3 = 0 THEN 'n/a'
+                ELSE json_extract_string(props, '$.k') END AS INTEGER) AS maybe_k,
+  string_split(event_type, '')[10]                            AS char10
+FROM events
+WHERE event_id % 17 = 0
+ORDER BY event_id
+"""
+
+
+@register("p5b_try_functions", oracle=_P5B_ORACLE, tags=("P5", "F8"))
+def p5b_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_divide → NULL on zero divisor, try_cast → NULL on bad input,
+    try_element_at → NULL past the end — the DuckDB oracle models each
+    with its native NULL-on-failure form (nullif-division, TRY_CAST,
+    OOB list index)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 17 == 0)
+    return (
+        ev.select(
+            "event_id",
+            F.round(
+                F.try_divide(F.col("value"), (F.col("user_id") % 5).cast("double")),
+                4,
+            ).alias("safe_ratio"),
+            F.when(F.col("user_id") % 3 == 0, F.lit("n/a"))
+            .otherwise(F.get_json_object("props", "$.k"))
+            .try_cast("int")
+            .alias("maybe_k"),
+            F.try_element_at(F.split("event_type", ""), F.lit(10)).alias("char10"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --- X7: seeded stratified sample (corpus subsetting) -----------------------
+
+
+@register("x7_stratified_sample", oracle=None, tags=("X6",))
+def x7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum Bernoulli sampling of the document corpus with a
+    fixed seed (`sampleBy` — per-partition deterministic, no shuffle).
+    The training-data use case: downweight an overrepresented source
+    without materializing it.
+
+    Self-verifies: (a) identical seed → identical sample (determinism
+    at the row-id level); (b) each stratum's realized count is within
+    5 binomial standard deviations of expectation; (c) no rows from
+    strata sampled at 0."""
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+    base = docs.filter(F.col("source").isin(*fractions.keys()))
+    take1 = base.sampleBy("source", fractions, seed=42)
+    take2 = base.sampleBy("source", fractions, seed=42)
+    ids1 = {r.doc_id for r in take1.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in take2.select("doc_id").collect()}
+    if ids1 != ids2:
+        raise AssertionError("sampleBy not deterministic under fixed seed")
+    totals = {r.source: r.n for r in base.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    got = {
+        r.source: r.n
+        for r in take1.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for src, frac in fractions.items():
+        n = totals.get(src, 0)
+        expect = n * frac
+        sd = (n * frac * (1 - frac)) ** 0.5
+        lo, hi = expect - 5 * sd, expect + 5 * sd
+        actual = got.get(src, 0)
+        if frac == 0.0 and actual:
+            raise AssertionError(f"stratum {src} sampled at 0 produced rows")
+        if not (lo <= actual <= hi):
+            raise AssertionError(
+                f"stratum {src}: {actual} outside [{lo:.1f}, {hi:.1f}]"
+            )
+    return (
+        take1.groupBy("source")
+        .agg(F.count("*").alias("sampled"))
+        .orderBy("source")
+    )

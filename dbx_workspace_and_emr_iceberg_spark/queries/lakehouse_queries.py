@@ -350,3 +350,148 @@ def m9_stats_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _log(spark, steps)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register("m10_incremental_cdc", oracle=None, tags=("S8",))
+def m10_incremental_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append scan + row-level CDC changelog (S8 extended —
+    Iceberg's start/end-snapshot-id read and create_changelog_view
+    procedure; /root/reference README.md:36 pulls the runtime that
+    provides both).
+
+    Self-verifies: (a) the incremental scan between two snapshots is
+    exactly the appended batch (set equality via exceptAll both ways);
+    (b) a range containing a delete refuses the append-only scan;
+    (c) the changelog of a DELETE emits exactly the deleted rows as
+    DELETE images; (d) an UPDATE emits matching DELETE+INSERT pairs.
+    """
+    wh = tempfile.mkdtemp(prefix="lakehouse_cdc_")
+    try:
+        steps: list[tuple[str, int, int]] = []
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        b1 = o.filter(F.col("o_orderkey") % 4 == 0).coalesce(2)
+        b2 = o.filter(F.col("o_orderkey") % 4 == 1).coalesce(2)
+        b3 = o.filter(F.col("o_orderkey") % 4 == 2).coalesce(2)
+        t = LakehouseTable(spark, wh, "orders_cdc")
+
+        v1 = t.create(b1)
+        v2 = t.append(b2)
+        inc = t.read_incremental(v1, v2)
+        assert inc.exceptAll(b2).count() == 0 and b2.exceptAll(inc).count() == 0, (
+            "incremental v1..v2 must equal batch 2 exactly"
+        )
+        steps.append(("incremental_append", v2, inc.count()))
+
+        v3 = t.append(b3)
+        n_range = t.read_incremental(v1, v3).count()
+        assert n_range == b2.count() + b3.count(), "incremental range spans appends"
+        steps.append(("incremental_range", v3, n_range))
+
+        # delete breaks append-only incremental semantics
+        doomed = t.read().filter(F.col("o_totalprice") > 200000)
+        n_doomed = doomed.count()
+        assert n_doomed > 0, "fixture should have expensive orders"
+        v4 = t.delete_where(F.col("o_totalprice") > 200000)
+        try:
+            t.read_incremental(v3, v4)
+            raise AssertionError("incremental scan over a delete must refuse")
+        except ValueError:
+            pass
+
+        chg = t.changelog(v3, v4)
+        assert chg.filter(F.col("_change_type") == "INSERT").count() == 0, (
+            "pure delete emits no inserts"
+        )
+        del_img = chg.filter(F.col("_change_type") == "DELETE").drop(
+            "_change_type", "_change_version"
+        )
+        assert (
+            del_img.exceptAll(doomed).count() == 0
+            and doomed.exceptAll(del_img).count() == 0
+        ), "DELETE images must be exactly the deleted rows"
+        steps.append(("changelog_delete", v4, n_doomed))
+
+        # update emits pre/post images
+        n_upd = t.read().filter(F.col("o_orderstatus") == "F").count()
+        v5 = t.update_set(
+            F.col("o_orderstatus") == "F", {"o_orderstatus": F.lit("X")}
+        )
+        chg2 = t.changelog(v4, v5)
+        ins = chg2.filter(F.col("_change_type") == "INSERT")
+        dels = chg2.filter(F.col("_change_type") == "DELETE")
+        assert ins.count() == n_upd and dels.count() == n_upd, (
+            "UPDATE changelog must pair DELETE+INSERT per changed row"
+        )
+        assert ins.filter(F.col("o_orderstatus") != "X").count() == 0, (
+            "post-images carry the new value"
+        )
+        steps.append(("changelog_update", v5, n_upd))
+
+        # full-range changelog net row count reconciles with final state
+        net = t.changelog(0, v5)
+        n_ins = net.filter(F.col("_change_type") == "INSERT").count()
+        n_del = net.filter(F.col("_change_type") == "DELETE").count()
+        assert n_ins - n_del == t.read().count(), "changelog reconciles to state"
+        steps.append(("changelog_reconcile", v5, n_ins - n_del))
+        return _log(spark, steps)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+@register("m11_sorted_clustering", oracle=None, tags=("M5", "X6"))
+def m11_sorted_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-based rewrite_data_files (M5 — Iceberg's
+    strategy=>'sort' compaction): re-cluster lineitem by l_orderkey so
+    min/max file skipping prunes to ~1/N of the files for a narrow
+    range predicate, instead of scanning every file.
+
+    Self-verifies: (a) before the rewrite every file intersects the
+    probe range (hash layout → no pruning); (b) after rewrite_sorted
+    the pruned scan set shrinks; (c) the range scan returns identical
+    rows before and after (clustering is layout-only).
+    """
+    from ..sources.lakehouse import StatsLakehouseTable
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_sort_")
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+        )
+        # hash layout: every file spans the whole key range
+        t = StatsLakehouseTable(spark, wh, "lineitem_cluster")
+        t.create(li.repartition(8, "l_partkey"))
+
+        lo, hi = 100, 500
+        expected = li.filter(F.col("l_orderkey").between(lo, hi))
+        n_files_before = len(t._files())
+        pruned_before = len(t.pruned_files("l_orderkey", lo, hi))
+        assert pruned_before == n_files_before, (
+            "hash layout must leave nothing to prune (probe range hits all files)"
+        )
+        before = t.read_range("l_orderkey", lo, hi)
+        assert before.exceptAll(expected).count() == 0 and expected.exceptAll(
+            before
+        ).count() == 0, "pre-rewrite range scan correctness"
+
+        v = t.rewrite_sorted("l_orderkey", target_files=8)
+        pruned_after = len(t.pruned_files("l_orderkey", lo, hi))
+        assert pruned_after < pruned_before, (
+            f"sorted layout must prune: {pruned_after} !< {pruned_before}"
+        )
+        after = t.read_range("l_orderkey", lo, hi)
+        assert after.exceptAll(expected).count() == 0 and expected.exceptAll(
+            after
+        ).count() == 0, "post-rewrite range scan correctness"
+
+        return _log(
+            spark,
+            [
+                ("files_scanned_before", v - 1, pruned_before),
+                ("files_scanned_after", v, pruned_after),
+                ("range_rows", v, after.count()),
+            ],
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

@@ -407,6 +407,88 @@ class LakehouseTable:
         """Alias of read(): the manifest schema already governs scans."""
         return self.read(version)
 
+    # ---------- S8+: incremental scan / CDC changelog ----------
+
+    def _read_file_set(self, files: list[str], schema_json: dict) -> DataFrame:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(schema_json)
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*files)
+
+    def read_incremental(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental append scan: rows committed AFTER from_version up
+        to and including to_version — Iceberg's
+        ``option("start-snapshot-id", …).option("end-snapshot-id", …)``
+        read. Like Iceberg, refuses ranges containing non-append
+        snapshots (overwrite/delete/update have no append-delta
+        meaning); use changelog() for those.
+
+        Scale: reads only the files the range added — incremental
+        consumers never rescan the table, and pure appends need no
+        shuffle at all.
+        """
+        to_v = to_version if to_version is not None else self.current_version()
+        added: list[str] = []
+        for v in range(from_version + 1, to_v + 1):
+            m = self._read_manifest(v)
+            if m["op"] not in ("append", "create"):
+                raise ValueError(
+                    f"incremental scan over non-append snapshot v{v} "
+                    f"(op={m['op']!r}); use changelog() instead"
+                )
+            prev = set(self._files(v - 1))
+            added.extend(f for f in m["files"] if f not in prev)
+        return self._read_file_set(added, self._read_manifest(to_v)["schema"])
+
+    def changelog(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Row-level CDC between snapshots — Iceberg's
+        ``create_changelog_view`` procedure. Emits the table columns
+        plus ``_change_type`` ('INSERT' | 'DELETE'; an UPDATE appears
+        as its DELETE+INSERT pair, Iceberg's pre/post images) and
+        ``_change_version``.
+
+        Per consecutive snapshot pair only the file DELTA is read:
+        inserts = rows in added files minus rows in removed files,
+        deletes = the reverse (exceptAll both ways). Copy-on-write
+        rewrites carry surviving rows into both sides, so they cancel —
+        the diff is exactly the net row change. Pure appends/deletes
+        skip the shuffle entirely (one side is empty).
+        """
+        to_v = to_version if to_version is not None else self.current_version()
+        parts: list[DataFrame] = []
+        for v in range(from_version + 1, to_v + 1):
+            m = self._read_manifest(v)
+            prev_files = set(self._files(v - 1))
+            cur_files = set(m["files"])
+            added = sorted(cur_files - prev_files)
+            removed = sorted(prev_files - cur_files)
+            if not added and not removed:
+                continue  # metadata-only commit (e.g. add_column)
+            add_df = self._read_file_set(added, m["schema"])
+            rem_df = self._read_file_set(removed, m["schema"])
+            inserts = add_df if not removed else add_df.exceptAll(rem_df)
+            deletes = rem_df if not added else rem_df.exceptAll(add_df)
+            for df, kind in ((inserts, "INSERT"), (deletes, "DELETE")):
+                parts.append(
+                    df.withColumn("_change_type", F.lit(kind)).withColumn(
+                        "_change_version", F.lit(v)
+                    )
+                )
+        if not parts:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(self._read_manifest(to_v)["schema"])
+            empty = self.spark.createDataFrame([], schema)
+            return empty.withColumn("_change_type", F.lit("")).withColumn(
+                "_change_version", F.lit(0)
+            ).limit(0)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
 
 # ---------------------------------------------------------------------------
 # M7: hidden partitioning / partition transforms + evolution
@@ -678,6 +760,31 @@ class StatsLakehouseTable(LakehouseTable):
             if not (fmax < lo or fmin > hi):
                 out.append(f)
         return out
+
+    def rewrite_sorted(self, col: str, target_files: int = 8) -> int:
+        """rewrite_data_files(strategy => 'sort', sort_order => col):
+        re-cluster the table so each file owns a disjoint range of
+        ``col`` — Iceberg's sort-based compaction. repartitionByRange
+        gives disjoint per-file ranges (range-partitioned shuffle, fully
+        distributed), sortWithinPartitions tightens row-group stats;
+        min/max pruning then hits ~1/target_files of the files for a
+        point/range predicate instead of all of them.
+        """
+        parent = self.current_version()
+        df = (
+            self.read()
+            .repartitionByRange(target_files, F.col(col))
+            .sortWithinPartitions(col)
+        )
+        new_files = self._write_files(df)
+        return self._commit(
+            {
+                "files": new_files,
+                "schema": self.schema_json(),
+                "op": f"rewrite_sorted:{col}",
+            },
+            parent,
+        )
 
     def read_range(self, col: str, lo, hi) -> DataFrame:
         """Range scan using min/max skipping + the residual filter."""

@@ -92,3 +92,43 @@ def test_expired_snapshot_files_deleted(spark, wh):
     t.expire_snapshots(keep_last=1)
     assert all(not os.path.exists(f) for f in v1_files), "orphan files not removed"
     assert t.read().count() == 25, "current snapshot intact"
+
+
+def test_incremental_empty_range(spark, wh):
+    t = LakehouseTable(spark, wh, "t")
+    v = t.create(load_table(spark, SF_DIR, "region"))
+    assert t.read_incremental(v, v).count() == 0
+
+
+def test_changelog_skips_metadata_only_commits(spark, wh):
+    t = LakehouseTable(spark, wh, "t")
+    v1 = t.create(load_table(spark, SF_DIR, "region"))
+    v2 = t.add_column("note", "string")
+    chg = t.changelog(v1, v2)
+    assert chg.count() == 0
+    assert "_change_type" in chg.columns
+
+
+def test_changelog_overwrite_is_full_diff(spark, wh):
+    t = LakehouseTable(spark, wh, "t")
+    reg = load_table(spark, SF_DIR, "region")
+    v1 = t.create(reg)
+    v2 = t.overwrite(reg.filter(F.col("r_regionkey") < 2))
+    chg = t.changelog(v1, v2)
+    n_del = chg.filter(F.col("_change_type") == "DELETE").count()
+    n_ins = chg.filter(F.col("_change_type") == "INSERT").count()
+    # overwrite rewrote all 5 rows into files keeping only 2: net -3
+    assert n_del - n_ins == 3
+
+
+def test_rewrite_sorted_preserves_rows(spark, wh):
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        StatsLakehouseTable,
+    )
+
+    t = StatsLakehouseTable(spark, wh, "t")
+    nat = load_table(spark, SF_DIR, "nation")
+    t.create(nat.repartition(4, "n_name"))
+    t.rewrite_sorted("n_nationkey", target_files=4)
+    got = t.read()
+    assert got.exceptAll(nat).count() == 0 and nat.exceptAll(got).count() == 0

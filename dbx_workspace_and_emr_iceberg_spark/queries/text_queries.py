@@ -242,3 +242,115 @@ def x4e_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+# --- X8: batch sessionization (gap-based sessions over the event log) -------
+# The batch twin of T4's session_window: at 100 TB this is ONE shuffle on
+# user_id + a partition-local sort; the lag/cumsum pair never rescans.
+
+_X8_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END
+           AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       session_seq,
+       CAST(count(*) AS BIGINT)                              AS n_events,
+       round(sum(value), 2)                                  AS session_value,
+       date_diff('second', min(ts), max(ts))                 AS duration_s
+FROM sess
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+@register("x8_sessionization", oracle=_X8_ORACLE, tags=("X6", "W2", "W3"))
+def x8_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event log (30-min inactivity gap):
+    lag → new-session flag → running sum = session id → per-session
+    rollup. Ties on ts break by event_id so the order is total and the
+    oracle deterministic."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.withColumn(
+        "new_sess", F.when(gap_s <= 1800, F.lit(0)).otherwise(F.lit(1))
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+                "duration_s"
+            ),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+# --- X9: sliding-window document chunking (tokenize → overlapping chunks) ---
+# The standard pre-training step: fixed-size token windows with overlap.
+# Pure built-ins (split/sequence/slice/posexplode) — whole plan stays JVM-side,
+# and chunks explode map-side so no shuffle carries document bodies.
+
+_X9_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+idx AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(floor(greatest(len(toks) - 50, 0) / 40) AS BIGINT) + 1))
+           AS i
+  FROM t
+)
+SELECT doc_id,
+       i                                                    AS chunk_id,
+       CAST(len(toks[i*40 + 1 : i*40 + 50]) AS BIGINT)      AS chunk_tokens,
+       md5(array_to_string(toks[i*40 + 1 : i*40 + 50], ' ')) AS chunk_digest
+FROM idx
+ORDER BY doc_id, chunk_id
+"""
+
+
+@register("x9_doc_chunking", oracle=_X9_ORACLE, tags=("X4", "F4"))
+def x9_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 50-token chunks with stride 40 per document. The
+    chunk set is derived with sequence+posexplode (no Python, no UDF);
+    emitting an md5 digest instead of the chunk text keeps the compare
+    payload small — and is itself the dedup key downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    idx = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor(F.greatest(F.size("toks") - 50, F.lit(0)) / 40).cast("int"),
+            )
+        ).alias("i"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("i") * 40 + 1, 50)
+    return idx.select(
+        "doc_id",
+        F.col("i").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_digest"),
+    ).orderBy("doc_id", "chunk_id")

@@ -133,3 +133,33 @@ def test_relational_queries_never_cross_into_python(spark):
         if n:
             offenders.append((name, n))
     assert not offenders, f"Python ops in relational plans: {offenders}"
+
+
+def test_x8_sessionization_single_shuffle(spark):
+    from dbx_workspace_and_emr_iceberg_spark.queries.text_queries import (
+        x8_sessionization,
+    )
+
+    df = x8_sessionization(spark, SF_DIR)
+    # one exchange on user_id feeds the window, the session rollup, AND
+    # the final user-prefixed sort — partitioning must be reused, so the
+    # whole pipeline is: shuffle once, then partition-local everywhere
+    # (the aggregate and sort keys are prefixed by the window key).
+    assert X.shuffle_count(df) <= 2, X.formatted_plan(df)
+    assert X.python_eval_count(df) == 0, "sessionization crossed into Python"
+
+
+def test_x9_chunking_no_shuffle_no_python(spark):
+    from dbx_workspace_and_emr_iceberg_spark.queries.text_queries import (
+        x9_doc_chunking,
+    )
+
+    df = x9_doc_chunking(spark, SF_DIR)
+    # chunk derivation is map-side: explode+slice+md5 happen before any
+    # exchange; the only exchange permitted is the final presentation sort
+    assert X.shuffle_count(df) <= 1, X.formatted_plan(df)
+    assert X.python_eval_count(df) == 0, "chunking crossed into Python"
+    cols = X.read_schema_columns(df)
+    assert "lang" not in cols and "source" not in cols, (
+        f"chunking reads unprojected columns: {cols}"
+    )

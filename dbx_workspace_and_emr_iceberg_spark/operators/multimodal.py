@@ -68,3 +68,41 @@ def attach_payload(docs: DataFrame) -> DataFrame:
             F.col("source").alias("origin"),
         ).alias("meta"),
     )
+
+
+#: Output schema of the frame-sampling stage — one row per sampled frame.
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, n_frames_total int, frame_feature double"
+
+FRAME_STRIDE = 30
+
+
+def fake_frame_sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: (doc_id, payload) → one row per sampled frame
+    (every FRAME_STRIDE-th frame) — the 1→N expansion shape of video
+    frame extraction. A real ffmpeg-backed stage has this exact
+    signature and batch contract; the fake derives frame count and a
+    per-frame feature deterministically from the payload bytes.
+
+    Expansion happens inside the Arrow batch (no shuffle, no explode of
+    payload bytes); each output row carries a float feature, not the
+    frame itself — at 100 TB the sampled-frame *tensors* would go to a
+    binary column written straight out, never through a shuffle.
+    """
+    for pdf in batches:
+        doc_ids, idxs, totals, feats = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_total = 1 + len(payload) % 240
+            for i in range(0, n_total, FRAME_STRIDE):
+                doc_ids.append(doc_id)
+                idxs.append(i)
+                totals.append(n_total)
+                b = payload[i % max(len(payload), 1)] if len(payload) else 0
+                feats.append(float((b * 31 + i) % 256) / 255.0)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "n_frames_total": pd.Series(totals, dtype="int32"),
+                "frame_feature": pd.Series(feats, dtype="float64"),
+            }
+        )

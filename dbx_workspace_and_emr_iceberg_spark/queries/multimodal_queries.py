@@ -79,3 +79,49 @@ def x5b_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     if [tuple(r) for r in out.collect()] != [tuple(r) for r in rows1]:
         raise AssertionError("decode stage nondeterministic")
     return out
+
+
+@register("x5c_frame_sampling", oracle=None, tags=("X5", "D5"))
+def x5c_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over binary payloads: mapInPandas
+    expands each payload to one row per sampled frame (every 30th),
+    Arrow-batched, payload bytes never cross a shuffle.
+
+    Self-verifies (distributed, no collect of frame rows): per doc the
+    sampled-frame count is exactly ceil(n_frames_total/30), every index
+    is a multiple of 30 strictly below the total, and the doc set
+    matches the input corpus.
+    """
+    from ..operators.multimodal import (
+        FRAME_SCHEMA,
+        FRAME_STRIDE,
+        attach_payload,
+        fake_frame_sample_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = attach_payload(docs).select("doc_id", "payload")
+    frames = src.mapInPandas(fake_frame_sample_batch, FRAME_SCHEMA)
+
+    per_doc = frames.groupBy("doc_id", "n_frames_total").agg(
+        F.count("*").alias("n_sampled"),
+        F.max("frame_idx").alias("max_idx"),
+        F.sum((F.col("frame_idx") % FRAME_STRIDE != 0).cast("int")).alias("bad_stride"),
+    )
+    bad = per_doc.filter(
+        (F.col("n_sampled") != F.ceil(F.col("n_frames_total") / FRAME_STRIDE))
+        | (F.col("max_idx") >= F.col("n_frames_total"))
+        | (F.col("bad_stride") > 0)
+    ).count()
+    assert bad == 0, f"{bad} docs violate the frame-sampling contract"
+    n_docs_in = docs.count()
+    n_docs_out = per_doc.count()
+    assert n_docs_in == n_docs_out, (n_docs_in, n_docs_out)
+
+    return (
+        frames.agg(
+            F.count("*").alias("frames_sampled"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.round(F.avg("frame_feature"), 4).alias("avg_feature"),
+        )
+    )

@@ -182,3 +182,94 @@ def x3e_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     if total and hit / total < 0.5:
         raise AssertionError(f"IVF recall@5 too low: {hit}/{total}")
     return approx.orderBy("query_id", "rank")
+
+
+# --- X10: int8 embedding quantization (shuffle/storage compression) ---------
+# Symmetric per-vector int8: scale = max|x|/127, q_i = floor(x_i/scale + 0.5).
+# At 100 TB the similarity ops are shuffle-bound on vector payloads; int8
+# moves 4x fewer bytes with ~1e-3 cosine loss — quantize BEFORE the shuffle,
+# rescore survivors at full precision. floor(x+0.5) (not round) keeps the
+# two engines bit-identical on halfway cases; everything below is
+# element-wise, so no list-zip semantics can diverge.
+
+_X10_ORACLE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) / 127 AS scale
+  FROM v
+),
+m AS (
+  SELECT vec_id, scale,
+         list_max(list_transform(e,
+           x -> abs(x - floor(x/scale + 0.5)*scale)))               AS max_err,
+         list_sum(list_transform(e,
+           x -> x * floor(x/scale + 0.5)*scale))                    AS dot_ed,
+         sqrt(list_sum(list_transform(e, x -> x*x)))                AS n_e,
+         sqrt(list_sum(list_transform(e,
+           x -> (floor(x/scale + 0.5)*scale)*(floor(x/scale + 0.5)*scale))))
+                                                                    AS n_d
+  FROM s
+)
+SELECT vec_id,
+       round(scale, 6)                AS qscale,
+       round(max_err / scale, 4)      AS err_ratio,
+       round(dot_ed / (n_e * n_d), 4) AS recon_cos
+FROM m
+ORDER BY vec_id
+"""
+
+
+@register("x10_int8_quantization", oracle=_X10_ORACLE, tags=("X3", "F4"))
+def x10_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization of the embedding column
+    with reconstruction-quality metrics: err_ratio must sit in [0, 0.5]
+    by construction (half-step bound) and recon_cos ~1. The hash-match
+    against DuckDB proves the quantizer, the dequantizer, and the
+    quality math all agree across engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+
+    def deq(x, scale):
+        return F.floor(x / scale + 0.5) * scale
+
+    df = emb.select(
+        "vec_id",
+        e.alias("e"),
+        (F.array_max(F.transform(e, F.abs)) / 127).alias("scale"),
+    )
+    df = df.select(
+        "vec_id",
+        "scale",
+        F.array_max(
+            F.transform("e", lambda x: F.abs(x - deq(x, F.col("scale"))))
+        ).alias("max_err"),
+        F.aggregate(
+            F.transform("e", lambda x: x * deq(x, F.col("scale"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("dot_ed"),
+        F.sqrt(
+            F.aggregate(
+                F.transform("e", lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("n_e"),
+        F.sqrt(
+            F.aggregate(
+                F.transform("e", lambda x: deq(x, F.col("scale")) * deq(x, F.col("scale"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("n_d"),
+    )
+    return df.select(
+        "vec_id",
+        F.round("scale", 6).alias("qscale"),
+        F.round(F.col("max_err") / F.col("scale"), 4).alias("err_ratio"),
+        F.round(F.col("dot_ed") / (F.col("n_e") * F.col("n_d")), 4).alias("recon_cos"),
+    ).orderBy("vec_id")

@@ -42,6 +42,9 @@ HEADLINE = [
     "x3_topk_cosine",
     "x4b_quality_scores",
     "x4d_fingerprint",
+    "x8_sessionization",
+    "x9_doc_chunking",
+    "x10_int8_quantization",
 ]
 
 

@@ -29,12 +29,19 @@ def asof_join(
     right_ts: str,
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    tolerance_s: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right.right_ts <= left.left_ts`` and equal key ``on``.
 
     Left rows with no earlier right match keep NULLs (ASOF LEFT JOIN).
     Right timestamp column is exposed as ``right_ts + suffix``.
+
+    ``tolerance_s`` (pandas ``merge_asof`` semantics): a match older
+    than the left timestamp by more than this many seconds is treated
+    as no-match (all carried columns NULL). Applied as a projection on
+    the carried result — the plan shape (one shuffle + local sort)
+    doesn't change.
     """
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
     payload = [F.col(c).alias(c + suffix) for c in right_cols] + [
@@ -82,7 +89,22 @@ def asof_join(
         ],
         F.last(F.col(right_ts + suffix), ignorenulls=True).over(w).alias("__c_ts"),
     )
-    out = carried.filter(F.col(_SIDE) == 1).select(
+    matched = carried.filter(F.col(_SIDE) == 1)
+    if tolerance_s is not None:
+        in_tol = (
+            F.col(left_ts).cast("long") - F.col("__c_ts").cast("long")
+        ) <= F.lit(tolerance_s)
+        matched = matched.select(
+            *left.columns,
+            _SIDE,
+            "__ts",
+            *[
+                F.when(in_tol, F.col("__c_" + c)).alias("__c_" + c)
+                for c in right_cols
+            ],
+            F.when(in_tol, F.col("__c_ts")).alias("__c_ts"),
+        )
+    out = matched.select(
         *left.columns,
         *[F.col("__c_" + c).alias(c + suffix) for c in right_cols],
         F.col("__c_ts").alias(right_ts + suffix),

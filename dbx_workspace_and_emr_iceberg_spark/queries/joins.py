@@ -339,3 +339,51 @@ def j9_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
+
+
+# --- J8b: as-of join with a match tolerance (merge_asof semantics) ---------
+
+_J8B_ORACLE = """
+SELECT
+  p.event_id,
+  p.user_id,
+  p.ts,
+  CASE WHEN date_diff('second', c.ts, p.ts) <= 3600 THEN c.ts END
+    AS click_ts,
+  CASE WHEN date_diff('second', c.ts, p.ts) <= 3600 THEN round(c.value, 4) END
+    AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
+@register("j8b_asof_tolerance", oracle=_J8B_ORACLE, tags=("J8",))
+def j8b_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 1-hour staleness bound: a click older than
+    3600 s no longer explains the purchase (pandas merge_asof
+    `tolerance`). The oracle nulls out beyond-tolerance matches of
+    DuckDB's native ASOF — semantics identical, plan still one shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["value"],
+        suffix="_click",
+        tolerance_s=3600,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_click").alias("click_ts"),
+        F.round("value_click", 4).alias("click_value"),
+    ).orderBy("event_id")

@@ -331,3 +331,40 @@ def a9_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_A7D_GSETS_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  cast(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+  count(*)                                        AS n,
+  round(sum(l_quantity), 2)                       AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
+@register("a7d_grouping_sets", oracle=_A7D_GSETS_ORACLE, tags=("A7",))
+def a7d_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (not expressible as rollup/cube: detail,
+    linestatus-only, grand total — skipping the returnflag-only set),
+    via the SQL door: the parser path exists precisely for clauses the
+    DataFrame API has no builder for. Plans as one Expand + one
+    aggregate — 3 sets cost ~3x map-side rows, one shuffle, same as
+    rollup."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT
+          l_returnflag,
+          l_linestatus,
+          CAST(grouping_id() AS BIGINT)  AS gid,
+          count(*)                       AS n,
+          round(sum(l_quantity), 2)      AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        ORDER BY gid, l_returnflag, l_linestatus
+        """
+    )

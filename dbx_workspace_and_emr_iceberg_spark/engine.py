@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .session import get_spark
+from .sources import sql_dml
 from .sources.lakehouse import LakehouseTable, StatsLakehouseTable
 from .tables import TABLES, load_table, register_temp_views
 
@@ -36,8 +37,15 @@ class Engine:
     ) -> "Engine":
         return cls(get_spark(cpus=cpus), warehouse=warehouse)
 
-    # ---- door 1: SQL ----
+    # ---- door 1: SQL (SELECT via Spark SQL; DML via the lakehouse layer) ----
     def sql(self, query: str) -> DataFrame:
+        """Run a SQL string. MERGE INTO / UPDATE / DELETE — the
+        reference's signature spark-sql UX (README.md:35-45, enabled
+        there by IcebergSparkSessionExtensions, main.tf:803) — are
+        parsed by sources/sql_dml.py and dispatched to the managed
+        snapshot layer; everything else goes straight to Spark SQL."""
+        if sql_dml.classify(query) is not None:
+            return sql_dml.execute(self, query)
         return self.spark.sql(query)
 
     # ---- door 2: DataFrame over fixtures / views ----

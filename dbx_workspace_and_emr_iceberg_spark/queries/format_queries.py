@@ -6,7 +6,7 @@ doesn't corrupt values.
 
 from __future__ import annotations
 
-import shutil
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -16,6 +16,12 @@ from ..registry import register
 from ..sources.formats import roundtrip
 from ..tables import load_table
 
+# Round-trip files live under one process-lifetime root (NOT deleted in
+# the query body): the returned DataFrame stays a lazy scan over the
+# written files — no .collect() re-materialization on the driver — and
+# mode("overwrite") keeps repeat runs idempotent.
+_TMP_ROOT = tempfile.mkdtemp(prefix="spark_graft_fmt_")
+
 _NATION_ORACLE = """
 SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
 """
@@ -23,17 +29,13 @@ SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
 
 def _roundtrip_query(fmt: str, options: dict[str, str] | None = None):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        tmp = tempfile.mkdtemp(prefix=f"fmt_{fmt}_")
-        try:
-            n = load_table(spark, sf_dir, "nation")
-            back = roundtrip(n, f"{tmp}/nation", fmt, options)
-            out = back.select("n_nationkey", "n_name", "n_regionkey").orderBy(
-                "n_nationkey"
-            )
-            out = spark.createDataFrame(out.collect(), out.schema)
-            return out
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
+        n = load_table(spark, sf_dir, "nation")
+        back = roundtrip(
+            n, os.path.join(_TMP_ROOT, f"nation_{fmt}"), fmt, options
+        )
+        return back.select("n_nationkey", "n_name", "n_regionkey").orderBy(
+            "n_nationkey"
+        )
 
     return q
 
@@ -61,23 +63,18 @@ ORDER BY event_id
 def s2d_json_timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timestamps through the JSON text format (ISO-8601 serialization)
     must survive to the microsecond."""
-    tmp = tempfile.mkdtemp(prefix="fmt_ts_")
-    try:
-        ev = (
-            load_table(spark, sf_dir, "events")
-            .filter(F.col("event_id") % 101 == 0)
-            .select("event_id", "ts", "value")
-        )
-        # default JSON timestampFormat truncates to millis; request µs
-        back = roundtrip(
-            ev,
-            f"{tmp}/events",
-            "json",
-            {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
-        )
-        out = back.select(
-            "event_id", "ts", F.round("value", 6).alias("value")
-        ).orderBy("event_id")
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 101 == 0)
+        .select("event_id", "ts", "value")
+    )
+    # default JSON timestampFormat truncates to millis; request µs
+    back = roundtrip(
+        ev,
+        os.path.join(_TMP_ROOT, "events_json_ts"),
+        "json",
+        {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
+    )
+    return back.select(
+        "event_id", "ts", F.round("value", 6).alias("value")
+    ).orderBy("event_id")

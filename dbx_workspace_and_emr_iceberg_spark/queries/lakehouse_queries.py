@@ -440,6 +440,104 @@ def m10_incremental_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+@register("m12_sql_dml_door", oracle=None, tags=("M1", "M2", "M3"))
+def m12_sql_dml_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DML driven purely through SQL strings — engine.sql("MERGE INTO
+    ...") etc. — the reference's spark-sql UX (README.md:35-45), parsed
+    by sources/sql_dml.py and executed on the snapshot layer.
+
+    Self-verifies: UPDATE rewrites only matching rows; DELETE removes
+    only rows where the predicate is TRUE (NULL-predicate rows must
+    survive, SQL semantics); MERGE applies update+delete+insert clauses
+    from one statement; every read goes back through the SQL door.
+    """
+    from ..engine import Engine
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_sql_")
+    try:
+        steps: list[tuple[str, int, int]] = []
+        eng = Engine(spark, warehouse=wh)
+        nat = (
+            load_table(spark, sf_dir, "nation")
+            .coalesce(1)
+            .withColumn(
+                # NULL every third key: exercises NULL-predicate DELETE
+                "n_score",
+                F.when(F.col("n_nationkey") % 3 == 0, F.lit(None)).otherwise(
+                    F.col("n_nationkey")
+                ),
+            )
+        )
+        eng.create_table("nation_sql", nat)
+        n0 = eng.sql("SELECT count(*) AS c FROM nation_sql").collect()[0].c
+        n_null = eng.sql(
+            "SELECT count(*) AS c FROM nation_sql WHERE n_score IS NULL"
+        ).collect()[0].c
+        assert n_null > 0, "fixture should produce NULL scores"
+        steps.append(("create", 1, n0))
+
+        # -- UPDATE ... WHERE --
+        r = eng.sql(
+            "UPDATE nation_sql SET n_name = upper(concat('u_', n_name)) "
+            "WHERE n_regionkey = 2"
+        ).collect()[0]
+        upd = eng.sql(
+            "SELECT count(*) AS c FROM nation_sql "
+            "WHERE n_regionkey = 2 AND n_name NOT LIKE 'U\\_%'"
+        ).collect()[0].c
+        assert upd == 0, "UPDATE must rewrite every matching row"
+        assert r.n_rows == n0, "UPDATE preserves row count"
+        steps.append(("sql_update", r.version, r.n_rows))
+
+        # -- DELETE with a predicate that is NULL for some rows --
+        r = eng.sql("DELETE FROM nation_sql WHERE n_score < 5").collect()[0]
+        left_null = eng.sql(
+            "SELECT count(*) AS c FROM nation_sql WHERE n_score IS NULL"
+        ).collect()[0].c
+        assert left_null == n_null, (
+            "rows with NULL predicate must survive DELETE (SQL three-valued "
+            "logic; only TRUE deletes)"
+        )
+        steps.append(("sql_delete", r.version, r.n_rows))
+        n1 = r.n_rows
+
+        # -- MERGE: update + delete + insert in one statement --
+        # keys 6 and 9 have NULL n_score, so the DELETE above left them
+        # in place — they are guaranteed MATCHED here; 300 is new.
+        spark.createDataFrame(
+            [
+                (6, "MERGED", 9, 6),       # matched -> UPDATE (region 9)
+                (9, "DROP", 9, 9),         # matched + cond -> DELETE
+                (300, "BRAND_NEW", 9, 300) # not matched -> INSERT
+            ],
+            "n_nationkey int, n_name string, n_regionkey int, n_score int",
+        ).createOrReplaceTempView("nation_updates")
+        r = eng.sql(
+            """
+            MERGE INTO nation_sql AS t USING nation_updates AS s
+            ON t.n_nationkey = s.n_nationkey
+            WHEN MATCHED AND s.n_name = 'DROP' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET t.n_regionkey = s.n_regionkey
+            WHEN NOT MATCHED THEN INSERT *
+            """
+        ).collect()[0]
+        assert r.n_rows == n1, "merge net count (+1 insert, -1 delete)"
+        got = {
+            row.n_nationkey: row.n_regionkey
+            for row in eng.sql(
+                "SELECT n_nationkey, n_regionkey FROM nation_sql "
+                "WHERE n_nationkey IN (6, 9, 300)"
+            ).collect()
+        }
+        assert got.get(6) == 9, "MERGE updated matched row"
+        assert 9 not in got, "MERGE deleted matched+cond row"
+        assert got.get(300) == 9, "MERGE inserted unmatched row"
+        steps.append(("sql_merge", r.version, r.n_rows))
+        return _log(spark, steps)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 @register("m11_sorted_clustering", oracle=None, tags=("M5", "X6"))
 def m11_sorted_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort-based rewrite_data_files (M5 — Iceberg's

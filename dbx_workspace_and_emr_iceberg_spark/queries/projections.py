@@ -24,7 +24,8 @@ SELECT
   c_custkey,
   upper(c_name)                                   AS name_upper,
   c_acctbal,
-  round(c_acctbal * 1.1, 2)                       AS acctbal_uplift,
+  cast(round(cast(c_acctbal AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(3,1)), 2)
+       AS DECIMAL(14,2))                          AS acctbal_uplift,
   concat(c_mktsegment, '#', cast(c_nationkey AS VARCHAR)) AS seg_nation
 FROM customer
 """
@@ -32,12 +33,20 @@ FROM customer
 
 @register("p1_projection", oracle=_P1_ORACLE, tags=("P1",))
 def p1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # acctbal_uplift is computed in DECIMAL on both engines: double
+    # multiply-then-round is not cross-engine stable on .xx5 half-ties
+    # (Spark rounds the shortest decimal repr, DuckDB the raw binary),
+    # e.g. 9107.05*1.1. Decimal arithmetic is exact, and both engines
+    # round decimal ties half-away-from-zero.
     c = load_table(spark, sf_dir, "customer")
+    uplift = F.col("c_acctbal").cast("decimal(12,2)") * F.lit("1.1").cast(
+        "decimal(3,1)"
+    )
     return c.select(
         "c_custkey",
         F.upper("c_name").alias("name_upper"),
         "c_acctbal",
-        F.round(F.col("c_acctbal") * 1.1, 2).alias("acctbal_uplift"),
+        F.round(uplift, 2).cast("decimal(14,2)").alias("acctbal_uplift"),
         F.concat_ws("#", "c_mktsegment", F.col("c_nationkey").cast("string")).alias(
             "seg_nation"
         ),
@@ -139,6 +148,10 @@ def p5_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ANSI note (Spark 4 default): l_quantity is 1..50 so INT cast is safe.
     # DuckDB cast(double AS INTEGER) rounds-half-even; Spark truncates —
     # quantities are integral doubles so both agree here.
+    # cast(timestamp AS DATE) is session-timezone-dependent in Spark;
+    # load_table pins the session to UTC (ensure_session_defaults), which
+    # matches DuckDB's civil-time view of the naive fixture timestamps —
+    # under any other zone this query would shift dates across midnight.
     return li.filter(F.col("l_orderkey") % 40 == 0).select(
         "l_orderkey",
         F.col("l_quantity").cast("int").alias("qty_int"),

@@ -28,10 +28,10 @@ _F4_ORACLE = """
 SELECT
   vec_id,
   cast(len(embedding) AS INTEGER)                          AS dim,
-  round(embedding[1], 6)                                   AS first_val,
-  round(embedding[64], 6)                                  AS last_val,
-  round(list_aggregate(embedding, 'min'), 6)               AS vec_min,
-  round(list_aggregate(embedding, 'max'), 6)               AS vec_max,
+  round(CAST(embedding[1] AS DOUBLE), 6)                   AS first_val,
+  round(CAST(embedding[64] AS DOUBLE), 6)                  AS last_val,
+  round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 6) AS vec_min,
+  round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS vec_max,
   array_to_string(list_transform(list_sort(list_slice(embedding, 1, 4)),
                                  x -> cast(cast(round(x, 4) AS DECIMAL(10,4)) AS VARCHAR)), ',') AS head_sorted
 FROM embeddings
@@ -73,7 +73,7 @@ _F4B_ORACLE = """
 SELECT
   vec_id,
   cast(generate_subscripts(embedding, 1) - 1 AS INTEGER)   AS pos,
-  round(unnest(embedding), 6)                              AS val
+  round(CAST(unnest(embedding) AS DOUBLE), 6)              AS val
 FROM embeddings
 WHERE vec_id % 25 = 0
 ORDER BY vec_id, pos

@@ -39,13 +39,15 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 #: queries/ submodules that populate the registry on import.
+#:
+#: ORDER IS THE DRIVER'S EXECUTION ORDER. The round-1 driver run was
+#: time-budgeted and stopped at registration #50, leaving every family
+#: after queries/joins.py without a correctness row. Families the driver
+#: has not yet proven (or whose queries were just fixed) register FIRST;
+#: the 22 TPC-H shapes — all green in round 1 — register LAST so a
+#: budget cutoff costs re-proving the already-proven, not the untested.
 _QUERY_MODULES = [
-    "pricing",
-    "tpch_queries",
-    "tpch_suite2",
-    "projections",
-    "aggregations",
-    "joins",
+    "projections",      # p1/p5 fixed this round — must be re-verified
     "windows",
     "sorts_sets",
     "scalar_functions",
@@ -54,11 +56,16 @@ _QUERY_MODULES = [
     "similarity_queries",
     "text_queries",
     "multimodal_queries",
-    "streaming_queries",
-    "lakehouse_queries",
     "udf_queries",
     "format_queries",
     "extras",
+    "lakehouse_queries",
+    "streaming_queries",  # slowest untested family: after the cheap ones
+    "aggregations",
+    "joins",
+    "pricing",
+    "tpch_queries",
+    "tpch_suite2",
 ]
 
 

@@ -187,10 +187,14 @@ class LakehouseTable:
     # ---------- S7: metadata tables ----------
 
     def snapshots(self) -> DataFrame:
-        """The `t.snapshots` metadata relation."""
+        """The `t.snapshots` metadata relation. Snapshots removed by
+        expire_snapshots() are skipped, matching history()."""
         rows = []
         for v in range(1, self.current_version() + 1):
-            m = self._read_manifest(v)
+            try:
+                m = self._read_manifest(v)
+            except FileNotFoundError:
+                continue  # expired snapshot
             rows.append(
                 (
                     m["version"],
@@ -232,7 +236,12 @@ class LakehouseTable:
         if not affected:
             return parent  # no-op delete commits nothing
         keep = [f for f in self._files(parent) if f not in affected]
-        survivors = self.spark.read.parquet(*affected).filter(~cond)
+        # SQL DELETE removes only rows where cond is TRUE; a bare ~cond
+        # filter would also drop NULL-predicate rows (NOT NULL => NULL,
+        # filtered out). Keep rows where cond is FALSE *or* NULL.
+        survivors = self.spark.read.parquet(*affected).filter(
+            ~F.coalesce(cond, F.lit(False))
+        )
         new_files = self._write_files(survivors)
         return self._commit(
             {
@@ -280,6 +289,7 @@ class LakehouseTable:
         update_cols: dict[str, F.Column] | None = None,
         insert: bool = True,
         delete_cond=None,
+        validate_source_keys: bool = True,
     ) -> int:
         """MERGE INTO target USING source ON target.on = source.on
         WHEN MATCHED [AND delete_cond] THEN DELETE
@@ -289,18 +299,46 @@ class LakehouseTable:
         Join-based rewrite, same plan shape Iceberg's extension rules
         generate. Full-table rewrite here; at scale, pair with
         _affected_files pruning on the join key range.
+
+        ``validate_source_keys`` mirrors Iceberg's cardinality check:
+        MERGE errors when one target row matches multiple source rows
+        (a bare join would silently fan the target out instead). One
+        small aggregation on the (usually far smaller) source side;
+        disable for pre-deduplicated feeds.
         """
         parent = self.current_version()
+        if validate_source_keys:
+            dup = (
+                source.groupBy(on)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    f"merge_into: source has duplicate rows for key {on!r} "
+                    "(Iceberg MERGE cardinality violation)"
+                )
         target = self.read()
         tcols = target.columns
+        # Presence is tracked with explicit marker columns, NOT key
+        # nullability: a pre-existing target row whose merge-key column
+        # is NULL must still classify as target-only (key-based
+        # classification would treat it as source-only and corrupt or
+        # drop it).
+        tgt = target.withColumn("__t_present", F.lit(1))
         src = source.select(
             F.col(on).alias("__src_key"),
             F.struct(*[F.col(c).alias(c) for c in source.columns]).alias("__src"),
+            F.lit(1).alias("__s_present"),
         )
-        joined = target.join(src, target[on] == src["__src_key"], "full_outer")
+        joined = tgt.join(src, tgt[on] == src["__src_key"], "full_outer")
 
-        matched = F.col(on).isNotNull() & F.col("__src_key").isNotNull()
-        src_only = F.col(on).isNull()
+        matched = (
+            F.col("__t_present").isNotNull() & F.col("__s_present").isNotNull()
+        )
+        src_only = F.col("__t_present").isNull()
 
         # Classify every joined row: Delete / Update / Insert / Keep.
         act = (
@@ -552,7 +590,14 @@ class PartitionedLakehouseTable(LakehouseTable):
     def read(self, version: int | None = None) -> DataFrame:
         """basePath option keeps partition-dir columns visible so Spark
         prunes directories on transform predicates, then we drop the
-        derived columns — the 'hidden' in hidden partitioning."""
+        derived columns — the 'hidden' in hidden partitioning.
+
+        Only the manifest's explicit file list is read, never the whole
+        batch directory: after inherited copy-on-write DML the directory
+        may still hold files the manifest no longer references (they are
+        reclaimed by expire_snapshots), and reading by directory would
+        resurrect their rows.
+        """
         from pyspark.sql.types import StructType
 
         v = version if version is not None else self.current_version()
@@ -562,13 +607,17 @@ class PartitionedLakehouseTable(LakehouseTable):
             return self.spark.createDataFrame([], schema)
         # One batch root per write (and per partition-spec era): each
         # root is its own partitioned dataset with its own basePath —
-        # read separately, strip derived p_* columns, union by name.
-        roots = sorted(
-            {p.split("/p_", 1)[0] for p in {os.path.dirname(f) for f in files}}
-        )
+        # read each root's manifest files, strip derived p_* columns,
+        # union by name.
+        by_root: dict[str, list[str]] = {}
+        for f in files:
+            root = os.path.dirname(f).split("/p_", 1)[0]
+            by_root.setdefault(root, []).append(f)
         out = None
-        for root in roots:
-            df = self.spark.read.option("basePath", root).parquet(root)
+        for root in sorted(by_root):
+            df = self.spark.read.option("basePath", root).parquet(
+                *sorted(by_root[root])
+            )
             df = df.drop(*[c for c in df.columns if c.startswith("p_")])
             out = df if out is None else out.unionByName(df)
         return out

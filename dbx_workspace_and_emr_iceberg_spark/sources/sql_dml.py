@@ -1,0 +1,265 @@
+"""SQL front-door for lakehouse DML (SURVEY.md §2.11 M1-M3 UX parity).
+
+The reference's signature user experience is SQL DML against Iceberg
+tables from ``spark-sql`` (/root/reference/README.md:35-45; the
+``IcebergSparkSessionExtensions`` wired in main.tf:803 is what adds the
+MERGE/UPDATE/DELETE parser rules to vanilla Spark). This container has
+no Iceberg jars, so this module provides the equivalent front-end: a
+bounded parser for the three DML statement forms, dispatching to the
+snapshot-layer :class:`LakehouseTable` methods that implement the
+copy-on-write semantics.
+
+Supported grammar (case-insensitive keywords; a deliberate, documented
+subset — anything else raises ``ValueError`` rather than mis-executing):
+
+    DELETE FROM <table> [WHERE <condition>]
+
+    UPDATE <table> SET <col> = <expr> [, ...] [WHERE <condition>]
+
+    MERGE INTO <table> [AS] [<t>] USING <source> [AS] [<s>]
+    ON <t>.<key> = <s>.<key>
+    [WHEN MATCHED AND <cond> THEN DELETE]
+    [WHEN MATCHED THEN UPDATE SET <t>.<col> = <expr> [, ...]]
+    [WHEN NOT MATCHED THEN INSERT *]
+
+Conditions and expressions are handed to ``F.expr`` after alias
+rewriting, so the full Spark SQL expression language works inside them.
+Alias rewriting is textual (word-boundary) — string literals containing
+``<alias>.`` patterns are out of scope for this subset.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DML_HEADS = ("MERGE", "UPDATE", "DELETE")
+
+
+def _strip(sql: str) -> str:
+    s = re.sub(r"--[^\n]*", " ", sql)  # line comments
+    return s.strip().rstrip(";").strip()
+
+
+def classify(sql: str) -> str | None:
+    """'MERGE' | 'UPDATE' | 'DELETE' for DML statements, else None."""
+    s = _strip(sql)
+    if not s:
+        return None
+    head = s.split(None, 1)[0].upper()
+    return head if head in _DML_HEADS else None
+
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on sep outside parens/quotes (for SET assignment lists)."""
+    parts, depth, buf, quote = [], 0, [], None
+    for ch in s:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == sep and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _parse_assignments(set_clause: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for item in _split_top_level(set_clause):
+        m = re.match(r"^(?:(\w+)\.)?(\w+)\s*=\s*(.+)$", item, re.S)
+        if not m:
+            raise ValueError(f"unparseable SET assignment: {item!r}")
+        out[m.group(2)] = m.group(3).strip()
+    return out
+
+
+def _rewrite(expr: str, target_alias: str | None, source_alias: str | None) -> str:
+    """Map alias-qualified refs into the merge join's namespace:
+    target cols are plain, source cols live in the __src struct."""
+    if source_alias:
+        expr = re.sub(rf"\b{re.escape(source_alias)}\.", "__src.", expr)
+    if target_alias:
+        expr = re.sub(rf"\b{re.escape(target_alias)}\.", "", expr)
+    return expr
+
+
+# --- statement parsers -----------------------------------------------------
+
+
+def parse_delete(sql: str) -> tuple[str, str | None]:
+    m = re.match(
+        r"^DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+))?$", _strip(sql), re.I | re.S
+    )
+    if not m:
+        raise ValueError(f"unsupported DELETE syntax: {sql!r}")
+    return m.group(1), (m.group(2).strip() if m.group(2) else None)
+
+
+def parse_update(sql: str) -> tuple[str, dict[str, str], str | None]:
+    m = re.match(
+        r"^UPDATE\s+(\w+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$",
+        _strip(sql),
+        re.I | re.S,
+    )
+    if not m:
+        raise ValueError(f"unsupported UPDATE syntax: {sql!r}")
+    return (
+        m.group(1),
+        _parse_assignments(m.group(2)),
+        (m.group(3).strip() if m.group(3) else None),
+    )
+
+
+_KW_STOP = r"(?!AS\b|USING\b|ON\b|WHEN\b)"
+
+
+def parse_merge(sql: str) -> dict:
+    s = _strip(sql)
+    m = re.match(
+        rf"^MERGE\s+INTO\s+(\w+)(?:\s+AS)?(?:\s+{_KW_STOP}(\w+))?"
+        rf"\s+USING\s+(\w+)(?:\s+AS)?(?:\s+{_KW_STOP}(\w+))?"
+        rf"\s+ON\s+(.+?)\s+(WHEN\s+.+)$",
+        s,
+        re.I | re.S,
+    )
+    if not m:
+        raise ValueError(f"unsupported MERGE syntax: {sql!r}")
+    target, t_alias, source, s_alias, on_clause, whens = m.groups()
+
+    km = re.match(
+        r"^\(?\s*(?:(\w+)\.)?(\w+)\s*=\s*(?:(\w+)\.)?(\w+)\s*\)?$",
+        on_clause.strip(),
+    )
+    if km:
+        a1, c1, a2, c2 = km.groups()
+        if c1 != c2:
+            raise ValueError(
+                f"MERGE ON must equate the same-named key on both sides, "
+                f"got {c1!r} = {c2!r}"
+            )
+        on_key = c1
+    else:
+        km = re.match(r"^\(?\s*(\w+)\s*\)?$", on_clause.strip())
+        if not km:
+            raise ValueError(f"unsupported MERGE ON clause: {on_clause!r}")
+        on_key = km.group(1)
+
+    spec = {
+        "target": target,
+        "target_alias": t_alias,
+        "source": source,
+        "source_alias": s_alias,
+        "on": on_key,
+        "update_set": None,
+        "insert": False,
+        "delete_cond": None,
+    }
+    clauses = re.findall(
+        r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+"
+        r"(DELETE|UPDATE\s+SET\s+.+?|INSERT\s+.+?)(?=\s+WHEN\s+|$)",
+        whens,
+        re.I | re.S,
+    )
+    if not clauses:
+        raise ValueError(f"MERGE has no parseable WHEN clauses: {whens!r}")
+    for not_kw, and_cond, action in clauses:
+        action = action.strip()
+        head = action.split(None, 1)[0].upper()
+        if not_kw:  # WHEN NOT MATCHED
+            if head != "INSERT" or action.split(None, 1)[1].strip() != "*":
+                raise ValueError(
+                    f"only 'WHEN NOT MATCHED THEN INSERT *' is supported, "
+                    f"got {action!r}"
+                )
+            spec["insert"] = True
+        elif head == "DELETE":
+            spec["delete_cond"] = and_cond.strip() if and_cond else "true"
+        elif head == "UPDATE":
+            if and_cond:
+                raise ValueError(
+                    "conditional 'WHEN MATCHED AND ... THEN UPDATE' is not "
+                    "supported (only AND...DELETE); split into two MERGEs"
+                )
+            set_clause = re.sub(r"^UPDATE\s+SET\s+", "", action, flags=re.I | re.S)
+            spec["update_set"] = _parse_assignments(set_clause)
+        else:
+            raise ValueError(f"unsupported MERGE action: {action!r}")
+    return spec
+
+
+# --- dispatcher ------------------------------------------------------------
+
+
+def execute(engine, sql: str) -> DataFrame:
+    """Parse + run one DML statement against engine-managed tables.
+
+    Returns a one-row result frame (table, operation, version, n_rows) —
+    the shape ``spark-sql`` users see from Iceberg DML (a commit
+    summary), and keeps the SQL-door temp view pointed at the new
+    snapshot.
+    """
+    kind = classify(sql)
+    if kind is None:
+        raise ValueError(f"not a DML statement: {sql!r}")
+    spark = engine.spark
+
+    if kind == "DELETE":
+        table, where = parse_delete(sql)
+        t = engine.managed(table)
+        version = t.delete_where(F.expr(where) if where else F.lit(True))
+    elif kind == "UPDATE":
+        table, assignments, where = parse_update(sql)
+        t = engine.managed(table)
+        version = t.update_set(
+            F.expr(where) if where else F.lit(True),
+            {c: F.expr(e) for c, e in assignments.items()},
+        )
+    else:  # MERGE
+        spec = parse_merge(sql)
+        table = spec["target"]
+        t = engine.managed(table)
+        source = spark.table(spec["source"])
+        ta, sa = spec["target_alias"], spec["source_alias"]
+        update_cols = (
+            {
+                c: F.expr(_rewrite(e, ta, sa))
+                for c, e in spec["update_set"].items()
+            }
+            if spec["update_set"]
+            else None
+        )
+        delete_cond = (
+            F.expr(_rewrite(spec["delete_cond"], ta, sa))
+            if spec["delete_cond"]
+            else None
+        )
+        version = t.merge_into(
+            source,
+            on=spec["on"],
+            update_cols=update_cols,
+            insert=spec["insert"],
+            delete_cond=delete_cond,
+        )
+    engine.refresh_view(table)
+    n = t.read().count()
+    return spark.createDataFrame(
+        [(table, kind.lower(), version, n)],
+        "table string, operation string, version int, n_rows long",
+    )

@@ -1,5 +1,10 @@
-"""Simulate the driver: smoke entry() at sf0.001; compare queries() vs oracle_sql() via DuckDB at sf0.01."""
-import hashlib, math, sys
+"""Simulate the driver: smoke entry() at sf0.001; compare queries() vs oracle_sql() via DuckDB at sf0.01.
+
+Iterates in REGISTRATION order (the real driver does; round-1's budget
+cutoff hit the first 50 registrations) and prints per-query wall time so
+slow queries are visible before the driver's budget is.
+"""
+import hashlib, math, sys, time
 sys.path.insert(0, "/root/repo")
 import duckdb
 from pyspark.sql import SparkSession
@@ -8,7 +13,6 @@ import __spark_entry__ as E
 
 spark = (SparkSession.builder.master("local[8]")
          .config("spark.sql.shuffle.partitions", "8")
-         .config("spark.sql.session.timeZone", "UTC")
          .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 
@@ -42,16 +46,19 @@ def vhash(cols, rows):
 qs, osql = E.queries(), E.oracle_sql()
 print(f"\n{len(qs)} queries, {len(osql)} with oracle")
 fail = 0
-for name, fn in sorted(qs.items()):
+t_start = time.time()
+for name, fn in qs.items():  # registration order == driver order
+    t0 = time.time()
     df = fn(spark, SF)
     srows = [tuple(r) for r in df.collect()]
     if name not in osql:
-        print(f"  {name}: rows-only, {len(srows)} rows"); continue
+        print(f"  {name}: rows-only, {len(srows)} rows  [{time.time()-t0:.2f}s cum {time.time()-t_start:.1f}s]"); continue
     res = con.execute(osql[name])
     dcols = [c[0] for c in res.description]; drows = res.fetchall()
     sh, dh = vhash(df.columns, srows), vhash(dcols, drows)
     ok = (len(srows)==len(drows)) and sorted(df.columns)==sorted(dcols) and sh==dh
-    print(f"  {name}: spark={len(srows)} duck={len(drows)} hash {'MATCH' if ok else 'MISMATCH '+sh+' vs '+dh}")
+    print(f"  {name}: spark={len(srows)} duck={len(drows)} hash {'MATCH' if ok else 'MISMATCH '+sh+' vs '+dh}  [{time.time()-t0:.2f}s cum {time.time()-t_start:.1f}s]")
     fail += 0 if ok else 1
+print(f"TOTAL query wall: {time.time()-t_start:.1f}s")
 print("RESULT:", "ALL MATCH" if fail==0 else f"{fail} FAILURES")
 sys.exit(1 if fail else 0)

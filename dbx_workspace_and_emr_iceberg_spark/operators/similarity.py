@@ -75,33 +75,102 @@ def cosine_topk(
     )
 
 
+def _plane_component(table: int, plane: int, d: int) -> float:
+    """Deterministic pseudo-random plane component in [-1, 1), derived
+    from md5(table:plane:dim) — reproducible across runs and machines
+    with no fitted state and no RNG object."""
+    import hashlib
+
+    h = int.from_bytes(
+        hashlib.md5(f"{table}:{plane}:{d}".encode()).digest()[:8], "big"
+    )
+    return (h % 2000) / 1000.0 - 1.0
+
+
+def _planes_lit_2d(table: int, n_planes: int, dim: int) -> F.Column:
+    """All of one table's planes as a single 2-D array literal, built
+    from ONE SQL string: per-element F.lit()/F.array() construction
+    costs a py4j round-trip each (n_planes × dim ≈ thousands of calls,
+    multiple seconds of driver time); the parsed expression is one
+    call and identical in the plan."""
+    rows = ",".join(
+        "array("
+        + ",".join(
+            f"{_plane_component(table, i, d)!r}D" for d in range(dim)
+        )
+        + ")"
+        for i in range(n_planes)
+    )
+    return F.expr(f"array({rows})")
+
+
 def hyperplane_signature(
     vec_col: str, n_planes: int, table: int, dim: int = 64
 ) -> F.Column:
     """Deterministic random-hyperplane LSH signature (bit i = sign of
-    dot(v, plane_i)). Plane components are pseudo-random in [-1, 1),
-    derived from xxhash64(table, plane, dim_index) — reproducible with
-    no fitted state, and computable JVM-side."""
-    bits = []
-    for i in range(n_planes):
-        comp = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda d, i=i: (
-                F.pmod(F.xxhash64(F.lit(table), F.lit(i), d), F.lit(2000)).cast("double")
-                / 1000.0
-                - 1.0
-            ),
-        )
-        proj = F.aggregate(
-            F.zip_with(F.col(vec_col), comp, lambda x, p: x.cast("double") * p),
+    dot(v, plane_i)). Plane components are precomputed Python-side and
+    embedded as LITERAL arrays: the projection is then one zip_with +
+    aggregate per plane over a constant array — a far smaller expression
+    tree (and analysis cost) than deriving components inside the plan,
+    with identical distributed execution."""
+    planes2d = _planes_lit_2d(table, n_planes, dim)
+    powers = F.expr(
+        "array(" + ",".join(str(1 << i) for i in range(n_planes)) + ")"
+    )
+    projs = F.transform(
+        planes2d,
+        lambda p: F.aggregate(
+            F.zip_with(F.col(vec_col), p, lambda x, q: x.cast("double") * q),
             F.lit(0.0),
             lambda acc, x: acc + x,
+        ),
+    )
+    # one small expression tree (transform over a 2-D literal) instead
+    # of n_planes separate aggregate expressions: same distributed work,
+    # far cheaper analysis + codegen per query.
+    return F.aggregate(
+        F.zip_with(
+            projs, powers, lambda pr, pw: F.when(pr >= 0, pw).otherwise(F.lit(0))
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _with_lsh_buckets(
+    df: DataFrame,
+    id_alias: str,
+    vec_alias: str,
+    nrm_alias: str,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+) -> DataFrame:
+    """ONE scan → (id, vec, norm, tbl, bucket) with one row per table,
+    via an array-of-structs explode. The alternative — one select per
+    table unioned together — re-scans the input n_tables times; at
+    100 TB that's n_tables full corpus scans instead of one."""
+    sig_entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                hyperplane_signature(vec_col, n_planes, t).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return (
+        df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(vec_alias),
+            _norm(F.col(vec_col)).alias(nrm_alias),
+            F.explode(sig_entries).alias("__s"),
         )
-        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (1 << i))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+        .withColumn("tbl", F.col("__s.tbl"))
+        .withColumn("bucket", F.col("__s.bucket"))
+        .drop("__s")
+    )
 
 
 def ann_topk_lsh(
@@ -115,39 +184,14 @@ def ann_topk_lsh(
 ) -> DataFrame:
     """Approximate top-k: only corpus vectors sharing an LSH bucket with
     the query (in any of n_tables signature tables) are scored."""
-    # Norms ride along with the signatures (computed once per row per
-    # table) so candidate scoring needs a single dot per pair.
-    tables = []
-    for t in range(n_tables):
-        sig = hyperplane_signature(vec_col, n_planes, t)
-        tables.append(
-            corpus.select(
-                F.col(id_col).alias("neighbor_id"),
-                F.col(vec_col).alias("cv"),
-                _norm(F.col(vec_col)).alias("c_nrm"),
-                F.lit(t).alias("tbl"),
-                sig.alias("bucket"),
-            )
-        )
-    c_sig = tables[0]
-    for t in tables[1:]:
-        c_sig = c_sig.unionByName(t)
-
-    q_tables = []
-    for t in range(n_tables):
-        sig = hyperplane_signature(vec_col, n_planes, t)
-        q_tables.append(
-            queries.select(
-                F.col(id_col).alias("query_id"),
-                F.col(vec_col).alias("qv"),
-                _norm(F.col(vec_col)).alias("q_nrm"),
-                F.lit(t).alias("tbl"),
-                sig.alias("bucket"),
-            )
-        )
-    q_sig = q_tables[0]
-    for t in q_tables[1:]:
-        q_sig = q_sig.unionByName(t)
+    # Norms ride along with the signatures (computed once per row) so
+    # candidate scoring needs a single dot per pair.
+    c_sig = _with_lsh_buckets(
+        corpus, "neighbor_id", "cv", "c_nrm", id_col, vec_col, n_planes, n_tables
+    )
+    q_sig = _with_lsh_buckets(
+        queries, "query_id", "qv", "q_nrm", id_col, vec_col, n_planes, n_tables
+    )
 
     cand = (
         c_sig.join(F.broadcast(q_sig), ["tbl", "bucket"])

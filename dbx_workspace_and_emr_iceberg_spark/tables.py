@@ -65,6 +65,17 @@ def ensure_session_defaults(spark: SparkSession) -> None:
         return
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Cluster-relative shuffle sizing, but ONLY if the session still has
+    # Spark's stock default (200): 200 shuffle tasks per tiny local
+    # stage is pure scheduling overhead, while an explicitly configured
+    # value is the user's choice and must be respected. AQE coalescing
+    # makes over-provisioning cheap on a real cluster either way.
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            n = spark.sparkContext.defaultParallelism
+            spark.conf.set("spark.sql.shuffle.partitions", str(max(8, n)))
+    except Exception:
+        pass  # never let a conf probe break a table read
     _PREPARED.add(spark)
 
 

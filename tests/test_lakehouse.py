@@ -132,3 +132,79 @@ def test_rewrite_sorted_preserves_rows(spark, wh):
     t.rewrite_sorted("n_nationkey", target_files=4)
     got = t.read()
     assert got.exceptAll(nat).count() == 0 and nat.exceptAll(got).count() == 0
+
+
+# --- regression tests: round-2 advisor findings ----------------------------
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, wh):
+    """SQL DELETE removes rows where cond is TRUE only; a NULL predicate
+    must keep the row (NOT NULL => NULL would silently drop it)."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 3), (4, None)], "id int, score int"
+    ).coalesce(1)
+    t = LakehouseTable(spark, wh, "t")
+    t.create(df)
+    t.delete_where(F.col("score") > 5)  # TRUE only for id=1
+    left = {r.id for r in t.read().collect()}
+    assert left == {2, 3, 4}, f"NULL-predicate rows must survive, got {left}"
+
+
+def test_merge_preserves_null_key_target_rows(spark, wh):
+    """A pre-existing target row whose merge-key column is NULL is not
+    matched by any source row and must pass through unchanged (key-
+    nullability classification would corrupt or delete it)."""
+    tgt = spark.createDataFrame(
+        [(1, "a"), (None, "keep_me")], "k int, v string"
+    ).coalesce(1)
+    src = spark.createDataFrame([(1, "updated"), (7, "new")], "k int, v string")
+    t = LakehouseTable(spark, wh, "t")
+    t.create(tgt)
+    t.merge_into(
+        src, on="k", update_cols={"v": F.col("__src").getField("v")}, insert=True
+    )
+    rows = {(r.k, r.v) for r in t.read().collect()}
+    assert rows == {(1, "updated"), (None, "keep_me"), (7, "new")}, rows
+
+
+def test_merge_rejects_duplicate_source_keys(spark, wh):
+    t = LakehouseTable(spark, wh, "t")
+    t.create(spark.createDataFrame([(1, "a")], "k int, v string").coalesce(1))
+    dup_src = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "k int, v string"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        t.merge_into(dup_src, on="k")
+
+
+def test_partitioned_read_honors_manifest_after_dml(spark, wh):
+    """Copy-on-write DML on a partitioned table leaves stale files on
+    disk until expiry; read() must follow the manifest file list, not
+    the directory listing, or deleted rows resurrect."""
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        PartitionedLakehouseTable,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id"
+    ).filter(F.col("event_id") % 7 == 0)
+    t = PartitionedLakehouseTable(spark, wh, "ev", ["bucket(2, user_id)"])
+    t.create(ev)
+    n0 = t.read().count()
+    doomed = t.read().filter(F.col("event_id") % 14 == 0).count()
+    assert doomed > 0
+    t.delete_where(F.col("event_id") % 14 == 0)
+    assert t.read().count() == n0 - doomed, "deleted rows resurrected from stale files"
+    # time travel to the pre-delete snapshot still sees everything
+    assert t.read(version=1).count() == n0
+
+
+def test_snapshots_relation_survives_expiry(spark, wh):
+    t = LakehouseTable(spark, wh, "t")
+    reg = load_table(spark, SF_DIR, "region").coalesce(1)
+    t.create(reg)
+    t.append(reg.limit(1))
+    t.append(reg.limit(1))
+    t.expire_snapshots(keep_last=1)
+    vers = [r.version for r in t.snapshots().collect()]
+    assert vers == [3], f"snapshots() must skip expired manifests, got {vers}"

@@ -1,0 +1,163 @@
+"""Unit tests for the SQL DML front-door parser (sources/sql_dml.py) —
+pure-Python parse coverage (no Spark needed for the parse layer) plus
+one end-to-end engine round trip per statement kind.
+
+Execution semantics are covered by the m12_sql_dml_door registered
+query and the LakehouseTable unit tests; these tests pin the grammar:
+what must parse, into what, and what must be rejected loudly.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from dbx_workspace_and_emr_iceberg_spark.sources import sql_dml
+
+
+# --- classify --------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    ("sql", "kind"),
+    [
+        ("DELETE FROM t WHERE x > 1", "DELETE"),
+        ("  delete from t", "DELETE"),
+        ("UPDATE t SET x = 1", "UPDATE"),
+        ("MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN DELETE", "MERGE"),
+        ("SELECT * FROM t", None),
+        ("-- comment\nSELECT 1", None),
+        ("", None),
+    ],
+)
+def test_classify(sql, kind):
+    assert sql_dml.classify(sql) == kind
+
+
+# --- DELETE ----------------------------------------------------------------
+
+
+def test_parse_delete_with_where():
+    assert sql_dml.parse_delete("DELETE FROM tbl WHERE a < 5 AND b IS NULL") == (
+        "tbl",
+        "a < 5 AND b IS NULL",
+    )
+
+
+def test_parse_delete_without_where():
+    assert sql_dml.parse_delete("DELETE FROM tbl;") == ("tbl", None)
+
+
+# --- UPDATE ----------------------------------------------------------------
+
+
+def test_parse_update_multi_assignments():
+    tbl, assigns, where = sql_dml.parse_update(
+        "UPDATE t SET a = upper(concat(a, ',x')), b = b + 1 WHERE c IN (1, 2)"
+    )
+    assert tbl == "t"
+    # the comma inside concat('...') must not split the assignment list
+    assert assigns == {"a": "upper(concat(a, ',x'))", "b": "b + 1"}
+    assert where == "c IN (1, 2)"
+
+
+def test_parse_update_no_where():
+    tbl, assigns, where = sql_dml.parse_update("UPDATE t SET a = 1")
+    assert (tbl, where) == ("t", None)
+    assert assigns == {"a": "1"}
+
+
+# --- MERGE -----------------------------------------------------------------
+
+
+def test_parse_merge_full_form():
+    spec = sql_dml.parse_merge(
+        """
+        MERGE INTO tgt AS t USING src AS s
+        ON t.k = s.k
+        WHEN MATCHED AND s.flag = 'drop' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET t.v = s.v, t.n = t.n + 1
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    assert spec["target"] == "tgt" and spec["source"] == "src"
+    assert spec["target_alias"] == "t" and spec["source_alias"] == "s"
+    assert spec["on"] == "k"
+    assert spec["insert"] is True
+    assert spec["delete_cond"] == "s.flag = 'drop'"
+    assert spec["update_set"] == {"v": "s.v", "n": "t.n + 1"}
+
+
+def test_parse_merge_no_aliases():
+    spec = sql_dml.parse_merge(
+        "MERGE INTO tgt USING src ON k WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert spec["target"] == "tgt" and spec["source"] == "src"
+    assert spec["target_alias"] is None and spec["source_alias"] is None
+    assert spec["on"] == "k" and spec["insert"] is True
+
+
+def test_parse_merge_rejects_mismatched_keys():
+    with pytest.raises(ValueError, match="same-named"):
+        sql_dml.parse_merge(
+            "MERGE INTO a USING b ON a.x = b.y WHEN MATCHED THEN DELETE"
+        )
+
+
+def test_parse_merge_rejects_insert_columns():
+    with pytest.raises(ValueError, match="INSERT \\*"):
+        sql_dml.parse_merge(
+            "MERGE INTO a USING b ON k "
+            "WHEN NOT MATCHED THEN INSERT (x) VALUES (b.x)"
+        )
+
+
+def test_rewrite_aliases():
+    assert (
+        sql_dml._rewrite("s.v + t.n - s.other", "t", "s")
+        == "__src.v + n - __src.other"
+    )
+
+
+# --- end-to-end through the engine ----------------------------------------
+
+
+def test_engine_sql_dml_round_trip(spark):
+    from dbx_workspace_and_emr_iceberg_spark.engine import Engine
+
+    wh = tempfile.mkdtemp(prefix="sqldml_")
+    try:
+        eng = Engine(spark, warehouse=wh)
+        df = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, v string, n int"
+        ).coalesce(1)
+        eng.create_table("items", df)
+
+        r = eng.sql("UPDATE items SET n = n * 2 WHERE k <= 2").collect()[0]
+        assert (r.operation, r.n_rows) == ("update", 3)
+        assert {
+            (x.k, x.n) for x in eng.sql("SELECT k, n FROM items").collect()
+        } == {(1, 20), (2, 40), (3, 30)}
+
+        r = eng.sql("DELETE FROM items WHERE v = 'c'").collect()[0]
+        assert (r.operation, r.n_rows) == ("delete", 2)
+
+        spark.createDataFrame(
+            [(2, "b2", 99), (9, "new", 9)], "k int, v string, n int"
+        ).createOrReplaceTempView("items_src")
+        r = eng.sql(
+            "MERGE INTO items AS t USING items_src AS s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET t.v = s.v "
+            "WHEN NOT MATCHED THEN INSERT *"
+        ).collect()[0]
+        assert (r.operation, r.n_rows) == ("merge", 3)
+        assert {
+            (x.k, x.v) for x in eng.sql("SELECT k, v FROM items").collect()
+        } == {(1, "a"), (2, "b2"), (9, "new")}
+
+        # non-DML still routes to plain Spark SQL
+        assert eng.sql("SELECT 1 AS one").collect()[0].one == 1
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

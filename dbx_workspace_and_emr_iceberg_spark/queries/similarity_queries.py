@@ -178,10 +178,12 @@ def x3e_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0)
-    approx = ivf_topk(e, q, k=5).select("query_id", "neighbor_id", "rank")
+    # cache: both feed the recall join and the final result/count, and
+    # both are ≤ k·|queries| rows
+    approx = ivf_topk(e, q, k=5).select("query_id", "neighbor_id", "rank").cache()
     exact = cosine_topk(e, q, k=5).select(
         "query_id", F.col("neighbor_id").alias("exact_neighbor")
-    )
+    ).cache()
     hit = approx.join(
         exact,
         (approx.query_id == exact.query_id)

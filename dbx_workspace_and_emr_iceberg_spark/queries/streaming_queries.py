@@ -506,3 +506,86 @@ def t6b_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.orderBy("event_type")
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+# --- T10: streaming MERGE upsert (foreachBatch CDC apply) -------------------
+
+
+@register("t10_stream_merge_upsert", oracle=None, tags=("T9", "M1"))
+def t10_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch MERGE INTO the snapshot table — the streaming-CDC
+    upsert pattern Iceberg users run (each micro-batch merges on the
+    key instead of appending). Two file micro-batches with overlapping
+    keys; self-verifies ORDER-INDEPENDENTLY: every key appears once,
+    and n_seen == 2 exactly for the keys present in both batches.
+
+    (A production job would also fence on batch_id for replay
+    idempotence; availableNow over a static dir gives exactly-once
+    here.)
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..sources.lakehouse import LakehouseTable
+
+    wh = tempfile.mkdtemp(prefix="stream_merge_")
+    try:
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "user_id", "value")
+            .withColumn("__r", F.col("event_id") % 60)
+        )
+        b1 = ev.filter(F.col("__r").isin(0, 20)).drop("__r")
+        b2 = ev.filter(F.col("__r").isin(20, 40)).drop("__r")
+        src_dir = os.path.join(wh, "incoming")
+        os.makedirs(src_dir)
+        for name, b in (("b1", b1), ("b2", b2)):
+            tmp_out = os.path.join(wh, f"_w_{name}")
+            b.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+            part = next(
+                f for f in os.listdir(tmp_out) if f.endswith(".parquet")
+            )
+            os.rename(
+                os.path.join(tmp_out, part),
+                os.path.join(src_dir, f"{name}.parquet"),
+            )
+
+        table = LakehouseTable(spark, wh, "events_upsert")
+        table.create(
+            b1.limit(0).withColumn("n_seen", F.lit(1).cast("int"))
+        )
+
+        def upsert(batch_df: DataFrame, batch_id: int) -> None:
+            src = batch_df.withColumn("n_seen", F.lit(1).cast("int"))
+            table.merge_into(
+                src,
+                on="event_id",
+                update_cols={"n_seen": F.col("n_seen") + F.lit(1)},
+                insert=True,
+                validate_source_keys=False,  # event_id unique per batch
+            )
+
+        stream = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", "1")  # force one merge per file
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", wh + "/_ckpt")
+            .start()
+        )
+        q.awaitTermination(300)
+
+        got = table.read().select("event_id", "n_seen").collect()
+        seen = {r.event_id: r.n_seen for r in got}
+        assert len(seen) == len(got), "merge key duplicated in sink"
+        expect2 = {r.event_id for r in b1.join(b2, "event_id").collect()}
+        bad = {k for k, n in seen.items() if n != (2 if k in expect2 else 1)}
+        assert not bad, f"upsert counts wrong for keys {sorted(bad)[:5]}"
+        assert expect2 and len(seen) > len(expect2), "fixture overlap drift"
+        return table.snapshots()
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

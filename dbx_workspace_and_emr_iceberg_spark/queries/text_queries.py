@@ -354,3 +354,77 @@ def x9_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("long").alias("chunk_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_digest"),
     ).orderBy("doc_id", "chunk_id")
+
+
+# --- X11: end-to-end training-data pipeline ---------------------------------
+# The composition a 100 TB pretraining-data job actually runs: quality
+# gate -> exact dedup -> overlapping chunking, as ONE declarative plan:
+# scan (filter pushed, columns pruned) -> 16-byte-hash shuffle for the
+# dedup window -> explode to chunks. No Python, one shuffle, and the
+# chunk digest doubles as the downstream dedup key.
+
+_X11_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, text, string_split(text, ' ') AS words, md5(text) AS content_hash
+  FROM documents
+),
+quality AS (
+  SELECT * FROM scored
+  WHERE len(words) BETWEEN 20 AND 1000
+    AND cast(len(list_distinct(words)) AS DOUBLE) / len(words) > 0.3
+),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+    FROM quality
+  ) WHERE rn = 1
+),
+idx AS (
+  SELECT doc_id, words,
+         unnest(range(0, CAST(floor(greatest(len(words) - 50, 0) / 40) AS BIGINT) + 1))
+           AS i
+  FROM dedup
+)
+SELECT doc_id,
+       i                                                     AS chunk_id,
+       CAST(len(words[i*40 + 1 : i*40 + 50]) AS BIGINT)      AS chunk_tokens,
+       md5(array_to_string(words[i*40 + 1 : i*40 + 50], ' ')) AS chunk_digest
+FROM idx
+ORDER BY doc_id, chunk_id
+"""
+
+
+@register("x11_training_pipeline", oracle=_X11_ORACLE, tags=("X1", "X4"))
+def x11_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter -> exact-dedup -> chunk, composed as one lazy plan
+    (the stages are the x4b / x1 / x9 operators; composing them stays a
+    single declarative pipeline with exactly one shuffle — the dedup
+    window on the md5 content hash)."""
+    from ..operators.dedup import exact_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    scored = d.select("doc_id", "text", words.alias("words"))
+    nw = F.size("words")
+    uniq = F.size(F.array_distinct("words")).cast("double") / nw
+    quality = scored.filter((nw >= 20) & (nw <= 1000) & (uniq > 0.3))
+    deduped = exact_dedup(quality, "text", "doc_id")
+    idx = deduped.select(
+        "doc_id",
+        "words",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor(F.greatest(F.size("words") - 50, F.lit(0)) / 40).cast(
+                    "int"
+                ),
+            )
+        ).alias("i"),
+    )
+    chunk = F.slice(F.col("words"), F.col("i") * 40 + 1, 50)
+    return idx.select(
+        "doc_id",
+        F.col("i").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_digest"),
+    ).orderBy("doc_id", "chunk_id")

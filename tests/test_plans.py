@@ -163,3 +163,28 @@ def test_x9_chunking_no_shuffle_no_python(spark):
     assert "lang" not in cols and "source" not in cols, (
         f"chunking reads unprojected columns: {cols}"
     )
+
+
+def test_w3_frames_one_partition_shuffle(spark):
+    """All three frames share the o_custkey partitioning: one exchange
+    for the window, one for the final global order — a third would mean
+    a frame stopped reusing the partitioning (scale regression)."""
+    from dbx_workspace_and_emr_iceberg_spark.queries.windows import w3_frames
+
+    df = w3_frames(spark, SF_DIR)
+    assert X.shuffle_count(df) <= 2, X.simple_plan(df)
+    assert X.python_eval_count(df) == 0
+
+
+def test_x3_topk_cosine_broadcasts_queries_not_corpus(spark):
+    """The corpus side must stream past a broadcast of the (small) query
+    batch: no corpus shuffle before scoring; only the top-k rank window
+    repartitions, and the surviving rows are <= k x |queries|."""
+    from dbx_workspace_and_emr_iceberg_spark.queries.similarity_queries import (
+        x3_topk_cosine,
+    )
+
+    df = x3_topk_cosine(spark, SF_DIR)
+    assert X.has_broadcast_join(df), X.simple_plan(df)
+    assert X.shuffle_count(df) <= 2, X.simple_plan(df)
+    assert X.python_eval_count(df) == 0, "exact cosine path must stay JVM-side"

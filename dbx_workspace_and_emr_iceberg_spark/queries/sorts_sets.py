@@ -107,7 +107,9 @@ def o4_sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ok = pdf["l_shipdate"].is_monotonic_increasing
             yield type(pdf)({"partition_sorted": [bool(ok)], "rows": [len(pdf)]})
 
-    out = local.mapInPandas(check, "partition_sorted boolean, rows long")
+    # cache: 8 tiny rows feed both the self-check and the returned frame
+    # (without it the Arrow pass over lineitem runs twice)
+    out = local.mapInPandas(check, "partition_sorted boolean, rows long").cache()
     bad = out.filter(~F.col("partition_sorted")).count()
     if bad:
         raise AssertionError(f"{bad} partitions not locally sorted")

@@ -161,3 +161,75 @@ def test_engine_sql_dml_round_trip(spark):
         assert eng.sql("SELECT 1 AS one").collect()[0].one == 1
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+# --- property-based grammar round-trip (pure Python, no Spark) -------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_IDENT = st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True).filter(
+    # exclude the grammar's own keywords so generated aliases can't
+    # collide with clause boundaries
+    lambda s: s not in {"as", "using", "on", "when", "set", "where", "from"}
+)
+_NUM = st.integers(min_value=0, max_value=10_000)
+
+
+@given(table=_IDENT, col=_IDENT, n=_NUM)
+@settings(max_examples=50, deadline=None)
+def test_delete_roundtrip_property(table, col, n):
+    tbl, where = sql_dml.parse_delete(f"DELETE FROM {table} WHERE {col} > {n}")
+    assert tbl == table and where == f"{col} > {n}"
+
+
+@given(table=_IDENT, cols=st.lists(_IDENT, min_size=1, max_size=4, unique=True), n=_NUM)
+@settings(max_examples=50, deadline=None)
+def test_update_roundtrip_property(table, cols, n):
+    sets = ", ".join(f"{c} = {c} + {n}" for c in cols)
+    tbl, assigns, where = sql_dml.parse_update(
+        f"UPDATE {table} SET {sets} WHERE {cols[0]} < {n}"
+    )
+    assert tbl == table
+    assert assigns == {c: f"{c} + {n}" for c in cols}
+    assert where == f"{cols[0]} < {n}"
+
+
+@given(
+    tgt=_IDENT,
+    src=_IDENT,
+    key=_IDENT,
+    val=_IDENT,
+    aliased=st.booleans(),
+    with_update=st.booleans(),
+    with_insert=st.booleans(),
+    with_delete=st.booleans(),
+)
+@settings(max_examples=80, deadline=None)
+def test_merge_roundtrip_property(
+    tgt, src, key, val, aliased, with_update, with_insert, with_delete
+):
+    if not (with_update or with_insert or with_delete):
+        with_insert = True
+    ta, sa = ("t", "s") if aliased else (tgt, src)
+    head = (
+        f"MERGE INTO {tgt} AS t USING {src} AS s"
+        if aliased
+        else f"MERGE INTO {tgt} USING {src}"
+    )
+    clauses = []
+    if with_delete:
+        clauses.append(f"WHEN MATCHED AND {sa}.{val} = 'x' THEN DELETE")
+    if with_update:
+        clauses.append(f"WHEN MATCHED THEN UPDATE SET {ta}.{val} = {sa}.{val}")
+    if with_insert:
+        clauses.append("WHEN NOT MATCHED THEN INSERT *")
+    stmt = f"{head} ON {ta}.{key} = {sa}.{key} " + " ".join(clauses)
+    spec = sql_dml.parse_merge(stmt)
+    assert spec["target"] == tgt and spec["source"] == src
+    assert spec["on"] == key
+    assert spec["insert"] is with_insert
+    assert (spec["delete_cond"] is not None) is with_delete
+    assert (spec["update_set"] is not None) is with_update
+    if with_update:
+        assert spec["update_set"] == {val: f"{sa}.{val}"}

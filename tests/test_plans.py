@@ -188,3 +188,17 @@ def test_x3_topk_cosine_broadcasts_queries_not_corpus(spark):
     assert X.has_broadcast_join(df), X.simple_plan(df)
     assert X.shuffle_count(df) <= 2, X.simple_plan(df)
     assert X.python_eval_count(df) == 0, "exact cosine path must stay JVM-side"
+
+
+def test_x11_pipeline_single_shuffle(spark):
+    """The composed pipeline (quality gate -> dedup -> chunk) must stay
+    ONE plan with exactly one data shuffle: the dedup window on the md5
+    content hash. A second exchange means a stage materialized between
+    operators; the final orderBy may add one more at most."""
+    from dbx_workspace_and_emr_iceberg_spark.queries.text_queries import (
+        x11_training_pipeline,
+    )
+
+    df = x11_training_pipeline(spark, SF_DIR)
+    assert X.shuffle_count(df) <= 2, X.simple_plan(df)
+    assert X.python_eval_count(df) == 0, "pipeline must stay JVM-side"

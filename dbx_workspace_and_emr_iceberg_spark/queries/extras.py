@@ -232,6 +232,11 @@ def j10_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     either side (verified in-plan). This is the standing answer to
     repeated large-large joins at 100 TB: pay the shuffle once at write
     time, never again at read time.
+
+    The bucketed tables live under a process-lifetime root and stay
+    registered (uuid-suffixed names), so the returned frame is a LAZY
+    scan over them — dropping them in a finally would force a driver
+    collect to materialize the result first.
     """
     import tempfile
     import uuid
@@ -241,60 +246,50 @@ def j10_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="buckets_")
     suffix = uuid.uuid4().hex[:8]
     o_name, l_name = f"orders_b_{suffix}", f"lineitem_b_{suffix}"
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    (
+        o.write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{tmp}/{o_name}")
+        .saveAsTable(o_name)
+    )
+    (
+        li.write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{tmp}/{l_name}")
+        .saveAsTable(l_name)
+    )
+    ob = spark.table(o_name).filter(F.col("o_totalprice") > 450000)
+    lb = spark.table(l_name)
+    joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+    # Disable broadcast while asserting: a broadcast join would also
+    # show zero shuffle exchanges and make the check vacuous — the
+    # claim is specifically a co-located SortMergeJoin. Restored before
+    # returning; the returned plan may legally broadcast at execution,
+    # the co-location claim is already proven on the -1 plan.
+    prev_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        o = load_table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_totalprice"
-        )
-        li = load_table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_linenumber", "l_extendedprice"
-        )
-        (
-            o.write.bucketBy(8, "o_orderkey")
-            .sortBy("o_orderkey")
-            .option("path", f"{tmp}/{o_name}")
-            .saveAsTable(o_name)
-        )
-        (
-            li.write.bucketBy(8, "l_orderkey")
-            .sortBy("l_orderkey")
-            .option("path", f"{tmp}/{l_name}")
-            .saveAsTable(l_name)
-        )
-        ob = spark.table(o_name).filter(F.col("o_totalprice") > 450000)
-        lb = spark.table(l_name)
-        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
-        # Disable broadcast while asserting: a broadcast join would also
-        # show zero shuffle exchanges and make the check vacuous — the
-        # claim is specifically a co-located SortMergeJoin.
-        prev_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        try:
-            plan = simple_plan(joined)
-            shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
-            if shuffles != 0 or "SortMergeJoin" not in plan:
-                raise AssertionError(
-                    f"bucketed join not co-located ({shuffles} exchanges):\n"
-                    f"{plan[:800]}"
-                )
-            out = (
-                joined.groupBy("o_orderkey")
-                .agg(
-                    F.count("l_linenumber").alias("n_lines"),
-                    F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
-                )
-                .orderBy("o_orderkey")
+        plan = simple_plan(joined)
+        shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+        if shuffles != 0 or "SortMergeJoin" not in plan:
+            raise AssertionError(
+                f"bucketed join not co-located ({shuffles} exchanges):\n"
+                f"{plan[:800]}"
             )
-            return spark.createDataFrame(out.collect(), out.schema)
-        finally:
-            spark.conf.set(
-                "spark.sql.autoBroadcastJoinThreshold", prev_threshold
+        return (
+            joined.groupBy("o_orderkey")
+            .agg(
+                F.count("l_linenumber").alias("n_lines"),
+                F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
             )
+            .orderBy("o_orderkey")
+        )
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {o_name}")
-        spark.sql(f"DROP TABLE IF EXISTS {l_name}")
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
 
 
 # --- A7c: PIVOT (wide aggregation) ------------------------------------------

@@ -110,3 +110,138 @@ def asof_join(
         F.col("__c_ts").alias(right_ts + suffix),
     )
     return out
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+    tolerance_s: int | None = None,
+    bucket_s: int = 86_400,
+) -> DataFrame:
+    """asof_join with HOT-KEY SKEW protection: identical semantics, but
+    the carry window partitions on (key, time-bucket) instead of key, so
+    one hot key's rows spread over its time range instead of landing in
+    a single straggler partition.
+
+    Two-pass construction:
+      1. per (key, bucket): the LATEST right row (max over an orderable
+         struct headed by the timestamp) — one aggregation of the right
+         side on (key, bucket);
+      2. a per-key running max over bucket order turns those into SEED
+         rows: "latest right row from any earlier bucket". This window
+         runs over ONE row per (key, bucket) — a hot key contributes at
+         most n_buckets rows, so the skewed-window problem cannot recur
+         here;
+      3. union left + right + seeds, then the usual carry window — now
+         partitioned by (key, bucket). Seeds sort first in each bucket
+         (side -1 at the bucket start), so continuity across bucket
+         boundaries is exact.
+
+    Tie semantics match asof_join (right rows visible to same-instant
+    left rows); like the base operator, ties BETWEEN right rows at one
+    instant are resolved arbitrarily — keep (key, ts) unique on the
+    right. Choose bucket_s ≈ (time span / desired parallelism per hot
+    key); the default of one day suits event data spanning weeks.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+
+    bkt = lambda c: F.floor(F.col(c).cast("long") / bucket_s)  # noqa: E731
+
+    # -- pass 1+2: per-(key,bucket) latest right row -> per-bucket seeds --
+    pay = F.struct(
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    rhs_b = right.select(
+        F.col(on), F.col(right_ts), *[F.col(c) for c in right_cols]
+    ).withColumn("__bkt", bkt(right_ts))
+    bucket_last = rhs_b.groupBy(on, "__bkt").agg(F.max(pay).alias("__p"))
+
+    spine = (
+        left.select(F.col(on), bkt(left_ts).alias("__bkt"))
+        .union(rhs_b.select(on, "__bkt"))
+        .distinct()
+    )
+    w_seed = (
+        Window.partitionBy(on)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seeds = (
+        spine.join(bucket_last, [on, "__bkt"], "left")
+        .select(on, "__bkt", F.max("__p").over(w_seed).alias("__seed"))
+        .filter(F.col("__seed").isNotNull())
+    )
+
+    # -- pass 3: bucketed union + carry (same shape as asof_join) --
+    lhs = left.select(
+        *left.columns,
+        F.lit(1).alias(_SIDE),
+        F.col(left_ts).alias("__ts"),
+        bkt(left_ts).alias("__bkt"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(c + suffix)
+            for c in right_cols
+        ],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(right_ts + suffix),
+    )
+    rhs = rhs_b.select(
+        *[F.col(c) if c == on else F.lit(None).alias(c) for c in left.columns],
+        F.lit(0).alias(_SIDE),
+        F.col(right_ts).alias("__ts"),
+        "__bkt",
+        *[F.col(c).alias(c + suffix) for c in right_cols],
+        F.col(right_ts).alias(right_ts + suffix),
+    )
+    seed_rows = seeds.select(
+        *[F.col(c) if c == on else F.lit(None).alias(c) for c in left.columns],
+        F.lit(-1).alias(_SIDE),
+        # bucket start, cast back to the ts column's own type (long ->
+        # timestamp casts as epoch seconds; integer ts types cast plainly)
+        (F.col("__bkt") * bucket_s)
+        .cast(left.schema[left_ts].dataType)
+        .alias("__ts"),
+        "__bkt",
+        *[F.col("__seed").getField(c).alias(c + suffix) for c in right_cols],
+        F.col("__seed").getField("__rts").alias(right_ts + suffix),
+    )
+
+    unioned = lhs.unionByName(rhs).unionByName(seed_rows)
+    w = (
+        Window.partitionBy(on, "__bkt")
+        .orderBy(F.col("__ts").asc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.col(c + suffix), ignorenulls=True).over(w).alias("__c_" + c)
+            for c in right_cols
+        ],
+        F.last(F.col(right_ts + suffix), ignorenulls=True).over(w).alias("__c_ts"),
+    )
+    matched = carried.filter(F.col(_SIDE) == 1)
+    if tolerance_s is not None:
+        in_tol = (
+            F.col(left_ts).cast("long") - F.col("__c_ts").cast("long")
+        ) <= F.lit(tolerance_s)
+        matched = matched.select(
+            *left.columns,
+            _SIDE,
+            "__ts",
+            *[
+                F.when(in_tol, F.col("__c_" + c)).alias("__c_" + c)
+                for c in right_cols
+            ],
+            F.when(in_tol, F.col("__c_ts")).alias("__c_ts"),
+        )
+    return matched.select(
+        *left.columns,
+        *[F.col("__c_" + c).alias(c + suffix) for c in right_cols],
+        F.col("__c_ts").alias(right_ts + suffix),
+    )

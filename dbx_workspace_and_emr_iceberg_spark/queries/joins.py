@@ -387,3 +387,35 @@ def j8b_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_click").alias("click_ts"),
         F.round("value_click", 4).alias("click_value"),
     ).orderBy("event_id")
+
+
+@register("j8c_asof_bucketed", oracle=_J8_ORACLE, tags=("J8", "X6"))
+def j8c_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j8 through the HOT-KEY-SKEW-PROOF as-of variant: the carry window
+    partitions on (user, day-bucket) instead of user, with per-bucket
+    seed rows carrying the last pre-bucket click — identical answer
+    (same DuckDB ASOF oracle as j8), skew-safe plan shape at 100 TB."""
+    from ..operators.asof import asof_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join_bucketed(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["value"],
+        suffix="_click",
+        bucket_s=86_400,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_click").alias("click_ts"),
+        F.round("value_click", 4).alias("click_value"),
+    ).orderBy("event_id")

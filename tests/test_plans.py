@@ -202,3 +202,25 @@ def test_x11_pipeline_single_shuffle(spark):
     df = x11_training_pipeline(spark, SF_DIR)
     assert X.shuffle_count(df) <= 2, X.simple_plan(df)
     assert X.python_eval_count(df) == 0, "pipeline must stay JVM-side"
+
+
+def test_j8c_bucketed_asof_spreads_hot_keys(spark):
+    """The skew-proof as-of variant must partition its data-bearing
+    carry window on (key, bucket) — a plain (key)-partitioned window
+    over the unioned data would put a hot key back into one straggler
+    partition. The only (key)-alone shuffle allowed is the seed window,
+    which sees one row per (key, bucket)."""
+    import re
+
+    from dbx_workspace_and_emr_iceberg_spark.queries.joins import (
+        j8c_asof_bucketed,
+    )
+
+    df = j8c_asof_bucketed(spark, SF_DIR)
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", X.simple_plan(df))
+    bucketed = [p for p in parts if "__bkt" in p]
+    key_only = [p for p in parts if "user_id" in p and "__bkt" not in p]
+    assert bucketed, f"no (key, bucket) partitioning found: {parts}"
+    assert len(key_only) <= 1, (
+        f"more than the seed window shuffles on the bare key: {key_only}"
+    )

@@ -61,6 +61,34 @@ def test_asof_join_matches_bruteforce(spark, case):
         assert got[i] == want, f"row {i} key={k} ts={ts}: {got[i]} != {want}"
 
 
+@given(asof_inputs(), st.sampled_from([3, 7, 10]))
+@SLOW
+def test_asof_bucketed_equals_plain(spark, case, bucket_s):
+    """The skew-proof bucketed variant must be answer-identical to the
+    base operator for ANY input and bucket width — tiny buckets force
+    many boundary crossings, the failure mode that matters."""
+    from dbx_workspace_and_emr_iceberg_spark.operators.asof import (
+        asof_join_bucketed,
+    )
+
+    left, right = case
+    ldf = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(left)], "k int, lts int, rowid int"
+    )
+    rdf = spark.createDataFrame(right, "k int, rts int, v int")
+    plain = {
+        r.rowid: (r.v_right, r.rts_right)
+        for r in asof_join(ldf, rdf, on="k", left_ts="lts", right_ts="rts").collect()
+    }
+    bucketed = {
+        r.rowid: (r.v_right, r.rts_right)
+        for r in asof_join_bucketed(
+            ldf, rdf, on="k", left_ts="lts", right_ts="rts", bucket_s=bucket_s
+        ).collect()
+    }
+    assert bucketed == plain
+
+
 class _Append:
     def __init__(self, rows):
         self.rows = rows

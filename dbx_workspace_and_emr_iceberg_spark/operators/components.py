@@ -1,0 +1,114 @@
+"""Connected components over a distributed edge list.
+
+The clustering step of transitive fuzzy dedup: pair detectors
+(MinHash-LSH ``operators/dedup.py:minhash_lsh_pairs``, SimHash, exact
+Jaccard) emit *pairs*; a training-data pipeline needs *clusters* — "these
+17 documents are all the same article" — and then one canonical doc per
+cluster. Pairs alone under-delete: A~B and B~C must collapse A,B,C even
+when A~C was never scored. (Reference parity: the reference stack -
+Spark 3.5 + Iceberg, /root/reference/main.tf:792-806 - ships no dedup
+operators at all; this is part of the EXT LLM-pipeline surface
+SURVEY.md §2.12 adds on top.)
+
+Algorithm: min-label propagation with pointer jumping.
+
+* State is one row per node ``(n, lbl)``; ``lbl`` is the smallest node
+  id known reachable from ``n``. Invariants: ``lbl[n] <= n`` and
+  ``lbl[n]`` is always reachable from ``n``, so at the fixpoint
+  ``lbl[n] == min(component(n))`` exactly.
+* Each round does (1) a neighbour-min step — every node takes the min
+  label over itself and its neighbours (join edges->labels + groupBy:
+  2 shuffles over |E| rows) — and (2) a pointer jump
+  ``lbl <- lbl[lbl]`` (one self-join on |V| rows), which doubles the
+  distance a small label has travelled. Rounds needed:
+  O(log(diameter)), not O(diameter) — a 1e6-node chain converges in
+  ~20 rounds, not 1e6.
+* Per-round ``localCheckpoint`` truncates the lineage (iterative plans
+  otherwise grow until the optimizer chokes). Convergence is detected
+  via the total label sum (labels are non-increasing per node, so an
+  unchanged sum means a fixpoint): one exact decimal agg over the
+  just-checkpointed frame — the only driver-side values ever
+  materialized are those per-round scalars, never the components.
+
+Scale: everything shuffles by node id; no step is quadratic in
+component size and no component is ever collected. This is the standard
+MapReduce CC formulation (hash-to-min family; cf. Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 — public
+literature, PAPERS.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    node_col: str | None = None,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Return ``(node, component)`` where ``component`` is the smallest
+    node id in the node's connected component.
+
+    ``edges`` is an undirected edge list (each pair in either or both
+    directions; self-loops and duplicates are fine). ``nodes``
+    optionally supplies the full node universe so isolated nodes (no
+    edges) still appear — each as its own singleton component.
+    ``max_rounds`` is a safety rail only: the loop exits as soon as a
+    round changes nothing, and pointer jumping makes that
+    O(log diameter) rounds.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    sym = (
+        e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        # materialize ONCE: the edge list is joined every round, and its
+        # upstream (e.g. a pair-scoring pipeline) may be expensive
+        .localCheckpoint()
+    )
+
+    universe = sym.select(F.col("s").alias("n"))
+    if nodes is not None:
+        col = node_col or nodes.columns[0]
+        universe = universe.union(nodes.select(F.col(col).alias("n")))
+    labels = universe.distinct().select("n", F.col("n").alias("lbl"))
+    labels = labels.localCheckpoint()
+    # Labels are strictly non-increasing per node, so the total label sum
+    # is a monotone potential: unchanged sum <=> no label changed. One
+    # cheap agg over the just-checkpointed frame replaces a
+    # change-detection join.
+    prev_sum = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
+
+    for _ in range(max_rounds):
+        # (1) neighbour-min: lbl <- min(lbl, min over neighbours' lbl)
+        nbr = (
+            sym.join(labels.withColumnRenamed("n", "d"), "d")
+            .groupBy("s")
+            .agg(F.min("lbl").alias("nlbl"))
+            .withColumnRenamed("s", "n")
+        )
+        stepped = labels.join(nbr, "n", "left").select(
+            "n", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl")
+        )
+        # (2) pointer jump: lbl <- lbl[lbl]. Every label value is itself
+        # a node id present in `stepped` (labels start as node ids and
+        # every update copies another node's label), so the inner join
+        # is total.
+        parent = stepped.select(
+            F.col("n").alias("lbl"), F.col("lbl").alias("lbl2")
+        )
+        jumped = stepped.join(parent, "lbl").select(
+            "n", F.col("lbl2").alias("lbl")
+        )
+        labels = jumped.localCheckpoint()
+        new_sum = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+
+    return labels.select(F.col("n").alias("node"), F.col("lbl").alias("component"))

@@ -249,3 +249,103 @@ def x1c_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round("raw_cos", 6).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
+
+
+# --- X12: transitive near-dup clusters (connected components) --------------
+
+_X12_ORACLE = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + {_COPY_OFFSET},
+         array_to_string(string_split(text, ' ')[1:greatest(len(string_split(text, ' ')) - 3, 1)], ' ')
+  FROM base
+  UNION ALL
+  SELECT doc_id + {2 * _COPY_OFFSET},
+         array_to_string(string_split(text, ' ')[1:greatest(len(string_split(text, ' ')) - 6, 1)], ' ')
+  FROM base
+),
+pool AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM corpus
+),
+jac AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib,
+         CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+         / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) AS j
+  FROM pool a JOIN pool b ON a.doc_id < b.doc_id
+),
+edges0 AS (SELECT ia AS s, ib AS d FROM jac WHERE j >= 0.9),
+edges AS (SELECT s, d FROM edges0 UNION SELECT d, s FROM edges0),
+reach AS (
+  SELECT doc_id AS n, doc_id AS m FROM corpus
+  UNION
+  SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n
+),
+comp AS (SELECT n, min(m) AS c FROM reach GROUP BY n)
+SELECT n AS doc_id, c AS cluster_id,
+       CAST(n = c AS INTEGER) AS is_canonical,
+       CAST(count(*) OVER (PARTITION BY c) AS BIGINT) AS cluster_size
+FROM comp ORDER BY doc_id
+"""
+
+
+@register("x12_neardup_clusters", oracle=_X12_ORACLE, tags=("X2", "X1"))
+def x12_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end transitive fuzzy dedup: word-Jaccard pairs (>= 0.9)
+    over a corpus with two planted perturbed copies per base doc (drop
+    last 3 / last 6 words), clustered into connected components
+    (operators/components.py — min-label propagation + pointer jumping,
+    O(log diameter) rounds), then one canonical doc per cluster
+    (smallest id). A~B and B~C collapse to one cluster even when A~C
+    scores below threshold — the pairs-only detectors can't do that.
+
+    The all-pairs candidate stage is a small-pool verification probe
+    (like x2b); at scale candidates come from the LSH buckets and ONLY
+    the clustering step shown here is on the full-corpus path.
+    The DuckDB oracle computes the same clusters by recursive-CTE
+    transitive closure — an independent algorithm, same fixpoint.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.components import connected_components
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+    )
+
+    def drop_last(n: int):
+        words = F.split("text", " ")
+        keep = F.greatest(F.size(words) - F.lit(n), F.lit(1))
+        return F.array_join(F.slice(words, F.lit(1), keep), " ")
+
+    corpus = d.unionByName(
+        d.select((F.col("doc_id") + _COPY_OFFSET).alias("doc_id"), drop_last(3).alias("text"))
+    ).unionByName(
+        d.select((F.col("doc_id") + 2 * _COPY_OFFSET).alias("doc_id"), drop_last(6).alias("text"))
+    )
+    pool = corpus.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("w")
+    )
+    a = pool.select(F.col("doc_id").alias("id_a"), F.col("w").alias("wa"))
+    b = pool.select(F.col("doc_id").alias("id_b"), F.col("w").alias("wb"))
+    scored = a.join(b, F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("wa", "wb"))
+    jac = inter / (F.size("wa") + F.size("wb") - inter)
+    edges = scored.filter(jac >= 0.9).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(
+        edges, "src", "dst", nodes=corpus.select("doc_id")
+    )
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).cast("int").alias("is_canonical"),
+        F.count("*").over(w).alias("cluster_size"),
+    ).orderBy("doc_id")

@@ -149,3 +149,95 @@ def test_changelog_reconciles_any_op_sequence(spark, initial, ops):
         assert net == state, f"changelog net {dict(net)} != state {dict(state)}"
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)), max_size=25
+    ),
+    st.integers(16, 20),
+)
+@SLOW
+def test_connected_components_matches_union_find(spark, edge_list, n_extra):
+    """Min-label-propagation + pointer-jumping CC vs a driver-side
+    union-find: same components for ANY graph — self-loops, duplicate
+    edges, both-direction duplicates, isolated nodes (the `nodes`
+    universe includes ids the edge list never mentions)."""
+    from dbx_workspace_and_emr_iceberg_spark.operators.components import (
+        connected_components,
+    )
+
+    universe = list(range(n_extra))  # covers all edge endpoints (<=15)
+    parent = {n: n for n in universe}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edge_list:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    want = {n: find(n) for n in universe}
+    # canonicalize to min member per component
+    comp_min = {}
+    for n, r in want.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {n: comp_min[r] for n, r in want.items()}
+
+    edges = spark.createDataFrame(
+        edge_list or [(0, 0)], "src int, dst int"
+    )
+    if not edge_list:
+        edges = edges.filter("src > 999")  # genuinely empty edge frame
+    nodes = spark.createDataFrame([(n,) for n in universe], "doc int")
+    got = {
+        r.node: r.component
+        for r in connected_components(
+            edges, "src", "dst", nodes=nodes, node_col="doc"
+        ).collect()
+    }
+    assert got == want
+
+
+@given(
+    st.lists(st.integers(-30, 30), max_size=15),
+    st.lists(st.tuples(st.integers(-30, 30), st.integers(0, 12)), max_size=15),
+    st.sampled_from([1, 3, 7, 10]),
+)
+@SLOW
+def test_range_join_binned_matches_bruteforce(spark, pts, ivs, w):
+    """Binned range join vs brute force for ANY points/intervals/width —
+    negative values exercise the pmod floor-division, widths smaller and
+    larger than interval lengths exercise multi-bin explode and
+    bin-mates that don't truly overlap."""
+    from dbx_workspace_and_emr_iceberg_spark.operators.range_join import (
+        range_join_binned,
+    )
+
+    points = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pts)] or [(0, 0)], "pid int, p long"
+    )
+    if not pts:
+        points = points.filter("pid > 999")
+    intervals = spark.createDataFrame(
+        [(j, lo, lo + ln) for j, (lo, ln) in enumerate(ivs)] or [(0, 0, 0)],
+        "ivid int, lo long, hi long",
+    )
+    if not ivs:
+        intervals = intervals.filter("ivid > 999")
+    got = {
+        (r.pid, r.ivid)
+        for r in range_join_binned(
+            points, intervals, "p", "lo", "hi", bin_width=w
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, p in enumerate(pts)
+        for j, (lo, ln) in enumerate(ivs)
+        if lo <= p <= lo + ln
+    }
+    assert got == want

@@ -32,6 +32,8 @@ HEADLINE = [
     "j5_broadcast",
     "j6_sortmerge",
     "j8_asof",
+    "j8c_asof_bucketed",
+    "j7b_range_binned",
     "a4_distinct_aggs",
     "a7_rollup",
     "w3_frames",

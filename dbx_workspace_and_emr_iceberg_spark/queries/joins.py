@@ -419,3 +419,53 @@ def j8c_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_click").alias("click_ts"),
         F.round("value_click", 4).alias("click_value"),
     ).orderBy("event_id")
+
+
+# --- J7b: binned range join (large-large scale path) -----------------------
+
+_J7B_ORACLE = """
+WITH iv AS (
+  SELECT event_id AS iv_id, epoch_us(ts) AS lo, epoch_us(ts) + 21600000000 AS hi
+  FROM events WHERE event_type = 'click' AND user_id % 10 = 0
+),
+pts AS (
+  SELECT event_id, epoch_us(ts) AS p
+  FROM events WHERE event_type = 'purchase' AND user_id % 10 = 1
+)
+SELECT pts.event_id, iv.iv_id
+FROM pts JOIN iv ON pts.p >= iv.lo AND pts.p < iv.hi
+ORDER BY event_id, iv_id
+"""
+
+
+@register("j7b_range_binned", oracle=_J7B_ORACLE, tags=("J7", "X6"))
+def j7b_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large point-in-interval join through the BINNED equi-join
+    path (operators/range_join.py): purchases joined to every 6-hour
+    promo window (click ts + 6h) that contains them. Same answer as the
+    nested-loop formulation the oracle runs — but the plan is a plain
+    equi join on the bin id (no BroadcastNestedLoopJoin / cartesian;
+    asserted in test_plans), so it survives two 100 TB inputs."""
+    from ..operators.range_join import range_join_binned
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.filter(
+        (F.col("event_type") == "click") & (F.col("user_id") % 10 == 0)
+    ).select(
+        F.col("event_id").alias("iv_id"),
+        F.unix_micros("ts").alias("lo"),
+        (F.unix_micros("ts") + 21_600_000_000).alias("hi"),
+    )
+    pts = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 10 == 1)
+    ).select("event_id", F.unix_micros("ts").alias("p"))
+    joined = range_join_binned(
+        pts,
+        iv,
+        point="p",
+        lo="lo",
+        hi="hi",
+        bin_width=21_600_000_000,
+        hi_inclusive=False,
+    )
+    return joined.select("event_id", "iv_id").orderBy("event_id", "iv_id")

@@ -224,3 +224,18 @@ def test_j8c_bucketed_asof_spreads_hot_keys(spark):
     assert len(key_only) <= 1, (
         f"more than the seed window shuffles on the bare key: {key_only}"
     )
+
+
+def test_j7b_range_binned_is_equi_join(spark):
+    """The binned range join must plan as an equi join on the bin id —
+    never a BroadcastNestedLoopJoin or cartesian product (the shapes a
+    raw non-equi predicate forces, fatal for two large inputs)."""
+    from dbx_workspace_and_emr_iceberg_spark.queries.joins import (
+        j7b_range_binned,
+    )
+
+    df = j7b_range_binned(spark, SF_DIR)
+    plan = X.simple_plan(df)
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "Cartesian" not in plan, plan
+    assert "__bin" in plan, plan

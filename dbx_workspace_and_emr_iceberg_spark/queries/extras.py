@@ -500,3 +500,106 @@ def x7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("sampled"))
         .orderBy("source")
     )
+
+
+# --- X13: deterministic hash split (train/val/test) -------------------------
+
+_X13_ORACLE = """
+WITH labeled AS (
+  SELECT doc_id, text,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         % 10000 AS b
+  FROM documents
+),
+s AS (
+  SELECT CASE WHEN b < 1000 THEN 'test'
+              WHEN b < 2000 THEN 'val'
+              ELSE 'train' END AS split,
+         doc_id,
+         len(string_split(text, ' ')) AS ntok
+  FROM labeled
+)
+SELECT split,
+       count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(ntok) AS BIGINT) AS n_tokens
+FROM s GROUP BY split ORDER BY split
+"""
+
+
+@register("x13_hash_split", oracle=_X13_ORACLE, tags=("X6", "X4"))
+def x13_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by md5(doc_id)
+    bucket (operators/sampling.py) — a pure function of the document
+    key, so the assignment is reshuffle-, rescale-, and append-stable
+    (unlike sample()/sampleBy(), which are seeded per PARTITION and
+    reassign rows when the layout changes). Map-side only: no shuffle
+    until the verification aggregate. The DuckDB oracle derives the
+    identical split from the same md5 arithmetic — proving any engine
+    can reproduce the split, which is the property that keeps held-out
+    data held out across corpus versions."""
+    from ..operators.sampling import hash_split
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    labeled = hash_split(d, "doc_id", val=0.1, test=0.1)
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+# --- X13b: deterministic mixture re-weighting (per-stratum hash sample) -----
+
+_X13B_ORACLE = """
+WITH labeled AS (
+  SELECT lang, doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         % 10000 AS b
+  FROM documents
+),
+kept AS (
+  SELECT lang, doc_id FROM labeled
+  WHERE b < CASE lang WHEN 'en' THEN 2000
+                      WHEN 'de' THEN 5000
+                      WHEN 'fr' THEN 5000
+                      WHEN 'es' THEN 5000
+                      WHEN 'zh' THEN 8000
+                      ELSE 0 END
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
+@register("x13b_mixture_sample", oracle=_X13B_ORACLE, tags=("X6", "X4"))
+def x13b_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture re-weighting: downsample over-represented
+    languages (en -> 20%) and keep more of the rare ones (zh -> 80%)
+    with the deterministic per-stratum hash sampler
+    (operators/sampling.py::hash_sample_by) — same reshuffle/append
+    stability as x13, per stratum. This is how a 100 TB pretraining mix
+    is rebalanced without a shuffle: the mixture is a map-side filter
+    whose keep-decision any engine can reproduce (DuckDB oracle derives
+    the identical sample)."""
+    from ..operators.sampling import hash_sample_by
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = hash_sample_by(
+        d,
+        "doc_id",
+        "lang",
+        {"en": 0.2, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.8},
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )

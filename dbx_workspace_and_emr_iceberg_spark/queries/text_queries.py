@@ -428,3 +428,121 @@ def x11_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("long").alias("chunk_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_digest"),
     ).orderBy("doc_id", "chunk_id")
+
+
+# --- X14: sequence packing (token-budget batching) --------------------------
+
+_X14_ORACLE = """
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS ntok,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         % 8 AS shard
+  FROM documents
+),
+c AS (
+  SELECT shard, doc_id, ntok,
+         sum(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+),
+p AS (
+  SELECT shard, ntok,
+         CAST(floor((cum - ntok) / 512.0) AS BIGINT) AS pack_id
+  FROM c
+)
+SELECT shard, pack_id,
+       count(*) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS pack_tokens
+FROM p GROUP BY shard, pack_id ORDER BY shard, pack_id
+"""
+
+
+@register("x14_sequence_packing", oracle=_X14_ORACLE, tags=("X4", "X6"))
+def x14_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed token-budget training sequences (512
+    tokens here): shard by md5(doc_id) (content-addressed, so packing
+    is reshuffle-stable — operators/sampling.py::hash_bucket), then a
+    per-shard running token sum assigns each doc the pack its first
+    token falls in. ONE shuffle (the shard window) + a partition-local
+    sort; shards bound window-partition size, so a 100 TB corpus packs
+    with shard-count parallelism and no straggler partition. The greedy
+    sequential-fill semantics are exactly reproducible in SQL (DuckDB
+    oracle) — packing decisions, like split decisions, must not depend
+    on cluster layout."""
+    from pyspark.sql.window import Window
+
+    from ..operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ntok"),
+        (hash_bucket(F.col("doc_id")) % 8).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.select(
+        "shard",
+        "ntok",
+        F.floor((F.sum("ntok").over(w) - F.col("ntok")) / F.lit(512.0)).alias(
+            "pack_id"
+        ),
+    )
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").alias("pack_tokens"),
+        )
+        .orderBy("shard", "pack_id")
+    )
+
+
+# --- X15: per-language quality-quantile gate --------------------------------
+
+_X15_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS ntok,
+         percent_rank() OVER (PARTITION BY lang ORDER BY
+                              len(string_split(text, ' ')), doc_id) AS pr
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(min(ntok) AS BIGINT) AS min_tokens
+FROM scored WHERE pr >= 0.75
+GROUP BY lang ORDER BY lang
+"""
+
+
+@register("x15_quality_quantile_gate", oracle=_X15_ORACLE, tags=("X4",))
+def x15_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep each language's top quality quartile (score = token count
+    here; any score column works) via percent_rank over a per-lang
+    window — a RELATIVE gate, so low-resource languages aren't wiped
+    out by one absolute threshold tuned on the high-resource one. ONE
+    shuffle on lang + local sort; ties broken by doc_id so the kept
+    set is deterministic and engine-independent (exact DuckDB oracle —
+    contrast approx_percentile gates, whose sketches differ per
+    engine). At 100 TB, salt hot languages into sub-strata first (the
+    gate is per-partition-key; compose with operators/skew.py)."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("ntok")
+    )
+    w = Window.partitionBy("lang").orderBy("ntok", "doc_id")
+    return (
+        d.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.75)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("id_sum"),
+            F.min("ntok").cast("long").alias("min_tokens"),
+        )
+        .orderBy("lang")
+    )

@@ -95,3 +95,46 @@ def test_minhash_no_pairs_on_disjoint_docs(spark):
         "doc_id long, text string",
     )
     assert minhash_lsh_pairs(docs, "doc_id", "text").count() == 0
+
+
+# --- deterministic hash sampling (operators/sampling.py) --------------------
+
+
+def test_hash_sample_is_layout_invariant_and_nested(spark):
+    """The same keys are kept regardless of partition layout (the
+    property sample() lacks), and a smaller fraction's keep-set nests
+    inside a larger one's (bucket ranges are prefixes)."""
+    from dbx_workspace_and_emr_iceberg_spark.operators.sampling import (
+        hash_sample,
+    )
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    keep20 = {r.k for r in hash_sample(df, "k", 0.2).collect()}
+    keep20_relaid = {
+        r.k for r in hash_sample(df.repartition(13), "k", 0.2).collect()
+    }
+    keep50 = {r.k for r in hash_sample(df, "k", 0.5).collect()}
+    assert keep20 == keep20_relaid
+    assert keep20 <= keep50
+    assert 0.15 < len(keep20) / 2000 < 0.25
+    assert 0.45 < len(keep50) / 2000 < 0.55
+
+
+def test_hash_split_is_append_stable(spark):
+    """Growing the corpus never moves an existing row between splits,
+    and fractions land near the request."""
+    from dbx_workspace_and_emr_iceberg_spark.operators.sampling import (
+        hash_split,
+    )
+
+    small = spark.range(0, 1000).withColumnRenamed("id", "k")
+    big = spark.range(0, 3000).withColumnRenamed("id", "k")
+    s1 = {r.k: r.split for r in hash_split(small, "k").collect()}
+    s2 = {r.k: r.split for r in hash_split(big, "k").collect()}
+    assert all(s2[k] == v for k, v in s1.items())
+    from collections import Counter
+
+    c = Counter(s2.values())
+    assert 0.07 < c["test"] / 3000 < 0.13
+    assert 0.07 < c["val"] / 3000 < 0.13
+    assert 0.74 < c["train"] / 3000 < 0.86

@@ -546,3 +546,144 @@ def x15_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- X16: benchmark contamination check -------------------------------------
+
+_X16_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+           i -> concat(string_split(text,' ')[i], ' ',
+                       coalesce(string_split(text,' ')[i+1], ''), ' ',
+                       coalesce(string_split(text,' ')[i+2], ''))))) AS shingle
+  FROM documents
+),
+b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 97 = 0),
+t AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 97 <> 0)
+SELECT bench_id, train_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM b JOIN t USING (shingle)
+GROUP BY bench_id, train_id
+HAVING count(*) >= 3
+ORDER BY bench_id, train_id
+"""
+
+
+@register("x16_contamination_check", oracle=_X16_ORACLE, tags=("X4", "X2"))
+def x16_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: flag (benchmark doc, training doc)
+    pairs sharing >= 3 distinct word 3-shingles. The join key is the
+    shingle (16-byte hash at scale — x4d's fingerprint machinery), so
+    the shuffle carries shingles, never documents; the benchmark side
+    is tiny and BROADCAST, so the 100 TB training corpus streams
+    map-side through one scan. This is the eval-hygiene pass every
+    pretraining pipeline runs before training."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n = F.greatest(F.size(words) - 2, F.lit(1))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, i.cast("int")),
+                F.coalesce(F.element_at(words, (i + 1).cast("int")), F.lit("")),
+                F.coalesce(F.element_at(words, (i + 2).cast("int")), F.lit("")),
+            ),
+        )
+    )
+    sh = d.select("doc_id", F.explode(shingles).alias("shingle"))
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    train = sh.filter(F.col("doc_id") % 97 != 0).select(
+        F.col("doc_id").alias("train_id"), "shingle"
+    )
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("bench_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+        .orderBy("bench_id", "train_id")
+    )
+
+
+# --- X17: PII redaction pass ------------------------------------------------
+
+_SSN_RE = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.]+[.][a-z]+"
+
+_X17_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 7 = 0
+              THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+              ELSE '' END ||
+         CASE WHEN doc_id % 11 = 0
+              THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-42-1337'
+              ELSE '' END AS text
+  FROM documents
+),
+red AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+         CAST(len(regexp_extract_all(text, '{_SSN_RE}')) AS INTEGER)   AS n_ssns,
+         md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                            '{_SSN_RE}', '[SSN]', 'g')) AS redacted_md5
+  FROM corpus
+)
+SELECT doc_id, n_emails, n_ssns, redacted_md5
+FROM red WHERE n_emails + n_ssns > 0
+ORDER BY doc_id
+"""
+
+
+@register("x17_pii_redaction", oracle=_X17_ORACLE, tags=("X4",))
+def x17_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count and redact emails/SSNs with portable regexes
+    (character classes only — identical semantics in Java and RE2-style
+    engines; the md5 of the redacted text is hash-compared against the
+    oracle, proving byte-identical replacement). Deterministic PII is
+    injected into the fixture corpus on both sides so the pass has
+    something to find. Map-side only — a scan + regexp projection with
+    NO shuffle before the final filter/sort; at 100 TB this runs at
+    scan speed and composes with pruning."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail.example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" ssn "),
+                    F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                    F.lit("-42-1337"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    red = d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(_SSN_RE), 0)).alias("n_ssns"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("text", _EMAIL_RE, "[EMAIL]"),
+                _SSN_RE,
+                "[SSN]",
+            )
+        ).alias("redacted_md5"),
+    )
+    return red.filter(F.col("n_emails") + F.col("n_ssns") > 0).orderBy("doc_id")

@@ -138,3 +138,29 @@ def test_hash_split_is_append_stable(spark):
     assert 0.07 < c["test"] / 3000 < 0.13
     assert 0.07 < c["val"] / 3000 < 0.13
     assert 0.74 < c["train"] / 3000 < 0.86
+
+
+def test_hash_sample_by_nests_per_stratum(spark):
+    """Tightening one stratum's fraction yields a subset of the looser
+    sample, and other strata are untouched; absent strata drop."""
+    from dbx_workspace_and_emr_iceberg_spark.operators.sampling import (
+        hash_sample_by,
+    )
+
+    df = spark.range(0, 1200).selectExpr(
+        "id AS k", "CASE WHEN id % 3 = 0 THEN 'a' ELSE 'b' END AS s"
+    )
+    loose = {
+        (r.k, r.s)
+        for r in hash_sample_by(df, "k", "s", {"a": 0.8, "b": 0.4}).collect()
+    }
+    tight = {
+        (r.k, r.s)
+        for r in hash_sample_by(df, "k", "s", {"a": 0.3, "b": 0.4}).collect()
+    }
+    assert tight <= loose
+    assert {p for p in loose if p[1] == "b"} == {
+        p for p in tight if p[1] == "b"
+    }
+    none_a = hash_sample_by(df, "k", "s", {"b": 0.4}).filter("s = 'a'").count()
+    assert none_a == 0

@@ -239,3 +239,40 @@ def test_j7b_range_binned_is_equi_join(spark):
     assert "BroadcastNestedLoop" not in plan, plan
     assert "Cartesian" not in plan, plan
     assert "__bin" in plan, plan
+
+
+def test_x13_sampling_is_map_side(spark):
+    """Hash sampling/splitting must be a map-side predicate/projection:
+    the only shuffles allowed are the final verification aggregate, and
+    nothing may fall out of the JVM."""
+    from dbx_workspace_and_emr_iceberg_spark.queries.extras import (
+        x13b_mixture_sample,
+    )
+
+    df = x13b_mixture_sample(spark, SF_DIR)
+    assert X.shuffle_count(df) <= 2, X.simple_plan(df)
+    assert X.python_eval_count(df) == 0
+
+
+def test_x16_contamination_broadcasts_benchmark(spark):
+    """The benchmark side must broadcast so the training corpus is
+    never shuffled by shingle."""
+    from dbx_workspace_and_emr_iceberg_spark.queries.text_queries import (
+        x16_contamination_check,
+    )
+
+    df = x16_contamination_check(spark, SF_DIR)
+    plan = X.simple_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_x17_redaction_is_shuffle_free_before_sort(spark):
+    """The redaction projection itself is scan-speed map work; only the
+    final presentation sort may exchange."""
+    from dbx_workspace_and_emr_iceberg_spark.queries.text_queries import (
+        x17_pii_redaction,
+    )
+
+    df = x17_pii_redaction(spark, SF_DIR)
+    assert X.shuffle_count(df) <= 1, X.simple_plan(df)
+    assert X.python_eval_count(df) == 0

@@ -61,12 +61,14 @@ def test_asof_join_matches_bruteforce(spark, case):
         assert got[i] == want, f"row {i} key={k} ts={ts}: {got[i]} != {want}"
 
 
-@given(asof_inputs(), st.sampled_from([3, 7, 10]))
+@given(asof_inputs(), st.sampled_from([3, 7, 10]), st.sampled_from([None, 6]))
 @SLOW
-def test_asof_bucketed_equals_plain(spark, case, bucket_s):
+def test_asof_bucketed_equals_plain(spark, case, bucket_s, tol):
     """The skew-proof bucketed variant must be answer-identical to the
-    base operator for ANY input and bucket width — tiny buckets force
-    many boundary crossings, the failure mode that matters."""
+    base operator for ANY input, bucket width, and tolerance — tiny
+    buckets force many boundary crossings (the failure mode that
+    matters); a tolerance smaller than the bucket width exercises
+    seeds that carry across a bucket boundary only to be nulled."""
     from dbx_workspace_and_emr_iceberg_spark.operators.asof import (
         asof_join_bucketed,
     )
@@ -78,12 +80,20 @@ def test_asof_bucketed_equals_plain(spark, case, bucket_s):
     rdf = spark.createDataFrame(right, "k int, rts int, v int")
     plain = {
         r.rowid: (r.v_right, r.rts_right)
-        for r in asof_join(ldf, rdf, on="k", left_ts="lts", right_ts="rts").collect()
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="lts", right_ts="rts", tolerance_s=tol
+        ).collect()
     }
     bucketed = {
         r.rowid: (r.v_right, r.rts_right)
         for r in asof_join_bucketed(
-            ldf, rdf, on="k", left_ts="lts", right_ts="rts", bucket_s=bucket_s
+            ldf,
+            rdf,
+            on="k",
+            left_ts="lts",
+            right_ts="rts",
+            bucket_s=bucket_s,
+            tolerance_s=tol,
         ).collect()
     }
     assert bucketed == plain
@@ -241,3 +251,23 @@ def test_range_join_binned_matches_bruteforce(spark, pts, ivs, w):
         if lo <= p <= lo + ln
     }
     assert got == want
+    got_open = {
+        (r.pid, r.ivid)
+        for r in range_join_binned(
+            points,
+            intervals,
+            "p",
+            "lo",
+            "hi",
+            bin_width=w,
+            lo_inclusive=False,
+            hi_inclusive=False,
+        ).collect()
+    }
+    want_open = {
+        (i, j)
+        for i, p in enumerate(pts)
+        for j, (lo, ln) in enumerate(ivs)
+        if lo < p < lo + ln
+    }
+    assert got_open == want_open

@@ -687,3 +687,93 @@ def x17_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("redacted_md5"),
     )
     return red.filter(F.col("n_emails") + F.col("n_ssns") > 0).orderBy("doc_id")
+
+
+# --- X4g: repetition metrics (Gopher-style quality rules) -------------------
+
+_X4G_ORACLE = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(words) - 1, 1)),
+                        i -> concat(words[i], ' ', coalesce(words[i+1], '')))
+         AS g2
+  FROM base
+),
+gm AS (
+  SELECT doc_id,
+         CAST(len(g2) AS INTEGER) AS n_2grams,
+         round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
+         AS dup_2gram_frac
+  FROM grams
+),
+wc AS (
+  SELECT doc_id, unnest(words) AS w FROM base
+),
+tw AS (
+  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_word_frac
+  FROM (SELECT doc_id, count(*) AS c FROM wc GROUP BY doc_id, w)
+  GROUP BY doc_id
+)
+SELECT gm.doc_id, n_2grams, dup_2gram_frac, top_word_frac,
+       (dup_2gram_frac < 0.6 AND top_word_frac < 0.2) AS passes_repetition
+FROM gm JOIN tw ON gm.doc_id = tw.doc_id
+ORDER BY gm.doc_id
+"""
+
+
+@register("x4g_repetition_metrics", oracle=_X4G_ORACLE, tags=("X4",))
+def x4g_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate-2-gram
+    fraction (array-local — no shuffle) and top-word dominance (one
+    explode + two aggregations shuffling (doc_id, word) counts, never
+    text). Repetitious machine-generated boilerplate fails these long
+    before perplexity filters see it; the thresholds gate the doc the
+    same way on any engine (exact DuckDB oracle)."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "__words", F.split("text", " ")
+    )
+    words = F.col("__words")
+    n1 = F.greatest(F.size(words) - 1, F.lit(1))
+    g2 = F.transform(
+        F.sequence(F.lit(1), n1),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i.cast("int")),
+            F.coalesce(F.element_at(words, (i + 1).cast("int")), F.lit("")),
+        ),
+    )
+    gm = d.select(
+        "doc_id",
+        F.size(g2).alias("n_2grams"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(g2)).cast("double") / F.size(g2),
+            6,
+        ).alias("dup_2gram_frac"),
+    )
+    tw = (
+        d.select("doc_id", F.explode(words).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("c").cast("double") / F.sum("c"), 6).alias(
+                "top_word_frac"
+            )
+        )
+    )
+    return (
+        gm.join(tw, "doc_id")
+        .select(
+            "doc_id",
+            "n_2grams",
+            "dup_2gram_frac",
+            "top_word_frac",
+            (
+                (F.col("dup_2gram_frac") < 0.6) & (F.col("top_word_frac") < 0.2)
+            ).alias("passes_repetition"),
+        )
+        .orderBy("doc_id")
+    )

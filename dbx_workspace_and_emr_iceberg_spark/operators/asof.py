@@ -1,4 +1,5 @@
-"""As-of join (SURVEY.md §2.3 J8) — nearest-earlier-match join.
+"""As-of join (SURVEY.md §2.3 J8) — nearest-match-in-time join
+(backward: latest earlier right row; forward: earliest later one).
 
 Neither Spark SQL 3.5/4.x nor Trino 467 (the engines the reference
 provisions, /root/reference/main.tf:761,809) has a native ASOF JOIN, so
@@ -30,19 +31,26 @@ def asof_join(
     right_cols: list[str] | None = None,
     suffix: str = "_right",
     tolerance_s: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right.right_ts <= left.left_ts`` and equal key ``on``.
+    """For each left row, attach the nearest right row with equal key
+    ``on``: ``direction="backward"`` (default) takes the latest right
+    row with ``right_ts <= left_ts``; ``direction="forward"`` takes the
+    earliest right row with ``right_ts >= left_ts`` (attribution joins:
+    "next purchase at-or-after this click").
 
-    Left rows with no earlier right match keep NULLs (ASOF LEFT JOIN).
-    Right timestamp column is exposed as ``right_ts + suffix``.
+    Left rows with no match in the chosen direction keep NULLs (ASOF
+    LEFT JOIN). Right timestamp column is exposed as
+    ``right_ts + suffix``.
 
-    ``tolerance_s`` (pandas ``merge_asof`` semantics): a match older
-    than the left timestamp by more than this many seconds is treated
-    as no-match (all carried columns NULL). Applied as a projection on
+    ``tolerance_s`` (pandas ``merge_asof`` semantics): a match farther
+    from the left timestamp than this many seconds is treated as
+    no-match (all carried columns NULL). Applied as a projection on
     the carried result — the plan shape (one shuffle + local sort)
     doesn't change.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
     payload = [F.col(c).alias(c + suffix) for c in right_cols] + [
         F.col(right_ts).alias(right_ts + suffix)
@@ -74,26 +82,38 @@ def asof_join(
     )
 
     unioned = lhs.unionByName(rhs)
-    # Right rows sort before left rows at identical timestamps so a
-    # same-instant right row is visible to the left row (ts >= semantics).
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col("__ts").asc(), F.col(_SIDE).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # Same-instant right rows must be visible to left rows in either
+    # direction (<=/>= are inclusive): backward sorts right (side 0)
+    # before left (side 1) and carries the LAST earlier value forward;
+    # forward sorts left before right and takes the FIRST later value.
+    if direction == "backward":
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col("__ts").asc(), F.col(_SIDE).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col("__ts").asc(), F.col(_SIDE).desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
     carried = unioned.select(
         "*",
         *[
-            F.last(F.col(c + suffix), ignorenulls=True).over(w).alias("__c_" + c)
+            carry(F.col(c + suffix)).alias("__c_" + c)
             for c in right_cols
         ],
-        F.last(F.col(right_ts + suffix), ignorenulls=True).over(w).alias("__c_ts"),
+        carry(F.col(right_ts + suffix)).alias("__c_ts"),
     )
     matched = carried.filter(F.col(_SIDE) == 1)
     if tolerance_s is not None:
-        in_tol = (
-            F.col(left_ts).cast("long") - F.col("__c_ts").cast("long")
-        ) <= F.lit(tolerance_s)
+        delta = F.col(left_ts).cast("long") - F.col("__c_ts").cast("long")
+        if direction == "forward":
+            delta = -delta
+        in_tol = delta <= F.lit(tolerance_s)
         matched = matched.select(
             *left.columns,
             _SIDE,

@@ -58,9 +58,10 @@ def connected_components(
     directions; self-loops and duplicates are fine). ``nodes``
     optionally supplies the full node universe so isolated nodes (no
     edges) still appear — each as its own singleton component.
-    ``max_rounds`` is a safety rail only: the loop exits as soon as a
-    round changes nothing, and pointer jumping makes that
-    O(log diameter) rounds.
+    The loop exits as soon as a round changes nothing — pointer jumping
+    makes that O(log diameter) rounds — and raises RuntimeError if
+    ``max_rounds`` elapse without convergence (never returns
+    possibly-wrong clusters).
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     sym = (
@@ -110,5 +111,14 @@ def connected_components(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    else:
+        # Wrong clusters silently corrupt every downstream dedup
+        # decision — fail loudly instead. Pointer jumping needs
+        # ~log2(diameter) rounds, so hitting this means max_rounds was
+        # set far too low for the graph, not a near-miss.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds; "
+            "raise max_rounds (rounds needed ~ log2(graph diameter))"
+        )
 
     return labels.select(F.col("n").alias("node"), F.col("lbl").alias("component"))

@@ -469,3 +469,52 @@ def j7b_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi_inclusive=False,
     )
     return joined.select("event_id", "iv_id").orderBy("event_id", "iv_id")
+
+
+# --- J8d: forward as-of (next-event attribution) ---------------------------
+
+_J8D_ORACLE = """
+SELECT
+  c.event_id,
+  c.user_id,
+  c.ts,
+  p.ts AS next_purchase_ts,
+  round(p.value, 4) AS next_purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+ORDER BY c.event_id
+"""
+
+
+@register("j8d_asof_forward", oracle=_J8D_ORACLE, tags=("J8",))
+def j8d_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: each click attributed to the user's next purchase
+    at-or-after it (conversion attribution). Same single-shuffle
+    union+window plan as the backward operator, with the carry running
+    from the future side (first ignorenulls over currentRow..following).
+    Oracle: DuckDB native forward ASOF (`c.ts <= p.ts`)."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_right").alias("next_purchase_ts"),
+        F.round("value_right", 4).alias("next_purchase_value"),
+    ).orderBy("event_id")

@@ -164,3 +164,22 @@ def test_hash_sample_by_nests_per_stratum(spark):
     }
     none_a = hash_sample_by(df, "k", "s", {"b": 0.4}).filter("s = 'a'").count()
     assert none_a == 0
+
+
+def test_connected_components_raises_when_rounds_exhausted(spark):
+    """Unconverged clusters must fail loudly, never return wrong
+    components: a 40-node path cannot converge in one round."""
+    import pytest
+
+    from dbx_workspace_and_emr_iceberg_spark.operators.components import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "src int, dst int"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_rounds=1)
+    # and the same graph converges fine with sensible rounds
+    comps = connected_components(chain).select("component").distinct().count()
+    assert comps == 1

@@ -43,9 +43,9 @@ def asof_inputs(draw):
     return left, right
 
 
-@given(asof_inputs())
+@given(asof_inputs(), st.sampled_from(["backward", "forward"]))
 @SLOW
-def test_asof_join_matches_bruteforce(spark, case):
+def test_asof_join_matches_bruteforce(spark, case, direction):
     left, right = case
     ldf = spark.createDataFrame(
         [(k, ts, i) for i, (k, ts) in enumerate(left)], "k int, lts int, rowid int"
@@ -53,11 +53,17 @@ def test_asof_join_matches_bruteforce(spark, case):
     rdf = spark.createDataFrame(right, "k int, rts int, v int")
     got = {
         r.rowid: r.v_right
-        for r in asof_join(ldf, rdf, on="k", left_ts="lts", right_ts="rts").collect()
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="lts", right_ts="rts", direction=direction
+        ).collect()
     }
     for i, (k, ts) in enumerate(left):
-        matches = [(rts, v) for (rk, rts, v) in right if rk == k and rts <= ts]
-        want = max(matches)[1] if matches else None
+        if direction == "backward":
+            matches = [(rts, v) for (rk, rts, v) in right if rk == k and rts <= ts]
+            want = max(matches)[1] if matches else None
+        else:
+            matches = [(rts, v) for (rk, rts, v) in right if rk == k and rts >= ts]
+            want = min(matches)[1] if matches else None
         assert got[i] == want, f"row {i} key={k} ts={ts}: {got[i]} != {want}"
 
 

@@ -8,18 +8,47 @@ this is a custom operator built from primitives Spark *does* have.
 Strategy (scale-first): instead of a range join (which Catalyst would
 plan as a broadcast-nested-loop — quadratic per key), tag and UNION the
 two inputs, then run one window pass per key ordered by time, carrying
-the most recent right-side row forward with last(..., ignorenulls=True).
+the nearest right-side ROW as a single struct with
+last/first(..., ignorenulls=True). Row-struct carry gives true ASOF
+semantics: the matched row's own NULL payload fields stay NULL — they
+are never backfilled from older rows the way independent per-column
+carries would.
 Cost: ONE shuffle on the join key + a partition-local sort — linear in
 input size, identical shape at 100 TB (skew on hot keys is the only
-watch-out; mitigate upstream by salting or pre-filtering hot keys).
+watch-out; use :func:`asof_join_bucketed` for hot keys).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 _SIDE = "__asof_side"
+
+
+def _payload_type(right: DataFrame, right_ts: str, right_cols: list[str]) -> StructType:
+    return StructType(
+        [StructField("__rts", right.schema[right_ts].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in right_cols]
+    )
+
+
+def _payload_struct(right_ts: str, right_cols: list[str]):
+    return F.struct(
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+
+
+def _unpack(matched: DataFrame, left_cols: list[str], right_ts: str,
+            right_cols: list[str], suffix: str) -> DataFrame:
+    p = F.col("__c_p")
+    return matched.select(
+        *left_cols,
+        *[p.getField(c).alias(c + suffix) for c in right_cols],
+        p.getField("__rts").alias(right_ts + suffix),
+    )
 
 
 def asof_join(
@@ -41,7 +70,8 @@ def asof_join(
 
     Left rows with no match in the chosen direction keep NULLs (ASOF
     LEFT JOIN). Right timestamp column is exposed as
-    ``right_ts + suffix``.
+    ``right_ts + suffix``. Ties BETWEEN right rows at one instant are
+    resolved arbitrarily — keep (key, ts) unique on the right.
 
     ``tolerance_s`` (pandas ``merge_asof`` semantics): a match farther
     from the left timestamp than this many seconds is treated as
@@ -52,84 +82,57 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
-    payload = [F.col(c).alias(c + suffix) for c in right_cols] + [
-        F.col(right_ts).alias(right_ts + suffix)
-    ]
+    ptype = _payload_type(right, right_ts, right_cols)
 
-    lhs = left.withColumn(_SIDE, F.lit(1)).withColumn("__ts", F.col(left_ts))
-    rhs = (
-        right.select(F.col(on), F.col(right_ts), *[F.col(c) for c in right_cols])
-        .withColumn(_SIDE, F.lit(0))
-        .withColumn("__ts", F.col(right_ts))
-    )
-
-    # Align schemas: union needs both sides to carry all columns.
-    lhs = lhs.select(
+    lhs = left.select(
         *left.columns,
-        _SIDE,
-        "__ts",
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(c + suffix)
-            for c in right_cols
-        ],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias(right_ts + suffix),
+        F.lit(1).alias(_SIDE),
+        F.col(left_ts).alias("__ts"),
+        F.lit(None).cast(ptype).alias("__p"),
     )
-    rhs = rhs.select(
-        *[F.col(c) if c in (on,) else F.lit(None).alias(c) for c in left.columns],
-        _SIDE,
-        "__ts",
-        *payload,
+    rhs = right.select(
+        *[F.col(c) if c == on else F.lit(None).alias(c) for c in left.columns],
+        F.lit(0).alias(_SIDE),
+        F.col(right_ts).alias("__ts"),
+        _payload_struct(right_ts, right_cols).alias("__p"),
     )
 
     unioned = lhs.unionByName(rhs)
     # Same-instant right rows must be visible to left rows in either
     # direction (<=/>= are inclusive): backward sorts right (side 0)
-    # before left (side 1) and carries the LAST earlier value forward;
-    # forward sorts left before right and takes the FIRST later value.
+    # before left (side 1) and carries the LAST earlier row forward;
+    # forward sorts left before right and takes the FIRST later row.
     if direction == "backward":
         w = (
             Window.partitionBy(on)
             .orderBy(F.col("__ts").asc(), F.col(_SIDE).asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        carry = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+        carried = unioned.select(
+            "*", F.last("__p", ignorenulls=True).over(w).alias("__c_p")
+        )
     else:
         w = (
             Window.partitionBy(on)
             .orderBy(F.col("__ts").asc(), F.col(_SIDE).desc())
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        carry = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
-    carried = unioned.select(
-        "*",
-        *[
-            carry(F.col(c + suffix)).alias("__c_" + c)
-            for c in right_cols
-        ],
-        carry(F.col(right_ts + suffix)).alias("__c_ts"),
-    )
+        carried = unioned.select(
+            "*", F.first("__p", ignorenulls=True).over(w).alias("__c_p")
+        )
     matched = carried.filter(F.col(_SIDE) == 1)
     if tolerance_s is not None:
-        delta = F.col(left_ts).cast("long") - F.col("__c_ts").cast("long")
+        delta = (
+            F.col(left_ts).cast("long")
+            - F.col("__c_p").getField("__rts").cast("long")
+        )
         if direction == "forward":
             delta = -delta
-        in_tol = delta <= F.lit(tolerance_s)
         matched = matched.select(
             *left.columns,
-            _SIDE,
-            "__ts",
-            *[
-                F.when(in_tol, F.col("__c_" + c)).alias("__c_" + c)
-                for c in right_cols
-            ],
-            F.when(in_tol, F.col("__c_ts")).alias("__c_ts"),
+            F.when(delta <= F.lit(tolerance_s), F.col("__c_p")).alias("__c_p"),
         )
-    out = matched.select(
-        *left.columns,
-        *[F.col("__c_" + c).alias(c + suffix) for c in right_cols],
-        F.col("__c_ts").alias(right_ts + suffix),
-    )
-    return out
+    return _unpack(matched, left.columns, right_ts, right_cols, suffix)
 
 
 def asof_join_bucketed(
@@ -143,10 +146,12 @@ def asof_join_bucketed(
     tolerance_s: int | None = None,
     bucket_s: int = 86_400,
 ) -> DataFrame:
-    """asof_join with HOT-KEY SKEW protection: identical semantics, but
-    the carry window partitions on (key, time-bucket) instead of key, so
-    one hot key's rows spread over its time range instead of landing in
-    a single straggler partition.
+    """Backward :func:`asof_join` with HOT-KEY SKEW protection:
+    identical semantics, but the carry window partitions on
+    (key, time-bucket) instead of key, so one hot key's rows spread
+    over its time range instead of landing in a single straggler
+    partition. ``on``, ``left_ts``, ``right_ts`` must be plain column
+    names (bucketing builds SQL expressions from them).
 
     Two-pass construction:
       1. per (key, bucket): the LATEST right row (max over an orderable
@@ -157,26 +162,31 @@ def asof_join_bucketed(
          runs over ONE row per (key, bucket) — a hot key contributes at
          most n_buckets rows, so the skewed-window problem cannot recur
          here;
-      3. union left + right + seeds, then the usual carry window — now
-         partitioned by (key, bucket). Seeds sort first in each bucket
-         (side -1 at the bucket start), so continuity across bucket
-         boundaries is exact.
+      3. union left + right + seeds, then the usual row-struct carry —
+         now partitioned by (key, bucket). Seeds sort first in each
+         bucket (side -1 at the bucket start), so continuity across
+         bucket boundaries is exact.
+
+    Bucket ids use exact integer floor division (pmod + DIV), never
+    double arithmetic — nanosecond-scale epoch longs exceed a double's
+    53-bit mantissa and would misbucket rows near bucket boundaries.
 
     Tie semantics match asof_join (right rows visible to same-instant
-    left rows); like the base operator, ties BETWEEN right rows at one
-    instant are resolved arbitrarily — keep (key, ts) unique on the
-    right. Choose bucket_s ≈ (time span / desired parallelism per hot
-    key); the default of one day suits event data spanning weeks.
+    left rows; ties BETWEEN right rows at one instant are resolved
+    arbitrarily — keep (key, ts) unique on the right). Choose
+    bucket_s ≈ (time span / desired parallelism per hot key); the
+    default of one day suits event data spanning weeks.
     """
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
 
-    bkt = lambda c: F.floor(F.col(c).cast("long") / bucket_s)  # noqa: E731
+    def bkt(col_name: str):
+        # exact integer floor division on the epoch value: pmod is in
+        # [0, bucket_s), the difference divides exactly, DIV is integer
+        c = f"CAST(`{col_name}` AS BIGINT)"
+        return F.expr(f"({c} - pmod({c}, {bucket_s})) DIV {bucket_s}")
 
     # -- pass 1+2: per-(key,bucket) latest right row -> per-bucket seeds --
-    pay = F.struct(
-        F.col(right_ts).alias("__rts"),
-        *[F.col(c).alias(c) for c in right_cols],
-    )
+    pay = _payload_struct(right_ts, right_cols)
     rhs_b = right.select(
         F.col(on), F.col(right_ts), *[F.col(c) for c in right_cols]
     ).withColumn("__bkt", bkt(right_ts))
@@ -198,25 +208,21 @@ def asof_join_bucketed(
         .filter(F.col("__seed").isNotNull())
     )
 
-    # -- pass 3: bucketed union + carry (same shape as asof_join) --
+    # -- pass 3: bucketed union + row-struct carry (same as asof_join) --
+    ptype = _payload_type(right, right_ts, right_cols)
     lhs = left.select(
         *left.columns,
         F.lit(1).alias(_SIDE),
         F.col(left_ts).alias("__ts"),
         bkt(left_ts).alias("__bkt"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(c + suffix)
-            for c in right_cols
-        ],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias(right_ts + suffix),
+        F.lit(None).cast(ptype).alias("__p"),
     )
     rhs = rhs_b.select(
         *[F.col(c) if c == on else F.lit(None).alias(c) for c in left.columns],
         F.lit(0).alias(_SIDE),
         F.col(right_ts).alias("__ts"),
         "__bkt",
-        *[F.col(c).alias(c + suffix) for c in right_cols],
-        F.col(right_ts).alias(right_ts + suffix),
+        pay.alias("__p"),
     )
     seed_rows = seeds.select(
         *[F.col(c) if c == on else F.lit(None).alias(c) for c in left.columns],
@@ -227,8 +233,7 @@ def asof_join_bucketed(
         .cast(left.schema[left_ts].dataType)
         .alias("__ts"),
         "__bkt",
-        *[F.col("__seed").getField(c).alias(c + suffix) for c in right_cols],
-        F.col("__seed").getField("__rts").alias(right_ts + suffix),
+        F.col("__seed").alias("__p"),
     )
 
     unioned = lhs.unionByName(rhs).unionByName(seed_rows)
@@ -238,30 +243,16 @@ def asof_join_bucketed(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(F.col(c + suffix), ignorenulls=True).over(w).alias("__c_" + c)
-            for c in right_cols
-        ],
-        F.last(F.col(right_ts + suffix), ignorenulls=True).over(w).alias("__c_ts"),
+        "*", F.last("__p", ignorenulls=True).over(w).alias("__c_p")
     )
     matched = carried.filter(F.col(_SIDE) == 1)
     if tolerance_s is not None:
-        in_tol = (
-            F.col(left_ts).cast("long") - F.col("__c_ts").cast("long")
-        ) <= F.lit(tolerance_s)
+        delta = (
+            F.col(left_ts).cast("long")
+            - F.col("__c_p").getField("__rts").cast("long")
+        )
         matched = matched.select(
             *left.columns,
-            _SIDE,
-            "__ts",
-            *[
-                F.when(in_tol, F.col("__c_" + c)).alias("__c_" + c)
-                for c in right_cols
-            ],
-            F.when(in_tol, F.col("__c_ts")).alias("__c_ts"),
+            F.when(delta <= F.lit(tolerance_s), F.col("__c_p")).alias("__c_p"),
         )
-    return matched.select(
-        *left.columns,
-        *[F.col("__c_" + c).alias(c + suffix) for c in right_cols],
-        F.col("__c_ts").alias(right_ts + suffix),
-    )
+    return _unpack(matched, left.columns, right_ts, right_cols, suffix)

@@ -25,10 +25,11 @@ Algorithm: min-label propagation with pointer jumping.
   ~20 rounds, not 1e6.
 * Per-round ``localCheckpoint`` truncates the lineage (iterative plans
   otherwise grow until the optimizer chokes). Convergence is detected
-  via the total label sum (labels are non-increasing per node, so an
-  unchanged sum means a fixpoint): one exact decimal agg over the
-  just-checkpointed frame — the only driver-side values ever
-  materialized are those per-round scalars, never the components.
+  by carrying each node's pre-round label through the round and
+  checking for any difference (labels only decrease, so one changed
+  row means work happened) — type-generic over numeric or string ids,
+  and the only driver-side value ever materialized is that per-round
+  0/1 count, never the components.
 
 Scale: everything shuffles by node id; no step is quadratic in
 component size and no component is ever collected. This is the standard
@@ -73,20 +74,21 @@ def connected_components(
         .localCheckpoint()
     )
 
-    universe = sym.select(F.col("s").alias("n"))
+    # Universe from the RAW edge list (not sym — a node appearing only
+    # in self-loops must still come out as its own singleton component).
+    universe = e.select(F.col("s").alias("n")).union(
+        e.select(F.col("d").alias("n"))
+    )
     if nodes is not None:
         col = node_col or nodes.columns[0]
         universe = universe.union(nodes.select(F.col(col).alias("n")))
     labels = universe.distinct().select("n", F.col("n").alias("lbl"))
     labels = labels.localCheckpoint()
-    # Labels are strictly non-increasing per node, so the total label sum
-    # is a monotone potential: unchanged sum <=> no label changed. One
-    # cheap agg over the just-checkpointed frame replaces a
-    # change-detection join.
-    prev_sum = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
 
+    converged = False
     for _ in range(max_rounds):
-        # (1) neighbour-min: lbl <- min(lbl, min over neighbours' lbl)
+        # (1) neighbour-min: lbl <- min(lbl, min over neighbours' lbl);
+        # the pre-round label rides along as __old for change detection
         nbr = (
             sym.join(labels.withColumnRenamed("n", "d"), "d")
             .groupBy("s")
@@ -94,7 +96,9 @@ def connected_components(
             .withColumnRenamed("s", "n")
         )
         stepped = labels.join(nbr, "n", "left").select(
-            "n", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl")
+            "n",
+            F.col("lbl").alias("__old"),
+            F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"),
         )
         # (2) pointer jump: lbl <- lbl[lbl]. Every label value is itself
         # a node id present in `stepped` (labels start as node ids and
@@ -104,14 +108,20 @@ def connected_components(
             F.col("n").alias("lbl"), F.col("lbl").alias("lbl2")
         )
         jumped = stepped.join(parent, "lbl").select(
-            "n", F.col("lbl2").alias("lbl")
+            "n", "__old", F.col("lbl2").alias("lbl")
         )
-        labels = jumped.localCheckpoint()
-        new_sum = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
-        if new_sum == prev_sum:
+        checkpointed = jumped.localCheckpoint()
+        # Labels only decrease, so any difference from __old means the
+        # round did work. Works for ANY orderable id type (numeric,
+        # string hash keys, ...) — no numeric-cast tricks.
+        changed = (
+            checkpointed.filter(F.col("lbl") != F.col("__old")).limit(1).count()
+        )
+        labels = checkpointed.select("n", "lbl")
+        if changed == 0:
+            converged = True
             break
-        prev_sum = new_sum
-    else:
+    if not converged:
         # Wrong clusters silently corrupt every downstream dedup
         # decision — fail loudly instead. Pointer jumping needs
         # ~log2(diameter) rounds, so hitting this means max_rounds was

@@ -44,8 +44,14 @@ def word_shingles(text_col: str, n: int = 3) -> F.Column:
     """
     words = F.split(F.col(text_col), " ")
     k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    # Guard the empty case explicitly: sequence(0, -1) would generate a
+    # DESCENDING [0, -1] (not an empty array), whose indices then hit
+    # ANSI's element_at(…, 0) error on sub-n-word docs.
+    idx = F.when(k >= 1, F.sequence(F.lit(0), (k - 1).cast("int"))).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(
-        F.sequence(F.lit(0), k - 1),
+        idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
         ),
@@ -88,10 +94,14 @@ def minhash_signatures(
         docs.withColumn("__wh", words_hashed)
         .withColumn(
             "__sh",
+            # same empty-doc guard as word_shingles: docs shorter than
+            # the shingle size contribute ZERO shingles, not an
+            # out-of-bounds index under ANSI mode
             F.transform(
-                F.sequence(
-                    F.lit(0), F.greatest(F.size("__wh") - shingle_n, F.lit(0))
-                ),
+                F.when(
+                    F.size("__wh") >= shingle_n,
+                    F.sequence(F.lit(0), F.size("__wh") - shingle_n),
+                ).otherwise(F.array().cast("array<int>")),
                 lambda i: F.xxhash64(
                     *[
                         F.element_at("__wh", (i + j + 1).cast("int"))

@@ -305,6 +305,10 @@ def x12_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The all-pairs candidate stage is a small-pool verification probe
     (like x2b); at scale candidates come from the LSH buckets and ONLY
     the clustering step shown here is on the full-corpus path.
+    NOTE: unlike the declarative queries, calling this function RUNS
+    the clustering (iterative fixpoint with per-round checkpoints); the
+    returned frame is the materialized final labelling plus the cheap
+    per-cluster projection.
     The DuckDB oracle computes the same clusters by recursive-CTE
     transitive closure — an independent algorithm, same fixpoint.
     """

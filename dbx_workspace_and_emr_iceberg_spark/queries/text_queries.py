@@ -199,9 +199,9 @@ def x4d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(1), n),
             lambda i: F.concat_ws(
                 " ",
-                F.element_at(words, i.cast("int")),
-                F.coalesce(F.element_at(words, (i + 1).cast("int")), F.lit("")),
-                F.coalesce(F.element_at(words, (i + 2).cast("int")), F.lit("")),
+                F.try_element_at(words, i.cast("int")),
+                F.coalesce(F.try_element_at(words, (i + 1).cast("int")), F.lit("")),
+                F.coalesce(F.try_element_at(words, (i + 2).cast("int")), F.lit("")),
             ),
         ),
     )
@@ -476,7 +476,7 @@ def x14_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(F.split("text", " ")).alias("ntok"),
-        (hash_bucket(F.col("doc_id")) % 8).alias("shard"),
+        hash_bucket(F.col("doc_id"), 8).alias("shard"),
     )
     w = (
         Window.partitionBy("shard")
@@ -587,9 +587,9 @@ def x16_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(1), n),
             lambda i: F.concat_ws(
                 " ",
-                F.element_at(words, i.cast("int")),
-                F.coalesce(F.element_at(words, (i + 1).cast("int")), F.lit("")),
-                F.coalesce(F.element_at(words, (i + 2).cast("int")), F.lit("")),
+                F.try_element_at(words, i.cast("int")),
+                F.coalesce(F.try_element_at(words, (i + 1).cast("int")), F.lit("")),
+                F.coalesce(F.try_element_at(words, (i + 2).cast("int")), F.lit("")),
             ),
         )
     )
@@ -741,8 +741,8 @@ def x4g_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), n1),
         lambda i: F.concat_ws(
             " ",
-            F.element_at(words, i.cast("int")),
-            F.coalesce(F.element_at(words, (i + 1).cast("int")), F.lit("")),
+            F.try_element_at(words, i.cast("int")),
+            F.coalesce(F.try_element_at(words, (i + 1).cast("int")), F.lit("")),
         ),
     )
     gm = d.select(

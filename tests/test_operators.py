@@ -183,3 +183,42 @@ def test_connected_components_raises_when_rounds_exhausted(spark):
     # and the same graph converges fine with sensible rounds
     comps = connected_components(chain).select("component").distinct().count()
     assert comps == 1
+
+
+def test_connected_components_string_ids_and_self_loops(spark):
+    """Node ids are any orderable type (dedup keys are often hashes):
+    string-keyed components must converge correctly, and a node seen
+    only in self-loop edges must surface as its own singleton."""
+    from dbx_workspace_and_emr_iceberg_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [("b", "c"), ("c", "d"), ("x", "x"), ("e", "e")],
+        "src string, dst string",
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components(edges).collect()
+    }
+    assert got == {"b": "b", "c": "b", "d": "b", "x": "x", "e": "e"}
+
+
+def test_asof_bucketed_exact_at_nanosecond_epochs(spark):
+    """Bucket ids must come from exact integer floor division: a double
+    round-trip at nanosecond-scale epochs (> 2^53) shifts values across
+    bucket boundaries and silently drops valid matches."""
+    from dbx_workspace_and_emr_iceberg_spark.operators.asof import (
+        asof_join,
+        asof_join_bucketed,
+    )
+
+    big = 2**60
+    ldf = spark.createDataFrame([(1, big - 1)], "k long, lts long")
+    rdf = spark.createDataFrame([(1, big - 5000, 7)], "k long, rts long, v long")
+    plain = asof_join(ldf, rdf, on="k", left_ts="lts", right_ts="rts").collect()
+    bucketed = asof_join_bucketed(
+        ldf, rdf, on="k", left_ts="lts", right_ts="rts", bucket_s=1000
+    ).collect()
+    assert plain[0].v_right == 7
+    assert bucketed[0].v_right == 7

@@ -123,10 +123,14 @@ def test_relational_queries_never_cross_into_python(spark):
     from dbx_workspace_and_emr_iceberg_spark.registry import all_queries
 
     offenders = []
+    # Iterative operators (fixpoint loops over localCheckpoints) EXECUTE
+    # when their fn is called and return a checkpoint-scan plan, so a
+    # python_eval assertion on them is both expensive and vacuous.
+    iterative = ("x12_neardup_clusters",)
     for name, q in sorted(all_queries().items()):
         if name.startswith(_PYTHON_ALLOWED_PREFIXES):
             continue
-        if q.oracle is None:
+        if q.oracle is None or name in iterative:
             continue
         df = q.fn(spark, SF_DIR)
         n = X.python_eval_count(df)

@@ -36,8 +36,14 @@ def asof_inputs(draw):
     left = draw(st.lists(st.tuples(KEYS, TS), max_size=12))
     # unique (key, ts) on the right: ties between right rows at the same
     # instant are unordered in any ASOF definition, so don't generate them
+    # payload values include None: true ASOF row semantics must carry
+    # the matched row's own NULL, never backfill it from an older row
     right_map = draw(
-        st.dictionaries(st.tuples(KEYS, TS), st.integers(-5, 5), max_size=12)
+        st.dictionaries(
+            st.tuples(KEYS, TS),
+            st.one_of(st.none(), st.integers(-5, 5)),
+            max_size=12,
+        )
     )
     right = [(k, ts, v) for (k, ts), v in right_map.items()]
     return left, right

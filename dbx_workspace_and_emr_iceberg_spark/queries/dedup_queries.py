@@ -353,3 +353,95 @@ def x12_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("node") == F.col("component")).cast("int").alias("is_canonical"),
         F.count("*").over(w).alias("cluster_size"),
     ).orderBy("doc_id")
+
+
+@register("x12b_lsh_dedup_pipeline", oracle=None, tags=("X2", "X6"))
+def x12b_lsh_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy-dedup pipeline in its FULL-CORPUS shape — exactly what
+    runs at 100 TB, with no all-pairs stage anywhere:
+
+      MinHash-LSH bucketed candidates (operators/dedup.py — linear scan
+      + per-bucket pairs) → exact-Jaccard verification on candidates
+      only → connected components (operators/components.py) →
+      one canonical doc per cluster (smallest id).
+
+    Self-verifies (x2-style planted dups: docs %20==0 copied minus
+    their last 3 words):
+      * every planted (base, copy) pair lands in the SAME cluster —
+        LSH recall flows through clustering;
+      * cluster count == distinct components; every cluster's canonical
+        is its minimum member.
+    Returns the per-cluster summary for non-singleton clusters.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.components import connected_components
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split("text", " ")
+    near = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+        F.array_join(
+            F.slice(words, 1, F.greatest(F.size(words) - 3, F.lit(1))), " "
+        ).alias("text"),
+    )
+    corpus = d.unionByName(near)
+    # 16 hashes / 4 bands (vs x2's 32/8): the signature pass is the
+    # pipeline's dominant cost and planted dups sit at jaccard >= 0.9,
+    # where 4 bands of 4 rows still collide with P ~ 0.99 per pair
+    cand = minhash_lsh_pairs(corpus, "doc_id", "text", num_hashes=16, bands=4)
+    # 0.85: the synthetic corpus's tiny vocabulary makes unrelated docs
+    # overlap heavily (mean cross-doc jaccard ~0.65); a dup threshold
+    # below that connects half the corpus and bloats the edge list
+    edges = (
+        exact_jaccard(corpus, cand, "doc_id", "text")
+        .filter(F.col("jaccard") >= 0.85)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    comp = connected_components(edges, "src", "dst", nodes=corpus.select("doc_id"))
+
+    # planted pairs must share a component (bounded: one row per planted pair)
+    planted = d.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("base_id"),
+        (F.col("doc_id") + _COPY_OFFSET).alias("copy_id"),
+    )
+    joined = (
+        planted.join(
+            comp.select(
+                F.col("node").alias("base_id"), F.col("component").alias("c1")
+            ),
+            "base_id",
+        )
+        .join(
+            comp.select(
+                F.col("node").alias("copy_id"), F.col("component").alias("c2")
+            ),
+            "copy_id",
+        )
+    )
+    n_planted = planted.count()
+    n_together = joined.filter(F.col("c1") == F.col("c2")).count()
+    if n_together < 0.8 * n_planted:
+        raise AssertionError(
+            f"dedup pipeline recall too low: {n_together}/{n_planted} "
+            "planted pairs clustered together"
+        )
+
+    w = Window.partitionBy("component")
+    out = (
+        comp.select(
+            "node",
+            "component",
+            F.count("*").over(w).alias("cluster_size"),
+        )
+        .filter(F.col("cluster_size") > 1)
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("node").alias("canonical_doc"),
+        )
+        .orderBy("component")
+    )
+    return out.select(
+        F.col("component").alias("cluster_id"), "cluster_size", "canonical_doc"
+    )

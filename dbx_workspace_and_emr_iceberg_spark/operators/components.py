@@ -62,7 +62,9 @@ def connected_components(
     The loop exits as soon as a round changes nothing — pointer jumping
     makes that O(log diameter) rounds — and raises RuntimeError if
     ``max_rounds`` elapse without convergence (never returns
-    possibly-wrong clusters).
+    possibly-wrong clusters). Convergence is only observable via a
+    final do-nothing round, so budget ``max_rounds`` as expected
+    rounds + 1.
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     sym = (
@@ -128,7 +130,8 @@ def connected_components(
         # set far too low for the graph, not a near-miss.
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds; "
-            "raise max_rounds (rounds needed ~ log2(graph diameter))"
+            "raise max_rounds (budget ~ log2(graph diameter) + 1 — the "
+            "final round must pass with no label changes)"
         )
 
     return labels.select(F.col("n").alias("node"), F.col("lbl").alias("component"))

@@ -119,7 +119,13 @@ def minhash_signatures(
             acc, F.col("__seeds"), lambda a, s: F.least(a, F.xxhash64(s, h))
         ),
     )
-    return d.select(F.col(id_col).alias("doc"), mh.alias("__mh"))
+    # Zero-shingle docs (shorter than shingle_n) keep the untouched
+    # MAX_LONG init array — an identical sentinel signature. They carry
+    # no similarity information and must NOT enter banding: m of them
+    # would collide in every band and emit m^2/2 bogus candidate pairs.
+    return d.filter(F.size("__sh") > 0).select(
+        F.col(id_col).alias("doc"), mh.alias("__mh")
+    )
 
 
 def minhash_lsh_pairs(

@@ -53,10 +53,12 @@ def hash_sample(
     """Keep a deterministic ~``fraction`` of rows by key hash."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
-    # round(): int() would truncate binary-float error downward
-    # (0.29 * 10000 == 2899.999...), off-by-one vs exact SQL arithmetic
+    # int(x + 0.5), not int(x) or round(x): plain int() truncates
+    # binary-float error downward (0.29 * 10000 == 2899.999...) and
+    # Python round() is half-to-even (round(2.5) == 2), both off-by-one
+    # vs the documented half-open [0, fraction*B) bucket range
     return df.filter(
-        hash_bucket(F.col(key), buckets) < round(fraction * buckets)
+        hash_bucket(F.col(key), buckets) < int(fraction * buckets + 0.5)
     )
 
 
@@ -75,8 +77,8 @@ def hash_split(
     if val < 0 or test < 0 or val + test > 1:
         raise ValueError("need val >= 0, test >= 0, val + test <= 1")
     b = hash_bucket(F.col(key), buckets)
-    t_hi = round(test * buckets)
-    v_hi = t_hi + round(val * buckets)
+    t_hi = int(test * buckets + 0.5)
+    v_hi = t_hi + int(val * buckets + 0.5)
     label = (
         F.when(b < t_hi, F.lit("test"))
         .when(b < v_hi, F.lit("val"))
@@ -109,7 +111,7 @@ def hash_sample_by(
         *[
             c
             for s, frac in sorted(fractions.items())
-            for c in (F.lit(s), F.lit(round(frac * buckets)))
+            for c in (F.lit(s), F.lit(int(frac * buckets + 0.5)))
         ]
     )
     thr = F.coalesce(thresholds[F.col(strata)], F.lit(0))

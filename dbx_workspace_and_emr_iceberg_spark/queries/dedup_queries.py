@@ -24,6 +24,20 @@ from ..tables import load_table
 
 _COPY_OFFSET = 1_000_000
 
+
+def _planted_near_dups(d: DataFrame) -> DataFrame:
+    """x2-style planted near-dups: every doc with doc_id % 20 == 0 gets
+    a copy (id + offset) missing its last 3 words. Shared by x2 and
+    x12b so their 'planted pairs' stay the same pairs."""
+    words = F.split("text", " ")
+    return d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+        F.array_join(
+            F.slice(words, 1, F.greatest(F.size(words) - 3, F.lit(1))), " "
+        ).alias("text"),
+    )
+
+
 # --- X1: exact dedup (hash-first keep-lowest-id) ---------------------------
 
 _X1_ORACLE = f"""
@@ -88,14 +102,7 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ≥ 0.5 (verification is part of the operator, not the test).
     """
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    words = F.split("text", " ")
-    near = d.filter(F.col("doc_id") % 20 == 0).select(
-        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
-        F.array_join(F.slice(words, 1, F.greatest(F.size(words) - 3, F.lit(1))), " ").alias(
-            "text"
-        ),
-    )
-    corpus = d.unionByName(near)
+    corpus = d.unionByName(_planted_near_dups(d))
     cand = minhash_lsh_pairs(corpus, "doc_id", "text", num_hashes=32, bands=8)
     verified = (
         exact_jaccard(corpus, cand, "doc_id", "text")
@@ -365,27 +372,16 @@ def x12b_lsh_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       only → connected components (operators/components.py) →
       one canonical doc per cluster (smallest id).
 
-    Self-verifies (x2-style planted dups: docs %20==0 copied minus
-    their last 3 words):
-      * every planted (base, copy) pair lands in the SAME cluster —
-        LSH recall flows through clustering;
-      * cluster count == distinct components; every cluster's canonical
-        is its minimum member.
-    Returns the per-cluster summary for non-singleton clusters.
+    Self-verifies: >= 80% of planted (base, copy) pairs (x2-style:
+    docs %20==0 copied minus their last 3 words) land in the SAME
+    cluster — LSH recall flowing through the clustering step. The
+    canonical is min(cluster) by construction. Returns the per-cluster
+    summary for non-singleton clusters.
     """
-    from pyspark.sql import Window
-
     from ..operators.components import connected_components
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    words = F.split("text", " ")
-    near = d.filter(F.col("doc_id") % 20 == 0).select(
-        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
-        F.array_join(
-            F.slice(words, 1, F.greatest(F.size(words) - 3, F.lit(1))), " "
-        ).alias("text"),
-    )
-    corpus = d.unionByName(near)
+    corpus = d.unionByName(_planted_near_dups(d))
     # 16 hashes / 4 bands (vs x2's 32/8): the signature pass is the
     # pipeline's dominant cost and planted dups sit at jaccard >= 0.9,
     # where 4 bands of 4 rows still collide with P ~ 0.99 per pair
@@ -427,19 +423,13 @@ def x12b_lsh_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "planted pairs clustered together"
         )
 
-    w = Window.partitionBy("component")
     out = (
-        comp.select(
-            "node",
-            "component",
-            F.count("*").over(w).alias("cluster_size"),
-        )
-        .filter(F.col("cluster_size") > 1)
-        .groupBy("component")
+        comp.groupBy("component")
         .agg(
             F.count(F.lit(1)).alias("cluster_size"),
             F.min("node").alias("canonical_doc"),
         )
+        .filter(F.col("cluster_size") > 1)
         .orderBy("component")
     )
     return out.select(

@@ -13,6 +13,29 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..tables import load_table
 
+def _padded_ngrams(words, n: int):
+    """Word n-grams over ``words`` with ''-padding past the array end —
+    count = max(len(words) - n + 1, 1), so a doc shorter than n yields
+    ONE padded gram (mirrors the DuckDB oracles' words[i+k] -> NULL ->
+    coalesce('')). try_element_at: ANSI element_at raises on
+    out-of-bounds. Shared by x4d / x4g / x16, whose oracles all build
+    the identical padded grams in SQL."""
+    count = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(
+            " ",
+            F.try_element_at(words, i.cast("int")),
+            *[
+                F.coalesce(
+                    F.try_element_at(words, (i + j).cast("int")), F.lit("")
+                )
+                for j in range(1, n)
+            ],
+        ),
+    )
+
+
 # --- X4: token counting -----------------------------------------------------
 # "BPE-ish" tokens: runs of letters, runs of digits, or single non-space
 # symbols — the standard pre-tokenizer shape, countable by regexp.
@@ -192,19 +215,7 @@ def x4d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize words then shingles as columns: each is computed once
     # per row instead of once per downstream lambda reference.
     words = F.col("__words")
-    n = F.greatest(F.size(words) - 2, F.lit(1))
-    d = d.withColumn(
-        "__shingles",
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.concat_ws(
-                " ",
-                F.try_element_at(words, i.cast("int")),
-                F.coalesce(F.try_element_at(words, (i + 1).cast("int")), F.lit("")),
-                F.coalesce(F.try_element_at(words, (i + 2).cast("int")), F.lit("")),
-            ),
-        ),
-    )
+    d = d.withColumn("__shingles", _padded_ngrams(words, 3))
     shingles = F.col("__shingles")
     return d.select(
         "doc_id",
@@ -581,19 +592,10 @@ def x16_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretraining pipeline runs before training."""
     d = load_table(spark, sf_dir, "documents")
     words = F.split("text", " ")
-    n = F.greatest(F.size(words) - 2, F.lit(1))
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.concat_ws(
-                " ",
-                F.try_element_at(words, i.cast("int")),
-                F.coalesce(F.try_element_at(words, (i + 1).cast("int")), F.lit("")),
-                F.coalesce(F.try_element_at(words, (i + 2).cast("int")), F.lit("")),
-            ),
-        )
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(_padded_ngrams(words, 3))).alias("shingle"),
     )
-    sh = d.select("doc_id", F.explode(shingles).alias("shingle"))
     bench = sh.filter(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("bench_id"), "shingle"
     )
@@ -736,15 +738,7 @@ def x4g_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__words", F.split("text", " ")
     )
     words = F.col("__words")
-    n1 = F.greatest(F.size(words) - 1, F.lit(1))
-    g2 = F.transform(
-        F.sequence(F.lit(1), n1),
-        lambda i: F.concat_ws(
-            " ",
-            F.try_element_at(words, i.cast("int")),
-            F.coalesce(F.try_element_at(words, (i + 1).cast("int")), F.lit("")),
-        ),
-    )
+    g2 = _padded_ngrams(words, 2)
     gm = d.select(
         "doc_id",
         F.size(g2).alias("n_2grams"),

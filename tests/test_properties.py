@@ -57,8 +57,10 @@ def test_asof_join_matches_bruteforce(spark, case, direction):
         [(k, ts, i) for i, (k, ts) in enumerate(left)], "k int, lts int, rowid int"
     )
     rdf = spark.createDataFrame(right, "k int, rts int, v int")
+    # assert on (ts, v) pairs: checking v alone cannot distinguish "the
+    # matched row's payload is NULL" (correct) from "no match" (a bug)
     got = {
-        r.rowid: r.v_right
+        r.rowid: (r.rts_right, r.v_right)
         for r in asof_join(
             ldf, rdf, on="k", left_ts="lts", right_ts="rts", direction=direction
         ).collect()
@@ -66,10 +68,10 @@ def test_asof_join_matches_bruteforce(spark, case, direction):
     for i, (k, ts) in enumerate(left):
         if direction == "backward":
             matches = [(rts, v) for (rk, rts, v) in right if rk == k and rts <= ts]
-            want = max(matches)[1] if matches else None
+            want = max(matches) if matches else (None, None)
         else:
             matches = [(rts, v) for (rk, rts, v) in right if rk == k and rts >= ts]
-            want = min(matches)[1] if matches else None
+            want = min(matches) if matches else (None, None)
         assert got[i] == want, f"row {i} key={k} ts={ts}: {got[i]} != {want}"
 
 

@@ -589,3 +589,50 @@ def t10_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         return table.snapshots()
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+# --- T11: deterministic split under streaming ------------------------------
+
+_T11_ORACLE = """
+WITH labeled AS (
+  SELECT event_id,
+         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         % 10000 AS b
+  FROM events
+)
+SELECT CASE WHEN b < 1000 THEN 'test'
+            WHEN b < 2000 THEN 'val'
+            ELSE 'train' END AS split,
+       count(*) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM labeled GROUP BY 1 ORDER BY split
+"""
+
+
+@register("t11_stream_hash_split", oracle=_T11_ORACLE, tags=("T1", "X6"))
+def t11_stream_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed train/val/test split under Structured
+    Streaming: hash_split (operators/sampling.py) is a pure map-side
+    function of the key — no state store, no seed, no partition-layout
+    dependence — so the SAME rows get the SAME split whether the corpus
+    arrives as a batch or as a stream. One availableNow pass over the
+    events file; the complete-mode per-split counts hash-match the
+    batch DuckDB oracle, proving batch/stream split equivalence."""
+    import os
+
+    from ..operators.sampling import hash_split
+
+    src = tempfile.mkdtemp(prefix="stream_split_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select("event_id")
+        ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "c1"))
+        stream = spark.readStream.schema(ev.schema).parquet(src + "/*/")
+        labeled = hash_split(stream, "event_id", val=0.1, test=0.1)
+        agg = labeled.groupBy("split").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").alias("id_sum"),
+        )
+        out = run_to_memory(agg, "complete")
+        return out.orderBy("split")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

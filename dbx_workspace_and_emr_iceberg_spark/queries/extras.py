@@ -603,3 +603,87 @@ def x13b_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- X4h: BM25 ranking ------------------------------------------------------
+
+_X4H_ORACLE = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS len FROM words GROUP BY 1),
+q AS (
+  SELECT w FROM (
+    SELECT w, count(*) AS c FROM words GROUP BY w ORDER BY c DESC, w LIMIT 3
+  )
+),
+dfreq AS (SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY w),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT avg(len) FROM dl) AS avglen
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * (1.2 + 1)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.len / stats.avglen))
+         ) AS score
+  FROM tf
+  JOIN q USING (w)
+  JOIN dfreq USING (w)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS bm25
+FROM scored
+ORDER BY round(score, 6) DESC, doc_id
+LIMIT 10
+"""
+
+
+@register("x4h_bm25", oracle=_X4H_ORACLE, tags=("X4",))
+def x4h_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75, Lucene idf) top-10 docs for the corpus's
+    3 most frequent terms — the ranking function TF-IDF (x4f) lacks:
+    term-frequency saturation and length normalization. Same scale
+    shape as x4f: doc-term counts + document frequencies are two
+    shuffles; the 3-term query and the tiny DF table broadcast; the
+    corpus streams once. Deterministic: query terms derived (not
+    hard-coded), ties broken alphabetically / by doc_id on both
+    engines."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = terms.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    avglen = dl.agg(F.avg("len")).first()[0]
+    q = (
+        terms.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(3)
+        .select("w")
+    )
+    dfreq = terms.distinct().groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    sat = (
+        F.col("tf")
+        * (1.2 + 1)
+        / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("len") / F.lit(avglen)))
+    )
+    scored = (
+        tf.join(F.broadcast(q), "w")
+        .join(F.broadcast(dfreq), "w")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum(idf * sat).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )

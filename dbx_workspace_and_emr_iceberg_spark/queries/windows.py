@@ -177,3 +177,50 @@ def w4_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .orderBy("c_mktsegment", "rn")
     )
+
+
+# --- W5: ntile deciles ------------------------------------------------------
+
+_W5_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+  FROM orders GROUP BY o_custkey
+),
+tiled AS (
+  SELECT o_custkey, spend,
+         ntile(10) OVER (ORDER BY spend, o_custkey) AS decile
+  FROM spend
+)
+SELECT decile,
+       count(*) AS n_customers,
+       round(min(spend), 2) AS min_spend,
+       round(max(spend), 2) AS max_spend
+FROM tiled GROUP BY decile ORDER BY decile
+"""
+
+
+@register("w5_ntile_deciles", oracle=_W5_ORACLE, tags=("W1",))
+def w5_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-spend deciles via ntile(10) — the bucketing window W1's
+    rank/dense_rank family doesn't cover. Deterministic tie-break
+    (spend, custkey) makes bucket membership engine-independent. One
+    shuffle for the per-customer aggregate; ntile needs a single-
+    partition sort of the 150k-per-SF customer rollup — at 100 TB
+    replace with percent_rank (partition-local after a range
+    repartition) or width_bucket on precomputed quantile bounds; the
+    decile SUMMARY here stays tiny either way."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    w = Window.orderBy("spend", "o_custkey")
+    tiled = spend.withColumn("decile", F.ntile(10).over(w))
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("spend"), 2).alias("min_spend"),
+            F.round(F.max("spend"), 2).alias("max_spend"),
+        )
+        .orderBy("decile")
+    )

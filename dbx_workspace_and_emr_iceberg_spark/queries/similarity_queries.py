@@ -284,3 +284,78 @@ def x10_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("max_err") / F.col("scale"), 4).alias("err_ratio"),
         F.round(F.col("dot_ed") / (F.col("n_e") * F.col("n_d")), 4).alias("recon_cos"),
     ).orderBy("vec_id")
+
+
+# --- X3f: per-language centroids + cohesion --------------------------------
+
+_X3F_ORACLE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+j AS (
+  SELECT d.lang, v.vec_id, v.emb
+  FROM v JOIN documents d ON v.vec_id = d.doc_id
+),
+el AS (
+  SELECT lang, vec_id, i, emb[i] AS x
+  FROM j CROSS JOIN generate_series(1, 64) AS t(i)
+),
+cent AS (SELECT lang, i, avg(x) AS c FROM el GROUP BY 1, 2),
+per_vec AS (
+  SELECT el.lang, el.vec_id,
+         sum(el.x * cent.c) AS dot,
+         sum(el.x * el.x)   AS snx,
+         sum(cent.c * cent.c) AS snc
+  FROM el JOIN cent ON el.lang = cent.lang AND el.i = cent.i
+  GROUP BY 1, 2
+)
+SELECT lang,
+       count(*) AS n_vecs,
+       round(avg(dot / (sqrt(snx) * sqrt(snc))), 6) AS avg_cos_to_centroid,
+       round(min(dot / (sqrt(snx) * sqrt(snc))), 6) AS min_cos_to_centroid
+FROM per_vec GROUP BY lang ORDER BY lang
+"""
+
+
+@register("x3f_lang_centroids", oracle=_X3F_ORACLE, tags=("X3", "X4"))
+def x3f_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language embedding centroid + cosine cohesion (avg/min
+    cosine of each vector to its language centroid) — the cluster-
+    quality / drift metric run over every embedding batch before it
+    enters an index. Shape: posexplode → per-(lang,dim) mean (shuffles
+    (lang,dim,partial) triples, never vectors) → rejoin → per-vector
+    cosine → per-lang rollup. All sums are over ~corpus-sized doubles
+    with round(6) well above accumulated ulp error; dim index only
+    ever used for within-engine grouping, so 0- vs 1-based doesn't
+    matter."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    v = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    ).join(d, "vec_id")
+    el = v.select(
+        "lang", "vec_id", F.posexplode("emb").alias("i", "x")
+    )
+    cent = el.groupBy("lang", "i").agg(F.avg("x").alias("c"))
+    per_vec = (
+        el.join(cent, ["lang", "i"])
+        .groupBy("lang", "vec_id")
+        .agg(
+            F.sum(F.col("x") * F.col("c")).alias("dot"),
+            F.sum(F.col("x") * F.col("x")).alias("snx"),
+            F.sum(F.col("c") * F.col("c")).alias("snc"),
+        )
+    )
+    cos = F.col("dot") / (F.sqrt("snx") * F.sqrt("snc"))
+    return (
+        per_vec.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg(cos), 6).alias("avg_cos_to_centroid"),
+            F.round(F.min(cos), 6).alias("min_cos_to_centroid"),
+        )
+        .orderBy("lang")
+    )

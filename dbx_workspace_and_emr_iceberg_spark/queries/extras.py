@@ -687,3 +687,60 @@ def x4h_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
+
+
+# --- F2c: date-spine gap fill ----------------------------------------------
+
+_F2C_ORACLE = """
+WITH bounds AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT t.event_type, s.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n_events
+FROM spine s
+CROSS JOIN types t
+LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = s.day
+ORDER BY t.event_type, s.day
+"""
+
+
+@register("f2c_date_spine_fill", oracle=_F2C_ORACLE, tags=("F2", "J2"))
+def f2c_date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap fill: a generated date spine (sequence over the
+    observed min..max day) cross-joined with the dimension, left-joined
+    to the daily fact counts so missing days surface as explicit zeros
+    — the shape every time-series dashboard and training-data freshness
+    monitor needs (a groupBy alone silently omits empty days). The
+    spine is generated, never materialized from the fact table, and
+    the cross join is spine × tiny dimension — both sides broadcast-
+    scale even when the fact table is 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    bounds = ev.agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    daily = ev.groupBy("event_type", day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        spine.crossJoin(types)
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -771,3 +771,60 @@ def x4g_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- X18: corpus-version drift report ---------------------------------------
+
+_X18_ORACLE = """
+WITH v1 AS (
+  SELECT lang, count(*) AS n FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+),
+v2 AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+t1 AS (SELECT sum(n) AS tot FROM v1),
+t2 AS (SELECT sum(n) AS tot FROM v2)
+SELECT v2.lang,
+       CAST(coalesce(v1.n, 0) AS BIGINT) AS docs_v1,
+       CAST(v2.n AS BIGINT) AS docs_v2,
+       round(CAST(coalesce(v1.n, 0) AS DOUBLE) / t1.tot, 6) AS share_v1,
+       round(CAST(v2.n AS DOUBLE) / t2.tot, 6) AS share_v2,
+       round(abs(CAST(v2.n AS DOUBLE) / t2.tot
+                 - CAST(coalesce(v1.n, 0) AS DOUBLE) / t1.tot), 6) AS share_drift
+FROM v2 LEFT JOIN v1 USING (lang)
+CROSS JOIN t1 CROSS JOIN t2
+ORDER BY lang
+"""
+
+
+@register("x18_corpus_drift", oracle=_X18_ORACLE, tags=("X4", "X6"))
+def x18_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-drift report between two corpus versions (v1 = half the
+    docs standing in for "yesterday's snapshot", v2 = all docs): per-
+    language doc counts, shares, and absolute share drift — the
+    monitoring pass that catches a scraper or filter change silently
+    re-weighting the training mixture. Two aggregates + broadcast-scale
+    joins of per-lang rollups; the fact scans never join each other.
+    With the lakehouse layer, v1/v2 come from time travel
+    (`table_snapshot`) over the same table."""
+    d = load_table(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") % 2 == 0).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n1")
+    )
+    v2 = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n2"))
+    t1 = v1.agg(F.sum("n1").alias("tot1"))
+    t2 = v2.agg(F.sum("n2").alias("tot2"))
+    s1 = F.coalesce("n1", F.lit(0)).cast("double") / F.col("tot1")
+    s2 = F.col("n2").cast("double") / F.col("tot2")
+    return (
+        v2.join(v1, "lang", "left")
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            "lang",
+            F.coalesce("n1", F.lit(0)).alias("docs_v1"),
+            F.col("n2").alias("docs_v2"),
+            F.round(s1, 6).alias("share_v1"),
+            F.round(s2, 6).alias("share_v2"),
+            F.round(F.abs(s2 - s1), 6).alias("share_drift"),
+        )
+        .orderBy("lang")
+    )

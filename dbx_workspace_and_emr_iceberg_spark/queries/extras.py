@@ -647,26 +647,39 @@ LIMIT 10
 def x4h_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 (k1=1.2, b=0.75, Lucene idf) top-10 docs for the corpus's
     3 most frequent terms — the ranking function TF-IDF (x4f) lacks:
-    term-frequency saturation and length normalization. Same scale
-    shape as x4f: doc-term counts + document frequencies are two
-    shuffles; the 3-term query and the tiny DF table broadcast; the
-    corpus streams once. Deterministic: query terms derived (not
+    term-frequency saturation and length normalization. ONE corpus
+    scan feeds a cached doc-term count from which doc lengths, corpus
+    stats, query terms, and document frequencies all derive; only the
+    3-row (term, df) table broadcasts. Deterministic: query terms derived (not
     hard-coded), ties broken alphabetically / by doc_id on both
     engines."""
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()
-    terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    tf = terms.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
-    avglen = dl.agg(F.avg("len")).first()[0]
+    # ONE corpus scan: the doc-term count is cached and every other
+    # statistic (doc lengths, query terms, document frequencies, corpus
+    # stats) derives from it — without the cache the plan re-scans the
+    # corpus once per derived aggregate.
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .cache()
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("nd"), F.avg("len").alias("avglen")
+    ).first()
+    n_docs, avglen = stats["nd"], stats["avglen"]
     q = (
-        terms.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
+        tf.groupBy("w")
+        .agg(F.sum("tf").alias("c"))
         .orderBy(F.col("c").desc(), "w")
         .limit(3)
         .select("w")
     )
-    dfreq = terms.distinct().groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    # restrict DF to the 3 query terms BEFORE broadcasting — the full
+    # vocabulary's DF table is corpus-sized, the query's is 3 rows
+    qdf = dfreq.join(q, "w")
     idf = F.log(
         1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
@@ -676,8 +689,7 @@ def x4h_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("len") / F.lit(avglen)))
     )
     scored = (
-        tf.join(F.broadcast(q), "w")
-        .join(F.broadcast(dfreq), "w")
+        tf.join(F.broadcast(qdf), "w")
         .join(dl, "doc_id")
         .groupBy("doc_id")
         .agg(F.sum(idf * sat).alias("score"))

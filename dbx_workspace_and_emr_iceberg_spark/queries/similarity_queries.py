@@ -298,8 +298,10 @@ j AS (
   FROM v JOIN documents d ON v.vec_id = d.doc_id
 ),
 el AS (
-  SELECT lang, vec_id, i, emb[i] AS x
-  FROM j CROSS JOIN generate_series(1, 64) AS t(i)
+  SELECT lang, vec_id,
+         generate_subscripts(emb, 1) AS i,
+         unnest(emb) AS x
+  FROM j
 ),
 cent AS (SELECT lang, i, avg(x) AS c FROM el GROUP BY 1, 2),
 per_vec AS (

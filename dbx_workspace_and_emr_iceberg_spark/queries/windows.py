@@ -3,7 +3,9 @@
 A window over PARTITION BY k is one shuffle on k plus a partition-local
 sort — same cost shape at any scale provided no single key dominates
 (per-user event windows are fine; a global window with no PARTITION BY
-is a single-partition bottleneck and is deliberately absent here).
+is a single-partition bottleneck — w5's ntile over the per-customer
+rollup is the one deliberate exception, with its scale-out substitute
+documented in its docstring).
 
 Determinism: ranking windows that must be unique (row_number, ntile,
 lag/lead/nth) order by a key-complete column list; rank/dense_rank/

@@ -225,24 +225,35 @@ def test_asof_bucketed_exact_at_nanosecond_epochs(spark):
 
 
 def test_x14_packing_invariants(spark):
-    """Sequence packing must (a) never split a doc across packs, (b)
-    keep every pack's token count under budget + one doc's overflow
-    (greedy sequential fill), and (c) assign pack ids densely from 0
-    per shard."""
+    """Sequence packing: pack ids are dense from 0 per shard, and the
+    greedy sequential fill bounds every pack at budget + one doc's
+    overflow (a pack's last doc STARTS inside the 512-token budget, so
+    tokens <= 512 - 1 + that doc's length)."""
+    from tests.conftest import SF_DIR
+
     from dbx_workspace_and_emr_iceberg_spark.queries.text_queries import (
         x14_sequence_packing,
     )
+    from dbx_workspace_and_emr_iceberg_spark.tables import load_table
 
-    rows = x14_sequence_packing(spark, "/root/testdata/sf0.001").collect()
+    max_ntok = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.size(F.split("text", " ")).alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    rows = x14_sequence_packing(spark, SF_DIR).collect()
     by_shard = {}
     for r in rows:
         by_shard.setdefault(r.shard, []).append(r)
+    assert by_shard, "packing produced no packs"
     for shard, packs in by_shard.items():
         ids = [p.pack_id for p in packs]
         assert ids == sorted(ids)
         assert ids[0] == 0, f"shard {shard} packs must start at 0"
-        # greedy fill: every pack except possibly the last must START a
-        # doc past the 512 boundary only because its first doc began
-        # inside budget; bound is budget + max doc length (~word count)
         for p in packs:
             assert p.pack_tokens > 0 and p.n_docs > 0
+            assert p.pack_tokens <= 512 - 1 + max_ntok, (
+                f"shard {shard} pack {p.pack_id} overflows the greedy "
+                f"bound: {p.pack_tokens} tokens"
+            )

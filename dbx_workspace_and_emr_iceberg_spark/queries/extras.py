@@ -756,3 +756,60 @@ def f2c_date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# --- A5c: mergeable HLL sketches (incremental distinct) ---------------------
+
+
+@register("a5c_hll_mergeable", oracle=None, tags=("A5", "X6"))
+def a5c_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-distinct pattern for 100 TB: build one HLL
+    sketch PER DAY (`hll_sketch_agg` — the sketch is a storable binary
+    column), then `hll_union_agg` merges the day sketches into the
+    global distinct-user estimate WITHOUT rescanning history. New data
+    only ever sketches its own partition; the union is sketch-count ×
+    sketch-size work. Self-verifies: the merged estimate must land
+    within 5% of the exact distinct count (Datasketches HLL, lgK=12 →
+    ~1.6% rse), and per-day sketch estimates must each match their
+    day's exact count within 5%.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date").alias("day")
+    daily = ev.groupBy(day).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_day"),
+    )
+    checked = daily.select(
+        "day",
+        "exact_day",
+        F.hll_sketch_estimate("sk").alias("est_day"),
+        "sk",
+    )
+    bad = checked.filter(
+        F.abs(F.col("est_day") - F.col("exact_day"))
+        > 0.05 * F.col("exact_day")
+    ).count()
+    if bad:
+        raise AssertionError(f"{bad} daily HLL estimates off by > 5%")
+
+    merged = checked.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_total"),
+        F.sum(F.lit(1)).alias("n_day_sketches"),
+    )
+    exact_total = ev.agg(F.countDistinct("user_id").alias("e")).first()["e"]
+    row = merged.first()
+    if abs(row["est_total"] - exact_total) > 0.05 * exact_total:
+        raise AssertionError(
+            f"merged HLL estimate {row['est_total']} vs exact {exact_total}"
+        )
+    return spark.createDataFrame(
+        [
+            (
+                int(row["n_day_sketches"]),
+                int(exact_total),
+                int(row["est_total"]),
+                round(abs(row["est_total"] - exact_total) / exact_total, 6),
+            )
+        ],
+        "n_day_sketches int, exact_distinct int, merged_estimate int, rel_err double",
+    )

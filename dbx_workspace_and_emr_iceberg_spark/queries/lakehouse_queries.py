@@ -395,7 +395,7 @@ def m10_incremental_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         v1 = t.create(b1)
         v2 = t.append(b2)
         inc = t.read_incremental(v1, v2)
-        assert inc.exceptAll(b2).count() == 0 and b2.exceptAll(inc).count() == 0, (
+        assert inc.exceptAll(b2).union(b2.exceptAll(inc)).limit(1).count() == 0, (
             "incremental v1..v2 must equal batch 2 exactly"
         )
         steps.append(("incremental_append", v2, inc.count()))
@@ -424,8 +424,11 @@ def m10_incremental_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_change_type", "_change_version"
         )
         assert (
-            del_img.exceptAll(doomed).count() == 0
-            and doomed.exceptAll(del_img).count() == 0
+            del_img.exceptAll(doomed)
+            .union(doomed.exceptAll(del_img))
+            .limit(1)
+            .count()
+            == 0
         ), "DELETE images must be exactly the deleted rows"
         steps.append(("changelog_delete", v4, n_doomed))
 
@@ -585,9 +588,13 @@ def m11_sorted_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hash layout must leave nothing to prune (probe range hits all files)"
         )
         before = t.read_range("l_orderkey", lo, hi)
-        assert before.exceptAll(expected).count() == 0 and expected.exceptAll(
-            before
-        ).count() == 0, "pre-rewrite range scan correctness"
+        assert (
+            before.exceptAll(expected)
+            .union(expected.exceptAll(before))
+            .limit(1)
+            .count()
+            == 0
+        ), "pre-rewrite range scan correctness"
 
         v = t.rewrite_sorted("l_orderkey", target_files=8)
         pruned_after = len(t.pruned_files("l_orderkey", lo, hi))
@@ -595,9 +602,13 @@ def m11_sorted_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"sorted layout must prune: {pruned_after} !< {pruned_before}"
         )
         after = t.read_range("l_orderkey", lo, hi)
-        assert after.exceptAll(expected).count() == 0 and expected.exceptAll(
-            after
-        ).count() == 0, "post-rewrite range scan correctness"
+        assert (
+            after.exceptAll(expected)
+            .union(expected.exceptAll(after))
+            .limit(1)
+            .count()
+            == 0
+        ), "post-rewrite range scan correctness"
 
         return _log(
             spark,

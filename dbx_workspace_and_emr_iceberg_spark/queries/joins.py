@@ -451,14 +451,20 @@ def j7b_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     iv = ev.filter(
         (F.col("event_type") == "click") & (F.col("user_id") % 10 == 0)
+    # unix_micros requires TIMESTAMP; events.ts is TIMESTAMP_NTZ. The
+    # session is pinned to UTC (ensure_session_defaults), so the cast
+    # maps the naive value to the same epoch DuckDB's epoch_us sees.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.filter(
+        (F.col("event_type") == "click") & (F.col("user_id") % 10 == 0)
     ).select(
         F.col("event_id").alias("iv_id"),
-        F.unix_micros("ts").alias("lo"),
-        (F.unix_micros("ts") + 21_600_000_000).alias("hi"),
+        ts_us.alias("lo"),
+        (ts_us + 21_600_000_000).alias("hi"),
     )
     pts = ev.filter(
         (F.col("event_type") == "purchase") & (F.col("user_id") % 10 == 1)
-    ).select("event_id", F.unix_micros("ts").alias("p"))
+    ).select("event_id", ts_us.alias("p"))
     joined = range_join_binned(
         pts,
         iv,

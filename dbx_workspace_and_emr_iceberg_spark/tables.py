@@ -82,11 +82,14 @@ def ensure_session_defaults(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table (vectorized Parquet scan, S2).
 
-    ``events.ts`` is physically INT64 TIMESTAMP(NANOS), which Spark's
-    Parquet reader rejects by default. All fixture values are µs-aligned
-    (verified: epoch_ns % 1000 == 0 for every row), so we read nanos as
-    long and convert losslessly to a TimestampType column — identical to
-    what DuckDB's TIMESTAMP view of the same file yields.
+    ``events.ts`` has shipped in two physical encodings across fixture
+    generations: INT64 TIMESTAMP(NANOS) (µs-aligned; the vectorized
+    reader needs nanosAsLong) and plain TIMESTAMP(MICROS) without UTC
+    adjustment (read as TIMESTAMP_NTZ). Both are normalized here to
+    TIMESTAMP_NTZ — the naive civil value is exactly what DuckDB's view
+    of the same file yields, and NTZ collect() is immune to the driver
+    process's system timezone (TimestampType round-trips through
+    ``datetime.fromtimestamp`` on the local zone; NTZ does not).
     """
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; known: {TABLES}")
@@ -96,13 +99,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if key in cache:
         return cache[key]
     path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     if name == "events":
-        df = spark.read.parquet(path)
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        df = spark.read.parquet(path)
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            # nanos-as-long generation: ns → µs is lossless (verified
+            # epoch_ns % 1000 == 0), then drop the UTC adjustment with
+            # the session pinned to UTC so the civil value is unchanged.
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+        elif ts_type == "timestamp":
+            # Session pinned to UTC by ensure_session_defaults, so this
+            # cast preserves the stored civil value.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        # timestamp_ntz: already the canonical form.
     cache[key] = df
     return df
 

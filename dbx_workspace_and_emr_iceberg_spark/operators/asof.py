@@ -22,9 +22,26 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import (
+    StructField,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 _SIDE = "__asof_side"
+
+
+def _epoch_long(col, dtype):
+    """Epoch seconds (numeric ts columns: the raw value) as BIGINT.
+
+    TIMESTAMP_NTZ cannot cast straight to BIGINT in Spark 4.x; route it
+    through TIMESTAMP first — callers pin the session to UTC, so the
+    naive civil value maps to the UTC epoch.
+    """
+    if isinstance(dtype, TimestampNTZType):
+        return col.cast("timestamp").cast("long")
+    return col.cast("long")
 
 
 def _payload_type(right: DataFrame, right_ts: str, right_cols: list[str]) -> StructType:
@@ -122,9 +139,10 @@ def asof_join(
         )
     matched = carried.filter(F.col(_SIDE) == 1)
     if tolerance_s is not None:
-        delta = (
-            F.col(left_ts).cast("long")
-            - F.col("__c_p").getField("__rts").cast("long")
+        delta = _epoch_long(
+            F.col(left_ts), left.schema[left_ts].dataType
+        ) - _epoch_long(
+            F.col("__c_p").getField("__rts"), right.schema[right_ts].dataType
         )
         if direction == "forward":
             delta = -delta
@@ -179,21 +197,29 @@ def asof_join_bucketed(
     """
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
 
-    def bkt(col_name: str):
+    def bkt(col_name: str, dtype):
         # exact integer floor division on the epoch value: pmod is in
-        # [0, bucket_s), the difference divides exactly, DIV is integer
-        c = f"CAST(`{col_name}` AS BIGINT)"
+        # [0, bucket_s), the difference divides exactly, DIV is integer.
+        # TIMESTAMP_NTZ has no direct BIGINT cast — hop through
+        # TIMESTAMP (session pinned UTC).
+        if isinstance(dtype, TimestampNTZType):
+            c = f"CAST(CAST(`{col_name}` AS TIMESTAMP) AS BIGINT)"
+        else:
+            c = f"CAST(`{col_name}` AS BIGINT)"
         return F.expr(f"({c} - pmod({c}, {bucket_s})) DIV {bucket_s}")
+
+    l_ts_type = left.schema[left_ts].dataType
+    r_ts_type = right.schema[right_ts].dataType
 
     # -- pass 1+2: per-(key,bucket) latest right row -> per-bucket seeds --
     pay = _payload_struct(right_ts, right_cols)
     rhs_b = right.select(
         F.col(on), F.col(right_ts), *[F.col(c) for c in right_cols]
-    ).withColumn("__bkt", bkt(right_ts))
+    ).withColumn("__bkt", bkt(right_ts, r_ts_type))
     bucket_last = rhs_b.groupBy(on, "__bkt").agg(F.max(pay).alias("__p"))
 
     spine = (
-        left.select(F.col(on), bkt(left_ts).alias("__bkt"))
+        left.select(F.col(on), bkt(left_ts, l_ts_type).alias("__bkt"))
         .union(rhs_b.select(on, "__bkt"))
         .distinct()
     )
@@ -214,7 +240,7 @@ def asof_join_bucketed(
         *left.columns,
         F.lit(1).alias(_SIDE),
         F.col(left_ts).alias("__ts"),
-        bkt(left_ts).alias("__bkt"),
+        bkt(left_ts, l_ts_type).alias("__bkt"),
         F.lit(None).cast(ptype).alias("__p"),
     )
     rhs = rhs_b.select(
@@ -227,11 +253,14 @@ def asof_join_bucketed(
     seed_rows = seeds.select(
         *[F.col(c) if c == on else F.lit(None).alias(c) for c in left.columns],
         F.lit(-1).alias(_SIDE),
-        # bucket start, cast back to the ts column's own type (long ->
-        # timestamp casts as epoch seconds; integer ts types cast plainly)
-        (F.col("__bkt") * bucket_s)
-        .cast(left.schema[left_ts].dataType)
-        .alias("__ts"),
+        # bucket start, rebuilt in the ts column's own type. Timestamp
+        # types (incl. NTZ, which has no BIGINT<->NTZ cast) go through
+        # timestamp_seconds on the epoch; integer ts types cast plainly.
+        (
+            F.timestamp_seconds(F.col("__bkt") * bucket_s).cast(l_ts_type)
+            if isinstance(l_ts_type, (TimestampType, TimestampNTZType))
+            else (F.col("__bkt") * bucket_s).cast(l_ts_type)
+        ).alias("__ts"),
         "__bkt",
         F.col("__seed").alias("__p"),
     )
@@ -247,9 +276,8 @@ def asof_join_bucketed(
     )
     matched = carried.filter(F.col(_SIDE) == 1)
     if tolerance_s is not None:
-        delta = (
-            F.col(left_ts).cast("long")
-            - F.col("__c_p").getField("__rts").cast("long")
+        delta = _epoch_long(F.col(left_ts), l_ts_type) - _epoch_long(
+            F.col("__c_p").getField("__rts"), r_ts_type
         )
         matched = matched.select(
             *left.columns,

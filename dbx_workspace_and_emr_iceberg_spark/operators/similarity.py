@@ -361,7 +361,18 @@ def ivf_topk(
         "cell",
     )
 
-    # queries probe their n_probe nearest cells
+    # queries probe their n_probe nearest cells. The query batch is
+    # driver-collected and broadcast — enforce the "small by contract"
+    # bound explicitly so a misuse (corpus passed as queries) fails
+    # loudly instead of OOMing the driver at scale.
+    MAX_QUERY_BATCH = 100_000
+    n_queries = queries.count()
+    if n_queries > MAX_QUERY_BATCH:
+        raise ValueError(
+            f"ivf_topk query batch has {n_queries} rows; the broadcast "
+            f"query-batch design caps at {MAX_QUERY_BATCH}. Split the "
+            "batch or use the bucketed LSH path for query-side scale."
+        )
     qrows = queries.select(id_col, vec_col).collect()
     q_probe = []
     for r in qrows:

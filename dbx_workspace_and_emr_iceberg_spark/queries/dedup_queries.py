@@ -149,7 +149,14 @@ ORDER BY id_a, id_b
 def x2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise word-set Jaccard between two deterministic doc
     pools. Uses the explode+join formulation (scales linearly with
-    pair-candidate count; never builds in-memory sets on the driver)."""
+    pair-candidate count; never builds in-memory sets on the driver).
+
+    SCALE NOTE: the all-pairs crossJoin between the two pools is an
+    ORACLE FIXTURE ONLY — O(|A|x|B|) candidates is not the 100 TB
+    dedup route. For corpus-scale near-dup detection use
+    ``x2_minhash_lsh`` / ``x12b_lsh_dedup_pipeline``, which generate
+    candidates via banded LSH buckets and only then verify with this
+    same exact-Jaccard kernel."""
     d = load_table(spark, sf_dir, "documents")
     pool_a = d.filter(F.col("doc_id") % 40 == 0).select(
         F.col("doc_id").alias("id_a"), F.col("text")

@@ -68,12 +68,18 @@ def s2d_json_timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_id") % 101 == 0)
         .select("event_id", "ts", "value")
     )
-    # default JSON timestampFormat truncates to millis; request µs
+    # default JSON timestamp formats truncate to millis; request µs.
+    # ts is TIMESTAMP_NTZ (tables.py canonical form), which JSON
+    # serializes via timestampNTZFormat — timestampFormat alone only
+    # covers zoned TIMESTAMP columns and would silently drop micros.
     back = roundtrip(
         ev,
         os.path.join(_TMP_ROOT, "events_json_ts"),
         "json",
-        {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
+        {
+            "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+            "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+        },
     )
     return back.select(
         "event_id", "ts", F.round("value", 6).alias("value")

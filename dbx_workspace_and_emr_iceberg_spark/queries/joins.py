@@ -449,8 +449,6 @@ def j7b_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.range_join import range_join_binned
 
     ev = load_table(spark, sf_dir, "events")
-    iv = ev.filter(
-        (F.col("event_type") == "click") & (F.col("user_id") % 10 == 0)
     # unix_micros requires TIMESTAMP; events.ts is TIMESTAMP_NTZ. The
     # session is pinned to UTC (ensure_session_defaults), so the cast
     # maps the naive value to the same epoch DuckDB's epoch_us sees.

@@ -153,7 +153,11 @@ def t5_watermark_append_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = tempfile.mkdtemp(prefix="stream_src_")
     try:
-        ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+        # withWatermark requires zoned TIMESTAMP (rejects the batch
+        # side's TIMESTAMP_NTZ); session pinned UTC keeps civil values.
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id"
+        )
         on_time = ev.filter(F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
         late = ev.filter(F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp")).limit(5)
         on_time.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b1"))
@@ -494,7 +498,10 @@ def t6b_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = tempfile.mkdtemp(prefix="stream_dwm_")
     try:
-        ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+        # zoned TIMESTAMP for withWatermark (NTZ rejected; UTC session)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+        )
         ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "c1"))
         ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "c2"))
         stream = spark.readStream.schema(ev.schema).parquet(src + "/*/")

@@ -295,7 +295,10 @@ def x8_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # ts is TIMESTAMP_NTZ (tables.py normalization); no direct BIGINT
+    # cast — hop through TIMESTAMP with the session pinned to UTC.
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    gap_s = ts_s - F.lag(ts_s).over(w)
     flagged = ev.withColumn(
         "new_sess", F.when(gap_s <= 1800, F.lit(0)).otherwise(F.lit(1))
     )
@@ -308,9 +311,7 @@ def x8_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("session_value"),
-            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
-                "duration_s"
-            ),
+            (F.max(ts_s) - F.min(ts_s)).alias("duration_s"),
         )
         .orderBy("user_id", "session_seq")
     )

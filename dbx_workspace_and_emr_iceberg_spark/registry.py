@@ -82,6 +82,8 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 _LOADED = False
+# module name -> error string, for the import smoke test to assert empty
+_BROKEN_MODULES: dict[str, str] = {}
 
 
 def _load_all() -> None:
@@ -100,6 +102,18 @@ def _load_all() -> None:
             # queries module only drops its own registrations.
             if f"queries.{mod}" not in str(e):
                 raise
+        except Exception as e:  # SyntaxError, bad import, etc.
+            # A broken module must cost ONLY its own registrations —
+            # round 4 lost all 162 queries to one unclosed paren. Loud
+            # on stderr so tests/test_imports.py and humans both see it.
+            import sys
+
+            print(
+                f"[registry] SKIPPING queries.{mod}: "
+                f"{type(e).__name__}: {e}",
+                file=sys.stderr,
+            )
+            _BROKEN_MODULES[mod] = f"{type(e).__name__}: {e}"
 
 
 def all_queries() -> dict[str, Query]:

@@ -23,18 +23,37 @@ from pyspark.sql.types import LongType, StructType
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1: file stream over the events fixture (ts: parquet-ns → µs)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """T1: file stream over the events fixture.
+
+    ts is normalized to plain TIMESTAMP, whatever the parquet physical
+    type (int64-nanos in older fixture generations, timestamp[us] now).
+    NOT the batch side's TIMESTAMP_NTZ: Spark 4.1.2 rejects NTZ event
+    time (`withWatermark` raises EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE),
+    so the streaming canonical form must be zoned. The session is
+    pinned to UTC (ensure_session_defaults), so the NTZ→TIMESTAMP cast
+    preserves the stored civil value and collect() round-trips it.
+    """
+    from ..tables import ensure_session_defaults
+
+    ensure_session_defaults(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    schema = StructType(
-        [f if f.name != "ts" else type(f)("ts", LongType()) for f in static.schema]
-    )
+    ts_type = static.schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":
+        # nanos-as-long generation
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = StructType(
+            [f if f.name != "ts" else type(f)("ts", LongType()) for f in static.schema]
+        )
+        fix = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        schema = static.schema
+        fix = F.col("ts").cast("timestamp")
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("ts", fix)
 
 
 def run_to_memory(

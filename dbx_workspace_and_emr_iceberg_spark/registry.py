@@ -121,19 +121,89 @@ def all_queries() -> dict[str, Query]:
     return dict(_REGISTRY)
 
 
+#: Oracled queries with NO hash-green row in any driver correctness run
+#: so far (computed from CORRECTNESS_r01–r03; r04 was empty — broken
+#: import). The driver walks queries_dict() in order under a ~50-query
+#: budget, and rounds 1–3 all spent it re-proving the same first-50
+#: slice; these must go first so round 5 converts never-verified
+#: surface into hard signal. Fast relational queries lead; the oracled
+#: streaming set (multi-second trigger setups) trails within the group
+#: in case the budget is wall-clock-bound too.
+_DRIVER_PRIORITY = [
+    # failed r1-r3, fixed since — most valuable rows to flip
+    "p1_projection",
+    "p5_casts",
+    # ts-dependent, fixed this round, never green
+    "j7b_range_binned",
+    "j8c_asof_bucketed",
+    "j8d_asof_forward",
+    "s2d_json_timestamp_roundtrip",
+    # never driver-run: format/udf surface
+    "s2_csv_roundtrip",
+    "s2b_json_roundtrip",
+    "s2c_orc_roundtrip",
+    "s11_range_source",
+    "d2_scalar_pandas_udf",
+    "d3_grouped_agg_udaf",
+    "d4_grouped_map",
+    "d5_map_in_pandas",
+    "d5b_map_in_arrow",
+    "d6_python_udtf",
+    "d7_sql_registered_udf",
+    # never driver-run: relational extras
+    "a5b_percentiles_exact",
+    "a7c_pivot",
+    "u2b_intersect_all",
+    "u3b_except_all",
+    "u5_unpivot_stack",
+    "f2b_date_parse_format",
+    "f2c_date_spine_fill",
+    "f4e_explode_outer",
+    "p5b_try_functions",
+    "j10_bucketed_join",
+    "x6_salted_skew_join",
+    "x13_hash_split",
+    "x13b_mixture_sample",
+    # never driver-run: LLM-pipeline surface
+    "x4f_tfidf",
+    "x4g_repetition_metrics",
+    "x4h_bm25",
+    "x5_binary_metadata",
+    "x11_training_pipeline",
+    "x14_sequence_packing",
+    "x15_quality_quantile_gate",
+    "x16_contamination_check",
+    "x17_pii_redaction",
+    "x18_corpus_drift",
+    # oracled streaming (slow setups — last within the priority group)
+    "t2_tumbling_window",
+    "t3_sliding_window",
+    "t4_session_window",
+    "t6_stream_dedup",
+    "t6b_dedup_within_watermark",
+    "t7_stateful_per_key",
+    "t8_stream_static_join",
+    "t8b_stream_stream_join",
+    "t11_stream_hash_split",
+]
+
+
 def queries_dict() -> dict[str, QueryFn]:
-    """Registration order, except all ORACLED queries come before the
-    rows-only ones. A time-budgeted verification run (the driver walks
-    this dict in order — round 1 proved the budget can run out) should
-    spend its budget on hash-verifiable queries first: a rows-only
-    query yields the same weak row-count signal wherever it runs, and
-    the rows-only set (lakehouse DML lifecycles, streaming triggers)
-    is also where most of the wall-clock lives."""
+    """Driver execution order, three tiers:
+
+      1. :data:`_DRIVER_PRIORITY` — oracled queries with no prior
+         driver-green row (see its comment),
+      2. every other ORACLED query in registration order,
+      3. rows-only queries last: they yield the same weak row-count
+         signal wherever they run, and the rows-only set (lakehouse DML
+         lifecycles, streaming triggers) is also where most of the
+         wall-clock lives."""
     qs = list(all_queries().values())
-    ordered = [q for q in qs if q.oracle is not None] + [
-        q for q in qs if q.oracle is None
-    ]
-    return {q.name: q.fn for q in ordered}
+    prio = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
+    first = sorted((q for q in qs if q.name in prio), key=lambda q: prio[q.name])
+    rest_oracled = [q for q in qs if q.oracle is not None and q.name not in prio]
+    rows_only = [q for q in qs if q.oracle is None and q.name not in prio]
+    return {q.name: q.fn for q in first + rest_oracled + rows_only}
 
 
 def oracle_dict() -> dict[str, str]:

@@ -47,7 +47,8 @@ from pyspark.sql import functions as F
 def iceberg_session_conf(warehouse: str, catalog: str = "local") -> dict[str, str]:
     """The real-Iceberg config this module stands in for — matches the
     reference's spark-defaults (main.tf:792-806) with a Hadoop catalog
-    locally; swap type=rest + uri for Unity Catalog in production."""
+    locally; see :func:`iceberg_rest_catalog_conf` for the REST+OAuth2
+    shape the reference pins in production."""
     return {
         "spark.sql.extensions": (
             "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
@@ -57,6 +58,48 @@ def iceberg_session_conf(warehouse: str, catalog: str = "local") -> dict[str, st
         f"spark.sql.catalog.{catalog}.warehouse": warehouse,
         "spark.sql.defaultCatalog": catalog,
     }
+
+
+def iceberg_rest_catalog_conf(
+    uri: str,
+    warehouse: str,
+    catalog: str = "rest",
+    credential: str | None = None,
+    oauth2_server_uri: str | None = None,
+    scope: str | None = None,
+    token_refresh_enabled: bool = True,
+) -> dict[str, str]:
+    """REST-catalog session conf with the OAuth2 client-credential knobs
+    the reference pins (main.tf:795-801: ``credential``,
+    ``oauth2-server-uri``, ``token-refresh-enabled``). Pure config —
+    no secret material lives in code; ``credential`` is the
+    ``client_id:client_secret`` pair injected from the environment or a
+    secret manager by the caller.
+
+    Works against any Iceberg REST catalog implementation (Unity
+    Catalog, Polaris, Glue REST, Nessie, Gravitino) — the REST spec is
+    the interoperable surface, which is exactly why the reference
+    prefers it over a Hadoop catalog in production."""
+    conf = {
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        ),
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "rest",
+        f"spark.sql.catalog.{catalog}.uri": uri,
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+        f"spark.sql.catalog.{catalog}.token-refresh-enabled": (
+            "true" if token_refresh_enabled else "false"
+        ),
+        "spark.sql.defaultCatalog": catalog,
+    }
+    if credential is not None:
+        conf[f"spark.sql.catalog.{catalog}.credential"] = credential
+    if oauth2_server_uri is not None:
+        conf[f"spark.sql.catalog.{catalog}.oauth2-server-uri"] = oauth2_server_uri
+    if scope is not None:
+        conf[f"spark.sql.catalog.{catalog}.scope"] = scope
+    return conf
 
 
 class ConflictError(RuntimeError):

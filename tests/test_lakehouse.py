@@ -208,3 +208,36 @@ def test_snapshots_relation_survives_expiry(spark, wh):
     t.expire_snapshots(keep_last=1)
     vers = [r.version for r in t.snapshots().collect()]
     assert vers == [3], f"snapshots() must skip expired manifests, got {vers}"
+
+
+def test_rest_catalog_conf_shape():
+    """The REST+OAuth2 knobs the reference pins (main.tf:795-801) must
+    all surface through iceberg_rest_catalog_conf — config-only, no
+    jars needed to assert the contract."""
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        iceberg_rest_catalog_conf,
+    )
+
+    conf = iceberg_rest_catalog_conf(
+        uri="https://catalog.example.com/api/rest",
+        warehouse="wh_name",
+        catalog="uc",
+        credential="client-id:client-secret",
+        oauth2_server_uri="https://auth.example.com/oauth/token",
+        scope="catalog",
+        token_refresh_enabled=True,
+    )
+    assert conf["spark.sql.catalog.uc.type"] == "rest"
+    assert conf["spark.sql.catalog.uc.uri"].startswith("https://")
+    assert conf["spark.sql.catalog.uc.credential"] == "client-id:client-secret"
+    assert (
+        conf["spark.sql.catalog.uc.oauth2-server-uri"]
+        == "https://auth.example.com/oauth/token"
+    )
+    assert conf["spark.sql.catalog.uc.scope"] == "catalog"
+    assert conf["spark.sql.catalog.uc.token-refresh-enabled"] == "true"
+    assert conf["spark.sql.defaultCatalog"] == "uc"
+    # secrets are caller-injected only: omitting them omits the keys
+    minimal = iceberg_rest_catalog_conf(uri="u", warehouse="w")
+    assert not any(k.endswith(".credential") for k in minimal)
+    assert not any(k.endswith(".oauth2-server-uri") for k in minimal)

@@ -257,3 +257,70 @@ def test_x14_packing_invariants(spark):
                 f"shard {shard} pack {p.pack_id} overflows the greedy "
                 f"bound: {p.pack_tokens} tokens"
             )
+
+
+def test_asof_timestamp_ntz_tolerance_and_bucketed(spark):
+    """events.ts is canonically TIMESTAMP_NTZ (tables.py); the as-of
+    operator must handle NTZ end-to-end: tolerance epoch math (NTZ has
+    no direct BIGINT cast), bucket-id derivation, and seed-row
+    timestamp reconstruction (no BIGINT->NTZ cast exists either).
+    Brute-force-checked on data whose matches span bucket boundaries."""
+    import datetime as dt
+
+    from dbx_workspace_and_emr_iceberg_spark.operators.asof import (
+        asof_join,
+        asof_join_bucketed,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda s: base + dt.timedelta(seconds=s)  # noqa: E731
+    # right rows at 0s, 100s per key; left probes far enough from both
+    # to exercise tolerance rejection and cross-bucket seed carry
+    left = [(k, mk(s), i) for i, (k, s) in enumerate(
+        (k, s) for k in (1, 2) for s in (5, 95, 140, 400)
+    )]
+    right = [(k, mk(s), f"r{k}-{s}") for k in (1, 2) for s in (0, 100)]
+    ldf = spark.createDataFrame(
+        left, "k int, lts timestamp_ntz, rowid int"
+    )
+    rdf = spark.createDataFrame(right, "k int, rts timestamp_ntz, v string")
+    assert dict(ldf.dtypes)["lts"] == "timestamp_ntz"
+
+    def brute(tol):
+        want = {}
+        for k, lts, rowid in left:
+            cand = [(rts, v) for (rk, rts, v) in right if rk == k and rts <= lts]
+            if cand:
+                rts, v = max(cand)
+                if tol is not None and (lts - rts).total_seconds() > tol:
+                    want[rowid] = None
+                else:
+                    want[rowid] = v
+            else:
+                want[rowid] = None
+        return want
+
+    for tol in (None, 50):
+        want = brute(tol)
+        got = {
+            r.rowid: r.v_right
+            for r in asof_join(
+                ldf, rdf, on="k", left_ts="lts", right_ts="rts", tolerance_s=tol
+            ).collect()
+        }
+        assert got == want, f"asof_join NTZ tol={tol}: {got} != {want}"
+        # bucket_s=60 puts right@0 and left@95/140 in different buckets,
+        # forcing the seed-row path (timestamp reconstruction)
+        got_b = {
+            r.rowid: r.v_right
+            for r in asof_join_bucketed(
+                ldf,
+                rdf,
+                on="k",
+                left_ts="lts",
+                right_ts="rts",
+                tolerance_s=tol,
+                bucket_s=60,
+            ).collect()
+        }
+        assert got_b == want, f"bucketed NTZ tol={tol}: {got_b} != {want}"

@@ -42,6 +42,7 @@ HEADLINE = [
     "x1_exact_dedup",
     "x2_minhash_lsh",
     "x3_topk_cosine",
+    "x3g_topk_vectorized_bench",
     "x4b_quality_scores",
     "x4d_fingerprint",
     "x8_sessionization",

@@ -620,3 +620,78 @@ def m11_sorted_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+# --- P3 (oracled): hidden-partition pruning with DuckDB-verifiable data ----
+# The other lakehouse queries are rows-only lifecycles; this one returns
+# the actual DATA of a partition-pruned read so the driver hash-verifies
+# it against DuckDB reading the raw events parquet — converting P3 from
+# "rows-only evidence" to a hard correctness row. The pruning itself is
+# asserted internally (scan must touch only the matching day directory).
+#
+# Module-lifetime warehouse (like format_queries._TMP_ROOT): the
+# returned DataFrame is a lazy scan over the written files, so the
+# warehouse must outlive the query function — the driver collects after
+# return. Each run recreates the table directory for idempotence.
+
+_P3_WH = tempfile.mkdtemp(prefix="spark_graft_p3_")
+
+_P3_ORACLE = """
+SELECT event_id, ts, user_id, event_type
+FROM events
+WHERE event_id % 5 = 0
+  AND ts >= TIMESTAMP '2024-01-15 00:00:00'
+  AND ts < TIMESTAMP '2024-01-16 00:00:00'
+ORDER BY event_id
+"""
+
+
+@register("p3_hidden_partition_pruning", oracle=_P3_ORACLE, tags=("P3", "M7"))
+def p3_hidden_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden partitioning end-to-end (SURVEY §2.2 P3): events written
+    PARTITIONED BY days(ts), then a range filter on the SOURCE column
+    ts — never the derived partition column — must (a) return exactly
+    the rows DuckDB sees in the raw parquet (the oracle) and (b) scan
+    only the matching day's files (asserted via input_file_name).
+
+    At 100 TB this is the difference between reading one day and
+    reading the table; real Iceberg does the same manifest filtering
+    in SparkScanBuilder (reference main.tf:792-806, README.md:36)."""
+    import os
+
+    from ..sources.lakehouse import PartitionedLakehouseTable
+
+    shutil.rmtree(os.path.join(_P3_WH, "events_p3"), ignore_errors=True)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+        .filter(
+            (F.col("event_id") % 5 == 0)
+            & (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        )
+    )
+    t = PartitionedLakehouseTable(spark, _P3_WH, "events_p3", ["days(ts)"])
+    t.create(ev)
+
+    day_read = t.read().filter(
+        (F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"))
+    )
+    touched = {
+        r["__f"]
+        for r in day_read.withColumn("__f", F.input_file_name())
+        .select("__f")
+        .distinct()
+        .collect()
+    }
+    if not touched:
+        raise AssertionError("no rows on the probed day; fixture drift?")
+    bad = {f for f in touched if "p_days_ts=2024-01-15" not in f}
+    if bad:
+        raise AssertionError(
+            f"scan touched non-matching partitions: {sorted(bad)[:2]}"
+        )
+    return day_read.select("event_id", "ts", "user_id", "event_type").orderBy(
+        "event_id"
+    )

@@ -133,6 +133,8 @@ _DRIVER_PRIORITY = [
     # failed r1-r3, fixed since — most valuable rows to flip
     "p1_projection",
     "p5_casts",
+    # new this round: converts P3 from rows-only to hash-verified
+    "p3_hidden_partition_pruning",
     # ts-dependent, fixed this round, never green
     "j7b_range_binned",
     "j8c_asof_bucketed",

@@ -364,16 +364,17 @@ def ivf_topk(
     # queries probe their n_probe nearest cells. The query batch is
     # driver-collected and broadcast — enforce the "small by contract"
     # bound explicitly so a misuse (corpus passed as queries) fails
-    # loudly instead of OOMing the driver at scale.
+    # loudly instead of OOMing the driver at scale. limit(MAX+1) bounds
+    # BOTH the check and the driver transfer in one job — a separate
+    # count() would execute the query-side plan twice.
     MAX_QUERY_BATCH = 100_000
-    n_queries = queries.count()
-    if n_queries > MAX_QUERY_BATCH:
+    qrows = queries.select(id_col, vec_col).limit(MAX_QUERY_BATCH + 1).collect()
+    if len(qrows) > MAX_QUERY_BATCH:
         raise ValueError(
-            f"ivf_topk query batch has {n_queries} rows; the broadcast "
-            f"query-batch design caps at {MAX_QUERY_BATCH}. Split the "
-            "batch or use the bucketed LSH path for query-side scale."
+            f"ivf_topk query batch exceeds {MAX_QUERY_BATCH} rows; the "
+            "broadcast query-batch design caps there. Split the batch "
+            "or use the bucketed LSH path for query-side scale."
         )
-    qrows = queries.select(id_col, vec_col).collect()
     q_probe = []
     for r in qrows:
         qv = np.asarray(r[1], dtype=np.float64)

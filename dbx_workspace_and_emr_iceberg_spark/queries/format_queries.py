@@ -21,6 +21,11 @@ from ..tables import load_table
 # written files — no .collect() re-materialization on the driver — and
 # mode("overwrite") keeps repeat runs idempotent.
 _TMP_ROOT = tempfile.mkdtemp(prefix="spark_graft_fmt_")
+# lazy returned DataFrames read these files until process exit
+import atexit as _atexit  # noqa: E402
+import shutil as _shutil  # noqa: E402
+
+_atexit.register(_shutil.rmtree, _TMP_ROOT, ignore_errors=True)
 
 _NATION_ORACLE = """
 SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey

@@ -230,23 +230,24 @@ def m7_partition_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert n == ev.count(), "partitioned CTAS preserves rows"
         steps.append(("create_partitioned", v, n))
 
-        # hidden partition pruning: filter on ts (the SOURCE column) and
-        # observe which physical files the scan touched
-        day = "2024-01-15"
-        pruned = (
-            t.read()
-            .filter(
-                (F.col("ts") >= F.lit(f"{day} 00:00:00").cast("timestamp"))
-                & (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"))
-            )
-            .withColumn("__f", F.input_file_name())
+        # hidden partition pruning: range-filter on ts (the SOURCE
+        # column) through the manifest-level predicate rewrite; assert
+        # on the SCAN SET the engine built (an input_file_name check on
+        # surviving rows cannot detect a full scan — matching rows only
+        # ever live in matching dirs) and on result parity vs full read
+        day_lo, day_hi = "2024-01-15 00:00:00", "2024-01-16 00:00:00"
+        day_df, n_scan, n_total = t.read_pruned("ts", day_lo, day_hi)
+        assert n_scan * 5 <= n_total, (
+            f"rewrite did not prune: {n_scan}/{n_total} files"
         )
-        touched = {r["__f"] for r in pruned.select("__f").distinct().collect()}
-        if not touched:
-            raise AssertionError("no rows on the probed day; fixture drift?")
-        bad = {f for f in touched if f"p_days_ts=2024-01-15" not in f}
-        assert not bad, f"scan touched non-matching partitions: {sorted(bad)[:2]}"
-        steps.append(("hidden_pruning", t.current_version(), len(touched)))
+        full = t.read().filter(
+            (F.col("ts") >= F.lit(day_lo).cast("timestamp"))
+            & (F.col("ts") < F.lit(day_hi).cast("timestamp"))
+        )
+        n_day = day_df.count()
+        assert n_day > 0, "no rows on the probed day; fixture drift?"
+        assert n_day == full.count(), "pruned read diverges from full scan"
+        steps.append(("hidden_pruning", t.current_version(), n_scan))
 
         # partition evolution: spec change is a metadata commit only
         files_before = set(t._files())
@@ -635,6 +636,11 @@ def m11_sorted_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
 # return. Each run recreates the table directory for idempotence.
 
 _P3_WH = tempfile.mkdtemp(prefix="spark_graft_p3_")
+# the lazy returned DataFrame needs the files until process exit; clean
+# up then (each run also recreates its own table dir for idempotence)
+import atexit as _atexit  # noqa: E402
+
+_atexit.register(shutil.rmtree, _P3_WH, ignore_errors=True)
 
 _P3_ORACLE = """
 SELECT event_id, ts, user_id, event_type
@@ -649,10 +655,14 @@ ORDER BY event_id
 @register("p3_hidden_partition_pruning", oracle=_P3_ORACLE, tags=("P3", "M7"))
 def p3_hidden_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hidden partitioning end-to-end (SURVEY §2.2 P3): events written
-    PARTITIONED BY days(ts), then a range filter on the SOURCE column
-    ts — never the derived partition column — must (a) return exactly
-    the rows DuckDB sees in the raw parquet (the oracle) and (b) scan
-    only the matching day's files (asserted via input_file_name).
+    PARTITIONED BY days(ts), then a range predicate on the SOURCE
+    column ts — never the derived partition column — goes through the
+    engine's manifest-level predicate rewrite (read_pruned) which must
+    (a) return exactly the rows DuckDB sees in the raw parquet (the
+    oracle) and (b) construct the scan over a strict subset of the
+    table's files. The file-count assert is on the SCAN SET the engine
+    built, not on which files produced surviving rows — a rewrite that
+    silently stopped pruning (kept all files) fails it.
 
     At 100 TB this is the difference between reading one day and
     reading the table; real Iceberg does the same manifest filtering
@@ -674,23 +684,18 @@ def p3_hidden_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = PartitionedLakehouseTable(spark, _P3_WH, "events_p3", ["days(ts)"])
     t.create(ev)
 
-    day_read = t.read().filter(
-        (F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp"))
-        & (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"))
-    )
-    touched = {
-        r["__f"]
-        for r in day_read.withColumn("__f", F.input_file_name())
-        .select("__f")
-        .distinct()
-        .collect()
-    }
-    if not touched:
-        raise AssertionError("no rows on the probed day; fixture drift?")
-    bad = {f for f in touched if "p_days_ts=2024-01-15" not in f}
-    if bad:
+    lo = "2024-01-15 00:00:00"
+    hi = "2024-01-16 00:00:00"
+    day_read, n_scan, n_total = t.read_pruned("ts", lo, hi)
+    # 10 day-partitions were written; a working rewrite scans ≤ 2 of
+    # them (day 15, plus day 16's files only if the bound's own day is
+    # present — it is not, with hi at midnight, but ≤2 keeps the assert
+    # about pruning, not about boundary conventions). files_total also
+    # guards against a degenerate single-file layout making this vacuous.
+    if n_total < 5 or n_scan * 5 > n_total:
         raise AssertionError(
-            f"scan touched non-matching partitions: {sorted(bad)[:2]}"
+            f"hidden-partition rewrite did not prune: scanned {n_scan} of "
+            f"{n_total} files"
         )
     return day_read.select("event_id", "ts", "user_id", "event_type").orderBy(
         "event_id"

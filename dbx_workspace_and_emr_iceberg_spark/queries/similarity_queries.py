@@ -170,13 +170,15 @@ def x3d_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("x3g_topk_vectorized_bench", oracle=None, tags=("X3", "D5"))
 def x3g_topk_vectorized_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The numpy-matmul top-k ALONE — x3d proves equivalence to the
-    oracle-checked interpreted path but executes both paths, so its
-    wall time is not the fast path's. This entry is the head-to-head
-    bench twin of x3_topk_cosine: same inputs, same k, only
-    cosine_topk_vectorized. Self-verifies distributed invariants
-    (per-query row count ≤ k, dense ranks, cosine ∈ [-1-ε, 1+ε])
-    without collecting pair rows to the driver."""
+    """The numpy-matmul top-k ALONE, as a single-execution plan — the
+    head-to-head bench twin of x3_topk_cosine (same inputs, same k,
+    only cosine_topk_vectorized). Deliberately NO internal action:
+    x3d_topk_vectorized already proves this exact operator's output
+    matches the oracle-checked interpreted path on the same inputs, and
+    bench timing must cost ONE execution of the plan — an in-function
+    invariant count() would run the whole pipeline a second time and
+    report double the fast path's cost (the very flaw, via x3d, this
+    entry exists to avoid)."""
     from ..operators.similarity import cosine_topk_vectorized
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -184,20 +186,6 @@ def x3g_topk_vectorized_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cosine_topk_vectorized(e, q, k=5).select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
     )
-    checks = out.groupBy("query_id").agg(
-        F.count("*").alias("n"),
-        F.max("rank").alias("max_r"),
-        F.min("cosine").alias("min_c"),
-        F.max("cosine").alias("max_c"),
-    )
-    bad = checks.filter(
-        (F.col("n") > 5)
-        | (F.col("max_r") != F.col("n"))
-        | (F.col("min_c") < -1.000001)
-        | (F.col("max_c") > 1.000001)
-    ).count()
-    if bad:
-        raise AssertionError(f"{bad} queries violate top-k invariants")
     return out.orderBy("query_id", "rank")
 
 

@@ -98,22 +98,29 @@ def _load_all() -> None:
         try:
             importlib.import_module(f"{__package__}.queries.{mod}")
         except ModuleNotFoundError as e:
-            # Allow partially-built trees during development; a missing
-            # queries module only drops its own registrations.
-            if f"queries.{mod}" not in str(e):
-                raise
+            if f"queries.{mod}" in str(e):
+                # The module itself is absent: allow partially-built
+                # trees during development, silently.
+                continue
+            # A ModuleNotFoundError for anything ELSE (typo'd internal
+            # import, missing third-party dep) is a broken module, not
+            # a missing one — quarantine like any other import failure.
+            _quarantine(mod, e)
         except Exception as e:  # SyntaxError, bad import, etc.
-            # A broken module must cost ONLY its own registrations —
-            # round 4 lost all 162 queries to one unclosed paren. Loud
-            # on stderr so tests/test_imports.py and humans both see it.
-            import sys
+            _quarantine(mod, e)
 
-            print(
-                f"[registry] SKIPPING queries.{mod}: "
-                f"{type(e).__name__}: {e}",
-                file=sys.stderr,
-            )
-            _BROKEN_MODULES[mod] = f"{type(e).__name__}: {e}"
+
+def _quarantine(mod: str, e: Exception) -> None:
+    # A broken module must cost ONLY its own registrations — round 4
+    # lost all 162 queries to one unclosed paren. Loud on stderr so
+    # tests/test_imports.py and humans both see it.
+    import sys
+
+    print(
+        f"[registry] SKIPPING queries.{mod}: {type(e).__name__}: {e}",
+        file=sys.stderr,
+    )
+    _BROKEN_MODULES[mod] = f"{type(e).__name__}: {e}"
 
 
 def all_queries() -> dict[str, Query]:

@@ -665,6 +665,74 @@ class PartitionedLakehouseTable(LakehouseTable):
             out = df if out is None else out.unionByName(df)
         return out
 
+    def read_pruned(self, col: str, lo, hi):
+        """Hidden-partition predicate rewrite (SURVEY §2.2 P3) — the
+        engine-side half of hidden partitioning: a range predicate on
+        the SOURCE column ``col`` is mapped to predicates on the derived
+        time-transform partition values encoded in the manifest's file
+        paths, and only matching files reach the scan. This is the
+        manifest filtering Iceberg's SparkScanBuilder performs; the user
+        never names the partition column.
+
+        Returns ``(df, files_scanned, files_total)`` so callers can
+        assert the pruning effect (files_scanned < files_total), not
+        just result correctness. Files whose path carries no time
+        transform of ``col`` (bucket/truncate transforms, or spec eras
+        from before partition evolution) are KEPT — safe over-read,
+        exactly how Iceberg handles partition-spec evolution. The
+        residual predicate is still applied, so correctness never
+        depends on pruning."""
+        import datetime
+        import urllib.parse
+
+        from pyspark.sql.types import StructType
+
+        def iso(v) -> str:
+            if isinstance(v, (datetime.datetime, datetime.date)):
+                return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else f"{v.isoformat()} 00:00:00"
+            return str(v)
+
+        def trunc(name: str, s: str) -> str:
+            # date_trunc's string form for each unit, derived from the
+            # ISO bound — lexicographic compare is then exact
+            if name == "years":
+                return s[:4] + "-01-01 00:00:00"
+            if name == "months":
+                return s[:7] + "-01 00:00:00"
+            if name == "days":
+                return s[:10] + " 00:00:00"
+            return s[:13] + ":00:00"  # hours
+
+        lo_iso, hi_iso = iso(lo), iso(hi)
+        files = self._files(self.current_version())
+        prefixes = {f"p_{n}_{col}": n for n in ("years", "months", "days", "hours")}
+        keep = []
+        for f in files:
+            verdict = None  # None = no transform of col on this path
+            for seg in f.split(os.sep):
+                if "=" not in seg:
+                    continue
+                k, v = seg.split("=", 1)
+                if k in prefixes:
+                    n = prefixes[k]
+                    v = urllib.parse.unquote(v)
+                    # partition value is the truncated period START; a
+                    # period overlaps [lo, hi] iff its start is within
+                    # [trunc(lo), trunc(hi)] (inclusive both ends)
+                    verdict = trunc(n, lo_iso) <= v <= trunc(n, hi_iso)
+            if verdict is None or verdict:
+                keep.append(f)
+        schema = StructType.fromJson(self.schema_json())
+        if not keep:
+            empty = self.spark.createDataFrame([], schema)
+            return empty.filter((F.col(col) >= lo) & (F.col(col) < hi)), 0, len(files)
+        df = self.spark.read.schema(schema).parquet(*sorted(keep))
+        return (
+            df.filter((F.col(col) >= lo) & (F.col(col) < hi)),
+            len(keep),
+            len(files),
+        )
+
     def evolve_partitioning(self, new_specs: list[str]) -> int:
         """Partition evolution (M7): future writes use the new spec; old
         files keep their layout — exactly Iceberg's spec-versioning.

@@ -241,3 +241,66 @@ def test_rest_catalog_conf_shape():
     minimal = iceberg_rest_catalog_conf(uri="u", warehouse="w")
     assert not any(k.endswith(".credential") for k in minimal)
     assert not any(k.endswith(".oauth2-server-uri") for k in minimal)
+
+
+def test_read_pruned_across_partition_evolution(spark, wh):
+    """read_pruned must stay correct when the table holds files from
+    MULTIPLE partition-spec eras: each file is judged by the transform
+    its own path carries (days-era files by day, months-era files by
+    month), and files carrying no time transform of the filter column
+    are kept — the safe over-read Iceberg applies under spec evolution."""
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        PartitionedLakehouseTable,
+    )
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", "ts", "user_id")
+        .filter(
+            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-14 00:00:00").cast("timestamp"))
+        )
+    )
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+
+    t = PartitionedLakehouseTable(spark, wh, "ev_evo", ["days(ts)"])
+    t.create(half_a)
+    t.evolve_partitioning(["months(ts)"])
+    t.append(half_b)  # same time range, coarser layout
+
+    lo, hi = "2024-01-11 00:00:00", "2024-01-12 00:00:00"
+    got, n_scan, n_total = t.read_pruned("ts", lo, hi)
+    want = ev.filter(
+        (F.col("ts") >= F.lit(lo).cast("timestamp"))
+        & (F.col("ts") < F.lit(hi).cast("timestamp"))
+    )
+    assert want.count() > 0, "fixture drift: probed day empty"
+    assert got.count() == want.count()
+    assert {r.event_id for r in got.collect()} == {
+        r.event_id for r in want.collect()
+    }
+    # pruning still bites: the days-era contributes only day-11 files,
+    # while every months-era file (all January) must be kept
+    assert n_scan < n_total, f"no pruning across eras: {n_scan}/{n_total}"
+
+
+def test_read_pruned_keeps_untransformed_columns_safe(spark, wh):
+    """A range filter on a column with NO time transform in the spec
+    (bucket-only layout) must degrade to a full scan + residual filter,
+    never a wrong prune."""
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        PartitionedLakehouseTable,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "ts", "user_id")
+    t = PartitionedLakehouseTable(spark, wh, "ev_bkt", ["bucket(4, user_id)"])
+    t.create(ev)
+    lo, hi = "2024-01-11 00:00:00", "2024-01-12 00:00:00"
+    got, n_scan, n_total = t.read_pruned("ts", lo, hi)
+    assert n_scan == n_total, "bucket layout cannot prune a ts range"
+    want = ev.filter(
+        (F.col("ts") >= F.lit(lo).cast("timestamp"))
+        & (F.col("ts") < F.lit(hi).cast("timestamp"))
+    ).count()
+    assert got.count() == want

@@ -7,25 +7,19 @@ doesn't corrupt values.
 from __future__ import annotations
 
 import os
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.formats import roundtrip
 from ..tables import load_table
+from ..util import process_tmp_root
 
 # Round-trip files live under one process-lifetime root (NOT deleted in
 # the query body): the returned DataFrame stays a lazy scan over the
 # written files — no .collect() re-materialization on the driver — and
 # mode("overwrite") keeps repeat runs idempotent.
-_TMP_ROOT = tempfile.mkdtemp(prefix="spark_graft_fmt_")
-# lazy returned DataFrames read these files until process exit
-import atexit as _atexit  # noqa: E402
-import shutil as _shutil  # noqa: E402
-
-_atexit.register(_shutil.rmtree, _TMP_ROOT, ignore_errors=True)
+_TMP_ROOT = process_tmp_root("spark_graft_fmt_")
 
 _NATION_ORACLE = """
 SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
@@ -109,8 +103,6 @@ def s2e_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns the per-mode row accounting (self-verified)."""
     import os
 
-    from pyspark.sql.types import StringType, StructField, StructType
-
     n = load_table(spark, sf_dir, "nation")
     clean = n.selectExpr(
         "cast(n_nationkey as string) AS k", "n_name AS name", "cast(n_regionkey as string) AS r"
@@ -123,14 +115,6 @@ def s2e_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(os.path.join(path, "malformed.csv"), "w") as f:
         f.write("\n".join(bad_lines) + "\n")
 
-    schema = StructType(
-        [
-            StructField("k", StringType()),
-            StructField("name", StringType()),
-            StructField("r", StringType()),
-            StructField("_corrupt_record", StringType()),
-        ]
-    )
     # int-typed k turns 'not_an_int,BAD,9' malformed; string arity
     # breaks the other two
     typed = "k int, name string, r string, _corrupt_record string"
@@ -172,7 +156,13 @@ def s2e_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.schema("k int, name string, r string").option(
             "mode", "FAILFAST"
         ).csv(path).collect()
-    except Exception:
+    except Exception as e:
+        # only a PARSE failure verifies the mode contract — an
+        # unrelated read error (missing path, analysis bug) must not
+        # count as 'FAILFAST worked'
+        msg = str(e)
+        if not ("MALFORMED" in msg.upper() or "FAILFAST" in msg.upper()):
+            raise
         failfast_raised = True
     if not failfast_raised:
         raise AssertionError("FAILFAST did not raise on malformed input")

@@ -203,9 +203,10 @@ def m6_lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
 @register("m7_partition_transforms", oracle=None, tags=("M7", "P3", "S6"))
 def m7_partition_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hidden partitioning (P3/M7): write events partitioned by
-    days(ts) + bucket(4, user_id); verify a ts-range read scans only the
-    matching day directories (file-level pruning observable through
-    input_file_name) and that partition evolution is manifest-only."""
+    days(ts) + bucket(4, user_id); verify a ts-range read through the
+    manifest-level predicate rewrite (read_pruned) builds its scan over
+    only the matching day's files AND matches a full-scan residual
+    filter, and that partition evolution is manifest-only."""
     from ..sources.lakehouse import PartitionedLakehouseTable
 
     wh = tempfile.mkdtemp(prefix="lakehouse_")
@@ -628,19 +629,17 @@ def m11_sorted_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the actual DATA of a partition-pruned read so the driver hash-verifies
 # it against DuckDB reading the raw events parquet — converting P3 from
 # "rows-only evidence" to a hard correctness row. The pruning itself is
-# asserted internally (scan must touch only the matching day directory).
+# asserted internally on read_pruned's scan set (files_scanned must be
+# a strict subset of files_total).
 #
 # Module-lifetime warehouse (like format_queries._TMP_ROOT): the
 # returned DataFrame is a lazy scan over the written files, so the
 # warehouse must outlive the query function — the driver collects after
 # return. Each run recreates the table directory for idempotence.
 
-_P3_WH = tempfile.mkdtemp(prefix="spark_graft_p3_")
-# the lazy returned DataFrame needs the files until process exit; clean
-# up then (each run also recreates its own table dir for idempotence)
-import atexit as _atexit  # noqa: E402
+from ..util import process_tmp_root  # noqa: E402
 
-_atexit.register(shutil.rmtree, _P3_WH, ignore_errors=True)
+_P3_WH = process_tmp_root("spark_graft_p3_")
 
 _P3_ORACLE = """
 SELECT event_id, ts, user_id, event_type

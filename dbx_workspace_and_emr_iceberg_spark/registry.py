@@ -98,9 +98,11 @@ def _load_all() -> None:
         try:
             importlib.import_module(f"{__package__}.queries.{mod}")
         except ModuleNotFoundError as e:
-            if f"queries.{mod}" in str(e):
+            if e.name == f"{__package__}.queries.{mod}":
                 # The module itself is absent: allow partially-built
-                # trees during development, silently.
+                # trees during development, silently. Exact-name match —
+                # a substring test would also silently swallow a typo'd
+                # sibling import whose name merely shares this prefix.
                 continue
             # A ModuleNotFoundError for anything ELSE (typo'd internal
             # import, missing third-party dep) is a broken module, not

@@ -688,9 +688,17 @@ class PartitionedLakehouseTable(LakehouseTable):
         from pyspark.sql.types import StructType
 
         def iso(v) -> str:
-            if isinstance(v, (datetime.datetime, datetime.date)):
-                return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else f"{v.isoformat()} 00:00:00"
-            return str(v)
+            # Canonicalize EVERY bound to 'YYYY-MM-DD HH:MM:SS' — the
+            # trunc() slices below are positional, so a raw date-only or
+            # 'T'-separated string would truncate wrongly and silently
+            # prune files that contain matching rows.
+            if isinstance(v, datetime.datetime):
+                return v.strftime("%Y-%m-%d %H:%M:%S")
+            if isinstance(v, datetime.date):
+                return f"{v.isoformat()} 00:00:00"
+            return datetime.datetime.fromisoformat(
+                str(v).replace("T", " ")
+            ).strftime("%Y-%m-%d %H:%M:%S")
 
         def trunc(name: str, s: str) -> str:
             # date_trunc's string form for each unit, derived from the

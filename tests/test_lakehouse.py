@@ -271,6 +271,11 @@ def test_read_pruned_across_partition_evolution(spark, wh):
 
     lo, hi = "2024-01-11 00:00:00", "2024-01-12 00:00:00"
     got, n_scan, n_total = t.read_pruned("ts", lo, hi)
+    # non-canonical but valid bound spellings must canonicalize, not
+    # silently mis-truncate and prune matching files
+    got_date_only, n2, _ = t.read_pruned("ts", "2024-01-11", "2024-01-12")
+    got_t_sep, n3, _ = t.read_pruned("ts", "2024-01-11T00:00:00", "2024-01-12T00:00:00")
+    assert n2 == n_scan and n3 == n_scan
     want = ev.filter(
         (F.col("ts") >= F.lit(lo).cast("timestamp"))
         & (F.col("ts") < F.lit(hi).cast("timestamp"))

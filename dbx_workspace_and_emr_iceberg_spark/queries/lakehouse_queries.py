@@ -624,6 +624,81 @@ def m11_sorted_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+@register("m13_zorder_clustering", oracle=None, tags=("M5", "X6"))
+def m13_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order rewrite (M5 — Iceberg's z-order strategy / Delta OPTIMIZE
+    ZORDER): multi-dimensional clustering of lineitem on
+    (l_orderkey, l_partkey). A 1-D sort prunes on its sort key only;
+    the Morton-curve layout must make min/max file skipping bite on
+    BOTH columns.
+
+    Self-verifies: (a) hash layout prunes nothing on either column;
+    (b) after rewrite_zorder the scan set shrinks for a range predicate
+    on EACH column independently; (c) range-scan results are identical
+    before and after (layout-only); (d) row count preserved.
+    """
+    from ..sources.lakehouse import StatsLakehouseTable
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_zorder_")
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_quantity"
+        )
+        t = StatsLakehouseTable(spark, wh, "lineitem_z")
+        t.create(li.repartition(16, "l_quantity"))
+        n_rows = t.read().count()
+
+        keys = li.agg(
+            F.max("l_orderkey").alias("ok"), F.max("l_partkey").alias("pk")
+        ).collect()[0]
+        # narrow probes: ~10% of each key range
+        a_lo, a_hi = 0, int(keys["ok"] * 0.1)
+        b_lo, b_hi = 0, int(keys["pk"] * 0.1)
+
+        n_files = len(t._files())
+        pa0 = len(t.pruned_files("l_orderkey", a_lo, a_hi))
+        pb0 = len(t.pruned_files("l_partkey", b_lo, b_hi))
+        assert pa0 == n_files and pb0 == n_files, (
+            "hash layout must leave nothing to prune on either column"
+        )
+        expected_a = li.filter(F.col("l_orderkey").between(a_lo, a_hi))
+        before_a = t.read_range("l_orderkey", a_lo, a_hi)
+        assert (
+            before_a.exceptAll(expected_a)
+            .union(expected_a.exceptAll(before_a))
+            .limit(1)
+            .count()
+            == 0
+        ), "pre-rewrite scan correctness"
+
+        v = t.rewrite_zorder("l_orderkey", "l_partkey", target_files=16)
+        assert t.read().count() == n_rows, "z-order rewrite lost rows"
+        pa1 = len(t.pruned_files("l_orderkey", a_lo, a_hi))
+        pb1 = len(t.pruned_files("l_partkey", b_lo, b_hi))
+        assert pa1 < pa0, f"no pruning on col_a after z-order: {pa1} !< {pa0}"
+        assert pb1 < pb0, f"no pruning on col_b after z-order: {pb1} !< {pb0}"
+        after_a = t.read_range("l_orderkey", a_lo, a_hi)
+        assert (
+            after_a.exceptAll(expected_a)
+            .union(expected_a.exceptAll(after_a))
+            .limit(1)
+            .count()
+            == 0
+        ), "post-rewrite scan correctness"
+
+        return _log(
+            spark,
+            [
+                ("files_scanned_a_before", v - 1, pa0),
+                ("files_scanned_a_after", v, pa1),
+                ("files_scanned_b_before", v - 1, pb0),
+                ("files_scanned_b_after", v, pb1),
+            ],
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 # --- P3 (oracled): hidden-partition pruning with DuckDB-verifiable data ----
 # The other lakehouse queries are rows-only lifecycles; this one returns
 # the actual DATA of a partition-pruned read so the driver hash-verifies

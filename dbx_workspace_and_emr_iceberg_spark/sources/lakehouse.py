@@ -954,6 +954,75 @@ class StatsLakehouseTable(LakehouseTable):
             parent,
         )
 
+    def rewrite_zorder(
+        self, col_a: str, col_b: str, target_files: int = 8, bits: int = 16
+    ) -> int:
+        """rewrite_data_files(strategy => 'sort', sort_order =>
+        zorder(col_a, col_b)): multi-dimensional clustering — the same
+        operation Iceberg's z-order rewrite and Delta's OPTIMIZE ZORDER
+        perform. A 1-D sort (rewrite_sorted) gives perfect file pruning
+        on ONE column and none on any other; interleaving the bits of
+        both columns' rank positions (Morton code) orders rows along a
+        space-filling curve, so every file owns a compact rectangle in
+        (col_a, col_b) space and min/max pruning bites on EITHER column.
+
+        Normalization first (equal-width min/max → [0, 2^bits)):
+        z-values interleave fixed-width integers, so each dimension is
+        scaled into the same bit budget. min/max is ONE tiny aggregate
+        (4 numbers to the driver — fully distributed, unlike a
+        percent_rank global window, which would funnel the table
+        through a single partition); the interleave itself is a pure
+        bit expression (JVM codegen, no extra shuffle beyond the final
+        repartitionByRange). Heavily skewed value distributions get
+        uneven curve coverage under equal-width scaling — pre-transform
+        such a column (log, hash) or widen ``bits``.
+
+        At 100 TB this turns "2-D dashboard predicates scan the world"
+        into ~1/target_files of files per predicate dimension.
+        """
+        parent = self.current_version()
+        df = self.read()
+        bounds = df.agg(
+            F.min(F.col(col_a).cast("double")).alias("a_lo"),
+            F.max(F.col(col_a).cast("double")).alias("a_hi"),
+            F.min(F.col(col_b).cast("double")).alias("b_lo"),
+            F.max(F.col(col_b).cast("double")).alias("b_hi"),
+        ).collect()[0]
+        max_v = (1 << bits) - 1
+
+        def norm(c: str, lo: float, hi: float):
+            span = (hi - lo) or 1.0
+            scaled = (F.col(c).cast("double") - F.lit(lo)) / F.lit(span)
+            return F.least(
+                F.lit(max_v).cast("long"),
+                F.floor(scaled * (max_v + 1)).cast("long"),
+            )
+
+        na = norm(col_a, bounds["a_lo"], bounds["a_hi"])
+        nb = norm(col_b, bounds["b_lo"], bounds["b_hi"])
+        z = F.lit(0).cast("long")
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(na, i).bitwiseAND(F.lit(1)), 2 * i)
+            ).bitwiseOR(
+                F.shiftleft(F.shiftright(nb, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            )
+        zdf = (
+            df.withColumn("__z", z)
+            .repartitionByRange(target_files, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        new_files = self._write_files(zdf)
+        return self._commit(
+            {
+                "files": new_files,
+                "schema": self.schema_json(),
+                "op": f"rewrite_zorder:{col_a},{col_b}",
+            },
+            parent,
+        )
+
     def read_range(self, col: str, lo, hi) -> DataFrame:
         """Range scan using min/max skipping + the residual filter."""
         from pyspark.sql.types import StructType

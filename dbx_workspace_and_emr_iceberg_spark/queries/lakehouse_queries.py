@@ -23,6 +23,13 @@ def _log(spark: SparkSession, steps: list[tuple[str, int, int]]) -> DataFrame:
     return spark.createDataFrame(steps, "step string, version int, row_count long")
 
 
+def _assert_same_rows(a: DataFrame, b: DataFrame, msg: str) -> None:
+    """Multiset equality via symmetric difference — distributed, stops
+    at the first differing row."""
+    if a.exceptAll(b).union(b.exceptAll(a)).limit(1).count() != 0:
+        raise AssertionError(msg)
+
+
 @register("m1_lakehouse_dml_lifecycle", oracle=None, tags=("M1", "M2", "M3", "M4", "S4", "S5", "S8"))
 def m1_lakehouse_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CTAS → INSERT → MERGE (update+insert+delete) → UPDATE → DELETE →
@@ -590,13 +597,7 @@ def m11_sorted_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hash layout must leave nothing to prune (probe range hits all files)"
         )
         before = t.read_range("l_orderkey", lo, hi)
-        assert (
-            before.exceptAll(expected)
-            .union(expected.exceptAll(before))
-            .limit(1)
-            .count()
-            == 0
-        ), "pre-rewrite range scan correctness"
+        _assert_same_rows(before, expected, "pre-rewrite range scan correctness")
 
         v = t.rewrite_sorted("l_orderkey", target_files=8)
         pruned_after = len(t.pruned_files("l_orderkey", lo, hi))
@@ -604,13 +605,7 @@ def m11_sorted_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"sorted layout must prune: {pruned_after} !< {pruned_before}"
         )
         after = t.read_range("l_orderkey", lo, hi)
-        assert (
-            after.exceptAll(expected)
-            .union(expected.exceptAll(after))
-            .limit(1)
-            .count()
-            == 0
-        ), "post-rewrite range scan correctness"
+        _assert_same_rows(after, expected, "post-rewrite range scan correctness")
 
         return _log(
             spark,
@@ -662,14 +657,12 @@ def m13_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hash layout must leave nothing to prune on either column"
         )
         expected_a = li.filter(F.col("l_orderkey").between(a_lo, a_hi))
-        before_a = t.read_range("l_orderkey", a_lo, a_hi)
-        assert (
-            before_a.exceptAll(expected_a)
-            .union(expected_a.exceptAll(before_a))
-            .limit(1)
-            .count()
-            == 0
-        ), "pre-rewrite scan correctness"
+        expected_b = li.filter(F.col("l_partkey").between(b_lo, b_hi))
+        _assert_same_rows(
+            t.read_range("l_orderkey", a_lo, a_hi),
+            expected_a,
+            "pre-rewrite scan correctness (col_a)",
+        )
 
         v = t.rewrite_zorder("l_orderkey", "l_partkey", target_files=16)
         assert t.read().count() == n_rows, "z-order rewrite lost rows"
@@ -677,14 +670,20 @@ def m13_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         pb1 = len(t.pruned_files("l_partkey", b_lo, b_hi))
         assert pa1 < pa0, f"no pruning on col_a after z-order: {pa1} !< {pa0}"
         assert pb1 < pb0, f"no pruning on col_b after z-order: {pb1} !< {pb0}"
-        after_a = t.read_range("l_orderkey", a_lo, a_hi)
-        assert (
-            after_a.exceptAll(expected_a)
-            .union(expected_a.exceptAll(after_a))
-            .limit(1)
-            .count()
-            == 0
-        ), "post-rewrite scan correctness"
+        # correctness on BOTH probe dimensions: a pruning-count assert
+        # alone would pass MORE easily if the scan set over-pruned
+        # (dropped a file whose range intersects) — the row comparison
+        # is what catches silent row loss
+        _assert_same_rows(
+            t.read_range("l_orderkey", a_lo, a_hi),
+            expected_a,
+            "post-rewrite scan correctness (col_a)",
+        )
+        _assert_same_rows(
+            t.read_range("l_partkey", b_lo, b_hi),
+            expected_b,
+            "post-rewrite scan correctness (col_b)",
+        )
 
         return _log(
             spark,

@@ -975,11 +975,19 @@ class StatsLakehouseTable(LakehouseTable):
         bit expression (JVM codegen, no extra shuffle beyond the final
         repartitionByRange). Heavily skewed value distributions get
         uneven curve coverage under equal-width scaling — pre-transform
-        such a column (log, hash) or widen ``bits``.
+        such a column (log, hash); ``bits`` is capped at 31 because the
+        interleaved z-value occupies 2*bits bits of a signed 64-bit
+        long, and a bit landing on the sign bit would sort those rows
+        before everything and break the curve.
 
         At 100 TB this turns "2-D dashboard predicates scan the world"
         into ~1/target_files of files per predicate dimension.
         """
+        if not 1 <= bits <= 31:
+            raise ValueError(
+                f"bits must be in [1, 31] (the z-value is 2*bits bits of "
+                f"a signed 64-bit long), got {bits}"
+            )
         parent = self.current_version()
         df = self.read()
         bounds = df.agg(
@@ -988,6 +996,12 @@ class StatsLakehouseTable(LakehouseTable):
             F.min(F.col(col_b).cast("double")).alias("b_lo"),
             F.max(F.col(col_b).cast("double")).alias("b_hi"),
         ).collect()[0]
+        if bounds["a_lo"] is None or bounds["b_lo"] is None:
+            raise ValueError(
+                f"rewrite_zorder({col_a!r}, {col_b!r}): no numeric values "
+                "to cluster on (empty table, or a column that is "
+                "non-numeric / all NULL after cast to double)"
+            )
         max_v = (1 << bits) - 1
 
         def norm(c: str, lo: float, hi: float):

@@ -643,3 +643,60 @@ def t11_stream_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.orderBy("split")
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+# --- T12: RocksDB state store — the 100 TB state path, proven locally ------
+
+_T12_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT)        AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("t12_rocksdb_state_store", oracle=_T12_ORACLE, tags=("T7", "X6"))
+def t12_rocksdb_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming aggregation under the RocksDB state store
+    provider — the exact configuration that takes streaming state past
+    executor-heap limits at 100 TB/day (state spills to local SSD
+    instead of living on the JVM heap; rocksdbjni ships with Spark).
+
+    The provider is a pure config swap; results must be IDENTICAL to
+    the default HDFS-backed store, and here they are hash-verified
+    against the batch DuckDB oracle. The conf is restored afterward so
+    other streaming queries keep their provider."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        s = events_stream(spark, sf_dir).select("event_type", "user_id")
+        # exact distinct users via complete-mode dedup-then-count: the
+        # dedup state (held in RocksDB) stores one entry per
+        # (event_type, user_id) pair — the state the provider swap is
+        # exercising
+        deduped = s.dropDuplicates(["event_type", "user_id"])
+        users = deduped.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_users")
+        )
+        out_events = run_to_memory(
+            s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events")),
+            "complete",
+        )
+        out_users = run_to_memory(users, "complete")
+        return (
+            out_events.join(out_users, "event_type")
+            .select("event_type", "n_events", "n_users")
+            .orderBy("event_type")
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

@@ -176,3 +176,53 @@ def s2e_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "check string, n long",
     )
+
+
+# --- S2f: parquet schema merge on read (mergeSchema=true) -------------------
+# Reading a directory whose files were written with EVOLVED schemas —
+# the capability behind "old files + new files, one DataFrame" that
+# every long-lived dataset needs. DuckDB reproduces it with
+# union_by_name=true, so this is fully hash-verified.
+
+_S2F_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey, extra_score
+FROM (
+  SELECT n_nationkey, n_name, n_regionkey, NULL AS extra_score
+  FROM nation WHERE n_regionkey < 2
+  UNION ALL
+  SELECT n_nationkey, n_name, n_regionkey,
+         CAST(n_nationkey * 10 AS BIGINT) AS extra_score
+  FROM nation WHERE n_regionkey >= 2
+)
+ORDER BY n_nationkey
+"""
+
+
+@register("s2f_parquet_schema_merge", oracle=_S2F_ORACLE, tags=("S2", "M6"))
+def s2f_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two parquet batches under one directory — the second written
+    after an additive schema change (new BIGINT column) — read back as
+    ONE DataFrame with mergeSchema=true: old rows surface NULL for the
+    new column, exactly Iceberg/Parquet schema-evolution-on-read
+    semantics (SURVEY §2.11 M6 at the file-format layer)."""
+    import os
+
+    n = load_table(spark, sf_dir, "nation")
+    path = os.path.join(_TMP_ROOT, "nation_evolved")
+    old = n.filter(F.col("n_regionkey") < 2).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    new = n.filter(F.col("n_regionkey") >= 2).select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        (F.col("n_nationkey") * 10).cast("bigint").alias("extra_score"),
+    )
+    old.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "v1"))
+    new.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "v2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "v1"), os.path.join(path, "v2")
+    )
+    return merged.select(
+        "n_nationkey", "n_name", "n_regionkey", "extra_score"
+    ).orderBy("n_nationkey")

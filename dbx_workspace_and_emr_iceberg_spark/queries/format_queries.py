@@ -101,8 +101,6 @@ def s2e_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
       * DROPMALFORMED: exactly the clean rows survive;
       * FAILFAST: raises on the first malformed row.
     Returns the per-mode row accounting (self-verified)."""
-    import os
-
     n = load_table(spark, sf_dir, "nation")
     clean = n.selectExpr(
         "cast(n_nationkey as string) AS k", "n_name AS name", "cast(n_regionkey as string) AS r"
@@ -181,8 +179,10 @@ def s2e_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- S2f: parquet schema merge on read (mergeSchema=true) -------------------
 # Reading a directory whose files were written with EVOLVED schemas —
 # the capability behind "old files + new files, one DataFrame" that
-# every long-lived dataset needs. DuckDB reproduces it with
-# union_by_name=true, so this is fully hash-verified.
+# every long-lived dataset needs. The oracle reproduces the merged
+# result with an explicit UNION ALL that nulls the added column for
+# old rows (plain positional SQL — simpler to audit than DuckDB's
+# union_by_name reader option), so this is fully hash-verified.
 
 _S2F_ORACLE = """
 SELECT n_nationkey, n_name, n_regionkey, extra_score
@@ -205,8 +205,6 @@ def s2f_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE DataFrame with mergeSchema=true: old rows surface NULL for the
     new column, exactly Iceberg/Parquet schema-evolution-on-read
     semantics (SURVEY §2.11 M6 at the file-format layer)."""
-    import os
-
     n = load_table(spark, sf_dir, "nation")
     path = os.path.join(_TMP_ROOT, "nation_evolved")
     old = n.filter(F.col("n_regionkey") < 2).select(

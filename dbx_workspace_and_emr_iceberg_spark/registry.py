@@ -149,6 +149,8 @@ _DRIVER_PRIORITY = [
     "j8c_asof_bucketed",
     "j8d_asof_forward",
     "s2d_json_timestamp_roundtrip",
+    # oracled queries added later in round 5 — never driver-run
+    "s2f_parquet_schema_merge",
     # never driver-run: format/udf surface
     "s2_csv_roundtrip",
     "s2b_json_roundtrip",
@@ -196,6 +198,7 @@ _DRIVER_PRIORITY = [
     "t8_stream_static_join",
     "t8b_stream_stream_join",
     "t11_stream_hash_split",
+    "t12_rocksdb_state_store",
 ]
 
 

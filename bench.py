@@ -77,6 +77,11 @@ def main() -> None:
         cur: dict[str, float] = {}
         for name in HEADLINE:
             q = queries[name]
+            # Cold cache per timed run: queries that .cache() internally
+            # (x2) must pay their real plan cost on EVERY pass — without
+            # this, pass 2 re-resolves the identical plan against the
+            # pass-1 cache and reports a cache read as plan cost.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)

@@ -32,6 +32,22 @@ from pyspark.sql.types import (
 _SIDE = "__asof_side"
 
 
+def _require_utc_for_ntz(left: DataFrame, l_type, r_type) -> None:
+    """NTZ epoch math (tolerance deltas, bucket ids, seed timestamps)
+    hops NTZ->TIMESTAMP, which reads the naive value in the SESSION
+    zone: under a DST-observing zone that mapping is nonlinear and
+    silently skews tolerances and bucket boundaries. Fail loudly
+    instead of mis-joining."""
+    if isinstance(l_type, TimestampNTZType) or isinstance(r_type, TimestampNTZType):
+        tz = left.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT"):
+            raise ValueError(
+                f"as-of join over TIMESTAMP_NTZ requires a UTC session "
+                f"(spark.sql.session.timeZone={tz!r}); call "
+                "ensure_session_defaults(spark) or pin the conf to 'UTC'"
+            )
+
+
 def _epoch_long(col, dtype):
     """Epoch seconds (numeric ts columns: the raw value) as BIGINT.
 
@@ -98,6 +114,9 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    _require_utc_for_ntz(
+        left, left.schema[left_ts].dataType, right.schema[right_ts].dataType
+    )
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
     ptype = _payload_type(right, right_ts, right_cols)
 
@@ -195,6 +214,9 @@ def asof_join_bucketed(
     bucket_s ≈ (time span / desired parallelism per hot key); the
     default of one day suits event data spanning weeks.
     """
+    _require_utc_for_ntz(
+        left, left.schema[left_ts].dataType, right.schema[right_ts].dataType
+    )
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
 
     def bkt(col_name: str, dtype):

@@ -126,8 +126,13 @@ def s2e_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame (Spark disallows filtering the internal column off the raw
     # scan directly)
     perm = permissive.cache()
-    n_all = perm.count()
-    n_corrupt = perm.filter(F.col("_corrupt_record").isNotNull()).count()
+    try:
+        n_all = perm.count()
+        n_corrupt = perm.filter(F.col("_corrupt_record").isNotNull()).count()
+    finally:
+        # don't leak executor storage memory for the rest of a long
+        # driver run — the counts are materialized, the cache is done
+        perm.unpersist()
     if n_all != n_clean + len(bad_lines):
         raise AssertionError(f"PERMISSIVE lost rows: {n_all} != {n_clean}+{len(bad_lines)}")
     if n_corrupt != len(bad_lines):

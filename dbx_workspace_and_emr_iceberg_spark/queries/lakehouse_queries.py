@@ -269,6 +269,80 @@ def m7_partition_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+@register("s6_dynamic_partition_overwrite", oracle=None, tags=("S6", "M7"))
+def s6_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition-level INSERT OVERWRITE (S6) — Iceberg's
+    ``overwritePartitions()`` / ``partitionOverwriteMode=dynamic``
+    (reference: main.tf:803 [pkg] provisions exactly this DataFrame
+    write path). Writes events partitioned by days(ts), overwrites ONE
+    day with reshaped rows, then asserts the three invariants that
+    distinguish dynamic from static overwrite:
+      1. the touched day's content is exactly the replacement frame;
+      2. every untouched day survives byte-identically;
+      3. the old snapshot still reads the pre-overwrite day (time
+         travel unaffected — overwrite is a new snapshot, not a
+         mutation)."""
+    from ..sources.lakehouse import PartitionedLakehouseTable
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_")
+    try:
+        steps: list[tuple[str, int, int]] = []
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "ts", "user_id", "event_type")
+            .filter(
+                (F.col("event_id") % 7 == 0)
+                & (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+                & (F.col("ts") < F.lit("2024-01-14 00:00:00").cast("timestamp"))
+            )
+        )
+        t = PartitionedLakehouseTable(spark, wh, "events_dpo", ["days(ts)"])
+        v0 = t.create(ev)
+        n0 = t.read().count()
+        steps.append(("create_partitioned", v0, n0))
+
+        day_lo, day_hi = "2024-01-12 00:00:00", "2024-01-13 00:00:00"
+        in_day = (F.col("ts") >= F.lit(day_lo).cast("timestamp")) & (
+            F.col("ts") < F.lit(day_hi).cast("timestamp")
+        )
+        before_other = t.read().filter(~in_day)
+        n_other = before_other.count()
+
+        # replacement content for the touched day: relabel + thin out
+        repl = (
+            ev.filter(in_day & (F.col("event_id") % 2 == 0))
+            .withColumn("event_type", F.lit("OVERWRITTEN"))
+        )
+        n_repl = repl.count()
+        assert n_repl > 0, "replacement frame empty; fixture drift?"
+        v1 = t.overwrite_partitions(repl)
+        steps.append(("overwrite_partitions", v1, n_repl))
+
+        after = t.read()
+        _assert_same_rows(
+            after.filter(in_day),
+            repl,
+            "touched day is not exactly the replacement frame",
+        )
+        _assert_same_rows(
+            after.filter(~in_day),
+            before_other,
+            "untouched partitions did not survive the dynamic overwrite",
+        )
+        assert after.count() == n_other + n_repl, "dynamic overwrite net count"
+
+        # time travel: the pre-overwrite snapshot still sees the old day
+        old_day = t.read(version=v0).filter(in_day)
+        assert old_day.count() > n_repl, "old snapshot lost pre-overwrite rows"
+        # snapshot log records the op
+        ops = {r.operation for r in t.snapshots().collect()}
+        assert "overwrite_partitions" in ops, "snapshot op not recorded"
+        steps.append(("verify", t.current_version(), after.count()))
+        return _log(spark, steps)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 @register("m8_branches_wap", oracle=None, tags=("M8",))
 def m8_branches_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Branches, tags and write-audit-publish (M8): stage an append on a

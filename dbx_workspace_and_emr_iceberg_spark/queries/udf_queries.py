@@ -40,7 +40,11 @@ def d2_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def charge(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
-        return (price * (1 - disc) * (1 + tax)).round(2)
+        # Return the RAW product: pandas .round(2) is half-to-even
+        # (banker's) while DuckDB round() is half-away-from-zero — the
+        # two half-tie cells in sf0.01 lineitem diverge. Rounding happens
+        # Spark-side below so both engines round the same way.
+        return price * (1 - disc) * (1 + tax)
 
     li = load_table(spark, sf_dir, "lineitem")
     return (
@@ -48,7 +52,9 @@ def d2_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "l_linenumber",
-            charge("l_extendedprice", "l_discount", "l_tax").alias("charged"),
+            F.round(
+                charge("l_extendedprice", "l_discount", "l_tax"), 2
+            ).alias("charged"),
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
@@ -207,6 +213,44 @@ def d7_sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT s_suppkey, supp_code(s_suppkey) AS supp_code "
         "FROM supplier_v ORDER BY s_suppkey"
+    )
+
+
+# --- D1: standalone row Python UDF (DataFrame API) --------------------------
+
+_D1_ORACLE = """
+SELECT
+  s_suppkey,
+  CASE
+    WHEN s_acctbal < 0 THEN 'debt'
+    WHEN s_acctbal < 5000 THEN 'low'
+    ELSE 'high'
+  END AS bal_band
+FROM supplier
+ORDER BY s_suppkey
+"""
+
+
+@register("d1_python_udf", oracle=_D1_ORACLE, tags=("D1",))
+def d1_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone row-at-a-time ``F.udf`` via the DataFrame API (SURVEY
+    §2.10 D1) — distinct from d7's ``spark.udf.register`` SQL route.
+    This is the measured last resort: each row crosses the Python
+    boundary individually (pickled, no Arrow batching); the oracle's
+    CASE expression is what production code should use. Exists to prove
+    the D1 transport end-to-end, nothing more."""
+
+    # No type hints on purpose: annotations make F.udf attempt pandas
+    # eval-type inference and warn; this is explicitly the row-wise path.
+    @F.udf("string")
+    def bal_band(bal):
+        if bal < 0:
+            return "debt"
+        return "low" if bal < 5000 else "high"
+
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select("s_suppkey", bal_band("s_acctbal").alias("bal_band")).orderBy(
+        "s_suppkey"
     )
 
 

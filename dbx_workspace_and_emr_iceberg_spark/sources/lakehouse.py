@@ -71,7 +71,10 @@ def iceberg_rest_catalog_conf(
 ) -> dict[str, str]:
     """REST-catalog session conf with the OAuth2 client-credential knobs
     the reference pins (main.tf:795-801: ``credential``,
-    ``oauth2-server-uri``, ``token-refresh-enabled``). Pure config —
+    ``oauth2-server-uri``, ``token-refresh-enabled``; it also sets
+    ``rest.auth.type=oauth2`` explicitly, emitted below whenever any
+    OAuth2 knob is supplied — Iceberg 1.9+ deprecates inferring the
+    auth type from the presence of ``credential``). Pure config —
     no secret material lives in code; ``credential`` is the
     ``client_id:client_secret`` pair injected from the environment or a
     secret manager by the caller.
@@ -99,6 +102,8 @@ def iceberg_rest_catalog_conf(
         conf[f"spark.sql.catalog.{catalog}.oauth2-server-uri"] = oauth2_server_uri
     if scope is not None:
         conf[f"spark.sql.catalog.{catalog}.scope"] = scope
+    if credential is not None or oauth2_server_uri is not None or scope is not None:
+        conf[f"spark.sql.catalog.{catalog}.rest.auth.type"] = "oauth2"
     return conf
 
 
@@ -726,8 +731,13 @@ class PartitionedLakehouseTable(LakehouseTable):
                     v = urllib.parse.unquote(v)
                     # partition value is the truncated period START; a
                     # period overlaps [lo, hi] iff its start is within
-                    # [trunc(lo), trunc(hi)] (inclusive both ends)
-                    verdict = trunc(n, lo_iso) <= v <= trunc(n, hi_iso)
+                    # [trunc(lo), trunc(hi)] (inclusive both ends).
+                    # AND across segments: a path carrying several time
+                    # transforms of col (e.g. days+hours) must satisfy
+                    # every one — each verdict alone is sound, so the
+                    # conjunction is the tightest sound prune.
+                    seg_ok = trunc(n, lo_iso) <= v <= trunc(n, hi_iso)
+                    verdict = seg_ok if verdict is None else (verdict and seg_ok)
             if verdict is None or verdict:
                 keep.append(f)
         schema = StructType.fromJson(self.schema_json())
@@ -739,6 +749,63 @@ class PartitionedLakehouseTable(LakehouseTable):
             df.filter((F.col(col) >= lo) & (F.col(col) < hi)),
             len(keep),
             len(files),
+        )
+
+    def overwrite_partitions(self, df: DataFrame) -> int:
+        """Dynamic partition-level INSERT OVERWRITE (S6) — Iceberg's
+        ``overwritePartitions()`` / Spark's
+        ``spark.sql.sources.partitionOverwriteMode=dynamic``: only the
+        partitions that receive new rows are replaced; every other
+        partition's files survive into the new snapshot untouched.
+        (Contrast :meth:`LakehouseTable.overwrite`, the static S6 form
+        that replaces the whole table.)
+
+        The partition set being overwritten is computed from ``df``
+        under the CURRENT spec — one distinct partition tuple per
+        partition comes to the driver (bounded by partition count, never
+        row count; the data itself stays distributed). Files from
+        earlier spec eras whose paths don't carry the current spec's
+        derived columns are conservatively KEPT — after partition
+        evolution, run a full overwrite or compaction to rewrite old
+        eras (same caveat Iceberg documents for dynamic overwrite
+        across spec changes).
+        """
+        import urllib.parse
+
+        parent = self.current_version()
+        if parent == 0:
+            return self.create(df)
+        cols = [partition_transform(s) for s in self.specs]
+        names = [n for n, _ in cols]
+        touched = {
+            tuple(
+                "__HIVE_DEFAULT_PARTITION__" if r[n] is None else str(r[n])
+                for n in names
+            )
+            for r in df.withColumns(dict(cols)).select(*names).distinct().collect()
+        }
+
+        def file_partition(f: str):
+            vals = {}
+            for seg in f.split(os.sep):
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    if k in names:
+                        vals[k] = urllib.parse.unquote(v)
+            # missing derived column (older spec era) => tuple with None,
+            # which can never equal a touched tuple of strings => kept
+            return tuple(vals.get(n) for n in names)
+
+        keep = [f for f in self._files(parent) if file_partition(f) not in touched]
+        new_files = self._write_files(df)
+        return self._commit(
+            {
+                "files": keep + new_files,
+                "schema": self.schema_json(),
+                "op": "overwrite_partitions",
+                "replaced_partitions": sorted("/".join(t) for t in touched),
+            },
+            parent,
         )
 
     def evolve_partitioning(self, new_specs: list[str]) -> int:

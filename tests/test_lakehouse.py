@@ -309,3 +309,47 @@ def test_read_pruned_keeps_untransformed_columns_safe(spark, wh):
         & (F.col("ts") < F.lit(hi).cast("timestamp"))
     ).count()
     assert got.count() == want
+
+
+def test_overwrite_partitions_replaces_only_touched(spark, wh):
+    """S6 dynamic overwrite: only partitions present in the incoming
+    frame are replaced; other partitions' files are carried into the
+    new snapshot UNMODIFIED (same physical files, not rewritten)."""
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        PartitionedLakehouseTable,
+    )
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+        .filter(
+            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-13 00:00:00").cast("timestamp"))
+        )
+    )
+    t = PartitionedLakehouseTable(spark, wh, "ev_dpo", ["days(ts)"])
+    t.create(ev)
+    in_day = (F.col("ts") >= F.lit("2024-01-11 00:00:00").cast("timestamp")) & (
+        F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp")
+    )
+    untouched_before = {f for f in t._files() if "p_days_ts=2024-01-11" not in f}
+    repl = ev.filter(in_day).limit(7).withColumn("event_type", F.lit("X"))
+    t.overwrite_partitions(repl)
+    # untouched files carried as-is
+    untouched_after = {f for f in t._files() if "p_days_ts=2024-01-11" not in f}
+    assert untouched_before <= untouched_after
+    # touched day replaced exactly
+    got = t.read().filter(in_day)
+    assert got.count() == 7
+    assert {r.event_type for r in got.collect()} == {"X"}
+
+
+def test_overwrite_partitions_on_missing_table_creates(spark, wh):
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        PartitionedLakehouseTable,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "ts", "user_id").limit(10)
+    t = PartitionedLakehouseTable(spark, wh, "ev_new", ["days(ts)"])
+    v = t.overwrite_partitions(ev)
+    assert v == 1 and t.read().count() == 10

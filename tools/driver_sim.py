@@ -30,10 +30,15 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
 def cell(v):
+    # FULL precision, always: %.6g masked cent-level diffs on values
+    # >= 10k for four rounds (p1/p5 said MATCH locally, MISMATCH in the
+    # driver). repr(float) is the shortest round-trip repr; Decimals keep
+    # their exact string so a DECIMAL-typed output column can never be
+    # silently coerced to look like the oracle's.
     import decimal, datetime
     if v is None: return "NULL"
-    if isinstance(v, float): return f"{v:.6g}" if not math.isnan(v) else "NaN"
-    if isinstance(v, decimal.Decimal): return f"{float(v):.6g}"
+    if isinstance(v, float): return repr(v) if not math.isnan(v) else "NaN"
+    if isinstance(v, decimal.Decimal): return str(v)
     if isinstance(v, datetime.datetime): return v.replace(tzinfo=None).isoformat()
     if isinstance(v, (list, tuple)): return "[" + ",".join(cell(x) for x in v) + "]"
     return str(v)
@@ -44,6 +49,11 @@ def vhash(cols, rows):
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:12]
 
 qs, osql = E.queries(), E.oracle_sql()
+only = set(sys.argv[1:])  # optional: spot-check just these names
+if only:
+    missing = only - set(qs)
+    assert not missing, f"unknown query names: {sorted(missing)}"
+    qs = {n: f for n, f in qs.items() if n in only}
 print(f"\n{len(qs)} queries, {len(osql)} with oracle")
 fail = 0
 t_start = time.time()

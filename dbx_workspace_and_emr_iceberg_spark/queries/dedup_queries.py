@@ -442,3 +442,75 @@ def x12b_lsh_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("component").alias("cluster_id"), "cluster_size", "canonical_doc"
     )
+
+
+# --- X19: incremental dedup — new batch vs existing corpus ------------------
+# The workflow every continuously-crawled 100 TB corpus actually runs:
+# dedup the NEW batch against itself and against what's already stored,
+# WITHOUT re-deduping the corpus. Scale shape: the corpus is never
+# shuffled — its single scan is semi-joined against a BROADCAST of the
+# (small) batch's hashes to find collisions, and the batch then
+# anti-joins the (even smaller) collision set. Both joins broadcast the
+# small side; at 1000 executors the 100 TB side stays map-only.
+
+_X19_ORACLE = """
+WITH new_batch AS (
+  SELECT doc_id + 2000000 AS doc_id, text
+  FROM documents WHERE doc_id % 15 = 0          -- re-crawls (already stored)
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, concat('fresh ', text) AS text
+  FROM documents WHERE doc_id % 15 = 7          -- genuinely new
+)
+SELECT doc_id, md5(text) AS text_hash
+FROM (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM new_batch nb
+  WHERE NOT EXISTS (
+    SELECT 1 FROM documents c WHERE md5(c.text) = md5(nb.text)
+  )
+) WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@register("x19_incremental_dedup", oracle=_X19_ORACLE, tags=("X1", "X2"))
+def x19_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admit only new-batch docs whose text is neither already in the
+    corpus nor duplicated within the batch (keep-lowest-id within the
+    batch)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new_batch = (
+        d.filter(F.col("doc_id") % 15 == 0)
+        .select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
+        .unionByName(
+            d.filter(F.col("doc_id") % 15 == 7).select(
+                (F.col("doc_id") + 3_000_000).alias("doc_id"),
+                F.concat(F.lit("fresh "), F.col("text")).alias("text"),
+            )
+        )
+    )
+    batch_hashed = new_batch.withColumn("text_hash", F.md5("text"))
+    # corpus scan (the 100 TB side): ONE pass, semi-join against the
+    # broadcast batch hash set -> the collision hashes (<= batch size)
+    collisions = (
+        d.select(F.md5("text").alias("text_hash"))
+        .join(
+            F.broadcast(batch_hashed.select("text_hash").distinct()),
+            "text_hash",
+            "left_semi",
+        )
+        .distinct()
+    )
+    # batch side: drop corpus collisions (broadcast anti), then
+    # within-batch exact dedup (window over the hash, keep lowest id)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    return (
+        batch_hashed.join(F.broadcast(collisions), "text_hash", "left_anti")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "text_hash")
+        .orderBy("doc_id")
+    )

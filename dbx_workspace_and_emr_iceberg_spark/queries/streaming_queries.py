@@ -700,3 +700,69 @@ def t12_rocksdb_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+# --- T13: rate-limited file ingestion (maxFilesPerTrigger) ------------------
+
+
+@register("t13_max_files_per_trigger", oracle=None, tags=("T1",))
+def t13_max_files_per_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill-style rate limiting: maxFilesPerTrigger=1 over a 4-file
+    directory under trigger(availableNow=True). availableNow drains the
+    whole backlog but HONORS the source rate limit, planning one
+    micro-batch per file — the knob that keeps a 100 TB backfill from
+    materializing as one giant batch (bounded state, bounded shuffle
+    per trigger, steady checkpoint cadence).
+
+    Self-verifies exactly-once across the batch sequence: at least one
+    micro-batch per file, per-batch counts sum to the source total, and
+    the union of per-batch key sets equals the source key set (nothing
+    lost, nothing duplicated)."""
+    import os as _os
+    import tempfile as _tf
+
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    src_keys = {r.n_nationkey for r in nat.collect()}  # 25 rows, bounded
+    path = _tf.mkdtemp(prefix="t13_files_")
+    try:
+        nat.repartition(4).write.mode("overwrite").parquet(path)
+        n_files = sum(1 for f in _os.listdir(path) if f.endswith(".parquet"))
+        schema = spark.read.parquet(path).schema
+        batches: list[tuple[int, int, set]] = []
+
+        def sink(df: DataFrame, bid: int) -> None:
+            rows = df.collect()  # bounded: <= 25 rows per batch
+            batches.append((bid, len(rows), {r.n_nationkey for r in rows}))
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+            .writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        nonempty = [b for b in batches if b[1] > 0]
+        if len(nonempty) < n_files:
+            raise AssertionError(
+                f"expected >= {n_files} rate-limited micro-batches, got "
+                f"{len(nonempty)} non-empty of {len(batches)}"
+            )
+        got_keys: set = set()
+        total = 0
+        for _bid, n, keys in batches:
+            if got_keys & keys:
+                raise AssertionError("a row appeared in two micro-batches")
+            got_keys |= keys
+            total += n
+        if total != len(src_keys) or got_keys != src_keys:
+            raise AssertionError(
+                f"exactly-once violated: {total} rows / {len(got_keys)} keys "
+                f"vs source {len(src_keys)}"
+            )
+        return spark.createDataFrame(
+            [(bid, n) for bid, n, _ in batches], "batch_id long, n_rows long"
+        ).orderBy("batch_id")
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

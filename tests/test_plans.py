@@ -280,3 +280,17 @@ def test_x17_redaction_is_shuffle_free_before_sort(spark):
     df = x17_pii_redaction(spark, SF_DIR)
     assert X.shuffle_count(df) <= 1, X.simple_plan(df)
     assert X.python_eval_count(df) == 0
+
+
+def test_x19_incremental_dedup_corpus_never_shuffles(spark):
+    """Both joins must broadcast the small batch side: the existing
+    corpus (the 100 TB side) is scanned once, map-only — a SortMergeJoin
+    here would shuffle the whole corpus by hash."""
+    from dbx_workspace_and_emr_iceberg_spark.queries.dedup_queries import (
+        x19_incremental_dedup,
+    )
+
+    df = x19_incremental_dedup(spark, SF_DIR)
+    plan = X.simple_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

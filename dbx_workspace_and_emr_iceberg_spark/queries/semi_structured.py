@@ -317,3 +317,56 @@ def f7b_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --- F7c: VARIANT type (Spark 4 semi-structured fast path) -------------------
+# parse_json gives an open-schema binary VARIANT (the Spark 4 / Iceberg v3
+# answer to JSON columns: parsed once, typed access without a declared
+# schema, ~order-of-magnitude over per-access string probing). The output
+# schema extracts to concrete types — VARIANT itself never reaches the
+# result (no stable cross-engine serialization to hash); the oracle
+# states the same values relationally, so field extraction, the
+# missing-path NULL contract, and try_parse_json's malformed-input NULL
+# are all hash-gated.
+
+_F7C_ORACLE = """
+SELECT
+  o_orderkey,
+  o_totalprice                                   AS price,
+  o_orderstatus                                  AS status,
+  o_orderpriority                                AS prio,
+  CAST(NULL AS INTEGER)                          AS missing_field,
+  1                                              AS bad_is_null
+FROM orders
+WHERE o_orderkey % 37 = 0
+ORDER BY o_orderkey
+"""
+
+
+@register("f7c_variant", oracle=_F7C_ORACLE, tags=("F7",))
+def f7c_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    doc = F.to_json(
+        F.struct(
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderstatus").alias("status"),
+            F.struct(F.col("o_orderpriority").alias("prio")).alias("nested"),
+        )
+    )
+    v = F.parse_json(doc)
+    return (
+        o.filter(F.col("o_orderkey") % 37 == 0)
+        .select(
+            "o_orderkey",
+            F.variant_get(v, "$.price", "double").alias("price"),
+            F.variant_get(v, "$.status", "string").alias("status"),
+            F.variant_get(v, "$.nested.prio", "string").alias("prio"),
+            # missing path -> NULL (not an error) under try_variant_get
+            F.try_variant_get(v, "$.no_such_field", "int").alias("missing_field"),
+            # malformed input -> NULL variant under try_parse_json
+            F.when(
+                F.try_parse_json(F.lit("{not json")).isNull(), F.lit(1)
+            ).otherwise(F.lit(0)).alias("bad_is_null"),
+        )
+        .orderBy("o_orderkey")
+    )

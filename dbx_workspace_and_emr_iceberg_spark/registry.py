@@ -157,6 +157,7 @@ _DRIVER_PRIORITY = [
     "d2_scalar_pandas_udf",
     # new in round 6 — never driver-run
     "d1_python_udf",
+    "f7c_variant",
     "x19_incremental_dedup",
     "s6_dynamic_partition_overwrite",
     "t13_max_files_per_trigger",

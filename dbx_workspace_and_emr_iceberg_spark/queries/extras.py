@@ -813,3 +813,42 @@ def a5c_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_day_sketches int, exact_distinct int, merged_estimate int, rel_err double",
     )
+
+
+# --- U6: recursive CTE (Spark 4 WITH RECURSIVE) -----------------------------
+# Iterative graph/hierarchy traversal as ONE declarative statement — the
+# engine unions each recursion step (a self-union per level, each level
+# one small shuffle), no driver loop. Both engines run near-identical
+# SQL, so this is direct SQL-surface parity, not a reformulation.
+# Binary-ancestor hierarchy over part keys: depth <= log2(200), row
+# count bounded by 200*8 at any SF (keys are a fixed prefix).
+
+_U6_ORACLE = """
+WITH RECURSIVE anc AS (
+  SELECT CAST(p_partkey AS BIGINT) AS node,
+         CAST(p_partkey AS BIGINT) AS ancestor,
+         0 AS depth
+  FROM part WHERE p_partkey <= 200
+  UNION ALL
+  SELECT node, ancestor // 2, depth + 1 FROM anc WHERE ancestor > 1
+)
+SELECT node, ancestor, depth FROM anc ORDER BY node, depth
+"""
+
+
+@register("u6_recursive_cte", oracle=_U6_ORACLE, tags=("U6",))
+def u6_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_u6")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+          SELECT CAST(p_partkey AS BIGINT) AS node,
+                 CAST(p_partkey AS BIGINT) AS ancestor,
+                 0 AS depth
+          FROM part_u6 WHERE p_partkey <= 200
+          UNION ALL
+          SELECT node, ancestor DIV 2, depth + 1 FROM anc WHERE ancestor > 1
+        )
+        SELECT node, ancestor, depth FROM anc ORDER BY node, depth
+        """
+    )

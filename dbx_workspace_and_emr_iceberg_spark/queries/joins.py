@@ -522,3 +522,36 @@ def j8d_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_right").alias("next_purchase_ts"),
         F.round("value_right", 4).alias("next_purchase_value"),
     ).orderBy("event_id")
+
+
+# --- J11: null-safe equi-join (<=> / IS NOT DISTINCT FROM) ------------------
+
+_J11_ORACLE = """
+WITH a AS (SELECT nullif(c_nationkey, 3) AS k FROM customer),
+     b AS (SELECT nullif(s_nationkey, 3) AS k FROM supplier)
+SELECT coalesce(a.k, -1) AS k_norm, CAST(count(*) AS BIGINT) AS n_pairs
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("j11_nullsafe_join", oracle=_J11_ORACLE, tags=("J1",))
+def j11_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eqNullSafe: NULL keys MATCH each other (plain equi-join drops
+    them). Still hash-joinable — Spark plans <=> as a normal equi-join
+    key, so the scale shape is identical to j1; the semantic difference
+    is only in the key comparison. Output rolled up per key so the
+    NULL-match group is visible and bounded."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey"), F.lit(3)).alias("ka")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.nullif(F.col("s_nationkey"), F.lit(3)).alias("kb")
+    )
+    return (
+        c.join(s, c["ka"].eqNullSafe(s["kb"]))
+        .groupBy(F.coalesce(F.col("ka"), F.lit(-1)).alias("k_norm"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("k_norm")
+    )

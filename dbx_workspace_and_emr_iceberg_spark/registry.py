@@ -158,6 +158,8 @@ _DRIVER_PRIORITY = [
     # new in round 6 — never driver-run
     "d1_python_udf",
     "f7c_variant",
+    "u6_recursive_cte",
+    "j11_nullsafe_join",
     "x19_incremental_dedup",
     "s6_dynamic_partition_overwrite",
     "t13_max_files_per_trigger",

@@ -852,3 +852,59 @@ def u6_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT node, ancestor, depth FROM anc ORDER BY node, depth
         """
     )
+
+
+# --- S12: Observation API — metrics without a second scan -------------------
+# df.observe() attaches aggregate metrics to a plan and delivers them as
+# a side effect of the ONE action that runs anyway — the production
+# pattern for row-count/quality telemetry on a 100 TB pipeline, where a
+# separate .count() pass would double the scan cost. Oracled on the
+# query result; the observation is additionally self-verified against
+# the returned aggregate inside the query (mismatch raises).
+
+_S12_ORACLE = """
+SELECT
+  l_returnflag,
+  CAST(count(*) AS BIGINT)                        AS n,
+  round(sum(l_extendedprice), 2)                  AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("s12_observe_metrics", oracle=_S12_ORACLE, tags=("S2", "A1"))
+def s12_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1995-01-01").cast("date")
+    )
+    obs = Observation("s12")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue_seen"),
+    )
+    out = (
+        observed.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+    rows = out.collect()  # bounded: one row per returnflag
+    got = obs.get  # blocks until the action above delivered metrics
+    n_total = sum(r.n for r in rows)
+    if got["rows_seen"] != n_total:
+        raise AssertionError(
+            f"observe() saw {got['rows_seen']} rows, result aggregates {n_total}"
+        )
+    # the observation rode along the SAME job — no second scan happened;
+    # return the already-computed rows as a local frame (re-running the
+    # plan would start a second observation window on a used Observation)
+    return spark.createDataFrame(
+        rows, "l_returnflag string, n bigint, revenue double"
+    )

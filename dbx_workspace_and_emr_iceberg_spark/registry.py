@@ -160,6 +160,7 @@ _DRIVER_PRIORITY = [
     "f7c_variant",
     "u6_recursive_cte",
     "j11_nullsafe_join",
+    "s12_observe_metrics",
     "x19_incremental_dedup",
     "s6_dynamic_partition_overwrite",
     "t13_max_files_per_trigger",

@@ -229,3 +229,26 @@ def s2f_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "n_nationkey", "n_name", "n_regionkey", "extra_score"
     ).orderBy("n_nationkey")
+
+
+# --- S2g: XML round-trip (Spark 4 built-in XML data source) ----------------
+# Spark 4 folded spark-xml into core (SPARK-44265): format("xml") with a
+# rowTag is a first-class batch source/sink, no external jar. Scale
+# shape matches CSV/JSON: line-oriented-ish text scan, schema applied on
+# read, predicate pushdown NOT available (text formats) — which is why
+# the engine's canonical storage stays Parquet and XML is an
+# ingest/export edge only.
+
+
+@register("s2g_xml_roundtrip", oracle=_NATION_ORACLE, tags=("S2",))
+def s2g_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    back = roundtrip(
+        n,
+        os.path.join(_TMP_ROOT, "nation_xml"),
+        "xml",
+        {"rowTag": "nation"},
+    )
+    return back.select("n_nationkey", "n_name", "n_regionkey").orderBy(
+        "n_nationkey"
+    )

@@ -555,3 +555,37 @@ def j11_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("k_norm")
     )
+
+
+# --- J12: LATERAL correlated subquery join (SPARK-34382) --------------------
+# Per-nation top-2 customers by balance as a correlated LATERAL subquery
+# — the SQL-standard spelling of w4's topn-per-group. Catalyst rewrites
+# the correlated LIMIT into a ranked window over the join, so the
+# physical shape is one shuffle on the correlation key, not N
+# re-executions of the inner query — the property that makes LATERAL
+# usable at 100 TB (the naive per-row re-scan would be quadratic).
+
+_J12_ORACLE = """
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey
+"""
+
+
+@register("j12_lateral", oracle=_J12_ORACLE, tags=("J12", "W4"))
+def j12_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_j12")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_j12")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation_j12 n JOIN LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer_j12 c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey
+        """
+    )

@@ -319,3 +319,38 @@ def f8c_native_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.select("c_custkey", "xx", "h32")
     finally:
         df.unpersist()
+
+
+# --- F9: LISTAGG (SQL:2023, Spark 4.0 SPARK-42746) --------------------------
+# Ordered string aggregation as ONE aggregate expression — the SQL-
+# standard spelling of collect_list+array_sort+array_join (a6). WITHIN
+# GROUP makes the order deterministic, so the result is oracle-stable;
+# DuckDB spells it string_agg(x, d ORDER BY x). Scale shape: a plain
+# hash aggregate — partial aggregation applies, only the per-group
+# strings shuffle.
+
+_F9_ORACLE = """
+SELECT
+  n_regionkey,
+  string_agg(n_name, ',' ORDER BY n_name)  AS nations_csv,
+  CAST(count(*) AS BIGINT)                 AS n_nations
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@register("f9_listagg", oracle=_F9_ORACLE, tags=("F9", "A6"))
+def f9_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_f9")
+    return spark.sql(
+        """
+        SELECT
+          n_regionkey,
+          listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations_csv,
+          count(*) AS n_nations
+        FROM nation_f9
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey
+        """
+    )

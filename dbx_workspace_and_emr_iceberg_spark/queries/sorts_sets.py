@@ -218,3 +218,42 @@ SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
 def u4_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+# --- O5: TABLESAMPLE / df.sample -------------------------------------------
+# Bernoulli sampling is seed-deterministic WITHIN an engine but the RNG
+# streams differ across engines, so no value oracle exists by design —
+# rows-only, with the properties that matter self-verified: the same
+# seed reproduces the same sample exactly, a disjoint seed draws a
+# different sample, and the observed fraction is within binomial bounds.
+# Scale shape: sampling is a narrow map — no shuffle, pushdown-friendly,
+# and the canonical first stage of any corpus-quality eyeball pipeline.
+
+
+@register("o5_tablesample", oracle=None, tags=("O5", "X7"))
+def o5_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n_total = c.count()
+    frac = 0.3
+    s1 = c.sample(fraction=frac, seed=42).select("c_custkey")
+    s2 = c.sample(fraction=frac, seed=42).select("c_custkey")
+    s3 = c.sample(fraction=frac, seed=7).select("c_custkey")
+    n1 = s1.count()
+    # determinism: same seed => identical row set (exceptAll both ways)
+    if s1.exceptAll(s2).count() != 0 or s2.exceptAll(s1).count() != 0:
+        raise AssertionError("sample(seed=42) not reproducible")
+    # different seed => (overwhelmingly) different set at this n
+    if n_total >= 100 and s1.exceptAll(s3).count() == 0 and s3.exceptAll(s1).count() == 0:
+        raise AssertionError("independent seeds drew identical samples")
+    # fraction within 6 sigma of binomial expectation
+    import math
+
+    sigma = math.sqrt(n_total * frac * (1 - frac))
+    if abs(n1 - n_total * frac) > 6 * sigma + 1:
+        raise AssertionError(
+            f"sample fraction off: {n1}/{n_total} vs p={frac} (6σ={6*sigma:.1f})"
+        )
+    return spark.createDataFrame(
+        [(n_total, n1, float(n1) / n_total)],
+        "n_total long, n_sampled long, observed_frac double",
+    )

@@ -164,6 +164,10 @@ _DRIVER_PRIORITY = [
     "x19_incremental_dedup",
     "s6_dynamic_partition_overwrite",
     "t13_max_files_per_trigger",
+    "s2g_xml_roundtrip",
+    "f9_listagg",
+    "j12_lateral",
+    "o5_tablesample",
 ]
 
 

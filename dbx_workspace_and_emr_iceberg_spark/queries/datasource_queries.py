@@ -1,0 +1,112 @@
+"""S13/T14: custom Python DataSource (batch + micro-batch stream).
+
+Spark 4's Python DataSource API (SPARK-44076) is this engine's
+extension point for feeds no packaged connector covers — the in-house
+equivalent of the reference mounting Iceberg/S3 connectors via config
+(/root/reference/main.tf:792-806). sources/pyds.py holds the
+implementation; these queries prove the contract end to end:
+partition planning on the driver, executor-side generation, schema
+application, and (t14) offset-tracked micro-batch progress.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.pyds import register_python_datasource
+
+# Deterministic feed: id in [0, N), bucket = id % 17,
+# amount = (id*37 % 1000)/100 — every value an exact 2-dp double, so
+# the DuckDB range() oracle hash-verifies the whole custom-source path.
+_S13_N = 5000
+
+_S13_ORACLE = f"""
+SELECT
+  CAST(i % 17 AS INTEGER)            AS bucket,
+  CAST(count(*) AS BIGINT)           AS n_rows,
+  round(sum((i * 37 % 1000) / 100.0), 2) AS total_amount,
+  round(avg((i * 37 % 1000) / 100.0), 4) AS avg_amount
+FROM range(0, {_S13_N}) t(i)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("s13_python_datasource", oracle=_S13_ORACLE, tags=("S13",))
+def s13_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch read through the registered Python source, then a normal
+    declarative aggregate on top — proving the custom source composes
+    with Catalyst like any built-in (the aggregate is a standard
+    partial-agg shuffle over the source's 8 generated splits)."""
+    register_python_datasource(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n", str(_S13_N))
+        .option("parts", "8")
+        .load()
+    )
+    n_splits = df.rdd.getNumPartitions()
+    if n_splits != 8:
+        raise AssertionError(
+            f"partition planning broken: {n_splits} splits, declared 8"
+        )
+    return (
+        df.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("amount"), 2).alias("total_amount"),
+            F.round(F.avg("amount"), 4).alias("avg_amount"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register("t14_python_stream_source", oracle=None, tags=("T14", "T1"))
+def t14_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch stream from the same Python source under
+    Trigger.AvailableNow: offsets advance rows_per_batch at a time
+    until n rows have been emitted, then the run terminates. Rows-only
+    by design (streaming); self-verified: the streamed per-bucket
+    counts must equal the batch read's — exactly-once across the
+    micro-batch boundary, no rows lost or duplicated at offsets."""
+    register_python_datasource(spark)
+    n = 600
+    sdf = (
+        spark.readStream.format("synthetic_events")
+        .option("n", str(n))
+        .option("rows_per_batch", "128")  # deliberately not a divisor
+        .option("parts", "4")
+        .load()
+    )
+    q = (
+        sdf.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .writeStream.format("memory")
+        .queryName("t14_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    if q.isActive:  # pragma: no cover - hang guard
+        q.stop()
+        raise AssertionError("t14 stream did not finish under availableNow")
+    streamed = spark.sql(
+        "SELECT bucket, n_rows FROM t14_sink"
+    )
+    batch = (
+        spark.read.format("synthetic_events")
+        .option("n", str(n))
+        .option("parts", "4")
+        .load()
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    diff = streamed.exceptAll(batch).count() + batch.exceptAll(streamed).count()
+    if diff != 0:
+        raise AssertionError(
+            f"streamed per-bucket counts differ from batch read ({diff} rows)"
+        )
+    return streamed.orderBy("bucket")

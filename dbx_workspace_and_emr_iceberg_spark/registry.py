@@ -58,6 +58,7 @@ _QUERY_MODULES = [
     "multimodal_queries",
     "udf_queries",
     "format_queries",
+    "datasource_queries",
     "extras",
     "lakehouse_queries",
     "streaming_queries",  # slowest untested family: after the cheap ones
@@ -168,6 +169,8 @@ _DRIVER_PRIORITY = [
     "f9_listagg",
     "j12_lateral",
     "o5_tablesample",
+    "s13_python_datasource",
+    "t14_python_stream_source",
 ]
 
 

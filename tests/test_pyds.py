@@ -1,0 +1,66 @@
+"""Python DataSource API (sources/pyds.py): partition planning,
+executor-side generation, streaming offsets."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbx_workspace_and_emr_iceberg_spark.sources.pyds import (
+    SyntheticEventsReader,
+    register_python_datasource,
+)
+
+
+def test_partition_planning_covers_range_exactly():
+    r = SyntheticEventsReader({"n": "1003", "parts": "8"})
+    parts = r.partitions()
+    assert len(parts) == 8
+    covered = sorted((p.start, p.end) for p in parts)
+    # contiguous, disjoint, exhaustive — the tail split keeps the odd rows
+    assert covered[0][0] == 0 and covered[-1][1] == 1003
+    for (a, b), (c, d) in zip(covered, covered[1:]):
+        assert b == c and a < b
+
+
+def test_batch_read_matches_formula(spark):
+    register_python_datasource(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n", "300")
+        .option("parts", "5")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    rows = {r.id: (r.bucket, r.amount) for r in df.collect()}
+    assert len(rows) == 300
+    for i in (0, 17, 299):
+        assert rows[i] == (i % 17, (i * 37 % 1000) / 100.0)
+
+
+def test_stream_available_now_is_exactly_once(spark):
+    register_python_datasource(spark)
+    sdf = (
+        spark.readStream.format("synthetic_events")
+        .option("n", "250")
+        .option("rows_per_batch", "64")
+        .option("parts", "3")
+        .load()
+    )
+    # distinct aggs are unsupported on streams — group BY id instead,
+    # so duplication would surface as a group with n > 1
+    q = (
+        sdf.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName("pyds_test_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    row = spark.sql(
+        "SELECT count(*) AS n_ids, max(n) AS max_n FROM pyds_test_sink"
+    ).collect()[0]
+    # no loss, no duplication across 4 micro-batches (64*3 + 58)
+    assert row.n_ids == 250 and row.max_n == 1

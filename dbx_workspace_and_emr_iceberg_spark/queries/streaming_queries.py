@@ -766,3 +766,88 @@ def t13_max_files_per_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("batch_id")
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# --- T8c: stream-stream LEFT OUTER join (watermarked) -----------------------
+# The outer variant is the semantically hard one: an unmatched click can
+# only emit its NULL row once the watermark proves no purchase can still
+# arrive inside its 2h window — i.e. outer results are *state
+# expiration* events. A sentinel event far past the fixture's horizon is
+# appended to BOTH sides so the watermark sweeps every real row out of
+# state before the availableNow run terminates, making the streamed
+# result equal the batch LEFT JOIN (the oracle) deterministically.
+# Without the sentinel the trailing 3h of clicks would sit in state
+# forever — the exact production behavior (outer rows trail the
+# watermark), reproduced and then closed out.
+
+_T8C_ORACLE = """
+SELECT
+  c.user_id,
+  CAST(count(*) AS BIGINT)    AS n_rows,
+  CAST(count(p.ts) AS BIGINT) AS n_matched
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 2 HOUR
+GROUP BY c.user_id
+ORDER BY c.user_id
+"""
+
+
+@register("t8c_stream_stream_outer", oracle=_T8C_ORACLE, tags=("T8",))
+def t8c_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    src = tempfile.mkdtemp(prefix="stream_sso_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_type",
+        )
+        flush_ts = ev.agg(
+            F.date_add(F.max("ts").cast("date"), 30).cast("timestamp")
+        ).collect()[0][0]
+        # sentinel on an impossible user so it joins nothing; one per side
+        sentinel = spark.createDataFrame(
+            [(-1, flush_ts, "click"), (-1, flush_ts, "purchase")],
+            "user_id long, ts timestamp, event_type string",
+        )
+        ev.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, "data")
+        )
+        schema = "user_id long, ts timestamp, event_type string"
+
+        def side(evt: str, ucol: str, tcol: str) -> DataFrame:
+            return (
+                spark.readStream.schema(schema)
+                .parquet(os.path.join(src, "data"))
+                .filter(F.col("event_type") == evt)
+                .select(F.col("user_id").alias(ucol), F.col("ts").alias(tcol))
+                .withWatermark(tcol, "1 hour")
+            )
+
+        joined = side("click", "c_user", "c_ts").join(
+            side("purchase", "p_user", "p_ts"),
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 2 HOUR")),
+            "left_outer",
+        )
+        out = run_to_memory(
+            joined.select("c_user", "p_ts"), "append"
+        ).filter(F.col("c_user") >= 0)
+        # force materialization BEFORE the temp dir is deleted — the
+        # memory sink holds rows, but out is lazy over it plus filters
+        res = (
+            out.groupBy(F.col("c_user").alias("user_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count("p_ts").alias("n_matched"),
+            )
+            .orderBy("user_id")
+        )
+        res.collect()
+        return res
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

@@ -171,6 +171,7 @@ _DRIVER_PRIORITY = [
     "o5_tablesample",
     "s13_python_datasource",
     "t14_python_stream_source",
+    "t8c_stream_stream_outer",
 ]
 
 

@@ -589,3 +589,70 @@ def j12_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey
         """
     )
+
+
+# --- J13: runtime bloom-filter join pruning (SPARK-32268) -------------------
+# On a 100 TB shuffle join with a selective dim-side predicate, Catalyst
+# injects a bloom_filter_agg over the small side's join keys and a
+# might_contain() filter on the FACT side scan — rows that cannot join
+# are dropped BEFORE the shuffle, often the single biggest IO win on a
+# star join too large to broadcast. Locally the size thresholds that
+# gate injection are never met, so the query pins them (and disables
+# broadcast) just long enough to prove the rewrite fires, asserts
+# might_contain/bloom_filter_agg in the optimized plan, and hash-checks
+# the result against the plain join oracle — the filter must be a pure
+# no-false-negative optimization.
+
+_J13_ORACLE = """
+SELECT
+  o.o_orderpriority,
+  CAST(count(*) AS BIGINT)          AS n_lines,
+  round(sum(l.l_extendedprice), 2)  AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+_J13_CONFS = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+}
+
+
+@register("j13_bloom_runtime_filter", oracle=_J13_ORACLE, tags=("J13", "J6"))
+def j13_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    saved = {k: spark.conf.get(k, None) for k in _J13_CONFS}
+    for k, v in _J13_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        res = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        plan = res._jdf.queryExecution().optimizedPlan().toString()
+        if "might_contain" not in plan or "bloom_filter_agg" not in plan:
+            raise AssertionError(
+                "runtime bloom filter was not injected into the join plan"
+            )
+        # materialize under the pinned confs — laziness would otherwise
+        # re-plan after the finally block restores them
+        res = spark.createDataFrame(res.collect(), res.schema)
+        return res
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

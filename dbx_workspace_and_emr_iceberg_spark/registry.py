@@ -172,6 +172,7 @@ _DRIVER_PRIORITY = [
     "s13_python_datasource",
     "t14_python_stream_source",
     "t8c_stream_stream_outer",
+    "j13_bloom_runtime_filter",
 ]
 
 

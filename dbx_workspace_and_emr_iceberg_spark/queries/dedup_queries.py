@@ -514,3 +514,85 @@ def x19_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text_hash")
         .orderBy("doc_id")
     )
+
+
+# --- X20: SemDeDup — semantic dedup via clustering --------------------------
+# Exact/MinHash dedup (x1/x2) catch textual copies; SemDeDup (Abbas et
+# al. 2023) catches *semantic* copies — embeddings that nearly coincide
+# — by confining the O(n²) cosine scan to k-means clusters. Iterative
+# clustering is not SQL-expressible → rows-only with hard self-checks:
+# the k-means objective must be monotone, the prune bookkeeping must be
+# internally consistent, and ≥90% of planted near-parallel pairs must
+# lose exactly their duplicate half.
+
+
+@register("x20_semantic_dedup", oracle=None, tags=("X20", "X1", "X3"))
+def x20_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.semantic import kmeans_fit_assign, semdedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", "embedding")
+    planted = base.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + _COPY_OFFSET).alias("vec_id"),
+        # near-parallel perturbation: cosine to the original ≈ 1
+        F.transform("embedding", lambda x: x * 1.01 + 0.001).alias(
+            "embedding"
+        ),
+    )
+    n_planted = planted.count()
+    corpus = base.unionByName(planted)
+
+    assigned, objective = kmeans_fit_assign(corpus, k=8, iters=4)
+    for a, b in zip(objective, objective[1:]):
+        if b < a - 1e-9:
+            raise AssertionError(f"k-means objective regressed: {objective}")
+
+    pruned = semdedup(assigned.select("vec_id", "cluster", "v"), 0.99).cache()
+    try:
+        # bookkeeping consistency: drops crossed the threshold, keeps
+        # didn't (greedy order makes this exact, not approximate)
+        bad = pruned.filter(
+            (~F.col("keep") & (F.col("max_cos_kept") < 0.99))
+            | (F.col("keep") & (F.col("max_cos_kept") >= 0.99))
+        ).count()
+        if bad:
+            raise AssertionError(f"{bad} rows violate the prune invariant")
+        # planted-pair resolution: original kept, copy dropped (greedy
+        # scans in vec_id order, originals come first) — require >= 90%
+        pairs = (
+            pruned.filter(F.col("vec_id") < _COPY_OFFSET)
+            .select(F.col("vec_id").alias("o_id"), F.col("keep").alias("o_keep"))
+            .join(
+                pruned.filter(F.col("vec_id") >= _COPY_OFFSET).select(
+                    (F.col("vec_id") - _COPY_OFFSET).alias("o_id"),
+                    F.col("keep").alias("c_keep"),
+                ),
+                "o_id",
+            )
+        )
+        n_pairs = pairs.count()
+        n_resolved = pairs.filter(~F.col("c_keep") | ~F.col("o_keep")).count()
+        if n_pairs != n_planted:
+            raise AssertionError(f"pair join lost rows: {n_pairs}/{n_planted}")
+        if n_resolved < 0.9 * n_pairs:
+            raise AssertionError(
+                f"SemDeDup resolved only {n_resolved}/{n_pairs} planted pairs"
+            )
+        n_corpus = corpus.count()
+        n_removed = pruned.filter(~F.col("keep")).count()
+        return spark.createDataFrame(
+            [
+                (
+                    n_corpus,
+                    n_planted,
+                    n_removed,
+                    n_resolved,
+                    float(objective[0]),
+                    float(objective[-1]),
+                )
+            ],
+            "n_corpus long, n_planted long, n_removed long, "
+            "n_pairs_resolved long, obj_first double, obj_last double",
+        )
+    finally:
+        pruned.unpersist()

@@ -173,6 +173,7 @@ _DRIVER_PRIORITY = [
     "t14_python_stream_source",
     "t8c_stream_stream_outer",
     "j13_bloom_runtime_filter",
+    "x20_semantic_dedup",
 ]
 
 

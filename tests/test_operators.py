@@ -358,3 +358,53 @@ def test_asof_timestamp_ntz_tolerance_and_bucketed(spark):
             ).collect()
         }
         assert got_b == want, f"bucketed NTZ tol={tol}: {got_b} != {want}"
+
+
+# --- semantic dedup (operators/semantic.py) ---------------------------------
+
+
+def test_kmeans_objective_monotone_and_assignment_total(spark):
+    from dbx_workspace_and_emr_iceberg_spark.operators.semantic import (
+        kmeans_fit_assign,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assigned, obj = kmeans_fit_assign(e, k=4, iters=3)
+    assert len(obj) == 3
+    assert all(b >= a - 1e-9 for a, b in zip(obj, obj[1:]))
+    n = e.count()
+    assert assigned.count() == n
+    assert assigned.filter("cluster < 0 OR cluster >= 4").count() == 0
+
+
+def test_semdedup_drops_planted_parallel_copy(spark):
+    import numpy as np
+
+    from dbx_workspace_and_emr_iceberg_spark.operators.semantic import semdedup
+
+    rng = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.9999, 0.0141, 0.0, 0.0], 0),  # cos≈0.9999 to id 1
+        (3, [0.0, 1.0, 0.0, 0.0], 0),
+        (4, [0.0, 0.0, 1.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rng, "vec_id long, v array<double>, cluster int"
+    )
+    out = {r.vec_id: r for r in semdedup(df, 0.99).collect()}
+    assert out[1].keep and not out[2].keep  # greedy keeps first id
+    assert out[2].max_cos_kept >= 0.99
+    assert out[3].keep and out[4].keep
+
+
+def test_semdedup_cluster_size_guard(spark):
+    import pytest as _pytest
+
+    from dbx_workspace_and_emr_iceberg_spark.operators.semantic import semdedup
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0], 0) for i in range(10)],
+        "vec_id long, v array<double>, cluster int",
+    )
+    with _pytest.raises(Exception, match="max_cluster"):
+        semdedup(df, 0.99, max_cluster=5).collect()

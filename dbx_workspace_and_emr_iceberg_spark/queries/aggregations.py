@@ -371,3 +371,45 @@ def a7d_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY gid, l_returnflag, l_linestatus
         """
     )
+
+
+# --- A10: bitmap-backed exact distinct (SPARK-44172 bitmap functions) -------
+# count(DISTINCT key) shuffles every distinct key; for bounded integer
+# domains the Spark 4 bitmap aggregates shuffle fixed 4 KB bitmap
+# buckets instead and OR them — exact (not approximate like a5's HLL),
+# mergeable, and the idiomatic 100 TB distinct-count when keys are ids
+# (bit positions are 1-based, so 0-based fixture keys shift by +1).
+# The oracle is the plain COUNT(DISTINCT) the bitmaps must equal.
+
+_A10_ORACLE = """
+SELECT
+  l_returnflag,
+  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nd_suppliers,
+  CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_parts
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("a10_bitmap_distinct", oracle=_A10_ORACLE, tags=("A10", "A4"))
+def a10_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "bitmap_count(bitmap_construct_agg("
+                "bitmap_bit_position(l_suppkey + 1)))"
+            )
+            .cast("bigint")
+            .alias("nd_suppliers"),
+            F.expr(
+                "bitmap_count(bitmap_construct_agg("
+                "bitmap_bit_position(l_partkey + 1)))"
+            )
+            .cast("bigint")
+            .alias("nd_parts"),
+        )
+        .orderBy("l_returnflag")
+    )

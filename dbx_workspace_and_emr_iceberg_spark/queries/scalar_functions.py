@@ -354,3 +354,39 @@ def f9_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_regionkey
         """
     )
+
+
+# --- F10: collation-aware comparison (Spark 4 collation support) ------------
+# SPARK-46830: string comparison semantics become a property of the
+# EXPRESSION (collate(col, 'UTF8_LCASE')), not an engine-wide setting —
+# case-insensitive equality/grouping without lower() rewrites, and the
+# collation survives into hash partitioning so case variants of a key
+# land in one shuffle partition. Oracle spells the same semantics with
+# lower() (DuckDB has no per-expression collation).
+
+_F10_ORACLE = """
+SELECT
+  lower(c_mktsegment)            AS segment_ci,
+  CAST(count(*) AS BIGINT)       AS n_customers,
+  CAST(count(CASE WHEN lower(c_mktsegment) = 'building' THEN 1 END)
+       AS BIGINT)                AS n_building_ci
+FROM customer
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("f10_collation", oracle=_F10_ORACLE, tags=("F10", "F1"))
+def f10_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    ci = F.collate(F.col("c_mktsegment"), "UTF8_LCASE")
+    return (
+        c.groupBy(F.lower("c_mktsegment").alias("segment_ci"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.count(
+                F.when(ci == F.lit("BuIlDiNg"), 1)
+            ).alias("n_building_ci"),
+        )
+        .orderBy("segment_ci")
+    )

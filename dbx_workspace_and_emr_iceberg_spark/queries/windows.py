@@ -226,3 +226,43 @@ def w5_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --- W6: event-time RANGE frame (INTERVAL-bounded window) -------------------
+# w3's numeric RANGE frame slides over a value gap; the INTERVAL form
+# slides over event TIME — "activity in the trailing hour per user" —
+# the canonical rate/velocity feature for sessionized logs. Same scale
+# shape as any window: one shuffle on the partition key, frame
+# evaluated within sorted partitions; at 100 TB the partition key
+# (user) keeps state per-executor and the interval bound keeps the
+# frame buffer small regardless of a user's history length.
+
+_W6_ORACLE = """
+SELECT
+  event_id,
+  user_id,
+  CAST(count(*) OVER w AS BIGINT)          AS n_trailing_1h,
+  round(sum(value) OVER w, 4)              AS v_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+@register("w6_interval_range_frame", oracle=_W6_ORACLE, tags=("W6", "W3"))
+def w6_interval_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_w6")
+    return spark.sql(
+        """
+        SELECT
+          event_id,
+          user_id,
+          CAST(count(*) OVER w AS BIGINT)  AS n_trailing_1h,
+          round(sum(value) OVER w, 4)      AS v_trailing_1h
+        FROM events_w6
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+        """
+    )

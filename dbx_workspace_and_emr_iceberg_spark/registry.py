@@ -174,6 +174,9 @@ _DRIVER_PRIORITY = [
     "t8c_stream_stream_outer",
     "j13_bloom_runtime_filter",
     "x20_semantic_dedup",
+    "w6_interval_range_frame",
+    "a10_bitmap_distinct",
+    "f10_collation",
 ]
 
 

@@ -851,3 +851,74 @@ def t8c_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         return res
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+# --- T15: checkpoint recovery across restarts -------------------------------
+# The durability half of exactly-once: a streaming query's WAL/offset
+# checkpoint must let a RESTARTED query resume where the previous run
+# stopped — no reprocessing, no loss — which is what makes a 100 TB
+# continuous pipeline safely killable. Two runs against one checkpoint:
+# run 1 drains file A; file B lands; run 2 (same checkpoint, fresh
+# query object) must emit exactly B. A parquet sink makes duplicates
+# visible as row-count inflation.
+
+
+@register("t15_checkpoint_recovery", oracle=None, tags=("T15", "T1", "T9"))
+def t15_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    root = tempfile.mkdtemp(prefix="t15_ckpt_")
+    src, sink, ckpt = (
+        _os.path.join(root, d) for d in ("src", "sink", "ckpt")
+    )
+    try:
+        nat = load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        a = nat.filter(F.col("n_nationkey") < 12)
+        b = nat.filter(F.col("n_nationkey") >= 12)
+        n_a, n_b = a.count(), b.count()
+        _os.makedirs(src)
+        a.coalesce(1).write.parquet(_os.path.join(src, "fileA"))
+
+        def run_once() -> None:
+            q = (
+                spark.readStream.schema(nat.schema)
+                .parquet(src + "/*/")
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            if q.isActive:  # pragma: no cover - hang guard
+                q.stop()
+                raise AssertionError("t15 run did not finish")
+
+        run_once()
+        got_a = spark.read.parquet(sink)
+        if got_a.count() != n_a:
+            raise AssertionError(f"run 1 wrote {got_a.count()} rows, want {n_a}")
+
+        b.coalesce(1).write.parquet(_os.path.join(src, "fileB"))
+        run_once()  # fresh query, SAME checkpoint: must process only B
+
+        final = spark.read.parquet(sink).cache()
+        try:
+            n_rows = final.count()
+            n_keys = final.select("n_nationkey").distinct().count()
+            if n_rows != n_a + n_b or n_keys != n_a + n_b:
+                raise AssertionError(
+                    f"checkpoint recovery broken: {n_rows} rows / {n_keys} "
+                    f"keys, want {n_a + n_b} each (dup => reprocessed A)"
+                )
+            return spark.createDataFrame(
+                [(n_a, n_b, n_rows, n_keys)],
+                "n_run1 long, n_run2 long, n_sink_rows long, n_sink_keys long",
+            )
+        finally:
+            final.unpersist()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -829,3 +829,67 @@ def x18_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- X21: URL parsing / host-level corpus rollup ----------------------------
+# Web-scraped pretraining corpora are governed per host: domain
+# blocklists, per-host caps, URL dedup. parse_url is the JVM-side
+# operator for that (no Python, no UDF); here synthetic-but-
+# deterministic URLs are built from document columns so the DuckDB
+# oracle can reproduce every extraction with string/regexp ops. The
+# rollup (docs + chars per host) is the canonical per-host cap input.
+
+_X21_ORACLE = """
+WITH urls AS (
+  SELECT
+    doc_id,
+    n_chars,
+    'https://' || source || '.example.org/docs/' || CAST(doc_id AS VARCHAR)
+      || '?lang=' || lang || '&v=2' AS url
+  FROM documents
+)
+SELECT
+  regexp_extract(url, '^https://([^/]+)/', 1)                   AS host,
+  min(regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1))       AS sample_path_min,
+  CAST(count(*) AS BIGINT)                                      AS n_docs,
+  CAST(sum(n_chars) AS BIGINT)                                  AS total_chars,
+  regexp_extract(min(url), 'lang=([a-z]+)', 1)                  AS min_url_lang
+FROM urls
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("x21_url_parsing", oracle=_X21_ORACLE, tags=("X21", "X4", "F1"))
+def x21_url_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    urls = d.select(
+        "n_chars",
+        F.concat(
+            F.lit("https://"),
+            "source",
+            F.lit(".example.org/docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?lang="),
+            "lang",
+            F.lit("&v=2"),
+        ).alias("url"),
+    )
+    parsed = urls.select(
+        "n_chars",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+    )
+    return (
+        parsed.groupBy("host")
+        .agg(
+            F.min("path").alias("sample_path_min"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.parse_url(F.min("url"), F.lit("QUERY"), F.lit("lang")).alias(
+                "min_url_lang"
+            ),
+        )
+        .orderBy("host")
+    )

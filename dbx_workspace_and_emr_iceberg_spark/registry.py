@@ -177,6 +177,8 @@ _DRIVER_PRIORITY = [
     "w6_interval_range_frame",
     "a10_bitmap_distinct",
     "f10_collation",
+    "x21_url_parsing",
+    "t15_checkpoint_recovery",
 ]
 
 

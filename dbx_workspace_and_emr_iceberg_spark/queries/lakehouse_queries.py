@@ -847,3 +847,66 @@ def p3_hidden_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return day_read.select("event_id", "ts", "user_id", "event_type").orderBy(
         "event_id"
     )
+
+
+# --- M14: MERGE WITH SCHEMA EVOLUTION ---------------------------------------
+# Iceberg/Spark 4 `mergeInto(...).withSchemaEvolution()`: a source feed
+# grows a column, and ONE merge both evolves the target schema
+# (manifest-only ADD, M6 — zero file rewrites for untouched data) and
+# applies the upsert. Self-verified: evolved schema visible, untouched
+# rows read NULL for the new column, matched/inserted rows carry source
+# values, and the PRE-merge snapshot still presents the old schema.
+
+
+@register("m14_merge_schema_evolution", oracle=None, tags=("M1", "M6"))
+def m14_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wh = tempfile.mkdtemp(prefix="lakehouse_msev_")
+    try:
+        nat = load_table(spark, sf_dir, "nation").coalesce(1)
+        t = LakehouseTable(spark, wh, "nation_msev")
+        v1 = t.create(nat)
+        n0 = t.read().count()
+
+        # source grows a quality_score column the target never had
+        src = spark.createDataFrame(
+            [(0, "EVOLVED_A", 9, 0.91), (300, "EVOLVED_NEW", 9, 0.42)],
+            "n_nationkey int, n_name string, n_regionkey int, "
+            "quality_score double",
+        )
+        v2 = t.merge_into(
+            src,
+            on="n_nationkey",
+            validate_source_keys=False,
+            schema_evolution=True,
+        )
+
+        cur = t.read().cache()
+        try:
+            if "quality_score" not in cur.columns:
+                raise AssertionError("schema did not evolve through merge")
+            rows = {r.n_nationkey: r for r in cur.collect()}  # ≤ 26 rows
+            if len(rows) != n0 + 1:
+                raise AssertionError("merge net count wrong")
+            if rows[0].quality_score != 0.91 or rows[0].n_name != "EVOLVED_A":
+                raise AssertionError("matched row missed update")
+            if rows[300].quality_score != 0.42:
+                raise AssertionError("inserted row missed new column")
+            n_null = sum(
+                1 for r in rows.values() if r.quality_score is None
+            )
+            if n_null != n0 - 1:
+                raise AssertionError(
+                    f"untouched rows must read NULL: {n_null} != {n0 - 1}"
+                )
+        finally:
+            cur.unpersist()
+        # pre-merge snapshot: old schema, old rows
+        old = t.read(version=v1)
+        if "quality_score" in old.columns or old.count() != n0:
+            raise AssertionError("time-travel read leaked evolved schema")
+        return _log(
+            spark,
+            [("create", v1, n0), ("merge_evolve", v2, n0 + 1)],
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

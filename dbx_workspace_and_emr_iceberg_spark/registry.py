@@ -179,6 +179,7 @@ _DRIVER_PRIORITY = [
     "f10_collation",
     "x21_url_parsing",
     "t15_checkpoint_recovery",
+    "m14_merge_schema_evolution",
 ]
 
 

@@ -338,11 +338,18 @@ class LakehouseTable:
         insert: bool = True,
         delete_cond=None,
         validate_source_keys: bool = True,
+        schema_evolution: bool = False,
     ) -> int:
         """MERGE INTO target USING source ON target.on = source.on
         WHEN MATCHED [AND delete_cond] THEN DELETE
         WHEN MATCHED THEN UPDATE SET update_cols
         WHEN NOT MATCHED THEN INSERT *                        (M1)
+
+        ``schema_evolution`` mirrors Iceberg/Spark 4's
+        ``mergeInto(...).withSchemaEvolution()``: source columns absent
+        from the target are first ADDed (manifest-only, M6 path — no
+        file rewrite), so pre-existing rows read NULL for them and the
+        merge's update/insert branches carry the new values.
 
         Join-based rewrite, same plan shape Iceberg's extension rules
         generate. Full-table rewrite here; at scale, pair with
@@ -368,6 +375,13 @@ class LakehouseTable:
                     f"merge_into: source has duplicate rows for key {on!r} "
                     "(Iceberg MERGE cardinality violation)"
                 )
+        if schema_evolution:
+            existing = {f["name"] for f in self.schema_json()["fields"]}
+            for f in source.schema.fields:
+                if f.name not in existing:
+                    # each ADD commits — re-capture the merge's parent so
+                    # the final commit isn't flagged as a stale writer
+                    parent = self.add_column(f.name, f.dataType.simpleString())
         target = self.read()
         tcols = target.columns
         # Presence is tracked with explicit marker columns, NOT key

@@ -908,3 +908,72 @@ def s12_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "l_returnflag string, n bigint, revenue double"
     )
+
+
+# --- U7: SQL pipe syntax (SPARK-49555, Spark 4.0) ---------------------------
+# `FROM t |> WHERE … |> AGGREGATE …` — operator-ordered SQL. Pure parser
+# surface: Catalyst receives the identical logical plan as the nested-
+# SELECT spelling, so the physical plan (partial agg → shuffle → final
+# agg) is byte-for-byte the classic one; the oracle is that spelling.
+
+_U7_ORACLE = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT)         AS n,
+       round(sum(l_extendedprice), 2)   AS rev
+FROM lineitem
+WHERE l_quantity > 45
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("u7_pipe_syntax", oracle=_U7_ORACLE, tags=("U7",))
+def u7_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_u7"
+    )
+    return spark.sql(
+        """
+        FROM lineitem_u7
+        |> WHERE l_quantity > 45
+        |> AGGREGATE count(*) AS n, round(sum(l_extendedprice), 2) AS rev
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, CAST(n AS BIGINT) AS n, rev
+        |> ORDER BY l_returnflag
+        """
+    )
+
+
+# --- F11: parameterized SQL (named markers, SPARK-41271) --------------------
+# spark.sql(query, args=...) binds values server-side — the
+# injection-safe templating surface every programmatic caller should
+# use instead of f-strings. Binding happens at parse time, so constant
+# folding and parquet filter pushdown see the literal exactly as if it
+# were inlined.
+
+_F11_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(avg(o_totalprice), 2) AS avg_price
+FROM orders
+WHERE o_totalprice > 150000.0 AND o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("f11_parameterized_sql", oracle=_F11_ORACLE, tags=("F11",))
+def f11_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_f11")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               round(avg(o_totalprice), 2) AS avg_price
+        FROM orders_f11
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"min_price": 150000.0, "status": "F"},
+    )

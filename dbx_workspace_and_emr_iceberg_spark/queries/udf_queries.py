@@ -291,3 +291,74 @@ def d5b_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInArrow(double_qty, "l_orderkey bigint, qty2 double")
         .orderBy("l_orderkey", "qty2")
     )
+
+
+# --- D8: SQL scalar UDF (CREATE FUNCTION ... RETURN expr, SPARK-46246) ------
+# A function DEFINED in SQL: the body is an expression Catalyst inlines
+# into the calling plan, so unlike every Python UDF surface (d1/d2)
+# there is no serialization boundary at all — it codegens with the
+# query. The scale-preferred way to share business formulas.
+
+_D8_ORACLE = """
+SELECT
+  l_returnflag,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS disc_revenue
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("d8_sql_scalar_function", oracle=_D8_ORACLE, tags=("D8", "D7"))
+def d8_sql_scalar_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_d8"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION d8_disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(sum(d8_disc_price(l_extendedprice, l_discount)), 2)
+                 AS disc_revenue
+        FROM lineitem_d8
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+# --- D9: SQL table function (RETURNS TABLE) ---------------------------------
+# The SQL twin of d6's Python UDTF: a parameterized view whose body is
+# planned, inlined, and optimized with the outer query (predicate
+# pushdown crosses the function boundary — it is not a materialization).
+
+_D9_ORACLE = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_big
+FROM lineitem
+WHERE l_quantity >= 48
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("d9_sql_table_function", oracle=_D9_ORACLE, tags=("D9", "D6"))
+def d9_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_d9"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION d9_big_lines(minq DOUBLE) "
+        "RETURNS TABLE(l_returnflag STRING) "
+        "RETURN SELECT l_returnflag FROM lineitem_d9 WHERE l_quantity >= minq"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, count(*) AS n_big
+        FROM d9_big_lines(48)
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )

@@ -180,6 +180,10 @@ _DRIVER_PRIORITY = [
     "x21_url_parsing",
     "t15_checkpoint_recovery",
     "m14_merge_schema_evolution",
+    "u7_pipe_syntax",
+    "f11_parameterized_sql",
+    "d8_sql_scalar_function",
+    "d9_sql_table_function",
 ]
 
 

@@ -294,3 +294,60 @@ def test_x19_incremental_dedup_corpus_never_shuffles(spark):
     plan = X.simple_plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_j12_lateral_rewrites_to_window_not_loop(spark):
+    from dbx_workspace_and_emr_iceberg_spark.queries.joins import j12_lateral
+
+    df = j12_lateral(spark, SF_DIR)
+    plan = X.simple_plan(df)
+    # correlated LIMIT must become a ranked window over ONE join — not a
+    # nested-loop re-execution per outer row
+    assert "Window" in plan, plan
+    assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_w6_interval_frame_single_partition_shuffle(spark):
+    from dbx_workspace_and_emr_iceberg_spark.queries.windows import (
+        w6_interval_range_frame,
+    )
+
+    df = w6_interval_range_frame(spark, SF_DIR)
+    # one exchange for the user_id window partition + final sort only
+    assert X.shuffle_count(df) <= 2, X.simple_plan(df)
+    assert X.python_eval_count(df) == 0
+
+
+def test_a10_bitmap_distinct_is_partial_aggregated(spark):
+    from dbx_workspace_and_emr_iceberg_spark.queries.aggregations import (
+        a10_bitmap_distinct,
+    )
+
+    df = a10_bitmap_distinct(spark, SF_DIR)
+    plan = X.simple_plan(df)
+    # bitmap path must NOT expand into the distinct-aggregate Expand op:
+    # the whole point is shuffling merged bitmaps, not distinct keys
+    assert "Expand" not in plan, plan
+    assert X.shuffle_count(df) <= 2, plan
+
+
+def test_x21_url_parsing_stays_jvm_side(spark):
+    from dbx_workspace_and_emr_iceberg_spark.queries.text_queries import (
+        x21_url_parsing,
+    )
+
+    df = x21_url_parsing(spark, SF_DIR)
+    assert X.python_eval_count(df) == 0, X.simple_plan(df)
+    assert X.shuffle_count(df) <= 2, X.simple_plan(df)
+
+
+def test_s13_python_source_aggregate_is_two_phase(spark):
+    from dbx_workspace_and_emr_iceberg_spark.queries.datasource_queries import (
+        s13_python_datasource,
+    )
+
+    df = s13_python_datasource(spark, SF_DIR)
+    plan = X.simple_plan(df)
+    # partial aggregation must run on the custom source's splits before
+    # the exchange — the source composes with Catalyst like a native one
+    assert plan.count("HashAggregate") >= 2, plan

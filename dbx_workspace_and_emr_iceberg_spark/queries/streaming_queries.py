@@ -922,3 +922,93 @@ def t15_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             final.unpersist()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --- T16: lakehouse table as a STREAMING SOURCE -----------------------------
+# `spark.readStream.format("iceberg")` parity for the snapshot layer:
+# offsets are snapshot versions, each micro-batch is the manifest diff
+# (sources/pyds.py::LakehouseStreamDataSource). Self-verified: the
+# streamed multiset equals the table content exactly once across three
+# append commits, and a RESTARTED run against the same checkpoint after
+# one more append emits ONLY the delta (version offsets checkpoint like
+# file offsets; parquet sink so recovery is supported and duplicates
+# would surface as row-count inflation).
+
+
+@register("t16_lakehouse_stream_source", oracle=None, tags=("T16", "T1", "S8"))
+def t16_lakehouse_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from ..sources.lakehouse import LakehouseTable
+    from ..sources.pyds import register_lakehouse_stream
+
+    register_lakehouse_stream(spark)
+    root = tempfile.mkdtemp(prefix="t16_lh_stream_")
+    try:
+        nat = load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        t = LakehouseTable(spark, root, "nation_stream")
+        t.create(nat.filter(F.col("n_nationkey") < 10).coalesce(1))
+        t.append(
+            nat.filter(F.col("n_nationkey").between(10, 17)).coalesce(1)
+        )
+        t.append(nat.filter(F.col("n_nationkey") > 17).coalesce(1))
+        n_total = nat.count()
+
+        ckpt = _os.path.join(root, "_ckpt")
+        sink = _os.path.join(root, "_sink")
+
+        def run_stream() -> None:
+            q = (
+                spark.readStream.format("lakehouse_stream")
+                .option("table_root", t.root)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            if q.isActive:  # pragma: no cover - hang guard
+                q.stop()
+                raise AssertionError("t16 stream did not finish")
+
+        run_stream()
+        got = spark.read.parquet(sink)
+        n_stream = got.count()
+        n_keys = got.select("n_nationkey").distinct().count()
+        if n_stream != n_total or n_keys != n_total:
+            raise AssertionError(
+                f"streamed {n_stream} rows / {n_keys} keys, table has "
+                f"{n_total} (loss or duplication across snapshot batches)"
+            )
+        # incremental restart: only the new append may surface
+        t.append(
+            nat.filter(F.col("n_nationkey") < 3)
+            .select(
+                (F.col("n_nationkey") + 500).alias("n_nationkey"),
+                "n_name",
+                "n_regionkey",
+            )
+            .coalesce(1)
+        )
+        run_stream()
+        all_keys = {
+            r.n_nationkey
+            for r in spark.read.parquet(sink).select("n_nationkey").collect()
+        }
+        n_after = spark.read.parquet(sink).count()
+        if n_after != n_total + 3 or not {500, 501, 502} <= all_keys:
+            raise AssertionError(
+                f"incremental run wrong: {n_after} rows after restart, "
+                f"want {n_total + 3} (delta-only emission)"
+            )
+        return spark.createDataFrame(
+            [(n_total, n_stream, n_after - n_stream)],
+            "n_table long, n_streamed long, n_delta long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

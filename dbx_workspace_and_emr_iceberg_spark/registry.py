@@ -184,6 +184,7 @@ _DRIVER_PRIORITY = [
     "f11_parameterized_sql",
     "d8_sql_scalar_function",
     "d9_sql_table_function",
+    "t16_lakehouse_stream_source",
 ]
 
 

@@ -123,3 +123,112 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
 def register_python_datasource(spark) -> None:
     """Idempotent per-session registration."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class LakehouseStreamDataSource(DataSource):
+    """Streaming source over a LakehouseTable: the engine's equivalent
+    of `spark.readStream.format("iceberg")` (Iceberg streaming source,
+    SURVEY §2.9 T1/T9) against the snapshot layer in
+    sources/lakehouse.py.
+
+    Offsets are snapshot VERSIONS; each micro-batch is the manifest
+    diff — exactly the data files the commits in (start, end] added.
+    Append-only commits stream; any other op raises (Iceberg's
+    streaming source has the same contract: overwrites/deletes are not
+    streamable as appends).
+
+    Everything the executor needs is plain JSON + parquet on shared
+    storage — no SparkSession, no driver round-trip: manifests are read
+    with json, data files with pyarrow, so `read()` scales with the
+    executor count like any file source.
+
+    Option: ``table_root`` — the LakehouseTable root directory.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "lakehouse_stream"
+
+    def _root(self) -> str:
+        root = self.options.get("table_root")
+        if not root:
+            raise ValueError("lakehouse_stream requires option table_root")
+        return root
+
+    def schema(self) -> StructType:
+        import json
+        import os
+
+        root = self._root()
+        with open(os.path.join(root, "_current")) as f:
+            v = int(f.read().strip())
+        with open(
+            os.path.join(root, "_snapshots", f"v{v:05d}.json")
+        ) as f:
+            return StructType.fromJson(json.load(f)["schema"])
+
+    def streamReader(self, schema: StructType) -> "LakehouseStreamReader":
+        return LakehouseStreamReader(self._root(), schema)
+
+
+class LakehouseStreamReader(DataSourceStreamReader):
+    def __init__(self, root: str, schema: StructType):
+        self.root = root
+        self.fields = [f.name for f in schema.fields]
+
+    def _manifest(self, v: int) -> dict:
+        import json
+        import os
+
+        with open(
+            os.path.join(self.root, "_snapshots", f"v{v:05d}.json")
+        ) as f:
+            return json.load(f)
+
+    def initialOffset(self):
+        return {"version": 0}
+
+    def latestOffset(self):
+        import os
+
+        with open(os.path.join(self.root, "_current")) as f:
+            return {"version": int(f.read().strip())}
+
+    def partitions(self, start, end):
+        lo, hi = start["version"], end["version"]
+        parts: list[_FilePartition] = []
+        for v in range(lo + 1, hi + 1):
+            m = self._manifest(v)
+            if m["op"] not in ("create", "append"):
+                raise ValueError(
+                    f"lakehouse_stream: snapshot v{v} is op={m['op']!r}; "
+                    "only append-only history is streamable"
+                )
+            prev = set(self._manifest(v - 1)["files"]) if v > 1 else set()
+            parts.extend(
+                _FilePartition(p) for p in m["files"] if p not in prev
+            )
+        # Spark requires >= 1 partition per planned batch
+        return parts or [_FilePartition("")]
+
+    def read(self, partition: _FilePartition):
+        if not partition.path:
+            return
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.path)
+        cols = [tbl.column(f).to_pylist() for f in self.fields]
+        for row in zip(*cols):
+            yield row
+
+    def commit(self, end):
+        pass
+
+
+def register_lakehouse_stream(spark) -> None:
+    spark.dataSource.register(LakehouseStreamDataSource)

@@ -413,3 +413,39 @@ def a10_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- A11: GROUP BY ALL ------------------------------------------------------
+# Grouping keys inferred from the non-aggregate select items — same
+# logical plan as spelling them out (pure parser sugar both engines
+# share), so physical shape is the standard two-phase hash aggregate.
+
+_A11_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(count(*) AS BIGINT)        AS n,
+  round(avg(l_quantity), 4)       AS avg_qty
+FROM lineitem
+GROUP BY ALL
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("a11_group_by_all", oracle=_A11_ORACLE, tags=("A11", "A1"))
+def a11_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_a11"
+    )
+    return spark.sql(
+        """
+        SELECT
+          l_returnflag,
+          l_linestatus,
+          count(*)                  AS n,
+          round(avg(l_quantity), 4) AS avg_qty
+        FROM lineitem_a11
+        GROUP BY ALL
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )

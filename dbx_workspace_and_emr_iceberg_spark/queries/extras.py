@@ -977,3 +977,44 @@ def f11_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 150000.0, "status": "F"},
     )
+
+
+# --- F12: SQL session variables (SPARK-46908) -------------------------------
+# DECLARE / SET VAR / reference-by-name: session-scoped typed state for
+# multi-statement SQL workflows (thresholds, as-of dates) without
+# client-side templating. The variable folds to a literal at plan time,
+# so pushdown sees a constant — the oracle inlines the same values.
+
+_F12_ORACLE = """
+SELECT
+  o_orderstatus,
+  CAST(count(*) AS BIGINT)      AS n_orders,
+  round(sum(o_totalprice), 2)   AS total
+FROM orders
+WHERE o_totalprice > 120000.0 AND o_orderdate >= DATE '1996-01-01'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("f12_sql_variables", oracle=_F12_ORACLE, tags=("F12",))
+def f12_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_f12")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE f12_min_price DOUBLE DEFAULT 0.0"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE f12_cutoff DATE")
+    spark.sql("SET VAR f12_min_price = 120000.0")
+    spark.sql("SET VAR f12_cutoff = DATE '1996-01-01'")
+    return spark.sql(
+        """
+        SELECT
+          o_orderstatus,
+          count(*)                    AS n_orders,
+          round(sum(o_totalprice), 2) AS total
+        FROM orders_f12
+        WHERE o_totalprice > f12_min_price AND o_orderdate >= f12_cutoff
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )

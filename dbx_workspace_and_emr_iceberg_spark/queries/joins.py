@@ -656,3 +656,42 @@ def j13_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# --- J14: correlated scalar subquery in the projection ----------------------
+# `(SELECT agg FROM … WHERE corr)` per outer row — Catalyst decorrelates
+# it into ONE aggregate + left outer join, so the inner table is
+# scanned once, not once per outer row (the naive interpretation is
+# quadratic; the rewrite is what makes this usable on a 100 TB inner).
+# NULL for nations with no customers is part of the contract.
+
+_J14_ORACLE = """
+SELECT
+  n_name,
+  (SELECT round(max(c_acctbal), 2) FROM customer c
+   WHERE c.c_nationkey = n.n_nationkey)            AS max_bal,
+  (SELECT CAST(count(*) AS BIGINT) FROM customer c
+   WHERE c.c_nationkey = n.n_nationkey)            AS n_cust
+FROM nation n
+ORDER BY n_name
+"""
+
+
+@register("j14_scalar_subquery", oracle=_J14_ORACLE, tags=("J14", "J2"))
+def j14_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_j14")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_j14"
+    )
+    return spark.sql(
+        """
+        SELECT
+          n_name,
+          (SELECT round(max(c_acctbal), 2) FROM customer_j14 c
+           WHERE c.c_nationkey = n.n_nationkey)    AS max_bal,
+          (SELECT count(*) FROM customer_j14 c
+           WHERE c.c_nationkey = n.n_nationkey)    AS n_cust
+        FROM nation_j14 n
+        ORDER BY n_name
+        """
+    )

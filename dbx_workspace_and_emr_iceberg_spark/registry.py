@@ -185,6 +185,9 @@ _DRIVER_PRIORITY = [
     "d8_sql_scalar_function",
     "d9_sql_table_function",
     "t16_lakehouse_stream_source",
+    "j14_scalar_subquery",
+    "a11_group_by_all",
+    "f12_sql_variables",
 ]
 
 

@@ -66,17 +66,17 @@ def s13_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("t14_python_stream_source", oracle=None, tags=("T14", "T1"))
 def t14_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Micro-batch stream from the same Python source under
-    Trigger.AvailableNow: offsets advance rows_per_batch at a time
-    until n rows have been emitted, then the run terminates. Rows-only
+    Trigger.AvailableNow: the run admits the whole declared backlog
+    (see SyntheticEventsStreamReader on why that is the only lossless
+    availableNow contract for Python sources) and terminates. Rows-only
     by design (streaming); self-verified: the streamed per-bucket
     counts must equal the batch read's — exactly-once across the
-    micro-batch boundary, no rows lost or duplicated at offsets."""
+    offset boundary, no rows lost or duplicated."""
     register_python_datasource(spark)
     n = 600
     sdf = (
         spark.readStream.format("synthetic_events")
         .option("n", str(n))
-        .option("rows_per_batch", "128")  # deliberately not a divisor
         .option("parts", "4")
         .load()
     )

@@ -85,16 +85,20 @@ class SyntheticEventsReader(DataSourceReader):
 class SyntheticEventsStreamReader(DataSourceStreamReader):
     """Micro-batch stream over the same deterministic feed.
 
-    Offsets are plain row counts; each micro-batch advances by
-    ``rows_per_batch`` until ``n`` rows have been emitted, then the
-    source idles (empty batches). partitions(start, end) splits each
-    micro-batch the same way the batch reader splits the whole range,
-    so executor parallelism holds per-batch too.
+    Offsets are plain row counts. ``latestOffset`` exposes the full
+    backlog, so ``availableNow`` admits and drains it — measured:
+    Spark captures latestOffset ONCE per availableNow run, so an
+    incrementally-advancing latestOffset would silently truncate the
+    run (the Python API has no ``SupportsAdmissionControl`` latestOffset
+    (start, limit) overload; rate-limiting under availableNow is the
+    file source's ``maxFilesPerTrigger`` territory — see t13).
+    partitions(start, end) splits each admitted range the same way the
+    batch reader splits the whole one, so executor parallelism holds
+    per-batch.
     """
 
     def __init__(self, options):
         self.n = int(options.get("n", 1000))
-        self.rows_per_batch = int(options.get("rows_per_batch", 100))
         self.parts = int(options.get("parts", 4))
 
     def initialOffset(self):

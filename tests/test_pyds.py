@@ -42,7 +42,6 @@ def test_stream_available_now_is_exactly_once(spark):
     sdf = (
         spark.readStream.format("synthetic_events")
         .option("n", "250")
-        .option("rows_per_batch", "64")
         .option("parts", "3")
         .load()
     )
@@ -62,5 +61,5 @@ def test_stream_available_now_is_exactly_once(spark):
     row = spark.sql(
         "SELECT count(*) AS n_ids, max(n) AS max_n FROM pyds_test_sink"
     ).collect()[0]
-    # no loss, no duplication across 4 micro-batches (64*3 + 58)
+    # no loss, no duplication across the drained backlog
     assert row.n_ids == 250 and row.max_n == 1

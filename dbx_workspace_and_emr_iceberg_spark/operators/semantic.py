@@ -97,10 +97,21 @@ def kmeans_fit_assign(
                 "cluster", "cos", F.posexplode("v").alias("dim", "val")
             )
             .groupBy("cluster", "dim")
-            .agg(F.sum("val").alias("s"), F.avg("cos").alias("c"))
+            .agg(
+                F.sum("val").alias("s"),
+                F.sum("cos").alias("cs"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
-        obj_num = sum(r.c for r in stats) / max(len(stats), 1)
+        # ROW-weighted mean cosine — sum over rows of cos(row, centroid)
+        # divided by total rows. This is the quantity spherical k-means
+        # monotonically improves; an unweighted mean of per-cluster
+        # means is NOT monotone (a row correctly reassigning between
+        # clusters of different sizes can lower it).
+        dim0 = [r for r in stats if r.dim == 0]
+        total_n = sum(r.n for r in dim0)
+        obj_num = sum(r.cs for r in dim0) / max(total_n, 1)
         objective.append(float(obj_num))
         new = cent.copy()
         by_cluster: dict[int, dict[int, float]] = {}

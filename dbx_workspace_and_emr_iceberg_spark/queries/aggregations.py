@@ -394,23 +394,34 @@ ORDER BY l_returnflag
 
 @register("a10_bitmap_distinct", oracle=_A10_ORACLE, tags=("A10", "A4"))
 def a10_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each bitmap bucket covers 32768 bit positions
+    (bitmap_bit_position(k) = (k-1) % 32768), so an unbucketed
+    bitmap_construct_agg silently WRAPS keys >= 32768 onto earlier bits
+    and undercounts — verified: VALUES (1),(32769) counts as 1. The
+    correct (and still fully mergeable) shape groups by
+    bitmap_bucket_number first, then sums per-bucket exact counts."""
+
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.expr(
-                "bitmap_count(bitmap_construct_agg("
-                "bitmap_bit_position(l_suppkey + 1)))"
+
+    def nd(col: str, alias: str) -> DataFrame:
+        return (
+            li.groupBy(
+                "l_returnflag",
+                F.expr(f"bitmap_bucket_number({col} + 1)").alias("__bucket"),
             )
-            .cast("bigint")
-            .alias("nd_suppliers"),
-            F.expr(
-                "bitmap_count(bitmap_construct_agg("
-                "bitmap_bit_position(l_partkey + 1)))"
+            .agg(
+                F.expr(
+                    "bitmap_count(bitmap_construct_agg("
+                    f"bitmap_bit_position({col} + 1)))"
+                ).alias("__c")
             )
-            .cast("bigint")
-            .alias("nd_parts"),
+            .groupBy("l_returnflag")
+            .agg(F.sum("__c").cast("bigint").alias(alias))
         )
+
+    return (
+        nd("l_suppkey", "nd_suppliers")
+        .join(nd("l_partkey", "nd_parts"), "l_returnflag")
         .orderBy("l_returnflag")
     )
 

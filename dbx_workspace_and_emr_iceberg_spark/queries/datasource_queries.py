@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.pyds import register_python_datasource
+from ..streaming.jobs import await_bounded
 
 # Deterministic feed: id in [0, N), bucket = id % 17,
 # amount = (id*37 % 1000)/100 — every value an exact 2-dp double, so
@@ -89,10 +90,7 @@ def t14_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
-    if q.isActive:  # pragma: no cover - hang guard
-        q.stop()
-        raise AssertionError("t14 stream did not finish under availableNow")
+    await_bounded(q, 180)
     streamed = spark.sql(
         "SELECT bucket, n_rows FROM t14_sink"
     )

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..streaming.jobs import events_stream, run_to_memory
+from ..streaming.jobs import await_bounded, events_stream, run_to_memory
 from ..tables import load_table
 
 # --- T2: tumbling window aggregate (oracle: time_bucket) -------------------
@@ -892,10 +892,7 @@ def t15_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(180)
-            if q.isActive:  # pragma: no cover - hang guard
-                q.stop()
-                raise AssertionError("t15 run did not finish")
+            await_bounded(q, 180)
 
         run_once()
         got_a = spark.read.parquet(sink)
@@ -971,10 +968,7 @@ def t16_lakehouse_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(180)
-            if q.isActive:  # pragma: no cover - hang guard
-                q.stop()
-                raise AssertionError("t16 stream did not finish")
+            await_bounded(q, 180)
 
         run_stream()
         got = spark.read.parquet(sink)

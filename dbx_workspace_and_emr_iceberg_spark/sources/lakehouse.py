@@ -107,6 +107,39 @@ def iceberg_rest_catalog_conf(
     return conf
 
 
+def appended_files_between(
+    root: str, from_version: int, to_version: int
+) -> list[str]:
+    """Manifest diff: data files that the append-only commits in
+    ``(from_version, to_version]`` added, in commit order.
+
+    Pure json-over-filesystem — no SparkSession — so BOTH incremental
+    consumers share it: ``LakehouseTable.read_incremental`` (batch) and
+    ``pyds.LakehouseStreamReader.partitions`` (streaming offset planner,
+    which must run without driver-side Spark state). Raises ValueError
+    on any non-append snapshot in range, matching Iceberg's
+    incremental-scan contract.
+    """
+
+    def manifest(v: int) -> dict:
+        with open(
+            os.path.join(root, "_snapshots", f"v{v:05d}.json")
+        ) as f:
+            return json.load(f)
+
+    added: list[str] = []
+    for v in range(from_version + 1, to_version + 1):
+        m = manifest(v)
+        if m["op"] not in ("append", "create"):
+            raise ValueError(
+                f"incremental scan over non-append snapshot v{v} "
+                f"(op={m['op']!r})"
+            )
+        prev = set(manifest(v - 1)["files"]) if v > 1 else set()
+        added.extend(f for f in m["files"] if f not in prev)
+    return added
+
+
 class ConflictError(RuntimeError):
     """Optimistic-commit conflict: table version moved underneath us."""
 
@@ -530,16 +563,10 @@ class LakehouseTable:
         shuffle at all.
         """
         to_v = to_version if to_version is not None else self.current_version()
-        added: list[str] = []
-        for v in range(from_version + 1, to_v + 1):
-            m = self._read_manifest(v)
-            if m["op"] not in ("append", "create"):
-                raise ValueError(
-                    f"incremental scan over non-append snapshot v{v} "
-                    f"(op={m['op']!r}); use changelog() instead"
-                )
-            prev = set(self._files(v - 1))
-            added.extend(f for f in m["files"] if f not in prev)
+        try:
+            added = appended_files_between(self.root, from_version, to_v)
+        except ValueError as e:
+            raise ValueError(f"{e}; use changelog() instead") from None
         return self._read_file_set(added, self._read_manifest(to_v)["schema"])
 
     def changelog(self, from_version: int, to_version: int | None = None) -> DataFrame:

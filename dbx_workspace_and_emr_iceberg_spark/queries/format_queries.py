@@ -252,3 +252,99 @@ def s2g_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("n_nationkey", "n_name", "n_regionkey").orderBy(
         "n_nationkey"
     )
+
+
+# --- S14: binaryFile source (multimodal ingestion front door) ---------------
+# `format("binaryFile")` turns a directory of opaque files into
+# (path, modificationTime, length, content) rows — the ingestion edge
+# for the multimodal pipeline (x5): blobs land as files, this scan
+# makes them a BinaryType column, then mapInPandas decodes. Rows-only
+# (paths/mtimes are environment values); self-verified: every planted
+# blob surfaces exactly once with its exact bytes (md5 and length match
+# what was written), and pathGlobFilter prunes non-matching files.
+
+
+@register("s14_binaryfile_source", oracle=None, tags=("S14", "S2", "X5"))
+def s14_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    root = os.path.join(_TMP_ROOT, "blobs")
+    os.makedirs(root, exist_ok=True)
+    want: dict[str, tuple[int, str]] = {}
+    for i in range(6):
+        payload = bytes([(i * 7 + j) % 256 for j in range(100 + i * 13)])
+        name = f"blob_{i}.bin"
+        with open(os.path.join(root, name), "wb") as f:
+            f.write(payload)
+        want[name] = (len(payload), hashlib.md5(payload).hexdigest())
+    # decoy that the glob filter must exclude
+    with open(os.path.join(root, "notes.txt"), "w") as f:
+        f.write("not a blob")
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(root)
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            "length",
+            F.md5("content").alias("content_md5"),
+        )
+    )
+    got = {r.file_name: (r.length, r.content_md5) for r in df.collect()}
+    if got != want:
+        raise AssertionError(
+            f"binaryFile roundtrip mismatch: {sorted(got)} vs {sorted(want)}"
+        )
+    return df.orderBy("file_name")
+
+
+# --- S15: Hive-style partitioned write + partition discovery/pruning --------
+# `write.partitionBy(col)` lays data out as col=value/ directories;
+# reading the root discovers the partition column from the paths and a
+# filter on it prunes whole directories BEFORE any file IO (visible as
+# PartitionFilters in the scan node). This is the classic warehouse
+# layout the lakehouse layer's hidden partitioning (p3/m7) improves on
+# — both belong in the engine. Values hash-oracled; pruning asserted on
+# the file count actually scanned.
+
+_S15_ORACLE = """
+SELECT
+  o_orderpriority,
+  CAST(count(*) AS BIGINT)     AS n,
+  round(sum(o_totalprice), 2)  AS total
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("s15_hive_partitioned_write", oracle=_S15_ORACLE, tags=("S15", "S2", "P3"))
+def s15_hive_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    path = os.path.join(_TMP_ROOT, "orders_by_status")
+    (
+        o.select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    pruned = back.filter(F.col("o_orderstatus") == "F")
+    # pruning proof: the F-filtered scan must touch strictly fewer files
+    # than the whole table holds (directory-level, before file IO)
+    n_all = back.select(F.input_file_name()).distinct().count()
+    n_pruned = pruned.select(F.input_file_name()).distinct().count()
+    if not (0 < n_pruned < n_all):
+        raise AssertionError(
+            f"partition pruning did not bite: {n_pruned}/{n_all} files"
+        )
+    return (
+        pruned.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -188,6 +188,8 @@ _DRIVER_PRIORITY = [
     "j14_scalar_subquery",
     "a11_group_by_all",
     "f12_sql_variables",
+    "s14_binaryfile_source",
+    "s15_hive_partitioned_write",
 ]
 
 

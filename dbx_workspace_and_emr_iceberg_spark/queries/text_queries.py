@@ -7,7 +7,7 @@ single-scan, shuffle-free plans that keep their shape at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -892,4 +892,80 @@ def x21_url_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("host")
+    )
+
+
+# --- X22: bigram LM scoring (perplexity-proxy quality signal) ---------------
+# CCNet/Gopher-style pipelines score documents with a small LM and drop
+# the high-perplexity tail. This is that operator with the LM itself
+# trained IN the engine: bigram counts with add-one smoothing over the
+# corpus (two hash aggregates), then every bigram scored by joining its
+# count tables — all JVM-side, no Python. At 100 TB the count tables
+# are Zipf-skewed but tiny relative to the corpus (vocab², sparse);
+# they behave like dims: AQE broadcasts them, and the corpus is
+# scanned once. Rolled up per source (the governance unit); per-doc
+# scores are the same plan minus the final regroup.
+
+_X22_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, source, string_split(text, ' ') AS sp FROM documents
+),
+bi2 AS (
+  SELECT doc_id, source, sp[i] AS w1, sp[i + 1] AS w2
+  FROM docs, LATERAL (SELECT unnest(generate_series(1, len(sp) - 1)) AS i) t
+),
+bc AS (SELECT w1, w2, count(*) AS c FROM bi2 GROUP BY 1, 2),
+uc AS (SELECT w1, count(*) AS c1 FROM bi2 GROUP BY 1),
+v  AS (SELECT count(DISTINCT w) AS vsize
+       FROM (SELECT unnest(sp) AS w FROM docs))
+SELECT
+  b.source,
+  CAST(count(*) AS BIGINT)                                   AS n_bigrams,
+  round(avg(-ln((bc.c + 1.0) / (uc.c1 + v.vsize))), 4)       AS avg_nll
+FROM bi2 b
+JOIN bc USING (w1, w2)
+JOIN uc USING (w1)
+CROSS JOIN v
+GROUP BY b.source
+ORDER BY b.source
+"""
+
+
+@register("x22_bigram_lm", oracle=_X22_ORACLE, tags=("X22", "X4"))
+def x22_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        words.withColumn("w2", F.lead("word").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("source", F.col("word").alias("w1"), "w2")
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    uc = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vsize = words.select("word").distinct().count()
+    scored = (
+        bi.join(bc, ["w1", "w2"])
+        .join(uc, ["w1"])
+        .select(
+            "source",
+            (
+                -F.log(
+                    (F.col("c") + F.lit(1.0))
+                    / (F.col("c1") + F.lit(float(vsize)))
+                )
+            ).alias("nll"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("nll"), 4).alias("avg_nll"),
+        )
+        .orderBy("source")
     )

@@ -190,6 +190,7 @@ _DRIVER_PRIORITY = [
     "f12_sql_variables",
     "s14_binaryfile_source",
     "s15_hive_partitioned_write",
+    "x22_bigram_lm",
 ]
 
 

@@ -51,3 +51,14 @@ def test_driver_contract_importable():
     os_ = entry.oracle_sql()
     assert len(qs) >= 160
     assert set(os_) <= set(qs), "oracle_sql keys must be a subset of queries"
+
+
+def test_driver_priority_names_resolve():
+    # a typo'd priority name is silently ignored by queries_dict — the
+    # query would quietly lose its front-of-budget slot
+    from dbx_workspace_and_emr_iceberg_spark import registry
+
+    qs = registry.all_queries()
+    missing = [n for n in registry._DRIVER_PRIORITY if n not in qs]
+    assert not missing, f"priority names not in registry: {missing}"
+    assert len(set(registry._DRIVER_PRIORITY)) == len(registry._DRIVER_PRIORITY)

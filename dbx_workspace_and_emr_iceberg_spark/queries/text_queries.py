@@ -291,8 +291,6 @@ def x8_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag → new-session flag → running sum = session id → per-session
     rollup. Ties on ts break by event_id so the order is total and the
     oracle deterministic."""
-    from pyspark.sql.window import Window
-
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # ts is TIMESTAMP_NTZ (tables.py normalization); no direct BIGINT
@@ -481,8 +479,6 @@ def x14_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential-fill semantics are exactly reproducible in SQL (DuckDB
     oracle) — packing decisions, like split decisions, must not depend
     on cluster layout."""
-    from pyspark.sql.window import Window
-
     from ..operators.sampling import hash_bucket
 
     d = load_table(spark, sf_dir, "documents").select(
@@ -541,8 +537,6 @@ def x15_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrast approx_percentile gates, whose sketches differ per
     engine). At 100 TB, salt hot languages into sub-strata first (the
     gate is per-partition-key; compose with operators/skew.py)."""
-    from pyspark.sql.window import Window
-
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.size(F.split("text", " ")).alias("ntok")
     )
@@ -902,8 +896,13 @@ def x21_url_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus (two hash aggregates), then every bigram scored by joining its
 # count tables — all JVM-side, no Python. At 100 TB the count tables
 # are Zipf-skewed but tiny relative to the corpus (vocab², sparse);
-# they behave like dims: AQE broadcasts them, and the corpus is
-# scanned once. Rolled up per source (the governance unit); per-doc
+# they behave like dims: AQE broadcasts them. As written the exploded
+# bigram stream is RE-DERIVED for each count table and the final probe
+# (four passes over the exploded corpus — Catalyst cannot dedupe the
+# differing aggregations without a persist); at 100 TB you persist
+# `bi` to disk once and all four passes read that, which is a one-line
+# .persist(DISK_ONLY) left out here to keep the driver-harness run
+# cache-free. Rolled up per source (the governance unit); per-doc
 # scores are the same plan minus the final regroup.
 
 _X22_ORACLE = """
@@ -947,16 +946,20 @@ def x22_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     uc = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vsize = words.select("word").distinct().count()
+    # vocab size as a LAZY broadcast 1-row frame — an eager
+    # .distinct().count() here would run a whole extra corpus job on
+    # the driver before the main action even starts
+    vocab = words.agg(F.countDistinct("word").cast("double").alias("vsize"))
     scored = (
         bi.join(bc, ["w1", "w2"])
         .join(uc, ["w1"])
+        .crossJoin(F.broadcast(vocab))
         .select(
             "source",
             (
                 -F.log(
                     (F.col("c") + F.lit(1.0))
-                    / (F.col("c1") + F.lit(float(vsize)))
+                    / (F.col("c1") + F.col("vsize"))
                 )
             ).alias("nll"),
         )

@@ -48,6 +48,13 @@ HEADLINE = [
     "x8_sessionization",
     "x9_doc_chunking",
     "x10_int8_quantization",
+    # round-6 additions — one fast representative per new family
+    "j13_bloom_runtime_filter",
+    "s13_python_datasource",
+    "w6_interval_range_frame",
+    "a10_bitmap_distinct",
+    "x21_url_parsing",
+    "x22_bigram_lm",
 ]
 
 

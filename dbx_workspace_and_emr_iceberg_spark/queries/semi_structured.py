@@ -370,3 +370,69 @@ def f7c_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# --- F5c: map higher-order functions ----------------------------------------
+# transform_keys / transform_values / map_filter / map_zip_with — the
+# lambda surface over MapType (SPARK-23899 family). The oracle computes
+# every end value directly from the base columns (DuckDB's map lambdas
+# differ), so the query proves Spark's map HOFs produce the
+# ground-truth values, not merely that they run.
+
+_F5C_ORACLE = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  round(l_quantity / 10, 2)                           AS qty_scaled,
+  round(l_extendedprice * 2, 2)                       AS price_doubled,
+  CASE WHEN l_quantity >= 30 THEN 'price,qty' ELSE 'price' END AS kept_keys,
+  'PRICE,QTY'                                         AS upper_keys
+FROM lineitem
+WHERE l_orderkey % 61 = 0
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register("f5c_map_higher_order", oracle=_F5C_ORACLE, tags=("F5",))
+def f5c_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    m1 = F.map_from_arrays(
+        F.array(F.lit("qty"), F.lit("price")),
+        F.array(F.col("l_quantity"), F.col("l_extendedprice")),
+    )
+    m2 = F.map_from_arrays(
+        F.array(F.lit("qty"), F.lit("price")),
+        F.array(F.lit(1.0), F.lit(2.0)),
+    )
+    return (
+        li.filter(F.col("l_orderkey") % 61 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                F.element_at(
+                    F.transform_values(m1, lambda _k, v: v / 10), "qty"
+                ),
+                2,
+            ).alias("qty_scaled"),
+            F.round(
+                F.element_at(
+                    F.map_zip_with(m1, m2, lambda _k, a, b: a * b), "price"
+                ),
+                2,
+            ).alias("price_doubled"),
+            F.array_join(
+                F.array_sort(
+                    F.map_keys(F.map_filter(m1, lambda _k, v: v >= 30))
+                ),
+                ",",
+            ).alias("kept_keys"),
+            F.array_join(
+                F.array_sort(
+                    F.map_keys(F.transform_keys(m1, lambda k, _v: F.upper(k)))
+                ),
+                ",",
+            ).alias("upper_keys"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

@@ -191,6 +191,7 @@ _DRIVER_PRIORITY = [
     "s14_binaryfile_source",
     "s15_hive_partitioned_write",
     "x22_bigram_lm",
+    "f5c_map_higher_order",
 ]
 
 

@@ -285,3 +285,51 @@ def test_range_join_binned_matches_bruteforce(spark, pts, ivs, w):
         if lo < p < lo + ln
     }
     assert got_open == want_open
+
+
+# --- semdedup (operators/semantic.py) ---------------------------------------
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False),
+            min_size=4,
+            max_size=4,
+        ).filter(lambda v: sum(x * x for x in v) > 1e-6),
+        min_size=1,
+        max_size=14,
+    ),
+    st.sampled_from([0.8, 0.95, 0.99]),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_semdedup_kept_set_is_threshold_separated(spark, vecs, thr):
+    """The defining SemDeDup postcondition on ANY input: no two KEPT
+    members of a cluster have cosine >= threshold, and every DROPPED
+    member is within threshold of some kept one (its recorded
+    max_cos_kept)."""
+    import numpy as np
+
+    from dbx_workspace_and_emr_iceberg_spark.operators.semantic import semdedup
+
+    unit = [
+        [float(x) for x in np.array(v) / np.linalg.norm(v)] for v in vecs
+    ]
+    df = spark.createDataFrame(
+        [(i, v, 0) for i, v in enumerate(unit)],
+        "vec_id long, v array<double>, cluster int",
+    )
+    rows = semdedup(df, thr).collect()
+    kept = [np.array(unit[r.vec_id]) for r in rows if r.keep]
+    for i in range(len(kept)):
+        for j in range(i + 1, len(kept)):
+            assert float(kept[i] @ kept[j]) < thr + 1e-9
+    for r in rows:
+        if not r.keep:
+            assert r.max_cos_kept >= thr - 1e-9
+    # greedy scans in vec_id order → the smallest id always survives
+    assert min(r.vec_id for r in rows if r.keep) == min(r.vec_id for r in rows)

@@ -596,3 +596,61 @@ def x20_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         pruned.unpersist()
+
+
+# --- X2d: MLlib MinHashLSH (the packaged alternative) -----------------------
+# operators/dedup.py builds MinHash-LSH from first principles (banded,
+# seed-deterministic, no fitted model object). Spark also SHIPS the op:
+# ml.feature.MinHashLSH + approxSimilarityJoin — the path most users
+# reach for first. This query proves that packaged path end-to-end on
+# the same planted near-dups x2 uses: HashingTF shingle vectors →
+# fitted MinHash model → approxSimilarityJoin at a Jaccard-distance
+# threshold; recall over planted pairs asserted. Rows-only: the model's
+# hash seeds are internal, so candidate sets are engine-specific (the
+# custom x2 carries the hash-oracled twin x2b/x2c).
+
+@register("x2d_mllib_minhash", oracle=None, tags=("X2",))
+def x2d_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    from ..operators.dedup import word_shingles
+
+    corpus = d.select("doc_id", "text").unionByName(
+        _planted_near_dups(d)
+    ).select("doc_id", word_shingles("text", 3).alias("shingles"))
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18
+    )
+    feats = tf.transform(corpus).filter(
+        # MinHashLSH requires at least one non-zero entry
+        F.size("shingles") > 0
+    )
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    )
+    model = lsh.fit(feats)
+    pairs = (
+        model.approxSimilarityJoin(feats, feats, 0.6, distCol="jaccard_dist")
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            "jaccard_dist",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    planted = pairs.filter(F.col("id_b") == F.col("id_a") + _COPY_OFFSET)
+    n_planted_found = planted.count()
+    n_expected = d.filter(F.col("doc_id") % 20 == 0).count()
+    if n_planted_found < 0.8 * n_expected:
+        raise AssertionError(
+            f"MLlib LSH recall too low: {n_planted_found}/{n_expected}"
+        )
+    return (
+        pairs.groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_candidate_pairs"),
+            F.lit(n_planted_found).alias("n_planted_found"),
+            F.lit(n_expected).alias("n_planted_total"),
+        )
+    )

@@ -353,3 +353,31 @@ def test_overwrite_partitions_on_missing_table_creates(spark, wh):
     t = PartitionedLakehouseTable(spark, wh, "ev_new", ["days(ts)"])
     v = t.overwrite_partitions(ev)
     assert v == 1 and t.read().count() == 10
+
+
+def test_appended_files_between_shared_contract(spark, tmp_path):
+    import pytest as _pytest
+
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        LakehouseTable,
+        appended_files_between,
+    )
+
+    nat = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    t = LakehouseTable(spark, str(tmp_path), "n")
+    t.create(nat.filter("n_nationkey < 10").coalesce(1))
+    t.append(nat.filter("n_nationkey >= 10").coalesce(1))
+    # full history diff == current file set (append-only so far)
+    assert set(appended_files_between(t.root, 0, 2)) == set(t._files(2))
+    # suffix diff == only the second commit's files
+    added_v2 = appended_files_between(t.root, 1, 2)
+    assert set(added_v2) == set(t._files(2)) - set(t._files(1))
+    # non-append snapshot in range refuses (the streaming-source guard)
+    from pyspark.sql import functions as F
+
+    t.delete_where(F.col("n_nationkey") == 3)
+    with _pytest.raises(ValueError, match="non-append"):
+        appended_files_between(t.root, 0, 3)
+    # batch caller layers its changelog hint on the same error
+    with _pytest.raises(ValueError, match="changelog"):
+        t.read_incremental(0)

@@ -910,3 +910,79 @@ def m14_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+# --- M15: catalog namespace + TIMESTAMP AS OF -------------------------------
+# The reference's data model is catalog.schema.table through UC's REST
+# catalog with spark.sql.defaultCatalog making bare names resolve
+# (SURVEY §1; main.tf:698-723, :802). sources/catalog.py provides the
+# same resolution over the snapshot layer; this query proves 1/2/3-part
+# name resolution, SHOW SCHEMAS/TABLES listing, cross-schema isolation,
+# and the timestamp spelling of time travel (read_as_of_timestamp).
+
+
+@register("m15_catalog_namespace", oracle=None, tags=("S1", "M4"))
+def m15_catalog_namespace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import LakehouseCatalog
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_cat_")
+    try:
+        cat = LakehouseCatalog(spark, wh, "local", "default")
+        nat = load_table(spark, sf_dir, "nation").coalesce(1)
+        reg = load_table(spark, sf_dir, "region").coalesce(1)
+
+        cat.create_table("nation", nat)  # 1-part -> local.default.nation
+        cat.create_table("analytics.region", reg)  # 2-part
+        cat.create_table("local.analytics.regio2", reg)  # 3-part
+        if not (
+            cat.exists("local.default.nation")
+            and cat.exists("analytics.region")
+            and cat.exists("analytics.regio2")
+        ):
+            raise AssertionError("namespace resolution broken across arities")
+        if cat.exists("default.region"):
+            raise AssertionError("schema isolation broken")
+        if cat.list_schemas() != ["analytics", "default"]:
+            raise AssertionError(f"SHOW SCHEMAS wrong: {cat.list_schemas()}")
+        if cat.list_tables("analytics") != ["regio2", "region"]:
+            raise AssertionError(f"SHOW TABLES wrong: {cat.list_tables('analytics')}")
+
+        # TIMESTAMP AS OF: capture the commit time of v1, append, then a
+        # read as-of that instant must see only v1's rows
+        t = cat.table("nation")
+        v1_ts = t.snapshots().filter(F.col("version") == 1).collect()[0].ts_ms
+        t.append(
+            nat.select(
+                (F.col("n_nationkey") + 900).alias("n_nationkey"),
+                "n_name",
+                "n_regionkey",
+            ).limit(3)
+        )
+        # commits in the same millisecond would make as-of(v1_ts)
+        # legitimately see v2; manifests record ms so nudge the probe
+        # only if needed
+        v2_ts = t.snapshots().filter(F.col("version") == 2).collect()[0].ts_ms
+        n_asof = t.read_as_of_timestamp(
+            v1_ts if v2_ts > v1_ts else v1_ts - 1
+        ).count() if v2_ts > v1_ts else t.read(version=1).count()
+        n_v1 = t.read(version=1).count()
+        n_now = t.read().count()
+        if n_asof != n_v1 or n_now != n_v1 + 3:
+            raise AssertionError(
+                f"TIMESTAMP AS OF wrong: asof={n_asof} v1={n_v1} now={n_now}"
+            )
+        # before-creation timestamp refuses (Iceberg contract)
+        try:
+            t.read_as_of_timestamp(0)
+            raise AssertionError("as-of before creation must raise")
+        except ValueError:
+            pass
+        cat.drop_table("analytics.regio2")
+        if cat.exists("analytics.regio2"):
+            raise AssertionError("drop_table left the table resolvable")
+        return spark.createDataFrame(
+            [(len(cat.list_schemas()), len(cat.list_tables("analytics")), n_v1, n_now)],
+            "n_schemas int, n_tables_analytics int, n_v1 long, n_now long",
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

@@ -192,6 +192,8 @@ _DRIVER_PRIORITY = [
     "s15_hive_partitioned_write",
     "x22_bigram_lm",
     "f5c_map_higher_order",
+    "x2d_mllib_minhash",
+    "m15_catalog_namespace",
 ]
 
 

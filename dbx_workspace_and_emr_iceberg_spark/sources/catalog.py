@@ -1,0 +1,99 @@
+"""3-level catalog namespace over the snapshot table layer (SURVEY §1).
+
+The reference's data model is ``catalog.schema.table`` resolved through
+Unity Catalog's Iceberg REST endpoint (main.tf:698-723, README.md:37-45);
+``spark.sql.defaultCatalog`` (main.tf:802) makes bare names resolve
+there. This module provides the same namespace semantics over
+:class:`~.lakehouse.LakehouseTable`: a warehouse root holds
+``<catalog>/<schema>/<table>`` directories, names resolve with a
+configurable default catalog/schema, and listing walks the directory
+tree exactly like ``SHOW SCHEMAS`` / ``SHOW TABLES``.
+
+Real-Iceberg parity is the usual config swap: with the runtime jar the
+same names go through ``spark.table("cat.db.t")`` against the REST
+catalog (`iceberg_rest_catalog_conf`) and this module is bypassed.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from .lakehouse import LakehouseTable
+
+
+class LakehouseCatalog:
+    """Name resolution + lifecycle for ``catalog.schema.table`` ids."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        default_catalog: str = "local",
+        default_schema: str = "default",
+    ):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.default_catalog = default_catalog
+        self.default_schema = default_schema
+
+    def _resolve(self, name: str) -> tuple[str, str, str]:
+        """1-, 2-, or 3-part name -> (catalog, schema, table), filling
+        the missing levels from the defaults — `spark.sql.defaultCatalog`
+        semantics."""
+        parts = name.split(".")
+        if len(parts) == 1:
+            return self.default_catalog, self.default_schema, parts[0]
+        if len(parts) == 2:
+            return self.default_catalog, parts[0], parts[1]
+        if len(parts) == 3:
+            return parts[0], parts[1], parts[2]
+        raise ValueError(f"invalid table identifier {name!r} (max 3 parts)")
+
+    def table(self, name: str) -> LakehouseTable:
+        cat, sch, tbl = self._resolve(name)
+        return LakehouseTable(
+            self.spark, os.path.join(self.warehouse, cat, sch), tbl
+        )
+
+    def exists(self, name: str) -> bool:
+        return self.table(name).current_version() > 0
+
+    def create_table(self, name: str, df) -> LakehouseTable:
+        t = self.table(name)
+        t.create(df)
+        return t
+
+    def drop_table(self, name: str) -> None:
+        import shutil
+
+        t = self.table(name)
+        if t.current_version() == 0:
+            raise ValueError(f"table {name!r} does not exist")
+        shutil.rmtree(t.root)
+
+    def list_schemas(self, catalog: str | None = None) -> list[str]:
+        root = os.path.join(self.warehouse, catalog or self.default_catalog)
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            d for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d))
+        )
+
+    def list_tables(
+        self, schema: str | None = None, catalog: str | None = None
+    ) -> list[str]:
+        root = os.path.join(
+            self.warehouse,
+            catalog or self.default_catalog,
+            schema or self.default_schema,
+        )
+        if not os.path.isdir(root):
+            return []
+        out = []
+        for d in sorted(os.listdir(root)):
+            if os.path.exists(os.path.join(root, d, "_current")):
+                out.append(d)
+        return out

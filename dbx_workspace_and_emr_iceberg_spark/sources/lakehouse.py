@@ -265,6 +265,26 @@ class LakehouseTable:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*files)
 
+    def read_as_of_timestamp(self, ts_ms: int) -> DataFrame:
+        """TIMESTAMP AS OF (M4's second spelling): scan the latest
+        snapshot committed at or before ``ts_ms``. Raises if the table
+        did not exist yet — Iceberg's `Cannot find a snapshot older
+        than` contract, not an empty frame (an empty frame would
+        silently mean 'table existed and was empty')."""
+        best = None
+        for v in range(1, self.current_version() + 1):
+            try:
+                m = self._read_manifest(v)
+            except FileNotFoundError:
+                continue  # expired
+            if m["timestamp_ms"] <= ts_ms:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"{self.name}: no snapshot at or before timestamp {ts_ms}"
+            )
+        return self.read(version=best)
+
     # ---------- S7: metadata tables ----------
 
     def snapshots(self) -> DataFrame:

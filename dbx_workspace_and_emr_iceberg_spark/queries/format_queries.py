@@ -358,3 +358,56 @@ def s15_hive_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- S16: nested schema pruning -------------------------------------------
+# Column pruning must reach INSIDE structs (SPARK-25363, on by
+# default): selecting one field of a struct column reads only that
+# subfield's parquet pages. On wide nested telemetry/feature schemas at
+# 100 TB this is the difference between scanning 2% and 100% of a
+# column's bytes. Values hash-oracled; the pruned ReadSchema asserted
+# from the executed plan.
+
+_S16_ORACLE = """
+SELECT o_orderkey, round(o_totalprice, 2) AS price
+FROM orders
+WHERE o_orderkey % 31 = 0
+ORDER BY o_orderkey
+"""
+
+
+@register("s16_nested_schema_pruning", oracle=_S16_ORACLE, tags=("S16", "P1", "S2"))
+def s16_nested_schema_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.explain import formatted_plan
+
+    o = load_table(spark, sf_dir, "orders")
+    path = os.path.join(_TMP_ROOT, "orders_nested")
+    o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("odate"),
+        ).alias("info"),
+    ).write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    res = (
+        back.filter(F.col("o_orderkey") % 31 == 0)
+        .select(
+            "o_orderkey",
+            F.round(F.col("info.price"), 2).alias("price"),
+        )
+        .orderBy("o_orderkey")
+    )
+    plan = formatted_plan(res)
+    read_schema = plan.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+    if "price" not in read_schema:
+        raise AssertionError(f"nested field missing from scan: {read_schema}")
+    for unwanted in ("status", "priority", "odate"):
+        if unwanted in read_schema:
+            raise AssertionError(
+                f"nested pruning failed — scan reads info.{unwanted}: "
+                f"{read_schema}"
+            )
+    return res

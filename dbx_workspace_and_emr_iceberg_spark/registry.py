@@ -194,6 +194,7 @@ _DRIVER_PRIORITY = [
     "f5c_map_higher_order",
     "x2d_mllib_minhash",
     "m15_catalog_namespace",
+    "s16_nested_schema_pruning",
 ]
 
 

@@ -460,3 +460,47 @@ def a11_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag, l_linestatus
         """
     )
+
+
+# --- A12: linear-regression aggregates (regr_*) -----------------------------
+# One-pass OLS moments — slope/intercept/R² as plain aggregates, the
+# SQL-standard way to fit per-group trend lines without leaving the
+# engine (drift monitors, throughput trends). Same partial-aggregation
+# shape as sum/avg: constant state per group, fully mergeable.
+# `+ 0.0` on both sides normalizes IEEE -0.0 (a near-zero R² can round
+# to -0.0 in one engine and +0.0 in the other — same value, different
+# repr, different hash).
+
+_A12_ORACLE = """
+SELECT
+  l_returnflag,
+  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)          AS n_pairs,
+  round(regr_slope(l_extendedprice, l_quantity), 4) + 0.0          AS slope,
+  round(regr_intercept(l_extendedprice, l_quantity), 4) + 0.0      AS intercept,
+  round(regr_r2(l_extendedprice, l_quantity), 6) + 0.0             AS r2,
+  round(regr_avgx(l_extendedprice, l_quantity), 4) + 0.0           AS avg_x,
+  round(corr(l_extendedprice, l_quantity), 6) + 0.0                AS pearson
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("a12_regression_aggs", oracle=_A12_ORACLE, tags=("A12", "A3"))
+def a12_regression_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.regr_count(y, x).cast("bigint").alias("n_pairs"),
+            (F.round(F.regr_slope(y, x), 4) + F.lit(0.0)).alias("slope"),
+            (F.round(F.regr_intercept(y, x), 4) + F.lit(0.0)).alias(
+                "intercept"
+            ),
+            (F.round(F.regr_r2(y, x), 6) + F.lit(0.0)).alias("r2"),
+            (F.round(F.regr_avgx(y, x), 4) + F.lit(0.0)).alias("avg_x"),
+            (F.round(F.corr(y, x), 6) + F.lit(0.0)).alias("pearson"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -195,6 +195,7 @@ _DRIVER_PRIORITY = [
     "x2d_mllib_minhash",
     "m15_catalog_namespace",
     "s16_nested_schema_pruning",
+    "a12_regression_aggs",
 ]
 
 

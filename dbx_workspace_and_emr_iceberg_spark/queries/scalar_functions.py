@@ -390,3 +390,75 @@ def f10_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment_ci")
     )
+
+
+# --- F13: edit distance (levenshtein) ---------------------------------------
+# The scalar building block for small-scale fuzzy matching (entity
+# resolution of short keys/names). O(len²) per pair — fine as a scalar
+# on bounded columns; corpus-scale fuzzy text dedup stays with the
+# shingle/LSH operators (x2 family), never pairwise levenshtein.
+
+_F13_ORACLE = """
+SELECT
+  a.n_nationkey                             AS id_a,
+  b.n_nationkey                             AS id_b,
+  levenshtein(a.n_name, b.n_name)           AS edit_dist,
+  levenshtein(a.n_name, upper(b.n_name))    AS edit_dist_case
+FROM nation a JOIN nation b ON b.n_nationkey = a.n_nationkey + 1
+ORDER BY id_a
+"""
+
+
+@register("f13_edit_distance", oracle=_F13_ORACLE, tags=("F13", "F1"))
+def f13_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    a = n.select(F.col("n_nationkey").alias("id_a"), F.col("n_name").alias("na"))
+    b = n.select(F.col("n_nationkey").alias("id_b"), F.col("n_name").alias("nb"))
+    return (
+        a.join(b, b["id_b"] == a["id_a"] + 1)
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("na", "nb").alias("edit_dist"),
+            F.levenshtein("na", F.upper("nb")).alias("edit_dist_case"),
+        )
+        .orderBy("id_a")
+    )
+
+
+# --- F14: bitwise functions -------------------------------------------------
+# &, |, ^, shifts, bit_count — id-packing, flag fields, and the bucket
+# arithmetic the bitmap/bloom operators (a10, j13) are built from.
+
+_F14_ORACLE = """
+SELECT
+  p_partkey,
+  p_partkey & 255                                  AS low_byte,
+  p_partkey | 4096                                 AS with_flag,
+  xor(p_partkey, 1365)                             AS xored,
+  p_partkey << 3                                   AS shifted_up,
+  p_partkey >> 2                                   AS shifted_down,
+  bit_count(CAST(p_partkey AS BIGINT))             AS n_bits
+FROM part
+WHERE p_partkey % 97 = 0
+ORDER BY p_partkey
+"""
+
+
+@register("f14_bitwise", oracle=_F14_ORACLE, tags=("F14", "F3"))
+def f14_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    return (
+        p.filter(k % 97 == 0)
+        .select(
+            "p_partkey",
+            k.bitwiseAND(F.lit(255)).alias("low_byte"),
+            k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+            k.bitwiseXOR(F.lit(1365)).alias("xored"),
+            F.shiftleft(k.cast("int"), 3).cast("bigint").alias("shifted_up"),
+            F.shiftright(k.cast("int"), 2).cast("bigint").alias("shifted_down"),
+            F.bit_count(k.cast("bigint")).cast("bigint").alias("n_bits"),
+        )
+        .orderBy("p_partkey")
+    )

@@ -63,3 +63,36 @@ def test_stream_available_now_is_exactly_once(spark):
     ).collect()[0]
     # no loss, no duplication across the drained backlog
     assert row.n_ids == 250 and row.max_n == 1
+
+
+def test_lakehouse_stream_refuses_non_append_history(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+    from dbx_workspace_and_emr_iceberg_spark.sources.pyds import (
+        register_lakehouse_stream,
+    )
+
+    register_lakehouse_stream(spark)
+    nat = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    t = LakehouseTable(spark, str(tmp_path), "n")
+    t.create(nat.coalesce(1))
+    t.delete_where(F.col("n_nationkey") == 1)  # non-append snapshot
+
+    q = (
+        spark.readStream.format("lakehouse_stream")
+        .option("table_root", t.root)
+        .load()
+        .writeStream.format("memory")
+        .queryName("pyds_nonappend_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pytest.raises(Exception, match="append-only|non-append"):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()

@@ -2,7 +2,8 @@
 """Regenerate COVERAGE.md: SURVEY.md §2 operator row → declared queries.
 
 Queries marked * are rows-only (self-verifying, no DuckDB oracle — see
-registry.py for the contract)."""
+registry.py for the contract and docs/SELF_VERIFICATION.md for the
+per-query invariant each one asserts)."""
 
 from __future__ import annotations
 
@@ -38,7 +39,7 @@ def main() -> None:
         "",
         f"{len(qs)} queries declared, {sum(1 for q in qs.values() if q.oracle)} "
         "with DuckDB oracles (the rest are rows-only self-verifying, marked *).",
-        "Regenerate with `python tools/gen_coverage.py`.",
+        "Rows-only (*) invariants: docs/SELF_VERIFICATION.md. Regenerate with `python tools/gen_coverage.py`.",
         "",
         "| §2 row | queries |",
         "|---|---|",

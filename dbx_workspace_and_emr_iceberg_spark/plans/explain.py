@@ -50,6 +50,16 @@ def read_schema_columns(df: DataFrame) -> list[str]:
     return cols
 
 
+def read_schema_raw(df: DataFrame) -> str:
+    """The scan node's ReadSchema line verbatim ('' if the plan has no
+    file scan) — the nested-pruning witness: struct subfields that were
+    pruned never appear in it."""
+    plan = formatted_plan(df)
+    if "ReadSchema:" not in plan:
+        return ""
+    return plan.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+
+
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in simple_plan(df) or "BroadcastNestedLoopJoin" in simple_plan(df)
 

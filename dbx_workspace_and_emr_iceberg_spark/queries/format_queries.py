@@ -378,7 +378,7 @@ ORDER BY o_orderkey
 
 @register("s16_nested_schema_pruning", oracle=_S16_ORACLE, tags=("S16", "P1", "S2"))
 def s16_nested_schema_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..plans.explain import formatted_plan
+    from ..plans.explain import read_schema_raw
 
     o = load_table(spark, sf_dir, "orders")
     path = os.path.join(_TMP_ROOT, "orders_nested")
@@ -400,8 +400,9 @@ def s16_nested_schema_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
-    plan = formatted_plan(res)
-    read_schema = plan.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+    read_schema = read_schema_raw(res)
+    if not read_schema:
+        raise AssertionError("plan has no file-scan ReadSchema to audit")
     if "price" not in read_schema:
         raise AssertionError(f"nested field missing from scan: {read_schema}")
     for unwanted in ("status", "priority", "odate"):

@@ -403,7 +403,7 @@ SELECT
   a.n_nationkey                             AS id_a,
   b.n_nationkey                             AS id_b,
   levenshtein(a.n_name, b.n_name)           AS edit_dist,
-  levenshtein(a.n_name, upper(b.n_name))    AS edit_dist_case
+  levenshtein(a.n_name, lower(b.n_name))    AS edit_dist_case
 FROM nation a JOIN nation b ON b.n_nationkey = a.n_nationkey + 1
 ORDER BY id_a
 """
@@ -420,7 +420,10 @@ def f13_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a",
             "id_b",
             F.levenshtein("na", "nb").alias("edit_dist"),
-            F.levenshtein("na", F.upper("nb")).alias("edit_dist_case"),
+            # lower() actually flips case on the all-caps fixture names,
+            # so a case-insensitive levenshtein implementation would FAIL
+            # this oracle (upper() would be the identity here)
+            F.levenshtein("na", F.lower("nb")).alias("edit_dist_case"),
         )
         .orderBy("id_a")
     )
@@ -456,8 +459,10 @@ def f14_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
             k.bitwiseAND(F.lit(255)).alias("low_byte"),
             k.bitwiseOR(F.lit(4096)).alias("with_flag"),
             k.bitwiseXOR(F.lit(1365)).alias("xored"),
-            F.shiftleft(k.cast("int"), 3).cast("bigint").alias("shifted_up"),
-            F.shiftright(k.cast("int"), 2).cast("bigint").alias("shifted_down"),
+            # shift the BIGINT directly: an int cast would wrap 32-bit
+            # for keys > 2^28 while DuckDB shifts 64-bit — silent divergence
+            F.shiftleft(k, 3).alias("shifted_up"),
+            F.shiftright(k, 2).alias("shifted_down"),
             F.bit_count(k.cast("bigint")).cast("bigint").alias("n_bits"),
         )
         .orderBy("p_partkey")

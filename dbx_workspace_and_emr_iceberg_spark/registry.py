@@ -196,6 +196,8 @@ _DRIVER_PRIORITY = [
     "m15_catalog_namespace",
     "s16_nested_schema_pruning",
     "a12_regression_aggs",
+    "f13_edit_distance",
+    "f14_bitwise",
 ]
 
 

@@ -92,7 +92,13 @@ def test_lakehouse_stream_refuses_non_append_history(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    with _pytest.raises(Exception, match="append-only|non-append"):
-        q.awaitTermination(120)
-        if q.exception() is not None:
-            raise q.exception()
+    try:
+        with _pytest.raises(Exception, match="append-only|non-append"):
+            q.awaitTermination(120)
+            if q.exception() is not None:
+                raise q.exception()
+    finally:
+        # on regression the stream would still be live against the
+        # session-scoped fixture — never leak it into later tests
+        if q.isActive:
+            q.stop()

@@ -972,3 +972,67 @@ def x22_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- X23: vocabulary growth curve (Heaps'-law fit) --------------------------
+# Corpus-health telemetry: V(n) ≈ K·n^β — a log-log linear fit of
+# cumulative vocabulary vs cumulative tokens. A falling β across
+# ingestion batches signals the crawl is re-reading itself (dedup
+# leak); composed entirely from engine primitives already proven here:
+# first-occurrence via min(doc_id) per word, cumulative window sums,
+# and the a12 regression aggregates for the fit. (The synthetic fixture
+# draws from a ~31-word vocabulary, so it saturates instantly and
+# β ≈ 0 — the oracle verifies the MECHANICS exactly; the statistic
+# becomes meaningful on a real corpus.)
+
+_X23_ORACLE = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+first_seen AS (SELECT word, min(doc_id) AS first_doc FROM words GROUP BY word),
+new_per_doc AS (SELECT first_doc AS doc_id, count(*) AS n_new FROM first_seen GROUP BY 1),
+tok_per_doc AS (SELECT doc_id, count(*) AS n_tok FROM words GROUP BY 1),
+cum AS (
+  SELECT t.doc_id,
+         sum(t.n_tok) OVER (ORDER BY t.doc_id)          AS cum_tokens,
+         sum(coalesce(n.n_new, 0)) OVER (ORDER BY t.doc_id) AS cum_vocab
+  FROM tok_per_doc t LEFT JOIN new_per_doc n USING (doc_id)
+)
+SELECT
+  CAST(count(*) AS BIGINT)                                   AS n_docs,
+  CAST(max(cum_tokens) AS BIGINT)                            AS total_tokens,
+  CAST(max(cum_vocab) AS BIGINT)                             AS total_vocab,
+  round(regr_slope(log10(cum_vocab), log10(cum_tokens)), 4) + 0.0 AS heaps_beta,
+  round(regr_r2(log10(cum_vocab), log10(cum_tokens)), 4) + 0.0    AS fit_r2
+FROM cum
+"""
+
+
+@register("x23_vocab_growth", oracle=_X23_ORACLE, tags=("X23", "X4", "A12"))
+def x23_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    first_seen = words.groupBy("word").agg(F.min("doc_id").alias("doc_id"))
+    new_per_doc = first_seen.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    tok_per_doc = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        tok_per_doc.join(new_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_tok").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce("n_new", F.lit(0))).over(w).alias("cum_vocab"),
+        )
+    )
+    lv, lt = F.log10("cum_vocab"), F.log10("cum_tokens")
+    return cum.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("cum_tokens").cast("bigint").alias("total_tokens"),
+        F.max("cum_vocab").cast("bigint").alias("total_vocab"),
+        (F.round(F.regr_slope(lv, lt), 4) + F.lit(0.0)).alias("heaps_beta"),
+        (F.round(F.regr_r2(lv, lt), 4) + F.lit(0.0)).alias("fit_r2"),
+    )

@@ -1018,3 +1018,57 @@ def f12_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderstatus
         """
     )
+
+
+# --- X25: one-pass table profile (data-quality telemetry) -------------------
+# The standard pre-training-ingest sanity scan: per column — null rate,
+# distinct count, min/max (as strings so one schema fits every type).
+# Built programmatically over the schema, but executed as ONE aggregate
+# job (every stat is a column expression in a single agg — one scan, no
+# per-column jobs), then unpivoted to rows. The oracle spells the same
+# profile as a UNION ALL of per-column SELECTs.
+
+_X25_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+_X25_ORACLE = " UNION ALL ".join(
+    f"""
+SELECT
+  '{c}' AS col_name,
+  CAST(count(*) - count({c}) AS BIGINT)  AS n_null,
+  CAST(count(DISTINCT {c}) AS BIGINT)    AS n_distinct,
+  CAST(min({c}) AS VARCHAR)              AS min_str,
+  CAST(max({c}) AS VARCHAR)              AS max_str
+FROM orders"""
+    for c in _X25_COLS
+) + " ORDER BY col_name"
+
+
+@register("x25_table_profile", oracle=_X25_ORACLE, tags=("X25", "X4", "A4"))
+def x25_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _X25_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"{c}__null"),
+            F.countDistinct(c).cast("bigint").alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = o.agg(*aggs)  # single scan, single row
+    profile = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(f"{c}__null").alias("n_null"),
+                        F.col(f"{c}__nd").alias("n_distinct"),
+                        F.col(f"{c}__min").alias("min_str"),
+                        F.col(f"{c}__max").alias("max_str"),
+                    )
+                    for c in _X25_COLS
+                ]
+            )
+        ).alias("p")
+    )
+    return profile.select("p.*").orderBy("col_name")

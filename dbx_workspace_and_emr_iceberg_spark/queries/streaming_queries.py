@@ -1006,3 +1006,78 @@ def t16_lakehouse_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --- T17: StreamingQueryListener (ops telemetry contract) -------------------
+# Production streaming is operated through progress events — rows/sec,
+# batch durations, state size — not by reading results. The Python
+# StreamingQueryListener (SPARK-42941) is that surface; this query
+# attaches one, drains a bounded stream, and asserts the listener's
+# accounting reconciles with ground truth: queryStarted fired, every
+# progress event's numInputRows sums to the source row count, and
+# queryTerminated fired without error.
+
+
+@register("t17_streaming_listener", oracle=None, tags=("T17", "T1"))
+def t17_streaming_listener(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    events: dict = {"started": 0, "progress_rows": [], "terminated": 0, "errors": []}
+
+    class Audit(StreamingQueryListener):
+        def onQueryStarted(self, e):
+            events["started"] += 1
+
+        def onQueryProgress(self, e):
+            events["progress_rows"].append(e.progress.numInputRows)
+
+        def onQueryIdle(self, e):
+            pass
+
+        def onQueryTerminated(self, e):
+            events["terminated"] += 1
+            if e.exception is not None:
+                events["errors"].append(str(e.exception))
+
+    listener = Audit()
+    spark.streams.addListener(listener)
+    try:
+        ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+        n_src = ev.count()
+        src = tempfile.mkdtemp(prefix="t17_listener_")
+        try:
+            ev.coalesce(2).write.mode("overwrite").parquet(src)
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .parquet(src)
+                .groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            out = run_to_memory(stream, "complete")
+            n_out = out.agg(F.sum("n")).collect()[0][0]
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+        # listener callbacks are delivered async on the listener bus —
+        # bounded wait for the terminate event before auditing
+        import time as _time
+
+        for _ in range(100):
+            if events["terminated"] >= 1 and events["progress_rows"]:
+                break
+            _time.sleep(0.1)
+        if events["started"] < 1 or events["terminated"] < 1:
+            raise AssertionError(f"listener lifecycle incomplete: {events}")
+        if events["errors"]:
+            raise AssertionError(f"stream reported errors: {events['errors']}")
+        rows_seen = sum(events["progress_rows"])
+        if rows_seen != n_src or n_out != n_src:
+            raise AssertionError(
+                f"listener accounting off: progress={rows_seen}, "
+                f"sink={n_out}, source={n_src}"
+            )
+        return spark.createDataFrame(
+            [(events["started"], len(events["progress_rows"]), rows_seen, n_src)],
+            "n_started int, n_progress_events int, rows_seen long, rows_src long",
+        )
+    finally:
+        spark.streams.removeListener(listener)

@@ -504,3 +504,48 @@ def a12_regression_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- A13: selector / boolean aggregates -------------------------------------
+# max_by/min_by ("who had the max", not "what was the max") replace the
+# self-join-back-to-the-extremum anti-pattern with one aggregate —
+# at scale that deletes a second scan AND a shuffle. bool_and/bool_or/
+# count_if are the assertion aggregates data-quality gates are built
+# from. NOTE: max_by ties are engine-arbitrary; o_totalprice is
+# tie-free per priority in these fixtures (verified at sf0.01 and
+# sf0.1) — with tie-prone keys, disambiguate via a composite orderer.
+
+_A13_ORACLE = """
+SELECT
+  o_orderpriority,
+  CAST(arg_max(o_orderkey, o_totalprice) AS BIGINT)  AS biggest_order,
+  CAST(arg_min(o_orderkey, o_totalprice) AS BIGINT)  AS smallest_order,
+  bool_and(o_totalprice > 0)                         AS all_positive,
+  bool_or(o_orderstatus = 'F')                       AS any_finished,
+  CAST(count_if(o_totalprice > 200000) AS BIGINT)    AS n_big
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("a13_selector_aggs", oracle=_A13_ORACLE, tags=("A13", "A2"))
+def a13_selector_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice")
+            .cast("bigint")
+            .alias("biggest_order"),
+            F.min_by("o_orderkey", "o_totalprice")
+            .cast("bigint")
+            .alias("smallest_order"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+            F.count_if(F.col("o_totalprice") > 200000)
+            .cast("bigint")
+            .alias("n_big"),
+        )
+        .orderBy("o_orderpriority")
+    )

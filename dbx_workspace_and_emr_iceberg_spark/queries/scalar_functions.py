@@ -467,3 +467,34 @@ def f14_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+# --- F15: binary encodings (base64 / hex / roundtrip) -----------------------
+# The text<->binary bridge the multimodal columns (x5, s14) and any
+# wire-format ingestion depend on: base64 for transport, hex for
+# debugging/digest display, and the decode(unbase64(base64(x)))
+# identity proving the roundtrip is lossless.
+
+_F15_ORACLE = """
+SELECT
+  n_nationkey,
+  base64(encode(n_name))                          AS name_b64,
+  hex(n_name)                                     AS name_hex,
+  decode(from_base64(base64(encode(n_name))))     AS roundtrip,
+  CAST(octet_length(encode(n_name)) AS INTEGER)   AS n_bytes
+FROM nation
+ORDER BY n_nationkey
+"""
+
+
+@register("f15_binary_encodings", oracle=_F15_ORACLE, tags=("F15", "F1", "X5"))
+def f15_binary_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    as_bin = F.col("n_name").cast("binary")
+    return n.select(
+        "n_nationkey",
+        F.base64(as_bin).alias("name_b64"),
+        F.hex("n_name").alias("name_hex"),
+        F.decode(F.unbase64(F.base64(as_bin)), "UTF-8").alias("roundtrip"),
+        F.length(as_bin).alias("n_bytes"),
+    ).orderBy("n_nationkey")

@@ -412,3 +412,30 @@ def s16_nested_schema_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"{read_schema}"
             )
     return res
+
+
+# --- S17: line-oriented text source (spark.read.text) -----------------------
+# Raw-corpus ingestion's first step: a directory of text files becomes
+# a one-column DataFrame of lines. Round-trip: documents written one
+# line per doc, read back via the text source, hash-oracled against
+# the parquet originals (fixture text is single-line by construction —
+# the md5 column would expose any line splitting/merging/mangling).
+
+_S17_ORACLE = """
+SELECT md5(text) AS line_md5, CAST(length(text) AS INTEGER) AS n_chars
+FROM documents
+WHERE doc_id % 7 = 0
+ORDER BY line_md5
+"""
+
+
+@register("s17_text_source", oracle=_S17_ORACLE, tags=("S17", "S2", "X4"))
+def s17_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    path = os.path.join(_TMP_ROOT, "corpus_text")
+    d.select("text").write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    return lines.select(
+        F.md5("value").alias("line_md5"),
+        F.length("value").alias("n_chars"),
+    ).orderBy("line_md5")

@@ -695,3 +695,66 @@ def j14_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_name
         """
     )
+
+
+# --- J15: dynamic partition pruning (SPARK-11150) ---------------------------
+# The star-schema scan killer: the fact side is partitioned on the join
+# key, the dim side's filter is only knowable at RUNTIME (it lives in
+# another table), so Catalyst injects a dynamicpruning subquery that
+# broadcasts the surviving dim keys and prunes fact PARTITIONS before
+# the scan. On a 100 TB date-partitioned fact joined to a filtered date
+# dim this routinely cuts the scan by 10-100x. The dim must be
+# independently materialized — derived inline, constant folding turns
+# the prune static and DPP never exercises (measured here). Plan
+# asserted for the dynamicpruning subquery; values hash-oracled.
+
+_J15_ORACLE = """
+SELECT
+  CAST(year(o_orderdate) AS INT)   AS order_year,
+  CAST(count(*) AS BIGINT)         AS n_orders,
+  round(sum(o_totalprice), 2)      AS total
+FROM orders
+WHERE year(o_orderdate) < 1998
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("j15_dynamic_partition_pruning", oracle=_J15_ORACLE, tags=("J15", "P3", "J5"))
+def j15_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="dpp_")
+    fact_path = os.path.join(root, "fact")
+    dim_path = os.path.join(root, "dim")
+    o = load_table(spark, sf_dir, "orders")
+    o.withColumn("order_year", F.year("o_orderdate")).write.mode(
+        "overwrite"
+    ).partitionBy("order_year").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    fact.select("order_year").distinct().withColumn(
+        "era", F.when(F.col("order_year") < 1998, "old").otherwise("new")
+    ).write.mode("overwrite").parquet(dim_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("era") == "old")
+
+    res = (
+        fact.join(F.broadcast(dim), "order_year")
+        .groupBy("order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("order_year")
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    if "dynamicpruning" not in plan.lower():
+        raise AssertionError(
+            "dynamic partition pruning subquery missing from the fact scan"
+        )
+    # materialize before the temp dirs are deleted; output is <= #years
+    out = spark.createDataFrame(res.collect(), res.schema)
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -46,6 +46,9 @@ class Engine:
         snapshot layer; everything else goes straight to Spark SQL."""
         if sql_dml.classify(query) is not None:
             return sql_dml.execute(self, query)
+        # SELECT-side time travel (VERSION/TIMESTAMP AS OF) resolves
+        # through the snapshot layer before Spark sees the query
+        query = sql_dml.rewrite_time_travel(self, query)
         return self.spark.sql(query)
 
     # ---- door 2: DataFrame over fixtures / views ----

@@ -986,3 +986,74 @@ def m15_catalog_namespace(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+# --- M16: SQL-door SELECT time travel ---------------------------------------
+# The spark-sql spelling of S8/M4 the reference's users type
+# (README.md:35-45): `SELECT ... FROM t VERSION AS OF n` and
+# `... TIMESTAMP AS OF 'ts'`, rewritten by sources/sql_dml.py onto the
+# snapshot layer. Self-verified: v1 counts through the SQL door equal
+# the API read, the current view sees the append, the timestamp
+# spelling resolves to v1, and a join of two travel points inside ONE
+# statement works (each reference rewrites independently).
+
+
+@register("m16_sql_time_travel", oracle=None, tags=("S8", "M4", "M12"))
+def m16_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..engine import Engine
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_tt_")
+    try:
+        eng = Engine(spark, warehouse=wh)
+        nat = load_table(spark, sf_dir, "nation").coalesce(1)
+        t = eng.create_table("nation_tt", nat)
+        n0 = nat.count()
+        v1_ts = t.snapshots().collect()[0].ts_ms
+        t.append(
+            nat.select(
+                (F.col("n_nationkey") + 800).alias("n_nationkey"),
+                "n_name",
+                "n_regionkey",
+            ).limit(4)
+        )
+        eng.refresh_view("nation_tt")
+
+        n_v1 = eng.sql(
+            "SELECT count(*) AS n FROM nation_tt VERSION AS OF 1"
+        ).collect()[0].n
+        n_now = eng.sql("SELECT count(*) AS n FROM nation_tt").collect()[0].n
+        if n_v1 != n0 or n_now != n0 + 4:
+            raise AssertionError(f"SQL time travel wrong: v1={n_v1}, now={n_now}")
+
+        from datetime import datetime, timezone
+
+        iso = datetime.fromtimestamp(v1_ts / 1000, tz=timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%S.%f"
+        )
+        n_asof = eng.sql(
+            f"SELECT count(*) AS n FROM nation_tt TIMESTAMP AS OF '{iso}'"
+        ).collect()[0].n
+        v2_ts = (
+            t.snapshots().filter(F.col("version") == 2).collect()[0].ts_ms
+        )
+        if v2_ts > v1_ts and n_asof != n0:
+            raise AssertionError(f"TIMESTAMP AS OF resolved {n_asof}, want {n0}")
+
+        # two travel points in one statement: new rows appear only on
+        # the current side of the anti-join
+        delta = eng.sql(
+            """
+            SELECT count(*) AS n FROM nation_tt cur
+            WHERE cur.n_nationkey NOT IN (
+              SELECT n_nationkey FROM nation_tt VERSION AS OF 1
+            )
+            """
+        ).collect()[0].n
+        if delta != 4:
+            raise AssertionError(f"cross-snapshot delta wrong: {delta}")
+        return spark.createDataFrame(
+            [(int(n_v1), int(n_now), int(n_asof), int(delta))],
+            "n_v1 long, n_now long, n_asof long, n_delta long",
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

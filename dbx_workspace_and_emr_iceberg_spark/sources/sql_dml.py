@@ -263,3 +263,41 @@ def execute(engine, sql: str) -> DataFrame:
         [(table, kind.lower(), version, n)],
         "table string, operation string, version int, n_rows long",
     )
+
+
+# ---- SELECT-side time travel (Iceberg SQL: VERSION/TIMESTAMP AS OF) --------
+
+_TT_RE = re.compile(
+    r"\b(\w+)\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\S+)", re.IGNORECASE
+)
+
+
+def rewrite_time_travel(engine, sql: str) -> str:
+    """Rewrite each ``<managed_table> VERSION|TIMESTAMP AS OF <v>`` into
+    a temp view over the resolved snapshot — the spark-sql time-travel
+    syntax IcebergSparkSessionExtensions provides (SURVEY §2.1 S8),
+    served by the snapshot layer. Non-managed tables are left alone
+    (Spark raises its own error for unsupported sources)."""
+
+    def sub(m: re.Match) -> str:
+        name, kind, val = m.group(1), m.group(2).upper(), m.group(3)
+        try:
+            t = engine.managed(name)
+        except (KeyError, ValueError):
+            return m.group(0)
+        if kind == "VERSION":
+            df = t.read(version=int(val))
+        else:
+            from datetime import datetime, timezone
+
+            ts = datetime.fromisoformat(val.strip("'"))
+            if ts.tzinfo is None:
+                # session pinned UTC (ensure_session_defaults): naive
+                # literals are UTC civil time, same as cast semantics
+                ts = ts.replace(tzinfo=timezone.utc)
+            df = t.read_as_of_timestamp(int(ts.timestamp() * 1000))
+        view = f"__tt_{name}_{kind.lower()}_{abs(hash(val)) % 10**8}"
+        df.createOrReplaceTempView(view)
+        return view
+
+    return _TT_RE.sub(sub, sql)

@@ -722,10 +722,20 @@ ORDER BY 1
 
 @register("j15_dynamic_partition_pruning", oracle=_J15_ORACLE, tags=("J15", "P3", "J5"))
 def j15_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import tempfile
 
     root = tempfile.mkdtemp(prefix="dpp_")
+    try:
+        return _j15_body(spark, sf_dir, root)
+    finally:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _j15_body(spark: SparkSession, sf_dir: str, root: str) -> DataFrame:
+    import os
+
     fact_path = os.path.join(root, "fact")
     dim_path = os.path.join(root, "dim")
     o = load_table(spark, sf_dir, "orders")
@@ -752,9 +762,6 @@ def j15_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
         raise AssertionError(
             "dynamic partition pruning subquery missing from the fact scan"
         )
-    # materialize before the temp dirs are deleted; output is <= #years
-    out = spark.createDataFrame(res.collect(), res.schema)
-    import shutil
-
-    shutil.rmtree(root, ignore_errors=True)
-    return out
+    # materialize before the caller's finally deletes the temp dirs;
+    # output is <= #years
+    return spark.createDataFrame(res.collect(), res.schema)

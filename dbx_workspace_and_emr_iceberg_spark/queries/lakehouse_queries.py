@@ -998,7 +998,7 @@ def m15_catalog_namespace(spark: SparkSession, sf_dir: str) -> DataFrame:
 # statement works (each reference rewrites independently).
 
 
-@register("m16_sql_time_travel", oracle=None, tags=("S8", "M4", "M12"))
+@register("m16_sql_time_travel", oracle=None, tags=("S8", "M4", "M16"))
 def m16_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..engine import Engine
 
@@ -1009,6 +1009,12 @@ def m16_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = eng.create_table("nation_tt", nat)
         n0 = nat.count()
         v1_ts = t.snapshots().collect()[0].ts_ms
+        # make v2's commit ms strictly later so the TIMESTAMP AS OF
+        # assertion below can never self-disable on a same-ms tie
+        import time as _time
+
+        while int(_time.time() * 1000) <= v1_ts:
+            _time.sleep(0.002)
         t.append(
             nat.select(
                 (F.col("n_nationkey") + 800).alias("n_nationkey"),
@@ -1033,10 +1039,7 @@ def m16_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_asof = eng.sql(
             f"SELECT count(*) AS n FROM nation_tt TIMESTAMP AS OF '{iso}'"
         ).collect()[0].n
-        v2_ts = (
-            t.snapshots().filter(F.col("version") == 2).collect()[0].ts_ms
-        )
-        if v2_ts > v1_ts and n_asof != n0:
+        if n_asof != n0:
             raise AssertionError(f"TIMESTAMP AS OF resolved {n_asof}, want {n0}")
 
         # two travel points in one statement: new rows appear only on
@@ -1056,4 +1059,11 @@ def m16_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_v1 long, n_now long, n_asof long, n_delta long",
         )
     finally:
+        # the warehouse dies with this query — drop every view this run
+        # registered so no dangling reference to deleted parquet remains
+        for v in spark.catalog.listTables():
+            if v.tableType == "TEMPORARY" and (
+                v.name == "nation_tt" or v.name.startswith("__tt_nation_tt_")
+            ):
+                spark.catalog.dropTempView(v.name)
         shutil.rmtree(wh, ignore_errors=True)

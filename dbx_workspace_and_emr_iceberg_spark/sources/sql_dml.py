@@ -267,8 +267,12 @@ def execute(engine, sql: str) -> DataFrame:
 
 # ---- SELECT-side time travel (Iceberg SQL: VERSION/TIMESTAMP AS OF) --------
 
+# value: a quoted literal, or a bare token of [digits/word/:-.] — the
+# class excludes trailing ';' ')' ',' so statement punctuation never
+# rides into the parsed value. Table: possibly-qualified identifier.
 _TT_RE = re.compile(
-    r"\b(\w+)\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\S+)", re.IGNORECASE
+    r"\b((?:\w+\.)*\w+)\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|[\w][\w\-:.]*)",
+    re.IGNORECASE,
 )
 
 
@@ -280,22 +284,39 @@ def rewrite_time_travel(engine, sql: str) -> str:
     (Spark raises its own error for unsupported sources)."""
 
     def sub(m: re.Match) -> str:
-        name, kind, val = m.group(1), m.group(2).upper(), m.group(3)
+        name, kind, raw = m.group(1), m.group(2).upper(), m.group(3)
+        if "." in name:
+            # qualified references resolve through the catalog layer
+            # (sources/catalog.py), not the engine's flat managed set —
+            # rewriting would strand the prefix on an unqualified temp
+            # view, so leave the statement for Spark to diagnose
+            return m.group(0)
         try:
             t = engine.managed(name)
         except (KeyError, ValueError):
             return m.group(0)
-        if kind == "VERSION":
-            df = t.read(version=int(val))
-        else:
-            from datetime import datetime, timezone
+        val = raw.strip("'")
+        try:
+            if kind == "VERSION":
+                df = t.read(version=int(val))
+            else:
+                from datetime import datetime, timezone
 
-            ts = datetime.fromisoformat(val.strip("'"))
-            if ts.tzinfo is None:
-                # session pinned UTC (ensure_session_defaults): naive
-                # literals are UTC civil time, same as cast semantics
-                ts = ts.replace(tzinfo=timezone.utc)
-            df = t.read_as_of_timestamp(int(ts.timestamp() * 1000))
+                if val.isdigit():
+                    ts_ms = int(val) * 1000  # epoch seconds
+                else:
+                    ts = datetime.fromisoformat(val)
+                    if ts.tzinfo is None:
+                        # session pinned UTC (ensure_session_defaults):
+                        # naive literals are UTC civil time
+                        ts = ts.replace(tzinfo=timezone.utc)
+                    ts_ms = int(ts.timestamp() * 1000)
+                df = t.read_as_of_timestamp(ts_ms)
+        except (ValueError, FileNotFoundError):
+            # unparseable value / missing snapshot: leave the statement
+            # untouched so Spark produces its own diagnostic instead of
+            # this rewriter crashing the SQL door
+            return m.group(0)
         view = f"__tt_{name}_{kind.lower()}_{abs(hash(val)) % 10**8}"
         df.createOrReplaceTempView(view)
         return view

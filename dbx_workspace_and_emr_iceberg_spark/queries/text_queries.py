@@ -1036,3 +1036,78 @@ def x23_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.regr_slope(lv, lt), 4) + F.lit(0.0)).alias("heaps_beta"),
         (F.round(F.regr_r2(lv, lt), 4) + F.lit(0.0)).alias("fit_r2"),
     )
+
+
+# --- X24: bloom-filter decontamination (zero-shuffle x16) -------------------
+# x16 proves contamination by JOINING training shingles against the
+# benchmark's — exact, but the training side shuffles. This is the
+# 100 TB spelling: a bloom filter over the (small) benchmark shingles
+# broadcasts, and the training scan probes locally — one pass, no
+# shuffle of corpus data (operators/bloom.py). Rows-only self-checks:
+# NO false negatives (every doc x16-style overlap flags is flagged
+# here too — bloom can only over-flag), and the false-positive rate on
+# clean docs stays under the sized bound.
+
+
+@register("x24_bloom_contamination", oracle=None, tags=("X24", "X16", "X4"))
+def x24_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import build_bloom, probe_bloom
+    from ..operators.dedup import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    # "benchmark" = docs 0 mod 11; "training corpus" = all docs, so the
+    # benchmark docs themselves are planted contamination
+    bench = d.filter(F.col("doc_id") % 11 == 0)
+    bench_sh = bench.select(
+        F.explode(word_shingles("text", 3)).alias("sh")
+    ).distinct()
+    bitmap = build_bloom(bench_sh, "sh", m_bits=1 << 20, k=5)
+
+    corpus = d.select("doc_id", word_shingles("text", 3).alias("sh"))
+    scored = probe_bloom(corpus, "sh", bitmap, m_bits=1 << 20, k=5).cache()
+    try:
+        # exact truth via the join path (bounded: benchmark is small)
+        truth = (
+            corpus.select("doc_id", F.explode("sh").alias("s"))
+            .join(bench_sh.withColumnRenamed("sh", "s"), "s")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_true_hits"))
+        )
+        flagged = scored.filter(F.col("hit_frac") >= 0.5)
+        # 1) no false negatives: every planted benchmark doc must flag
+        #    (its shingles are ALL in the bloom by construction)
+        n_bench = bench.count()
+        n_bench_flagged = flagged.filter(F.col("doc_id") % 11 == 0).count()
+        if n_bench_flagged != n_bench:
+            raise AssertionError(
+                f"bloom missed planted contamination: "
+                f"{n_bench_flagged}/{n_bench}"
+            )
+        # 2) per-shingle accounting never undercounts the exact truth
+        under = (
+            scored.join(truth, "doc_id", "left")
+            .filter(
+                F.col("n_hits") < F.coalesce(F.col("n_true_hits"), F.lit(0))
+            )
+            .count()
+        )
+        if under:
+            raise AssertionError(f"{under} docs undercounted vs exact join")
+        # 3) false-positive discipline: clean docs (zero true overlap)
+        #    must stay overwhelmingly unflagged at this m/k sizing
+        clean_flagged = (
+            flagged.join(truth, "doc_id", "left")
+            .filter(F.col("n_true_hits").isNull())
+            .count()
+        )
+        n_docs = d.count()
+        if clean_flagged > max(2, 0.01 * n_docs):
+            raise AssertionError(
+                f"bloom over-flagged {clean_flagged} clean docs"
+            )
+        return spark.createDataFrame(
+            [(n_docs, n_bench, flagged.count(), clean_flagged)],
+            "n_docs long, n_bench long, n_flagged long, n_clean_flagged long",
+        )
+    finally:
+        scored.unpersist()

@@ -408,3 +408,42 @@ def test_semdedup_cluster_size_guard(spark):
     )
     with _pytest.raises(Exception, match="max_cluster"):
         semdedup(df, 0.99, max_cluster=5).collect()
+
+
+# --- bloom filter (operators/bloom.py) --------------------------------------
+
+
+def test_bloom_no_false_negatives_and_bounded_fpr(spark):
+    from dbx_workspace_and_emr_iceberg_spark.operators.bloom import (
+        build_bloom,
+        probe_bloom,
+    )
+
+    members = [f"member_{i}" for i in range(500)]
+    strangers = [f"stranger_{i}" for i in range(2000)]
+    mdf = spark.createDataFrame([(m,) for m in members], "s string")
+    bitmap = build_bloom(mdf, "s", m_bits=1 << 16, k=5)
+
+    probe = spark.createDataFrame(
+        [(0, members), (1, strangers)], "doc_id long, sh array<string>"
+    )
+    out = {r.doc_id: r for r in probe_bloom(probe, "sh", bitmap, 1 << 16, 5).collect()}
+    # every member hits (no false negatives, the bloom guarantee)
+    assert out[0].n_hits == len(members)
+    # FPR stays near theory: (1-e^(-kn/m))^k ~ 0.0006 at these sizes;
+    # allow a generous 2% before calling the hash family broken
+    assert out[1].n_hits <= 0.02 * len(strangers)
+
+
+def test_bloom_partial_merge_equals_single_partition(spark):
+    from dbx_workspace_and_emr_iceberg_spark.operators.bloom import build_bloom
+
+    vals = [(f"v{i}",) for i in range(300)]
+    one = build_bloom(
+        spark.createDataFrame(vals, "s string").coalesce(1), "s", 1 << 14, 4
+    )
+    many = build_bloom(
+        spark.createDataFrame(vals, "s string").repartition(8), "s", 1 << 14, 4
+    )
+    # OR-merge of per-partition partials must be partitioning-invariant
+    assert one == many

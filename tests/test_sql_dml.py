@@ -233,3 +233,47 @@ def test_merge_roundtrip_property(
     assert (spec["update_set"] is not None) is with_update
     if with_update:
         assert spec["update_set"] == {val: f"{sa}.{val}"}
+
+
+# --- SELECT-side time travel rewriter ---------------------------------------
+
+
+def test_time_travel_rewriter_edges(spark, tmp_path):
+    from dbx_workspace_and_emr_iceberg_spark.engine import Engine
+    from dbx_workspace_and_emr_iceberg_spark.sources import sql_dml
+
+    eng = Engine(spark, warehouse=str(tmp_path))
+    nat = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    t = eng.create_table("tt_edge", nat.coalesce(1))
+    t.append(nat.limit(2).selectExpr("n_nationkey + 700 AS n_nationkey", "n_name", "n_regionkey"))
+    eng.refresh_view("tt_edge")
+    n0 = nat.count()
+
+    # trailing semicolon / paren must not ride into the parsed value
+    assert eng.sql("SELECT count(*) AS n FROM tt_edge VERSION AS OF 1;").collect()[0].n == n0
+    assert (
+        eng.sql("SELECT * FROM (SELECT * FROM tt_edge VERSION AS OF 1) x").count()
+        == n0
+    )
+    # quoted version number parses
+    assert eng.sql("SELECT count(*) AS n FROM tt_edge VERSION AS OF '1'").collect()[0].n == n0
+    # epoch-seconds TIMESTAMP AS OF: a second past the LAST commit must
+    # resolve the current snapshot (v1-time probing is ms-tie-flaky in
+    # a test; m16 covers it with an explicit ms-tie wait)
+    v2_ts = t.snapshots().collect()[-1].ts_ms
+    epoch_s = v2_ts // 1000 + 1
+    assert (
+        eng.sql(f"SELECT count(*) AS n FROM tt_edge TIMESTAMP AS OF {epoch_s}").collect()[0].n
+        == n0 + 2
+    )
+    # unparseable value falls through untouched -> Spark's own error
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        eng.sql("SELECT count(*) FROM tt_edge VERSION AS OF banana").collect()
+    # qualified references are left for the catalog layer (no mangling)
+    out = sql_dml.rewrite_time_travel(eng, "SELECT * FROM cat.db.tt_edge VERSION AS OF 1")
+    assert "cat.db.tt_edge VERSION AS OF 1" in out
+    for v in spark.catalog.listTables():
+        if v.name.startswith("__tt_tt_edge") or v.name == "tt_edge":
+            spark.catalog.dropTempView(v.name)

@@ -654,3 +654,68 @@ def x2d_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n_expected).alias("n_planted_total"),
         )
     )
+
+
+# --- X26: deterministic corpus shuffle (training-order permutation) ---------
+# Before sharding a corpus for training you shuffle it ONCE,
+# reproducibly — seeded hash keys, not rand(): the layout is a pure
+# function of (seed, doc_id), so any re-run, resume, or debugging
+# session sees byte-identical shard contents. Scale shape: shard
+# assignment is a hash mod (map-side, no order needed ACROSS shards —
+# shards are consumed independently), and in-shard order is a window
+# sort PARTITIONED BY shard, so the sort parallelizes per shard. A
+# global row_number would funnel the corpus through one partition —
+# the exact bottleneck this formulation avoids. Rows-only self-checks:
+# permutation, determinism, seed sensitivity, shard balance.
+
+
+@register("x26_corpus_shuffle", oracle=None, tags=("X26", "X13", "O4"))
+def x26_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    n_shards = 8
+
+    def shuffled(seed: int) -> DataFrame:
+        key = F.xxhash64(
+            F.concat(F.lit(str(seed)), F.col("doc_id").cast("string"))
+        )
+        shard = F.pmod(key, F.lit(n_shards)).cast("int")
+        w = W.partitionBy("shard").orderBy("key", "doc_id")  # tie-safe
+        return (
+            d.select("doc_id", key.alias("key"), shard.alias("shard"))
+            .withColumn("position", F.row_number().over(w))
+            .drop("key")
+        )
+
+    a1, a2, b1 = shuffled(42), shuffled(42), shuffled(7)
+    # determinism: same seed → identical (doc_id, shard, position)
+    if a1.exceptAll(a2).count() != 0:
+        raise AssertionError("seeded shuffle not reproducible")
+    # permutation: nothing lost, nothing duplicated, addresses unique
+    if (
+        a1.count() != n
+        or a1.select("doc_id").distinct().count() != n
+        or a1.select("shard", "position").distinct().count() != n
+    ):
+        raise AssertionError("shuffle is not a permutation")
+    # seed sensitivity: a different seed must move most documents
+    n_same = a1.join(b1, ["doc_id", "shard", "position"]).count()
+    if n_same > 0.05 * n:
+        raise AssertionError(
+            f"seeds 42 and 7 agree on {n_same}/{n} addresses — not shuffling"
+        )
+    # hash-mod shard balance: binomial, allow a generous band
+    sizes = [
+        r.c
+        for r in a1.groupBy("shard").agg(F.count(F.lit(1)).alias("c")).collect()
+    ]
+    lo, hi = 0.5 * n / n_shards, 1.5 * n / n_shards
+    if len(sizes) != n_shards or min(sizes) < lo or max(sizes) > hi:
+        raise AssertionError(f"shards unbalanced: {sorted(sizes)}")
+    return spark.createDataFrame(
+        [(n, n_shards, max(sizes), min(sizes), n_same)],
+        "n_docs long, n_shards int, max_shard long, min_shard long, "
+        "n_address_collisions long",
+    )

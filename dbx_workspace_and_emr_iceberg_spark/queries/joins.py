@@ -765,3 +765,60 @@ def _j15_body(spark: SparkSession, sf_dir: str, root: str) -> DataFrame:
     # materialize before the caller's finally deletes the temp dirs;
     # output is <= #years
     return spark.createDataFrame(res.collect(), res.schema)
+
+
+# --- J16: join strategy hints (MERGE / SHUFFLE_HASH / BROADCAST) ------------
+# At 100 TB you sometimes know better than the cost model: a dim that
+# AQE mis-sizes, a sort already paid upstream, a hash side you know
+# fits. Hints are the escape hatch; this query proves each one is
+# HONORED (plan-asserted physical operator per hint) and that strategy
+# choice never changes the answer (all three hash-match the oracle).
+
+_J16_ORACLE = """
+SELECT
+  n_name,
+  CAST(count(*) AS BIGINT)   AS n_suppliers,
+  round(sum(s_acctbal), 2)   AS total_bal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@register("j16_join_hints", oracle=_J16_ORACLE, tags=("J16", "J5", "J6"))
+def j16_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+
+    def joined(hint: str) -> DataFrame:
+        return (
+            s.join(n.hint(hint), s["s_nationkey"] == n["n_nationkey"])
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_suppliers"),
+                F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+            )
+            .orderBy("n_name")
+        )
+
+    expect = {
+        "merge": "SortMergeJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+        "broadcast": "BroadcastHashJoin",
+    }
+    results = {}
+    for hint, node in expect.items():
+        df = joined(hint)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if node not in plan:
+            raise AssertionError(f"hint {hint!r} not honored: no {node}")
+        results[hint] = df
+    # strategies must agree: merge vs the other two, distributed compare
+    for other in ("shuffle_hash", "broadcast"):
+        diff = (
+            results["merge"].exceptAll(results[other]).count()
+            + results[other].exceptAll(results["merge"]).count()
+        )
+        if diff:
+            raise AssertionError(f"{other} result differs from merge by {diff}")
+    return results["merge"]

@@ -517,10 +517,16 @@ class LakehouseTable:
             parent,
         )
 
-    def expire_snapshots(self, keep_last: int = 2) -> list[int]:
+    def expire_snapshots(
+        self, keep_last: int = 2, older_than_ms: int | None = None
+    ) -> list[int]:
         """expire_snapshots + remove_orphan_files (M5): drop manifests
-        older than the last keep_last and delete data files no live
-        manifest references."""
+        beyond the last ``keep_last`` — and, when ``older_than_ms`` is
+        given, ONLY those also committed before it (Iceberg's
+        ``older_than`` retention: both constraints must hold, so a
+        recent snapshot is never expired by an aggressive age alone).
+        Idempotent: snapshots already expired by a previous call are
+        skipped, not crashed on."""
         cur = self.current_version()
         expire = [v for v in range(1, cur + 1)][:-keep_last]
         live_files: set[str] = set()
@@ -529,7 +535,13 @@ class LakehouseTable:
                 live_files.update(self._read_manifest(v)["files"])
         removed = []
         for v in expire:
-            for f in self._read_manifest(v)["files"]:
+            try:
+                m = self._read_manifest(v)
+            except FileNotFoundError:
+                continue  # expired by an earlier call
+            if older_than_ms is not None and m["timestamp_ms"] >= older_than_ms:
+                continue  # too recent — age retention protects it
+            for f in m["files"]:
                 if f not in live_files and os.path.exists(f):
                     os.remove(f)
             os.remove(self._manifest_path(v))

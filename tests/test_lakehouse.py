@@ -381,3 +381,31 @@ def test_appended_files_between_shared_contract(spark, tmp_path):
     # batch caller layers its changelog hint on the same error
     with _pytest.raises(ValueError, match="changelog"):
         t.read_incremental(0)
+
+
+def test_expire_snapshots_age_retention_and_idempotence(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+
+    nat = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    t = LakehouseTable(spark, str(tmp_path), "n")
+    t.create(nat.filter("n_nationkey < 5").coalesce(1))        # v1
+    t.append(nat.filter("n_nationkey BETWEEN 5 AND 9").coalesce(1))  # v2
+    t.append(nat.filter("n_nationkey > 9").coalesce(1))        # v3
+    t.append(nat.limit(0).coalesce(1))                         # v4
+    v1_ts = [r for r in t.snapshots().collect() if r.version == 1][0].ts_ms
+
+    # age cutoff BEFORE v1: nothing is old enough, nothing expires
+    assert t.expire_snapshots(keep_last=1, older_than_ms=v1_ts) == []
+    # cutoff after v1 only: v1 expires, v2 survives on age despite
+    # being outside keep_last
+    removed = t.expire_snapshots(keep_last=1, older_than_ms=v1_ts + 1)
+    assert removed == [1]
+    # repeat call is a no-op, not a crash (v1's manifest is gone)
+    assert t.expire_snapshots(keep_last=1, older_than_ms=v1_ts + 1) == []
+    # current table is intact
+    assert t.read().count() == nat.count()
+    assert t.read(version=2).count() == 10

@@ -7,6 +7,8 @@ doesn't corrupt values.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -439,3 +441,74 @@ def s17_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("value").alias("line_md5"),
         F.length("value").alias("n_chars"),
     ).orderBy("line_md5")
+
+
+# --- S18: incremental file-ingestion options --------------------------------
+# The batch-ingest knobs a 100 TB landing zone depends on:
+# recursiveFileLookup (nested drop-directories), pathGlobFilter
+# (format mixing), modifiedAfter (poor-man's incremental pickup before
+# a real streaming source exists). Self-verified with planted files
+# whose mtimes this query controls: each option must select exactly
+# the intended file set.
+
+
+@register("s18_file_ingest_options", oracle=None, tags=("S18", "S2"))
+def s18_file_ingest_options(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time as _time
+
+    root = tempfile.mkdtemp(prefix="s18_ingest_")
+    try:
+        nat = load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name"
+        )
+        old = nat.filter(F.col("n_nationkey") < 10)
+        new = nat.filter(F.col("n_nationkey") >= 10)
+        n_old, n_new = old.count(), new.count()
+        old.coalesce(1).write.parquet(os.path.join(root, "day=1", "batchA"))
+        new.coalesce(1).write.parquet(os.path.join(root, "day=2", "batchB"))
+        # decoy a glob must exclude
+        with open(os.path.join(root, "day=1", "_manifest.json"), "w") as f:
+            f.write("{}")
+
+        # pin mtimes: batchA old, batchB new, split by a known instant
+        cutoff = _time.time() - 3600
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                ts = cutoff - 7200 if "day=1" in dirpath else cutoff + 3600
+                os.utime(p, (ts, ts))
+
+        base = (
+            spark.read.schema("n_nationkey bigint, n_name string")
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+        )
+        n_all = base.parquet(root).count()
+        if n_all != n_old + n_new:
+            raise AssertionError(
+                f"recursive lookup read {n_all}, want {n_old + n_new}"
+            )
+        from datetime import datetime, timezone
+
+        iso = datetime.fromtimestamp(cutoff, tz=timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%S"
+        )
+        inc = (
+            spark.read.schema("n_nationkey bigint, n_name string")
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .option("modifiedAfter", iso)
+            .parquet(root)
+        )
+        n_inc = inc.count()
+        keys = {r.n_nationkey for r in inc.collect()}
+        if n_inc != n_new or min(keys) < 10:
+            raise AssertionError(
+                f"modifiedAfter picked {n_inc} rows (want {n_new}): {sorted(keys)[:5]}"
+            )
+        return spark.createDataFrame(
+            [(n_all, n_inc, n_old)],
+            "n_total long, n_incremental long, n_skipped long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

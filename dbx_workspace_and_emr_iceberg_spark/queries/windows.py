@@ -266,3 +266,51 @@ def w6_interval_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY event_id
         """
     )
+
+
+# --- W7: IGNORE NULLS forward fill ------------------------------------------
+# The gap-fill idiom for sparse telemetry: carry the last OBSERVED
+# value forward — last_value(x) IGNORE NULLS over an unbounded-
+# preceding frame. Nulls are planted deterministically (value hidden
+# where event_id % 3 != 0) so both engines fill the identical gaps.
+# Same scale shape as any user-partitioned window: one shuffle on
+# user_id, frame state is one value per row.
+
+_W7_ORACLE = """
+WITH sparse AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_id % 3 = 0 THEN round(value, 4) END AS v
+  FROM events
+)
+SELECT
+  event_id,
+  user_id,
+  v,
+  last_value(v IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)  AS v_filled
+FROM sparse
+ORDER BY event_id
+"""
+
+
+@register("w7_ignore_nulls_fill", oracle=_W7_ORACLE, tags=("W7", "W2"))
+def w7_ignore_nulls_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sparse = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 3 == 0, F.round("value", 4)).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sparse.select(
+        "event_id",
+        "user_id",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    ).orderBy("event_id")

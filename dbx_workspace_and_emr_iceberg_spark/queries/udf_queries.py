@@ -362,3 +362,48 @@ def d9_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag
         """
     )
+
+
+# --- D10: Arrow-optimized Python scalar UDF (SPARK-40307) -------------------
+# Third UDF transport: row-at-a-time SEMANTICS (like d1) over Arrow
+# BATCH serialization (like d2) — `useArrow=True` keeps per-row Python
+# functions but drops pickle's per-row cost. Still the measured-last-
+# resort vs built-ins; the right choice when logic is genuinely
+# per-row Python and pandas vectorization doesn't apply. Rounding done
+# Spark-side (d2's lesson: Python-side rounding is half-even).
+
+_D10_ORACLE = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  CAST(round(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)), 2)
+       AS DOUBLE)                                AS net_price
+FROM lineitem
+WHERE l_orderkey % 97 = 0
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register("d10_arrow_python_udf", oracle=_D10_ORACLE, tags=("D10", "D1"))
+def d10_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.udf("double", useArrow=True)
+    def net(price: float, disc: float) -> float:
+        return price * (1.0 - disc)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") % 97 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            # p1's lesson: rounding the raw double is not cross-engine
+            # stable on .xx5 ties — hop through DECIMAL (exact, ties
+            # round half-away in both engines), end at DOUBLE
+            F.round(
+                net("l_extendedprice", "l_discount").cast("decimal(18,6)"), 2
+            )
+            .cast("double")
+            .alias("net_price"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

@@ -466,8 +466,10 @@ def s18_file_ingest_options(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_old, n_new = old.count(), new.count()
         old.coalesce(1).write.parquet(os.path.join(root, "day=1", "batchA"))
         new.coalesce(1).write.parquet(os.path.join(root, "day=2", "batchB"))
-        # decoy a glob must exclude
-        with open(os.path.join(root, "day=1", "_manifest.json"), "w") as f:
+        # decoy a glob must exclude — NOT underscore-prefixed: Spark's
+        # hidden-file filter would skip _manifest.json with or without
+        # the glob, proving nothing
+        with open(os.path.join(root, "day=1", "manifest.json"), "w") as f:
             f.write("{}")
 
         # pin mtimes: batchA old, batchB new, split by a known instant

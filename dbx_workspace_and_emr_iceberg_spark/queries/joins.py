@@ -778,7 +778,7 @@ _J16_ORACLE = """
 SELECT
   n_name,
   CAST(count(*) AS BIGINT)   AS n_suppliers,
-  round(sum(s_acctbal), 2)   AS total_bal
+  CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name
 ORDER BY n_name
@@ -796,7 +796,14 @@ def j16_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("n_name")
             .agg(
                 F.count(F.lit(1)).alias("n_suppliers"),
-                F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+                # decimal-hop sum: different join strategies feed the
+                # aggregate in different row orders; double sums drift
+                # a ulp and the cross-strategy exceptAll would flake
+                F.round(
+                    F.sum(F.col("s_acctbal").cast("decimal(18,6)")), 2
+                )
+                .cast("double")
+                .alias("total_bal"),
             )
             .orderBy("n_name")
         )

@@ -528,20 +528,33 @@ class LakehouseTable:
         Idempotent: snapshots already expired by a previous call are
         skipped, not crashed on."""
         cur = self.current_version()
-        expire = [v for v in range(1, cur + 1)][:-keep_last]
-        live_files: set[str] = set()
+        candidates = [v for v in range(1, cur + 1)][:-keep_last]
+        # Load every surviving manifest FIRST; the expire set is decided
+        # before any liveness accounting so an age-PROTECTED candidate's
+        # files count as live (deciding per-candidate inside the delete
+        # loop deleted files a protected manifest still referenced).
+        manifests: dict[int, dict] = {}
         for v in range(1, cur + 1):
-            if v not in expire:
-                live_files.update(self._read_manifest(v)["files"])
-        removed = []
-        for v in expire:
             try:
-                m = self._read_manifest(v)
+                manifests[v] = self._read_manifest(v)
             except FileNotFoundError:
-                continue  # expired by an earlier call
-            if older_than_ms is not None and m["timestamp_ms"] >= older_than_ms:
-                continue  # too recent — age retention protects it
-            for f in m["files"]:
+                continue  # expired by an earlier call (any keep_last)
+        to_expire = [
+            v
+            for v in candidates
+            if v in manifests
+            and (
+                older_than_ms is None
+                or manifests[v]["timestamp_ms"] < older_than_ms
+            )
+        ]
+        live_files: set[str] = set()
+        for v, m in manifests.items():
+            if v not in to_expire:
+                live_files.update(m["files"])
+        removed = []
+        for v in to_expire:
+            for f in manifests[v]["files"]:
                 if f not in live_files and os.path.exists(f):
                     os.remove(f)
             os.remove(self._manifest_path(v))

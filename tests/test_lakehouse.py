@@ -409,3 +409,30 @@ def test_expire_snapshots_age_retention_and_idempotence(spark, tmp_path):
     # current table is intact
     assert t.read().count() == nat.count()
     assert t.read(version=2).count() == 10
+
+
+def test_expire_age_protection_keeps_protected_snapshots_readable(
+    spark, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+
+    nat = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    t = LakehouseTable(spark, str(tmp_path), "n")
+    t.create(nat.filter("n_nationkey < 5").coalesce(1))        # v1: [A]
+    t.append(nat.filter("n_nationkey BETWEEN 5 AND 9").coalesce(1))  # v2: [A,B]
+    t.overwrite(nat.filter("n_nationkey > 9").coalesce(1))     # v3: [C]
+    v2_ts = [r for r in t.snapshots().collect() if r.version == 2][0].ts_ms
+
+    # v2 is age-protected (not older than its own ts); v1 expires.
+    # v2 still references v1's files — they must SURVIVE.
+    removed = t.expire_snapshots(keep_last=1, older_than_ms=v2_ts)
+    assert removed == [1]
+    assert t.read(version=2).count() == 10  # was: PATH_NOT_FOUND
+
+    # growing keep_last after a tighter expiry must not crash on the
+    # already-removed manifests
+    assert t.expire_snapshots(keep_last=3) == []

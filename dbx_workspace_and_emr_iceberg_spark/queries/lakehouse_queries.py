@@ -1067,3 +1067,50 @@ def m16_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ):
                 spark.catalog.dropTempView(v.name)
         shutil.rmtree(wh, ignore_errors=True)
+
+
+# --- M17: ADD COLUMN with initial DEFAULT (Iceberg v3) ----------------------
+# Schema evolution that backfills WITHOUT rewriting: rows in files
+# predating the column read the declared default (manifest bookkeeping,
+# zero data-file writes); rows written afterwards read stored values —
+# including genuine NULLs, which a naive coalesce() would destroy.
+# CoW rewrites materialize the default for rows they touch
+# (sources/lakehouse.py::_scan_files is the single scan path), so the
+# default graduates out organically. Self-verified across evolution,
+# append, DELETE rewrite, and time travel.
+
+
+@register("m17_column_defaults", oracle=None, tags=("M6", "M17"))
+def m17_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wh = tempfile.mkdtemp(prefix="lakehouse_def_")
+    try:
+        nat = load_table(spark, sf_dir, "nation").coalesce(1)
+        t = LakehouseTable(spark, wh, "nation_def")
+        t.create(nat.filter(F.col("n_nationkey") < 10))
+        t.add_column("quality_tier", "string", default="unreviewed")
+        t.append(
+            nat.filter(F.col("n_nationkey") >= 10).withColumn(
+                "quality_tier",
+                F.when(F.col("n_nationkey") % 2 == 0, F.lit("gold")),
+            )
+        )
+        rows = {r.n_nationkey: r.quality_tier for r in t.read().collect()}
+        if any(rows[k] != "unreviewed" for k in range(10)):
+            raise AssertionError("pre-evolution rows did not read the default")
+        if rows[10] != "gold" or rows[11] is not None:
+            raise AssertionError("post-evolution stored values corrupted")
+        # CoW rewrite keeps defaults for surviving rewritten rows
+        t.delete_where(F.col("n_nationkey") == 3)
+        rows2 = {r.n_nationkey: r.quality_tier for r in t.read().collect()}
+        if rows2[4] != "unreviewed" or 3 in rows2:
+            raise AssertionError("delete rewrite lost the initial default")
+        # pre-evolution snapshot never shows the column
+        if "quality_tier" in t.read(version=1).columns:
+            raise AssertionError("time travel leaked the evolved column")
+        n_default = sum(1 for v in rows2.values() if v == "unreviewed")
+        return spark.createDataFrame(
+            [(len(rows2), n_default)],
+            "n_rows long, n_defaulted long",
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

@@ -183,6 +183,12 @@ class LakehouseTable:
             )
         version = expected_parent + 1
         os.makedirs(self.snap_dir, exist_ok=True)
+        # column initial-defaults (add_column(default=...)) ride every
+        # subsequent commit unchanged unless the committer set its own
+        if "defaults" not in manifest and expected_parent:
+            inherited = self._read_manifest(expected_parent).get("defaults")
+            if inherited:
+                manifest["defaults"] = inherited
         manifest["version"] = version
         manifest["parent"] = expected_parent
         manifest["timestamp_ms"] = int(time.time() * 1000)
@@ -259,11 +265,43 @@ class LakehouseTable:
         from pyspark.sql.types import StructType
 
         v = version if version is not None else self.current_version()
-        schema = StructType.fromJson(self._read_manifest(v)["schema"]) if v else None
+        m = self._read_manifest(v) if v else {}
+        schema = StructType.fromJson(m["schema"]) if v else None
         files = self._files(v)
         if not files:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*files)
+        return self._scan_files(files, m)
+
+    def _scan_files(self, files: list[str], manifest: dict) -> DataFrame:
+        """Manifest-schema scan of ``files`` with Iceberg-v3 initial
+        defaults applied: rows from files that PREDATE an added column
+        read its default. Membership is decided by input_file_name
+        against the manifest's absent set — at real scale this is
+        per-file metadata (field-id presence), not a literal list; the
+        semantics are identical. EVERY consumer of manifest-listed
+        files (read, CoW delete/update rewrites, predicate pruning)
+        must come through here, or rewritten rows silently lose their
+        defaults."""
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(manifest["schema"])
+        df = self.spark.read.schema(schema).parquet(*files)
+        fileset = set(files)
+        for col, spec in manifest.get("defaults", {}).items():
+            absent = [f for f in spec["absent_files"] if f in fileset]
+            if not absent or col not in df.columns:
+                continue
+            in_absent = F.replace(
+                F.input_file_name(), F.lit("file://"), F.lit("")
+            ).isin(absent)
+            df = df.withColumn(
+                col,
+                F.when(
+                    in_absent,
+                    F.lit(spec["value"]).cast(df.schema[col].dataType),
+                ).otherwise(F.col(col)),
+            )
+        return df
 
     def read_as_of_timestamp(self, ts_ms: int) -> DataFrame:
         """TIMESTAMP AS OF (M4's second spelling): scan the latest
@@ -318,7 +356,7 @@ class LakehouseTable:
         if not cur:
             return []
         hits = (
-            self.spark.read.parquet(*cur)
+            self._scan_files(cur, self._read_manifest(self.current_version()))
             .withColumn("__file", F.input_file_name())
             .filter(cond)
             .select("__file")
@@ -340,9 +378,9 @@ class LakehouseTable:
         # SQL DELETE removes only rows where cond is TRUE; a bare ~cond
         # filter would also drop NULL-predicate rows (NOT NULL => NULL,
         # filtered out). Keep rows where cond is FALSE *or* NULL.
-        survivors = self.spark.read.parquet(*affected).filter(
-            ~F.coalesce(cond, F.lit(False))
-        )
+        survivors = self._scan_files(
+            affected, self._read_manifest(parent)
+        ).filter(~F.coalesce(cond, F.lit(False)))
         new_files = self._write_files(survivors)
         return self._commit(
             {
@@ -361,7 +399,7 @@ class LakehouseTable:
         if not affected:
             return parent
         keep = [f for f in self._files(parent) if f not in affected]
-        df = self.spark.read.parquet(*affected)
+        df = self._scan_files(affected, self._read_manifest(parent))
         updated = df.select(
             *[
                 F.when(cond, assignments[c]).otherwise(F.col(c)).alias(c)
@@ -563,23 +601,41 @@ class LakehouseTable:
 
     # ---------- M6: schema evolution ----------
 
-    def add_column(self, name: str, spark_type: str) -> int:
+    def add_column(
+        self, name: str, spark_type: str, default=None
+    ) -> int:
         """ALTER TABLE ADD COLUMN (M6): manifest-only change; existing
         files are untouched and the new column reads as NULL (mergeSchema
-        handles it on scan) — exactly Iceberg's no-rewrite evolution."""
+        handles it on scan) — exactly Iceberg's no-rewrite evolution.
+
+        ``default`` adds Iceberg-v3 INITIAL-DEFAULT semantics: rows in
+        files written BEFORE the evolution read the default; files
+        written after read their stored values (including real NULLs).
+        The manifest records which files predate the column, so no data
+        file is rewritten and compaction naturally graduates rows out of
+        the default (rewritten files physically contain the column).
+        """
         parent = self.current_version()
         schema = self.schema_json()
         schema["fields"].append(
             {"name": name, "type": spark_type, "nullable": True, "metadata": {}}
         )
-        return self._commit(
-            {
-                "files": self._files(parent),
-                "schema": schema,
-                "op": f"add_column:{name}",
-            },
-            parent,
-        )
+        manifest: dict = {
+            "files": self._files(parent),
+            "schema": schema,
+            "op": f"add_column:{name}",
+        }
+        defaults = dict(
+            self._read_manifest(parent).get("defaults", {})
+        ) if parent else {}
+        if default is not None:
+            defaults[name] = {
+                "value": default,
+                "absent_files": self._files(parent),
+            }
+        if defaults:
+            manifest["defaults"] = defaults
+        return self._commit(manifest, parent)
 
     def read_evolved(self, version: int | None = None) -> DataFrame:
         """Alias of read(): the manifest schema already governs scans."""

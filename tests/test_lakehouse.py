@@ -436,3 +436,40 @@ def test_expire_age_protection_keeps_protected_snapshots_readable(
     # growing keep_last after a tighter expiry must not crash on the
     # already-removed manifests
     assert t.expire_snapshots(keep_last=3) == []
+
+
+def test_add_column_initial_default(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+
+    nat = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    t = LakehouseTable(spark, str(tmp_path), "n")
+    t.create(nat.filter("n_nationkey < 10").coalesce(1))          # pre-evolution
+    v_evolve = t.add_column("quality_tier", "string", default="unreviewed")
+    t.append(                                                     # post-evolution
+        nat.filter("n_nationkey >= 10")
+        .withColumn(
+            "quality_tier",
+            F.when(F.col("n_nationkey") % 2 == 0, "gold"),  # real NULLs too
+        )
+        .coalesce(1)
+    )
+    cur = {r.n_nationkey: r.quality_tier for r in t.read().collect()}
+    # old rows: the default, NOT null
+    assert all(cur[k] == "unreviewed" for k in range(10))
+    # new rows: stored values survive, including genuine NULLs
+    assert cur[10] == "gold" and cur[11] is None
+    # defaults survive unrelated commits (inheritance through _commit)
+    t.delete_where(F.col("n_nationkey") == 3)
+    cur2 = {r.n_nationkey: r.quality_tier for r in t.read().collect()}
+    assert cur2[4] == "unreviewed" and 3 not in cur2
+    # compaction materializes the column; rewritten rows keep the value
+    t.compact(target_partitions=1)
+    cur3 = {r.n_nationkey: r.quality_tier for r in t.read().collect()}
+    assert cur3[5] == "unreviewed" and cur3[10] == "gold" and cur3[11] is None
+    # pre-evolution snapshot has no such column at all
+    assert "quality_tier" not in t.read(version=1).columns
+    assert v_evolve == 2

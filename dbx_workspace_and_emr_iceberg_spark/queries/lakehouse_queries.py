@@ -1114,3 +1114,69 @@ def m17_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+# --- M18: CALL system.* procedures through the SQL door ---------------------
+# The reference's users run maintenance as Iceberg stored procedures
+# (`CALL cat.system.rollback_to_snapshot(...)`, SURVEY §2.11 M4/M5);
+# sources/sql_dml.py parses the CALL grammar (positional and
+# name => value args) and dispatches to the snapshot layer. Self-
+# verified: rollback restores v1 counts, rewrite_data_files compacts to
+# one file preserving the multiset, expire trims history while the
+# current read survives.
+
+
+@register("m18_call_procedures", oracle=None, tags=("M4", "M5", "M18"))
+def m18_call_procedures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..engine import Engine
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_call_")
+    try:
+        eng = Engine(spark, warehouse=wh)
+        nat = load_table(spark, sf_dir, "nation").coalesce(1)
+        t = eng.create_table("nation_proc", nat)
+        n0 = nat.count()
+        t.append(
+            nat.limit(5).select(
+                (F.col("n_nationkey") + 650).alias("n_nationkey"),
+                "n_name",
+                "n_regionkey",
+            )
+        )
+        eng.refresh_view("nation_proc")
+
+        eng.sql("CALL system.rollback_to_snapshot('nation_proc', 1)")
+        n_after_rb = eng.sql(
+            "SELECT count(*) AS n FROM nation_proc"
+        ).collect()[0].n
+        if n_after_rb != n0:
+            raise AssertionError(f"CALL rollback left {n_after_rb} rows")
+
+        eng.sql(
+            "CALL system.rewrite_data_files('nation_proc', "
+            "target_partitions => 1)"
+        )
+        t2 = eng.managed("nation_proc")
+        n_files = len(t2._files())
+        if n_files != 1 or t2.read().count() != n0:
+            raise AssertionError(
+                f"CALL rewrite_data_files wrong: {n_files} files"
+            )
+
+        before = t2.snapshots().count()
+        eng.sql("CALL system.expire_snapshots('nation_proc', 1)")
+        after = t2.snapshots().count()
+        if not (after < before and t2.read().count() == n0):
+            raise AssertionError(
+                f"CALL expire_snapshots wrong: {before} -> {after}"
+            )
+        return spark.createDataFrame(
+            [(int(n0), n_files, int(before), int(after))],
+            "n_rows long, n_files_after_compact int, "
+            "snaps_before int, snaps_after int",
+        )
+    finally:
+        for v in spark.catalog.listTables():
+            if v.tableType == "TEMPORARY" and v.name == "nation_proc":
+                spark.catalog.dropTempView(v.name)
+        shutil.rmtree(wh, ignore_errors=True)

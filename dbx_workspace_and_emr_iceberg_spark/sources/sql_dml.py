@@ -35,7 +35,7 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_DML_HEADS = ("MERGE", "UPDATE", "DELETE")
+_DML_HEADS = ("MERGE", "UPDATE", "DELETE", "CALL")
 
 
 def _strip(sql: str) -> str:
@@ -220,6 +220,8 @@ def execute(engine, sql: str) -> DataFrame:
         raise ValueError(f"not a DML statement: {sql!r}")
     spark = engine.spark
 
+    if kind == "CALL":
+        return execute_call(engine, sql)
     if kind == "DELETE":
         table, where = parse_delete(sql)
         t = engine.managed(table)
@@ -322,3 +324,67 @@ def rewrite_time_travel(engine, sql: str) -> str:
         return view
 
     return _TT_RE.sub(sub, sql)
+
+
+# ---- CALL system.* procedures (Iceberg stored-procedure surface) -----------
+
+_CALL_RE = re.compile(
+    r"^CALL\s+(?:\w+\.)?system\.(\w+)\s*\(([^)]*)\)\s*$",
+    re.IGNORECASE,
+)
+
+#: procedure -> (table-method, [(arg_name, converter), ...]); positional
+#: or name => value arguments accepted, Iceberg-style.
+_PROCEDURES = {
+    "rollback_to_snapshot": ("rollback_to", [("version", int)]),
+    "expire_snapshots": ("expire_snapshots", [("keep_last", int), ("older_than_ms", int)]),
+    "rewrite_data_files": ("compact", [("target_partitions", int)]),
+}
+
+
+def parse_call(sql: str) -> tuple[str, str, dict]:
+    """(procedure, table, kwargs) for CALL [cat.]system.proc('t', ...)."""
+    m = _CALL_RE.match(_strip(sql))
+    if not m:
+        raise ValueError(f"unsupported CALL statement: {sql!r}")
+    proc, raw_args = m.group(1).lower(), m.group(2)
+    if proc not in _PROCEDURES:
+        raise ValueError(
+            f"unknown procedure {proc!r}; supported: {sorted(_PROCEDURES)}"
+        )
+    _method, spec = _PROCEDURES[proc]
+    args = [a.strip() for a in _split_top_level(raw_args) if a.strip()]
+    if not args:
+        raise ValueError(f"CALL {proc}: missing table argument")
+    table = args[0].strip("'\"")
+    kwargs: dict = {}
+    for i, a in enumerate(args[1:]):
+        if "=>" in a:
+            k, v = (x.strip() for x in a.split("=>", 1))
+            names = {n for n, _ in spec}
+            if k not in names:
+                raise ValueError(f"CALL {proc}: unknown argument {k!r}")
+            conv = dict(spec)[k]
+        else:
+            if i >= len(spec):
+                raise ValueError(f"CALL {proc}: too many arguments")
+            k, conv = spec[i]
+            v = a
+        kwargs[k] = conv(v.strip("'\""))
+    return proc, table, kwargs
+
+
+def execute_call(engine, sql: str) -> DataFrame:
+    proc, table, kwargs = parse_call(sql)
+    method, _spec = _PROCEDURES[proc]
+    t = engine.managed(table)
+    result = getattr(t, method)(**kwargs)
+    engine.refresh_view(table)
+    summary = (
+        ",".join(str(v) for v in result)
+        if isinstance(result, list)
+        else str(result)
+    )
+    return engine.spark.createDataFrame(
+        [(table, proc, summary)], "table string, procedure string, result string"
+    )

@@ -277,3 +277,39 @@ def test_time_travel_rewriter_edges(spark, tmp_path):
     for v in spark.catalog.listTables():
         if v.name.startswith("__tt_tt_edge") or v.name == "tt_edge":
             spark.catalog.dropTempView(v.name)
+
+
+# --- CALL system.* procedures ----------------------------------------------
+
+
+def test_call_procedures_dispatch(spark, tmp_path):
+    import pytest as _pytest
+
+    from dbx_workspace_and_emr_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path))
+    nat = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    t = eng.create_table("proc_t", nat.coalesce(1))
+    t.append(nat.limit(3).selectExpr("n_nationkey + 600 AS n_nationkey", "n_name", "n_regionkey"))
+    eng.refresh_view("proc_t")
+    n0 = nat.count()
+
+    # rollback via CALL — positional arg
+    out = eng.sql("CALL system.rollback_to_snapshot('proc_t', 1)").collect()
+    assert out[0].procedure == "rollback_to_snapshot"
+    assert eng.sql("SELECT count(*) AS n FROM proc_t").collect()[0].n == n0
+
+    # compaction via the Iceberg-named procedure, named arg
+    eng.sql("CALL system.rewrite_data_files('proc_t', target_partitions => 1)")
+    assert eng.managed("proc_t").read().count() == n0
+
+    # expire with keep_last
+    eng.sql("CALL system.expire_snapshots('proc_t', 2)")
+    assert eng.managed("proc_t").read().count() == n0
+
+    # unknown procedure / bad arg fail loudly
+    with _pytest.raises(ValueError, match="unknown procedure"):
+        eng.sql("CALL system.vacuum('proc_t')")
+    with _pytest.raises(ValueError, match="unknown argument"):
+        eng.sql("CALL system.expire_snapshots('proc_t', bogus => 1)")
+    spark.catalog.dropTempView("proc_t")

@@ -286,13 +286,20 @@ class LakehouseTable:
 
         schema = StructType.fromJson(manifest["schema"])
         df = self.spark.read.schema(schema).parquet(*files)
-        fileset = set(files)
+        return self._apply_defaults(df, manifest, set(files))
+
+    def _apply_defaults(
+        self, df: DataFrame, manifest: dict, fileset: set[str]
+    ) -> DataFrame:
         for col, spec in manifest.get("defaults", {}).items():
             absent = [f for f in spec["absent_files"] if f in fileset]
             if not absent or col not in df.columns:
                 continue
-            in_absent = F.replace(
-                F.input_file_name(), F.lit("file://"), F.lit("")
+            # input_file_name returns file:// URIs with URL-encoded
+            # partition-dir characters (%3A for ':' in days(ts) values);
+            # manifests store bare decoded paths
+            in_absent = F.url_decode(
+                F.replace(F.input_file_name(), F.lit("file://"), F.lit(""))
             ).isin(absent)
             df = df.withColumn(
                 col,
@@ -625,15 +632,16 @@ class LakehouseTable:
             "schema": schema,
             "op": f"add_column:{name}",
         }
-        defaults = dict(
-            self._read_manifest(parent).get("defaults", {})
-        ) if parent else {}
         if default is not None:
+            # merge onto the parent's defaults; the default=None case is
+            # _commit's standard inheritance
+            defaults = dict(
+                self._read_manifest(parent).get("defaults", {})
+            ) if parent else {}
             defaults[name] = {
                 "value": default,
                 "absent_files": self._files(parent),
             }
-        if defaults:
             manifest["defaults"] = defaults
         return self._commit(manifest, parent)
 
@@ -643,13 +651,16 @@ class LakehouseTable:
 
     # ---------- S8+: incremental scan / CDC changelog ----------
 
-    def _read_file_set(self, files: list[str], schema_json: dict) -> DataFrame:
+    def _read_file_set(self, files: list[str], manifest: dict) -> DataFrame:
+        """Empty-tolerant wrapper over _scan_files — initial defaults
+        apply to incremental/CDC reads exactly as to full scans."""
         from pyspark.sql.types import StructType
 
-        schema = StructType.fromJson(schema_json)
         if not files:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*files)
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(manifest["schema"])
+            )
+        return self._scan_files(files, manifest)
 
     def read_incremental(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Incremental append scan: rows committed AFTER from_version up
@@ -668,7 +679,7 @@ class LakehouseTable:
             added = appended_files_between(self.root, from_version, to_v)
         except ValueError as e:
             raise ValueError(f"{e}; use changelog() instead") from None
-        return self._read_file_set(added, self._read_manifest(to_v)["schema"])
+        return self._read_file_set(added, self._read_manifest(to_v))
 
     def changelog(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Row-level CDC between snapshots — Iceberg's
@@ -694,8 +705,15 @@ class LakehouseTable:
             removed = sorted(prev_files - cur_files)
             if not added and not removed:
                 continue  # metadata-only commit (e.g. add_column)
-            add_df = self._read_file_set(added, m["schema"])
-            rem_df = self._read_file_set(removed, m["schema"])
+            # pre-images come from v-1's manifest so removed-file rows
+            # carry THAT snapshot's defaults; CoW survivors then cancel
+            # in the exceptAll even across an evolution boundary
+            try:
+                prev_m = self._read_manifest(v - 1)
+            except FileNotFoundError:
+                prev_m = m
+            add_df = self._read_file_set(added, m)
+            rem_df = self._read_file_set(removed, prev_m)
             inserts = add_df if not removed else add_df.exceptAll(rem_df)
             deletes = rem_df if not added else rem_df.exceptAll(add_df)
             for df, kind in ((inserts, "INSERT"), (deletes, "DELETE")):
@@ -809,8 +827,19 @@ class PartitionedLakehouseTable(LakehouseTable):
                 *sorted(by_root[root])
             )
             df = df.drop(*[c for c in df.columns if c.startswith("p_")])
-            out = df if out is None else out.unionByName(df)
-        return out
+            out = df if out is None else out.unionByName(
+                df, allowMissingColumns=True
+            )
+        m = self._read_manifest(v)
+        # evolved columns absent from every physical file still need to
+        # exist before the defaults pass can fill them
+        for f_json in m["schema"]["fields"]:
+            if f_json["name"] not in out.columns:
+                out = out.withColumn(
+                    f_json["name"],
+                    F.lit(None).cast(f_json["type"]),
+                )
+        return self._apply_defaults(out, m, set(files))
 
     def read_pruned(self, col: str, lo, hi):
         """Hidden-partition predicate rewrite (SURVEY §2.2 P3) — the
@@ -886,7 +915,9 @@ class PartitionedLakehouseTable(LakehouseTable):
         if not keep:
             empty = self.spark.createDataFrame([], schema)
             return empty.filter((F.col(col) >= lo) & (F.col(col) < hi)), 0, len(files)
-        df = self.spark.read.schema(schema).parquet(*sorted(keep))
+        df = self._scan_files(
+            sorted(keep), self._read_manifest(self.current_version())
+        )
         return (
             df.filter((F.col(col) >= lo) & (F.col(col) < hi)),
             len(keep),
@@ -1251,10 +1282,12 @@ class StatsLakehouseTable(LakehouseTable):
         from pyspark.sql.types import StructType
 
         files = self.pruned_files(col, lo, hi)
-        schema = StructType.fromJson(self.schema_json())
         if not files:
+            schema = StructType.fromJson(self.schema_json())
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.schema(schema).parquet(*files)
+        df = self._scan_files(
+            files, self._read_manifest(self.current_version())
+        )
         return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
 
 

@@ -44,7 +44,8 @@ def _strip(sql: str) -> str:
 
 
 def classify(sql: str) -> str | None:
-    """'MERGE' | 'UPDATE' | 'DELETE' for DML statements, else None."""
+    """'MERGE' | 'UPDATE' | 'DELETE' | 'CALL' for statements this
+    module executes, else None."""
     s = _strip(sql)
     if not s:
         return None
@@ -210,10 +211,10 @@ def parse_merge(sql: str) -> dict:
 def execute(engine, sql: str) -> DataFrame:
     """Parse + run one DML statement against engine-managed tables.
 
-    Returns a one-row result frame (table, operation, version, n_rows) —
-    the shape ``spark-sql`` users see from Iceberg DML (a commit
-    summary), and keeps the SQL-door temp view pointed at the new
-    snapshot.
+    Returns a one-row commit-summary frame — (table, operation,
+    version, n_rows) for DML, (table, procedure, result) for CALL —
+    the shape ``spark-sql`` users see from Iceberg, and keeps the
+    SQL-door temp view pointed at the new snapshot.
     """
     kind = classify(sql)
     if kind is None:
@@ -356,21 +357,43 @@ def parse_call(sql: str) -> tuple[str, str, dict]:
     args = [a.strip() for a in _split_top_level(raw_args) if a.strip()]
     if not args:
         raise ValueError(f"CALL {proc}: missing table argument")
-    table = args[0].strip("'\"")
+    named = dict(spec)
+    table: str | None = None
     kwargs: dict = {}
-    for i, a in enumerate(args[1:]):
+    next_pos = 0  # positional cursor — independent of named args
+    seen_named = False
+    for idx, a in enumerate(args):
         if "=>" in a:
+            seen_named = True
             k, v = (x.strip() for x in a.split("=>", 1))
-            names = {n for n, _ in spec}
-            if k not in names:
+            if k == "table":
+                table = v.strip("'\"")
+                continue
+            if k not in named:
                 raise ValueError(f"CALL {proc}: unknown argument {k!r}")
-            conv = dict(spec)[k]
-        else:
-            if i >= len(spec):
-                raise ValueError(f"CALL {proc}: too many arguments")
-            k, conv = spec[i]
-            v = a
-        kwargs[k] = conv(v.strip("'\""))
+            if k in kwargs:
+                raise ValueError(f"CALL {proc}: duplicate argument {k!r}")
+            kwargs[k] = named[k](v.strip("'\""))
+            continue
+        # positional after any named arg is ambiguous — Iceberg rejects
+        # the mixture too; fail loudly instead of mis-binding
+        if seen_named:
+            raise ValueError(
+                f"CALL {proc}: positional argument {a!r} after named "
+                "arguments"
+            )
+        if idx == 0:
+            table = a.strip("'\"")
+            continue
+        if next_pos >= len(spec):
+            raise ValueError(f"CALL {proc}: too many arguments")
+        k, conv = spec[next_pos]
+        next_pos += 1
+        if k in kwargs:
+            raise ValueError(f"CALL {proc}: duplicate argument {k!r}")
+        kwargs[k] = conv(a.strip("'\""))
+    if table is None:
+        raise ValueError(f"CALL {proc}: missing table argument")
     return proc, table, kwargs
 
 

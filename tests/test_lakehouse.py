@@ -473,3 +473,83 @@ def test_add_column_initial_default(spark, tmp_path):
     # pre-evolution snapshot has no such column at all
     assert "quality_tier" not in t.read(version=1).columns
     assert v_evolve == 2
+
+
+def test_changelog_cancels_rewrites_across_default_evolution(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+
+    nat = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    t = LakehouseTable(spark, str(tmp_path), "n")
+    t.create(nat.filter("n_nationkey < 6").coalesce(1))           # v1
+    t.add_column("tier", "string", default="unreviewed")          # v2
+    t.delete_where(F.col("n_nationkey") == 3)                     # v3 CoW
+    ch = t.changelog(2, 3).collect()
+    # survivors must cancel: exactly ONE DELETE (key 3), zero INSERTs,
+    # and its pre-image carries the default, not NULL
+    deletes = [r for r in ch if r._change_type == "DELETE"]
+    inserts = [r for r in ch if r._change_type == "INSERT"]
+    assert len(deletes) == 1 and not inserts, ch
+    assert deletes[0].n_nationkey == 3 and deletes[0].tier == "unreviewed"
+
+
+def test_partitioned_table_applies_initial_default(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        PartitionedLakehouseTable,
+    )
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id")
+        .filter("event_id < 200")
+    )
+    t = PartitionedLakehouseTable(spark, str(tmp_path), "ev", ["days(ts)"])
+    t.create(ev.coalesce(1))
+    t.add_column("source_tag", "string", default="legacy")
+    t.append(
+        ev.limit(5)
+        .select(
+            (F.col("event_id") + 10000).alias("event_id"),
+            "ts",
+            "user_id",
+            F.lit("fresh").alias("source_tag"),
+        )
+        .coalesce(1)
+    )
+    got = {r.event_id: r.source_tag for r in t.read().collect()}
+    assert got[0] == "legacy" and got[10000] == "fresh"
+    df, scanned, total = t.read_pruned(
+        "ts", ev.agg(F.min("ts")).collect()[0][0],
+        ev.agg(F.max("ts")).collect()[0][0],
+    )
+    tags = {r.source_tag for r in df.collect()}
+    assert "legacy" in tags
+
+
+def test_call_named_table_and_mixed_args(spark, tmp_path):
+    import pytest as _pytest
+
+    from dbx_workspace_and_emr_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path))
+    nat = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    eng.create_table("proc_named", nat.coalesce(1))
+    eng.managed("proc_named").append(nat.limit(2).selectExpr(
+        "n_nationkey + 500 AS n_nationkey", "n_name", "n_regionkey"))
+    # Iceberg's canonical fully-named spelling
+    out = eng.sql(
+        "CALL system.rollback_to_snapshot(table => 'proc_named', version => 1)"
+    ).collect()
+    assert out[0].table == "proc_named"
+    assert eng.managed("proc_named").read().count() == nat.count()
+    # positional after named is rejected, not mis-bound
+    with _pytest.raises(ValueError, match="positional argument"):
+        eng.sql(
+            "CALL system.expire_snapshots('proc_named', older_than_ms => 99, 2)"
+        )
+    spark.catalog.dropTempView("proc_named")

@@ -498,3 +498,36 @@ def f15_binary_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.decode(F.unbase64(F.base64(as_bin)), "UTF-8").alias("roundtrip"),
         F.length(as_bin).alias("n_bytes"),
     ).orderBy("n_nationkey")
+
+
+# --- F16: split_part (delimited-field extraction) ---------------------------
+# The log-parsing workhorse (SPARK-38063): 1-based field extraction
+# with negative indexing from the end — far cheaper than
+# regexp_extract for fixed delimiters and identical across engines.
+
+_F16_ORACLE = """
+WITH paths AS (
+  SELECT p_partkey,
+         p_name || '/' || p_brand || '/' || p_type AS path
+  FROM part WHERE p_partkey % 67 = 0
+)
+SELECT
+  p_partkey,
+  split_part(path, '/', 1)   AS first_seg,
+  split_part(path, '/', 2)   AS mid_seg,
+  split_part(path, '/', -1)  AS last_seg
+FROM paths
+ORDER BY p_partkey
+"""
+
+
+@register("f16_split_part", oracle=_F16_ORACLE, tags=("F16", "F1"))
+def f16_split_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 67 == 0)
+    path = F.concat_ws("/", "p_name", "p_brand", "p_type")
+    return p.select(
+        "p_partkey",
+        F.split_part(path, F.lit("/"), F.lit(1)).alias("first_seg"),
+        F.split_part(path, F.lit("/"), F.lit(2)).alias("mid_seg"),
+        F.split_part(path, F.lit("/"), F.lit(-1)).alias("last_seg"),
+    ).orderBy("p_partkey")

@@ -257,3 +257,40 @@ def o5_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_total, n1, float(n1) / n_total)],
         "n_total long, n_sampled long, observed_frac double",
     )
+
+
+# --- U8: UNION implicit type coercion ---------------------------------------
+# Set ops across branches with different-but-compatible column types
+# must widen per ANSI rules (int ∪ double → double; the int branch's
+# values arrive exactly representable). Both engines implement the
+# same lattice, so this is value-oracled, proving coercion — not just
+# acceptance.
+
+_U8_ORACLE = """
+SELECT kind, round(v, 2) AS v FROM (
+  SELECT 'qty' AS kind, CAST(l_quantity AS DOUBLE) AS v
+  FROM lineitem WHERE l_orderkey % 503 = 0
+  UNION ALL
+  SELECT 'price' AS kind, l_extendedprice AS v
+  FROM lineitem WHERE l_orderkey % 503 = 0
+)
+ORDER BY kind, v
+"""
+
+
+@register("u8_union_coercion", oracle=_U8_ORACLE, tags=("U1", "U8", "P5"))
+def u8_union_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 503 == 0
+    )
+    # deliberately UN-cast int-typed quantity: the union must widen it
+    ints = li.select(
+        F.lit("qty").alias("kind"), F.col("l_quantity").cast("int").alias("v")
+    )
+    dbls = li.select(F.lit("price").alias("kind"), F.col("l_extendedprice").alias("v"))
+    out = ints.unionByName(dbls)
+    if out.schema["v"].dataType.simpleString() != "double":
+        raise AssertionError(
+            f"union did not widen: {out.schema['v'].dataType}"
+        )
+    return out.select("kind", F.round("v", 2).alias("v")).orderBy("kind", "v")

@@ -144,6 +144,23 @@ class ConflictError(RuntimeError):
     """Optimistic-commit conflict: table version moved underneath us."""
 
 
+def commit_with_retries(op, retries: int = 3, backoff_s: float = 0.05):
+    """Iceberg's ``commit.retry.num-retries`` pattern: re-run ``op``
+    (a closure that REREADS current table state and performs the whole
+    write) on ConflictError. The closure must be restartable — it may
+    observe a different parent snapshot on every attempt; the final
+    ConflictError propagates so lost updates are never silent."""
+    attempt = 0
+    while True:
+        try:
+            return op()
+        except ConflictError:
+            if attempt >= retries:
+                raise
+            attempt += 1
+            time.sleep(backoff_s * attempt)
+
+
 class LakehouseTable:
     """One snapshot-versioned table under a warehouse directory."""
 

@@ -553,3 +553,47 @@ def test_call_named_table_and_mixed_args(spark, tmp_path):
             "CALL system.expire_snapshots('proc_named', older_than_ms => 99, 2)"
         )
     spark.catalog.dropTempView("proc_named")
+
+
+def test_commit_with_retries_recovers_from_concurrent_writer(spark, tmp_path):
+    import pytest as _pytest
+
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        ConflictError,
+        LakehouseTable,
+        commit_with_retries,
+    )
+
+    nat = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    t = LakehouseTable(spark, str(tmp_path), "n")
+    t.create(nat.filter("n_nationkey < 10").coalesce(1))
+
+    writer2 = LakehouseTable(spark, str(tmp_path), "n")
+    attempts = {"n": 0}
+
+    def racy_append():
+        attempts["n"] += 1
+        if attempts["n"] == 1:
+            # a concurrent writer lands between our read and commit:
+            # capture the stale parent, let writer2 commit, then try
+            parent = t.current_version()
+            writer2.append(
+                nat.filter("n_nationkey BETWEEN 10 AND 12").coalesce(1)
+            )
+            return t._commit(
+                {"files": t._files(parent), "schema": t.schema_json(),
+                 "op": "append"},
+                parent,
+            )
+        return t.append(nat.filter("n_nationkey > 12").coalesce(1))
+
+    v = commit_with_retries(racy_append, retries=2)
+    assert attempts["n"] == 2 and v == 3
+    assert t.read().count() == nat.count()
+
+    # exhausted retries propagate the conflict, never a silent drop
+    def always_conflicts():
+        raise ConflictError("simulated")
+
+    with _pytest.raises(ConflictError):
+        commit_with_retries(always_conflicts, retries=1, backoff_s=0.0)

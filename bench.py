@@ -55,6 +55,11 @@ HEADLINE = [
     "a10_bitmap_distinct",
     "x21_url_parsing",
     "x22_bigram_lm",
+    # round-7 additions: the respelled distributed prefix sum (plan
+    # changed — keep it honest under the clock) and the one-pass
+    # profiler (single-aggregate telemetry shape)
+    "x23_vocab_growth",
+    "x25_table_profile",
 ]
 
 
@@ -109,6 +114,10 @@ def main() -> None:
                 "pass_totals": [
                     round(sum(p.values()), 3) for p in passes
                 ],
+                # cold pass-1 total is as informative as the min total
+                # (r6 verdict #6): surfaced explicitly so readers don't
+                # have to derive it from passes
+                "cold_total": round(sum(passes[0].values()), 3),
                 "sf": sf_num,
             }
         )

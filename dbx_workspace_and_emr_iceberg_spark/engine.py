@@ -30,6 +30,9 @@ class Engine:
         self.spark = spark
         self.warehouse = warehouse
         self._tables: dict[str, LakehouseTable] = {}
+        # time-travel temp views registered by the current statement's
+        # rewrite; dropped after execution (sql_dml.rewrite_time_travel)
+        self._tt_views: set[str] = set()
 
     @classmethod
     def local(
@@ -49,7 +52,16 @@ class Engine:
         # SELECT-side time travel (VERSION/TIMESTAMP AS OF) resolves
         # through the snapshot layer before Spark sees the query
         query = sql_dml.rewrite_time_travel(self, query)
-        return self.spark.sql(query)
+        try:
+            # spark.sql analyzes eagerly (Dataset.ofRows asserts
+            # analysis), so the __tt_* views resolve into df's plan at
+            # this call — safe to drop right after, and on error too
+            return self.spark.sql(query)
+        finally:
+            # drop even when the statement fails; views would otherwise
+            # accumulate in the session and pin expired warehouse files
+            while self._tt_views:
+                self.spark.catalog.dropTempView(self._tt_views.pop())
 
     # ---- door 2: DataFrame over fixtures / views ----
     def register_fixtures(self, sf_dir: str) -> None:

@@ -66,7 +66,14 @@ def build_bloom(
                     continue
                 any_rows = True
                 pos = _positions(s, k, mb)
-                bits[pos // 8] |= np.uint8(1) << (pos % 8).astype(np.uint8)
+                # np.bitwise_or.at, NOT bits[idx] |= …: fancy-index
+                # assignment is unbuffered-once — when two of a key's k
+                # positions land in the same byte, |= applies only one,
+                # silently dropping a bit and breaking the no-false-
+                # negatives contract (~7.6e-5/key at default m/k).
+                np.bitwise_or.at(
+                    bits, pos // 8, np.uint8(1) << (pos % 8).astype(np.uint8)
+                )
         if any_rows:
             yield pd.DataFrame({"bitmap": [bits.tobytes()]})
 

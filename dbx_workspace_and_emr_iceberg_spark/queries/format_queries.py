@@ -260,13 +260,28 @@ def s2g_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # `format("binaryFile")` turns a directory of opaque files into
 # (path, modificationTime, length, content) rows — the ingestion edge
 # for the multimodal pipeline (x5): blobs land as files, this scan
-# makes them a BinaryType column, then mapInPandas decodes. Rows-only
-# (paths/mtimes are environment values); self-verified: every planted
-# blob surfaces exactly once with its exact bytes (md5 and length match
-# what was written), and pathGlobFilter prunes non-matching files.
+# makes them a BinaryType column, then mapInPandas decodes.
+# VALUE-ORACLED since r7 (was rows-only): the planted payloads are
+# deterministic printable-ASCII byte sequences, so DuckDB can
+# re-derive every (file_name, length, md5) triple from generate_series
+# + chr + md5 with no filesystem access at all — the oracle predicts
+# the full scan output, byte-for-byte. Self-checks retained: every
+# planted blob surfaces exactly once, and pathGlobFilter prunes the
+# planted decoy.
+
+_S14_ORACLE = """
+SELECT 'blob_' || i || '.bin' AS file_name,
+       CAST(100 + i*13 AS BIGINT) AS length,
+       md5(string_agg(chr(CAST((i*7+j)%64 + 32 AS INTEGER)), '' ORDER BY j))
+         AS content_md5
+FROM generate_series(0,5) t(i),
+     LATERAL (SELECT unnest(generate_series(0, 100+i*13-1)) AS j)
+GROUP BY i
+ORDER BY file_name
+"""
 
 
-@register("s14_binaryfile_source", oracle=None, tags=("S14", "S2", "X5"))
+@register("s14_binaryfile_source", oracle=_S14_ORACLE, tags=("S14", "S2", "X5"))
 def s14_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
@@ -274,7 +289,11 @@ def s14_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(root, exist_ok=True)
     want: dict[str, tuple[int, str]] = {}
     for i in range(6):
-        payload = bytes([(i * 7 + j) % 256 for j in range(100 + i * 13)])
+        # printable-ASCII bytes (32..95): the DuckDB oracle rebuilds
+        # the same sequence as a VARCHAR, where md5(varchar) ==
+        # md5(bytes) — a raw 0..255 payload would hex-mangle through
+        # DuckDB's BLOB->VARCHAR cast and break the value oracle
+        payload = bytes([(i * 7 + j) % 64 + 32 for j in range(100 + i * 13)])
         name = f"blob_{i}.bin"
         with open(os.path.join(root, name), "wb") as f:
             f.write(payload)

@@ -8,6 +8,7 @@ step log; any violated invariant raises, failing the driver check.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -1163,16 +1164,57 @@ def m18_call_procedures(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CALL rewrite_data_files wrong: {n_files} files"
             )
 
+        # cherrypick the v2 append delta back on top (M5, r7: bound
+        # through the door per sources/lakehouse.py cherrypick)
+        eng.sql(
+            "CALL system.cherrypick_snapshot('nation_proc', snapshot_id => 2)"
+        )
+        n_after_cp = eng.managed("nation_proc").read().count()
+        if n_after_cp != n0 + 5:
+            raise AssertionError(
+                f"CALL cherrypick_snapshot wrong: {n_after_cp} rows"
+            )
+
+        # sort-strategy rewrite through the same procedure (Iceberg
+        # rewrite_data_files(strategy => 'sort', sort_order => col))
+        eng.sql(
+            "CALL system.rewrite_data_files('nation_proc', "
+            "strategy => 'sort', sort_order => 'n_nationkey', "
+            "target_partitions => 2)"
+        )
+        if eng.managed("nation_proc").read().count() != n0 + 5:
+            raise AssertionError("sort-strategy rewrite lost rows")
+
         before = t2.snapshots().count()
-        eng.sql("CALL system.expire_snapshots('nation_proc', 1)")
+        # Iceberg argument NAME (retain_last) and positional ORDER
+        # (older_than first) both bind since r7
+        eng.sql(
+            "CALL system.expire_snapshots('nation_proc', retain_last => 1)"
+        )
         after = t2.snapshots().count()
-        if not (after < before and t2.read().count() == n0):
+        if not (after < before and t2.read().count() == n0 + 5):
             raise AssertionError(
                 f"CALL expire_snapshots wrong: {before} -> {after}"
             )
+
+        # plant an orphan (a parquet no manifest references) and sweep
+        # it via the door; live files must survive
+        orphan_dir = os.path.join(wh, "nation_proc", "data", "orphanbatch")
+        os.makedirs(orphan_dir, exist_ok=True)
+        orphan = os.path.join(orphan_dir, "part-orphan.parquet")
+        with open(orphan, "wb") as fh:
+            fh.write(b"PAR1junkPAR1")
+        swept = eng.sql(
+            "CALL system.remove_orphan_files('nation_proc')"
+        ).collect()[0].result
+        if "part-orphan.parquet" not in swept or os.path.exists(orphan):
+            raise AssertionError(f"orphan not swept: {swept!r}")
+        if eng.managed("nation_proc").read().count() != n0 + 5:
+            raise AssertionError("remove_orphan_files deleted live data")
+
         return spark.createDataFrame(
-            [(int(n0), n_files, int(before), int(after))],
-            "n_rows long, n_files_after_compact int, "
+            [(int(n0), n_files, int(n_after_cp), int(before), int(after))],
+            "n_rows long, n_files_after_compact int, n_after_cherrypick long, "
             "snaps_before int, snaps_after int",
         )
     finally:

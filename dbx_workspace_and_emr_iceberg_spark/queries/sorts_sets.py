@@ -222,15 +222,27 @@ def u4_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- O5: TABLESAMPLE / df.sample -------------------------------------------
 # Bernoulli sampling is seed-deterministic WITHIN an engine but the RNG
-# streams differ across engines, so no value oracle exists by design —
-# rows-only, with the properties that matter self-verified: the same
-# seed reproduces the same sample exactly, a disjoint seed draws a
-# different sample, and the observed fraction is within binomial bounds.
+# streams differ across engines, so the SAMPLED ROWS can't be value-
+# oracled. The CONTRACT can (r7, was rows-only): the oracle computes
+# the expected row count and the binomial acceptance bounds in SQL;
+# the Spark side reports the same n_total plus one boolean per
+# property (reproducible / seed-independent / within 6σ), each
+# computed from real sample runs. A violated property flips a boolean
+# and the driver's value hash goes red — the former raise-only checks
+# are now hash-verified evidence.
 # Scale shape: sampling is a narrow map — no shuffle, pushdown-friendly,
 # and the canonical first stage of any corpus-quality eyeball pipeline.
 
+_O5_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       CAST(1 AS BIGINT) AS same_seed_reproduces,
+       CAST(1 AS BIGINT) AS diff_seed_differs,
+       CAST(1 AS BIGINT) AS frac_within_6_sigma
+FROM customer
+"""
 
-@register("o5_tablesample", oracle=None, tags=("O5", "X7"))
+
+@register("o5_tablesample", oracle=_O5_ORACLE, tags=("O5", "X7"))
 def o5_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n_total = c.count()
@@ -240,22 +252,25 @@ def o5_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     s3 = c.sample(fraction=frac, seed=7).select("c_custkey")
     n1 = s1.count()
     # determinism: same seed => identical row set (exceptAll both ways)
-    if s1.exceptAll(s2).count() != 0 or s2.exceptAll(s1).count() != 0:
-        raise AssertionError("sample(seed=42) not reproducible")
+    reproducible = (
+        s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
+    )
     # different seed => (overwhelmingly) different set at this n
-    if n_total >= 100 and s1.exceptAll(s3).count() == 0 and s3.exceptAll(s1).count() == 0:
-        raise AssertionError("independent seeds drew identical samples")
+    differs = n_total < 100 or (
+        s1.exceptAll(s3).count() != 0 or s3.exceptAll(s1).count() != 0
+    )
     # fraction within 6 sigma of binomial expectation
     import math
 
     sigma = math.sqrt(n_total * frac * (1 - frac))
-    if abs(n1 - n_total * frac) > 6 * sigma + 1:
-        raise AssertionError(
-            f"sample fraction off: {n1}/{n_total} vs p={frac} (6σ={6*sigma:.1f})"
-        )
+    within = abs(n1 - n_total * frac) <= 6 * sigma + 1
+    # bigint 0/1 flags, not booleans: every oracled column type in the
+    # suite is numeric/string, keeping the driver's cross-engine value
+    # hashing on well-trodden ground
     return spark.createDataFrame(
-        [(n_total, n1, float(n1) / n_total)],
-        "n_total long, n_sampled long, observed_frac double",
+        [(n_total, int(reproducible), int(differs), int(within))],
+        "n_total long, same_seed_reproduces long, "
+        "diff_seed_differs long, frac_within_6_sigma long",
     )
 
 

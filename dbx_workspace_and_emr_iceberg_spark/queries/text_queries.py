@@ -1010,6 +1010,28 @@ FROM cum
 
 @register("x23_vocab_growth", oracle=_X23_ORACLE, tags=("X23", "X4", "A12"))
 def x23_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law telemetry with a DISTRIBUTED two-pass prefix sum.
+
+    r6 verdict finding #1: the cumulative-tokens/vocab pass used
+    ``Window.orderBy(doc_id)`` with no partitionBy — a global window
+    that funnels one row per DOCUMENT through a single task (billions
+    of rows at 100 TB). Respelled as the classic distributed prefix
+    sum:
+
+      pass 1 — bucket docs into value-range chunks of doc_id and cumsum
+               WITHIN each chunk (window partitioned by chunk: parallel
+               across ≤n_chunks tasks, never a single-partition funnel);
+      pass 2 — per-chunk totals (≤n_chunks rows — a sketch, the bounded
+               collect contract) cumsum on the driver and broadcast
+               back as per-chunk offsets; cum = local + offset.
+
+    Identical values to the global window (doc_id is unique, chunks are
+    value-ordered), and the plan is ASSERTED to contain only
+    partitioned window specs — the j13 pattern: the scale property is
+    load-bearing, so it is checked, not hoped.
+    """
+    import re as _re
+
     d = load_table(spark, sf_dir, "documents")
     words = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
@@ -1019,20 +1041,78 @@ def x23_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_new")
     )
     tok_per_doc = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    cum = (
-        tok_per_doc.join(new_per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.sum("n_tok").over(w).alias("cum_tokens"),
-            F.sum(F.coalesce("n_new", F.lit(0))).over(w).alias("cum_vocab"),
-        )
+    per_doc = tok_per_doc.join(new_per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
     )
-    lv, lt = F.log10("cum_vocab"), F.log10("cum_tokens")
-    return cum.agg(
+
+    # pass 0: chunking range — ONE tiny aggregate, a 1-row collect
+    lo, hi = per_doc.agg(F.min("doc_id"), F.max("doc_id")).first()
+    n_chunks = 32
+    agg_cols = [
         F.count(F.lit(1)).alias("n_docs"),
         F.max("cum_tokens").cast("bigint").alias("total_tokens"),
         F.max("cum_vocab").cast("bigint").alias("total_vocab"),
+    ]
+    if lo is None:  # empty corpus: same shape, NULL stats
+        cum = per_doc.select(
+            "doc_id",
+            F.col("n_tok").alias("cum_tokens"),
+            F.col("n_new").alias("cum_vocab"),
+        )
+    else:
+        width = max(1, (int(hi) - int(lo)) // n_chunks + 1)
+        chunked = per_doc.withColumn(
+            "chunk",
+            ((F.col("doc_id") - F.lit(int(lo))) / F.lit(width)).cast("long"),
+        )
+        # pass 1: chunk-local cumsum — PARTITIONED window, parallel
+        w_loc = (
+            Window.partitionBy("chunk")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        local = chunked.select(
+            "doc_id",
+            "chunk",
+            F.sum("n_tok").over(w_loc).alias("loc_tok"),
+            F.sum("n_new").over(w_loc).alias("loc_new"),
+        )
+        # pass 2: per-chunk totals (≤n_chunks rows — bounded collect),
+        # exclusive prefix on the driver, broadcast back as offsets
+        totals = (
+            chunked.groupBy("chunk")
+            .agg(F.sum("n_tok").alias("t"), F.sum("n_new").alias("n"))
+            .collect()
+        )
+        off_rows, ct, cn = [], 0, 0
+        for r in sorted(totals, key=lambda r: r.chunk):
+            off_rows.append((int(r.chunk), ct, cn))
+            ct += int(r.t)
+            cn += int(r.n)
+        offsets = spark.createDataFrame(
+            off_rows, "chunk long, off_tok long, off_new long"
+        )
+        cum = local.join(F.broadcast(offsets), "chunk").select(
+            "doc_id",
+            (F.col("loc_tok") + F.col("off_tok")).alias("cum_tokens"),
+            (F.col("loc_new") + F.col("off_new")).alias("cum_vocab"),
+        )
+        # scale assert (j13 pattern): every window spec in the plan
+        # must carry a partition clause — an unpartitioned spec's first
+        # argument is the sort column ("doc_id#N ASC NULLS FIRST"),
+        # a partitioned one's is the chunk column (no ASC/DESC).
+        plan = cum._jdf.queryExecution().optimizedPlan().toString()
+        if "windowspecdefinition" not in plan:
+            raise AssertionError("x23: expected a window in the plan")
+        if _re.search(r"windowspecdefinition\([^,)]*(?:ASC|DESC)", plan):
+            raise AssertionError(
+                "x23: unpartitioned (single-task) window crept back in"
+            )
+    lv, lt = F.log10("cum_vocab"), F.log10("cum_tokens")
+    return cum.agg(
+        *agg_cols,
         (F.round(F.regr_slope(lv, lt), 4) + F.lit(0.0)).alias("heaps_beta"),
         (F.round(F.regr_r2(lv, lt), 4) + F.lit(0.0)).alias("fit_r2"),
     )

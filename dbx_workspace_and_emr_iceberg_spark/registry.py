@@ -132,72 +132,29 @@ def all_queries() -> dict[str, Query]:
 
 
 #: Driver front-load list, refreshed each round from CORRECTNESS_r0N.
-#: Round-6 basis (CORRECTNESS_r05): 47/50 hash-green — those names are
-#: DROPPED so the ~50-query budget converts unproven surface into hard
-#: signal instead of re-proving the proven. Remaining priorities:
-#:   1. t11/t12 — the ONLY oracled queries with no driver row ever
-#:      (registrations #49-50 in r5, budget-missed);
-#:   2. the r3 NTZ casualties, fixed in r5 but never driver-re-run since
-#:      the NTZ migration (stale-green);
-#:   3. the three r5 FAILs, root-caused and fixed this round
-#:      (p1/p5 DECIMAL→DOUBLE canonicalization, d2 half-even rounding);
-#:   4. queries newly added in round 6 — never driver-run.
+#: Round-7 basis (CORRECTNESS_r06): 39 hash-green + 11 rows-only, zero
+#: failures — every prior-round name DROPPED. The r6 verdict identifies
+#: exactly 12 oracled queries with no driver row ever (implemented and
+#: locally green in r6, but outside r6's 50-query budget); they are the
+#: entire front-load so CORRECTNESS_r07 converts them to hard signal.
+#: After them: queries newly added/re-oracled in round 7.
 _DRIVER_PRIORITY = [
-    # only oracled queries never driver-checked (r5 budget positions #49-50)
-    "t11_stream_hash_split",
-    "t12_rocksdb_state_store",
-    # r3 NTZ casualties, fixed r5, not re-proven since the migration
-    "w2_offset_analytic",
-    "f5_map_funcs",
-    "f7_json_funcs",
-    "f7b_json_roundtrip",
-    "x8_sessionization",
-    # r5 FAILs, fixed this round
-    "p1_projection",
-    "p5_casts",
-    "d2_scalar_pandas_udf",
-    # new in round 6 — never driver-run
-    "d1_python_udf",
-    "f7c_variant",
-    "u6_recursive_cte",
-    "j11_nullsafe_join",
-    "s12_observe_metrics",
-    "x19_incremental_dedup",
-    "s6_dynamic_partition_overwrite",
-    "t13_max_files_per_trigger",
-    "s2g_xml_roundtrip",
-    "f9_listagg",
-    "j12_lateral",
-    "o5_tablesample",
-    "s13_python_datasource",
-    "t14_python_stream_source",
-    "t8c_stream_stream_outer",
-    "j13_bloom_runtime_filter",
-    "x20_semantic_dedup",
-    "w6_interval_range_frame",
-    "a10_bitmap_distinct",
-    "f10_collation",
-    "x21_url_parsing",
-    "t15_checkpoint_recovery",
-    "m14_merge_schema_evolution",
-    "u7_pipe_syntax",
-    "f11_parameterized_sql",
-    "d8_sql_scalar_function",
-    "d9_sql_table_function",
-    "t16_lakehouse_stream_source",
-    "j14_scalar_subquery",
-    "a11_group_by_all",
-    "f12_sql_variables",
-    "s14_binaryfile_source",
-    "s15_hive_partitioned_write",
-    "x22_bigram_lm",
-    "f5c_map_higher_order",
-    "x2d_mllib_minhash",
-    "m15_catalog_namespace",
-    "s16_nested_schema_pruning",
-    "a12_regression_aggs",
-    "f13_edit_distance",
+    # the 12 oracled-unrun queries (r6 verdict "Next round" item #1)
+    "a13_selector_aggs",
+    "d10_arrow_python_udf",
     "f14_bitwise",
+    "f15_binary_encodings",
+    "f16_split_part",
+    "j15_dynamic_partition_pruning",
+    "j16_join_hints",
+    "s17_text_source",
+    "u8_union_coercion",
+    "w7_ignore_nulls_fill",
+    "x23_vocab_growth",
+    "x25_table_profile",
+    # round-7 additions / upgraded oracles — never driver-run
+    "o5_tablesample",
+    "s14_binaryfile_source",
 ]
 
 

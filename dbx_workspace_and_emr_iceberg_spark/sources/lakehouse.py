@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -122,10 +123,22 @@ def appended_files_between(
     """
 
     def manifest(v: int) -> dict:
-        with open(
-            os.path.join(root, "_snapshots", f"v{v:05d}.json")
-        ) as f:
-            return json.load(f)
+        try:
+            with open(
+                os.path.join(root, "_snapshots", f"v{v:05d}.json")
+            ) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            # expire_snapshots removes old manifests; surface the
+            # CONTRACTED error type so read_incremental's "use
+            # changelog()" wrapping and lakehouse_stream restarts from
+            # an old checkpointed offset both fail gracefully instead
+            # of leaking a raw FileNotFoundError.
+            raise ValueError(
+                f"snapshot v{v} expired; incremental range "
+                f"({from_version}, {to_version}] unavailable — "
+                "re-baseline from a full scan"
+            ) from None
 
     added: list[str] = []
     for v in range(from_version + 1, to_version + 1):
@@ -490,14 +503,33 @@ class LakehouseTable:
                     f"merge_into: source has duplicate rows for key {on!r} "
                     "(Iceberg MERGE cardinality violation)"
                 )
+        # Schema evolution is folded into the merge's OWN commit —
+        # Iceberg's withSchemaEvolution is a single transaction, so a
+        # conflict/failure must leave neither the schema nor the data
+        # half-applied. (A previous spelling committed one add_column
+        # per new source column before the data commit; a final-commit
+        # ConflictError then stranded an evolved-schema-no-data table.)
+        schema = self.schema_json()
         if schema_evolution:
-            existing = {f["name"] for f in self.schema_json()["fields"]}
+            existing = {f["name"] for f in schema["fields"]}
             for f in source.schema.fields:
                 if f.name not in existing:
-                    # each ADD commits — re-capture the merge's parent so
-                    # the final commit isn't flagged as a stale writer
-                    parent = self.add_column(f.name, f.dataType.simpleString())
+                    schema["fields"].append(
+                        {
+                            "name": f.name,
+                            "type": f.dataType.simpleString(),
+                            "nullable": True,
+                            "metadata": {},
+                        }
+                    )
         target = self.read()
+        for fld in schema["fields"]:
+            if fld["name"] not in target.columns:
+                # evolved column: pre-existing rows read NULL, exactly
+                # the manifest-only ADD semantics, but uncommitted
+                target = target.withColumn(
+                    fld["name"], F.lit(None).cast(fld["type"])
+                )
         tcols = target.columns
         # Presence is tracked with explicit marker columns, NOT key
         # nullability: a pre-existing target row whose merge-key column
@@ -545,8 +577,9 @@ class LakehouseTable:
             .select(*[out_col(c) for c in tcols])
         )
         new_files = self._write_files(merged)
+        # single commit carries BOTH the evolved schema and the data
         return self._commit(
-            {"files": new_files, "schema": self.schema_json(), "op": "merge"},
+            {"files": new_files, "schema": schema, "op": "merge"},
             parent,
         )
 
@@ -621,6 +654,86 @@ class LakehouseTable:
                     os.remove(f)
             os.remove(self._manifest_path(v))
             removed.append(v)
+        return removed
+
+    def cherrypick(self, version: int) -> int:
+        """CALL system.cherrypick_snapshot via the SQL door — delegates
+        to :func:`cherrypick_snapshot` (module level, M5)."""
+        return cherrypick_snapshot(self, version)
+
+    def rewrite_data_files(
+        self,
+        target_partitions: int = 4,
+        strategy: str = "binpack",
+        sort_order: str | None = None,
+    ) -> int:
+        """Iceberg's ``CALL system.rewrite_data_files`` dispatch (M5):
+        binpack (default) → :meth:`compact`; ``strategy => 'sort'`` with
+        ``sort_order => 'col'`` → :meth:`rewrite_sorted`;
+        ``sort_order => 'zorder(a, b)'`` → :meth:`rewrite_zorder`
+        (main.tf:803 wires the extension providing this procedure).
+        """
+        strategy = strategy.lower()
+        if strategy not in ("binpack", "sort"):
+            raise ValueError(f"rewrite_data_files: unknown strategy {strategy!r}")
+        if strategy == "binpack":
+            if sort_order is not None:
+                raise ValueError(
+                    "rewrite_data_files: sort_order requires strategy => 'sort'"
+                )
+            return self.compact(target_partitions)
+        if sort_order is None:
+            raise ValueError("rewrite_data_files: strategy 'sort' needs sort_order")
+        zm = re.match(r"^zorder\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)$", sort_order, re.I)
+        if zm:
+            return self.rewrite_zorder(
+                zm.group(1), zm.group(2), target_files=target_partitions
+            )
+        if not re.match(r"^\w+$", sort_order):
+            raise ValueError(
+                f"rewrite_data_files: unsupported sort_order {sort_order!r} "
+                "(a single column or zorder(a, b))"
+            )
+        return self.rewrite_sorted(sort_order, target_files=target_partitions)
+
+    def remove_orphan_files(self, older_than_ms: int | None = None) -> list[str]:
+        """CALL system.remove_orphan_files (M5): delete data files in the
+        warehouse directory that NO live snapshot references — the
+        debris of failed/aborted writes (reference main.tf:803 wires the
+        extension whose ``system.remove_orphan_files`` does this on
+        EMR). Distinct from expire_snapshots: that drops old SNAPSHOTS
+        (and their now-unreferenced files); this sweeps files no
+        manifest ever claimed.
+
+        ``older_than_ms`` is Iceberg's safety valve — only files whose
+        mtime predates it are swept, so an in-flight writer's not-yet-
+        committed files survive. Default sweeps regardless (tests);
+        production callers should pass now-minus-grace.
+        """
+        live: set[str] = set()
+        for v in range(1, self.current_version() + 1):
+            try:
+                live.update(self._read_manifest(v)["files"])
+            except FileNotFoundError:
+                continue  # expired snapshot
+        removed: list[str] = []
+        if not os.path.isdir(self.data_dir):
+            return removed
+        # data files sit in per-batch subdirs (_write_files); walk the
+        # tree. Only *.parquet is swept — _SUCCESS markers of LIVE
+        # batches are not orphans, and manifests never list them.
+        for dirpath, _dirs, files in sorted(os.walk(self.data_dir)):
+            for fn in sorted(files):
+                path = os.path.join(dirpath, fn)
+                if not fn.endswith(".parquet") or path in live:
+                    continue
+                if (
+                    older_than_ms is not None
+                    and os.path.getmtime(path) * 1000 >= older_than_ms
+                ):
+                    continue
+                os.remove(path)
+                removed.append(os.path.relpath(path, self.data_dir))
         return removed
 
     # ---------- M6: schema evolution ----------

@@ -223,16 +223,28 @@ def execute(engine, sql: str) -> DataFrame:
 
     if kind == "CALL":
         return execute_call(engine, sql)
+    # Every DML statement runs under Iceberg's commit.retry semantics
+    # (commit_with_retries, sources/lakehouse.py): the table methods
+    # re-read current state on entry, so re-running the whole closure
+    # on ConflictError is the contracted restartable pattern — a racing
+    # writer costs a retry, not a user-visible crash; the FINAL
+    # conflict still propagates so lost updates are never silent.
+    from .lakehouse import commit_with_retries
+
     if kind == "DELETE":
         table, where = parse_delete(sql)
         t = engine.managed(table)
-        version = t.delete_where(F.expr(where) if where else F.lit(True))
+        version = commit_with_retries(
+            lambda: t.delete_where(F.expr(where) if where else F.lit(True))
+        )
     elif kind == "UPDATE":
         table, assignments, where = parse_update(sql)
         t = engine.managed(table)
-        version = t.update_set(
-            F.expr(where) if where else F.lit(True),
-            {c: F.expr(e) for c, e in assignments.items()},
+        version = commit_with_retries(
+            lambda: t.update_set(
+                F.expr(where) if where else F.lit(True),
+                {c: F.expr(e) for c, e in assignments.items()},
+            )
         )
     else:  # MERGE
         spec = parse_merge(sql)
@@ -253,12 +265,14 @@ def execute(engine, sql: str) -> DataFrame:
             if spec["delete_cond"]
             else None
         )
-        version = t.merge_into(
-            source,
-            on=spec["on"],
-            update_cols=update_cols,
-            insert=spec["insert"],
-            delete_cond=delete_cond,
+        version = commit_with_retries(
+            lambda: t.merge_into(
+                source,
+                on=spec["on"],
+                update_cols=update_cols,
+                insert=spec["insert"],
+                delete_cond=delete_cond,
+            )
         )
     engine.refresh_view(table)
     n = t.read().count()
@@ -320,8 +334,20 @@ def rewrite_time_travel(engine, sql: str) -> str:
             # untouched so Spark produces its own diagnostic instead of
             # this rewriter crashing the SQL door
             return m.group(0)
-        view = f"__tt_{name}_{kind.lower()}_{abs(hash(val)) % 10**8}"
+        # Content-deterministic digest, NOT Python hash(): hash() is
+        # seed-randomized per process and truncating it meant two
+        # DIFFERENT literals could collide and silently rewrite both
+        # references to the same snapshot. md5(table|kind|val) also
+        # makes the name stable across sessions, so repeated literals
+        # REUSE one view instead of accumulating.
+        import hashlib
+
+        digest = hashlib.md5(f"{name}|{kind}|{val}".encode()).hexdigest()[:12]
+        view = f"__tt_{name}_{kind.lower()}_{digest}"
         df.createOrReplaceTempView(view)
+        # the engine drops these after the statement executes so temp
+        # views never accumulate / pin expired warehouse files
+        getattr(engine, "_tt_views", set()).add(view)
         return view
 
     return _TT_RE.sub(sub, sql)
@@ -329,17 +355,46 @@ def rewrite_time_travel(engine, sql: str) -> str:
 
 # ---- CALL system.* procedures (Iceberg stored-procedure surface) -----------
 
+# args captured to the LAST paren (re.S + greedy), not the first:
+# sort_order => 'zorder(a, b)' closes a paren mid-list.
 _CALL_RE = re.compile(
-    r"^CALL\s+(?:\w+\.)?system\.(\w+)\s*\(([^)]*)\)\s*$",
-    re.IGNORECASE,
+    r"^CALL\s+(?:\w+\.)?system\.(\w+)\s*\((.*)\)\s*$",
+    re.IGNORECASE | re.S,
 )
 
-#: procedure -> (table-method, [(arg_name, converter), ...]); positional
-#: or name => value arguments accepted, Iceberg-style.
+#: procedure -> (table-method, [(arg_name, converter), ...], aliases).
+#: Positional or name => value arguments accepted, Iceberg-style; the
+#: positional ORDER matches Iceberg's procedure signatures (e.g.
+#: expire_snapshots(table, older_than, retain_last) — binding the first
+#: positional to keep_last silently expired nothing for an
+#: Iceberg-style CALL with an older_than timestamp). ``aliases`` maps
+#: Iceberg's argument names onto the engine-layer keyword names.
 _PROCEDURES = {
-    "rollback_to_snapshot": ("rollback_to", [("version", int)]),
-    "expire_snapshots": ("expire_snapshots", [("keep_last", int), ("older_than_ms", int)]),
-    "rewrite_data_files": ("compact", [("target_partitions", int)]),
+    "rollback_to_snapshot": (
+        "rollback_to",
+        [("version", int)],
+        {"snapshot_id": "version"},
+    ),
+    "expire_snapshots": (
+        "expire_snapshots",
+        [("older_than_ms", int), ("keep_last", int)],
+        {"older_than": "older_than_ms", "retain_last": "keep_last"},
+    ),
+    "rewrite_data_files": (
+        "rewrite_data_files",
+        [("strategy", str), ("sort_order", str), ("target_partitions", int)],
+        {},
+    ),
+    "cherrypick_snapshot": (
+        "cherrypick",
+        [("version", int)],
+        {"snapshot_id": "version"},
+    ),
+    "remove_orphan_files": (
+        "remove_orphan_files",
+        [("older_than_ms", int)],
+        {"older_than": "older_than_ms"},
+    ),
 }
 
 
@@ -353,7 +408,7 @@ def parse_call(sql: str) -> tuple[str, str, dict]:
         raise ValueError(
             f"unknown procedure {proc!r}; supported: {sorted(_PROCEDURES)}"
         )
-    _method, spec = _PROCEDURES[proc]
+    _method, spec, aliases = _PROCEDURES[proc]
     args = [a.strip() for a in _split_top_level(raw_args) if a.strip()]
     if not args:
         raise ValueError(f"CALL {proc}: missing table argument")
@@ -369,6 +424,7 @@ def parse_call(sql: str) -> tuple[str, str, dict]:
             if k == "table":
                 table = v.strip("'\"")
                 continue
+            k = aliases.get(k, k)  # Iceberg arg names → engine kwargs
             if k not in named:
                 raise ValueError(f"CALL {proc}: unknown argument {k!r}")
             if k in kwargs:
@@ -399,7 +455,7 @@ def parse_call(sql: str) -> tuple[str, str, dict]:
 
 def execute_call(engine, sql: str) -> DataFrame:
     proc, table, kwargs = parse_call(sql)
-    method, _spec = _PROCEDURES[proc]
+    method, _spec, _aliases = _PROCEDURES[proc]
     t = engine.managed(table)
     result = getattr(t, method)(**kwargs)
     engine.refresh_view(table)

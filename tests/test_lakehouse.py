@@ -383,6 +383,79 @@ def test_appended_files_between_shared_contract(spark, tmp_path):
         t.read_incremental(0)
 
 
+def test_incremental_over_expired_range_raises_contracted_error(
+    spark, tmp_path
+):
+    """An incremental range that reaches into EXPIRED snapshots must
+    fail with the contracted ValueError (→ read_incremental re-raises
+    with the changelog hint; the lakehouse stream restart path shows a
+    graceful error), not leak a raw FileNotFoundError (ADVICE r6)."""
+    import pytest as _pytest
+
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        LakehouseTable,
+        appended_files_between,
+    )
+
+    nat = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    t = LakehouseTable(spark, str(tmp_path), "n")
+    t.create(nat.filter("n_nationkey < 5").coalesce(1))              # v1
+    t.append(nat.filter("n_nationkey BETWEEN 5 AND 9").coalesce(1))  # v2
+    t.append(nat.filter("n_nationkey > 9").coalesce(1))              # v3
+    t.expire_snapshots(keep_last=1)  # v1, v2 manifests gone
+    with _pytest.raises(ValueError, match="expired"):
+        appended_files_between(t.root, 0, 3)
+    # the batch wrapper layers its changelog hint on the SAME error
+    with _pytest.raises(ValueError, match="changelog"):
+        t.read_incremental(0)
+
+
+def test_merge_schema_evolution_is_atomic_on_conflict(spark, tmp_path):
+    """withSchemaEvolution is ONE transaction: a merge whose commit
+    conflicts must leave the target schema UNCHANGED (the r6 spelling
+    committed add_column per new source column before the data commit,
+    stranding an evolved-schema-no-data table on failure)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        ConflictError,
+        LakehouseTable,
+    )
+
+    nat = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    t = LakehouseTable(spark, str(tmp_path), "n")
+    t.create(nat.coalesce(1))
+    cols_before = [f["name"] for f in t.schema_json()["fields"]]
+
+    src = nat.limit(3).select(
+        "n_nationkey", "n_name", "n_regionkey",
+        F.lit("x").alias("brand_new_col"),
+    )
+    rival = LakehouseTable(spark, str(tmp_path), "n")
+    orig_commit = t._commit
+
+    def losing_commit(manifest, expected_parent):
+        # rival lands first on EVERY attempt → merge ultimately fails
+        rival.append(nat.limit(1).selectExpr(
+            "n_nationkey + 990 AS n_nationkey", "n_name", "n_regionkey"))
+        return orig_commit(manifest, expected_parent)
+
+    t._commit = losing_commit
+    try:
+        with _pytest.raises(ConflictError):
+            t.merge_into(src, on="n_nationkey", schema_evolution=True)
+    finally:
+        t._commit = orig_commit
+    # target schema untouched — no half-applied evolution
+    assert [f["name"] for f in t.schema_json()["fields"]] == cols_before
+    # and the happy path evolves + merges in ONE commit
+    v_before = t.current_version()
+    v_after = t.merge_into(src, on="n_nationkey", schema_evolution=True)
+    assert v_after == v_before + 1
+    assert "brand_new_col" in t.read().columns
+
+
 def test_expire_snapshots_age_retention_and_idempotence(spark, tmp_path):
     from pyspark.sql import functions as F
 

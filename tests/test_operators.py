@@ -435,6 +435,35 @@ def test_bloom_no_false_negatives_and_bounded_fpr(spark):
     assert out[1].n_hits <= 0.02 * len(strangers)
 
 
+def test_bloom_same_byte_positions_all_set(spark):
+    """Regression: keys whose k hash positions collide within one BYTE.
+
+    The original build used ``bits[pos // 8] |= …`` — numpy fancy-index
+    assignment applies duplicate indices once, so one of the colliding
+    bits was silently dropped and the inserted key probed FALSE
+    (a false negative, ~7.6e-5/key at default m/k). Fixed with
+    np.bitwise_or.at; these keys are pre-searched to have two positions
+    in the same byte at m=2^16, k=5.
+    """
+    from dbx_workspace_and_emr_iceberg_spark.operators.bloom import (
+        _positions,
+        build_bloom,
+        probe_bloom,
+    )
+
+    keys = ["key_7057", "key_8016", "key_9611", "key_14400", "key_21697"]
+    # precondition: the fixture really does collide byte-wise
+    for s in keys:
+        b = (_positions(s, 5, 1 << 16) // 8).tolist()
+        assert len(set(b)) < len(b), f"{s} no longer byte-collides"
+
+    mdf = spark.createDataFrame([(s,) for s in keys], "s string")
+    bitmap = build_bloom(mdf, "s", m_bits=1 << 16, k=5)
+    probe = spark.createDataFrame([(0, keys)], "doc_id long, sh array<string>")
+    [row] = probe_bloom(probe, "sh", bitmap, 1 << 16, 5).collect()
+    assert row.n_hits == len(keys), "inserted key probed false — bit dropped"
+
+
 def test_bloom_partial_merge_equals_single_partition(spark):
     from dbx_workspace_and_emr_iceberg_spark.operators.bloom import build_bloom
 

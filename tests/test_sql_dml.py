@@ -279,6 +279,37 @@ def test_time_travel_rewriter_edges(spark, tmp_path):
             spark.catalog.dropTempView(v.name)
 
 
+def test_time_travel_views_deterministic_and_dropped(spark, tmp_path):
+    """__tt_* views: (1) names derive from a CONTENT digest, not
+    seeded hash() — two different literals can never collide onto one
+    view; (2) engine.sql drops them after execution, so repeated
+    time-travel reads leave the session catalog clean (ADVICE r6)."""
+    from dbx_workspace_and_emr_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path))
+    nat = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    t = eng.create_table("tt_clean", nat.coalesce(1))
+    t.append(nat.limit(2).selectExpr(
+        "n_nationkey + 750 AS n_nationkey", "n_name", "n_regionkey"))
+    eng.refresh_view("tt_clean")
+    n0 = nat.count()
+
+    # two DIFFERENT versions in one statement must resolve to two
+    # different snapshots (a collision would silently alias them)
+    row = eng.sql(
+        "SELECT (SELECT count(*) FROM tt_clean VERSION AS OF 1) AS a, "
+        "(SELECT count(*) FROM tt_clean VERSION AS OF 2) AS b"
+    ).collect()[0]
+    assert (row.a, row.b) == (n0, n0 + 2)
+    # ...and no __tt_* debris remains in the session
+    leftover = [
+        v.name for v in spark.catalog.listTables()
+        if v.name.startswith("__tt_tt_clean")
+    ]
+    assert leftover == []
+    spark.catalog.dropTempView("tt_clean")
+
+
 # --- CALL system.* procedures ----------------------------------------------
 
 
@@ -303,8 +334,8 @@ def test_call_procedures_dispatch(spark, tmp_path):
     eng.sql("CALL system.rewrite_data_files('proc_t', target_partitions => 1)")
     assert eng.managed("proc_t").read().count() == n0
 
-    # expire with keep_last
-    eng.sql("CALL system.expire_snapshots('proc_t', 2)")
+    # expire — Iceberg's argument NAME (retain_last aliases keep_last)
+    eng.sql("CALL system.expire_snapshots('proc_t', retain_last => 2)")
     assert eng.managed("proc_t").read().count() == n0
 
     # unknown procedure / bad arg fail loudly
@@ -313,3 +344,153 @@ def test_call_procedures_dispatch(spark, tmp_path):
     with _pytest.raises(ValueError, match="unknown argument"):
         eng.sql("CALL system.expire_snapshots('proc_t', bogus => 1)")
     spark.catalog.dropTempView("proc_t")
+
+
+def test_call_expire_iceberg_positional_order(spark, tmp_path):
+    """Iceberg's signature is expire_snapshots(table, older_than,
+    retain_last). The old binding put keep_last FIRST, so an
+    Iceberg-style CALL with a timestamp second argument silently
+    expired nothing (ADVICE r6). Positional order now matches."""
+    from dbx_workspace_and_emr_iceberg_spark.engine import Engine
+    from dbx_workspace_and_emr_iceberg_spark.sources import sql_dml
+
+    # pure-parse check of the binding
+    _proc, _table, kwargs = sql_dml.parse_call(
+        "CALL system.expire_snapshots('t', 1700000000000, 3)"
+    )
+    assert kwargs == {"older_than_ms": 1700000000000, "keep_last": 3}
+
+    eng = Engine(spark, warehouse=str(tmp_path))
+    nat = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    t = eng.create_table("proc_pos", nat.coalesce(1))
+    t.append(nat.limit(2).selectExpr(
+        "n_nationkey + 700 AS n_nationkey", "n_name", "n_regionkey"))
+    t.append(nat.limit(2).selectExpr(
+        "n_nationkey + 800 AS n_nationkey", "n_name", "n_regionkey"))
+    far_future_ms = (t.snapshots().collect()[-1].ts_ms) + 10**9
+    before = t.snapshots().count()
+    # Iceberg-style: timestamp first, retain_last second — must expire
+    eng.sql(f"CALL system.expire_snapshots('proc_pos', {far_future_ms}, 1)")
+    assert t.snapshots().count() < before
+    assert eng.managed("proc_pos").read().count() == nat.count() + 4
+    spark.catalog.dropTempView("proc_pos")
+
+
+def test_call_cherrypick_and_remove_orphans(spark, tmp_path):
+    import os
+
+    from dbx_workspace_and_emr_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path))
+    nat = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    t = eng.create_table("proc_cp", nat.coalesce(1))
+    n0 = nat.count()
+    t.append(nat.limit(4).selectExpr(
+        "n_nationkey + 900 AS n_nationkey", "n_name", "n_regionkey"))
+    eng.sql("CALL system.rollback_to_snapshot('proc_cp', 1)")
+    # re-apply v2's append delta on top of the rollback, via the door
+    out = eng.sql(
+        "CALL system.cherrypick_snapshot('proc_cp', snapshot_id => 2)"
+    ).collect()
+    assert out[0].procedure == "cherrypick_snapshot"
+    assert eng.managed("proc_cp").read().count() == n0 + 4
+
+    # orphan sweep: an unreferenced parquet goes, live files stay
+    orphan_dir = os.path.join(str(tmp_path), "proc_cp", "data", "junkbatch")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-junk.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"PAR1xPAR1")
+    res = eng.sql("CALL system.remove_orphan_files('proc_cp')").collect()
+    assert "part-junk.parquet" in res[0].result
+    assert not os.path.exists(orphan)
+    assert eng.managed("proc_cp").read().count() == n0 + 4
+
+    # older_than guard: a FRESH orphan survives an aged sweep
+    with open(orphan, "wb") as fh:
+        fh.write(b"PAR1xPAR1")
+    eng.sql("CALL system.remove_orphan_files('proc_cp', older_than => 1000)")
+    assert os.path.exists(orphan)
+    spark.catalog.dropTempView("proc_cp")
+
+
+def test_sql_door_dml_retries_on_conflict(spark, tmp_path):
+    """engine.sql('UPDATE …') under a racing writer: the first commit
+    hits ConflictError (version moved underneath), commit_with_retries
+    re-runs the restartable statement against the NEW state, and the
+    final table reflects BOTH writers — Iceberg's commit.retry default,
+    now wired into the SQL door (r6 verdict item #4)."""
+    from dbx_workspace_and_emr_iceberg_spark.engine import Engine
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+
+    eng = Engine(spark, warehouse=str(tmp_path))
+    nat = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    t = eng.create_table("race_t", nat.coalesce(1))
+    n0 = nat.count()
+
+    rival = LakehouseTable(spark, str(tmp_path), "race_t")
+    orig_commit = t._commit
+    raced = {"done": False}
+
+    def racing_commit(manifest, expected_parent):
+        if not raced["done"]:
+            raced["done"] = True
+            # a second writer lands BETWEEN this statement's read and
+            # its commit — the classic optimistic-concurrency race
+            rival.append(nat.limit(2).selectExpr(
+                "n_nationkey + 950 AS n_nationkey", "n_name", "n_regionkey"))
+        return orig_commit(manifest, expected_parent)
+
+    t._commit = racing_commit
+    try:
+        eng.sql("UPDATE race_t SET n_name = lower(n_name) WHERE n_regionkey = 0")
+    finally:
+        t._commit = orig_commit
+    assert raced["done"]
+    rows = eng.managed("race_t").read().collect()
+    # both writers' effects present: rival's 2 appended rows survived…
+    assert len(rows) == n0 + 2
+    # …and the UPDATE hit every region-0 row, including any appended
+    # by the rival (the retry re-read the rival's state first)
+    for r in rows:
+        if r.n_regionkey == 0:
+            assert r.n_name == r.n_name.lower()
+    spark.catalog.dropTempView("race_t")
+
+
+def test_call_rewrite_data_files_strategies(spark, tmp_path):
+    import pytest as _pytest
+
+    from dbx_workspace_and_emr_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path))
+    nat = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    eng.create_table("proc_rw", nat.repartition(4))
+    n0 = nat.count()
+
+    # sort strategy → rewrite_sorted
+    eng.sql(
+        "CALL system.rewrite_data_files('proc_rw', strategy => 'sort', "
+        "sort_order => 'n_nationkey', target_partitions => 2)"
+    )
+    t = eng.managed("proc_rw")
+    assert t.read().count() == n0
+    assert len(t._files()) == 2
+
+    # zorder sort_order (nested parens must survive the CALL regex)
+    eng.sql(
+        "CALL system.rewrite_data_files('proc_rw', strategy => 'sort', "
+        "sort_order => 'zorder(n_nationkey, n_regionkey)', "
+        "target_partitions => 2)"
+    )
+    assert t.read().count() == n0
+
+    # binpack + sort_order is contradictory → loud
+    with _pytest.raises(ValueError, match="sort_order requires"):
+        eng.sql(
+            "CALL system.rewrite_data_files('proc_rw', "
+            "strategy => 'binpack', sort_order => 'n_name')"
+        )
+    spark.catalog.dropTempView("proc_rw")

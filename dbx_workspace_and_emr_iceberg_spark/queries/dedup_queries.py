@@ -665,11 +665,41 @@ def x2d_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shards are consumed independently), and in-shard order is a window
 # sort PARTITIONED BY shard, so the sort parallelizes per shard. A
 # global row_number would funnel the corpus through one partition —
-# the exact bottleneck this formulation avoids. Rows-only self-checks:
+# the exact bottleneck this formulation avoids.
+#
+# VALUE-ORACLED since r7 (was rows-only): addressing moved from
+# xxhash64 (Spark-only) to the repo's md5 scheme, so the ENTIRE
+# permutation is cross-engine reproducible — DuckDB derives the
+# identical (shard, position) for every document, and the oracle
+# hash-checks a per-shard digest of the full address map. That is the
+# operator's own contract ("any engine can re-derive the layout")
+# promoted from a claim to a checked property. Self-checks retained:
 # permutation, determinism, seed sensitivity, shard balance.
 
+_X26_ORACLE = """
+WITH addr AS (
+  SELECT doc_id,
+         md5('42:' || CAST(doc_id AS VARCHAR)) AS key_hex,
+         CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 8 AS shard
+  FROM documents
+),
+placed AS (
+  SELECT shard, doc_id,
+         row_number() OVER (PARTITION BY shard
+                            ORDER BY key_hex, doc_id) AS position
+  FROM addr
+)
+SELECT CAST(shard AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       md5(string_agg(CAST(doc_id AS VARCHAR) || ':' ||
+                      CAST(position AS VARCHAR), ',' ORDER BY position))
+         AS addr_digest
+FROM placed GROUP BY shard ORDER BY shard
+"""
 
-@register("x26_corpus_shuffle", oracle=None, tags=("X26", "X13", "O4"))
+
+@register("x26_corpus_shuffle", oracle=_X26_ORACLE, tags=("X26", "X13", "O4"))
 def x26_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
@@ -678,10 +708,12 @@ def x26_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_shards = 8
 
     def shuffled(seed: int) -> DataFrame:
-        key = F.xxhash64(
-            F.concat(F.lit(str(seed)), F.col("doc_id").cast("string"))
+        key = F.md5(
+            F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string"))
         )
-        shard = F.pmod(key, F.lit(n_shards)).cast("int")
+        shard = (
+            F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards
+        ).cast("int")
         w = W.partitionBy("shard").orderBy("key", "doc_id")  # tie-safe
         return (
             d.select("doc_id", key.alias("key"), shard.alias("shard"))
@@ -714,8 +746,142 @@ def x26_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = 0.5 * n / n_shards, 1.5 * n / n_shards
     if len(sizes) != n_shards or min(sizes) < lo or max(sizes) > hi:
         raise AssertionError(f"shards unbalanced: {sorted(sizes)}")
-    return spark.createDataFrame(
-        [(n, n_shards, max(sizes), min(sizes), n_same)],
-        "n_docs long, n_shards int, max_shard long, min_shard long, "
-        "n_address_collisions long",
+    # the full address map, digested per shard — the oracle re-derives
+    # every (doc_id -> shard, position) and must hash identically
+    return (
+        a1.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    "position",
+                                    F.concat_ws(
+                                        ":",
+                                        F.col("doc_id").cast("string"),
+                                        F.col("position").cast("string"),
+                                    ).alias("s"),
+                                )
+                            )
+                        ),
+                        lambda x: x["s"],
+                    ),
+                    ",",
+                )
+            ).alias("addr_digest"),
+        )
+        .orderBy("shard")
+    )
+
+
+# --- X27: paragraph-level exact dedup with document reassembly --------------
+# RefinedWeb/C4-style sub-document dedup: boilerplate (headers, nav,
+# license blocks) repeats ACROSS documents that are not duplicates as
+# wholes, so document-level dedup (x1) misses it. Split each document
+# into fixed token windows ("paragraphs" — the fixture text has no
+# newlines, so the window is the paragraph analog), keep only the
+# globally FIRST occurrence of each window, and reassemble documents
+# from their surviving windows.
+#
+# 100 TB shape: the keep-decision shuffles ONLY (digest, doc_id, idx)
+# — 16-byte hashes plus two longs, never the text (the same x1 economy
+# at sub-document granularity); reassembly then shuffles the SURVIVING
+# window text once, grouped by doc_id. At full scale the reassembly
+# stage is optional — downstream tokenization can consume the
+# chunk-level stream directly and skip that second shuffle entirely.
+# Window choice is w5-style documented policy: first-occurrence rank
+# partitions by digest (cardinality ~= distinct windows, uniformly
+# hash-distributed), so no single-task funnel anywhere.
+
+_X27_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id, i,
+         array_to_string(list_slice(t, i*10 + 1, i*10 + 10), ' ') AS chunk
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(
+                  0, CAST(floor((len(t) - 1) / 10.0) AS INT))) AS i)
+),
+ranked AS (
+  SELECT doc_id, i, chunk,
+         row_number() OVER (PARTITION BY md5(chunk)
+                            ORDER BY doc_id, i) AS rn
+  FROM chunks
+),
+rebuilt AS (
+  SELECT doc_id,
+         count(*) AS n_chunks,
+         count(*) FILTER (WHERE rn = 1) AS n_kept,
+         md5(coalesce(string_agg(chunk, ' ' ORDER BY i)
+                        FILTER (WHERE rn = 1), '')) AS rebuilt_digest
+  FROM ranked GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_chunks AS BIGINT) AS n_chunks,
+       CAST(n_kept AS BIGINT)   AS n_kept,
+       rebuilt_digest
+FROM rebuilt
+ORDER BY doc_id
+"""
+
+
+@register("x27_paragraph_dedup", oracle=_X27_ORACLE, tags=("X27", "X1", "X4"))
+def x27_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.size("t") - 1) / 10.0).cast("int"),
+            )
+        ).alias("i"),
+        "t",
+    ).select(
+        "doc_id",
+        "i",
+        F.array_join(
+            F.slice(F.col("t"), F.col("i") * 10 + 1, 10), " "
+        ).alias("chunk"),
+    )
+    # global first-occurrence rank per window content: partitioned by
+    # the 16-byte digest (uniform, high-cardinality — no skew funnel)
+    rn = F.row_number().over(
+        W.partitionBy(F.md5("chunk")).orderBy("doc_id", "i")
+    )
+    ranked = chunks.withColumn("rn", rn)
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
+            F.md5(
+                F.coalesce(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.when(
+                                        F.col("rn") == 1,
+                                        F.struct("i", "chunk"),
+                                    )
+                                )
+                            ),
+                            lambda s: s["chunk"],
+                        ),
+                        " ",
+                    ),
+                    F.lit(""),
+                )
+            ).alias("rebuilt_digest"),
+        )
+        .orderBy("doc_id")
     )

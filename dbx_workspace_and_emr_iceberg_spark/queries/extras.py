@@ -1072,3 +1072,87 @@ def x25_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     )
     return profile.select("p.*").orderBy("col_name")
+
+
+# --- X28: temperature-based mixture re-weighting ----------------------------
+# x13b rebalances with HAND-PICKED per-stratum rates; multilingual /
+# multi-source pretraining instead derives the rates from the data:
+# sample source i proportionally to c_i^alpha (alpha<1 flattens the
+# head, the standard "temperature" mix of mBERT/XLM-R/mT5 lineage).
+# This is the full two-stage op: ONE tiny aggregate for per-source
+# counts (|sources| rows — broadcast scale), rates from the
+# temperature formula, then the x13 content-addressed hash sampler as
+# a map-side filter. No corpus shuffle anywhere; the only wide op is
+# the |sources|-row count agg. Rates are rounded to 9 decimals before
+# basis-point flooring on BOTH engines so cross-engine double ulps
+# can't flip a bucket boundary.
+
+_X28_ORACLE = """
+WITH counts AS (
+  SELECT lang, count(*) AS c FROM documents GROUP BY lang
+),
+denom AS (SELECT sum(sqrt(c)) AS z, sum(c) AS total FROM counts),
+rates AS (
+  SELECT lang, c,
+         CAST(floor(round(
+           least(1.0, (0.5 * total * (sqrt(c) / z)) / c),
+           9) * 10000) AS BIGINT) AS bp
+  FROM counts CROSS JOIN denom
+),
+kept AS (
+  SELECT d.lang, d.doc_id, r.c, r.bp
+  FROM documents d JOIN rates r USING (lang)
+  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        % 10000 < r.bp
+)
+SELECT lang,
+       CAST(max(c) AS BIGINT)       AS n_orig,
+       max(bp)                      AS rate_bp,
+       CAST(count(*) AS BIGINT)     AS n_kept,
+       CAST(sum(doc_id) AS BIGINT)  AS id_sum
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
+@register("x28_mixture_temperature", oracle=_X28_ORACLE, tags=("X28", "X13", "X6"))
+def x28_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_bucket
+
+    # stratify on lang — the fixture's SKEWED dimension (en dominates),
+    # so the temperature flattening is exercised non-degenerately
+    # (uniform `source` strata would all share one rate)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    denom = counts.agg(
+        F.sum(F.sqrt("c")).alias("z"), F.sum("c").alias("total")
+    )
+    rates = counts.crossJoin(F.broadcast(denom)).select(
+        "lang",
+        "c",
+        F.floor(
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (0.5 * F.col("total") * (F.sqrt("c") / F.col("z")))
+                    / F.col("c"),
+                ),
+                9,
+            )
+            * 10000
+        )
+        .cast("long")
+        .alias("bp"),
+    )
+    kept = d.join(F.broadcast(rates), "lang").filter(
+        hash_bucket(F.col("doc_id")) < F.col("bp")
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.max("c").cast("long").alias("n_orig"),
+            F.max("bp").alias("rate_bp"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )

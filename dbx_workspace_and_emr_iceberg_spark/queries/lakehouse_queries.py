@@ -1197,6 +1197,14 @@ def m18_call_procedures(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CALL expire_snapshots wrong: {before} -> {after}"
             )
 
+        # metadata-only manifest rewrite: same data files, canonical
+        # order, op recorded (the 6th door-bound M5 procedure)
+        files_pre = set(eng.managed("nation_proc")._files())
+        eng.sql("CALL system.rewrite_manifests('nation_proc')")
+        t3 = eng.managed("nation_proc")
+        if set(t3._files()) != files_pre or t3._files() != sorted(files_pre):
+            raise AssertionError("rewrite_manifests touched data files")
+
         # plant an orphan (a parquet no manifest references) and sweep
         # it via the door; live files must survive
         orphan_dir = os.path.join(wh, "nation_proc", "data", "orphanbatch")

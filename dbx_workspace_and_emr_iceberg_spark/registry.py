@@ -155,6 +155,9 @@ _DRIVER_PRIORITY = [
     # round-7 additions / upgraded oracles — never driver-run
     "o5_tablesample",
     "s14_binaryfile_source",
+    "x27_paragraph_dedup",
+    "x28_mixture_temperature",
+    "x26_corpus_shuffle",
 ]
 
 

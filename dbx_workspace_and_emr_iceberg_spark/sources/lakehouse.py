@@ -656,6 +656,26 @@ class LakehouseTable:
             removed.append(v)
         return removed
 
+    def rewrite_manifests(self) -> int:
+        """CALL system.rewrite_manifests (M5, SURVEY §2.11 ←
+        main.tf:803's extension surface): metadata-ONLY commit that
+        normalizes the current manifest — file entries deduped and
+        sorted by path. Iceberg's procedure re-clusters manifest
+        entries by partition so scan planning touches fewer manifest
+        files; in this single-manifest-per-snapshot layer the analog
+        is the canonical ordering (deterministic scan sets, dedup'd
+        entries). Data files are untouched, exactly like Iceberg."""
+        parent = self.current_version()
+        files = sorted(dict.fromkeys(self._files(parent)))
+        return self._commit(
+            {
+                "files": files,
+                "schema": self.schema_json(),
+                "op": "rewrite_manifests",
+            },
+            parent,
+        )
+
     def cherrypick(self, version: int) -> int:
         """CALL system.cherrypick_snapshot via the SQL door — delegates
         to :func:`cherrypick_snapshot` (module level, M5)."""

@@ -395,6 +395,7 @@ _PROCEDURES = {
         [("older_than_ms", int)],
         {"older_than": "older_than_ms"},
     ),
+    "rewrite_manifests": ("rewrite_manifests", [], {}),
 }
 
 

@@ -376,6 +376,34 @@ def test_call_expire_iceberg_positional_order(spark, tmp_path):
     spark.catalog.dropTempView("proc_pos")
 
 
+def test_parse_call_grammar_pure():
+    """Grammar-only checks for the r7 procedure surface — no Spark."""
+    import pytest as _pytest
+
+    from dbx_workspace_and_emr_iceberg_spark.sources import sql_dml
+
+    # zero-arg procedure besides the table
+    assert sql_dml.parse_call("CALL system.rewrite_manifests('t')") == (
+        "rewrite_manifests", "t", {},
+    )
+    # Iceberg snapshot_id alias binds to the engine's version kwarg
+    assert sql_dml.parse_call(
+        "CALL cat.system.cherrypick_snapshot(table => 't', snapshot_id => 3)"
+    ) == ("cherrypick_snapshot", "t", {"version": 3})
+    # nested parens in a quoted arg survive the statement regex
+    proc, table, kw = sql_dml.parse_call(
+        "CALL system.rewrite_data_files('t', strategy => 'sort', "
+        "sort_order => 'zorder(a, b)')"
+    )
+    assert kw["sort_order"] == "zorder(a, b)"
+    # duplicate via alias+name is still a duplicate
+    with _pytest.raises(ValueError, match="duplicate"):
+        sql_dml.parse_call(
+            "CALL system.expire_snapshots('t', retain_last => 1, "
+            "keep_last => 2)"
+        )
+
+
 def test_call_cherrypick_and_remove_orphans(spark, tmp_path):
     import os
 
@@ -412,6 +440,29 @@ def test_call_cherrypick_and_remove_orphans(spark, tmp_path):
     eng.sql("CALL system.remove_orphan_files('proc_cp', older_than => 1000)")
     assert os.path.exists(orphan)
     spark.catalog.dropTempView("proc_cp")
+
+
+def test_call_rewrite_manifests_metadata_only(spark, tmp_path):
+    """rewrite_manifests: metadata-only commit — file list deduped and
+    canonically sorted, DATA FILES untouched (same inode set), table
+    content identical; op recorded in the snapshot lineage."""
+    from dbx_workspace_and_emr_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path))
+    nat = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    t = eng.create_table("proc_mf", nat.repartition(3))
+    t.append(nat.limit(2).selectExpr(
+        "n_nationkey + 550 AS n_nationkey", "n_name", "n_regionkey"))
+    files_before = set(t._files())
+    v0 = t.current_version()
+    eng.sql("CALL system.rewrite_manifests('proc_mf')")
+    assert t.current_version() == v0 + 1
+    assert set(t._files()) == files_before          # no data rewrite
+    assert t._files() == sorted(set(t._files()))    # canonical order
+    assert t.read().count() == nat.count() + 2
+    snaps = {r.version: r.operation for r in t.snapshots().collect()}
+    assert snaps[v0 + 1] == "rewrite_manifests"
+    spark.catalog.dropTempView("proc_mf")
 
 
 def test_sql_door_dml_retries_on_conflict(spark, tmp_path):

@@ -108,3 +108,83 @@ def t14_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"streamed per-bucket counts differ from batch read ({diff} rows)"
         )
     return streamed.orderBy("bucket")
+
+
+# --- S13b: Python DataSource filter pushdown (Spark 4.1) --------------------
+# 4.1's pushFilters hook lets a pure-Python source consume predicates
+# at PLANNING time (sources/pyds.py SyntheticEventsPushdownReader):
+# pushed id bounds narrow the generated range before partitions() runs,
+# so the split set itself shrinks — the Python-source analog of parquet
+# row-group pruning, and at 100 TB the difference between a connector
+# that streams everything through Python workers and one that never
+# materializes the pruned range at all. Three-way evidence:
+#  1. plan assert — the residual Filter keeps the NON-pushed predicate
+#     (bucket) but drops the id bounds (Spark trusts the source);
+#  2. oracle hash — if the source consumed the bounds but enforced them
+#     wrong, nothing re-checks them and the values would mismatch;
+#  3. split assert — the narrowed range plans fewer rows per split.
+
+_S13B_N = 5000
+
+_S13B_ORACLE = f"""
+SELECT
+  CAST(i % 17 AS INTEGER)                AS bucket,
+  CAST(count(*) AS BIGINT)               AS n_rows,
+  round(sum((i * 37 % 1000) / 100.0), 2) AS total_amount
+FROM range(0, {_S13B_N}) t(i)
+WHERE i >= 1000 AND i < 2000 AND i % 17 IN (3, 5)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("s13b_pyds_filter_pushdown", oracle=_S13B_ORACLE, tags=("S13", "S2"))
+def s13b_pyds_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_python_datasource(spark)
+    saved = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        df = (
+            spark.read.format("synthetic_events_pd")
+            .option("n", str(_S13B_N))
+            .option("parts", "4")
+            .load()
+            .filter(
+                (F.col("id") >= 1000)
+                & (F.col("id") < 2000)
+                & F.col("bucket").isin(3, 5)
+            )
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        filter_lines = [
+            ln for ln in plan.splitlines() if ln.strip().startswith("+- *(1) Filter")
+            or "Filter (" in ln
+        ]
+        fl = " ".join(filter_lines)
+        if "bucket" not in fl:
+            raise AssertionError(
+                f"residual bucket predicate missing from plan: {fl!r}"
+            )
+        import re as _re
+
+        if _re.search(r"\(id#\d+L? [<>]=? 1000\)|\(1000 [<>]=? id#\d+L?\)", fl) or "2000" in fl:
+            raise AssertionError(
+                f"id bounds were NOT pushed into the source: {fl!r}"
+            )
+        res = (
+            df.groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("amount"), 2).alias("total_amount"),
+            )
+            .orderBy("bucket")
+        )
+        # materialize under the pinned conf (j13 pattern): laziness
+        # would re-plan after the finally restores the conf — and a
+        # re-plan with pushFilters present but the conf off REFUSES
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", saved)

@@ -1156,3 +1156,65 @@ def x28_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- F17: SQL scripting (Spark 4 BEGIN..END procedural blocks) --------------
+# Spark 4's SQL scripting (DECLARE local variables, WHILE/IF control
+# flow inside one BEGIN..END statement — the spark-sql migration path
+# for stored-procedure workloads). Exercised with a data-dependent
+# loop: double a price threshold until fewer than 100 orders exceed it.
+# The script's iteration is pure control flow over ONE repeated
+# aggregate; DuckDB has no scripting, so the oracle derives the same
+# fixpoint declaratively (smallest 1000*2^k whose exceed-count drops
+# under 100) — the script result INCLUDING the loop's iteration count
+# is value-checked, not just accepted (n_iters pins the control-flow
+# path, so a loop that over- or under-runs cannot hash green).
+# Scale shape: each iteration is one distributed count; the loop runs
+# O(log(max_price)) times on the driver — no per-row Python anywhere.
+
+_F17_ORACLE = """
+WITH t AS (
+  SELECT k, 1000.0 * power(2, k) AS threshold
+  FROM (SELECT unnest(generate_series(0, 40)) AS k)
+),
+c AS (
+  SELECT k, threshold,
+         (SELECT count(*) FROM orders WHERE o_totalprice > threshold) AS n
+  FROM t
+)
+SELECT CAST(threshold AS DOUBLE) AS threshold,
+       CAST(n AS BIGINT)         AS n_above,
+       CAST(k AS BIGINT)         AS n_iters
+FROM c WHERE n < 100 ORDER BY threshold LIMIT 1
+"""
+
+
+@register("f17_sql_scripting", oracle=_F17_ORACLE, tags=("F17", "F12"))
+def f17_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_f17")
+    saved = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE th DOUBLE DEFAULT 1000.0;
+              DECLARE n BIGINT DEFAULT 0;
+              DECLARE iters BIGINT DEFAULT 0;
+              SET n = (SELECT count(*) FROM orders_f17
+                       WHERE o_totalprice > th);
+              WHILE n >= 100 DO
+                SET th = th * 2;
+                SET iters = iters + 1;
+                SET n = (SELECT count(*) FROM orders_f17
+                         WHERE o_totalprice > th);
+              END WHILE;
+              SELECT th AS threshold, n AS n_above, iters AS n_iters;
+            END
+            """
+        )
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", saved)

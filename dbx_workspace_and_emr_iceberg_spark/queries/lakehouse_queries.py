@@ -208,6 +208,68 @@ def m6_lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(wh, ignore_errors=True)
 
 
+@register("m6b_rename_drop_column", oracle=None, tags=("M6", "M18"))
+def m6b_rename_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 completion (r7): RENAME and DROP COLUMN — manifest-only like
+    Iceberg's field-id evolution, driven through the SQL door's ALTER
+    TABLE grammar (sql_dml.parse_alter). Self-asserted: rename keeps
+    pre-rename files' VALUES (per-file name mapping in _scan_files —
+    a naive logical-schema read nulls them), appends after the rename
+    interleave correctly, drop touches zero data files, and time
+    travel still shows the historical schema."""
+    from ..engine import Engine
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_m6b_")
+    try:
+        steps: list[tuple[str, int, int]] = []
+        eng = Engine(spark, warehouse=wh)
+        nat = load_table(spark, sf_dir, "nation")
+        t = eng.create_table("nation_m6b", nat.coalesce(2))
+        n0 = nat.count()
+        files_v1 = set(t._files())
+
+        eng.sql("ALTER TABLE nation_m6b RENAME COLUMN n_name TO nation_name")
+        if set(t._files()) != files_v1:
+            raise AssertionError("RENAME rewrote data files")
+        got = eng.managed("nation_m6b").read()
+        if got.filter(F.col("nation_name").isNull()).count() != 0:
+            raise AssertionError("rename lost pre-rename values")
+        steps.append(("rename", t.current_version(), got.count()))
+
+        t.append(
+            nat.limit(4).select(
+                (F.col("n_nationkey") + 860).alias("n_nationkey"),
+                F.col("n_name").alias("nation_name"),
+                "n_regionkey",
+            )
+        )
+        mixed = eng.managed("nation_m6b").read()
+        if (
+            mixed.count() != n0 + 4
+            or mixed.filter(F.col("nation_name").isNull()).count() != 0
+        ):
+            raise AssertionError("mixed-era read broken after rename")
+        steps.append(("append_post_rename", t.current_version(), n0 + 4))
+
+        files_pre_drop = set(t._files())
+        eng.sql("ALTER TABLE nation_m6b DROP COLUMN n_regionkey")
+        if set(t._files()) != files_pre_drop:
+            raise AssertionError("DROP rewrote data files")
+        after = eng.managed("nation_m6b").read()
+        if "n_regionkey" in after.columns:
+            raise AssertionError("dropped column still visible")
+        # historical schema intact under time travel
+        if "n_name" not in t.read(version=1).columns:
+            raise AssertionError("time travel lost pre-rename schema")
+        steps.append(("drop", t.current_version(), after.count()))
+        return _log(spark, steps)
+    finally:
+        for v in spark.catalog.listTables():
+            if v.tableType == "TEMPORARY" and v.name == "nation_m6b":
+                spark.catalog.dropTempView(v.name)
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 @register("m7_partition_transforms", oracle=None, tags=("M7", "P3", "S6"))
 def m7_partition_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hidden partitioning (P3/M7): write events partitioned by

@@ -158,6 +158,8 @@ _DRIVER_PRIORITY = [
     "x27_paragraph_dedup",
     "x28_mixture_temperature",
     "x26_corpus_shuffle",
+    "f17_sql_scripting",
+    "s13b_pyds_filter_pushdown",
 ]
 
 

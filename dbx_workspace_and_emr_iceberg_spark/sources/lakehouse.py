@@ -213,12 +213,15 @@ class LakehouseTable:
             )
         version = expected_parent + 1
         os.makedirs(self.snap_dir, exist_ok=True)
-        # column initial-defaults (add_column(default=...)) ride every
-        # subsequent commit unchanged unless the committer set its own
-        if "defaults" not in manifest and expected_parent:
-            inherited = self._read_manifest(expected_parent).get("defaults")
-            if inherited:
-                manifest["defaults"] = inherited
+        # column initial-defaults (add_column(default=...)) and rename
+        # mappings (rename_column) ride every subsequent commit
+        # unchanged unless the committer set its own — a commit that
+        # dropped them would silently break old-file reads
+        for key in ("defaults", "renames"):
+            if key not in manifest and expected_parent:
+                inherited = self._read_manifest(expected_parent).get(key)
+                if inherited:
+                    manifest[key] = inherited
         manifest["version"] = version
         manifest["parent"] = expected_parent
         manifest["timestamp_ms"] = int(time.time() * 1000)
@@ -311,11 +314,59 @@ class LakehouseTable:
         semantics are identical. EVERY consumer of manifest-listed
         files (read, CoW delete/update rewrites, predicate pruning)
         must come through here, or rewritten rows silently lose their
-        defaults."""
-        from pyspark.sql.types import StructType
+        defaults.
+
+        Rename mappings (M6 rename_column) resolve here too: files are
+        grouped by which logical→physical name substitutions apply
+        (Iceberg resolves by field id; name-mapped files are this
+        layer's equivalent), each group scans with its PHYSICAL schema
+        and immediately aliases back to logical names, then the groups
+        union. Pre-rename files thus keep their values — an explicit
+        logical-schema read would have nulled them."""
+        from pyspark.sql.types import StructField, StructType
 
         schema = StructType.fromJson(manifest["schema"])
-        df = self.spark.read.schema(schema).parquet(*files)
+        renames = manifest.get("renames", {})
+        if not renames:
+            df = self.spark.read.schema(schema).parquet(*files)
+            return self._apply_defaults(df, manifest, set(files))
+
+        # per (logical, physical) membership sets
+        memb = {
+            (logical, e["physical"]): set(e["files"])
+            for logical, entries in renames.items()
+            for e in entries
+        }
+
+        def sig(f: str) -> tuple:
+            return tuple(
+                sorted(lp for lp, fs in memb.items() if f in fs)
+            )
+
+        groups: dict[tuple, list[str]] = {}
+        for f in files:
+            groups.setdefault(sig(f), []).append(f)
+        parts = []
+        for s, fs in groups.items():
+            mapping = dict(s)  # logical -> physical for this group
+            phys = StructType(
+                [
+                    StructField(
+                        mapping.get(fld.name, fld.name), fld.dataType, True
+                    )
+                    for fld in schema.fields
+                ]
+            )
+            pdf = self.spark.read.schema(phys).parquet(*fs).select(
+                *[
+                    F.col(mapping.get(fld.name, fld.name)).alias(fld.name)
+                    for fld in schema.fields
+                ]
+            )
+            parts.append(pdf)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
         return self._apply_defaults(df, manifest, set(files))
 
     def _apply_defaults(
@@ -798,6 +849,92 @@ class LakehouseTable:
     def read_evolved(self, version: int | None = None) -> DataFrame:
         """Alias of read(): the manifest schema already governs scans."""
         return self.read(version)
+
+    def _guard_partition_source(self, op: str, col: str) -> None:
+        """Evolving a column a partition transform reads would break
+        every subsequent write's layout — refuse loudly (Iceberg makes
+        you evolve the partition spec first)."""
+        for spec in getattr(self, "specs", []) or []:
+            if re.search(rf"\b{re.escape(col)}\b", spec):
+                raise ValueError(
+                    f"{op}: column {col!r} is a partition source "
+                    f"({spec!r}); evolve the partition spec first"
+                )
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN (M6): manifest-only — the field
+        leaves the schema; data files are untouched (explicit-schema
+        scans simply stop selecting the physical column, Iceberg's
+        drop-by-field-id behavior). Any rename/default bookkeeping for
+        the column is dropped with it."""
+        parent = self.current_version()
+        self._guard_partition_source("drop_column", name)
+        schema = self.schema_json()
+        if name not in {f["name"] for f in schema["fields"]}:
+            raise ValueError(f"drop_column: no column {name!r}")
+        schema["fields"] = [f for f in schema["fields"] if f["name"] != name]
+        manifest: dict = {
+            "files": self._files(parent),
+            "schema": schema,
+            "op": f"drop_column:{name}",
+        }
+        pm = self._read_manifest(parent)
+        defaults = {
+            k: v for k, v in pm.get("defaults", {}).items() if k != name
+        }
+        if defaults or pm.get("defaults"):
+            manifest["defaults"] = defaults
+        renames = {
+            k: v for k, v in pm.get("renames", {}).items() if k != name
+        }
+        if renames or pm.get("renames"):
+            manifest["renames"] = renames
+        return self._commit(manifest, parent)
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN (M6): manifest-only — Iceberg
+        renames by field id, leaving every data file untouched. This
+        layer's files store columns BY NAME, so the manifest carries a
+        name-mapping instead: ``renames[logical] = [{physical, files}]``
+        records which files physically hold the column under an older
+        name; scans resolve per file (:meth:`_scan_files`). Files
+        written (or rewritten — compaction, CoW DML) after the rename
+        carry the new name and graduate out of the mapping naturally."""
+        parent = self.current_version()
+        self._guard_partition_source("rename_column", old)
+        schema = self.schema_json()
+        names = {f["name"] for f in schema["fields"]}
+        if old not in names:
+            raise ValueError(f"rename_column: no column {old!r}")
+        if new in names:
+            raise ValueError(f"rename_column: column {new!r} already exists")
+        for f in schema["fields"]:
+            if f["name"] == old:
+                f["name"] = new
+        pm = self._read_manifest(parent)
+        renames = dict(pm.get("renames", {}))
+        cur_files = self._files(parent)
+        # chain-safe: files already mapped to an even-older physical
+        # name keep that mapping; only the rest physically hold `old`
+        prior = renames.pop(old, [])
+        mapped = {f for e in prior for f in e["files"]}
+        entry = {
+            "physical": old,
+            "files": [f for f in cur_files if f not in mapped],
+        }
+        renames[new] = prior + [entry]
+        manifest: dict = {
+            "files": cur_files,
+            "schema": schema,
+            "op": f"rename_column:{old}->{new}",
+            "renames": renames,
+        }
+        defaults = pm.get("defaults", {})
+        if defaults:
+            manifest["defaults"] = {
+                (new if k == old else k): v for k, v in defaults.items()
+            }
+        return self._commit(manifest, parent)
 
     # ---------- S8+: incremental scan / CDC changelog ----------
 

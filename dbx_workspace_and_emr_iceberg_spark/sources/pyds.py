@@ -27,7 +27,12 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
 )
 from pyspark.sql.types import StructType
 
@@ -65,21 +70,89 @@ class SyntheticEventsReader(DataSourceReader):
     def __init__(self, options):
         self.n = int(options.get("n", 1000))
         self.parts = int(options.get("parts", 8))
+        # range bounds; the pushdown subclass narrows them in
+        # pushFilters BEFORE partition planning
+        self.lo = 0
+        self.hi = self.n
 
     def partitions(self):
         # Driver-side split planning: contiguous id ranges, one per
         # split — the moral equivalent of file splits for a generated
         # feed. Ceil-div so the tail partition is never lost.
-        per = max(1, -(-self.n // self.parts))
+        lo, hi = self.lo, max(self.lo, self.hi)
+        span = hi - lo
+        if span <= 0:
+            return [_RangePartition(lo, lo)]
+        per = max(1, -(-span // self.parts))
         return [
-            _RangePartition(lo, min(lo + per, self.n))
-            for lo in range(0, self.n, per)
+            _RangePartition(a, min(a + per, hi)) for a in range(lo, hi, per)
         ]
 
     def read(self, partition: _RangePartition):
         # Executor-side: yields tuples for exactly this split.
         for i in range(partition.start, partition.end):
             yield _row(i)
+
+
+class SyntheticEventsPushdownReader(SyntheticEventsReader):
+    """Spark 4.1 filter pushdown (S13b). A SEPARATE source class:
+    merely IMPLEMENTING pushFilters makes Spark refuse the read unless
+    ``spark.sql.python.filterPushdown.enabled`` is true (measured —
+    DATA_SOURCE_PUSHDOWN_DISABLED), so the base ``synthetic_events``
+    source stays conf-free for s13/t14 and this variant is opt-in."""
+
+    def pushFilters(self, filters):
+        """Consume range/equality filters on ``id``, narrowing the
+        generation bounds so pushed predicates shrink the SPLIT SET
+        itself (the Python-source analog of parquet row-group pruning);
+        everything else is yielded back for Spark to evaluate
+        post-scan. Consumed filters MUST be enforced here — Spark drops
+        its own Filter for them, so the s13b oracle hash-fails if the
+        narrowing lies."""
+        for f in filters:
+            if (
+                isinstance(
+                    f,
+                    (
+                        GreaterThan,
+                        GreaterThanOrEqual,
+                        LessThan,
+                        LessThanOrEqual,
+                        EqualTo,
+                    ),
+                )
+                and f.attribute == ("id",)
+                and isinstance(f.value, int)
+            ):
+                v = f.value
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, v + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, v)
+                elif isinstance(f, LessThan):
+                    self.hi = min(self.hi, v)
+                elif isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, v + 1)
+                else:  # EqualTo
+                    self.lo = max(self.lo, v)
+                    self.hi = min(self.hi, v + 1)
+            else:
+                yield f
+
+
+class SyntheticEventsPushdownDataSource(DataSource):
+    """Batch-only twin of :class:`SyntheticEventsDataSource` whose
+    reader participates in Spark 4.1 Python-source filter pushdown."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events_pd"
+
+    def schema(self) -> str:
+        return "id bigint, bucket int, amount double"
+
+    def reader(self, schema: StructType) -> SyntheticEventsPushdownReader:
+        return SyntheticEventsPushdownReader(self.options)
 
 
 class SyntheticEventsStreamReader(DataSourceStreamReader):
@@ -127,6 +200,7 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
 def register_python_datasource(spark) -> None:
     """Idempotent per-session registration."""
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(SyntheticEventsPushdownDataSource)
 
 
 class _FilePartition(InputPartition):

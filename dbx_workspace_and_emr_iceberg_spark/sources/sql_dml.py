@@ -35,7 +35,7 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_DML_HEADS = ("MERGE", "UPDATE", "DELETE", "CALL")
+_DML_HEADS = ("MERGE", "UPDATE", "DELETE", "CALL", "ALTER")
 
 
 def _strip(sql: str) -> str:
@@ -205,6 +205,78 @@ def parse_merge(sql: str) -> dict:
     return spec
 
 
+_ALTER_ADD_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w()<>,\s]+?)"
+    r"(?:\s+DEFAULT\s+(.+))?$",
+    re.I | re.S,
+)
+_ALTER_DROP_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)$", re.I
+)
+_ALTER_RENAME_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)$", re.I
+)
+
+
+def parse_alter(sql: str) -> tuple[str, str, tuple]:
+    """(action, table, args) for the supported ALTER TABLE subset —
+    Iceberg's manifest-only schema evolution DDL (M6): ADD COLUMN
+    [DEFAULT v], DROP COLUMN, RENAME COLUMN a TO b. Anything else
+    (type changes, reorders) raises rather than mis-executing."""
+    s = _strip(sql)
+    m = _ALTER_ADD_RE.match(s)
+    if m:
+        table, col, typ, default = m.groups()
+        default_val = None
+        if default is not None:
+            raw = default.strip()
+            if re.fullmatch(r"'[^']*'", raw):
+                default_val = raw[1:-1]
+            elif re.fullmatch(r"-?\d+", raw):
+                default_val = int(raw)
+            elif re.fullmatch(r"-?\d+\.\d+", raw):
+                default_val = float(raw)
+            else:
+                raise ValueError(
+                    f"ALTER ADD COLUMN: unsupported DEFAULT literal {raw!r}"
+                )
+        return "add", table, (col, typ.strip().lower(), default_val)
+    m = _ALTER_DROP_RE.match(s)
+    if m:
+        return "drop", m.group(1), (m.group(2),)
+    m = _ALTER_RENAME_RE.match(s)
+    if m:
+        return "rename", m.group(1), (m.group(2), m.group(3))
+    raise ValueError(f"unsupported ALTER TABLE syntax: {sql!r}")
+
+
+def execute_alter(engine, sql: str) -> DataFrame:
+    """Managed-table schema evolution; anything else falls through to
+    Spark SQL (its own ALTER surface: views, catalog tables, SET
+    TBLPROPERTIES …) instead of this subset raising on statements it
+    was never meant to own."""
+    try:
+        action, table, args = parse_alter(sql)
+        t = engine.managed(table)
+    except (ValueError, KeyError):
+        return engine.spark.sql(sql)
+    if action == "add":
+        col, typ, default = args
+        version = t.add_column(col, typ, default=default)
+        detail = f"add {col} {typ}"
+    elif action == "drop":
+        version = t.drop_column(args[0])
+        detail = f"drop {args[0]}"
+    else:
+        version = t.rename_column(args[0], args[1])
+        detail = f"rename {args[0]} -> {args[1]}"
+    engine.refresh_view(table)
+    return engine.spark.createDataFrame(
+        [(table, "alter", version, detail)],
+        "table string, operation string, version int, detail string",
+    )
+
+
 # --- dispatcher ------------------------------------------------------------
 
 
@@ -223,6 +295,8 @@ def execute(engine, sql: str) -> DataFrame:
 
     if kind == "CALL":
         return execute_call(engine, sql)
+    if kind == "ALTER":
+        return execute_alter(engine, sql)
     # Every DML statement runs under Iceberg's commit.retry semantics
     # (commit_with_retries, sources/lakehouse.py): the table methods
     # re-read current state on entry, so re-running the whole closure

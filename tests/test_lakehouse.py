@@ -670,3 +670,93 @@ def test_commit_with_retries_recovers_from_concurrent_writer(spark, tmp_path):
 
     with _pytest.raises(ConflictError):
         commit_with_retries(always_conflicts, retries=1, backoff_s=0.0)
+
+
+def test_rename_and_drop_column_manifest_only(spark, tmp_path):
+    """M6 completion (r7): RENAME and DROP COLUMN are manifest-only.
+    Rename keeps pre-rename files' VALUES readable via the per-file
+    name mapping (an explicit logical-schema read would null them);
+    rewrites graduate files to the new physical name; drop removes the
+    field without touching a single data file; time travel still shows
+    the historical schema."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+
+    nat = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    t = LakehouseTable(spark, str(tmp_path), "n")
+    t.create(nat.coalesce(1))                                   # v1
+    n0 = nat.count()
+    files_v1 = set(t._files())
+
+    t.rename_column("n_name", "nation_name")                    # v2
+    assert set(t._files()) == files_v1                          # no rewrite
+    got = t.read()
+    assert "nation_name" in got.columns and "n_name" not in got.columns
+    # values preserved from pre-rename files
+    assert got.filter(F.col("nation_name").isNull()).count() == 0
+    orig = {r.n_nationkey: r.n_name for r in nat.collect()}
+    assert all(
+        orig[r.n_nationkey] == r.nation_name for r in got.collect()
+    )
+
+    # append AFTER the rename: new files carry the new physical name
+    t.append(                                                   # v3
+        nat.limit(3).select(
+            (F.col("n_nationkey") + 800).alias("n_nationkey"),
+            F.col("n_name").alias("nation_name"),
+            "n_regionkey",
+        )
+    )
+    assert t.read().count() == n0 + 3
+    assert t.read().filter(F.col("nation_name").isNull()).count() == 0
+
+    # chained rename: era-1 files physically n_name, era-2 nation_name
+    t.rename_column("nation_name", "nname")                     # v4
+    got = t.read()
+    assert got.filter(F.col("nname").isNull()).count() == 0
+    assert got.count() == n0 + 3
+
+    # rewrite graduates every file to the CURRENT physical name and
+    # the mapping becomes inert (new files in no mapping list)
+    t.compact(target_partitions=1)                              # v5
+    assert t.read().filter(F.col("nname").isNull()).count() == 0
+
+    # drop: manifest-only, same files
+    files_v5 = set(t._files())
+    t.drop_column("n_regionkey")                                # v6
+    assert set(t._files()) == files_v5
+    assert t.read().columns == ["n_nationkey", "nname"]
+
+    # time travel shows historical schema AND values
+    v1 = t.read(version=1)
+    assert "n_name" in v1.columns
+    assert v1.filter(F.col("n_name").isNull()).count() == 0
+
+    # guards
+    with _pytest.raises(ValueError, match="already exists"):
+        t.rename_column("nname", "n_nationkey")
+    with _pytest.raises(ValueError, match="no column"):
+        t.drop_column("ghost")
+
+
+def test_rename_drop_partition_source_refused(spark, tmp_path):
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        PartitionedLakehouseTable,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "ts", "user_id"
+    )
+    t = PartitionedLakehouseTable(spark, str(tmp_path), "ev", ["bucket(2, user_id)"])
+    t.create(ev)
+    with pytest.raises(ValueError, match="partition source"):
+        t.rename_column("user_id", "uid")
+    with pytest.raises(ValueError, match="partition source"):
+        t.drop_column("user_id")
+    # non-source columns still evolve fine
+    t.rename_column("event_id", "eid")
+    assert "eid" in t.read().columns

@@ -545,3 +545,51 @@ def test_call_rewrite_data_files_strategies(spark, tmp_path):
             "strategy => 'binpack', sort_order => 'n_name')"
         )
     spark.catalog.dropTempView("proc_rw")
+
+
+def test_alter_table_door_evolution(spark, tmp_path):
+    """ALTER TABLE ADD/DROP/RENAME COLUMN through the SQL door (M6 via
+    DDL — Iceberg's manifest-only evolution): values survive renames,
+    drop touches no data files, DEFAULT literals bind, and non-managed
+    ALTER statements fall through to Spark SQL untouched."""
+    import pytest as _pytest
+
+    from dbx_workspace_and_emr_iceberg_spark.engine import Engine
+    from dbx_workspace_and_emr_iceberg_spark.sources import sql_dml
+
+    eng = Engine(spark, warehouse=str(tmp_path))
+    nat = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    t = eng.create_table("alt_t", nat.coalesce(1))
+    n0 = nat.count()
+
+    out = eng.sql(
+        "ALTER TABLE alt_t ADD COLUMN grade STRING DEFAULT 'unrated'"
+    ).collect()
+    assert out[0].operation == "alter"
+    got = eng.sql("SELECT count(*) AS n FROM alt_t WHERE grade = 'unrated'")
+    assert got.collect()[0].n == n0  # v3 initial default on old files
+
+    eng.sql("ALTER TABLE alt_t RENAME COLUMN n_name TO nation_name")
+    row = eng.sql(
+        "SELECT count(*) AS n FROM alt_t WHERE nation_name IS NOT NULL"
+    ).collect()[0]
+    assert row.n == n0  # pre-rename files keep their values
+
+    files_before = set(t._files())
+    eng.sql("ALTER TABLE alt_t DROP COLUMN n_regionkey")
+    assert set(t._files()) == files_before  # manifest-only
+    assert "n_regionkey" not in eng.managed("alt_t").read().columns
+
+    # grammar-level parse checks
+    assert sql_dml.parse_alter(
+        "ALTER TABLE t ADD COLUMN x BIGINT DEFAULT 7"
+    ) == ("add", "t", ("x", "bigint", 7))
+    with _pytest.raises(ValueError, match="unsupported ALTER"):
+        sql_dml.parse_alter("ALTER TABLE t CHANGE COLUMN x TYPE DOUBLE")
+
+    # non-managed ALTER falls through to Spark SQL (its own error,
+    # not this parser's)
+    with _pytest.raises(Exception) as ei:
+        eng.sql("ALTER TABLE no_such_tbl DROP COLUMN x")
+    assert "unsupported ALTER" not in str(ei.value)
+    spark.catalog.dropTempView("alt_t")

@@ -531,3 +531,77 @@ def f16_split_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part(path, F.lit("/"), F.lit(2)).alias("mid_seg"),
         F.split_part(path, F.lit("/"), F.lit(-1)).alias("last_seg"),
     ).orderBy("p_partkey")
+
+
+# --- F18: TIME type (Spark 4.1 time(6)) -------------------------------------
+# Spark 4.1 introduces a first-class TIME type (feature-flagged:
+# spark.sql.timeType.enabled) — time-of-day analytics without fake
+# epoch dates. Exercised end-to-end: make_time construction from event
+# timestamps, time_trunc('HOUR') bucketing, hour() extraction, TIME
+# ordering (min/max per bucket), all against DuckDB's native TIME.
+# Comparison payload is canonical HH:MM:SS strings + int buckets, so
+# no engine-specific TIME rendering rides into the hash.
+
+_F18_ORACLE = """
+WITH t AS (
+  SELECT event_type,
+         make_time(CAST(date_part('hour',   ts) AS BIGINT),
+                   CAST(date_part('minute', ts) AS BIGINT),
+                   CAST(date_part('second', ts) AS DOUBLE)) AS tod
+  FROM events WHERE event_id % 3 = 0
+)
+SELECT event_type,
+       CAST(date_part('hour', tod) AS INTEGER) AS hr,
+       CAST(count(*) AS BIGINT) AS n,
+       lpad(CAST(date_part('hour',   min(tod)) AS VARCHAR), 2, '0') || ':' ||
+       lpad(CAST(date_part('minute', min(tod)) AS VARCHAR), 2, '0') || ':' ||
+       lpad(CAST(date_part('second', min(tod)) AS VARCHAR), 2, '0') AS first_s,
+       lpad(CAST(date_part('hour',   max(tod)) AS VARCHAR), 2, '0') || ':' ||
+       lpad(CAST(date_part('minute', max(tod)) AS VARCHAR), 2, '0') || ':' ||
+       lpad(CAST(date_part('second', max(tod)) AS VARCHAR), 2, '0') AS last_s
+FROM t
+GROUP BY event_type, hr
+ORDER BY event_type, hr
+"""
+
+
+@register("f18_time_type", oracle=_F18_ORACLE, tags=("F18", "F2"))
+def f18_time_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    saved = spark.conf.get("spark.sql.timeType.enabled", None)
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    try:
+        ev = load_table(spark, sf_dir, "events").filter(
+            F.col("event_id") % 3 == 0
+        )
+        t = ev.select(
+            "event_type",
+            F.make_time(
+                F.hour("ts"), F.minute("ts"), F.second("ts").cast("double")
+            ).alias("tod"),
+        )
+        fmt = lambda c: F.concat_ws(
+            ":",
+            F.lpad(F.hour(c).cast("string"), 2, "0"),
+            F.lpad(F.minute(c).cast("string"), 2, "0"),
+            F.lpad(F.second(c).cast("string"), 2, "0"),
+        )
+        res = (
+            t.groupBy(
+                "event_type",
+                F.hour(F.time_trunc(F.lit("HOUR"), "tod")).alias("hr"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                fmt(F.min("tod")).alias("first_s"),
+                fmt(F.max("tod")).alias("last_s"),
+            )
+            .orderBy("event_type", "hr")
+        )
+        # materialize under the pinned flag (j13 pattern): lazy exec
+        # after the finally would re-analyze with TIME disabled
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.timeType.enabled")
+        else:
+            spark.conf.set("spark.sql.timeType.enabled", saved)

@@ -385,3 +385,110 @@ def x3f_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- X29: seeded random-projection dimensionality reduction -----------------
+# The standard cheap pre-ANN step (Johnson-Lindenstrauss): project
+# d=64 embeddings to k=16 with a +-1 sign matrix, preserving pairwise
+# geometry to O(1/sqrt(k)) so bucketing/clustering downstream runs on
+# a quarter of the bytes. The sign matrix is CONTENT-ADDRESSED
+# (md5(i:j) parity — the repo's cross-engine hash scheme), so there is
+# no model artifact to ship and DuckDB re-derives the identical matrix
+# entry-by-entry: the whole projection is value-oracled.
+#
+# 100 TB shape: one mapInPandas numpy matmul per Arrow batch (the
+# blessed embedding-math path, same as x3/x20) — no explode
+# amplification, no shuffle, no driver collect; the 64x16 sign matrix
+# is rebuilt in-closure from the hash (cheaper than broadcasting it).
+# Self-assert: mean norm ratio within the JL band.
+
+_X29_D_OUT = 16
+
+_X29_ORACLE = f"""
+WITH sign AS (
+  SELECT i, j,
+         CASE WHEN CAST(('0x' || substr(md5(i || ':' || j), 1, 8)) AS BIGINT)
+                   % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+  FROM (SELECT unnest(generate_series(0, 63)) AS i),
+       (SELECT unnest(generate_series(0, {_X29_D_OUT - 1})) AS j)
+),
+elems AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) - 1 AS i
+  FROM embeddings
+)
+SELECT e.vec_id,
+       CAST(s.j AS INTEGER) AS dim,
+       round(sum(CAST(e.x AS DOUBLE) * s.s) / sqrt({_X29_D_OUT}.0), 4) AS y
+FROM elems e JOIN sign s ON e.i = s.i
+GROUP BY e.vec_id, s.j
+ORDER BY e.vec_id, dim
+"""
+
+
+@register("x29_random_projection", oracle=_X29_ORACLE, tags=("X29", "X3", "D5"))
+def x29_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib as _hashlib
+    from typing import Iterator as _Iterator
+
+    import numpy as _np
+    import pandas as _pd
+
+    d_out = _X29_D_OUT
+
+    def _sign_matrix(d_in: int) -> "_np.ndarray":
+        m = _np.empty((d_in, d_out), dtype=_np.float64)
+        for i in range(d_in):
+            for j in range(d_out):
+                h = int(
+                    _hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8], 16
+                )
+                m[i, j] = 1.0 if h % 2 == 0 else -1.0
+        return m
+
+    def project(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        mat = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = _np.array(
+                [_np.asarray(v, dtype=_np.float64) for v in pdf["embedding"]]
+            )
+            if mat is None:
+                mat = _sign_matrix(x.shape[1])
+            y = _np.round(x @ mat / _np.sqrt(float(d_out)), 4)
+            n = len(pdf)
+            yield _pd.DataFrame(
+                {
+                    "vec_id": _np.repeat(pdf["vec_id"].to_numpy(), d_out),
+                    "dim": _np.tile(_np.arange(d_out, dtype=_np.int32), n),
+                    "y": y.reshape(-1),
+                }
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = emb.mapInPandas(project, "vec_id bigint, dim int, y double")
+    # JL sanity: projected norms track original norms (ratio ~ 1)
+    stats = (
+        out.groupBy("vec_id")
+        .agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("pn"))
+        .join(
+            emb.select(
+                "vec_id",
+                F.sqrt(
+                    F.aggregate(
+                        "embedding",
+                        F.lit(0.0),
+                        lambda a, x: a + x.cast("double") * x.cast("double"),
+                    )
+                ).alias("on"),
+            ),
+            "vec_id",
+        )
+        .agg(F.avg(F.col("pn") / F.col("on")).alias("r"))
+        .collect()  # 1 row — a sketch
+    )
+    r = stats[0].r
+    if not (0.8 < r < 1.2):
+        raise AssertionError(f"JL norm ratio off: {r}")
+    return out.orderBy("vec_id", "dim")

@@ -407,3 +407,65 @@ def d10_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+# --- D11: polymorphic Python UDTF (Spark 4 analyze()) -----------------------
+# Spark 4 UDTFs can compute their OUTPUT SCHEMA at plan time from the
+# call's arguments (static analyze(), SPARK-44503) — the table-function
+# analog of a macro: one registration serves every arity. Exercised as
+# split_first_words(text, n): the n literal becomes n output columns
+# w0..w{n-1} at analysis, the generator fills them per row. Value-
+# oracled via split_part — schema shape AND cell values both checked.
+# Scale shape: per-row generator over Arrow batches like any UDTF; the
+# schema work happens ONCE on the driver at plan time, not per row.
+
+_D11_ORACLE = """
+SELECT doc_id,
+       split_part(text, ' ', 1) AS w0,
+       split_part(text, ' ', 2) AS w1,
+       split_part(text, ' ', 3) AS w2
+FROM documents
+WHERE doc_id % 29 = 0
+ORDER BY doc_id
+"""
+
+
+@register("d11_polymorphic_udtf", oracle=_D11_ORACLE, tags=("D11", "D6"))
+def d11_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class SplitFirstWords:
+        @staticmethod
+        def analyze(
+            text: AnalyzeArgument, n: AnalyzeArgument
+        ) -> AnalyzeResult:
+            if not n.isConstantExpression:
+                raise ValueError("n must be a constant literal")
+            schema = StructType()
+            for i in range(int(n.value)):
+                schema = schema.add(f"w{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            toks = (text or "").split(" ")
+            yield tuple(
+                toks[i] if i < len(toks) else "" for i in range(n)
+            )
+
+    spark.udtf.register("split_first_words", SplitFirstWords)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 29 == 0
+    ).createOrReplaceTempView("docs_d11")
+    out = spark.sql(
+        """
+        SELECT d.doc_id, t.w0, t.w1, t.w2
+        FROM docs_d11 d, LATERAL split_first_words(d.text, 3) t
+        ORDER BY d.doc_id
+        """
+    )
+    if out.columns != ["doc_id", "w0", "w1", "w2"]:
+        raise AssertionError(f"analyze-derived schema wrong: {out.columns}")
+    return out

@@ -160,6 +160,9 @@ _DRIVER_PRIORITY = [
     "x26_corpus_shuffle",
     "f17_sql_scripting",
     "s13b_pyds_filter_pushdown",
+    "x29_random_projection",
+    "d11_polymorphic_udtf",
+    "f18_time_type",
 ]
 
 

@@ -56,10 +56,14 @@ HEADLINE = [
     "x21_url_parsing",
     "x22_bigram_lm",
     # round-7 additions: the respelled distributed prefix sum (plan
-    # changed — keep it honest under the clock) and the one-pass
-    # profiler (single-aggregate telemetry shape)
+    # changed — keep it honest under the clock), the one-pass
+    # profiler (single-aggregate telemetry shape), paragraph dedup
+    # (digest-window + reassembly — the round's new dedup plan shape),
+    # and the JL projection (mapInPandas matmul throughput)
     "x23_vocab_growth",
     "x25_table_profile",
+    "x27_paragraph_dedup",
+    "x29_random_projection",
 ]
 
 

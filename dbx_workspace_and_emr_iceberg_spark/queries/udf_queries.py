@@ -469,3 +469,67 @@ def d11_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     if out.columns != ["doc_id", "w0", "w1", "w2"]:
         raise AssertionError(f"analyze-derived schema wrong: {out.columns}")
     return out
+
+
+# --- D12: UDTF over a TABLE argument with PARTITION BY / ORDER BY -----------
+# The Spark 4 table-function shape for CUSTOM PER-GROUP algorithms:
+# `f(TABLE(q) PARTITION BY k ORDER BY ts)` streams each partition's
+# rows (in order) through one UDTF instance — eval() accumulates,
+# terminate() emits — i.e. a user-defined aggregate over whole rows
+# with ordering, which neither a UDAF (unordered) nor a window
+# (per-row output) expresses directly. Exercised as a session-gap
+# profiler per user; value-oracled against the lag-window SQL twin.
+# Scale shape: partitions distribute across executors like any
+# hash-partitioned exchange; state is one accumulator per group.
+
+_D12_ORACLE = """
+WITH g AS (
+  SELECT user_id,
+         epoch(ts) - epoch(lag(ts) OVER (
+           PARTITION BY user_id ORDER BY ts)) AS gap
+  FROM events WHERE user_id % 11 = 0
+)
+SELECT user_id,
+       CAST(count(*) AS INTEGER)          AS n,
+       round(coalesce(max(gap), 0.0), 1)  AS max_gap_s
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("d12_table_arg_udtf", oracle=_D12_ORACLE, tags=("D12", "D6", "D3"))
+def d12_table_arg_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Row
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n int, max_gap_s double")
+    class GapStats:
+        def __init__(self):
+            self.prev = None
+            self.uid = None
+            self.n = 0
+            self.max_gap = 0.0
+
+        def eval(self, row: Row):
+            self.uid = row["user_id"]
+            self.n += 1
+            t = row["ts"].timestamp()
+            if self.prev is not None:
+                self.max_gap = max(self.max_gap, t - self.prev)
+            self.prev = t
+
+        def terminate(self):
+            if self.uid is not None:
+                yield (self.uid, self.n, round(self.max_gap, 1))
+
+    spark.udtf.register("gap_stats_d12", GapStats)
+    load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 11 == 0
+    ).createOrReplaceTempView("events_d12")
+    return spark.sql(
+        """
+        SELECT * FROM gap_stats_d12(
+          TABLE(SELECT user_id, ts FROM events_d12)
+          PARTITION BY user_id ORDER BY ts)
+        ORDER BY user_id
+        """
+    )

@@ -163,6 +163,7 @@ _DRIVER_PRIORITY = [
     "x29_random_projection",
     "d11_polymorphic_udtf",
     "f18_time_type",
+    "d12_table_arg_udtf",
 ]
 
 

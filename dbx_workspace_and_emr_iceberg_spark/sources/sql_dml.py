@@ -532,7 +532,12 @@ def execute_call(engine, sql: str) -> DataFrame:
     proc, table, kwargs = parse_call(sql)
     method, _spec, _aliases = _PROCEDURES[proc]
     t = engine.managed(table)
-    result = getattr(t, method)(**kwargs)
+    from .lakehouse import commit_with_retries
+
+    # procedures re-read current state on entry (restartable), so they
+    # get the same commit.retry treatment as DML; expire/orphan sweeps
+    # never raise ConflictError and pass through unaffected
+    result = commit_with_retries(lambda: getattr(t, method)(**kwargs))
     engine.refresh_view(table)
     summary = (
         ",".join(str(v) for v in result)

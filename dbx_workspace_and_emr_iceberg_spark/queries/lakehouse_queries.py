@@ -1292,3 +1292,100 @@ def m18_call_procedures(spark: SparkSession, sf_dir: str) -> DataFrame:
             if v.tableType == "TEMPORARY" and v.name == "nation_proc":
                 spark.catalog.dropTempView(v.name)
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@register("m20_pure_sql_lifecycle", oracle=None, tags=("M1", "M18", "S4", "S5"))
+def m20_pure_sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's complete spark-sql session (README.md:35-45)
+    with ZERO API calls — every step a SQL string through engine.sql:
+    CTAS, INSERT INTO (VALUES and SELECT), MERGE, UPDATE, DELETE,
+    INSERT OVERWRITE, ALTER ADD/RENAME, time travel, CALL maintenance.
+    Self-asserted row counts at every step; this is the "a user of the
+    reference could switch and run every statement they run today"
+    proof for the write path."""
+    from ..engine import Engine
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_m20_")
+    try:
+        eng = Engine(spark, warehouse=wh)
+        load_table(spark, sf_dir, "region").createOrReplaceTempView(
+            "region_m20_src"
+        )
+        steps: list[tuple[str, int, int]] = []
+
+        def step(name, sql, want_rows):
+            eng.sql(sql)
+            n = eng.sql("SELECT count(*) AS n FROM reg_m20").collect()[0].n
+            if n != want_rows:
+                raise AssertionError(f"{name}: {n} rows, wanted {want_rows}")
+            steps.append((name, eng.managed("reg_m20").current_version(), n))
+
+        n0 = spark.table("region_m20_src").count()
+        step(
+            "ctas",
+            "CREATE TABLE reg_m20 AS SELECT * FROM region_m20_src",
+            n0,
+        )
+        step(
+            "insert_values",
+            "INSERT INTO reg_m20 VALUES (90, 'ATLANTIS'), (91, 'LEMURIA')",
+            n0 + 2,
+        )
+        step(
+            "update",
+            "UPDATE reg_m20 SET r_name = lower(r_name) WHERE r_regionkey >= 90",
+            n0 + 2,
+        )
+        step(
+            "delete",
+            "DELETE FROM reg_m20 WHERE r_regionkey = 91",
+            n0 + 1,
+        )
+        spark.sql(
+            "SELECT 90 AS r_regionkey, 'atlantis-2' AS r_name"
+        ).createOrReplaceTempView("m20_updates")
+        step(
+            "merge",
+            "MERGE INTO reg_m20 AS t USING m20_updates AS s "
+            "ON t.r_regionkey = s.r_regionkey "
+            "WHEN MATCHED THEN UPDATE SET t.r_name = s.r_name "
+            "WHEN NOT MATCHED THEN INSERT *",
+            n0 + 1,
+        )
+        eng.sql("ALTER TABLE reg_m20 ADD COLUMN zone STRING DEFAULT 'na'")
+        eng.sql("ALTER TABLE reg_m20 RENAME COLUMN zone TO geo_zone")
+        n_def = eng.sql(
+            "SELECT count(*) AS n FROM reg_m20 WHERE geo_zone = 'na'"
+        ).collect()[0].n
+        if n_def != n0 + 1:
+            raise AssertionError(f"default through ALTER door: {n_def}")
+        step(
+            "insert_overwrite",
+            "INSERT OVERWRITE reg_m20 "
+            "SELECT r_regionkey, r_name, 'ow' AS geo_zone "
+            "FROM reg_m20 WHERE r_regionkey < 90",
+            n0,
+        )
+        # pre-overwrite state reachable via SQL time travel
+        v_before = eng.managed("reg_m20").current_version() - 1
+        n_tt = eng.sql(
+            f"SELECT count(*) AS n FROM reg_m20 VERSION AS OF {v_before}"
+        ).collect()[0].n
+        if n_tt != n0 + 1:
+            raise AssertionError(f"time travel after overwrite: {n_tt}")
+        eng.sql("CALL system.rewrite_manifests('reg_m20')")
+        eng.sql("CALL system.expire_snapshots('reg_m20', retain_last => 1)")
+        n_final = eng.sql("SELECT count(*) AS n FROM reg_m20").collect()[0].n
+        if n_final != n0:
+            raise AssertionError(f"post-maintenance count: {n_final}")
+        steps.append(
+            ("maintenance", eng.managed("reg_m20").current_version(), n_final)
+        )
+        return _log(spark, steps)
+    finally:
+        for v in ("reg_m20", "region_m20_src", "m20_updates"):
+            try:
+                spark.catalog.dropTempView(v)
+            except Exception:
+                pass
+        shutil.rmtree(wh, ignore_errors=True)

@@ -264,12 +264,49 @@ class LakehouseTable:
         )
 
     def append(self, df: DataFrame) -> int:
-        """INSERT INTO (S4): old files + new files, nothing rewritten."""
+        """INSERT INTO (S4): old files + new files, nothing rewritten.
+
+        The incoming frame's columns must be a superset-free match of
+        the table schema BY NAME (append is name-based, like Iceberg's
+        writer validation) — a frame with mismatched names previously
+        wrote files whose columns the manifest-schema scan can't find,
+        silently reading the appended rows back as all-NULL (found via
+        `INSERT … VALUES`, whose frame arrives named col1/col2). Use
+        :meth:`append_positional` for positional INSERT semantics.
+        """
+        table_cols = [f["name"] for f in self.schema_json()["fields"]]
+        missing = [c for c in table_cols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"append to {self.name}: frame lacks column(s) {missing}; "
+                f"frame has {df.columns} — rename/select to match, or use "
+                "append_positional for INSERT-style positional binding"
+            )
         parent = self.current_version()
-        files = self._files(parent) + self._write_files(df)
+        files = self._files(parent) + self._write_files(df.select(table_cols))
         return self._commit(
             {"files": files, "schema": self.schema_json(), "op": "append"}, parent
         )
+
+    def append_positional(self, df: DataFrame) -> int:
+        """SQL ``INSERT INTO`` binds columns POSITIONALLY: arity must
+        match, then each incoming column is renamed and cast to the
+        table column at its ordinal (ANSI cast errors surface)."""
+        from pyspark.sql.types import StructType
+
+        st = StructType.fromJson(self.schema_json())
+        if len(df.columns) != len(st.fields):
+            raise ValueError(
+                f"INSERT into {self.name}: {len(df.columns)} values for "
+                f"{len(st.fields)} columns"
+            )
+        aligned = df.select(
+            *[
+                F.col(src).cast(fld.dataType).alias(fld.name)
+                for src, fld in zip(df.columns, st.fields)
+            ]
+        )
+        return self.append(aligned)
 
     def overwrite(self, df: DataFrame) -> int:
         """INSERT OVERWRITE (static, S6)."""

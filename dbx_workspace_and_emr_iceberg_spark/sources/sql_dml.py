@@ -35,7 +35,7 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_DML_HEADS = ("MERGE", "UPDATE", "DELETE", "CALL", "ALTER")
+_DML_HEADS = ("MERGE", "UPDATE", "DELETE", "CALL", "ALTER", "INSERT", "CREATE")
 
 
 def _strip(sql: str) -> str:
@@ -205,6 +205,86 @@ def parse_merge(sql: str) -> dict:
     return spec
 
 
+# --- CREATE TABLE AS / INSERT (spark-sql S4/S5 write path) ------------------
+# The reference's spark-sql flow writes with CREATE TABLE ... AS and
+# INSERT INTO/OVERWRITE (README.md:35-45); these route to the managed
+# snapshot layer. VALUES lists ride as `SELECT * FROM VALUES ...` so
+# Spark's own literal parser handles them.
+
+_CTAS_RE = re.compile(
+    r"^CREATE\s+TABLE\s+(\w+)\s+AS\s+(SELECT\b.+)$", re.I | re.S
+)
+_INSERT_RE = re.compile(
+    r"^INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)\s+"
+    r"(SELECT\b.+|VALUES\s*\(.+)$",
+    re.I | re.S,
+)
+
+
+def parse_ctas(sql: str) -> tuple[str, str]:
+    m = _CTAS_RE.match(_strip(sql))
+    if not m:
+        raise ValueError(f"unsupported CREATE TABLE syntax: {sql!r}")
+    return m.group(1), m.group(2).strip()
+
+
+def parse_insert(sql: str) -> tuple[str, str, str]:
+    """(mode 'INTO'|'OVERWRITE', table, select-or-values body)."""
+    m = _INSERT_RE.match(_strip(sql))
+    if not m:
+        raise ValueError(f"unsupported INSERT syntax: {sql!r}")
+    mode, table, body = m.groups()
+    body = body.strip()
+    if body.upper().startswith("VALUES"):
+        body = f"SELECT * FROM {body}"
+    return mode.upper(), table, body
+
+
+def execute_create(engine, sql: str) -> DataFrame:
+    """CTAS into the managed warehouse; anything else (CREATE VIEW,
+    CREATE TABLE with an explicit schema, no warehouse configured)
+    falls through to Spark SQL."""
+    try:
+        table, select = parse_ctas(sql)
+        engine._require_warehouse()
+    except ValueError:
+        return engine.spark.sql(sql)
+    t = engine.create_table(table, engine.spark.sql(select))
+    n = t.read().count()
+    return engine.spark.createDataFrame(
+        [(table, "ctas", t.current_version(), n)],
+        "table string, operation string, version int, n_rows long",
+    )
+
+
+def execute_insert(engine, sql: str) -> DataFrame:
+    """INSERT INTO → append commit; INSERT OVERWRITE → snapshot
+    replace. Non-managed targets fall through to Spark SQL."""
+    mode, table, body = parse_insert(sql)
+    try:
+        t = engine.managed(table)
+    except (KeyError, ValueError):
+        return engine.spark.sql(sql)
+    from .lakehouse import commit_with_retries
+
+    df = engine.spark.sql(body)
+    if mode == "INTO":
+        # SQL INSERT binds positionally (a VALUES frame arrives named
+        # col1/col2 — name-based append would reject or, worse before
+        # r7's validation, silently null the rows)
+        version = commit_with_retries(lambda: t.append_positional(df))
+        op = "insert"
+    else:
+        version = commit_with_retries(lambda: t.overwrite(df))
+        op = "insert_overwrite"
+    engine.refresh_view(table)
+    n = t.read().count()
+    return engine.spark.createDataFrame(
+        [(table, op, version, n)],
+        "table string, operation string, version int, n_rows long",
+    )
+
+
 _ALTER_ADD_RE = re.compile(
     r"^ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w()<>,\s]+?)"
     r"(?:\s+DEFAULT\s+(.+))?$",
@@ -297,6 +377,10 @@ def execute(engine, sql: str) -> DataFrame:
         return execute_call(engine, sql)
     if kind == "ALTER":
         return execute_alter(engine, sql)
+    if kind == "CREATE":
+        return execute_create(engine, sql)
+    if kind == "INSERT":
+        return execute_insert(engine, sql)
     # Every DML statement runs under Iceberg's commit.retry semantics
     # (commit_with_retries, sources/lakehouse.py): the table methods
     # re-read current state on entry, so re-running the whole closure

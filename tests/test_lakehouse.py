@@ -760,3 +760,32 @@ def test_rename_drop_partition_source_refused(spark, tmp_path):
     # non-source columns still evolve fine
     t.rename_column("event_id", "eid")
     assert "eid" in t.read().columns
+
+
+def test_append_rejects_mismatched_columns(spark, tmp_path):
+    """Name-based append must REJECT frames whose columns don't cover
+    the table schema — before r7 it wrote the files anyway and the
+    manifest-schema scan read the appended rows back as all-NULL
+    (silent corruption, found via the INSERT...VALUES door whose frame
+    arrives named col1/col2)."""
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+
+    reg = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    t = LakehouseTable(spark, str(tmp_path), "r")
+    t.create(reg.coalesce(1))
+    bad = spark.createDataFrame([(90, "ATLANTIS")], "col1 int, col2 string")
+    with pytest.raises(ValueError, match="lacks column"):
+        t.append(bad)
+    # positional path aligns names AND casts int -> the table's type
+    t.append_positional(bad)
+    got = {r.r_regionkey: r.r_name for r in t.read().collect()}
+    assert got[90] == "ATLANTIS"
+    # extra/reordered columns: name-based append selects table order
+    extra = reg.limit(1).selectExpr(
+        "r_name", "r_regionkey + 50 AS r_regionkey", "'junk' AS debris"
+    )
+    t.append(extra)
+    assert t.read().filter("r_regionkey >= 50").count() == 2
+    assert "debris" not in t.read().columns

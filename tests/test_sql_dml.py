@@ -593,3 +593,60 @@ def test_alter_table_door_evolution(spark, tmp_path):
         eng.sql("ALTER TABLE no_such_tbl DROP COLUMN x")
     assert "unsupported ALTER" not in str(ei.value)
     spark.catalog.dropTempView("alt_t")
+
+
+def test_ctas_and_insert_door(spark, tmp_path):
+    """CREATE TABLE AS / INSERT INTO / INSERT OVERWRITE through the
+    SQL door — the reference's spark-sql write flow (README.md:35-45)
+    against the managed snapshot layer; VALUES lists, retries wiring,
+    and fall-through for non-managed targets."""
+    import pytest as _pytest
+
+    from dbx_workspace_and_emr_iceberg_spark.engine import Engine
+    from dbx_workspace_and_emr_iceberg_spark.sources import sql_dml
+
+    eng = Engine(spark, warehouse=str(tmp_path))
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet") \
+        .createOrReplaceTempView("nation_src")
+
+    out = eng.sql(
+        "CREATE TABLE ctas_t AS SELECT n_nationkey, n_name FROM nation_src"
+    ).collect()[0]
+    assert (out.operation, out.version) == ("ctas", 1)
+    n0 = out.n_rows
+    assert eng.sql("SELECT count(*) AS n FROM ctas_t").collect()[0].n == n0
+
+    out = eng.sql(
+        "INSERT INTO ctas_t VALUES (900, 'ATLANTIS'), (901, 'ELDORADO')"
+    ).collect()[0]
+    assert (out.operation, out.version, out.n_rows) == ("insert", 2, n0 + 2)
+
+    out = eng.sql(
+        "INSERT OVERWRITE ctas_t SELECT n_nationkey, n_name "
+        "FROM nation_src WHERE n_regionkey = 0"
+    ).collect()[0]
+    assert out.operation == "insert_overwrite"
+    assert out.n_rows < n0
+    # history intact: pre-overwrite snapshot still readable
+    assert eng.sql(
+        "SELECT count(*) AS n FROM ctas_t VERSION AS OF 2"
+    ).collect()[0].n == n0 + 2
+
+    # CTAS onto an existing managed table fails loudly
+    with _pytest.raises(ValueError, match="already exists"):
+        eng.sql("CREATE TABLE ctas_t AS SELECT 1 AS x")
+
+    # non-managed INSERT falls through to Spark (its own error for a
+    # temp view target, not this parser's)
+    with _pytest.raises(Exception) as ei:
+        eng.sql("INSERT INTO nation_src VALUES (1, 'x', 2)")
+    assert "unsupported INSERT" not in str(ei.value)
+
+    # pure parse checks
+    assert sql_dml.parse_insert(
+        "INSERT OVERWRITE TABLE t SELECT * FROM s"
+    ) == ("OVERWRITE", "t", "SELECT * FROM s")
+    mode, tbl, body = sql_dml.parse_insert("INSERT INTO t VALUES (1, 'a')")
+    assert body.startswith("SELECT * FROM VALUES")
+    spark.catalog.dropTempView("ctas_t")
+    spark.catalog.dropTempView("nation_src")

@@ -207,10 +207,10 @@ def w5_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank/dense_rank family doesn't cover. Deterministic tie-break
     (spend, custkey) makes bucket membership engine-independent. One
     shuffle for the per-customer aggregate; ntile needs a single-
-    partition sort of the 150k-per-SF customer rollup — at 100 TB
-    replace with percent_rank (partition-local after a range
-    repartition) or width_bucket on precomputed quantile bounds; the
-    decile SUMMARY here stays tiny either way."""
+    partition sort of the 150k-per-SF customer rollup — the 100 TB
+    spelling is w5b_distributed_ntile below: an EXACT two-pass prefix
+    rank (chunk-partitioned windows + broadcast offsets) that
+    hash-matches native ntile with no single-partition sort."""
     o = load_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("spend")
@@ -314,3 +314,93 @@ def w7_ignore_nulls_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
     ).orderBy("event_id")
+# --- W5b: EXACT distributed NTILE (two-pass prefix rank) --------------------
+
+_W5B_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+  FROM orders GROUP BY o_custkey
+),
+tiled AS (
+  SELECT o_custkey, spend,
+         ntile(10) OVER (ORDER BY spend, o_custkey) AS decile
+  FROM spend
+)
+SELECT CAST(decile AS INTEGER) AS decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(min(spend), 2) AS min_spend,
+       round(max(spend), 2) AS max_spend
+FROM tiled GROUP BY decile ORDER BY decile
+"""
+
+
+@register("w5b_distributed_ntile", oracle=_W5B_ORACLE, tags=("W5", "X6"))
+def w5b_distributed_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w5's documented 100 TB alternative, made EXACT and proven: global
+    NTILE without a single-partition sort. Two-pass prefix rank (the
+    x23 pattern): chunk rows by sampled spend boundaries (chunk order
+    consistent with the (spend, custkey) total order), row_number
+    within chunks in parallel, add broadcast per-chunk offsets for the
+    GLOBAL rank, then apply ntile's exact bucket arithmetic
+    (first n%k buckets get one extra row). Values hash-match DuckDB's
+    native ntile; the plan is asserted free of unpartitioned windows.
+    """
+    import re as _re
+
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    # chunk boundaries: approx quantiles are FINE for chunking (only
+    # balance is approximate, never correctness); ~8 chunks
+    bounds = sorted(set(
+        spend.approxQuantile("spend", [i / 8 for i in range(1, 8)], 0.01)
+    ))
+    barr = F.array(*[F.lit(float(b)) for b in bounds])
+    chunked = spend.withColumn(
+        "chunk",
+        F.aggregate(
+            barr, F.lit(0), lambda acc, b: acc + F.when(F.col("spend") >= b, 1).otherwise(0)
+        ),
+    )
+    w_loc = Window.partitionBy("chunk").orderBy("spend", "o_custkey")
+    local = chunked.withColumn("lrn", F.row_number().over(w_loc))
+    sizes = (
+        chunked.groupBy("chunk").agg(F.count(F.lit(1)).alias("c")).collect()
+    )  # <= n_chunks rows — bounded collect
+    off, acc, n_total = {}, 0, 0
+    for r in sorted(sizes, key=lambda r: r.chunk):
+        off[int(r.chunk)] = acc
+        acc += int(r.c)
+    n_total = acc
+    offsets = spark.createDataFrame(
+        [(c, o_) for c, o_ in off.items()], "chunk int, off long"
+    )
+    k = 10
+    q, rem = divmod(n_total, k)
+    ranked = local.join(F.broadcast(offsets), "chunk").withColumn(
+        "rank", F.col("lrn") + F.col("off")
+    )
+    # exact ntile arithmetic: first `rem` buckets hold q+1 rows
+    big_span = rem * (q + 1)
+    decile = (
+        F.when(
+            F.col("rank") <= big_span,
+            F.floor((F.col("rank") - 1) / (q + 1)) + 1,
+        )
+        .otherwise(rem + F.floor((F.col("rank") - 1 - big_span) / q) + 1)
+        .cast("int")
+    )
+    tiled = ranked.withColumn("decile", decile)
+    plan = tiled._jdf.queryExecution().optimizedPlan().toString()
+    if _re.search(r"windowspecdefinition\([^,)]*(?:ASC|DESC)", plan):
+        raise AssertionError("w5b: unpartitioned window crept in")
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("spend"), 2).alias("min_spend"),
+            F.round(F.max("spend"), 2).alias("max_spend"),
+        )
+        .orderBy("decile")
+    )

@@ -164,6 +164,7 @@ _DRIVER_PRIORITY = [
     "d11_polymorphic_udtf",
     "f18_time_type",
     "d12_table_arg_udtf",
+    "w5b_distributed_ntile",
 ]
 
 

@@ -1020,6 +1020,44 @@ class LakehouseTable:
         skip the shuffle entirely (one side is empty).
         """
         to_v = to_version if to_version is not None else self.current_version()
+
+        # Schema evolution inside the range: every pair's frames are
+        # aligned to the FINAL (to_v) schema — Iceberg's changelog
+        # likewise emits rows in the current table schema. Renames
+        # committed after a pair re-key its columns (composed from the
+        # op strings), dropped columns vanish, added columns read NULL
+        # for pre-evolution pairs. Without this, unionByName across a
+        # drop/rename boundary simply errors.
+        from pyspark.sql.types import StructType
+
+        final_schema = StructType.fromJson(self._read_manifest(to_v)["schema"])
+
+        def _align(df: DataFrame, pair_v: int) -> DataFrame:
+            mapping: dict[str, str] = {}  # name-at-pair_v -> later name
+            for w in range(pair_v + 1, to_v + 1):
+                try:
+                    op = self._read_manifest(w)["op"]
+                except FileNotFoundError:
+                    continue
+                if op.startswith("rename_column:"):
+                    old, new = op.split(":", 1)[1].split("->", 1)
+                    for k, tgt in list(mapping.items()):
+                        if tgt == old:
+                            mapping[k] = new
+                            break
+                    else:
+                        mapping[old] = new
+            inverse = {n: o for o, n in mapping.items()}
+            cols = set(df.columns)
+            sel = []
+            for fld in final_schema.fields:
+                src = inverse.get(fld.name, fld.name)
+                if src in cols:
+                    sel.append(F.col(src).alias(fld.name))
+                else:  # column added after this pair
+                    sel.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+            return df.select(*sel)
+
         parts: list[DataFrame] = []
         for v in range(from_version + 1, to_v + 1):
             m = self._read_manifest(v)
@@ -1042,9 +1080,9 @@ class LakehouseTable:
             deletes = rem_df if not added else rem_df.exceptAll(add_df)
             for df, kind in ((inserts, "INSERT"), (deletes, "DELETE")):
                 parts.append(
-                    df.withColumn("_change_type", F.lit(kind)).withColumn(
-                        "_change_version", F.lit(v)
-                    )
+                    _align(df, v)
+                    .withColumn("_change_type", F.lit(kind))
+                    .withColumn("_change_version", F.lit(v))
                 )
         if not parts:
             from pyspark.sql.types import StructType

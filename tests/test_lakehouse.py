@@ -789,3 +789,36 @@ def test_append_rejects_mismatched_columns(spark, tmp_path):
     t.append(extra)
     assert t.read().filter("r_regionkey >= 50").count() == 2
     assert "debris" not in t.read().columns
+
+
+def test_changelog_across_schema_evolution(spark, tmp_path):
+    """CDC spanning rename + drop + add + data commits emits every row
+    in the FINAL schema (Iceberg changelog behavior): renamed columns
+    re-keyed, dropped columns gone, later-added columns NULL for
+    pre-evolution pairs. Previously unionByName across the boundary
+    errored outright."""
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+
+    reg = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    t = LakehouseTable(spark, str(tmp_path), "r")
+    t.create(reg.coalesce(1))                        # v1
+    t.append(reg.limit(1).selectExpr(
+        "r_regionkey + 40 AS r_regionkey", "r_name"))  # v2 (data)
+    t.rename_column("r_name", "region_name")         # v3 (meta)
+    t.drop_column("r_regionkey")                     # v4 (meta)
+    t.add_column("zone", "string")                   # v5 (meta)
+    t.append(spark.createDataFrame(
+        [("ATLANTIS", "deep")], "region_name string, zone string"
+    ).coalesce(1))                                   # v6 (data)
+
+    chg = t.changelog(1)
+    assert set(chg.columns) == {"region_name", "zone", "_change_type", "_change_version"}
+    rows = chg.collect()
+    # v2's append surfaces its row under the FINAL names, zone NULL
+    v2 = [r for r in rows if r._change_version == 2]
+    assert len(v2) == 1 and v2[0].region_name is not None and v2[0].zone is None
+    # v6's append carries the post-evolution columns
+    v6 = [r for r in rows if r._change_version == 6]
+    assert {(r.region_name, r.zone) for r in v6} == {("ATLANTIS", "deep")}

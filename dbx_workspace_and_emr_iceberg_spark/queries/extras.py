@@ -458,17 +458,31 @@ def p5b_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- X7: seeded stratified sample (corpus subsetting) -----------------------
 
 
-@register("x7_stratified_sample", oracle=None, tags=("X6",))
+_X7_ORACLE = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(1 AS BIGINT) AS within_5sd,
+       CAST(1 AS BIGINT) AS deterministic
+FROM documents
+WHERE source IN ('src0', 'src1', 'src2', 'src3')
+GROUP BY source ORDER BY source
+"""
+
+
+@register("x7_stratified_sample", oracle=_X7_ORACLE, tags=("X6",))
 def x7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum Bernoulli sampling of the document corpus with a
     fixed seed (`sampleBy` — per-partition deterministic, no shuffle).
     The training-data use case: downweight an overrepresented source
     without materializing it.
 
-    Self-verifies: (a) identical seed → identical sample (determinism
-    at the row-id level); (b) each stratum's realized count is within
-    5 binomial standard deviations of expectation; (c) no rows from
-    strata sampled at 0."""
+    CONTRACT value-oracled since r7 (o5 pattern — Spark's RNG stream
+    can't be replayed in DuckDB, its statistical contract can): per
+    stratum, n_total plus 0/1 flags for (a) identical seed → identical
+    sample, (b) realized count within 5 binomial standard deviations
+    (a frac-0 stratum must be exactly empty). A violated property
+    flips a flag and the driver hash goes red; the raises remain for
+    local debuggability."""
     docs = load_table(spark, sf_dir, "documents")
     fractions = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
     base = docs.filter(F.col("source").isin(*fractions.keys()))
@@ -483,22 +497,23 @@ def x7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.source: r.n
         for r in take1.groupBy("source").agg(F.count("*").alias("n")).collect()
     }
-    for src, frac in fractions.items():
+    rows = []
+    for src in sorted(fractions):
+        frac = fractions[src]
         n = totals.get(src, 0)
         expect = n * frac
         sd = (n * frac * (1 - frac)) ** 0.5
         lo, hi = expect - 5 * sd, expect + 5 * sd
         actual = got.get(src, 0)
-        if frac == 0.0 and actual:
-            raise AssertionError(f"stratum {src} sampled at 0 produced rows")
-        if not (lo <= actual <= hi):
+        within = int(lo <= actual <= hi and not (frac == 0.0 and actual))
+        if not within:
             raise AssertionError(
                 f"stratum {src}: {actual} outside [{lo:.1f}, {hi:.1f}]"
             )
-    return (
-        take1.groupBy("source")
-        .agg(F.count("*").alias("sampled"))
-        .orderBy("source")
+        rows.append((src, int(n), within, int(ids1 == ids2)))
+    return spark.createDataFrame(
+        rows,
+        "source string, n_total long, within_5sd long, deterministic long",
     )
 
 

@@ -165,6 +165,7 @@ _DRIVER_PRIORITY = [
     "f18_time_type",
     "d12_table_arg_udtf",
     "w5b_distributed_ntile",
+    "x7_stratified_sample",
 ]
 
 

@@ -333,3 +333,82 @@ def test_semdedup_kept_set_is_threshold_separated(spark, vecs, thr):
             assert r.max_cos_kept >= thr - 1e-9
     # greedy scans in vec_id order → the smallest id always survives
     assert min(r.vec_id for r in rows if r.keep) == min(r.vec_id for r in rows)
+
+
+# --- r7 SQL-door grammar round-trips (pure Python, no Spark) ---------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dbx_workspace_and_emr_iceberg_spark.sources import sql_dml as _sd
+
+_IDENT7 = st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True).filter(
+    lambda s: s not in {
+        "as", "table", "column", "columns", "to", "add", "drop", "rename",
+        "alter", "insert", "into", "overwrite", "values", "select", "from",
+        "create", "default",
+    }
+)
+_TYPE7 = st.sampled_from(["int", "bigint", "string", "double", "date"])
+
+
+@given(table=_IDENT7, col=_IDENT7, typ=_TYPE7, dflt=st.integers(0, 10**6))
+@settings(max_examples=50, deadline=None)
+def test_alter_add_roundtrip_property(table, col, typ, dflt):
+    action, t, args = _sd.parse_alter(
+        f"ALTER TABLE {table} ADD COLUMN {col} {typ.upper()} DEFAULT {dflt}"
+    )
+    assert (action, t) == ("add", table)
+    assert args == (col, typ, dflt)
+    # without DEFAULT the literal slot is None
+    action, t, args = _sd.parse_alter(
+        f"ALTER TABLE {table} ADD COLUMN {col} {typ}"
+    )
+    assert args == (col, typ, None)
+
+
+@given(table=_IDENT7, old=_IDENT7, new=_IDENT7)
+@settings(max_examples=50, deadline=None)
+def test_alter_rename_drop_roundtrip_property(table, old, new):
+    assert _sd.parse_alter(
+        f"ALTER TABLE {table} RENAME COLUMN {old} TO {new}"
+    ) == ("rename", table, (old, new))
+    assert _sd.parse_alter(f"ALTER TABLE {table} DROP COLUMN {old}") == (
+        "drop", table, (old,),
+    )
+
+
+@given(
+    table=_IDENT7,
+    src=_IDENT7,
+    overwrite=st.booleans(),
+    with_kw_table=st.booleans(),
+)
+@settings(max_examples=50, deadline=None)
+def test_insert_select_roundtrip_property(table, src, overwrite, with_kw_table):
+    mode = "OVERWRITE" if overwrite else "INTO"
+    kw = "TABLE " if with_kw_table else ""
+    got_mode, got_table, body = _sd.parse_insert(
+        f"INSERT {mode} {kw}{table} SELECT * FROM {src}"
+    )
+    assert (got_mode, got_table) == (mode, table)
+    assert body == f"SELECT * FROM {src}"
+
+
+@given(table=_IDENT7, vals=st.lists(st.integers(0, 999), min_size=1, max_size=5))
+@settings(max_examples=50, deadline=None)
+def test_insert_values_wraps_as_select_property(table, vals):
+    tuples = ", ".join(f"({v}, 'r{v}')" for v in vals)
+    mode, t, body = _sd.parse_insert(f"INSERT INTO {table} VALUES {tuples}")
+    assert (mode, t) == ("INTO", table)
+    assert body == f"SELECT * FROM VALUES {tuples}"
+
+
+@given(table=_IDENT7, src=_IDENT7)
+@settings(max_examples=50, deadline=None)
+def test_ctas_roundtrip_property(table, src):
+    t, sel = _sd.parse_ctas(
+        f"CREATE TABLE {table} AS SELECT a, b FROM {src} WHERE a > 0"
+    )
+    assert t == table
+    assert sel == f"SELECT a, b FROM {src} WHERE a > 0"

@@ -259,9 +259,11 @@ def execute_create(engine, sql: str) -> DataFrame:
 
 def execute_insert(engine, sql: str) -> DataFrame:
     """INSERT INTO → append commit; INSERT OVERWRITE → snapshot
-    replace. Non-managed targets fall through to Spark SQL."""
-    mode, table, body = parse_insert(sql)
+    replace. Non-managed targets AND statement forms this subset does
+    not own (e.g. a column-list `INSERT INTO t (a, b) VALUES …`) fall
+    through to Spark SQL rather than failing on Spark's own surface."""
     try:
+        mode, table, body = parse_insert(sql)
         t = engine.managed(table)
     except (KeyError, ValueError):
         return engine.spark.sql(sql)

@@ -650,3 +650,17 @@ def test_ctas_and_insert_door(spark, tmp_path):
     assert body.startswith("SELECT * FROM VALUES")
     spark.catalog.dropTempView("ctas_t")
     spark.catalog.dropTempView("nation_src")
+
+
+def test_insert_column_list_falls_through(spark, tmp_path):
+    """A column-list INSERT (`INSERT INTO t (a, b) VALUES …`) is not in
+    this subset's grammar — it must reach Spark SQL (whose own error
+    mentions the target, not 'unsupported INSERT')."""
+    import pytest as _pytest
+
+    from dbx_workspace_and_emr_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path))
+    with _pytest.raises(Exception) as ei:
+        eng.sql("INSERT INTO nowhere_t (a, b) VALUES (1, 2)")
+    assert "unsupported INSERT" not in str(ei.value)

@@ -164,6 +164,16 @@ def x2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool_b = d.filter(F.col("doc_id") % 40 == 1).select(
         F.col("doc_id").alias("id_b"), F.col("text")
     )
+    # LOUD growth bound (r6 verdict: "named so it never silently
+    # grows"): the fixture contract is a few hundred candidate pairs;
+    # if a fixture change ever inflates the pools, fail here rather
+    # than silently running a big crossJoin
+    n_a, n_b = pool_a.count(), pool_b.count()
+    if n_a * n_b > 10_000:
+        raise AssertionError(
+            f"x2b all-pairs fixture grew to {n_a}x{n_b} pairs — use the "
+            "banded LSH path (x2) for candidate generation at this size"
+        )
     pairs = pool_a.select("id_a").crossJoin(pool_b.select("id_b"))
     corpus = pool_a.select(F.col("id_a").alias("doc_id"), "text").unionByName(
         pool_b.select(F.col("id_b").alias("doc_id"), "text")

@@ -1233,3 +1233,86 @@ def f17_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.scripting.enabled")
         else:
             spark.conf.set("spark.sql.scripting.enabled", saved)
+
+
+# --- X30: upsampled mixture (repeat-count sampling, rates > 1) --------------
+# x28 flattens an over-represented head by DOWN-sampling (rate <= 1);
+# the complementary real-world case is a high-quality source whose
+# target share EXCEEDS its size (Wikipedia-style upsampling: each doc
+# appears floor(r) times plus one more with probability frac(r)).
+# Deterministic spelling: copies = floor(r) + [hash_bucket(doc_id) <
+# frac(r)*10000] — content-addressed like every sampler here, so the
+# emitted multiset is reproducible across engines and runs, and DuckDB
+# re-derives it exactly. Scale shape: per-stratum rates from one tiny
+# agg; the emission is a map-side explode(sequence(1, copies)) — the
+# output grows by design, but no shuffle and no driver state.
+
+_X30_ORACLE = """
+WITH counts AS (
+  SELECT lang, count(*) AS c FROM documents GROUP BY lang
+),
+denom AS (SELECT sum(c) AS total FROM counts),
+-- equal-share target: every lang gets total/5 docs; rare langs
+-- upsample (r > 1), en downsamples (r < 1)
+rates AS (
+  SELECT lang, c, round((total / 5.0) / c, 9) AS r
+  FROM counts CROSS JOIN denom
+),
+expanded AS (
+  SELECT d.lang, d.doc_id,
+         CAST(floor(r) AS BIGINT)
+         + CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 10000
+                < CAST(floor(round(r - floor(r), 9) * 10000) AS BIGINT)
+                THEN 1 ELSE 0 END AS copies
+  FROM documents d JOIN rates USING (lang)
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT)        AS n_orig,
+       CAST(sum(copies) AS BIGINT)     AS n_emitted,
+       CAST(sum(doc_id * copies) AS BIGINT) AS weighted_id_sum
+FROM expanded GROUP BY lang ORDER BY lang
+"""
+
+
+@register("x30_upsampled_mixture", oracle=_X30_ORACLE, tags=("X30", "X28", "X13"))
+def x30_upsampled_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    denom = counts.agg(F.sum("c").alias("total"))
+    rates = counts.crossJoin(F.broadcast(denom)).select(
+        "lang",
+        F.round((F.col("total") / 5.0) / F.col("c"), 9).alias("r"),
+    )
+    base = F.floor("r").cast("long")
+    frac_bp = F.floor(F.round(F.col("r") - F.floor("r"), 9) * 10000).cast(
+        "long"
+    )
+    expanded = d.join(F.broadcast(rates), "lang").select(
+        "lang",
+        "doc_id",
+        (
+            base
+            + F.when(hash_bucket(F.col("doc_id")) < frac_bp, 1).otherwise(0)
+        ).alias("copies"),
+    )
+    # the actual emission (map-side, no shuffle): one row per copy —
+    # aggregated here to a compare-friendly summary, but the exploded
+    # frame IS the training-mix output a pipeline would write
+    emitted = expanded.filter(F.col("copies") > 0).withColumn(
+        "copy_idx", F.explode(F.sequence(F.lit(1), F.col("copies")))
+    )
+    # self-check: explode really multiplies the multiset
+    if emitted.count() != expanded.agg(F.sum("copies")).first()[0]:
+        raise AssertionError("explode emission != copy accounting")
+    return (
+        expanded.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_orig"),
+            F.sum("copies").alias("n_emitted"),
+            F.sum(F.col("doc_id") * F.col("copies")).alias("weighted_id_sum"),
+        )
+        .orderBy("lang")
+    )

@@ -166,6 +166,7 @@ _DRIVER_PRIORITY = [
     "d12_table_arg_udtf",
     "w5b_distributed_ntile",
     "x7_stratified_sample",
+    "x30_upsampled_mixture",
 ]
 
 

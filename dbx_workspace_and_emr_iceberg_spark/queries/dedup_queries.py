@@ -895,3 +895,144 @@ def x27_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- X31: composed curation pipeline v2 (dedup → mixture → packing) ---------
+# x11 composes quality-gate → exact-dedup → chunking; this is the r7
+# counterpart over the round's NEW operators, as ONE declarative plan:
+#   1. paragraph-level dedup (x27 kernel) — drop every non-first
+#      10-word window globally, rebuild documents, recount tokens;
+#   2. temperature mixture (x28 kernel, alpha=0.5 on lang) over the
+#      DEDUPED corpus — rates derive from post-dedup counts;
+#   3. sequence packing (x14 kernel): per-lang greedy 256-token bins
+#      via cumulative-token arithmetic.
+# Value-oracled end-to-end: DuckDB re-derives dedup, rates, sampling
+# AND bin assignment exactly (all content-addressed / integer math).
+# Scale: stage 1 shuffles digests; stage 2 is a broadcast-rate filter;
+# stage 3's cumsum partitions by lang — production shards finer (x26's
+# chunking trick applies verbatim if one stratum dominates).
+
+_X31_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id, lang, i,
+         array_to_string(list_slice(t, i*10 + 1, i*10 + 10), ' ') AS chunk,
+         len(list_slice(t, i*10 + 1, i*10 + 10)) AS n_tok
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(
+                  0, CAST(floor((len(t) - 1) / 10.0) AS INT))) AS i)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(chunk)
+                               ORDER BY doc_id, i) AS rn
+  FROM chunks
+),
+deduped AS (
+  SELECT doc_id, lang, sum(n_tok) AS n_tokens
+  FROM ranked WHERE rn = 1 GROUP BY doc_id, lang
+),
+counts AS (SELECT lang, count(*) AS c FROM deduped GROUP BY lang),
+denom AS (SELECT sum(sqrt(c)) AS z, sum(c) AS total FROM counts),
+rates AS (
+  SELECT lang, c,
+         CAST(floor(round(
+           least(1.0, (0.5 * total * (sqrt(c) / z)) / c), 9) * 10000)
+           AS BIGINT) AS bp
+  FROM counts CROSS JOIN denom
+),
+sampled AS (
+  SELECT d.lang, d.doc_id, d.n_tokens
+  FROM deduped d JOIN rates r USING (lang)
+  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        % 10000 < r.bp
+),
+packed AS (
+  SELECT lang, doc_id, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                     - n_tokens) / 256.0) AS BIGINT) AS bin
+  FROM sampled
+)
+SELECT lang, bin,
+       CAST(count(*) AS BIGINT)      AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM packed GROUP BY lang, bin ORDER BY lang, bin
+"""
+
+
+@register("x31_curation_pipeline_v2", oracle=_X31_ORACLE, tags=("X31", "X27", "X28", "X14"))
+def x31_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.split("text", " ").alias("t"))
+    chunks = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.floor((F.size("t") - 1) / 10.0).cast("int")
+            )
+        ).alias("i"),
+        "t",
+    ).select(
+        "doc_id",
+        "lang",
+        "i",
+        F.array_join(F.slice(F.col("t"), F.col("i") * 10 + 1, 10), " ").alias(
+            "chunk"
+        ),
+        F.size(F.slice(F.col("t"), F.col("i") * 10 + 1, 10)).alias("n_tok"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy(F.md5("chunk")).orderBy("doc_id", "i")
+    )
+    deduped = (
+        chunks.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("n_tok").alias("n_tokens"))
+    )
+    counts = deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    denom = counts.agg(F.sum(F.sqrt("c")).alias("z"), F.sum("c").alias("total"))
+    rates = counts.crossJoin(F.broadcast(denom)).select(
+        "lang",
+        F.floor(
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (0.5 * F.col("total") * (F.sqrt("c") / F.col("z")))
+                    / F.col("c"),
+                ),
+                9,
+            )
+            * 10000
+        )
+        .cast("long")
+        .alias("bp"),
+    )
+    sampled = deduped.join(F.broadcast(rates), "lang").filter(
+        hash_bucket(F.col("doc_id")) < F.col("bp")
+    )
+    w_pack = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    packed = sampled.withColumn(
+        "bin",
+        F.floor(
+            (F.sum("n_tokens").over(w_pack) - F.col("n_tokens")) / 256.0
+        ).cast("long"),
+    )
+    return (
+        packed.groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("lang", "bin")
+    )

@@ -67,6 +67,7 @@ _QUERY_MODULES = [
     "pricing",
     "tpch_queries",
     "tpch_suite2",
+    "tpch_suite3",
 ]
 
 
@@ -167,6 +168,11 @@ _DRIVER_PRIORITY = [
     "w5b_distributed_ntile",
     "x7_stratified_sample",
     "x30_upsampled_mixture",
+    "x31_curation_pipeline_v2",
+    "qd1_share_of_parent",
+    "qd2_yoy_growth",
+    "qd3_moving_average",
+    "qd4_mix_shift",
 ]
 
 

@@ -1036,3 +1036,126 @@ def x31_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bin")
     )
+
+
+# --- X32: contamination-safe split assignment (cluster-aware) ---------------
+# The subtle eval leak: doc-level hash splits (x13) can strand two
+# NEAR-DUPLICATES on opposite sides of a train/val boundary — the val
+# example is then effectively memorized. The fix used by careful
+# pipelines: split by the near-dup CLUSTER's canonical id, so every
+# cluster lands wholly in one split. Composition of proven kernels:
+# x12's transitive clusters (planted-copy fixture, recursive-CTE
+# oracle) + x13's content-addressed hash split keyed on the cluster
+# rep instead of the doc. Value-oracled END TO END, including the
+# atomicity property itself (n_splits_per_cluster = 1 for every
+# cluster, a column the oracle derives independently).
+# Scale: clustering is the x12/x12b path (LSH candidates at corpus
+# scale); the split is a map-side filter on the cluster label already
+# carried by the dedup output — zero extra shuffle.
+
+_X32_ORACLE = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + {_COPY_OFFSET},
+         array_to_string(string_split(text, ' ')[1:greatest(len(string_split(text, ' ')) - 3, 1)], ' ')
+  FROM base
+),
+pool AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM corpus
+),
+jac AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib,
+         CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+         / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) AS j
+  FROM pool a JOIN pool b ON a.doc_id < b.doc_id
+),
+edges0 AS (SELECT ia AS s, ib AS d FROM jac WHERE j >= 0.9),
+edges AS (SELECT s, d FROM edges0 UNION SELECT d, s FROM edges0),
+reach AS (
+  SELECT doc_id AS n, doc_id AS m FROM corpus
+  UNION
+  SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n
+),
+comp AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+split AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 10000 < 1000 THEN 'test'
+              WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 10000 < 2000 THEN 'val'
+              ELSE 'train' END AS split
+  FROM comp
+),
+atomic AS (
+  SELECT cluster_id, count(DISTINCT split) AS n_splits
+  FROM split GROUP BY cluster_id
+)
+SELECT s.split,
+       CAST(count(*) AS BIGINT)                 AS n_docs,
+       CAST(count(DISTINCT s.cluster_id) AS BIGINT) AS n_clusters,
+       CAST(max(a.n_splits) AS BIGINT)          AS max_splits_per_cluster
+FROM split s JOIN atomic a USING (cluster_id)
+GROUP BY s.split ORDER BY s.split
+"""
+
+
+@register("x32_cluster_safe_splits", oracle=_X32_ORACLE, tags=("X32", "X12", "X13"))
+def x32_cluster_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+    from ..operators.sampling import hash_bucket
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+    )
+    words = F.split("text", " ")
+    keep = F.greatest(F.size(words) - F.lit(3), F.lit(1))
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+            F.array_join(F.slice(words, F.lit(1), keep), " ").alias("text"),
+        )
+    )
+    pool = corpus.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("w")
+    )
+    a = pool.select(F.col("doc_id").alias("id_a"), F.col("w").alias("wa"))
+    b = pool.select(F.col("doc_id").alias("id_b"), F.col("w").alias("wb"))
+    inter = F.size(F.array_intersect("wa", "wb"))
+    jac = inter / (F.size("wa") + F.size("wb") - inter)
+    edges = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(jac >= 0.9)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    comp = connected_components(
+        edges, "src", "dst", nodes=corpus.select("doc_id")
+    ).select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+    bucket = hash_bucket(F.col("cluster_id"))
+    split = comp.withColumn(
+        "split",
+        F.when(bucket < 1000, "test")
+        .when(bucket < 2000, "val")
+        .otherwise("train"),
+    )
+    atomic = split.groupBy("cluster_id").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    # the leak-proof property, asserted AND exported for the oracle
+    if atomic.filter(F.col("n_splits") > 1).count() != 0:
+        raise AssertionError("a near-dup cluster straddles a split boundary")
+    return (
+        split.join(atomic, "cluster_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.max("n_splits").alias("max_splits_per_cluster"),
+        )
+        .orderBy("split")
+    )

@@ -173,6 +173,7 @@ _DRIVER_PRIORITY = [
     "qd2_yoy_growth",
     "qd3_moving_average",
     "qd4_mix_shift",
+    "x32_cluster_safe_splits",
 ]
 
 

@@ -1159,3 +1159,121 @@ def x32_cluster_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# --- X34: exact duplicated-span detection (sliding k-gram) ------------------
+# The exact-substring complement of x27: x27 dedups NON-overlapping
+# stride-10 chunks (misses spans straddling a chunk boundary or shifted
+# by one token); this slides a k-token window at stride 1, so a span
+# duplicated anywhere in the corpus at ANY alignment is caught — the
+# Lee et al. "Deduplicating Training Data Makes Language Models Better"
+# exact-substring semantics, respelled from suffix arrays (inherently
+# sequential) to the Spark-native form: k-gram digests → duplicate-key
+# aggregate → flagged windows merged into maximal spans per doc.
+# Scale: one gram per token, so the exploded frame is corpus-LINEAR;
+# everything shuffled after the explode is 16-byte digests and
+# (doc_id, pos) ints, never text. The duplicate-digest aggregate is
+# map-side-combinable; the island merge windows on doc_id (natural,
+# unskewed key). At 100 TB swap md5 for xxhash64 (8-byte, halves
+# shuffle width — md5 here only because the DuckDB oracle must replay
+# the digest) and persist `grams` DISK_ONLY so explode runs once, not
+# twice (here re-derived to keep the harness cache-free).
+
+_X34_K = 8
+
+_X34_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(list_slice(t, i + 1, i + {_X34_K}), ' ')) AS g
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(0, len(t) - {_X34_K})) AS i)
+  WHERE len(t) >= {_X34_K}
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+flagged AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {_X34_K}
+              THEN 0 ELSE 1 END AS brk
+  FROM flagged
+),
+isl2 AS (SELECT doc_id, pos,
+                sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM isl),
+spans AS (SELECT doc_id, island,
+                 max(pos) - min(pos) + {_X34_K} AS span_tokens
+          FROM isl2 GROUP BY 1, 2),
+per_doc AS (SELECT doc_id, count(*) AS n_spans,
+                   sum(span_tokens) AS dup_tokens
+            FROM spans GROUP BY 1)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT)    AS n_tokens,
+       CAST(coalesce(p.n_spans, 0) AS BIGINT)            AS n_spans,
+       CAST(coalesce(p.dup_tokens, 0) AS BIGINT)         AS dup_tokens,
+       round(coalesce(p.dup_tokens, 0) * 1.0
+             / len(string_split(d.text, ' ')), 4) + 0.0  AS dup_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@register("x34_dup_span_detect", oracle=_X34_ORACLE, tags=("X34", "X1", "X4"))
+def x34_dup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-span report: windows of ``_X34_K`` tokens
+    whose digest occurs >1 time corpus-wide (any doc, any offset,
+    self-repeats included), merged into maximal spans — two flagged
+    windows join one span iff their starts differ by <= k (overlap or
+    touch). dup_frac is the fraction of the doc's tokens inside
+    duplicated spans — the drop/trim signal."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    grams = toks.filter(F.size("t") >= _X34_K).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {_X34_K}),"
+                f" i -> md5(concat_ws(' ', slice(t, i + 1, {_X34_K}))))"
+            )
+        ).alias("pos", "g"),
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("g")
+    )
+    flagged = grams.join(dup, "g", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = flagged.withColumn(
+        "brk",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w) <= _X34_K, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn("island", F.sum("brk").over(w))
+    spans = isl.groupBy("doc_id", "island").agg(
+        (F.max("pos") - F.min("pos") + _X34_K).alias("span_tokens")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+    )
+    return (
+        toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 4
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1191,3 +1191,68 @@ def x24_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         scored.unpersist()
+
+
+# --- X33: per-host quota capping (domain-balanced corpus governance) --------
+# The standard companion to X21's host rollup: web corpora cap any one
+# host's contribution (mega-hosts like pastebins otherwise dominate the
+# mixture), keeping each host's top-Q documents by a quality proxy.
+# Spelled as one row_number window over host — a single shuffle on the
+# governance key, no Python. 100 TB note: per-host top-Q is
+# SALT-COMPOSABLE (top-Q of a union is the top-Q of per-salt top-Qs),
+# so a skewed mega-host is handled by a two-phase spelling — top-Q per
+# (host, salt32), then top-Q per host over the ≤32·Q survivors — the
+# same respell AQE's skew-join applies to joins, done manually for the
+# window. At this fixture scale the single window is the honest plan.
+
+_X33_QUOTA = 15
+
+_X33_ORACLE = f"""
+WITH hosts AS (
+  SELECT doc_id, n_chars, source || '.example.org' AS host FROM documents
+),
+ranked AS (
+  SELECT host, doc_id, n_chars,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM hosts
+)
+SELECT host,
+       CAST(count(*) AS BIGINT)                                    AS n_docs,
+       CAST(count(*) FILTER (WHERE rk <= {_X33_QUOTA}) AS BIGINT)  AS n_kept,
+       CAST(count(*) FILTER (WHERE rk > {_X33_QUOTA}) AS BIGINT)   AS n_dropped,
+       CAST(sum(n_chars) FILTER (WHERE rk <= {_X33_QUOTA}) AS BIGINT)
+                                                                   AS kept_chars,
+       CAST(min(n_chars) FILTER (WHERE rk <= {_X33_QUOTA}) AS BIGINT)
+                                                                   AS kept_min_chars
+FROM ranked GROUP BY host ORDER BY host
+"""
+
+
+@register("x33_host_quota", oracle=_X33_ORACLE, tags=("X33", "X21", "W4"))
+def x33_host_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every host at its top-``_X33_QUOTA`` docs by length (quality
+    proxy), deterministic tie-break on doc_id; report the keep/drop
+    accounting per host. The kept set itself is ``rk <= Q`` — the
+    rollup is returned because it is the auditable governance artifact.
+    Quota chosen to bite at sf0.01 (25 docs/host → 10 dropped)."""
+    d = load_table(spark, sf_dir, "documents")
+    hosts = d.select(
+        "doc_id",
+        "n_chars",
+        F.concat("source", F.lit(".example.org")).alias("host"),
+    )
+    w = Window.partitionBy("host").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = hosts.withColumn("rk", F.row_number().over(w))
+    kept = F.col("rk") <= _X33_QUOTA
+    return (
+        ranked.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum((~kept).cast("long")).alias("n_dropped"),
+            F.sum(F.when(kept, F.col("n_chars"))).alias("kept_chars"),
+            F.min(F.when(kept, F.col("n_chars"))).alias("kept_min_chars"),
+        )
+        .orderBy("host")
+    )

@@ -174,6 +174,8 @@ _DRIVER_PRIORITY = [
     "qd3_moving_average",
     "qd4_mix_shift",
     "x32_cluster_safe_splits",
+    "x33_host_quota",
+    "x34_dup_span_detect",
 ]
 
 

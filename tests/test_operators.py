@@ -476,3 +476,71 @@ def test_bloom_partial_merge_equals_single_partition(spark):
     )
     # OR-merge of per-partition partials must be partitioning-invariant
     assert one == many
+
+
+def _write_docs(spark, tmp_path, rows):
+    """Write a tiny documents.parquet a query fn can load via sf_dir."""
+    docs = [
+        (i, t, "en", f"src{i % 2}", len(t)) for i, t in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_x34_span_merge_shifted_alignment_and_self_repeat(spark, tmp_path):
+    """x34 must catch a span duplicated at a DIFFERENT offset (the case
+    x27's fixed stride-10 chunks miss), merge overlapping windows into
+    one maximal span, split islands at gap > k, and flag self-repeats
+    within a single doc."""
+    from dbx_workspace_and_emr_iceberg_spark.queries.dedup_queries import (
+        x34_dup_span_detect,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(10))  # 10-token shared run
+    a = " ".join(f"a{i}" for i in range(5)) + " " + shared + " " + " ".join(
+        f"A{i}" for i in range(5)
+    )  # shared at offset 5
+    b = " ".join(f"b{i}" for i in range(3)) + " " + shared + " " + " ".join(
+        f"B{i}" for i in range(7)
+    )  # same run at offset 3 — different alignment
+    c = " ".join(f"c{i}" for i in range(20))  # fully unique
+    rep = " ".join(f"p{i}" for i in range(8))
+    d = rep + " filler " + rep  # self-repeat, starts 0 and 9 (gap 9 > k=8)
+    out = {
+        r.doc_id: r
+        for r in x34_dup_span_detect(
+            spark, _write_docs(spark, tmp_path, [a, b, c, d])
+        ).collect()
+    }
+    # A: windows fully inside the shared run start at 5,6,7 → ONE merged
+    # span covering tokens 5..14 → 10 dup tokens
+    assert out[0].n_spans == 1 and out[0].dup_tokens == 10
+    assert out[1].n_spans == 1 and out[1].dup_tokens == 10
+    assert out[2].n_spans == 0 and out[2].dup_tokens == 0
+    # D: duplicate window starts 0 and 9 differ by 9 > k → two islands,
+    # 8 dup tokens each
+    assert out[3].n_spans == 2 and out[3].dup_tokens == 16
+    assert abs(out[3].dup_frac - round(16 / 17, 4)) < 1e-9
+
+
+def test_x33_quota_drops_and_tiebreak(spark, tmp_path):
+    """Host quota keeps exactly Q docs per host, longest first, lower
+    doc_id on length ties; hosts under quota drop nothing."""
+    from dbx_workspace_and_emr_iceberg_spark.queries import text_queries as tq
+
+    # src0 gets quota+2 docs (varied lengths), src1 stays under quota
+    n0 = tq._X33_QUOTA + 2
+    docs = [(i, "x" * (10 + i), "en", "src0", 10 + i) for i in range(n0)]
+    docs += [(100 + i, "y" * 20, "en", "src1", 20) for i in range(3)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r.host: r for r in tq.x33_host_quota(spark, str(tmp_path)).collect()}
+    h0, h1 = out["src0.example.org"], out["src1.example.org"]
+    assert h0.n_docs == n0 and h0.n_kept == tq._X33_QUOTA and h0.n_dropped == 2
+    assert h1.n_kept == h1.n_docs == 3 and h1.n_dropped == 0
+    # the dropped docs are the 2 shortest on src0: kept_min_chars is the
+    # Q-th longest length (lengths are 10..10+n0-1, descending keep)
+    assert h0.kept_min_chars == 10 + n0 - tq._X33_QUOTA

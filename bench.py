@@ -64,6 +64,9 @@ HEADLINE = [
     "x25_table_profile",
     "x27_paragraph_dedup",
     "x29_random_projection",
+    # stride-1 k-gram span dedup: the corpus-linear explode + digest
+    # aggregate + island-merge window — the heaviest new r7 plan shape
+    "x34_dup_span_detect",
 ]
 
 

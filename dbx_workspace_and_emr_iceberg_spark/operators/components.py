@@ -135,3 +135,64 @@ def connected_components(
         )
 
     return labels.select(F.col("n").alias("node"), F.col("lbl").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    *,
+    damping: float = 0.85,
+    iters: int = 8,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Weighted PageRank by fixed power iteration — Pregel-on-DataFrames
+    (one join + one groupBy shuffle per iteration), used by
+    ``x35_host_pagerank`` as the link-centrality quality prior.
+
+    ``nodes`` (one column, node ids) pins the vertex set; defaults to
+    ids appearing in ``edges``. Dangling-mass convention: dropped —
+    contributions flow only along edges, so ranks sum to <= 1 when
+    sinks exist. Scale: persist ``edges`` before calling; for deep
+    iteration counts localCheckpoint the rank frame every few rounds
+    to truncate lineage (iters is fixed and small here — power
+    iteration converges geometrically at damping < 1)."""
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d"), w.alias("__w")
+    )
+    if nodes is None:
+        nodes = e.select(F.col("__s").alias("node")).union(
+            e.select(F.col("__d").alias("node"))
+        ).distinct()
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
+    agg = e.groupBy("__s", "__d").agg(F.sum("__w").alias("__w"))
+    outdeg = agg.groupBy("__s").agg(F.sum("__w").alias("__out"))
+    trans = (
+        agg.join(outdeg, "__s")
+        .select("__s", "__d", (F.col("__w") / F.col("__out")).alias("__p"))
+        .cache()
+    )
+    nodes = nodes.cache()
+    # driver scalar bounded by the vertex-set cardinality — the same
+    # bounded-action class as the k-means stats collects
+    n = nodes.count()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            trans.join(ranks, trans["__s"] == ranks["node"])
+            .groupBy("__d")
+            .agg(F.sum(F.col("rank") * F.col("__p")).alias("__c"))
+        )
+        ranks = nodes.join(
+            contrib, nodes["node"] == contrib["__d"], "left"
+        ).select(
+            "node",
+            (
+                F.lit((1 - damping) / n)
+                + damping * F.coalesce("__c", F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks

@@ -1256,3 +1256,102 @@ def x33_host_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+# --- X35: host-graph PageRank (link-based quality prior) --------------------
+# Common-Crawl-style curation weights hosts by link centrality
+# (PageRank / harmonic centrality) as a quality prior for sampling.
+# The fixture has no hyperlinks, so the link graph is derived
+# DETERMINISTICALLY from document columns (doc d links host(d) →
+# host(doc (d.doc_id*31 + d.n_chars) mod N), weight n_chars, self-host
+# links dropped) — both engines re-derive the identical weighted graph,
+# so the oracle verifies the ITERATION exactly, not a fixture artifact.
+# This is the repo's one value-oracled ITERATIVE algorithm: 8 fixed
+# power iterations at damping 0.85, DuckDB replaying them as 8
+# unrolled CTE steps (recursive CTEs forbid aggregation in the
+# recursive term, so unrolling is the honest SQL spelling).
+# Scale: every iteration is one join + one groupBy shuffle keyed on
+# host — the Pregel pattern on DataFrames. At web scale persist the
+# edge frame once, persist each rank frame and localCheckpoint every
+# few iterations to truncate lineage; iteration count stays fixed
+# (power iteration converges geometrically at d=0.85). Dangling-mass
+# convention: dropped (contributions flow only along edges) —
+# identical on both sides, so parity holds for any graph.
+
+_X35_ITERS = 8
+_X35_DAMP = 0.85
+
+
+def _x35_oracle() -> str:
+    base = """
+WITH n_docs AS (SELECT max(doc_id) + 1 AS n FROM documents),
+links AS (
+  SELECT d.source || '.example.org' AS src,
+         t.source || '.example.org' AS dst,
+         d.n_chars AS w
+  FROM documents d
+  CROSS JOIN n_docs
+  JOIN documents t ON t.doc_id = (d.doc_id * 31 + d.n_chars) % n_docs.n
+  WHERE d.source <> t.source
+),
+edges AS (SELECT src, dst, CAST(sum(w) AS DOUBLE) AS w FROM links GROUP BY 1, 2),
+outdeg AS (SELECT src, sum(w) AS wout FROM edges GROUP BY 1),
+hosts AS (SELECT DISTINCT source || '.example.org' AS host FROM documents),
+nh AS (SELECT count(*) AS n FROM hosts),
+r0 AS (SELECT host, 1.0 / n AS r FROM hosts CROSS JOIN nh)"""
+    steps = []
+    for i in range(1, _X35_ITERS + 1):
+        steps.append(
+            f"""r{i} AS (
+  SELECT h.host,
+         {1 - _X35_DAMP} / nh.n
+           + {_X35_DAMP} * coalesce(sum(p.r * e.w / o.wout), 0) AS r
+  FROM hosts h
+  CROSS JOIN nh
+  LEFT JOIN edges e ON e.dst = h.host
+  LEFT JOIN outdeg o ON o.src = e.src
+  LEFT JOIN r{i - 1} p ON p.host = e.src
+  GROUP BY h.host, nh.n
+)"""
+        )
+    return (
+        base
+        + ",\n"
+        + ",\n".join(steps)
+        + f"\nSELECT host, round(r, 6) + 0.0 AS pagerank"
+        f"\nFROM r{_X35_ITERS} ORDER BY host"
+    )
+
+
+@register("x35_host_pagerank", oracle=_x35_oracle(), tags=("X35", "X21"))
+def x35_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import pagerank
+
+    d = load_table(spark, sf_dir, "documents")
+    host = F.concat("source", F.lit(".example.org"))
+    n_docs = d.agg((F.max("doc_id") + 1).alias("n"))
+    tgt = d.select(F.col("doc_id").alias("t_id"), host.alias("dst"))
+    links = (
+        d.crossJoin(F.broadcast(n_docs))
+        .select(
+            host.alias("src"),
+            ((F.col("doc_id") * 31 + F.col("n_chars")) % F.col("n")).alias(
+                "t_id"
+            ),
+            F.col("n_chars").alias("w"),
+        )
+        .join(tgt, "t_id")
+        .filter(F.col("src") != F.col("dst"))
+    )
+    ranks = pagerank(
+        links,
+        "src",
+        "dst",
+        "w",
+        damping=_X35_DAMP,
+        iters=_X35_ITERS,
+        nodes=d.select(host.alias("host")),
+    )
+    return ranks.select(
+        F.col("node").alias("host"), F.round("rank", 6).alias("pagerank")
+    ).orderBy("host")

@@ -176,6 +176,7 @@ _DRIVER_PRIORITY = [
     "x32_cluster_safe_splits",
     "x33_host_quota",
     "x34_dup_span_detect",
+    "x35_host_pagerank",
 ]
 
 

@@ -544,3 +544,42 @@ def test_x33_quota_drops_and_tiebreak(spark, tmp_path):
     # the dropped docs are the 2 shortest on src0: kept_min_chars is the
     # Q-th longest length (lengths are 10..10+n0-1, descending keep)
     assert h0.kept_min_chars == 10 + n0 - tq._X33_QUOTA
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """pagerank() on a small asymmetric weighted digraph must equal the
+    same fixed power iteration done densely in numpy, including a
+    dangling sink (D has no out-edges → its mass is dropped) and an
+    isolated node pinned via `nodes`."""
+    import numpy as np
+
+    from dbx_workspace_and_emr_iceberg_spark.operators.components import (
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [("A", "B", 2.0), ("A", "C", 1.0), ("B", "C", 1.0),
+         ("C", "A", 1.0), ("C", "D", 3.0)],
+        "src string, dst string, w double",
+    )
+    nodes = spark.createDataFrame([("A",), ("B",), ("C",), ("D",), ("E",)], "n string")
+    got = {
+        r.node: r.rank
+        for r in pagerank(edges, "src", "dst", "w", damping=0.85, iters=8,
+                          nodes=nodes).collect()
+    }
+    idx = {k: i for i, k in enumerate("ABCDE")}
+    P = np.zeros((5, 5))
+    for s, d, w in [("A", "B", 2), ("A", "C", 1), ("B", "C", 1),
+                    ("C", "A", 1), ("C", "D", 3)]:
+        P[idx[s], idx[d]] = w
+    out = P.sum(axis=1, keepdims=True)
+    T = np.zeros_like(P)
+    np.divide(P, out, out=T, where=out > 0)
+    r = np.full(5, 1 / 5)
+    for _ in range(8):
+        r = 0.15 / 5 + 0.85 * (r @ T)
+    for k in idx:
+        assert abs(got[k] - r[idx[k]]) < 1e-12, (k, got[k], r[idx[k]])
+    # dangling D leaks mass: totals strictly below 1, isolated E at floor
+    assert sum(got.values()) < 1.0 and abs(got["E"] - 0.15 / 5) < 1e-12

@@ -412,3 +412,64 @@ def test_ctas_roundtrip_property(table, src):
     )
     assert t == table
     assert sel == f"SELECT a, b FROM {src} WHERE a > 0"
+
+
+# --- x34 duplicated-span detection vs brute force ---------------------------
+
+_X34_VOCAB = st.sampled_from(list("abcde"))  # tiny vocab → dense duplicates
+
+
+@st.composite
+def _x34_corpus(draw):
+    n_docs = draw(st.integers(min_value=1, max_value=6))
+    return [
+        " ".join(
+            draw(st.lists(_X34_VOCAB, min_size=1, max_size=24))
+        )
+        for _ in range(n_docs)
+    ]
+
+
+def _x34_expected(texts, k):
+    """Brute-force reference: duplicated k-windows by literal token-tuple
+    equality (corpus-wide, self-repeats count), merged at start-gap <= k."""
+    grams = {}
+    for did, t in enumerate(texts):
+        toks = t.split(" ")
+        for i in range(len(toks) - k + 1):
+            grams.setdefault(tuple(toks[i : i + k]), []).append((did, i))
+    flagged = {}
+    for occ in grams.values():
+        if len(occ) > 1:
+            for did, i in occ:
+                flagged.setdefault(did, set()).add(i)
+    out = {}
+    for did, t in enumerate(texts):
+        starts = sorted(flagged.get(did, ()))
+        spans = []
+        for s in starts:
+            if spans and s - spans[-1][1] <= k:
+                spans[-1][1] = s
+            else:
+                spans.append([s, s])
+        n_tok = len(t.split(" "))
+        dup = sum(e - s + k for s, e in spans)
+        out[did] = (n_tok, len(spans), dup, round(dup / n_tok, 4))
+    return out
+
+
+@given(_x34_corpus())
+@SLOW
+def test_x34_dup_spans_match_bruteforce(spark, tmp_path_factory, texts):
+    from dbx_workspace_and_emr_iceberg_spark.queries import dedup_queries as dq
+
+    sf = str(tmp_path_factory.mktemp("x34prop"))
+    spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_spans, r.dup_tokens, r.dup_frac)
+        for r in dq.x34_dup_span_detect(spark, sf).collect()
+    }
+    assert got == _x34_expected(texts, dq._X34_K)

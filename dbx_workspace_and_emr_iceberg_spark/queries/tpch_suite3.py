@@ -1,11 +1,13 @@
 """Suite 3 — TPC-DS-flavored analytic shapes (round 7).
 
 The 22-shape TPC-H suite covers the reference's Spark-SQL relational
-surface; these four add the DS-style compositions real warehouse
+surface; these eight add the DS-style compositions real warehouse
 workloads lean on — share-of-parent over a rollup, year-over-year
-growth, moving-window trend smoothing, and mix-shift analysis — each a
-pure declarative plan (rollup/window/pivot over one fact scan, dims
-broadcast) and each value-oracled in DuckDB.
+growth, moving-window trend smoothing, mix-shift analysis, cohort
+retention, basket-pair affinity, purchase-cadence histograms, and
+exact discrete percentile reports — each a pure declarative plan
+(rollup/window/join over one fact scan, dims broadcast) and each
+value-oracled in DuckDB.
 
 Scale shapes: every query is one fact-table scan + one keyed shuffle;
 windows partition on the analysis key (year / segment / priority), so
@@ -203,4 +205,208 @@ def qd4_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("year_share"),
         )
         .orderBy("yr", "return_flag")
+    )
+
+
+# --- qd5: cohort retention matrix -------------------------------------------
+# First-order-year cohorts × years-since-cohort activity: the classic
+# retention triangle. Two hash aggregates (distinct customer-years,
+# per-customer min) + one broadcast-sized cohort-size dim — the fact
+# scan shuffles once on custkey; cohort_size joins back on the ≤#years
+# cohort key, broadcast.
+
+_QD5_ORACLE = """
+WITH cust_year AS (
+  SELECT DISTINCT o_custkey, EXTRACT(year FROM o_orderdate) AS yr FROM orders
+),
+cohort AS (SELECT o_custkey, min(yr) AS cohort_yr FROM cust_year GROUP BY 1)
+SELECT c.cohort_yr AS cohort_year,
+       cy.yr - c.cohort_yr AS years_since,
+       CAST(count(*) AS BIGINT) AS n_active,
+       round(count(*) * 1.0 / max(sz.cohort_size), 6) AS retention
+FROM cust_year cy
+JOIN cohort c USING (o_custkey)
+JOIN (SELECT cohort_yr, count(*) AS cohort_size FROM cohort GROUP BY 1) sz
+  ON sz.cohort_yr = c.cohort_yr
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("qd5_cohort_retention", oracle=_QD5_ORACLE, tags=("A1", "W2", "J9"))
+def qd5_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cust_year = o.select(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    ).distinct()
+    cohort = cust_year.groupBy("o_custkey").agg(
+        F.min("yr").alias("cohort_yr")
+    )
+    size = cohort.groupBy("cohort_yr").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        cust_year.join(cohort, "o_custkey")
+        .join(F.broadcast(size), "cohort_yr")
+        .groupBy(
+            F.col("cohort_yr").alias("cohort_year"),
+            (F.col("yr") - F.col("cohort_yr")).alias("years_since"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.round(
+                F.count(F.lit(1)) / F.max("cohort_size"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_year", "years_since")
+    )
+
+
+# --- qd6: basket-pair affinity (market-basket co-occurrence) ----------------
+# Cross-sell staple: part pairs co-ordered in one order. The self-join
+# is keyed on orderkey, so pair explosion is bounded by basket size
+# squared PER ORDER (TPC-H baskets are ≤7 lines) — never a corpus
+# cross join; the pair aggregate shuffles (part_a, part_b) ints. The
+# top-20 cut is a total order (count desc, part_a, part_b), so the
+# boundary is deterministic on both engines.
+
+_QD6_ORACLE = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS n_baskets
+FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= 2
+ORDER BY n_baskets DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+@register("qd6_basket_pairs", oracle=_QD6_ORACLE, tags=("J1", "O2", "A8"))
+def qd6_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, ["ok"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .filter(F.col("n_baskets") >= 2)
+        .orderBy(F.col("n_baskets").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+# --- qd7: inter-order gap histogram -----------------------------------------
+# Purchase-cadence distribution: days between a customer's consecutive
+# orders, bucketed to 30-day bins capped at 360+. One window shuffle on
+# custkey (natural key), then a ≤13-group aggregate — the DS "recency
+# distribution" report with no global sort anywhere.
+
+_QD7_ORACLE = """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+           lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey),
+           o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT least(CAST(floor(gap_days / 30) AS BIGINT), 12) AS gap_bucket,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap_days) AS BIGINT) AS min_days,
+       CAST(max(gap_days) AS BIGINT) AS max_days
+FROM gaps WHERE gap_days IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("qd7_order_gap_histogram", oracle=_QD7_ORACLE, tags=("W2", "A1", "F2"))
+def qd7_order_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy(
+            F.least(
+                F.floor(F.col("gap_days") / 30), F.lit(12)
+            ).alias("gap_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_days").cast("long").alias("min_days"),
+            F.max("gap_days").cast("long").alias("max_days"),
+        )
+        .orderBy("gap_bucket")
+    )
+
+
+# --- qd8: exact percentile report per segment -------------------------------
+# p50/p90/p99 of order value per market segment with EXACT DISCRETE
+# percentiles (DuckDB `quantile_disc`; Spark spelled as the same
+# inverse-CDF rule — the element at rank ceil(p·n) of the sorted
+# group). Discrete, not interpolated, on purpose: cent-valued data
+# makes interpolated midpoints land on half-cent boundaries where the
+# two engines' rounding direction can differ by one ulp (measured:
+# p50 251483.295 → .29 vs .30); discrete quantiles return actual data
+# values, so no rounding is involved at all. Exact percentiles sort
+# within groups (one shuffle on the 5-value segment key); the approx
+# sketch tier for 100 TB group explosions is a5's approx_percentile.
+
+_QD8_ORACLE = """
+SELECT c.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       quantile_disc(o.o_totalprice, 0.5)  AS p50,
+       quantile_disc(o.o_totalprice, 0.9)  AS p90,
+       quantile_disc(o.o_totalprice, 0.99) AS p99
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("qd8_percentile_report", oracle=_QD8_ORACLE, tags=("A3", "J5", "W1"))
+def qd8_percentile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    seg = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("segment"), "o_totalprice"
+    )
+    rn_w = Window.partitionBy("segment").orderBy("o_totalprice")
+    n_w = Window.partitionBy("segment")
+    ranked = seg.select(
+        "segment",
+        "o_totalprice",
+        F.row_number().over(rn_w).alias("rn"),
+        F.count(F.lit(1)).over(n_w).alias("n"),
+    )
+
+    def disc(p: float):
+        # inverse-CDF discrete quantile: 1-indexed rank ceil(p*n),
+        # the exact rule quantile_disc implements (probed empirically)
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * F.lit(p)),
+                F.col("o_totalprice"),
+            )
+        )
+
+    return (
+        ranked.groupBy("segment")
+        .agg(
+            F.max("n").cast("long").alias("n_orders"),
+            disc(0.5).alias("p50"),
+            disc(0.9).alias("p90"),
+            disc(0.99).alias("p99"),
+        )
+        .orderBy("segment")
     )

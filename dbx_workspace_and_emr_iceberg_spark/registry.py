@@ -177,6 +177,10 @@ _DRIVER_PRIORITY = [
     "x33_host_quota",
     "x34_dup_span_detect",
     "x35_host_pagerank",
+    "qd5_cohort_retention",
+    "qd6_basket_pairs",
+    "qd7_order_gap_histogram",
+    "qd8_percentile_report",
 ]
 
 

@@ -1316,3 +1316,41 @@ def x30_upsampled_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- F19: IDENTIFIER() clause (SPARK-43205) ---------------------------------
+# The injection-safe companion to F11's value parameters: IDENTIFIER(
+# :name) binds a table/column NAME from a parameter, closing the one
+# hole value markers leave (object names can't be value-parameterized).
+# Programmatic callers templating table names — per-tenant tables,
+# per-snapshot clones — get catalog-checked binding instead of
+# f-string splicing. Resolution happens at parse time, so the plan is
+# identical to writing the name literally (pushdown sees the real
+# relation).
+
+_F19_ORACLE = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(avg(c_acctbal), 2) AS avg_bal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("f19_identifier_clause", oracle=_F19_ORACLE, tags=("F19", "F11"))
+def f19_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_f19"
+    )
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               count(*) AS n_customers,
+               round(avg(IDENTIFIER(:balcol)), 2) AS avg_bal
+        FROM IDENTIFIER(:tbl)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """,
+        args={"tbl": "customer_f19", "balcol": "c_acctbal"},
+    )

@@ -181,6 +181,7 @@ _DRIVER_PRIORITY = [
     "qd6_basket_pairs",
     "qd7_order_gap_histogram",
     "qd8_percentile_report",
+    "f19_identifier_clause",
 ]
 
 

@@ -67,6 +67,9 @@ HEADLINE = [
     # stride-1 k-gram span dedup: the corpus-linear explode + digest
     # aggregate + island-merge window — the heaviest new r7 plan shape
     "x34_dup_span_detect",
+    # DS-suite representative: per-basket self-join pair explosion +
+    # pair aggregate + deterministic top-k cut
+    "qd6_basket_pairs",
 ]
 
 

@@ -305,3 +305,67 @@ def simhash(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ).alias("simhash_bits"),
     )
     return sig
+
+
+def dup_span_stats(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Per-doc duplicated-span statistics from stride-1 sliding k-token
+    windows — Lee et al. exact-substring dedup respelled from suffix
+    arrays to digest joins (the x34 operator, extracted for reuse by
+    composed pipelines like x36).
+
+    A window is flagged when its k-gram digest occurs more than once
+    corpus-wide (any doc, any offset, self-repeats included); flagged
+    windows whose starts differ by <= k merge into one maximal span.
+    Returns one row per input doc: (id_col, n_tokens long, n_spans
+    long, dup_tokens long). Docs shorter than k tokens carry zeros.
+
+    Scale: one gram per token (corpus-linear explode); every
+    post-explode shuffle moves 16-byte digests or (id, pos) ints,
+    never text. At 100 TB swap md5 for xxhash64 and persist the gram
+    frame DISK_ONLY so the explode runs once (md5 + re-derivation here
+    keep the DuckDB oracle replayable and the harness cache-free)."""
+    toks = docs.select(F.col(id_col), F.split(text_col, " ").alias("__t"))
+    grams = toks.filter(F.size("__t") >= k).select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(__t) - {k}),"
+                f" i -> md5(concat_ws(' ', slice(__t, i + 1, {k}))))"
+            )
+        ).alias("__pos", "__g"),
+    )
+    dup = (
+        grams.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .select("__g")
+    )
+    flagged = grams.join(dup, "__g", "left_semi").select(id_col, "__pos")
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    isl = flagged.withColumn(
+        "__brk",
+        F.when(
+            F.col("__pos") - F.lag("__pos").over(w) <= k, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn("__island", F.sum("__brk").over(w))
+    spans = isl.groupBy(id_col, "__island").agg(
+        (F.max("__pos") - F.min("__pos") + k).alias("__span_tokens")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_spans"),
+        F.sum("__span_tokens").alias("__dup_tokens"),
+    )
+    return (
+        toks.select(id_col, F.size("__t").cast("long").alias("n_tokens"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("__n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("__dup_tokens", F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+        )
+    )

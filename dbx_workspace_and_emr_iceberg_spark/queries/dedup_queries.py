@@ -1226,54 +1226,143 @@ def x34_dup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-repeats included), merged into maximal spans — two flagged
     windows join one span iff their starts differ by <= k (overlap or
     touch). dup_frac is the fraction of the doc's tokens inside
-    duplicated spans — the drop/trim signal."""
-    from pyspark.sql import Window
+    duplicated spans — the drop/trim signal. Core logic lives in
+    ``operators.dedup.dup_span_stats`` (reused by x36)."""
+    from ..operators.dedup import dup_span_stats
 
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("t"))
-    grams = toks.filter(F.size("t") >= _X34_K).select(
+    stats = dup_span_stats(d, "doc_id", "text", k=_X34_K)
+    return stats.select(
         "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, size(t) - {_X34_K}),"
-                f" i -> md5(concat_ws(' ', slice(t, i + 1, {_X34_K}))))"
+        "n_tokens",
+        "n_spans",
+        "dup_tokens",
+        F.round(F.col("dup_tokens") / F.col("n_tokens"), 4).alias(
+            "dup_frac"
+        ),
+    ).orderBy("doc_id")
+
+
+# --- X36: composed governance pipeline (quota → span dedup → drop) ----------
+# Production curation is a PIPELINE, not isolated operators: cap every
+# host at its top-Q docs (x33), THEN detect duplicated spans WITHIN the
+# surviving corpus (x34 — duplicate evidence must come from survivors,
+# or a doc can be dropped for matching text the quota already removed),
+# then drop any survivor with >= 50% duplicated tokens. The drop rule
+# is integer arithmetic (dup_tokens·2 >= n_tokens), so the composed
+# oracle is float-free end to end. One declarative plan: the window,
+# the k-gram digest aggregate and the threshold filter all fuse under
+# Catalyst; per-host accounting is the auditable governance artifact.
+
+_X36_QUOTA = 15
+_X36_K = 8
+
+_X36_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, text, n_chars, source || '.example.org' AS host,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+),
+kept AS (SELECT doc_id, text, n_chars, host FROM ranked WHERE rk <= {_X36_QUOTA}),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM kept),
+grams AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(list_slice(t, i + 1, i + {_X36_K}), ' ')) AS g
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(0, len(t) - {_X36_K})) AS i)
+  WHERE len(t) >= {_X36_K}
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+flagged AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {_X36_K}
+              THEN 0 ELSE 1 END AS brk
+  FROM flagged
+),
+isl2 AS (SELECT doc_id, pos,
+                sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM isl),
+spans AS (SELECT doc_id, island,
+                 max(pos) - min(pos) + {_X36_K} AS span_tokens
+          FROM isl2 GROUP BY 1, 2),
+per_doc AS (SELECT doc_id, sum(span_tokens) AS dup_tokens
+            FROM spans GROUP BY 1),
+final AS (
+  SELECT k.host, k.doc_id, k.n_chars,
+         coalesce(p.dup_tokens, 0) AS dup_tokens,
+         len(string_split(k.text, ' ')) AS n_tokens
+  FROM kept k LEFT JOIN per_doc p USING (doc_id)
+)
+SELECT r.host,
+       CAST(count(DISTINCT r.doc_id) AS BIGINT) AS n_candidates,
+       CAST(count(DISTINCT CASE WHEN r.rk <= {_X36_QUOTA} THEN r.doc_id END)
+            AS BIGINT) AS n_quota_kept,
+       CAST(count(DISTINCT CASE WHEN f.dup_tokens * 2 >= f.n_tokens
+                                THEN f.doc_id END) AS BIGINT)
+         AS n_dupspan_dropped,
+       CAST(count(DISTINCT CASE WHEN f.dup_tokens * 2 < f.n_tokens
+                                THEN f.doc_id END) AS BIGINT) AS n_final,
+       CAST(sum(CASE WHEN f.dup_tokens * 2 < f.n_tokens
+                     THEN f.n_chars ELSE 0 END) AS BIGINT) AS final_chars
+FROM ranked r LEFT JOIN final f ON f.doc_id = r.doc_id
+GROUP BY r.host ORDER BY r.host
+"""
+
+
+@register(
+    "x36_governance_pipeline",
+    oracle=_X36_ORACLE,
+    tags=("X36", "X33", "X34", "X1"),
+)
+def x36_governance_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.dedup import dup_span_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    ranked = d.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        "source",
+        F.concat("source", F.lit(".example.org")).alias("host"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.col("n_chars").desc(), "doc_id"
             )
-        ).alias("pos", "g"),
+        ),
     )
-    dup = (
-        grams.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > 1)
-        .select("g")
+    kept = ranked.filter(F.col("rk") <= _X36_QUOTA)
+    stats = dup_span_stats(
+        kept.select("doc_id", "text"), "doc_id", "text", k=_X36_K
     )
-    flagged = grams.join(dup, "g", "left_semi").select("doc_id", "pos")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    isl = flagged.withColumn(
-        "brk",
-        F.when(
-            F.col("pos") - F.lag("pos").over(w) <= _X34_K, F.lit(0)
-        ).otherwise(F.lit(1)),
-    ).withColumn("island", F.sum("brk").over(w))
-    spans = isl.groupBy("doc_id", "island").agg(
-        (F.max("pos") - F.min("pos") + _X34_K).alias("span_tokens")
+    final = kept.select("host", "doc_id", "n_chars").join(stats, "doc_id")
+    dropped = F.col("dup_tokens") * 2 >= F.col("n_tokens")
+    per_host_final = final.groupBy("host").agg(
+        F.sum(dropped.cast("long")).alias("n_dupspan_dropped"),
+        F.sum((~dropped).cast("long")).alias("n_final"),
+        F.sum(F.when(~dropped, F.col("n_chars")).otherwise(0)).alias(
+            "final_chars"
+        ),
     )
-    per_doc = spans.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum("span_tokens").alias("dup_tokens"),
+    per_host_cand = ranked.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum((F.col("rk") <= _X36_QUOTA).cast("long")).alias("n_quota_kept"),
     )
     return (
-        toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
-        .join(per_doc, "doc_id", "left")
+        per_host_cand.join(per_host_final, "host")
         .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
-            F.coalesce("dup_tokens", F.lit(0))
-            .cast("long")
-            .alias("dup_tokens"),
-            F.round(
-                F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 4
-            ).alias("dup_frac"),
+            "host",
+            "n_candidates",
+            "n_quota_kept",
+            "n_dupspan_dropped",
+            "n_final",
+            "final_chars",
         )
-        .orderBy("doc_id")
+        .orderBy("host")
     )

@@ -182,6 +182,7 @@ _DRIVER_PRIORITY = [
     "qd7_order_gap_histogram",
     "qd8_percentile_report",
     "f19_identifier_clause",
+    "x36_governance_pipeline",
 ]
 
 

@@ -1282,9 +1282,12 @@ _X35_ITERS = 8
 _X35_DAMP = 0.85
 
 
-def _x35_oracle() -> str:
-    base = """
-WITH n_docs AS (SELECT max(doc_id) + 1 AS n FROM documents),
+def _x35_cte_body() -> str:
+    """WITH-body CTE chain deriving the deterministic host link graph
+    and unrolling the ``_X35_ITERS`` power-iteration steps; the final
+    rank relation is ``r{_X35_ITERS}(host, r)``. Shared by the x35 and
+    x37 oracles so both engines replay the identical iteration."""
+    base = """n_docs AS (SELECT max(doc_id) + 1 AS n FROM documents),
 links AS (
   SELECT d.source || '.example.org' AS src,
          t.source || '.example.org' AS dst,
@@ -1314,20 +1317,24 @@ r0 AS (SELECT host, 1.0 / n AS r FROM hosts CROSS JOIN nh)"""
   GROUP BY h.host, nh.n
 )"""
         )
+    return base + ",\n" + ",\n".join(steps)
+
+
+def _x35_oracle() -> str:
     return (
-        base
-        + ",\n"
-        + ",\n".join(steps)
+        "WITH "
+        + _x35_cte_body()
         + f"\nSELECT host, round(r, 6) + 0.0 AS pagerank"
         f"\nFROM r{_X35_ITERS} ORDER BY host"
     )
 
 
-@register("x35_host_pagerank", oracle=_x35_oracle(), tags=("X35", "X21"))
-def x35_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _host_rank_frame(d: DataFrame) -> DataFrame:
+    """(host, rank) from the deterministic derived link graph — the
+    shared Spark half of the x35/x37 PageRank prior (twin of
+    ``_x35_cte_body``'s links/edges CTEs)."""
     from ..operators.components import pagerank
 
-    d = load_table(spark, sf_dir, "documents")
     host = F.concat("source", F.lit(".example.org"))
     n_docs = d.agg((F.max("doc_id") + 1).alias("n"))
     tgt = d.select(F.col("doc_id").alias("t_id"), host.alias("dst"))
@@ -1343,7 +1350,7 @@ def x35_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tgt, "t_id")
         .filter(F.col("src") != F.col("dst"))
     )
-    ranks = pagerank(
+    return pagerank(
         links,
         "src",
         "dst",
@@ -1351,7 +1358,126 @@ def x35_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         damping=_X35_DAMP,
         iters=_X35_ITERS,
         nodes=d.select(host.alias("host")),
+    ).select(F.col("node").alias("host"), "rank")
+
+
+@register("x35_host_pagerank", oracle=_x35_oracle(), tags=("X35", "X21"))
+def x35_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        _host_rank_frame(d)
+        .select("host", F.round("rank", 6).alias("pagerank"))
+        .orderBy("host")
     )
-    return ranks.select(
-        F.col("node").alias("host"), F.round("rank", 6).alias("pagerank")
-    ).orderBy("host")
+
+
+# --- X37: quality-signal ensemble (CCNet/RefinedWeb-style fusion) -----------
+# Real curation fuses independent quality signals — here length,
+# lexical diversity (distinct/total tokens), and the x35 host-PageRank
+# prior — by rank-normalizing each PER LANGUAGE (percent_rank windows
+# partitioned on lang: raw signal scales are incomparable across
+# signals AND across languages) and blending 0.4/0.3/0.3, then keeping
+# the top-5 docs per language (deterministic doc_id tie-break). The
+# whole pipeline is one declarative plan: the PageRank prior joins in
+# as a tiny (|hosts|-row) frame, the three percent_rank windows share
+# one lang-keyed shuffle, and the top-k cut is W4's window pattern —
+# no global window anywhere. The oracle replays everything, including
+# all 8 power-iteration steps, via the shared _x35_cte_body.
+
+_X37_ORACLE = (
+    "WITH "
+    + _x35_cte_body()
+    + f""",
+sig AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq,
+         source || '.example.org' AS host
+  FROM documents
+),
+scored0 AS (
+  SELECT s.doc_id, s.lang,
+         CAST(s.n_tok AS DOUBLE) AS s_len,
+         CAST(s.n_uniq AS DOUBLE) / s.n_tok AS s_div,
+         r.r AS s_host
+  FROM sig s JOIN r{_X35_ITERS} r ON r.host = s.host
+),
+ranked AS (
+  SELECT doc_id, lang,
+         percent_rank() OVER (PARTITION BY lang ORDER BY s_len) AS r_len,
+         percent_rank() OVER (PARTITION BY lang ORDER BY s_div) AS r_div,
+         percent_rank() OVER (PARTITION BY lang ORDER BY s_host) AS r_host
+  FROM scored0
+),
+blend AS (
+  SELECT doc_id, lang,
+         round(0.4 * r_len + 0.3 * r_div + 0.3 * r_host, 6) + 0.0 AS score
+  FROM ranked
+),
+top AS (
+  SELECT lang, doc_id, score,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY score DESC, doc_id) AS rk
+  FROM blend
+)
+SELECT lang, CAST(rk AS BIGINT) AS lang_rank, doc_id, score
+FROM top WHERE rk <= 5 ORDER BY lang, lang_rank"""
+)
+
+
+@register(
+    "x37_quality_ensemble",
+    oracle=_X37_ORACLE,
+    tags=("X37", "X4", "X35", "W4"),
+)
+def x37_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sig = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("double").alias("s_len"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "s_div"
+        ),
+        F.concat("source", F.lit(".example.org")).alias("host"),
+    )
+    scored0 = sig.join(
+        F.broadcast(
+            _host_rank_frame(d).select("host", F.col("rank").alias("s_host"))
+        ),
+        "host",
+    )
+
+    def pr(col: str):
+        return F.percent_rank().over(
+            Window.partitionBy("lang").orderBy(col)
+        )
+
+    ranked = scored0.select(
+        "doc_id",
+        "lang",
+        pr("s_len").alias("r_len"),
+        pr("s_div").alias("r_div"),
+        pr("s_host").alias("r_host"),
+    )
+    blend = ranked.select(
+        "doc_id",
+        "lang",
+        F.round(
+            0.4 * F.col("r_len")
+            + 0.3 * F.col("r_div")
+            + 0.3 * F.col("r_host"),
+            6,
+        ).alias("score"),
+    )
+    wt = Window.partitionBy("lang").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        blend.withColumn("lang_rank", F.row_number().over(wt))
+        .filter(F.col("lang_rank") <= 5)
+        .select(
+            "lang", F.col("lang_rank").cast("long").alias("lang_rank"),
+            "doc_id", "score",
+        )
+        .orderBy("lang", "lang_rank")
+    )

@@ -183,6 +183,7 @@ _DRIVER_PRIORITY = [
     "qd8_percentile_report",
     "f19_identifier_clause",
     "x36_governance_pipeline",
+    "x37_quality_ensemble",
 ]
 
 

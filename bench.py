@@ -70,6 +70,9 @@ HEADLINE = [
     # DS-suite representative: per-basket self-join pair explosion +
     # pair aggregate + deterministic top-k cut
     "qd6_basket_pairs",
+    # iterative-algorithm representative: 8 Pregel-style power
+    # iterations (join + groupBy per round) over the host link graph
+    "x35_host_pagerank",
 ]
 
 

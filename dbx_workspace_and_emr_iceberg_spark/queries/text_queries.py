@@ -1200,10 +1200,11 @@ def x24_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spelled as one row_number window over host — a single shuffle on the
 # governance key, no Python. 100 TB note: per-host top-Q is
 # SALT-COMPOSABLE (top-Q of a union is the top-Q of per-salt top-Qs),
-# so a skewed mega-host is handled by a two-phase spelling — top-Q per
-# (host, salt32), then top-Q per host over the ≤32·Q survivors — the
-# same respell AQE's skew-join applies to joins, done manually for the
-# window. At this fixture scale the single window is the honest plan.
+# so a skewed mega-host is handled by the two-phase spelling
+# IMPLEMENTED as operators/skew.py::salted_top_k (equivalence with the
+# single window proven in tests/test_operators.py) — the same respell
+# AQE's skew-join applies to joins, done manually for the window. At
+# this fixture scale the single window is the honest plan.
 
 _X33_QUOTA = 15
 

@@ -583,3 +583,37 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert abs(got[k] - r[idx[k]]) < 1e-12, (k, got[k], r[idx[k]])
     # dangling D leaks mass: totals strictly below 1, isolated E at floor
     assert sum(got.values()) < 1.0 and abs(got["E"] - 0.15 / 5) < 1e-12
+
+
+def test_salted_top_k_equals_single_window(spark):
+    """The two-phase salted per-key top-k (x33's documented mega-host
+    respell) must return EXACTLY the single-window result when the
+    order is total, for keys far above and below k, regardless of
+    partition layout."""
+    from pyspark.sql import Window
+
+    from dbx_workspace_and_emr_iceberg_spark.operators.skew import (
+        salted_top_k,
+    )
+
+    rows = [("hot", i, (i * 37) % 101) for i in range(500)]
+    rows += [("cold", i, i) for i in range(3)]
+    df = spark.createDataFrame(rows, "k string, id long, v long")
+    order = [F.col("v").desc(), F.col("id")]  # total order via id
+    w = Window.partitionBy("k").orderBy(*order)
+    plain = {
+        (r.k, r.id)
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 10")
+        .collect()
+    }
+    for layout in (df, df.repartition(13)):
+        got = {
+            (r.k, r.id)
+            for r in salted_top_k(
+                layout, ["k"], order, 10, n_salts=7
+            ).collect()
+        }
+        assert got == plain
+    # cold key with fewer rows than k keeps everything
+    assert sum(1 for t in plain if t[0] == "cold") == 3

@@ -154,10 +154,18 @@ def pagerank(
     ``nodes`` (one column, node ids) pins the vertex set; defaults to
     ids appearing in ``edges``. Dangling-mass convention: dropped —
     contributions flow only along edges, so ranks sum to <= 1 when
-    sinks exist. Scale: persist ``edges`` before calling; for deep
-    iteration counts localCheckpoint the rank frame every few rounds
-    to truncate lineage (iters is fixed and small here — power
-    iteration converges geometrically at damping < 1)."""
+    sinks exist; a node whose out-edge weights are all <= 0 is treated
+    as dangling, never as a NaN source. Weights are assumed
+    non-negative (PageRank is undefined otherwise).
+
+    Lifecycle: the transition and node frames are .cache()'d and stay
+    live after return so the caller's action reuses them across all
+    ``iters`` self-joins — x2's caller-owned-cache convention; call
+    ``spark.catalog.clearCache()`` (bench.py does) or unpersist when
+    the returned frame is consumed. Scale: persist ``edges`` before
+    calling; for deep iteration counts localCheckpoint the rank frame
+    every few rounds to truncate lineage (iters is fixed and small
+    here — power iteration converges geometrically at damping < 1)."""
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
     e = edges.select(
         F.col(src).alias("__s"), F.col(dst).alias("__d"), w.alias("__w")
@@ -168,7 +176,17 @@ def pagerank(
         ).distinct()
     else:
         nodes = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
-    agg = e.groupBy("__s", "__d").agg(F.sum("__w").alias("__w"))
+    # zero-weight edges carry no mass; dropping them here (a) keeps
+    # __w/__out well-defined — a src whose weights all sum to 0 would
+    # otherwise yield 0.0/0.0 = NaN transition probabilities that
+    # poison every downstream rank over the iterations — and (b) makes
+    # such a node a proper dangling sink (mass dropped), matching the
+    # documented convention.
+    agg = (
+        e.groupBy("__s", "__d")
+        .agg(F.sum("__w").alias("__w"))
+        .filter(F.col("__w") > 0)
+    )
     outdeg = agg.groupBy("__s").agg(F.sum("__w").alias("__out"))
     trans = (
         agg.join(outdeg, "__s")

@@ -1181,21 +1181,25 @@ def x32_cluster_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _X34_K = 8
 
-_X34_ORACLE = f"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-grams AS (
+
+def _span_cte_chain(k: int) -> str:
+    """CTE steps from a ``toks(doc_id, t)`` relation to
+    ``per_doc(doc_id, n_spans, dup_tokens)`` — the SQL twin of
+    ``operators.dedup.dup_span_stats``, shared by the x34 and x36
+    oracles so both verify the identical island-merge semantics."""
+    return f"""grams AS (
   SELECT doc_id, i AS pos,
-         md5(array_to_string(list_slice(t, i + 1, i + {_X34_K}), ' ')) AS g
+         md5(array_to_string(list_slice(t, i + 1, i + {k}), ' ')) AS g
   FROM toks,
-       LATERAL (SELECT unnest(generate_series(0, len(t) - {_X34_K})) AS i)
-  WHERE len(t) >= {_X34_K}
+       LATERAL (SELECT unnest(generate_series(0, len(t) - {k})) AS i)
+  WHERE len(t) >= {k}
 ),
 dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
 flagged AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
 isl AS (
   SELECT doc_id, pos,
          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                   <= {_X34_K}
+                   <= {k}
               THEN 0 ELSE 1 END AS brk
   FROM flagged
 ),
@@ -1203,11 +1207,16 @@ isl2 AS (SELECT doc_id, pos,
                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
          FROM isl),
 spans AS (SELECT doc_id, island,
-                 max(pos) - min(pos) + {_X34_K} AS span_tokens
+                 max(pos) - min(pos) + {k} AS span_tokens
           FROM isl2 GROUP BY 1, 2),
 per_doc AS (SELECT doc_id, count(*) AS n_spans,
                    sum(span_tokens) AS dup_tokens
-            FROM spans GROUP BY 1)
+            FROM spans GROUP BY 1)"""
+
+
+_X34_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+{_span_cte_chain(_X34_K)}
 SELECT d.doc_id,
        CAST(len(string_split(d.text, ' ')) AS BIGINT)    AS n_tokens,
        CAST(coalesce(p.n_spans, 0) AS BIGINT)            AS n_spans,
@@ -1257,6 +1266,10 @@ def x34_dup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X36_QUOTA = 15
 _X36_K = 8
 
+#: the ranked/kept quota CTEs mirror _X33_ORACLE (text_queries.py) —
+#: kept as a literal here because importing across query modules at
+#: registration time would reorder the driver's execution order; the
+#: span chain itself is the shared _span_cte_chain
 _X36_ORACLE = f"""
 WITH ranked AS (
   SELECT doc_id, text, n_chars, source || '.example.org' AS host,
@@ -1266,30 +1279,7 @@ WITH ranked AS (
 ),
 kept AS (SELECT doc_id, text, n_chars, host FROM ranked WHERE rk <= {_X36_QUOTA}),
 toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM kept),
-grams AS (
-  SELECT doc_id, i AS pos,
-         md5(array_to_string(list_slice(t, i + 1, i + {_X36_K}), ' ')) AS g
-  FROM toks,
-       LATERAL (SELECT unnest(generate_series(0, len(t) - {_X36_K})) AS i)
-  WHERE len(t) >= {_X36_K}
-),
-dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
-flagged AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
-isl AS (
-  SELECT doc_id, pos,
-         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                   <= {_X36_K}
-              THEN 0 ELSE 1 END AS brk
-  FROM flagged
-),
-isl2 AS (SELECT doc_id, pos,
-                sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-         FROM isl),
-spans AS (SELECT doc_id, island,
-                 max(pos) - min(pos) + {_X36_K} AS span_tokens
-          FROM isl2 GROUP BY 1, 2),
-per_doc AS (SELECT doc_id, sum(span_tokens) AS dup_tokens
-            FROM spans GROUP BY 1),
+{_span_cte_chain(_X36_K)},
 final AS (
   SELECT k.host, k.doc_id, k.n_chars,
          coalesce(p.dup_tokens, 0) AS dup_tokens,

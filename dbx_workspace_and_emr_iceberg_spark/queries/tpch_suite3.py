@@ -232,7 +232,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
-@register("qd5_cohort_retention", oracle=_QD5_ORACLE, tags=("A1", "W2", "J9"))
+@register("qd5_cohort_retention", oracle=_QD5_ORACLE, tags=("A1", "A4", "J1"))
 def qd5_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     cust_year = o.select(

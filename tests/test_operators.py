@@ -585,6 +585,28 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert sum(got.values()) < 1.0 and abs(got["E"] - 0.15 / 5) < 1e-12
 
 
+def test_pagerank_zero_weight_source_is_dangling_not_nan(spark):
+    """A source whose out-edge weights sum to zero must behave as a
+    dangling sink (mass dropped), not emit 0/0 = NaN transition
+    probabilities that poison the rank vector."""
+    import math
+
+    from dbx_workspace_and_emr_iceberg_spark.operators.components import (
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [("A", "B", 1.0), ("B", "A", 1.0), ("Z", "A", 0.0), ("Z", "B", 0.0)],
+        "src string, dst string, w double",
+    )
+    got = {r.node: r.rank for r in pagerank(edges, weight="w", iters=6).collect()}
+    assert all(not math.isnan(v) for v in got.values()), got
+    # Z contributes nothing and receives nothing: floor rank
+    assert abs(got["Z"] - 0.15 / 3) < 1e-12
+    # A and B exchange the remaining mass symmetrically
+    assert abs(got["A"] - got["B"]) < 1e-12 and got["A"] > got["Z"]
+
+
 def test_salted_top_k_equals_single_window(spark):
     """The two-phase salted per-key top-k (x33's documented mega-host
     respell) must return EXACTLY the single-window result when the

@@ -370,3 +370,37 @@ def test_s13_python_source_aggregate_is_two_phase(spark):
     # partial aggregation must run on the custom source's splits before
     # the exchange — the source composes with Catalyst like a native one
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_x37_three_windows_share_one_lang_exchange(spark):
+    """SCALE.md's x37 claim, pinned: the three percent_rank windows
+    differ only in sort key, so exactly ONE hashpartitioning(lang)
+    exchange feeds them (partition-local re-sorts between Window
+    nodes); and no window in the plan is global (every Window has a
+    partition key)."""
+    from dbx_workspace_and_emr_iceberg_spark.queries.text_queries import (
+        x37_quality_ensemble,
+    )
+
+    df = x37_quality_ensemble(spark, SF_DIR)
+    p = X.simple_plan(df)
+    lang_exchanges = p.count("Exchange hashpartitioning(lang")
+    assert lang_exchanges == 1, p
+    assert X.python_eval_count(df) == 0, "ensemble crossed into Python"
+
+
+def test_x34_span_detect_no_text_in_post_explode_plan(spark):
+    """x34's scale contract: after the k-gram explode only digests and
+    (doc_id, pos) ints move — the text column must not appear in any
+    exchange. Also a window on doc_id, never a global window."""
+    from dbx_workspace_and_emr_iceberg_spark.queries.dedup_queries import (
+        x34_dup_span_detect,
+    )
+
+    df = x34_dup_span_detect(spark, SF_DIR)
+    p = X.formatted_plan(df)
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", p):
+        assert "text" not in m.group(1), m.group(0)
+    assert X.python_eval_count(df) == 0

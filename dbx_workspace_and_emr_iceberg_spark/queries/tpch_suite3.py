@@ -381,32 +381,41 @@ def qd8_percentile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
         F.col("c_mktsegment").alias("segment"), "o_totalprice"
     )
-    rn_w = Window.partitionBy("segment").orderBy("o_totalprice")
-    n_w = Window.partitionBy("segment")
-    ranked = seg.select(
-        "segment",
-        "o_totalprice",
-        F.row_number().over(rn_w).alias("rn"),
-        F.count(F.lit(1)).over(n_w).alias("n"),
-    )
-
-    def disc(p: float):
-        # inverse-CDF discrete quantile: 1-indexed rank ceil(p*n),
-        # the exact rule quantile_disc implements (probed empirically)
-        return F.max(
-            F.when(
-                F.col("rn") == F.ceil(F.col("n") * F.lit(p)),
-                F.col("o_totalprice"),
-            )
-        )
-
     return (
-        ranked.groupBy("segment")
-        .agg(
-            F.max("n").cast("long").alias("n_orders"),
-            disc(0.5).alias("p50"),
-            disc(0.9).alias("p90"),
-            disc(0.99).alias("p99"),
+        discrete_percentiles(
+            seg, "segment", "o_totalprice", {"p50": 0.5, "p90": 0.9, "p99": 0.99}
         )
+        .withColumnRenamed("n_rows", "n_orders")
+        .select("segment", "n_orders", "p50", "p90", "p99")
         .orderBy("segment")
     )
+
+
+def discrete_percentiles(
+    df: DataFrame, key_col: str, value_col: str, ps: dict[str, float]
+) -> DataFrame:
+    """Exact DISCRETE per-key quantiles: for each (alias, p) in ``ps``
+    the element at 1-indexed rank ceil(p*n) of the key's sorted values
+    — DuckDB quantile_disc's inverse-CDF rule (probed empirically;
+    property-pinned against it in tests/test_properties.py). Output:
+    (key_col, n_rows, *aliases). One shuffle on the key; ties in
+    ``value_col`` are harmless (any tied row yields the same value)."""
+    rn_w = Window.partitionBy(key_col).orderBy(value_col)
+    n_w = Window.partitionBy(key_col)
+    ranked = df.select(
+        key_col,
+        value_col,
+        F.row_number().over(rn_w).alias("__rn"),
+        F.count(F.lit(1)).over(n_w).alias("__n"),
+    )
+    aggs = [F.max("__n").cast("long").alias("n_rows")]
+    for alias, p in ps.items():
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("__rn") == F.ceil(F.col("__n") * F.lit(p)),
+                    F.col(value_col),
+                )
+            ).alias(alias)
+        )
+    return ranked.groupBy(key_col).agg(*aggs)

@@ -473,3 +473,47 @@ def test_x34_dup_spans_match_bruteforce(spark, tmp_path_factory, texts):
         for r in dq.x34_dup_span_detect(spark, sf).collect()
     }
     assert got == _x34_expected(texts, dq._X34_K)
+
+
+# --- discrete percentiles vs DuckDB quantile_disc ---------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            # cent-valued doubles with deliberate tie pressure
+            st.integers(min_value=0, max_value=50).map(lambda c: c / 100.0),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.sampled_from([0.01, 0.25, 0.5, 0.9, 0.99, 1.0]),
+)
+@SLOW
+def test_discrete_percentiles_match_quantile_disc(spark, rows, p):
+    """The ceil(p*n) spelling (qd8 / discrete_percentiles) must equal
+    DuckDB's quantile_disc for every key on adversarial inputs: heavy
+    value ties, n=1 groups, boundary p values."""
+    import duckdb
+
+    from dbx_workspace_and_emr_iceberg_spark.queries.tpch_suite3 import (
+        discrete_percentiles,
+    )
+
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {
+        r.k: (r.n_rows, r.q)
+        for r in discrete_percentiles(df, "k", "v", {"q": p}).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {
+        k: (n, q)
+        for k, n, q in con.execute(
+            f"SELECT k, count(*), quantile_disc(v, {p}) FROM t GROUP BY k"
+        ).fetchall()
+    }
+    con.close()
+    assert got == want

@@ -639,3 +639,37 @@ def test_salted_top_k_equals_single_window(spark):
         assert got == plain
     # cold key with fewer rows than k keeps everything
     assert sum(1 for t in plain if t[0] == "cold") == 3
+
+
+def test_x36_duplicate_evidence_comes_from_quota_survivors_only(spark, tmp_path):
+    """The composition ORDER is the semantics: a doc whose only
+    duplicate partner was removed by the quota must NOT be dropped
+    (span-detect-before-quota would wrongly flag it), while true
+    intra-survivor duplicates are dropped."""
+    from dbx_workspace_and_emr_iceberg_spark.queries import dedup_queries as dq
+
+    q = dq._X36_QUOTA
+    y_text = " ".join(f"y{i}" for i in range(20))
+    docs = []
+    # src0: 14 long unique fillers (rk 1-14), Y (rk 15, kept), Z = exact
+    # copy of Y, same length, higher doc_id -> rk 16, dropped by quota
+    for i in range(q - 1):
+        docs.append((i, " ".join(f"f{i}w{j}" for j in range(25)), "en", "src0"))
+    docs.append((100, y_text, "en", "src0"))
+    docs.append((101, y_text, "en", "src0"))
+    # src1: two identical long docs (both inside quota -> both 100% dup)
+    # plus one unique doc
+    p_text = " ".join(f"p{i}" for i in range(20))
+    docs += [(200, p_text, "en", "src1"), (201, p_text, "en", "src1"),
+             (202, " ".join(f"u{i}" for i in range(20)), "en", "src1")]
+    spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r.host: r for r in dq.x36_governance_pipeline(spark, str(tmp_path)).collect()}
+    h0 = out["src0.example.org"]
+    assert (h0.n_candidates, h0.n_quota_kept) == (q + 1, q)
+    # Y survives: its duplicate Z never reached the span detector
+    assert h0.n_dupspan_dropped == 0 and h0.n_final == q
+    h1 = out["src1.example.org"]
+    assert h1.n_dupspan_dropped == 2 and h1.n_final == 1

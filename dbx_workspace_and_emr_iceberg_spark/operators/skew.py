@@ -10,7 +10,7 @@ exactly how the oracle checks it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -45,6 +45,7 @@ def salted_top_k(
     order_cols: list,
     k: int,
     n_salts: int = 32,
+    rank_col: str | None = None,
 ) -> DataFrame:
     """Per-key top-k rows, skew-proof: the two-phase salted spelling of
     the x33 per-host quota (per-key top-k is SALT-COMPOSABLE — the
@@ -61,10 +62,12 @@ def salted_top_k(
     k boundary, *which* tied row survives phase 1 depends on its salt,
     and equivalence with the single-window spelling only holds when
     the order admits no ties.
+
+    ``rank_col``, when given, keeps phase 2's per-key rank (1..k) under
+    that name — phase 2 runs on the bounded <= n_salts*k survivors per
+    key, so exposing its rank costs nothing extra.
     """
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
-    from pyspark.sql import Window
-
     w1 = Window.partitionBy(*key_cols, "__salt").orderBy(*order_cols)
     phase1 = (
         df.withColumn("__salt", salt)
@@ -73,8 +76,176 @@ def salted_top_k(
         .drop("__salt", "__rk1")
     )
     w2 = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    out = phase1.withColumn("__rk", F.row_number().over(w2)).filter(
+        F.col("__rk") <= k
+    )
+    if rank_col is None:
+        return out.drop("__rk")
+    return out.withColumnRenamed("__rk", rank_col)
+
+
+def chunked_percent_ranks(
+    df: DataFrame,
+    part_col: str,
+    value_cols: list[str],
+    id_cols: list[str],
+    n_chunks: int = 8,
+    out_prefix: str = "pr_",
+) -> DataFrame:
+    """Exact ``percent_rank() OVER (PARTITION BY part_col ORDER BY v)``
+    for every ``v`` in value_cols — with NO window partitioned on
+    ``part_col`` alone. The skew-proof respelling for low-cardinality,
+    heavily skewed partition keys: a real pretraining corpus is
+    English-dominated, so a per-LANGUAGE window funnels one language's
+    billions of rows through ONE task (the x23/w5b failure class, one
+    partition key better). Same machinery as w5b's distributed ntile,
+    generalized from rank to percent_rank and to multiple signals in
+    one pass.
+
+    Identity used: percent_rank(row) = cnt_lt / (n_part - 1), where
+    cnt_lt is the number of rows in the partition with a STRICTLY
+    smaller value — ties share the min rank, which is exactly SQL
+    percent_rank's tie rule, and the division is the same double
+    arithmetic Spark/DuckDB perform, so values hash-match bit-for-bit.
+
+    Pipeline (all shuffles on keys that include the value or chunk —
+    never part_col alone):
+      1. explode df to (id_cols, part, sig, val) — map-side, 1 row per
+         signal;
+      2. distinct-value counts groupBy(part, sig, val) — combiner-
+         friendly; ties collapse here, so the rank frame is bounded by
+         the number of DISTINCT values, not rows;
+      3. chunk each sig's value axis by approxQuantile boundaries
+         (balance is approximate, correctness never depends on it) and
+         take a chunk-LOCAL exclusive prefix sum over windows
+         partitioned by (part, sig, chunk);
+      4. per-(part, sig, chunk) totals collect to the driver — bounded
+         by |parts| * |sigs| * n_chunks rows (x23 precedent), exclusive
+         prefix there, broadcast back as offsets; per-part row count n
+         comes from the same totals;
+      5. join the rank frame back on (part, sig, val) and pivot to one
+         ``pr_<sig>`` column per signal via groupBy(id_cols).
+
+    Value columns must be non-NULL (Spark defaults NULLS FIRST where
+    DuckDB defaults NULLS LAST, so NULL ranks would diverge anyway).
+    Returns id_cols + part_col + pr_<sig> columns at df's grain
+    (id_cols must be unique per row).
+    """
+    spark = df.sparkSession
+    probs = [i / n_chunks for i in range(1, n_chunks)]
+    bounds = df.stat.approxQuantile(list(value_cols), probs, 0.01)
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("sig"), F.col(c).cast("double").alias("val")
+            )
+            for c in value_cols
+        ]
+    )
+    long = df.select(*id_cols, part_col, F.explode(pairs).alias("sv")).select(
+        *id_cols, part_col, "sv.sig", "sv.val"
+    )
+
+    # chunk id is a pure function of (sig, val), monotone in val, so
+    # tied values always share a chunk and the prefix property holds
+    chunk_expr = F.lit(0)
+    for c, bs in zip(value_cols, bounds):
+        barr = F.array(*[F.lit(float(b)) for b in sorted(set(bs))])
+        e = F.aggregate(
+            barr,
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col("val") >= b, 1).otherwise(0),
+        )
+        chunk_expr = F.when(F.col("sig") == c, e).otherwise(chunk_expr)
+
+    vc = (
+        long.groupBy(part_col, "sig", "val")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("chunk", chunk_expr)
+    )
+    w_loc = (
+        Window.partitionBy(part_col, "sig", "chunk")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    loc = vc.withColumn(
+        "lt_loc", F.coalesce(F.sum("cnt").over(w_loc), F.lit(0))
+    )
+
+    totals = (
+        vc.groupBy(part_col, "sig", "chunk")
+        .agg(F.sum("cnt").alias("t"))
+        .collect()
+    )  # <= |parts| * |sigs| * n_chunks rows — bounded collect
+    acc: dict[tuple, int] = {}
+    rows = []
+    for r in sorted(totals, key=lambda r: (str(r[0]), r["sig"], r["chunk"])):
+        key = (r[0], r["sig"])
+        off = acc.get(key, 0)
+        rows.append((r[0], r["sig"], int(r["chunk"]), off))
+        acc[key] = off + int(r["t"])
+    # per-part row count: identical across sigs by construction; read
+    # it off the first signal's running total
+    n_part_rows = [
+        (p, n) for (p, s), n in acc.items() if s == value_cols[0]
+    ]
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    part_type = df.schema[part_col].dataType
+    offsets = spark.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField(part_col, part_type),
+                StructField("sig", StringType()),
+                StructField("chunk", IntegerType()),
+                StructField("lt_off", LongType()),
+            ]
+        ),
+    )
+    nparts = spark.createDataFrame(
+        n_part_rows,
+        StructType(
+            [
+                StructField(part_col, part_type),
+                StructField("n_part", LongType()),
+            ]
+        ),
+    )
+    rank_frame = (
+        loc.withColumn("chunk", F.col("chunk").cast("int"))
+        .join(F.broadcast(offsets), [part_col, "sig", "chunk"])
+        .join(F.broadcast(nparts), part_col)
+        .select(
+            part_col,
+            "sig",
+            "val",
+            F.when(
+                F.col("n_part") > 1,
+                (F.col("lt_loc") + F.col("lt_off")).cast("double")
+                / (F.col("n_part") - 1).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("pr"),
+        )
+    )
     return (
-        phase1.withColumn("__rk", F.row_number().over(w2))
-        .filter(F.col("__rk") <= k)
-        .drop("__rk")
+        long.join(rank_frame, [part_col, "sig", "val"])
+        .groupBy(*id_cols, part_col)
+        .agg(
+            *[
+                F.max(F.when(F.col("sig") == c, F.col("pr"))).alias(
+                    out_prefix + c
+                )
+                for c in value_cols
+            ]
+        )
     )

@@ -1375,15 +1375,25 @@ def x35_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- X37: quality-signal ensemble (CCNet/RefinedWeb-style fusion) -----------
 # Real curation fuses independent quality signals — here length,
 # lexical diversity (distinct/total tokens), and the x35 host-PageRank
-# prior — by rank-normalizing each PER LANGUAGE (percent_rank windows
-# partitioned on lang: raw signal scales are incomparable across
-# signals AND across languages) and blending 0.4/0.3/0.3, then keeping
-# the top-5 docs per language (deterministic doc_id tie-break). The
-# whole pipeline is one declarative plan: the PageRank prior joins in
-# as a tiny (|hosts|-row) frame, the three percent_rank windows share
-# one lang-keyed shuffle, and the top-k cut is W4's window pattern —
-# no global window anywhere. The oracle replays everything, including
-# all 8 power-iteration steps, via the shared _x35_cte_body.
+# prior — by rank-normalizing each PER LANGUAGE (percent_rank: raw
+# signal scales are incomparable across signals AND across languages)
+# and blending 0.4/0.3/0.3, then keeping the top-5 docs per language
+# (deterministic doc_id tie-break).
+#
+# SCALE (r7 verdict finding, closed r8): lang is a LOW-CARDINALITY,
+# HEAVILY SKEWED partition key — a real corpus is English-dominated,
+# so `percent_rank() OVER (PARTITION BY lang ...)` funnels one
+# language's billions of rows through ONE task (the x23 failure class,
+# one partition key better). Respelled with the w5b chunked prefix
+# machinery, generalized in operators/skew.py::chunked_percent_ranks:
+# all three signals rank in ONE pass over a distinct-value frame with
+# every window partitioned by (lang, sig, chunk) — plan-ASSERTED below
+# — and the top-5 cut is salted_top_k (x33's two-phase spelling), so
+# no full-corpus window is partitioned on lang alone. The PageRank
+# prior still joins in as a tiny broadcast |hosts|-row frame. The
+# oracle replays everything, including all 8 power-iteration steps,
+# via the shared _x35_cte_body — values hash-match because
+# percent_rank = cnt_lt/(n-1) is the identical double arithmetic.
 
 _X37_ORACLE = (
     "WITH "
@@ -1450,35 +1460,52 @@ def x37_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host",
     )
 
-    def pr(col: str):
-        return F.percent_rank().over(
-            Window.partitionBy("lang").orderBy(col)
-        )
+    from ..operators.skew import chunked_percent_ranks, salted_top_k
 
-    ranked = scored0.select(
-        "doc_id",
-        "lang",
-        pr("s_len").alias("r_len"),
-        pr("s_div").alias("r_div"),
-        pr("s_host").alias("r_host"),
+    ranked = chunked_percent_ranks(
+        scored0,
+        part_col="lang",
+        value_cols=["s_len", "s_div", "s_host"],
+        id_cols=["doc_id"],
+        out_prefix="r_",
     )
+    # scale assert (x23/j13 pattern): every window in the rank pipeline
+    # must be chunk-partitioned — a window partitioned on lang alone
+    # (or unpartitioned) would re-open the single-language funnel. The
+    # partition clause is everything before the first sort direction.
+    import re as _re
+
+    plan = ranked._jdf.queryExecution().optimizedPlan().toString()
+    if "windowspecdefinition" not in plan:
+        raise AssertionError("x37: expected chunked windows in the plan")
+    for m in _re.finditer(r"windowspecdefinition\((.*?)(?:ASC|DESC)", plan):
+        if "chunk" not in m.group(1):
+            raise AssertionError(
+                "x37: window not chunk-partitioned: " + m.group(0)
+            )
     blend = ranked.select(
         "doc_id",
         "lang",
         F.round(
-            0.4 * F.col("r_len")
-            + 0.3 * F.col("r_div")
-            + 0.3 * F.col("r_host"),
+            0.4 * F.col("r_s_len")
+            + 0.3 * F.col("r_s_div")
+            + 0.3 * F.col("r_s_host"),
             6,
         ).alias("score"),
     )
-    wt = Window.partitionBy("lang").orderBy(F.col("score").desc(), "doc_id")
-    return (
-        blend.withColumn("lang_rank", F.row_number().over(wt))
-        .filter(F.col("lang_rank") <= 5)
-        .select(
-            "lang", F.col("lang_rank").cast("long").alias("lang_rank"),
-            "doc_id", "score",
-        )
-        .orderBy("lang", "lang_rank")
+    # top-5 per lang via the two-phase salted spelling (x33 precedent):
+    # phase 1 ranks within (lang, salt), phase 2's lang-only window
+    # sees <= n_salts*5 bounded survivors per language, never the corpus
+    top = salted_top_k(
+        blend,
+        key_cols=["lang"],
+        order_cols=[F.col("score").desc(), "doc_id"],
+        k=5,
+        rank_col="lang_rank",
     )
+    return top.select(
+        "lang",
+        F.col("lang_rank").cast("long").alias("lang_rank"),
+        "doc_id",
+        "score",
+    ).orderBy("lang", "lang_rank")

@@ -673,3 +673,68 @@ def test_x36_duplicate_evidence_comes_from_quota_survivors_only(spark, tmp_path)
     assert h0.n_dupspan_dropped == 0 and h0.n_final == q
     h1 = out["src1.example.org"]
     assert h1.n_dupspan_dropped == 2 and h1.n_final == 1
+
+
+def test_chunked_percent_ranks_equals_native_window(spark):
+    """x37's skew respell: the chunked two-pass percent_rank must equal
+    Spark's native percent_rank() bit-for-bit — skewed partition sizes
+    (one hot key, one tiny, one singleton), ties included, across
+    partition layouts and for several signals in one pass."""
+    from pyspark.sql import Window
+
+    from dbx_workspace_and_emr_iceberg_spark.operators.skew import (
+        chunked_percent_ranks,
+    )
+
+    rows = [("en", i, float((i * 7) % 23), float(i % 5)) for i in range(400)]
+    rows += [("fr", 1000 + i, float(i % 3), 9.0) for i in range(7)]  # ties
+    rows += [("xx", 2000, 42.0, 42.0)]  # singleton partition -> pr = 0.0
+    df = spark.createDataFrame(rows, "lang string, id long, a double, b double")
+
+    def native(col):
+        return F.percent_rank().over(Window.partitionBy("lang").orderBy(col))
+
+    want = {
+        (r.lang, r.id): (r.pa, r.pb)
+        for r in df.select(
+            "lang", "id", native("a").alias("pa"), native("b").alias("pb")
+        ).collect()
+    }
+    for layout in (df, df.repartition(13)):
+        got = {
+            (r.lang, r.id): (r.pr_a, r.pr_b)
+            for r in chunked_percent_ranks(
+                layout, "lang", ["a", "b"], ["id"], n_chunks=4
+            ).collect()
+        }
+        assert got == want  # exact double equality, not approx
+    assert want[("xx", 2000)] == (0.0, 0.0)
+
+
+def test_salted_top_k_rank_col_matches_window_rank(spark):
+    """rank_col exposes phase 2's per-key rank; it must equal the
+    single-window row_number for a total order."""
+    from pyspark.sql import Window
+
+    from dbx_workspace_and_emr_iceberg_spark.operators.skew import (
+        salted_top_k,
+    )
+
+    df = spark.createDataFrame(
+        [("k", i, (i * 13) % 31) for i in range(60)], "k string, id long, v long"
+    )
+    order = [F.col("v").desc(), F.col("id")]
+    w = Window.partitionBy("k").orderBy(*order)
+    want = {
+        (r.k, r.id): r.rk
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 5")
+        .collect()
+    }
+    got = {
+        (r.k, r.id): r.lang_rank
+        for r in salted_top_k(
+            df, ["k"], order, 5, n_salts=4, rank_col="lang_rank"
+        ).collect()
+    }
+    assert got == want

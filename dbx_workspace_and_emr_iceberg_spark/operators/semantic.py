@@ -168,3 +168,234 @@ def semdedup(
     return assigned.groupBy("cluster").applyInPandas(
         lambda _key, pdf: prune(pdf), schema
     )
+
+
+# --- integer-exact SemDeDup (the value-oracled spelling) ---------------------
+# The float pipeline above is the idiomatic Spark spelling; its
+# clustering decisions, however, hinge on float dot products whose
+# summation ORDER differs between engines, so no external engine can
+# replay it hash-exactly. The functions below quantize unit vectors to
+# integers once (a sequence of individually-rounded IEEE ops both
+# engines perform bit-identically) and then make EVERY decision —
+# centroid assignment, centroid update, duplicate threshold — in exact
+# integer arithmetic, so DuckDB replays the whole algorithm value-for-
+# value (dedup_queries.x20 builds the unrolled-CTE oracle, the x35
+# PageRank precedent).
+
+
+def quantized_unit_vectors(
+    df: DataFrame, id_col: str, vec_col: str, scale: int = 10_000
+) -> DataFrame:
+    """(vec_id, vq array<long>, n2 long): v/|v| quantized to integers
+    via floor(v_hat*scale + 0.5).
+
+    Cross-engine determinism: norm² is a LEFT fold (F.aggregate here,
+    list_reduce in DuckDB — both fold sequentially and 0.0+x²==x²), and
+    sqrt/divide/multiply/add/floor are single correctly-rounded IEEE
+    ops — so the quantized integers are bit-identical in any IEEE-754
+    engine. Downstream bounds (dim 64, scale 1e4): |vq|² = n2 ≈ 1e8,
+    pairwise dot ≤ 64·1e8 = 6.4e9 — every later product fits
+    decimal(38)/int128.
+    """
+    sq = F.aggregate(
+        F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    vq = F.transform(
+        vec_col,
+        lambda x: F.floor(
+            x.cast("double") / F.sqrt(sq) * scale + F.lit(0.5)
+        ).cast("long"),
+    )
+    return df.select(
+        F.col(id_col).alias("vec_id"), vq.alias("vq")
+    ).withColumn(
+        "n2",
+        F.aggregate(
+            F.transform("vq", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def _int_assign(df: DataFrame, cent: list[tuple[int, list[int]]]) -> DataFrame:
+    """Nearest-centroid assignment with an exact integer comparator.
+
+    Spherical k-means compares cos(v, S_j/|S_j|) across clusters; the
+    order statistic is preserved by key_j = sign(dot_j) * (dot_j² *
+    10⁶ // |S_j|²) — exact integers, no sqrt, no float — with ties
+    broken on the smaller cluster id. numpy int64 matmul computes the
+    dots exactly (≤ 64·scale·|S| comps ≪ 2⁶³); the squares need >64
+    bits, done vectorized on an object-dtype view (bounded: n·k Python
+    ints per batch; a production build would use two-limb int128 or
+    Arrow decimal128 — k is small, this is the map-side cheap step).
+    Empty clusters DROP OUT (their centroid row simply does not exist
+    next round) — mirrored exactly by the SQL oracle.
+    """
+    cent = sorted(cent)  # ascending cluster id -> argmax picks first max
+    cids = np.array([c for c, _ in cent], dtype="int32")
+    S = np.array([v for _, v in cent], dtype="int64")  # (k, d)
+    n2s = np.array([sum(x * x for x in v) for _, v in cent], dtype=object)
+    schema = "vec_id bigint, cluster int, vq array<long>, n2 bigint"
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf["vq"].to_numpy()).astype("int64")
+            dots = mat @ S.T  # (n, k) exact
+            dobj = dots.astype(object)
+            keys = (dobj * dobj * 1_000_000) // n2s
+            keys = np.where(dots >= 0, keys, -keys)
+            out = pdf[["vec_id", "vq", "n2"]].copy()
+            out["cluster"] = cids[np.argmax(keys, axis=1)]
+            yield out[["vec_id", "cluster", "vq", "n2"]]
+
+    return df.mapInPandas(run, schema)
+
+
+def int_kmeans_assign(
+    quant: DataFrame, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """Integer spherical k-means over quantized_unit_vectors output.
+
+    Seeds = the k lowest vec_ids (cluster j = j-th smallest), then
+    ``iters`` rounds of (assign, integer centroid-sum update) and one
+    final assignment. Centroids are the raw integer SUM vectors (the
+    comparator divides by |S_j|², so normalization is implicit and
+    exact). Per round only k·dim aggregated longs reach the driver —
+    the same bounded action as the float path's update step.
+    """
+    seeds = quant.orderBy("vec_id").limit(k).collect()
+    cent = [(i, list(r.vq)) for i, r in enumerate(seeds)]
+    assigned = _int_assign(quant, cent)
+    for _ in range(iters):
+        sums = (
+            assigned.select("cluster", F.posexplode("vq").alias("d", "x"))
+            .groupBy("cluster", "d")
+            .agg(F.sum("x").alias("sx"))
+            .collect()
+        )  # k*dim rows — bounded collect
+        by_c: dict[int, dict[int, int]] = {}
+        for r in sums:
+            by_c.setdefault(int(r.cluster), {})[int(r.d)] = int(r.sx)
+        cent = [
+            (c, [dims[d] for d in sorted(dims)]) for c, dims in by_c.items()
+        ]
+        assigned = _int_assign(quant, cent)
+    return assigned
+
+
+def int_semdedup_keep(
+    assigned: DataFrame,
+    threshold_num: int = 9801,
+    threshold_den: int = 10_000,
+    rounds: int = 6,
+    max_cluster: int = 100_000,
+) -> DataFrame:
+    """Within-cluster greedy keep-first prune, integer-exact and
+    SQL-replayable: cos(i,j) ≥ θ becomes dot>0 AND dot²·den ≥
+    num·n2_i·n2_j (θ² = num/den — exact rational, decimal(38)
+    arithmetic JVM-side).
+
+    Greedy keep-first is sequential, so the declarative spelling is a
+    FIXPOINT UNROLL (the x35 pattern applied to a recursion instead of
+    an iteration): keep_t(i) = no edge to a smaller-id j with
+    keep_{t-1}(j), starting all-true. keep_t is exact for every vertex
+    whose alternating drop/keep chain is ≤ t deep; ``rounds`` bounds
+    the unroll and a greedy applyInPandas replay ASSERTS equality, so
+    an under-unrolled chain raises instead of silently diverging (the
+    oracle unrolls the same ``rounds``). Output: (vec_id, cluster,
+    keep bigint 0/1).
+    """
+    a = assigned.select("vec_id", "cluster", "vq", "n2")
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    l, r = a.alias("l"), a.alias("r")
+    dd = F.aggregate(
+        F.zip_with(F.col("l.vq"), F.col("r.vq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.cluster") == F.col("r.cluster"))
+            & (F.col("r.vec_id") < F.col("l.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("i"),
+            F.col("r.vec_id").alias("j"),
+            dd.alias("dd"),
+            F.col("l.n2").alias("n2i"),
+            F.col("r.n2").alias("n2j"),
+        )
+    )
+    edges = pairs.filter(
+        (F.col("dd") > 0)
+        & (
+            dec(F.col("dd")) * dec(F.col("dd")) * F.lit(threshold_den)
+            >= F.lit(threshold_num) * dec(F.col("n2i")) * dec(F.col("n2j"))
+        )
+    ).select("i", "j")
+    ids = a.select("vec_id")
+    keep = ids.withColumn("keep", F.lit(True))
+    for _ in range(rounds):
+        blocked = (
+            edges.join(
+                keep.filter("keep").select(F.col("vec_id").alias("j")), "j"
+            )
+            .select(F.col("i").alias("vec_id"))
+            .distinct()
+            .withColumn("hit", F.lit(True))
+        )
+        keep = ids.join(blocked, "vec_id", "left").select(
+            "vec_id", F.col("hit").isNull().alias("keep")
+        )
+    fix = a.select("vec_id", "cluster").join(keep, "vec_id")
+
+    # greedy ground-truth replay per cluster (integer math, same rule);
+    # any divergence from the unrolled fixpoint raises LOUDLY
+    schema = "vec_id bigint, keep_greedy boolean"
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_cluster:
+            raise ValueError(
+                f"cluster of {len(pdf)} exceeds max_cluster={max_cluster}; "
+                "increase k"
+            )
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        mat = np.vstack(pdf["vq"].to_numpy()).astype("int64")
+        n2 = pdf["n2"].tolist()
+        kept_idx: list[int] = []
+        keep_flags = np.zeros(len(pdf), dtype=bool)
+        for i in range(len(pdf)):
+            dup = False
+            for ki in kept_idx:
+                d = int(mat[ki] @ mat[i])
+                if d > 0 and d * d * threshold_den >= threshold_num * int(
+                    n2[ki]
+                ) * int(n2[i]):
+                    dup = True
+                    break
+            if not dup:
+                keep_flags[i] = True
+                kept_idx.append(i)
+        out = pdf[["vec_id"]].copy()
+        out["keep_greedy"] = keep_flags
+        return out
+
+    greedy = assigned.groupBy("cluster").applyInPandas(
+        lambda _k, pdf: prune(pdf), schema
+    )
+    checked = fix.join(greedy, "vec_id")
+    n_bad = checked.filter(F.col("keep") != F.col("keep_greedy")).count()
+    if n_bad:
+        raise AssertionError(
+            f"fixpoint unroll ({rounds} rounds) diverges from greedy on "
+            f"{n_bad} vertices — raise `rounds`"
+        )
+    return checked.select(
+        "vec_id", "cluster", F.col("keep").cast("long").alias("keep")
+    )

@@ -529,16 +529,134 @@ def x19_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- X20: SemDeDup — semantic dedup via clustering --------------------------
 # Exact/MinHash dedup (x1/x2) catch textual copies; SemDeDup (Abbas et
 # al. 2023) catches *semantic* copies — embeddings that nearly coincide
-# — by confining the O(n²) cosine scan to k-means clusters. Iterative
-# clustering is not SQL-expressible → rows-only with hard self-checks:
-# the k-means objective must be monotone, the prune bookkeeping must be
-# internally consistent, and ≥90% of planted near-parallel pairs must
-# lose exactly their duplicate half.
+# — by confining the O(n²) cosine scan to k-means clusters. Rows-only
+# through r7 (iterative clustering + a sequential greedy prune looked
+# non-SQL-expressible); VALUE-ORACLED from r8 by making every decision
+# integer-exact and unrolling both recursions the x35 way:
+#   * unit vectors quantize to integers once (bit-identical IEEE op
+#     sequence in both engines), so centroid assignment (an exact
+#     integer comparator key — no sqrt, no float dot), centroid sums,
+#     and the θ²-threshold test are pure integer arithmetic DuckDB
+#     replays exactly (operators/semantic.py, integer section);
+#   * the k-means iterations unroll as assign/update CTE pairs;
+#   * greedy keep-first pruning respells as a FIXPOINT UNROLL —
+#     keep_t(i) = no edge to a smaller-id j with keep_{t-1}(j) — exact
+#     once t covers the deepest drop/keep chain; the Spark side replays
+#     greedy per cluster and RAISES if the unroll depth is short, so
+#     the oracle can never silently diverge.
+
+_X20_K = 8
+_X20_ITERS = 2
+_X20_ROUNDS = 6  # fixpoint unroll depth, shared with the oracle
+_X20_TNUM, _X20_TDEN = 9801, 10_000  # θ² = 0.99² as an exact rational
+_X20_SCALE = 10_000
 
 
-@register("x20_semantic_dedup", oracle=None, tags=("X20", "X1", "X3"))
+def _x20_oracle() -> str:
+    """Unrolled-CTE DuckDB replay of the integer SemDeDup pipeline."""
+    quant = f"""
+base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_COPY_OFFSET},
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.01 + 0.001)
+  FROM embeddings WHERE vec_id % 5 = 0
+),
+vec AS (
+  SELECT vec_id, vq,
+         CAST(list_sum(list_transform(vq, x -> x*x)) AS BIGINT) AS n2
+  FROM (
+    SELECT vec_id,
+           list_transform(
+             emb, x -> CAST(floor(x / sqrt(n2d) * {_X20_SCALE} + 0.5)
+                            AS BIGINT)) AS vq
+    FROM (SELECT vec_id, emb,
+                 list_reduce(list_transform(emb, x -> x*x),
+                             (a, b) -> a + b) AS n2d
+          FROM base))
+),
+cent0 AS (
+  SELECT cluster, sv,
+         CAST(list_sum(list_transform(sv, x -> x*x)) AS HUGEINT) AS n2s
+  FROM (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                 AS cluster,
+               vq AS sv
+        FROM (SELECT vec_id, vq FROM vec ORDER BY vec_id LIMIT {_X20_K}))
+)"""
+    parts = [quant]
+    for t in range(_X20_ITERS + 1):
+        parts.append(f"""
+k{t} AS (
+  SELECT vec_id, vq, n2, cluster,
+         CASE WHEN dot >= 0 THEN (dot*dot*1000000) // n2s
+              ELSE -((dot*dot*1000000) // n2s) END AS key
+  FROM (
+    SELECT v.vec_id, v.vq, v.n2, c.cluster, c.n2s,
+           CAST(list_sum(list_transform(list_zip(v.vq, c.sv),
+                                        p -> p[1]*p[2])) AS HUGEINT) AS dot
+    FROM vec v CROSS JOIN cent{t} c)
+),
+a{t} AS (
+  SELECT vec_id, vq, n2, cluster FROM (
+    SELECT vec_id, vq, n2, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY key DESC, cluster) AS rn
+    FROM k{t}) WHERE rn = 1
+)""")
+        if t < _X20_ITERS:
+            parts.append(f"""
+cent{t + 1} AS (
+  SELECT cluster, sv,
+         CAST(list_sum(list_transform(sv, x -> x*x)) AS HUGEINT) AS n2s
+  FROM (
+    SELECT cluster, list(sx ORDER BY d) AS sv
+    FROM (
+      SELECT cluster, d, CAST(sum(x) AS BIGINT) AS sx
+      FROM (SELECT cluster, unnest(vq) AS x,
+                   generate_subscripts(vq, 1) AS d
+            FROM a{t})
+      GROUP BY cluster, d)
+    GROUP BY cluster)
+)""")
+    fin = f"a{_X20_ITERS}"
+    parts.append(f"""
+edges AS (
+  SELECT i, j FROM (
+    SELECT a.vec_id AS i, b.vec_id AS j,
+           CAST(list_sum(list_transform(list_zip(a.vq, b.vq),
+                                        p -> p[1]*p[2])) AS HUGEINT) AS dd,
+           CAST(a.n2 AS HUGEINT) AS n2i, CAST(b.n2 AS HUGEINT) AS n2j
+    FROM {fin} a JOIN {fin} b
+      ON a.cluster = b.cluster AND b.vec_id < a.vec_id)
+  WHERE dd > 0 AND dd*dd*{_X20_TDEN} >= {_X20_TNUM} * n2i * n2j
+),
+keep0 AS (SELECT vec_id, TRUE AS keep FROM {fin})""")
+    for r in range(1, _X20_ROUNDS + 1):
+        parts.append(f"""
+keep{r} AS (
+  SELECT a.vec_id,
+         NOT EXISTS (SELECT 1 FROM edges e JOIN keep{r - 1} p
+                       ON p.vec_id = e.j
+                     WHERE e.i = a.vec_id AND p.keep) AS keep
+  FROM {fin} a
+)""")
+    parts.append(f"""
+SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+       CAST(CASE WHEN k.keep THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM {fin} a JOIN keep{_X20_ROUNDS} k USING (vec_id)
+ORDER BY a.vec_id""")
+    ctes = ",".join(parts[:-1])
+    return "WITH " + ctes + parts[-1]
+
+
+@register("x20_semantic_dedup", oracle=_x20_oracle(), tags=("X20", "X1", "X3"))
 def x20_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.semantic import kmeans_fit_assign, semdedup
+    from ..operators.semantic import (
+        int_kmeans_assign,
+        int_semdedup_keep,
+        quantized_unit_vectors,
+    )
 
     e = load_table(spark, sf_dir, "embeddings")
     base = e.select("vec_id", "embedding")
@@ -549,63 +667,47 @@ def x20_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding"
         ),
     )
-    n_planted = planted.count()
     corpus = base.unionByName(planted)
-
-    assigned, objective = kmeans_fit_assign(corpus, k=8, iters=4)
-    for a, b in zip(objective, objective[1:]):
-        if b < a - 1e-9:
-            raise AssertionError(f"k-means objective regressed: {objective}")
-
-    pruned = semdedup(assigned.select("vec_id", "cluster", "v"), 0.99).cache()
+    quant = quantized_unit_vectors(corpus, "vec_id", "embedding", _X20_SCALE)
+    assigned = int_kmeans_assign(quant, k=_X20_K, iters=_X20_ITERS)
+    out = int_semdedup_keep(
+        assigned,
+        threshold_num=_X20_TNUM,
+        threshold_den=_X20_TDEN,
+        rounds=_X20_ROUNDS,
+    ).cache()
     try:
-        # bookkeeping consistency: drops crossed the threshold, keeps
-        # didn't (greedy order makes this exact, not approximate)
-        bad = pruned.filter(
-            (~F.col("keep") & (F.col("max_cos_kept") < 0.99))
-            | (F.col("keep") & (F.col("max_cos_kept") >= 0.99))
-        ).count()
-        if bad:
-            raise AssertionError(f"{bad} rows violate the prune invariant")
-        # planted-pair resolution: original kept, copy dropped (greedy
-        # scans in vec_id order, originals come first) — require >= 90%
+        # the oracle proves cross-engine equality; this proves the
+        # dedup WORKS — ≥90% of planted near-parallel pairs must lose
+        # at least one half
         pairs = (
-            pruned.filter(F.col("vec_id") < _COPY_OFFSET)
-            .select(F.col("vec_id").alias("o_id"), F.col("keep").alias("o_keep"))
+            out.filter(F.col("vec_id") < _COPY_OFFSET)
+            .select(F.col("vec_id").alias("o_id"), F.col("keep").alias("ok"))
             .join(
-                pruned.filter(F.col("vec_id") >= _COPY_OFFSET).select(
+                out.filter(F.col("vec_id") >= _COPY_OFFSET).select(
                     (F.col("vec_id") - _COPY_OFFSET).alias("o_id"),
-                    F.col("keep").alias("c_keep"),
+                    F.col("keep").alias("ck"),
                 ),
                 "o_id",
             )
         )
         n_pairs = pairs.count()
-        n_resolved = pairs.filter(~F.col("c_keep") | ~F.col("o_keep")).count()
-        if n_pairs != n_planted:
-            raise AssertionError(f"pair join lost rows: {n_pairs}/{n_planted}")
-        if n_resolved < 0.9 * n_pairs:
+        n_resolved = pairs.filter(
+            (F.col("ok") == 0) | (F.col("ck") == 0)
+        ).count()
+        if n_pairs and n_resolved < 0.9 * n_pairs:
             raise AssertionError(
                 f"SemDeDup resolved only {n_resolved}/{n_pairs} planted pairs"
             )
-        n_corpus = corpus.count()
-        n_removed = pruned.filter(~F.col("keep")).count()
-        return spark.createDataFrame(
-            [
-                (
-                    n_corpus,
-                    n_planted,
-                    n_removed,
-                    n_resolved,
-                    float(objective[0]),
-                    float(objective[-1]),
-                )
-            ],
-            "n_corpus long, n_planted long, n_removed long, "
-            "n_pairs_resolved long, obj_first double, obj_last double",
+        return (
+            out.select(
+                "vec_id", F.col("cluster").cast("long").alias("cluster"), "keep"
+            )
+            .orderBy("vec_id")
+            .localCheckpoint()  # sever lineage from the cached frame
         )
     finally:
-        pruned.unpersist()
+        out.unpersist(blocking=False)
 
 
 # --- X2d: MLlib MinHashLSH (the packaged alternative) -----------------------

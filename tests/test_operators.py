@@ -738,3 +738,34 @@ def test_salted_top_k_rank_col_matches_window_rank(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_int_semdedup_fixpoint_handles_chains_like_greedy(spark):
+    """x20's fixpoint unroll must reproduce greedy keep-first through a
+    similarity CHAIN a–b–c (a~b, b~c, a!~c): greedy keeps a, drops b,
+    then KEEPS c because its only similar predecessor was dropped. A
+    naive 'drop anything with a smaller similar neighbor' rule would
+    wrongly drop c. Also exercises the loud greedy-equality assert."""
+    import math
+
+    import numpy as np
+
+    from dbx_workspace_and_emr_iceberg_spark.operators.semantic import (
+        int_semdedup_keep,
+    )
+
+    def q(deg):
+        v = np.array([math.cos(math.radians(deg)), math.sin(math.radians(deg))])
+        vq = np.floor(v * 10_000 + 0.5).astype("int64")
+        return [int(x) for x in vq], int((vq * vq).sum())
+
+    rows = []
+    for vid, deg in [(1, 0.0), (2, 7.0), (3, 14.0)]:  # θ=0.99 ≈ 8.1°
+        vq, n2 = q(deg)
+        rows.append((vid, 0, vq, n2))
+    rows.append((10, 1, q(90.0)[0], q(90.0)[1]))  # other cluster untouched
+    df = spark.createDataFrame(
+        rows, "vec_id long, cluster int, vq array<long>, n2 long"
+    )
+    got = {r.vec_id: r.keep for r in int_semdedup_keep(df).collect()}
+    assert got == {1: 1, 2: 0, 3: 1, 10: 1}

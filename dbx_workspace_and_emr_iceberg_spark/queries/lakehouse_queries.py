@@ -448,6 +448,91 @@ def m8_branches_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+@register("m8b_sql_branch_lifecycle", oracle=None, tags=("M8", "M18", "M20"))
+def m8b_sql_branch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m8's WAP flow with ZERO API calls — every step a SQL string
+    through the door (the r7 verdict's one missing pure-SQL lifecycle):
+    CREATE TAG / CREATE BRANCH / REPLACE BRANCH / DROP BRANCH|TAG via
+    ALTER TABLE (Iceberg SQL-extensions grammar), the branch write via
+    INSERT INTO t.branch_<name>, branch/tag reads via VERSION AS OF
+    '<ref>', publish via CALL system.fast_forward(t, 'main', branch).
+    Self-asserted at every step."""
+    from ..engine import Engine
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_m8b_")
+    try:
+        eng = Engine(spark, warehouse=wh)
+        load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        ).createOrReplaceTempView("nation_m8b_src")
+        steps: list[tuple[str, int, int]] = []
+
+        def count(sql: str) -> int:
+            return eng.sql(sql).collect()[0][0]
+
+        eng.sql("CREATE TABLE nation_m8b AS SELECT * FROM nation_m8b_src")
+        n0 = count("SELECT count(*) FROM nation_m8b")
+        steps.append(("ctas", 1, n0))
+
+        eng.sql("ALTER TABLE nation_m8b CREATE TAG v1")
+        eng.sql("ALTER TABLE nation_m8b CREATE BRANCH staging")
+        steps.append(("tag_and_branch", 1, n0))
+
+        # W: the branch write — main must NOT see it
+        eng.sql(
+            "INSERT INTO nation_m8b.branch_staging VALUES "
+            "(501, 'ATLANTIS', 0), (502, 'LEMURIA', 1), (503, 'MU', 2)"
+        )
+        n_stage = count(
+            "SELECT count(*) FROM nation_m8b VERSION AS OF 'staging'"
+        )
+        assert n_stage == n0 + 3, f"staging sees the write ({n_stage})"
+        n_main = count("SELECT count(*) FROM nation_m8b")
+        assert n_main == n0, f"main unchanged by branch write ({n_main})"
+        steps.append(("write_branch", 2, n_stage))
+
+        # A: audit the staged snapshot through the same SQL surface
+        n_new = count(
+            "SELECT count(*) FROM nation_m8b VERSION AS OF 'staging' "
+            "WHERE n_nationkey >= 500"
+        )
+        assert n_new == 3, f"audit: {n_new} staged rows"
+
+        # P: publish
+        eng.sql(
+            "CALL system.fast_forward('nation_m8b', 'main', 'staging')"
+        )
+        assert count("SELECT count(*) FROM nation_m8b") == n0 + 3, (
+            "main advanced to the audited snapshot"
+        )
+        assert count(
+            "SELECT count(*) FROM nation_m8b VERSION AS OF 'v1'"
+        ) == n0, "tag still pinned at v1"
+        steps.append(
+            ("publish", 3, count("SELECT count(*) FROM nation_m8b"))
+        )
+
+        # REPLACE re-points an existing branch; DROP removes refs — a
+        # read of a dropped ref must surface Spark's own error (the
+        # rewriter leaves the statement alone)
+        eng.sql("ALTER TABLE nation_m8b REPLACE BRANCH staging AS OF VERSION 1")
+        assert count(
+            "SELECT count(*) FROM nation_m8b VERSION AS OF 'staging'"
+        ) == n0, "replaced branch points at v1"
+        eng.sql("ALTER TABLE nation_m8b DROP BRANCH staging")
+        eng.sql("ALTER TABLE nation_m8b DROP TAG v1")
+        try:
+            count("SELECT count(*) FROM nation_m8b VERSION AS OF 'staging'")
+            raise AssertionError("dropped branch still readable")
+        except Exception as e:
+            if isinstance(e, AssertionError):
+                raise
+        steps.append(("drop_refs", 3, n0 + 3))
+        return _log(spark, steps)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 @register("m9_stats_file_skipping", oracle=None, tags=("M5", "S7", "S2"))
 def m9_stats_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min/max file skipping from manifest statistics (Iceberg manifest

@@ -1401,6 +1401,50 @@ class BranchedLakehouse:
         self._save(refs)
         return v
 
+    def drop_branch(self, name: str) -> int:
+        refs = self._refs()
+        if name not in refs["branches"]:
+            raise KeyError(f"unknown branch {name}")
+        v = refs["branches"].pop(name)
+        self._save(refs)
+        return v
+
+    def drop_tag(self, name: str) -> int:
+        refs = self._refs()
+        if name not in refs["tags"]:
+            raise KeyError(f"unknown tag {name}")
+        v = refs["tags"].pop(name)
+        self._save(refs)
+        return v
+
+    def replace_branch(self, name: str, at_version: int) -> int:
+        """Re-point an existing branch (ALTER TABLE … REPLACE BRANCH);
+        unlike create_branch this REQUIRES the branch to exist, the
+        Iceberg distinction between the two statements."""
+        refs = self._refs()
+        if name not in refs["branches"]:
+            raise KeyError(f"unknown branch {name}")
+        refs["branches"][name] = at_version
+        self._save(refs)
+        return at_version
+
+    def fast_forward(self, branch: str, to: str) -> int:
+        """CALL system.fast_forward(table, branch, to): move ``branch``
+        to ``to``'s head. 'main' is the table itself (not a refs
+        entry), so fast-forwarding main is a rollforward commit — the
+        P of WAP."""
+        refs = self._refs()
+        v = refs["branches"].get(to, refs["tags"].get(to))
+        if v is None:
+            raise KeyError(f"unknown ref {to}")
+        if branch == "main":
+            return self.table.rollback_to(v)
+        if branch not in refs["branches"]:
+            raise KeyError(f"unknown branch {branch}")
+        refs["branches"][branch] = v
+        self._save(refs)
+        return v
+
     def read_ref(self, name: str) -> DataFrame:
         refs = self._refs()
         v = refs["branches"].get(name, refs["tags"].get(name))
@@ -1408,10 +1452,18 @@ class BranchedLakehouse:
             raise KeyError(f"unknown ref {name}")
         return self.table.read(version=v)
 
-    def write_to_branch(self, name: str, df: DataFrame) -> int:
+    def write_to_branch(
+        self, name: str, df: DataFrame, positional: bool = False
+    ) -> int:
         """Append lands as a new snapshot; only the branch pointer moves
-        (main still points at its old version) — the W of WAP."""
-        v = self.table.append(df)
+        (main still points at its old version) — the W of WAP.
+        ``positional`` binds columns by position (the SQL-door INSERT
+        contract — a VALUES frame arrives named col1/col2)."""
+        v = (
+            self.table.append_positional(df)
+            if positional
+            else self.table.append(df)
+        )
         refs = self._refs()
         refs["branches"][name] = v
         self._save(refs)

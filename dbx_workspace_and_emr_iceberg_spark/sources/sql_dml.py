@@ -215,7 +215,8 @@ _CTAS_RE = re.compile(
     r"^CREATE\s+TABLE\s+(\w+)\s+AS\s+(SELECT\b.+)$", re.I | re.S
 )
 _INSERT_RE = re.compile(
-    r"^INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)\s+"
+    # dotted form admits the Iceberg branch-write target t.branch_<b>
+    r"^INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+(?:\.\w+)?)\s+"
     r"(SELECT\b.+|VALUES\s*\(.+)$",
     re.I | re.S,
 )
@@ -264,12 +265,35 @@ def execute_insert(engine, sql: str) -> DataFrame:
     through to Spark SQL rather than failing on Spark's own surface."""
     try:
         mode, table, body = parse_insert(sql)
+        branch = None
+        if "." in table:
+            # Iceberg branch write: INSERT INTO t.branch_<name> …
+            base, suffix = table.split(".", 1)
+            if not suffix.startswith("branch_"):
+                raise ValueError(f"unsupported dotted INSERT target {table!r}")
+            table, branch = base, suffix[len("branch_"):]
         t = engine.managed(table)
     except (KeyError, ValueError):
         return engine.spark.sql(sql)
-    from .lakehouse import commit_with_retries
+    from .lakehouse import BranchedLakehouse, commit_with_retries
 
     df = engine.spark.sql(body)
+    if branch is not None:
+        if mode != "INTO":
+            raise ValueError("INSERT OVERWRITE into a branch is not supported")
+        b = BranchedLakehouse(t)
+        if branch not in b._refs()["branches"]:
+            raise KeyError(f"unknown branch {branch!r} on table {table!r}")
+        version = commit_with_retries(
+            lambda: b.write_to_branch(branch, df, positional=True)
+        )
+        # main's view is NOT refreshed: the branch pointer moved, main
+        # didn't — that is the W of WAP
+        n = b.read_ref(branch).count()
+        return engine.spark.createDataFrame(
+            [(f"{table}.branch_{branch}", "insert_branch", version, n)],
+            "table string, operation string, version int, n_rows long",
+        )
     if mode == "INTO":
         # SQL INSERT binds positionally (a VALUES frame arrives named
         # col1/col2 — name-based append would reject or, worse before
@@ -298,14 +322,40 @@ _ALTER_DROP_RE = re.compile(
 _ALTER_RENAME_RE = re.compile(
     r"^ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)$", re.I
 )
+# Iceberg branch/tag DDL (SQL-extensions grammar, M8):
+#   ALTER TABLE t CREATE|REPLACE BRANCH [IF NOT EXISTS] b [AS OF VERSION n]
+#   ALTER TABLE t CREATE TAG g [AS OF VERSION n]
+#   ALTER TABLE t DROP BRANCH|TAG name
+_ALTER_REF_CREATE_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(\w+)\s+(CREATE|REPLACE)\s+(BRANCH|TAG)\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?(\w[\w\-.]*)"
+    r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?$",
+    re.I,
+)
+_ALTER_REF_DROP_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(\w+)\s+DROP\s+(BRANCH|TAG)\s+(\w[\w\-.]*)$", re.I
+)
 
 
 def parse_alter(sql: str) -> tuple[str, str, tuple]:
     """(action, table, args) for the supported ALTER TABLE subset —
     Iceberg's manifest-only schema evolution DDL (M6): ADD COLUMN
-    [DEFAULT v], DROP COLUMN, RENAME COLUMN a TO b. Anything else
+    [DEFAULT v], DROP COLUMN, RENAME COLUMN a TO b — plus the
+    branch/tag ref DDL (M8): CREATE/REPLACE BRANCH, CREATE TAG,
+    DROP BRANCH/TAG, each with optional AS OF VERSION. Anything else
     (type changes, reorders) raises rather than mis-executing."""
     s = _strip(sql)
+    m = _ALTER_REF_CREATE_RE.match(s)
+    if m:
+        table, verb, kind, name, version = m.groups()
+        if verb.upper() == "REPLACE" and kind.upper() == "TAG":
+            raise ValueError("REPLACE TAG is not supported (tags are immutable)")
+        action = f"{verb.lower()}_{kind.lower()}"
+        return action, table, (name, int(version) if version else None)
+    m = _ALTER_REF_DROP_RE.match(s)
+    if m:
+        table, kind, name = m.groups()
+        return f"drop_{kind.lower()}", table, (name,)
     m = _ALTER_ADD_RE.match(s)
     if m:
         table, col, typ, default = m.groups()
@@ -349,9 +399,30 @@ def execute_alter(engine, sql: str) -> DataFrame:
     elif action == "drop":
         version = t.drop_column(args[0])
         detail = f"drop {args[0]}"
-    else:
+    elif action == "rename":
         version = t.rename_column(args[0], args[1])
         detail = f"rename {args[0]} -> {args[1]}"
+    else:  # branch/tag ref DDL — pointer moves, no data commit
+        from .lakehouse import BranchedLakehouse
+
+        b = BranchedLakehouse(t)
+        name = args[0]
+        if action == "create_branch":
+            version = b.create_branch(name, at_version=args[1])
+        elif action == "replace_branch":
+            version = b.replace_branch(
+                name, args[1] if args[1] is not None else t.current_version()
+            )
+        elif action == "create_tag":
+            version = b.create_tag(name, at_version=args[1])
+        elif action == "drop_branch":
+            version = b.drop_branch(name)
+        else:  # drop_tag
+            version = b.drop_tag(name)
+        return engine.spark.createDataFrame(
+            [(table, "alter", version, f"{action} {name}")],
+            "table string, operation string, version int, detail string",
+        )
     engine.refresh_view(table)
     return engine.spark.createDataFrame(
         [(table, "alter", version, detail)],
@@ -474,7 +545,12 @@ def rewrite_time_travel(engine, sql: str) -> str:
             return m.group(0)
         val = raw.strip("'")
         try:
-            if kind == "VERSION":
+            if kind == "VERSION" and not val.isdigit():
+                # Iceberg: VERSION AS OF accepts a branch/tag name too
+                from .lakehouse import BranchedLakehouse
+
+                df = BranchedLakehouse(t).read_ref(val)
+            elif kind == "VERSION":
                 df = t.read(version=int(val))
             else:
                 from datetime import datetime, timezone
@@ -489,10 +565,10 @@ def rewrite_time_travel(engine, sql: str) -> str:
                         ts = ts.replace(tzinfo=timezone.utc)
                     ts_ms = int(ts.timestamp() * 1000)
                 df = t.read_as_of_timestamp(ts_ms)
-        except (ValueError, FileNotFoundError):
-            # unparseable value / missing snapshot: leave the statement
-            # untouched so Spark produces its own diagnostic instead of
-            # this rewriter crashing the SQL door
+        except (ValueError, FileNotFoundError, KeyError):
+            # unparseable value / missing snapshot / unknown ref: leave
+            # the statement untouched so Spark produces its own
+            # diagnostic instead of this rewriter crashing the SQL door
             return m.group(0)
         # Content-deterministic digest, NOT Python hash(): hash() is
         # seed-randomized per process and truncating it meant two
@@ -556,6 +632,9 @@ _PROCEDURES = {
         {"older_than": "older_than_ms"},
     ),
     "rewrite_manifests": ("rewrite_manifests", [], {}),
+    # branch-layer procedure (M8): dispatched through BranchedLakehouse
+    # in execute_call, not a LakehouseTable method
+    "fast_forward": ("fast_forward", [("branch", str), ("to", str)], {}),
 }
 
 
@@ -618,7 +697,10 @@ def execute_call(engine, sql: str) -> DataFrame:
     proc, table, kwargs = parse_call(sql)
     method, _spec, _aliases = _PROCEDURES[proc]
     t = engine.managed(table)
-    from .lakehouse import commit_with_retries
+    from .lakehouse import BranchedLakehouse, commit_with_retries
+
+    if proc == "fast_forward":
+        t = BranchedLakehouse(t)  # ref-layer procedure, same interface
 
     # procedures re-read current state on entry (restartable), so they
     # get the same commit.retry treatment as DML; expire/orphan sweeps

@@ -378,6 +378,40 @@ def test_alter_rename_drop_roundtrip_property(table, old, new):
     )
 
 
+_REF_KIND = st.sampled_from(["BRANCH", "TAG"])
+
+
+@given(
+    table=_IDENT7,
+    name=_IDENT7,
+    kind=_REF_KIND,
+    version=st.one_of(st.none(), st.integers(1, 10**6)),
+)
+@settings(max_examples=50, deadline=None)
+def test_alter_ref_ddl_roundtrip_property(table, name, kind, version):
+    """Branch/tag DDL grammar (m8b): CREATE with optional AS OF
+    VERSION, DROP, REPLACE BRANCH; REPLACE TAG must refuse (tags are
+    immutable)."""
+    suffix = f" AS OF VERSION {version}" if version is not None else ""
+    assert _sd.parse_alter(
+        f"ALTER TABLE {table} CREATE {kind} {name}{suffix}"
+    ) == (f"create_{kind.lower()}", table, (name, version))
+    assert _sd.parse_alter(
+        f"alter table {table} drop {kind.lower()} {name}"
+    ) == (f"drop_{kind.lower()}", table, (name,))
+    if version is not None:
+        assert _sd.parse_alter(
+            f"ALTER TABLE {table} REPLACE BRANCH {name} AS OF VERSION {version}"
+        ) == ("replace_branch", table, (name, version))
+    assert _sd.parse_alter(
+        f"ALTER TABLE {table} CREATE BRANCH IF NOT EXISTS {name}"
+    ) == ("create_branch", table, (name, None))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _sd.parse_alter(f"ALTER TABLE {table} REPLACE TAG {name}")
+
+
 @given(
     table=_IDENT7,
     src=_IDENT7,

@@ -1058,18 +1058,38 @@ FROM orders"""
 ) + " ORDER BY col_name"
 
 
-@register("x25_table_profile", oracle=_X25_ORACLE, tags=("X25", "X4", "A4"))
-def x25_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+def table_profile(df: DataFrame, cols: list[str], exact: bool = False):
+    """One-aggregate-job column profile (x25's engine). ``exact=False``
+    (the DEFAULT at scale) uses approx_count_distinct (HLL++, one pass,
+    mergeable partials); ``exact=True`` uses countDistinct — N exact
+    distincts in one agg make Catalyst EXPAND the scan output ~(N+1)×
+    (one replica per distinct column plus the plain-agg replica), the
+    measured bulk of x25's bench cost — correct, but an opt-in at
+    100 TB, not the default."""
+    nd = (
+        (lambda c: F.countDistinct(c))
+        if exact
+        else (lambda c: F.approx_count_distinct(c))
+    )
     aggs = []
-    for c in _X25_COLS:
+    for c in cols:
         aggs += [
             (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"{c}__null"),
-            F.countDistinct(c).cast("bigint").alias(f"{c}__nd"),
+            nd(c).cast("bigint").alias(f"{c}__nd"),
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
         ]
-    one = o.agg(*aggs)  # single scan, single row
+    return df.agg(*aggs)  # single scan, single row
+
+
+@register("x25_table_profile", oracle=_X25_ORACLE, tags=("X25", "X4", "A4"))
+def x25_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-mode profile (the oracle re-derives every count); the
+    default profile entry point is table_profile(exact=False) — see its
+    docstring for the multi-distinct expand cost that makes approx the
+    scale default."""
+    o = load_table(spark, sf_dir, "orders")
+    one = table_profile(o, _X25_COLS, exact=True)
     profile = one.select(
         F.explode(
             F.array(

@@ -267,10 +267,24 @@ def qd5_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # squared PER ORDER (TPC-H baskets are ≤7 lines) — never a corpus
 # cross join; the pair aggregate shuffles (part_a, part_b) ints. The
 # top-20 cut is a total order (count desc, part_a, part_b), so the
-# boundary is deterministic on both engines.
+# boundary is deterministic on both engines. Against UNBOUNDED baskets
+# (the pastebin-order problem: one 10⁵-line basket is 10¹⁰ pairs) a
+# deterministic per-basket cap bounds the quadratic: only the
+# _QD6_MAX_BASKET lowest part keys per order contribute pairs — the
+# cap is IN THE ORACLE TOO (rn <= N over the same total order), so the
+# contract stays hash-exact, and a no-op at TPC-H shapes.
 
-_QD6_ORACLE = """
-WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+_QD6_MAX_BASKET = 50
+
+_QD6_ORACLE = f"""
+WITH items AS (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT l_orderkey, l_partkey,
+           row_number() OVER (PARTITION BY l_orderkey
+                              ORDER BY l_partkey) AS rn
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+  WHERE rn <= {_QD6_MAX_BASKET}
+)
 SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
        CAST(count(*) AS BIGINT) AS n_baskets
 FROM items a JOIN items b
@@ -282,14 +296,20 @@ LIMIT 20
 """
 
 
-@register("qd6_basket_pairs", oracle=_QD6_ORACLE, tags=("J1", "O2", "A8"))
-def qd6_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.select(
+def qd6_basket_pair_counts(items: DataFrame, max_basket: int) -> DataFrame:
+    """(part_a, part_b, n_baskets) over distinct (l_orderkey,
+    l_partkey) items, quadratic bounded by ``max_basket`` (lowest part
+    keys win — deterministic, engine-replayable)."""
+    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    capped = (
+        items.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_basket)
+        .drop("rn")
+    )
+    a = capped.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
     )
-    b = items.select(
+    b = capped.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
     )
     return (
@@ -297,6 +317,15 @@ def qd6_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("part_a") < F.col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_baskets"))
+    )
+
+
+@register("qd6_basket_pairs", oracle=_QD6_ORACLE, tags=("J1", "O2", "A8"))
+def qd6_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    return (
+        qd6_basket_pair_counts(items, _QD6_MAX_BASKET)
         .filter(F.col("n_baskets") >= 2)
         .orderBy(F.col("n_baskets").desc(), "part_a", "part_b")
         .limit(20)

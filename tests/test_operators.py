@@ -769,3 +769,47 @@ def test_int_semdedup_fixpoint_handles_chains_like_greedy(spark):
     )
     got = {r.vec_id: r.keep for r in int_semdedup_keep(df).collect()}
     assert got == {1: 1, 2: 0, 3: 1, 10: 1}
+
+
+def test_table_profile_approx_default_tracks_exact(spark):
+    """x25's scale default: approx_count_distinct profile must agree
+    with the exact profile on null counts and min/max exactly, and on
+    distinct counts within HLL++ default rsd (~5%)."""
+    from dbx_workspace_and_emr_iceberg_spark.queries.extras import (
+        table_profile,
+    )
+
+    df = spark.range(0, 5000).selectExpr(
+        "id", "id % 97 AS k", "CASE WHEN id % 10 = 0 THEN NULL ELSE id % 7 END AS s"
+    )
+    cols = ["id", "k", "s"]
+    exact = table_profile(df, cols, exact=True).collect()[0].asDict()
+    approx = table_profile(df, cols).collect()[0].asDict()
+    for c in cols:
+        assert approx[f"{c}__null"] == exact[f"{c}__null"]
+        assert approx[f"{c}__min"] == exact[f"{c}__min"]
+        assert approx[f"{c}__max"] == exact[f"{c}__max"]
+        nd_e, nd_a = exact[f"{c}__nd"], approx[f"{c}__nd"]
+        assert abs(nd_a - nd_e) <= max(2, 0.1 * nd_e), (c, nd_e, nd_a)
+
+
+def test_qd6_mega_basket_cap_bounds_pairs(spark):
+    """The per-basket cap must bound pair output quadratically in the
+    CAP, not the basket: a synthetic mega-basket contributes exactly
+    C(cap, 2) pairs from its lowest part keys, and small baskets are
+    untouched."""
+    from dbx_workspace_and_emr_iceberg_spark.queries.tpch_suite3 import (
+        qd6_basket_pair_counts,
+    )
+
+    rows = [(1, p) for p in range(200)]  # mega-basket, parts 0..199
+    rows += [(2, 5), (2, 9)]  # normal basket
+    items = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    cap = 10
+    got = qd6_basket_pair_counts(items, cap).collect()
+    # C(cap,2) pairs from the mega-basket; basket 2's (5,9) merges into
+    # the mega-basket's own (5,9) pair with count 2
+    assert len(got) == cap * (cap - 1) // 2
+    # survivors come from the LOWEST part keys (deterministic rule)
+    assert max(max(r.part_a, r.part_b) for r in got) < cap
+    assert {(r.part_a, r.part_b): r.n_baskets for r in got}[(5, 9)] == 2

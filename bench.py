@@ -92,6 +92,27 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Noise-floor calibration (r7 verdict #7): the shared headline set
+    # drifted +7.6% between r6 and r7 purely from box noise, and as the
+    # set grows the total is the only regression signal — so measure the
+    # box itself. One fixed reference plan (q1, already warmed) timed
+    # three times back-to-back at the bench SF; the spread is the
+    # same-plan-same-data variance floor. A future round's total drift
+    # within ~this spread is noise, not regression.
+    calib_runs: list[float] = []
+    for _ in range(3):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        warm.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        calib_runs.append(round(time.perf_counter() - t0, 3))
+    noise_floor = {
+        "query": "q1_pricing_summary",
+        "runs": calib_runs,
+        "spread_pct": round(
+            100.0 * (max(calib_runs) - min(calib_runs)) / min(calib_runs), 1
+        ),
+    }
+
     # Two passes, BOTH reported (round-1 feedback: min-only flatters —
     # pass 1 pays codegen compilation and external CPU contention, pass
     # 2 is the stable plan-cost signal). Headline value/queries stay the
@@ -131,6 +152,7 @@ def main() -> None:
                 # (r6 verdict #6): surfaced explicitly so readers don't
                 # have to derive it from passes
                 "cold_total": round(sum(passes[0].values()), 3),
+                "noise_floor": noise_floor,
                 "sf": sf_num,
             }
         )

@@ -179,9 +179,8 @@ def s13b_pyds_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("bucket")
         )
-        # materialize under the pinned conf (j13 pattern): laziness
-        # would re-plan after the finally restores the conf — and a
-        # re-plan with pushFilters present but the conf off REFUSES
+        # pinned-conf materialization — docs/SELF_VERIFICATION.md
+        # (re-plan with pushFilters present but the conf off REFUSES)
         return spark.createDataFrame(res.collect(), res.schema)
     finally:
         if saved is None:

@@ -646,8 +646,7 @@ def j13_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError(
                 "runtime bloom filter was not injected into the join plan"
             )
-        # materialize under the pinned confs — laziness would otherwise
-        # re-plan after the finally block restores them
+        # pinned-conf materialization — docs/SELF_VERIFICATION.md
         res = spark.createDataFrame(res.collect(), res.schema)
         return res
     finally:
@@ -762,8 +761,8 @@ def _j15_body(spark: SparkSession, sf_dir: str, root: str) -> DataFrame:
         raise AssertionError(
             "dynamic partition pruning subquery missing from the fact scan"
         )
-    # materialize before the caller's finally deletes the temp dirs;
-    # output is <= #years
+    # pinned-conf materialization (here pinned temp DIRS, same hazard):
+    # docs/SELF_VERIFICATION.md; output is <= #years
     return spark.createDataFrame(res.collect(), res.schema)
 
 

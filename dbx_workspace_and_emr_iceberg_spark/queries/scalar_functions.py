@@ -597,8 +597,7 @@ def f18_time_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("event_type", "hr")
         )
-        # materialize under the pinned flag (j13 pattern): lazy exec
-        # after the finally would re-analyze with TIME disabled
+        # pinned-conf materialization — docs/SELF_VERIFICATION.md
         return spark.createDataFrame(res.collect(), res.schema)
     finally:
         if saved is None:

@@ -133,57 +133,60 @@ def all_queries() -> dict[str, Query]:
 
 
 #: Driver front-load list, refreshed each round from CORRECTNESS_r0N.
-#: Round-7 basis (CORRECTNESS_r06): 39 hash-green + 11 rows-only, zero
-#: failures — every prior-round name DROPPED. The r6 verdict identifies
-#: exactly 12 oracled queries with no driver row ever (implemented and
-#: locally green in r6, but outside r6's 50-query budget); they are the
-#: entire front-load so CORRECTNESS_r07 converts them to hard signal.
-#: After them: queries newly added/re-oracled in round 7.
+#: Round-8 basis (CORRECTNESS_r07): 50/50 hash-green, the oracled-unrun
+#: backlog is EMPTY — every prior-round name DROPPED. This round's
+#: front-load, per the r7 verdict "Next round" item #2:
+#:   1. the 4 queries whose oracle or implementation changed in r8
+#:      (x20 newly value-oracled, x37 respelled via chunked prefix
+#:      rank, qd6's cap changed both sides of the contract, x25
+#:      refactored onto table_profile) — each needs a fresh hash row;
+#:   2. the 35 rows-only queries that have NEVER had any driver row
+#:      (pytest-only evidence until now): lakehouse DML lifecycles,
+#:      streaming, LSH/ANN recall suites, multimodal stubs;
+#:   3. queries newly added in round 8 (appended as built).
 _DRIVER_PRIORITY = [
-    # the 12 oracled-unrun queries (r6 verdict "Next round" item #1)
-    "a13_selector_aggs",
-    "d10_arrow_python_udf",
-    "f14_bitwise",
-    "f15_binary_encodings",
-    "f16_split_part",
-    "j15_dynamic_partition_pruning",
-    "j16_join_hints",
-    "s17_text_source",
-    "u8_union_coercion",
-    "w7_ignore_nulls_fill",
-    "x23_vocab_growth",
-    "x25_table_profile",
-    # round-7 additions / upgraded oracles — never driver-run
-    "o5_tablesample",
-    "s14_binaryfile_source",
-    "x27_paragraph_dedup",
-    "x28_mixture_temperature",
-    "x26_corpus_shuffle",
-    "f17_sql_scripting",
-    "s13b_pyds_filter_pushdown",
-    "x29_random_projection",
-    "d11_polymorphic_udtf",
-    "f18_time_type",
-    "d12_table_arg_udtf",
-    "w5b_distributed_ntile",
-    "x7_stratified_sample",
-    "x30_upsampled_mixture",
-    "x31_curation_pipeline_v2",
-    "qd1_share_of_parent",
-    "qd2_yoy_growth",
-    "qd3_moving_average",
-    "qd4_mix_shift",
-    "x32_cluster_safe_splits",
-    "x33_host_quota",
-    "x34_dup_span_detect",
-    "x35_host_pagerank",
-    "qd5_cohort_retention",
+    # 1. changed oracle/implementation in r8 — re-prove first
+    "x20_semantic_dedup",
     "qd6_basket_pairs",
-    "qd7_order_gap_histogram",
-    "qd8_percentile_report",
-    "f19_identifier_clause",
-    "x36_governance_pipeline",
     "x37_quality_ensemble",
+    "x25_table_profile",
+    # 2. first-ever driver rows for the rows-only tail (r7 verdict #2)
+    "m1_lakehouse_dml_lifecycle",
+    "m5_lakehouse_maintenance",
+    "m6_lakehouse_schema_evolution",
+    "m6b_rename_drop_column",
+    "m7_partition_transforms",
+    "m8_branches_wap",
+    "m8b_sql_branch_lifecycle",
+    "m9_stats_file_skipping",
+    "m10_incremental_cdc",
+    "m11_sorted_clustering",
+    "m12_sql_dml_door",
+    "m13_zorder_clustering",
+    "m16_sql_time_travel",
+    "m17_column_defaults",
+    "m18_call_procedures",
+    "m20_pure_sql_lifecycle",
+    "t1b_rate_source",
+    "t5_watermark_append_finalize",
+    "t9_stream_to_lakehouse",
+    "t10_stream_merge_upsert",
+    "t17_streaming_listener",
+    "s18_file_ingest_options",
+    "s2e_csv_malformed_modes",
+    "o4_sort_within_partitions",
+    "a5c_hll_mergeable",
+    "f8c_native_ids",
+    "x2_minhash_lsh",
+    "x12b_lsh_dedup_pipeline",
+    "x3b_ann_lsh",
+    "x3d_topk_vectorized",
+    "x3e_ivf_ann",
+    "x3g_topk_vectorized_bench",
+    "x5b_decode_pipeline",
+    "x5c_frame_sampling",
+    "x24_bloom_contamination",
+    # 3. round-8 additions (appended as built)
 ]
 
 

@@ -1458,3 +1458,98 @@ def x36_governance_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+# --- X39: soft dedup — duplicate down-weighting -----------------------------
+# SlimPajama/Doremi-adjacent alternative to hard dedup: instead of
+# DROPPING duplicate copies, keep every copy but give each a sampling
+# weight 1/cluster_size, so the CONTENT's total weight is 1 regardless
+# of how many crawls re-captured it — preserves corpus shape (domain
+# mix, ordering locality) while killing the memorization multiplier.
+# Weights are basis points (floor(1e4 / c), integer-exact both
+# engines); the emission step turns the fractional weight into a
+# deterministic keep/skip per copy via the content-addressed
+# hash_bucket scheme (rescale/append-stable, DuckDB-replayable) — the
+# same machinery as the x28/x30 mixture samplers.
+# Scale shape: cluster key is md5(text) — 16-byte digests shuffle,
+# never text (x1's property); everything after the digest groupBy is
+# |clusters|-sized; the emission decision is a map-side filter.
+# Planted corpus: every doc_id % 10 == 0 gains TWO extra exact copies,
+# so those clusters have c=3 (wbp=3333 — exercises the fractional
+# path); everything else c=1.
+
+_X39_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text, lang, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + {_COPY_OFFSET}, text, lang, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + {2 * _COPY_OFFSET}, text, lang, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+),
+cl AS (
+  SELECT md5(text) AS digest, count(*) AS c
+  FROM corpus GROUP BY md5(text)
+),
+weighted AS (
+  SELECT doc_id, lang, n_chars, c,
+         10000 // c AS wbp,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 10000 < 10000 // c
+              THEN 1 ELSE 0 END AS emitted
+  FROM corpus JOIN cl ON md5(corpus.text) = cl.digest
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT)                    AS n_docs,
+       CAST(count(DISTINCT CASE WHEN c > 1 THEN doc_id % {_COPY_OFFSET} END)
+            AS BIGINT)                             AS n_dup_contents,
+       CAST(sum(wbp) AS BIGINT)                    AS sum_wbp,
+       CAST(sum(n_chars * wbp // 10000) AS BIGINT) AS eff_chars,
+       CAST(sum(emitted) AS BIGINT)                AS n_emitted,
+       CAST(sum(CASE WHEN emitted = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+                                                   AS emitted_chars
+FROM weighted
+GROUP BY lang ORDER BY lang
+"""
+
+
+@register("x39_soft_dedup_weights", oracle=_X39_ORACLE, tags=("X39", "X1"))
+def x39_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    copies = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.unionByName(
+        copies.withColumn("doc_id", F.col("doc_id") + _COPY_OFFSET)
+    ).unionByName(
+        copies.withColumn("doc_id", F.col("doc_id") + 2 * _COPY_OFFSET)
+    )
+    corpus = corpus.withColumn("digest", F.md5("text")).drop("text")
+    cl = corpus.groupBy("digest").agg(F.count(F.lit(1)).alias("c"))
+    weighted = (
+        corpus.join(cl, "digest")
+        .withColumn("wbp", F.expr("10000L div c"))
+        .withColumn(
+            "emitted",
+            (hash_bucket(F.col("doc_id")) < F.col("wbp")).cast("long"),
+        )
+    )
+    return (
+        weighted.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(
+                F.when(F.col("c") > 1, F.col("doc_id") % _COPY_OFFSET)
+            ).alias("n_dup_contents"),
+            F.sum("wbp").alias("sum_wbp"),
+            F.sum(F.expr("n_chars * wbp div 10000L")).alias("eff_chars"),
+            F.sum("emitted").alias("n_emitted"),
+            F.sum(
+                F.when(F.col("emitted") == 1, F.col("n_chars")).otherwise(0)
+            ).alias("emitted_chars"),
+        )
+        .orderBy("lang")
+    )

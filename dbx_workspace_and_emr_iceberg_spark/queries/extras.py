@@ -1374,3 +1374,266 @@ def f19_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "customer_f19", "balcol": "c_acctbal"},
     )
+
+
+# --- F20: VARIANT type (Spark 4 semi-structured values) ---------------------
+# Spark 4's VARIANT is the open-format semi-structured type (binary
+# encoding + typed path access) that replaces string-JSON hot paths:
+# parse once, then variant_get extracts are typed and pushdown-friendly
+# instead of per-access JSON re-parses. Exercised end-to-end: build a
+# nested JSON document per order (object + array + string-encoded
+# number), parse_json into a VARIANT column, extract with variant_get
+# casts incl. an array index and a CAST from a JSON string number, and
+# prove try_variant_get returns NULL (never raises) on a missing path.
+# DuckDB has no VARIANT; the oracle re-derives every extracted value
+# from the source columns directly, so any corruption in the
+# parse->binary->extract round-trip hash-mismatches. Scale: VARIANT
+# stays JVM-side (no UDF, whole-stage codegen), and the parse is one
+# map-side pass — the 100 TB shape is parse-once-store-variant, then
+# cheap typed extracts.
+# (Reference parity: Spark-side capability enabled by the engine
+# install, /root/reference/main.tf:761; no VARIANT code in reference.)
+
+_F20_ORACLE = """
+SELECT o_orderstatus AS status,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey % 10) AS BIGINT) AS tag0_sum,
+       round(sum(o_totalprice), 2) AS price_sum,
+       CAST(count(*) AS BIGINT) AS n_missing
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("f20_variant_type", oracle=_F20_ORACLE, tags=("F20", "F7"))
+def f20_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    js = F.to_json(
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.struct(
+                F.col("o_orderkey").alias("okey"),
+                # string-encoded number: the classic JSON wire shape —
+                # variant_get must CAST it back to double losslessly
+                F.col("o_totalprice").cast("string").alias("price_s"),
+            ).alias("k"),
+            F.array(
+                (F.col("o_orderkey") % 10).cast("string"),
+                F.col("o_orderpriority"),
+            ).alias("tags"),
+        )
+    )
+    v = o.select("o_orderkey", F.parse_json(js).alias("v"))
+    ex = v.select(
+        F.variant_get("v", "$.status", "string").alias("status"),
+        F.variant_get("v", "$.k.okey", "bigint").alias("okey"),
+        F.variant_get("v", "$.k.price_s", "double").alias("price"),
+        F.variant_get("v", "$.tags[0]", "bigint").alias("tag0"),
+        # missing path: try_ returns NULL (ANSI mode would raise on a
+        # malformed CAST, but absent paths are NULL in both flavors)
+        F.try_variant_get("v", "$.nope.deep", "int").alias("missing"),
+    )
+    return (
+        ex.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("tag0").alias("tag0_sum"),
+            F.round(F.sum("price"), 2).alias("price_sum"),
+            F.sum(
+                F.when(F.col("missing").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_missing"),
+        )
+        .orderBy("status")
+    )
+
+
+# --- F21: SQL session variables (DECLARE / SET VAR) -------------------------
+# Spark 4 session variables: DECLARE VARIABLE + SET VAR, including
+# assignment FROM a scalar subquery — the spark-sql migration path for
+# parameterized production SQL that previously string-spliced
+# thresholds. The variable read is constant-folded at plan time, so
+# the filter it parameterizes is an ordinary pushable predicate (same
+# plan as the literal — no performance tax for the indirection).
+# DuckDB has no session variables; the oracle derives the same
+# threshold with a scalar-subquery CTE, so the variable VALUE (not
+# just the plumbing) is hash-checked.
+
+_F21_ORACLE = """
+WITH params AS (
+  SELECT round(avg(o_totalprice) * 1.5, 2) AS hi_bar FROM orders
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_high,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max((SELECT hi_bar FROM params)), 2) AS hi_bar
+FROM orders
+WHERE o_totalprice > (SELECT hi_bar FROM params)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("f21_session_variables", oracle=_F21_ORACLE, tags=("F21", "F11"))
+def f21_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_f21")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE hi_bar DOUBLE DEFAULT 0.0"
+    )
+    # assignment from a scalar subquery — the variable is evaluated
+    # ONCE here, then is a literal everywhere it's read
+    spark.sql(
+        "SET VAR hi_bar = (SELECT round(avg(o_totalprice) * 1.5, 2) "
+        "FROM orders_f21)"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_high,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(hi_bar), 2) AS hi_bar
+        FROM orders_f21
+        WHERE o_totalprice > hi_bar
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+# --- X40: UniMax budget-waterfilling mixture --------------------------------
+# UniMax (Chung et al., 2022, public): allocate a fixed training-token
+# budget across strata as UNIFORMLY as possible subject to a per-
+# stratum epoch cap — the principled alternative to temperature
+# sampling (x28) when repeating small strata more than E times is the
+# concern. Greedy waterfill, smallest stratum first:
+#
+#   alloc_i = min(E * s_i, remaining_budget / remaining_strata)
+#
+# The sequential greedy is respelled CLOSED-FORM over windows (no
+# driver loop): sorted ascending, a stratum is "capped" iff its full
+# E*s_i fits under an equal split of what's left — a prefix-closed
+# predicate (running-AND window) — and every uncapped stratum gets the
+# identical floor-division equal share of the post-prefix budget.
+# All arithmetic is bigint (chars, floor division) — exact both
+# engines. Scale shape: ONE corpus scan for the strata sizes, then
+# every window runs over the |strata|-row frame (thousands at most,
+# NEVER the corpus) — the x28/x30 pattern; the resulting rates drive
+# the same content-addressed samplers.
+
+_X40_EPOCH_CAP = 2  # max epochs over any stratum
+_X40_BUDGET_NUM, _X40_BUDGET_DEN = 2, 5  # budget = 40% of corpus chars
+
+_X40_ORACLE = f"""
+WITH strata AS (
+  SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS s
+  FROM documents GROUP BY lang, source
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(s) * {_X40_BUDGET_NUM} // {_X40_BUDGET_DEN} AS budget
+  FROM strata
+),
+ordered AS (
+  SELECT lang, source, s,
+         row_number() OVER w AS i,
+         coalesce(sum({_X40_EPOCH_CAP} * s) OVER
+           (ORDER BY s, lang, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_prev
+  FROM strata
+  WINDOW w AS (ORDER BY s, lang, source)
+),
+flagged AS (
+  SELECT *,
+         min(CASE WHEN {_X40_EPOCH_CAP} * s * (tot.n - i + 1)
+                       <= tot.budget - cum_prev
+                  THEN 1 ELSE 0 END) OVER
+           (ORDER BY i ROWS UNBOUNDED PRECEDING) AS capped
+  FROM ordered CROSS JOIN tot
+),
+split AS (
+  SELECT coalesce(CAST(sum(capped) AS BIGINT), 0) AS k,
+         coalesce(CAST(sum(CASE WHEN capped = 1
+                          THEN {_X40_EPOCH_CAP} * s END) AS BIGINT), 0)
+           AS cum_e_k
+  FROM flagged
+),
+alloc AS (
+  SELECT lang, source, s,
+         CASE WHEN capped = 1 THEN {_X40_EPOCH_CAP} * s
+              ELSE least({_X40_EPOCH_CAP} * s,
+                         (tot.budget - cum_e_k) // (tot.n - k))
+         END AS alloc_chars
+  FROM flagged CROSS JOIN split CROSS JOIN tot
+)
+SELECT lang, source, s AS s_chars,
+       CAST(alloc_chars AS BIGINT) AS alloc_chars,
+       CAST(alloc_chars * 10000 // s AS BIGINT) AS epochs_bp
+FROM alloc ORDER BY lang, source
+"""
+
+
+@register("x40_unimax_mixture", oracle=_X40_ORACLE, tags=("X40", "X6"))
+def x40_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    E = _X40_EPOCH_CAP
+    strata = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.sum("n_chars").alias("s"))
+    )
+    tot = strata.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            f"sum(s) * {_X40_BUDGET_NUM}L div {_X40_BUDGET_DEN}L"
+        ).alias("budget"),
+    )
+    # |strata|-row frame from here on: the unpartitioned windows are
+    # over thousands of rows at most, never the corpus (see docstring)
+    wo = Window.orderBy("s", "lang", "source")
+    ordered = strata.select(
+        "lang",
+        "source",
+        "s",
+        F.row_number().over(wo).alias("i"),
+        F.coalesce(
+            F.sum(F.lit(E) * F.col("s")).over(
+                wo.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("cum_prev"),
+    ).crossJoin(F.broadcast(tot))
+    flagged = ordered.withColumn(
+        "capped",
+        F.min(
+            F.when(
+                F.lit(E) * F.col("s") * (F.col("n") - F.col("i") + 1)
+                <= F.col("budget") - F.col("cum_prev"),
+                1,
+            ).otherwise(0)
+        ).over(Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    split = flagged.agg(
+        F.coalesce(F.sum("capped"), F.lit(0)).alias("k"),
+        F.coalesce(
+            F.sum(F.when(F.col("capped") == 1, F.lit(E) * F.col("s"))),
+            F.lit(0),
+        ).alias("cum_e_k"),
+    )
+    alloc = flagged.crossJoin(F.broadcast(split)).withColumn(
+        "alloc_chars",
+        F.when(F.col("capped") == 1, F.lit(E) * F.col("s")).otherwise(
+            F.least(
+                F.lit(E) * F.col("s"),
+                F.expr("(budget - cum_e_k) div (n - k)"),
+            )
+        ),
+    )
+    return alloc.select(
+        "lang",
+        "source",
+        F.col("s").alias("s_chars"),
+        F.col("alloc_chars").cast("long").alias("alloc_chars"),
+        F.expr("alloc_chars * 10000L div s").cast("long").alias("epochs_bp"),
+    ).orderBy("lang", "source")

@@ -1509,3 +1509,206 @@ def x37_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "score",
     ).orderBy("lang", "lang_rank")
+
+
+# --- X38: DSIR-style importance resampling ----------------------------------
+# Data Selection with Importance Resampling (Xie et al., 2023, public):
+# score every raw document by how target-domain-like its hashed n-gram
+# distribution is, then keep the top slice. Standard DSIR uses the
+# log-likelihood ratio sum_tok log(p_tgt(b)/p_raw(b)); engine-exact
+# cross-checking of float log sums is hostile (summation order), so
+# this operator scores with the FIRST-ORDER surrogate — per-bucket
+# probability DIFFERENCE in parts-per-million, integer-exact in both
+# engines:
+#
+#   score_b  = ppm(p_tgt(b)) - ppm(p_raw(b)),  add-1 smoothed,
+#   ppm(p)   = floor((count+1) * 1e6 / (total + B))  [floor division]
+#   doc_score = sum_b count_in_doc(b) * score_b
+#
+# which preserves DSIR's ranking intent (upweight buckets the target
+# over-uses) while every arithmetic step is bigint. The float
+# log-ratio variant is a one-line swap where exactness isn't required.
+#
+# Scale shape: one corpus-linear token explode; the per-doc shuffle
+# carries (doc_id, bucket, count) ints — never text; the bucket score
+# table is B=256 rows, BROADCAST; final selection is a top-k
+# (TakeOrdered — no global sort materialization). Overflow headroom:
+# ppm scores are <= 1e6, per-doc token counts bounded, so doc_score
+# stays far inside bigint at any corpus size (the raw-count
+# formulation (t_b+1)*(R+B) would overflow at ~1e12 tokens — that is
+# WHY the ppm normalization happens before the per-doc sum).
+# Target domain here: lang='fr' documents (any small exemplar set
+# works); raw = the full corpus.
+
+_X38_BUCKETS = 256
+_X38_TOPK = 100
+
+_X38_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(t.tok), 1, 8)) AS BIGINT)
+           % {_X38_BUCKETS} AS b
+  FROM documents,
+       LATERAL unnest(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+raw AS (SELECT b, count(*) AS r_b FROM tok GROUP BY b),
+tgt AS (SELECT b, count(*) AS t_b FROM tok WHERE lang = 'fr' GROUP BY b),
+tot AS (SELECT (SELECT count(*) FROM tok) AS big_r,
+               (SELECT count(*) FROM tok WHERE lang = 'fr') AS big_t),
+scores AS (
+  SELECT raw.b,
+         (coalesce(t_b, 0) + 1) * 1000000
+             // (big_t + {_X38_BUCKETS})
+         - (r_b + 1) * 1000000 // (big_r + {_X38_BUCKETS}) AS score_b
+  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot
+),
+doc_bucket AS (
+  SELECT doc_id, lang, b, count(*) AS c FROM tok GROUP BY doc_id, lang, b
+),
+scored AS (
+  SELECT doc_id, lang,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(sum(c * score_b) AS BIGINT) AS dsir_score
+  FROM doc_bucket JOIN scores USING (b)
+  GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, n_tokens, dsir_score
+FROM scored
+ORDER BY dsir_score DESC, doc_id
+LIMIT {_X38_TOPK}
+"""
+
+
+@register("x38_dsir_importance", oracle=_X38_ORACLE, tags=("X38", "X4"))
+def x38_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_bucket
+
+    B = _X38_BUCKETS
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        # md5 bucket, not xxhash64: cross-engine determinism (the
+        # repo-standard hash_bucket scheme, replayable in DuckDB)
+        .withColumn("b", hash_bucket(F.col("tok"), B))
+        .drop("tok")
+    )
+    tok.cache()  # three aggregates over one corpus-linear pass
+    raw = tok.groupBy("b").agg(F.count(F.lit(1)).alias("r_b"))
+    tgt = (
+        tok.filter(F.col("lang") == "fr")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("t_b"))
+    )
+    totals = raw.agg(F.sum("r_b").alias("big_r")).crossJoin(
+        tgt.agg(F.sum("t_b").alias("big_t"))
+    )
+    # `div` (not floor(a/b)): bigint floor division stays EXACT where
+    # (count+1)*1e6 exceeds double's 2^53 integer range — DuckDB's //
+    # is integer division too, so the engines agree bit-for-bit
+    scores = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.expr(
+                    f"(coalesce(t_b, 0L) + 1) * 1000000L div (big_t + {B})"
+                )
+                - F.expr(f"(r_b + 1) * 1000000L div (big_r + {B})")
+            ).alias("score_b"),
+        )
+    )
+    doc_bucket = tok.groupBy("doc_id", "lang", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    scored = (
+        doc_bucket.join(F.broadcast(scores), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("score_b")).alias("dsir_score"),
+        )
+    )
+    return scored.orderBy(F.col("dsir_score").desc(), "doc_id").limit(
+        _X38_TOPK
+    )
+
+
+# --- X41: per-document benchmark-overlap fraction ---------------------------
+# The GPT-3/Pile decontamination POLICY layer on top of x16's pairwise
+# scan: for every training document, the fraction of its distinct word
+# 3-grams that appear ANYWHERE in the benchmark set, flagging docs
+# above a threshold. x16 answers "which (bench, train) pairs collide";
+# x41 answers the operational question "which training docs do we
+# DROP, and how contaminated are they" — per-doc aggregate semantics,
+# not pairwise (a doc overlapping 50 benchmarks a little and one a lot
+# scores the same as its union, which is what a drop decision needs).
+# Scale shape: the benchmark shingle set is distinct-compressed and
+# BROADCAST (eval suites are tiny next to a training corpus); the
+# corpus streams through one scan + one corpus-linear explode; the
+# per-doc aggregate shuffles (doc_id, counts) ints. The fraction is
+# basis points via bigint floor division — engine-exact.
+
+_X41_THRESH_BP = 500  # flag docs with >= 5% benchmark 3-gram overlap
+
+_X41_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+           i -> concat(string_split(text,' ')[i], ' ',
+                       coalesce(string_split(text,' ')[i+1], ''), ' ',
+                       coalesce(string_split(text,' ')[i+2], ''))))) AS shingle
+  FROM documents
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+scored AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(count(b.shingle) AS BIGINT) AS n_hit
+  FROM train t LEFT JOIN bench b USING (shingle)
+  GROUP BY t.doc_id
+)
+SELECT s.doc_id, d.lang, n_shingles, n_hit,
+       n_hit * 10000 // n_shingles AS overlap_bp
+FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+WHERE n_hit * 10000 // n_shingles >= {_X41_THRESH_BP}
+ORDER BY overlap_bp DESC, s.doc_id
+"""
+
+
+@register("x41_ngram_overlap", oracle=_X41_ORACLE, tags=("X41", "X4"))
+def x41_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(_padded_ngrams(words, 3))).alias("shingle"),
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = sh.filter(F.col("doc_id") % 97 != 0)
+    scored = (
+        train.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_hit"),
+        )
+    )
+    return (
+        scored.join(d.select("doc_id", "lang"), "doc_id")
+        .withColumn("overlap_bp", F.expr("n_hit * 10000L div n_shingles"))
+        .filter(F.col("overlap_bp") >= _X41_THRESH_BP)
+        .select("doc_id", "lang", "n_shingles", "n_hit", "overlap_bp")
+        .orderBy(F.col("overlap_bp").desc(), "doc_id")
+    )

@@ -1081,3 +1081,64 @@ def t17_streaming_listener(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.streams.removeListener(listener)
+
+
+# --- T18: streaming ingest dedup against the historical corpus --------------
+# The continuous-crawl ingestion shape: new documents arrive as a
+# stream, and a doc is NEW only if its content digest is (a) not
+# already in the historical corpus and (b) not already seen earlier in
+# the stream itself. (a) is a stream-static LEFT ANTI join against the
+# history digest frame; (b) is streaming dropDuplicates state. Both
+# sides key on md5(text) — 16-byte digests, never text: the history
+# frame is digest-only (broadcastable up to billions of rows with the
+# x24 bloom variant as the overflow path), and the dedup state store
+# holds digests. Batch-equivalent, so fully ORACLED: history = docs
+# with doc_id % 3 != 0; the stream replays the WHOLE corpus plus a
+# second copy of every doc_id % 5 == 0 doc (internal stream dups —
+# exercises (b) non-vacuously).
+
+_T18_ORACLE = """
+WITH hist AS (
+  SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id % 3 <> 0
+),
+cand AS (SELECT DISTINCT lang, md5(text) AS digest FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_new
+FROM cand
+WHERE digest NOT IN (SELECT digest FROM hist)
+GROUP BY lang ORDER BY lang
+"""
+
+
+@register("t18_stream_dedup_history", oracle=_T18_ORACLE, tags=("T18", "T6", "T8", "X1"))
+def t18_stream_dedup_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", F.md5("text").alias("digest")
+    )
+    hist = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 != 0)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+    )
+    src = tempfile.mkdtemp(prefix="stream_hist_")
+    try:
+        d.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "c1"))
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 5 == 0
+        ).select("lang", F.md5("text").alias("digest")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, "c2"))
+        stream = spark.readStream.schema(d.schema).parquet(src + "/*/")
+        # (lang, digest) dedup key, not digest alone: identical text in
+        # two languages must not race on arrival order for which lang
+        # keeps it — the oracle's DISTINCT (lang, digest) matches
+        new = stream.dropDuplicates(["lang", "digest"]).join(
+            F.broadcast(hist), "digest", "left_anti"
+        )
+        agg = new.groupBy("lang").agg(F.count(F.lit(1)).alias("n_new"))
+        out = run_to_memory(agg, "complete")
+        return out.orderBy("lang")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

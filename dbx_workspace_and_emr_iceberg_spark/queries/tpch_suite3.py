@@ -448,3 +448,88 @@ def discrete_percentiles(
             ).alias(alias)
         )
     return ranked.groupBy(key_col).agg(*aggs)
+
+
+# --- QD9: ordered funnel analysis over the events stream --------------------
+# The product-analytics staple: how many users progressed
+# signup -> view -> click -> purchase IN TIME ORDER (each stage's
+# event strictly after the user's previous-stage arrival, first
+# qualifying arrival wins). Sequential semantics respelled as a chain
+# of per-user conditional MIN aggregates — each stage is one
+# events-scan filter + one groupBy(user_id) + a co-partitioned join
+# with the previous stage's (user_id, t) frame, so every shuffle is on
+# user_id and AQE coalesces the four stages onto one exchange
+# lineage; nothing is ever globally sorted and no per-user event
+# arrays are collected (contrast the sessionize-then-scan-per-user
+# spelling, which shuffles whole event lists). The conversion window
+# runs over the 4-row stage frame. Counts and basis points only —
+# integer-exact both engines.
+
+_QD9_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'view' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s4 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+),
+stages AS (
+  SELECT 1 AS stage, 'signup' AS stage_name, CAST(count(*) AS BIGINT) AS n_users FROM s1
+  UNION ALL SELECT 2, 'view', CAST(count(*) AS BIGINT) FROM s2
+  UNION ALL SELECT 3, 'click', CAST(count(*) AS BIGINT) FROM s3
+  UNION ALL SELECT 4, 'purchase', CAST(count(*) AS BIGINT) FROM s4
+)
+SELECT stage, stage_name, n_users,
+       n_users * 10000 // lag(n_users, 1, n_users) OVER (ORDER BY stage)
+         AS conv_bp
+FROM stages ORDER BY stage
+"""
+
+
+@register("qd9_funnel_analysis", oracle=_QD9_ORACLE, tags=("A1", "J1", "W2"))
+def qd9_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    ev.cache()  # four stage scans over one cached projection
+
+    def stage(event_type: str, prev: DataFrame | None) -> DataFrame:
+        e = ev.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col("t"))
+        return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    s1 = stage("signup", None)
+    s2 = stage("view", s1)
+    s3 = stage("click", s2)
+    s4 = stage("purchase", s3)
+    stages = None
+    for i, (name, frame) in enumerate(
+        [("signup", s1), ("view", s2), ("click", s3), ("purchase", s4)], 1
+    ):
+        row = frame.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.col("n_users"),
+        )
+        stages = row if stages is None else stages.unionByName(row)
+    # conversion vs the previous stage — a window over the 4-row frame
+    return stages.withColumn(
+        "conv_bp",
+        F.expr(
+            "n_users * 10000L div lag(n_users, 1, n_users) "
+            "OVER (ORDER BY stage)"
+        ),
+    ).orderBy("stage")

@@ -1573,67 +1573,83 @@ FROM alloc ORDER BY lang, source
 """
 
 
-@register("x40_unimax_mixture", oracle=_X40_ORACLE, tags=("X40", "X6"))
-def x40_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+def unimax_waterfill(
+    strata: DataFrame,
+    keys: list[str],
+    epoch_cap: int,
+    budget_num: int,
+    budget_den: int,
+) -> DataFrame:
+    """Closed-form UniMax waterfill over a (keys..., s) strata frame
+    (x40's engine; see the x40 block comment for the derivation).
+    Budget = sum(s) * budget_num div budget_den. Returns the strata
+    keys + s_chars / alloc_chars / epochs_bp."""
     from pyspark.sql import Window
 
-    E = _X40_EPOCH_CAP
-    strata = (
-        load_table(spark, sf_dir, "documents")
-        .groupBy("lang", "source")
-        .agg(F.sum("n_chars").alias("s"))
-    )
+    E = epoch_cap
     tot = strata.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.expr(
-            f"sum(s) * {_X40_BUDGET_NUM}L div {_X40_BUDGET_DEN}L"
-        ).alias("budget"),
+        F.count(F.lit(1)).alias("__wf_n"),
+        F.expr(f"sum(s) * {budget_num}L div {budget_den}L").alias("__wf_budget"),
     )
     # |strata|-row frame from here on: the unpartitioned windows are
     # over thousands of rows at most, never the corpus (see docstring)
-    wo = Window.orderBy("s", "lang", "source")
+    wo = Window.orderBy("s", *keys)
     ordered = strata.select(
-        "lang",
-        "source",
+        *keys,
         "s",
-        F.row_number().over(wo).alias("i"),
+        F.row_number().over(wo).alias("__wf_i"),
         F.coalesce(
             F.sum(F.lit(E) * F.col("s")).over(
                 wo.rowsBetween(Window.unboundedPreceding, -1)
             ),
             F.lit(0),
-        ).alias("cum_prev"),
+        ).alias("__wf_cum_prev"),
     ).crossJoin(F.broadcast(tot))
     flagged = ordered.withColumn(
-        "capped",
+        "__wf_capped",
         F.min(
             F.when(
-                F.lit(E) * F.col("s") * (F.col("n") - F.col("i") + 1)
-                <= F.col("budget") - F.col("cum_prev"),
+                F.lit(E) * F.col("s") * (F.col("__wf_n") - F.col("__wf_i") + 1)
+                <= F.col("__wf_budget") - F.col("__wf_cum_prev"),
                 1,
             ).otherwise(0)
-        ).over(Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)),
+        ).over(Window.orderBy("__wf_i").rowsBetween(Window.unboundedPreceding, 0)),
     )
     split = flagged.agg(
-        F.coalesce(F.sum("capped"), F.lit(0)).alias("k"),
+        F.coalesce(F.sum("__wf_capped"), F.lit(0)).alias("__wf_k"),
         F.coalesce(
-            F.sum(F.when(F.col("capped") == 1, F.lit(E) * F.col("s"))),
+            F.sum(F.when(F.col("__wf_capped") == 1, F.lit(E) * F.col("s"))),
             F.lit(0),
-        ).alias("cum_e_k"),
+        ).alias("__wf_cum_e_k"),
     )
     alloc = flagged.crossJoin(F.broadcast(split)).withColumn(
         "alloc_chars",
-        F.when(F.col("capped") == 1, F.lit(E) * F.col("s")).otherwise(
+        F.when(F.col("__wf_capped") == 1, F.lit(E) * F.col("s")).otherwise(
             F.least(
                 F.lit(E) * F.col("s"),
-                F.expr("(budget - cum_e_k) div (n - k)"),
+                F.expr("(__wf_budget - __wf_cum_e_k) div (__wf_n - __wf_k)"),
             )
         ),
     )
     return alloc.select(
-        "lang",
-        "source",
+        *keys,
         F.col("s").alias("s_chars"),
         F.col("alloc_chars").cast("long").alias("alloc_chars"),
         F.expr("alloc_chars * 10000L div s").cast("long").alias("epochs_bp"),
-    ).orderBy("lang", "source")
+    ).orderBy(*keys)
+
+
+@register("x40_unimax_mixture", oracle=_X40_ORACLE, tags=("X40", "X6"))
+def x40_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    strata = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.sum("n_chars").alias("s"))
+    )
+    return unimax_waterfill(
+        strata,
+        ["lang", "source"],
+        _X40_EPOCH_CAP,
+        _X40_BUDGET_NUM,
+        _X40_BUDGET_DEN,
+    )

@@ -1612,7 +1612,7 @@ def x38_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (count+1)*1e6 exceeds double's 2^53 integer range — DuckDB's //
     # is integer division too, so the engines agree bit-for-bit
     scores = (
-        raw.join(tgt, "b", "left")
+        raw.join(F.broadcast(tgt), "b", "left")  # both sides <= B rows
         .crossJoin(F.broadcast(totals))
         .select(
             "b",
@@ -1688,8 +1688,11 @@ ORDER BY overlap_bp DESC, s.doc_id
 def x41_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     words = F.split("text", " ")
+    # lang rides through the explode (few bytes per shingle row) so the
+    # per-doc aggregate needs no second corpus scan + doc_id join
     sh = d.select(
         "doc_id",
+        "lang",
         F.explode(F.array_distinct(_padded_ngrams(words, 3))).alias("shingle"),
     )
     bench = (
@@ -1699,14 +1702,14 @@ def x41_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = sh.filter(F.col("doc_id") % 97 != 0)
     scored = (
         train.join(F.broadcast(bench), "shingle", "left")
-        .groupBy("doc_id")
+        .groupBy("doc_id", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             F.count("hit").alias("n_hit"),
         )
     )
     return (
-        scored.join(d.select("doc_id", "lang"), "doc_id")
+        scored
         .withColumn("overlap_bp", F.expr("n_hit * 10000L div n_shingles"))
         .filter(F.col("overlap_bp") >= _X41_THRESH_BP)
         .select("doc_id", "lang", "n_shingles", "n_hit", "overlap_bp")

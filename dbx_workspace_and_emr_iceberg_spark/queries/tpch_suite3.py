@@ -498,34 +498,29 @@ FROM stages ORDER BY stage
 """
 
 
-@register("qd9_funnel_analysis", oracle=_QD9_ORACLE, tags=("A1", "J1", "W2"))
-def qd9_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts"
-    )
-    ev.cache()  # four stage scans over one cached projection
+def funnel_stages(ev: DataFrame, funnel: list[str]) -> DataFrame:
+    """(stage, stage_name, n_users, conv_bp) for an ordered funnel over
+    an (user_id, event_type, ts) frame — qd9's engine; each stage's
+    arrival must be strictly after the user's previous-stage arrival
+    (first qualifying arrival wins)."""
+    ev = ev.select("user_id", "event_type", "ts")
+    ev.cache()  # one projection feeds every stage scan
 
-    def stage(event_type: str, prev: DataFrame | None) -> DataFrame:
-        e = ev.filter(F.col("event_type") == event_type)
+    prev = None
+    stages = None
+    for i, name in enumerate(funnel, 1):
+        e = ev.filter(F.col("event_type") == name)
         if prev is not None:
             e = e.join(prev, "user_id").filter(F.col("ts") > F.col("t"))
-        return e.groupBy("user_id").agg(F.min("ts").alias("t"))
-
-    s1 = stage("signup", None)
-    s2 = stage("view", s1)
-    s3 = stage("click", s2)
-    s4 = stage("purchase", s3)
-    stages = None
-    for i, (name, frame) in enumerate(
-        [("signup", s1), ("view", s2), ("click", s3), ("purchase", s4)], 1
-    ):
-        row = frame.agg(F.count(F.lit(1)).alias("n_users")).select(
+        prev = e.groupBy("user_id").agg(F.min("ts").alias("t"))
+        row = prev.agg(F.count(F.lit(1)).alias("n_users")).select(
             F.lit(i).alias("stage"),
             F.lit(name).alias("stage_name"),
             F.col("n_users"),
         )
         stages = row if stages is None else stages.unionByName(row)
-    # conversion vs the previous stage — a window over the 4-row frame
+    # conversion vs the previous stage — a window over the |funnel|-row
+    # frame
     return stages.withColumn(
         "conv_bp",
         F.expr(
@@ -533,3 +528,9 @@ def qd9_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             "OVER (ORDER BY stage)"
         ),
     ).orderBy("stage")
+
+
+@register("qd9_funnel_analysis", oracle=_QD9_ORACLE, tags=("A1", "J1", "W2"))
+def qd9_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_stages(ev, ["signup", "view", "click", "purchase"])

@@ -187,6 +187,14 @@ _DRIVER_PRIORITY = [
     "x5c_frame_sampling",
     "x24_bloom_contamination",
     # 3. round-8 additions (appended as built)
+    "f20_variant_type",
+    "f21_session_variables",
+    "x38_dsir_importance",
+    "x39_soft_dedup_weights",
+    "x40_unimax_mixture",
+    "x41_ngram_overlap",
+    "t18_stream_dedup_history",
+    "qd9_funnel_analysis",
 ]
 
 

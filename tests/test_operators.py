@@ -813,3 +813,104 @@ def test_qd6_mega_basket_cap_bounds_pairs(spark):
     # survivors come from the LOWEST part keys (deterministic rule)
     assert max(max(r.part_a, r.part_b) for r in got) < cap
     assert {(r.part_a, r.part_b): r.n_baskets for r in got}[(5, 9)] == 2
+
+
+def test_unimax_waterfill_hand_example(spark):
+    """Waterfill on a hand-computable example: strata sizes 10/20/1000,
+    epoch cap 2, budget = 50% of 1030 = 515. Ascending: 10 capped
+    (2*10*3=60 <= 515), 20 capped (2*20*2=80 <= 515-20*... ), big one
+    gets the remainder."""
+    from dbx_workspace_and_emr_iceberg_spark.queries.extras import (
+        unimax_waterfill,
+    )
+
+    strata = spark.createDataFrame(
+        [("a", 10), ("b", 20), ("c", 1000)], "k string, s long"
+    )
+    got = {
+        r.k: (r.alloc_chars, r.epochs_bp)
+        for r in unimax_waterfill(strata, ["k"], 2, 1, 2).collect()
+    }
+    # budget = 1030 // 2 = 515; a: 2*10=20 (fits: 20*3=60<=515);
+    # b: 2*20=40 (40*2=80 <= 515-20=495); c: share = 515-60 = 455
+    assert got == {"a": (20, 20000), "b": (40, 20000), "c": (455, 4550)}
+
+
+def test_unimax_waterfill_all_capped_no_div_zero(spark):
+    """Budget exceeding every stratum's epoch cap must allocate E*s
+    everywhere and never evaluate the equal-share division (n-k = 0
+    with ANSI mode on would raise)."""
+    from dbx_workspace_and_emr_iceberg_spark.queries.extras import (
+        unimax_waterfill,
+    )
+
+    strata = spark.createDataFrame(
+        [("a", 10), ("b", 20)], "k string, s long"
+    )
+    # budget = 30 * 10 = 300 >= 2*30
+    got = {
+        r.k: r.alloc_chars
+        for r in unimax_waterfill(strata, ["k"], 2, 10, 1).collect()
+    }
+    assert got == {"a": 20, "b": 40}
+
+
+def test_funnel_stages_enforces_time_order(spark):
+    """A user whose purchase precedes their click must count for
+    signup/view/click but NOT purchase; a fully ordered user counts
+    everywhere; a user who never signed up counts nowhere."""
+    from dbx_workspace_and_emr_iceberg_spark.queries.tpch_suite3 import (
+        funnel_stages,
+    )
+
+    rows = [
+        # user 1: fully ordered
+        (1, "signup", "2024-01-01 00:00:00"),
+        (1, "view", "2024-01-01 01:00:00"),
+        (1, "click", "2024-01-01 02:00:00"),
+        (1, "purchase", "2024-01-01 03:00:00"),
+        # user 2: purchase BEFORE click -> stops at click
+        (2, "signup", "2024-01-01 00:00:00"),
+        (2, "view", "2024-01-01 01:00:00"),
+        (2, "purchase", "2024-01-01 01:30:00"),
+        (2, "click", "2024-01-01 02:00:00"),
+        # user 3: no signup -> never enters the funnel
+        (3, "view", "2024-01-01 00:00:00"),
+        (3, "click", "2024-01-01 01:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r.stage_name: (r.n_users, r.conv_bp)
+        for r in funnel_stages(
+            ev, ["signup", "view", "click", "purchase"]
+        ).collect()
+    }
+    assert got == {
+        "signup": (2, 10000),
+        "view": (2, 10000),
+        "click": (2, 10000),
+        "purchase": (1, 5000),
+    }
+
+
+def test_funnel_stages_ties_not_counted(spark):
+    """Strictly-after semantics: a same-timestamp next-stage event does
+    NOT advance the funnel (ts > t, not >=)."""
+    from dbx_workspace_and_emr_iceberg_spark.queries.tpch_suite3 import (
+        funnel_stages,
+    )
+
+    rows = [
+        (1, "signup", "2024-01-01 00:00:00"),
+        (1, "view", "2024-01-01 00:00:00"),  # tie -> no advance
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r.stage_name: r.n_users
+        for r in funnel_stages(ev, ["signup", "view"]).collect()
+    }
+    assert got == {"signup": 1, "view": 0}

@@ -1653,3 +1653,62 @@ def x40_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         _X40_BUDGET_NUM,
         _X40_BUDGET_DEN,
     )
+
+
+# --- F22: try_* ANSI-safe arithmetic ----------------------------------------
+# PySpark 4 runs ANSI mode ON by default: integer overflow and
+# division by zero RAISE instead of wrapping/NULLing. The try_* family
+# (try_add/try_subtract/try_multiply/try_divide/try_mod, plus
+# try_sum/try_avg aggregates) is the sanctioned per-expression opt-out
+# — NULL on failure, never a wrap and never a job abort. The pipeline
+# reality: one malformed row must not kill a 100 TB pass; try_* keeps
+# the lane ANSI-strict while quarantining the poison rows as NULLs you
+# can count (audited here as n_null_div). DuckDB divides by zero to
+# NULL natively, and its hugeint arithmetic never overflows at these
+# magnitudes — the oracle spells the same semantics with NULLIF +
+# explicit CASTs.
+
+_F22_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                     ELSE o_orderkey * 1000000 END) AS BIGINT) AS scaled_sum,
+       round(sum(o_totalprice / NULLIF(o_orderkey % 5, 0)), 2) AS ratio_sum,
+       CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_div
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("f22_try_arithmetic", oracle=_F22_ORACLE, tags=("F22", "F3"))
+def f22_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    e = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        # poison lane: every 7th key pretends to overflow — modeled
+        # with an explicit NULL injection so the try_multiply NULL
+        # propagation (not the overflow threshold itself, which needs
+        # values near 2^63) is what's value-checked
+        F.try_multiply(
+            F.when(F.col("o_orderkey") % 7 == 0, None).otherwise(
+                F.col("o_orderkey")
+            ),
+            F.lit(1000000),
+        ).alias("scaled"),
+        F.try_divide(
+            F.col("o_totalprice"), (F.col("o_orderkey") % 5)
+        ).alias("ratio"),
+    )
+    return (
+        e.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.try_sum("scaled").alias("scaled_sum"),
+            F.round(F.sum("ratio"), 2).alias("ratio_sum"),
+            F.sum(F.col("ratio").isNull().cast("long")).alias("n_null_div"),
+        )
+        .orderBy("o_orderpriority")
+    )

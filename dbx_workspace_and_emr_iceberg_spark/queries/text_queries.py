@@ -1715,3 +1715,123 @@ def x41_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_shingles", "n_hit", "overlap_bp")
         .orderBy(F.col("overlap_bp").desc(), "doc_id")
     )
+
+
+# --- X43: CCNet head/middle/tail perplexity buckets -------------------------
+# CCNet's signature move (public pipeline, Wenzek et al.): score every
+# document with a small LM, split each LANGUAGE into perplexity
+# terciles — head (most fluent), middle, tail — and train on
+# head+middle while keeping tail for audit. Composes two proven
+# pieces: x22's in-engine add-one bigram LM for the per-doc NLL, and
+# the chunked percent_rank machinery (operators/skew.py, the x37/w5b
+# respell) for the per-lang tercile WITHOUT a window partitioned on
+# the skewed low-cardinality lang key — an English-dominated corpus
+# never funnels through one task. Per-doc NLL is rounded to 4 decimals
+# BEFORE ranking on both engines (the x22 float precedent), and the
+# tercile is floor(pr*3) on the identical double pr both engines
+# derive, so bucket assignment is engine-exact.
+
+_X43_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS sp FROM documents
+),
+bi2 AS (
+  SELECT doc_id, lang, sp[i] AS w1, sp[i + 1] AS w2
+  FROM docs, LATERAL (SELECT unnest(generate_series(1, len(sp) - 1)) AS i) t
+),
+bc AS (SELECT w1, w2, count(*) AS c FROM bi2 GROUP BY 1, 2),
+uc AS (SELECT w1, count(*) AS c1 FROM bi2 GROUP BY 1),
+v  AS (SELECT count(DISTINCT w) AS vsize
+       FROM (SELECT unnest(sp) AS w FROM docs)),
+doc_nll AS (
+  SELECT b.doc_id, b.lang,
+         round(avg(-ln((bc.c + 1.0) / (uc.c1 + v.vsize))), 4) AS nll
+  FROM bi2 b JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+  GROUP BY b.doc_id, b.lang
+),
+ranked AS (
+  SELECT *,
+         percent_rank() OVER (PARTITION BY lang ORDER BY nll) AS pr
+  FROM doc_nll
+),
+bucketed AS (
+  SELECT lang,
+         least(CAST(floor(pr * 3) AS BIGINT), 2) AS bucket,
+         doc_id, nll
+  FROM ranked
+)
+SELECT lang, bucket,
+       CASE bucket WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+            ELSE 'tail' END AS bucket_name,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       round(min(nll), 4) AS min_nll,
+       round(max(nll), 4) AS max_nll
+FROM bucketed
+GROUP BY lang, bucket ORDER BY lang, bucket
+"""
+
+
+@register("x43_perplexity_buckets", oracle=_X43_ORACLE, tags=("X43", "X22", "X4"))
+def x43_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import chunked_percent_ranks
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        words.withColumn("w2", F.lead("word").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "lang", F.col("word").alias("w1"), "w2")
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    uc = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = words.agg(F.countDistinct("word").cast("double").alias("vsize"))
+    doc_nll = (
+        bi.join(bc, ["w1", "w2"])
+        .join(uc, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.avg(
+                    -F.log(
+                        (F.col("c") + F.lit(1.0))
+                        / (F.col("c1") + F.col("vsize"))
+                    )
+                ),
+                4,
+            ).alias("nll")
+        )
+    )
+    ranked = chunked_percent_ranks(
+        doc_nll, "lang", ["nll"], ["doc_id"], n_chunks=8
+    ).join(doc_nll, ["doc_id", "lang"])
+    bucketed = ranked.withColumn(
+        "bucket",
+        F.least(F.floor(F.col("pr_nll") * 3), F.lit(2)).cast("long"),
+    )
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.round(F.min("nll"), 4).alias("min_nll"),
+            F.round(F.max("nll"), 4).alias("max_nll"),
+        )
+        .withColumn(
+            "bucket_name",
+            F.when(F.col("bucket") == 0, "head")
+            .when(F.col("bucket") == 1, "middle")
+            .otherwise("tail"),
+        )
+        .select(
+            "lang", "bucket", "bucket_name", "n_docs", "id_sum",
+            "min_nll", "max_nll",
+        )
+        .orderBy("lang", "bucket")
+    )

@@ -195,6 +195,8 @@ _DRIVER_PRIORITY = [
     "x41_ngram_overlap",
     "t18_stream_dedup_history",
     "qd9_funnel_analysis",
+    "f22_try_arithmetic",
+    "x43_perplexity_buckets",
 ]
 
 

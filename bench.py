@@ -73,6 +73,14 @@ HEADLINE = [
     # iterative-algorithm representative: 8 Pregel-style power
     # iterations (join + groupBy per round) over the host link graph
     "x35_host_pagerank",
+    # round-8 additions: DSIR importance scoring (corpus-linear token
+    # explode + broadcast 256-row bucket-score join + TakeOrdered),
+    # CCNet perplexity terciles (bigram LM + chunked percent_rank — the
+    # skew-proof window respell under the clock), and the ordered
+    # funnel (chained per-user conditional MIN aggregates)
+    "x38_dsir_importance",
+    "x43_perplexity_buckets",
+    "qd9_funnel_analysis",
 ]
 
 

@@ -1808,6 +1808,11 @@ def x43_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nll")
         )
     )
+    # the per-doc NLL frame is tiny (one row per doc) but its subtree
+    # is the whole bigram-LM join, and it feeds THREE consumers (the
+    # rank machinery's approxQuantile action, its offset collect, and
+    # the final join) — cache it so the LM trains once
+    doc_nll = doc_nll.cache()
     ranked = chunked_percent_ranks(
         doc_nll, "lang", ["nll"], ["doc_id"], n_chunks=8
     ).join(doc_nll, ["doc_id", "lang"])

@@ -372,20 +372,32 @@ def test_s13_python_source_aggregate_is_two_phase(spark):
     assert plan.count("HashAggregate") >= 2, plan
 
 
-def test_x37_three_windows_share_one_lang_exchange(spark):
-    """SCALE.md's x37 claim, pinned: the three percent_rank windows
-    differ only in sort key, so exactly ONE hashpartitioning(lang)
-    exchange feeds them (partition-local re-sorts between Window
-    nodes); and no window in the plan is global (every Window has a
-    partition key)."""
+def test_x37_no_window_partitioned_on_lang_alone(spark):
+    """SCALE.md's post-respell x37 claim, pinned: after the chunked
+    percent_rank respell, the only windows keyed on lang ALONE are the
+    salted_top_k phases over BOUNDED frames (phase 1 is (lang, salt);
+    phase 2 re-ranks <= n_salts*k survivors per language) — the corpus
+    itself is never partitioned by the skewed low-cardinality lang
+    key. Plan-level spelling: at most ONE single-key
+    hashpartitioning(lang) exchange (the bounded phase-2 re-rank),
+    every Window node carries a partition clause (no global window),
+    and the rank pipeline's own chunk-partitioning is enforced by
+    x37's in-query assert (this call not raising IS that check)."""
+    import re
+
     from dbx_workspace_and_emr_iceberg_spark.queries.text_queries import (
         x37_quality_ensemble,
     )
 
     df = x37_quality_ensemble(spark, SF_DIR)
     p = X.simple_plan(df)
-    lang_exchanges = p.count("Exchange hashpartitioning(lang")
-    assert lang_exchanges == 1, p
+    solo_lang = re.findall(r"hashpartitioning\(lang#\d+, \d+\)", p)
+    assert len(solo_lang) <= 1, p
+    # no unpartitioned window anywhere: every windowspecdefinition in
+    # the optimized plan must carry at least one partition expression
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    for m in re.finditer(r"windowspecdefinition\((.*?)(?:ASC|DESC)", opt):
+        assert m.group(1).strip(" ,") != "", "global window: " + m.group(0)
     assert X.python_eval_count(df) == 0, "ensemble crossed into Python"
 
 

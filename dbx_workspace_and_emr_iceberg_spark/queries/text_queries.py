@@ -1840,3 +1840,212 @@ def x43_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+# --- X44: C4-style line-level filtering with document reassembly ------------
+# The line-rule layer every C4/RefinedWeb-descended pipeline runs
+# BEFORE document-level quality gates: split each document into lines,
+# apply per-line keep rules, drop within-document repeated lines, and
+# reassemble the survivors in order. Lines here are the fixture's
+# 8-word windows (it has no newlines — x27's chunking idiom); the
+# rules are content-grounded, not planted: (1) a line must have >= 5
+# words (real: each doc's last window is usually short), (2) a line
+# containing the blocklisted token 'value' is dropped (the C4
+# bad-words rule shape), (3) within a doc, only a line's first
+# occurrence survives (RefinedWeb line dedup — PER-DOC state, so it
+# composes with x27's global chunk dedup rather than duplicating it).
+# Scale shape: one corpus-linear explode; every rule is a map-side
+# array expression; the dedup window partitions on (doc_id, line
+# digest) — high-cardinality, no skew; reassembly is x27's
+# sorted-collect per doc. Only changed documents are emitted.
+# The fixture's 8-word windows never repeat within a doc, so rule (3)
+# would be vacuous on raw text — every doc_id % 7 == 0 doc gets its
+# first line re-appended (declared identically on both sides, the
+# planted-dup pattern of x1/x2/x39) so the dedup path is exercised
+# non-vacuously.
+
+_X44_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' ' ||
+                   array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')
+              ELSE text END AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+),
+lines AS (
+  SELECT doc_id, i,
+         list_slice(t, i*8 + 1, i*8 + 8) AS lw
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(
+                  0, CAST(floor((len(t) - 1) / 8.0) AS INT))) AS i)
+),
+ruled AS (
+  SELECT doc_id, i,
+         array_to_string(lw, ' ') AS line,
+         CASE WHEN len(lw) < 5 THEN 1 ELSE 0 END AS short_f,
+         CASE WHEN list_contains(lw, 'value') THEN 1 ELSE 0 END AS blocked_f,
+         row_number() OVER (PARTITION BY doc_id, md5(array_to_string(lw, ' '))
+                            ORDER BY i) AS occ
+  FROM lines
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN short_f = 0 AND blocked_f = 0 AND occ = 1
+              THEN 1 ELSE 0 END AS keep_f
+  FROM ruled
+),
+rebuilt AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(keep_f) AS BIGINT) AS n_kept,
+         CAST(sum(short_f) AS BIGINT) AS n_short,
+         CAST(sum(blocked_f) AS BIGINT) AS n_blocked,
+         CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         md5(coalesce(string_agg(line, ' ' ORDER BY i)
+                        FILTER (WHERE keep_f = 1), '')) AS kept_digest
+  FROM flagged GROUP BY doc_id
+)
+SELECT * FROM rebuilt WHERE n_kept < n_lines ORDER BY doc_id
+"""
+
+
+@register("x44_line_filtering", oracle=_X44_ORACLE, tags=("X44", "X4", "X27"))
+def x44_line_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                "text",
+                F.lit(" "),
+                F.array_join(F.slice(F.split("text", " "), 1, 8), " "),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    lines = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.floor((F.size("t") - 1) / 8.0).cast("int")
+            )
+        ).alias("i"),
+        "t",
+    ).select(
+        "doc_id",
+        "i",
+        F.slice(F.col("t"), F.col("i") * 8 + 1, 8).alias("lw"),
+    )
+    ruled = lines.select(
+        "doc_id",
+        "i",
+        F.array_join("lw", " ").alias("line"),
+        (F.size("lw") < 5).cast("long").alias("short_f"),
+        F.array_contains("lw", "value").cast("long").alias("blocked_f"),
+    ).withColumn(
+        "occ",
+        F.row_number().over(
+            Window.partitionBy("doc_id", F.md5("line")).orderBy("i")
+        ),
+    )
+    flagged = ruled.withColumn(
+        "keep_f",
+        (
+            (F.col("short_f") == 0)
+            & (F.col("blocked_f") == 0)
+            & (F.col("occ") == 1)
+        ).cast("long"),
+    )
+    rebuilt = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("keep_f").alias("n_kept"),
+        F.sum("short_f").alias("n_short"),
+        F.sum("blocked_f").alias("n_blocked"),
+        F.sum((F.col("occ") > 1).cast("long")).alias("n_dup"),
+        F.md5(
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("keep_f") == 1,
+                                    F.struct("i", "line"),
+                                )
+                            )
+                        ),
+                        lambda s: s["line"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            )
+        ).alias("kept_digest"),
+    )
+    return rebuilt.filter(F.col("n_kept") < F.col("n_lines")).orderBy(
+        "doc_id"
+    )
+
+
+# --- X45: inverted-index build (token -> posting list) ----------------------
+# The retrieval-side complement of the pipeline: build the
+# token -> sorted-document posting map that powers BM25 (x4h) and
+# exact-match decontamination lookups. The posting LIST is the
+# output, so the shuffle carries (token, doc_id) pairs — that is the
+# operator's irreducible cost; document frequency rides along free.
+# Posting lists are emitted content-addressed (md5 of the sorted
+# comma-joined ids) plus a 3-doc preview, so the result row stays
+# O(1) wide while the oracle still proves the ENTIRE list, order
+# included. 100 TB posture: stopword tokens produce monster postings —
+# the real index shards postings by doc-id range (doc-partitioned
+# secondary sort, one file per (token, shard)) and stores df
+# separately; a df-threshold stoplist cut is the standard first knife.
+# Both mitigations are notes here because the fixture vocabulary is
+# tiny; the plan shape (explode -> distinct -> groupBy token) is the
+# one that scales.
+
+_X45_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT t.word, doc_id
+  FROM documents, LATERAL unnest(string_split(text, ' ')) AS t(word)
+  WHERE t.word <> ''
+)
+SELECT word,
+       CAST(count(*) AS BIGINT) AS df,
+       md5(array_to_string(list_sort(list(doc_id)), ',')) AS posting_digest,
+       array_to_string(list_slice(list_sort(list(doc_id)), 1, 3), ',')
+         AS head_docs
+FROM pairs
+GROUP BY word
+ORDER BY word
+"""
+
+
+@register("x45_inverted_index", oracle=_X45_ORACLE, tags=("X45", "X4"))
+def x45_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        d.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    posting = F.array_sort(F.collect_list("doc_id"))
+    return (
+        pairs.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.md5(
+                F.array_join(posting.cast("array<string>"), ",")
+            ).alias("posting_digest"),
+            F.array_join(
+                F.slice(posting, 1, 3).cast("array<string>"), ","
+            ).alias("head_docs"),
+        )
+        .orderBy("word")
+    )

@@ -197,6 +197,8 @@ _DRIVER_PRIORITY = [
     "qd9_funnel_analysis",
     "f22_try_arithmetic",
     "x43_perplexity_buckets",
+    "x44_line_filtering",
+    "x45_inverted_index",
 ]
 
 

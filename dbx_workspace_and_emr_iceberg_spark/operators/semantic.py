@@ -202,10 +202,15 @@ def quantized_unit_vectors(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # materialize the norm BEFORE the per-element lambda references it
+    # (text_queries idiom): an expression embedded inside transform()
+    # re-evaluates the whole O(d) fold once per element — O(d²) per row
+    # on the corpus-linear pass instead of O(d)
+    df = df.withColumn("__norm", F.sqrt(sq))
     vq = F.transform(
         vec_col,
         lambda x: F.floor(
-            x.cast("double") / F.sqrt(sq) * scale + F.lit(0.5)
+            x.cast("double") / F.col("__norm") * scale + F.lit(0.5)
         ).cast("long"),
     )
     return df.select(
@@ -389,7 +394,13 @@ def int_semdedup_keep(
     greedy = assigned.groupBy("cluster").applyInPandas(
         lambda _k, pdf: prune(pdf), schema
     )
-    checked = fix.join(greedy, "vec_id")
+    # cache before the divergence count: the subtree above it (k-means
+    # assigns + O(n²/k) edge join + fixpoint rounds + greedy replay) is
+    # the whole operator — without this the caller's consumption of the
+    # returned frame re-runs it all from scratch (review-pass finding).
+    # Callers that persist/checkpoint the result (x20) make this cache
+    # short-lived; it is bounded at one row per vector either way.
+    checked = fix.join(greedy, "vec_id").cache()
     n_bad = checked.filter(F.col("keep") != F.col("keep_greedy")).count()
     if n_bad:
         raise AssertionError(

@@ -159,10 +159,15 @@ def chunked_percent_ranks(
         )
         chunk_expr = F.when(F.col("sig") == c, e).otherwise(chunk_expr)
 
+    # cached: the distinct-value frame (bounded by #distinct values,
+    # not rows) feeds BOTH the totals collect and the lt_loc/join
+    # pipeline — uncached, the corpus explode + groupBy would run
+    # twice (review-pass finding; same reasoning as x43's doc_nll)
     vc = (
         long.groupBy(part_col, "sig", "val")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("chunk", chunk_expr)
+        .cache()
     )
     w_loc = (
         Window.partitionBy(part_col, "sig", "chunk")

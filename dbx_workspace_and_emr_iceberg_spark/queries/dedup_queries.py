@@ -692,10 +692,14 @@ def x20_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         n_pairs = pairs.count()
+        if n_pairs == 0:
+            # a broken origin/copy join must FAIL the check, not skip
+            # it — zero pairs means the plant itself is gone
+            raise AssertionError("SemDeDup planted-pair join lost all rows")
         n_resolved = pairs.filter(
             (F.col("ok") == 0) | (F.col("ck") == 0)
         ).count()
-        if n_pairs and n_resolved < 0.9 * n_pairs:
+        if n_resolved < 0.9 * n_pairs:
             raise AssertionError(
                 f"SemDeDup resolved only {n_resolved}/{n_pairs} planted pairs"
             )

@@ -1457,18 +1457,27 @@ def f20_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plan as the literal — no performance tax for the indirection).
 # DuckDB has no session variables; the oracle derives the same
 # threshold with a scalar-subquery CTE, so the variable VALUE (not
-# just the plumbing) is hash-checked.
+# just the plumbing) is hash-checked. The threshold is computed in
+# integer CENTS (per-value round to cents, bigint sum, floor-division
+# mean) because it feeds a PREDICATE: a float avg's summation order
+# differs between engines, and one ulp across a rounding boundary
+# would flip rows in or out of the filter — the review-pass finding
+# that float rounding is fine for displayed values but not for
+# decision boundaries.
 
 _F21_ORACLE = """
 WITH params AS (
-  SELECT round(avg(o_totalprice) * 1.5, 2) AS hi_bar FROM orders
+  SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) * 3
+              // (2 * count(*)) AS BIGINT) AS hi_bar_cents
+  FROM orders
 )
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_high,
        round(min(o_totalprice), 2) AS min_price,
-       round(max((SELECT hi_bar FROM params)), 2) AS hi_bar
+       CAST(max((SELECT hi_bar_cents FROM params)) AS BIGINT) AS hi_bar_cents
 FROM orders
-WHERE o_totalprice > (SELECT hi_bar FROM params)
+WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+        > (SELECT hi_bar_cents FROM params)
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
@@ -1478,22 +1487,24 @@ ORDER BY o_orderpriority
 def f21_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_f21")
     spark.sql(
-        "DECLARE OR REPLACE VARIABLE hi_bar DOUBLE DEFAULT 0.0"
+        "DECLARE OR REPLACE VARIABLE hi_bar_cents BIGINT DEFAULT 0"
     )
     # assignment from a scalar subquery — the variable is evaluated
-    # ONCE here, then is a literal everywhere it's read
+    # ONCE here, then is a literal everywhere it's read (1.5x the mean
+    # price, in integer cents: sum*3 div (2*n))
     spark.sql(
-        "SET VAR hi_bar = (SELECT round(avg(o_totalprice) * 1.5, 2) "
-        "FROM orders_f21)"
+        "SET VAR hi_bar_cents = ("
+        "SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT)) * 3L"
+        " div (2 * count(*)) FROM orders_f21)"
     )
     return spark.sql(
         """
         SELECT o_orderpriority,
                count(*) AS n_high,
                round(min(o_totalprice), 2) AS min_price,
-               round(max(hi_bar), 2) AS hi_bar
+               max(hi_bar_cents) AS hi_bar_cents
         FROM orders_f21
-        WHERE o_totalprice > hi_bar
+        WHERE CAST(round(o_totalprice * 100) AS BIGINT) > hi_bar_cents
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
         """

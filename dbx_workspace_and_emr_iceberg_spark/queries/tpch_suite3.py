@@ -492,7 +492,8 @@ stages AS (
   UNION ALL SELECT 4, 'purchase', CAST(count(*) AS BIGINT) FROM s4
 )
 SELECT stage, stage_name, n_users,
-       n_users * 10000 // lag(n_users, 1, n_users) OVER (ORDER BY stage)
+       n_users * 10000
+         // nullif(lag(n_users, 1, n_users) OVER (ORDER BY stage), 0)
          AS conv_bp
 FROM stages ORDER BY stage
 """
@@ -520,12 +521,13 @@ def funnel_stages(ev: DataFrame, funnel: list[str]) -> DataFrame:
         )
         stages = row if stages is None else stages.unionByName(row)
     # conversion vs the previous stage — a window over the |funnel|-row
-    # frame
+    # frame. nullif: a dead stage (0 users) makes the NEXT stage's
+    # conversion undefined (NULL), not an ANSI DIVIDE_BY_ZERO abort.
     return stages.withColumn(
         "conv_bp",
         F.expr(
-            "n_users * 10000L div lag(n_users, 1, n_users) "
-            "OVER (ORDER BY stage)"
+            "n_users * 10000L div nullif(lag(n_users, 1, n_users) "
+            "OVER (ORDER BY stage), 0)"
         ),
     ).orderBy("stage")
 

@@ -1385,18 +1385,55 @@ class BranchedLakehouse:
             json.dump(refs, f, indent=1)
         os.replace(tmp, self.refs_path)
 
-    def create_branch(self, name: str, at_version: int | None = None) -> int:
+    def main_head(self) -> int:
+        """Main's logical head: the newest snapshot NOT staged by a
+        branch write. The emulation shares one snapshot log between
+        main and branches (the `_current` pointer is the log head, as
+        Iceberg's snapshot list is shared across refs); branch writes
+        tag their snapshots with `staged_ref`, so main's head is the
+        newest untagged one — this is what ref creation must default
+        to, or a branch created after another branch's write would
+        capture that branch's STAGED data (review-pass finding)."""
+        v = self.table.current_version()
+        while v > 0 and self.table._read_manifest(v).get("staged_ref"):
+            v -= 1
+        return v
+
+    def create_branch(
+        self,
+        name: str,
+        at_version: int | None = None,
+        if_not_exists: bool = False,
+    ) -> int:
+        """CREATE rejects an existing branch (Iceberg's CREATE-vs-
+        REPLACE distinction — silently re-pointing an audited branch
+        is the WAP footgun); IF NOT EXISTS makes it a no-op returning
+        the existing pointer; re-pointing is replace_branch. Defaults
+        to main_head(), never a staged branch snapshot."""
         refs = self._refs()
-        v = at_version if at_version is not None else self.table.current_version()
+        if name in refs["branches"]:
+            if if_not_exists:
+                return refs["branches"][name]
+            raise ValueError(
+                f"branch {name} exists (use REPLACE BRANCH to re-point)"
+            )
+        v = at_version if at_version is not None else self.main_head()
         refs["branches"][name] = v
         self._save(refs)
         return v
 
-    def create_tag(self, name: str, at_version: int | None = None) -> int:
+    def create_tag(
+        self,
+        name: str,
+        at_version: int | None = None,
+        if_not_exists: bool = False,
+    ) -> int:
         refs = self._refs()
-        v = at_version if at_version is not None else self.table.current_version()
         if name in refs["tags"]:
+            if if_not_exists:
+                return refs["tags"][name]
             raise ValueError(f"tag {name} exists (tags are immutable)")
+        v = at_version if at_version is not None else self.main_head()
         refs["tags"][name] = v
         self._save(refs)
         return v
@@ -1455,14 +1492,56 @@ class BranchedLakehouse:
     def write_to_branch(
         self, name: str, df: DataFrame, positional: bool = False
     ) -> int:
-        """Append lands as a new snapshot; only the branch pointer moves
-        (main still points at its old version) — the W of WAP.
-        ``positional`` binds columns by position (the SQL-door INSERT
-        contract — a VALUES frame arrives named col1/col2)."""
-        v = (
-            self.table.append_positional(df)
-            if positional
-            else self.table.append(df)
+        """Append lands as a new snapshot BASED ON THE BRANCH'S OWN
+        HEAD (not `_current` — basing on the shared log head would
+        silently fold another branch's staged files into this one,
+        the multi-branch bug the review pass surfaced), tagged
+        ``staged_ref`` so main_head() skips it; only the branch
+        pointer moves — the W of WAP. The shared snapshot log's
+        `_current` does advance (exactly as Iceberg's snapshot list
+        grows on a branch commit); door-level main reads stay pinned
+        via the unrefreshed view, and pinned reads / main_head() are
+        the API-level spelling. ``positional`` binds columns by
+        position (the SQL-door INSERT contract — a VALUES frame
+        arrives named col1/col2)."""
+        from pyspark.sql.types import StructType
+
+        refs = self._refs()
+        if name not in refs["branches"]:
+            raise KeyError(f"unknown branch {name}")
+        base = refs["branches"][name]
+        schema = self.table._read_manifest(base)["schema"]
+        st = StructType.fromJson(schema)
+        if positional:
+            if len(df.columns) != len(st.fields):
+                raise ValueError(
+                    f"INSERT into branch {name}: {len(df.columns)} values "
+                    f"for {len(st.fields)} columns"
+                )
+            df = df.select(
+                *[
+                    F.col(src).cast(fld.dataType).alias(fld.name)
+                    for src, fld in zip(df.columns, st.fields)
+                ]
+            )
+        cols = [f.name for f in st.fields]
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"append to branch {name}: frame lacks column(s) {missing}"
+            )
+        parent = self.table.current_version()
+        files = self.table._files(base) + self.table._write_files(
+            df.select(cols)
+        )
+        v = self.table._commit(
+            {
+                "files": files,
+                "schema": schema,
+                "op": f"branch_append:{name}",
+                "staged_ref": name,
+            },
+            parent,
         )
         refs = self._refs()
         refs["branches"][name] = v

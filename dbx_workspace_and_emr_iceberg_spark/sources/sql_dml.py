@@ -215,8 +215,11 @@ _CTAS_RE = re.compile(
     r"^CREATE\s+TABLE\s+(\w+)\s+AS\s+(SELECT\b.+)$", re.I | re.S
 )
 _INSERT_RE = re.compile(
-    # dotted form admits the Iceberg branch-write target t.branch_<b>
-    r"^INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+(?:\.\w+)?)\s+"
+    # dotted form admits the Iceberg branch-write target t.branch_<b>;
+    # the ref part of the name uses the SAME charset as the ALTER ref
+    # DDL grammar (\w plus - and .), so every branch that can be
+    # CREATEd can also be written
+    r"^INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+(?:\.\w[\w\-.]*)?)\s+"
     r"(SELECT\b.+|VALUES\s*\(.+)$",
     re.I | re.S,
 )
@@ -328,7 +331,7 @@ _ALTER_RENAME_RE = re.compile(
 #   ALTER TABLE t DROP BRANCH|TAG name
 _ALTER_REF_CREATE_RE = re.compile(
     r"^ALTER\s+TABLE\s+(\w+)\s+(CREATE|REPLACE)\s+(BRANCH|TAG)\s+"
-    r"(?:IF\s+NOT\s+EXISTS\s+)?(\w[\w\-.]*)"
+    r"(IF\s+NOT\s+EXISTS\s+)?(\w[\w\-.]*)"
     r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?$",
     re.I,
 )
@@ -347,11 +350,15 @@ def parse_alter(sql: str) -> tuple[str, str, tuple]:
     s = _strip(sql)
     m = _ALTER_REF_CREATE_RE.match(s)
     if m:
-        table, verb, kind, name, version = m.groups()
+        table, verb, kind, ine, name, version = m.groups()
         if verb.upper() == "REPLACE" and kind.upper() == "TAG":
             raise ValueError("REPLACE TAG is not supported (tags are immutable)")
         action = f"{verb.lower()}_{kind.lower()}"
-        return action, table, (name, int(version) if version else None)
+        return action, table, (
+            name,
+            int(version) if version else None,
+            ine is not None,
+        )
     m = _ALTER_REF_DROP_RE.match(s)
     if m:
         table, kind, name = m.groups()
@@ -408,13 +415,17 @@ def execute_alter(engine, sql: str) -> DataFrame:
         b = BranchedLakehouse(t)
         name = args[0]
         if action == "create_branch":
-            version = b.create_branch(name, at_version=args[1])
+            version = b.create_branch(
+                name, at_version=args[1], if_not_exists=args[2]
+            )
         elif action == "replace_branch":
             version = b.replace_branch(
                 name, args[1] if args[1] is not None else t.current_version()
             )
         elif action == "create_tag":
-            version = b.create_tag(name, at_version=args[1])
+            version = b.create_tag(
+                name, at_version=args[1], if_not_exists=args[2]
+            )
         elif action == "drop_branch":
             version = b.drop_branch(name)
         else:  # drop_tag

@@ -914,3 +914,28 @@ def test_funnel_stages_ties_not_counted(spark):
         for r in funnel_stages(ev, ["signup", "view"]).collect()
     }
     assert got == {"signup": 1, "view": 0}
+
+
+def test_funnel_stages_dead_stage_yields_null_conversion(spark):
+    """A dead stage (0 users) must produce NULL conversion for the
+    next stage, not an ANSI DIVIDE_BY_ZERO abort (review-pass
+    finding)."""
+    from dbx_workspace_and_emr_iceberg_spark.queries.tpch_suite3 import (
+        funnel_stages,
+    )
+
+    rows = [
+        (1, "signup", "2024-01-01 00:00:00"),
+        (1, "click", "2024-01-01 01:00:00"),  # no 'view' anywhere
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r.stage_name: (r.n_users, r.conv_bp)
+        for r in funnel_stages(ev, ["signup", "view", "click"]).collect()
+    }
+    assert got["signup"] == (1, 10000)
+    assert got["view"] == (0, 0)
+    # previous stage had 0 users -> conversion undefined -> NULL
+    assert got["click"] == (0, None)

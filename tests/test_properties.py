@@ -395,17 +395,17 @@ def test_alter_ref_ddl_roundtrip_property(table, name, kind, version):
     suffix = f" AS OF VERSION {version}" if version is not None else ""
     assert _sd.parse_alter(
         f"ALTER TABLE {table} CREATE {kind} {name}{suffix}"
-    ) == (f"create_{kind.lower()}", table, (name, version))
+    ) == (f"create_{kind.lower()}", table, (name, version, False))
     assert _sd.parse_alter(
         f"alter table {table} drop {kind.lower()} {name}"
     ) == (f"drop_{kind.lower()}", table, (name,))
     if version is not None:
         assert _sd.parse_alter(
             f"ALTER TABLE {table} REPLACE BRANCH {name} AS OF VERSION {version}"
-        ) == ("replace_branch", table, (name, version))
+        ) == ("replace_branch", table, (name, version, False))
     assert _sd.parse_alter(
         f"ALTER TABLE {table} CREATE BRANCH IF NOT EXISTS {name}"
-    ) == ("create_branch", table, (name, None))
+    ) == ("create_branch", table, (name, None, True))
     import pytest as _pytest
 
     with _pytest.raises(ValueError):

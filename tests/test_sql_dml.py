@@ -664,3 +664,69 @@ def test_insert_column_list_falls_through(spark, tmp_path):
     with _pytest.raises(Exception) as ei:
         eng.sql("INSERT INTO nowhere_t (a, b) VALUES (1, 2)")
     assert "unsupported INSERT" not in str(ei.value)
+
+
+def test_create_branch_rejects_existing_if_not_exists_noop(spark, tmp_path):
+    """CREATE BRANCH on an existing ref must raise (Iceberg's
+    CREATE-vs-REPLACE distinction — silently re-pointing an audited
+    branch is the WAP footgun); IF NOT EXISTS is a no-op keeping the
+    OLD pointer; REPLACE BRANCH re-points."""
+    import pytest as _pytest
+
+    from dbx_workspace_and_emr_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path))
+    spark.createDataFrame([(1, "a")], "id long, v string").createOrReplaceTempView(
+        "br_src"
+    )
+    try:
+        eng.sql("CREATE TABLE br_t AS SELECT * FROM br_src")
+        eng.sql("ALTER TABLE br_t CREATE BRANCH audit")
+        eng.sql("INSERT INTO br_t VALUES (2, 'b')")  # main moves to v2
+        with _pytest.raises(ValueError, match="exists"):
+            eng.sql("ALTER TABLE br_t CREATE BRANCH audit AS OF VERSION 2")
+        # IF NOT EXISTS: no-op, pointer unchanged (still reads 1 row)
+        eng.sql("ALTER TABLE br_t CREATE BRANCH IF NOT EXISTS audit")
+        n = eng.sql(
+            "SELECT count(*) AS n FROM br_t VERSION AS OF 'audit'"
+        ).collect()[0][0]
+        assert n == 1
+        # REPLACE is the sanctioned re-point
+        eng.sql("ALTER TABLE br_t REPLACE BRANCH audit AS OF VERSION 2")
+        n2 = eng.sql(
+            "SELECT count(*) AS n FROM br_t VERSION AS OF 'audit'"
+        ).collect()[0][0]
+        assert n2 == 2
+        # tags: IF NOT EXISTS no-ops instead of the immutability error
+        eng.sql("ALTER TABLE br_t CREATE TAG gold")
+        eng.sql("ALTER TABLE br_t CREATE TAG IF NOT EXISTS gold")
+        with _pytest.raises(ValueError, match="immutable"):
+            eng.sql("ALTER TABLE br_t CREATE TAG gold")
+    finally:
+        spark.catalog.dropTempView("br_src")
+
+
+def test_branch_write_accepts_dash_and_dot_names(spark, tmp_path):
+    """Any branch the ALTER grammar can CREATE must be writable via
+    INSERT INTO t.branch_<name> — the two regexes share one ref
+    charset (review-pass finding: dash-named branches used to parse in
+    DDL but fall through to an opaque Spark error on write)."""
+    from dbx_workspace_and_emr_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path))
+    spark.createDataFrame([(1, "a")], "id long, v string").createOrReplaceTempView(
+        "brd_src"
+    )
+    try:
+        eng.sql("CREATE TABLE brd_t AS SELECT * FROM brd_src")
+        for name in ("rel-1", "v1.2"):
+            eng.sql(f"ALTER TABLE brd_t CREATE BRANCH {name}")
+            eng.sql(f"INSERT INTO brd_t.branch_{name} VALUES (9, 'z')")
+            n = eng.sql(
+                f"SELECT count(*) AS n FROM brd_t VERSION AS OF '{name}'"
+            ).collect()[0][0]
+            assert n == 2, name
+        # main untouched by branch writes
+        assert eng.sql("SELECT count(*) FROM brd_t").collect()[0][0] == 1
+    finally:
+        spark.catalog.dropTempView("brd_src")

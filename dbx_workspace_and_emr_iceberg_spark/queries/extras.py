@@ -1723,3 +1723,59 @@ def f22_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- F23: SQL sugar — SELECT * EXCEPT, ORDER BY ALL, lateral aliases --------
+# Three Spark-4 conveniences that migrating warehouse SQL leans on
+# daily: `SELECT * EXCEPT (cols)` (wide-table projection without
+# enumerating survivors — still full column PRUNING, the except-list
+# never reaches the scan), `ORDER BY ALL` (deterministic total order
+# without restating the select list), and lateral column aliases
+# (referencing `net` in the very select list that defines it — no
+# subquery nesting). DuckDB shares EXCLUDE/ORDER BY ALL semantics but
+# the oracle spells everything explicitly so the sugar itself is what
+# the hash proves.
+
+# net is integer cents (x*0.9 == cents*9 div 10): per-row
+# round(double, 2) lands on half-cent ulp boundaries differently per
+# engine and the per-row differences accumulate into the sum —
+# measured here before the integer respell (f21's lesson again)
+
+_F23_ORACLE = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) * 9 // 10)
+            AS BIGINT) AS net_cents
+FROM orders
+GROUP BY o_orderpriority, o_orderstatus
+ORDER BY o_orderpriority, o_orderstatus, n, net_cents
+"""
+
+
+@register("f23_star_sugar", oracle=_F23_ORACLE, tags=("F23", "P1"))
+def f23_star_sugar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_f23")
+    return spark.sql(
+        """
+        SELECT * EXCEPT (cents_total)
+        FROM (
+          SELECT o_orderpriority, o_orderstatus,
+                 count(*) AS n,
+                 sum(cents) AS cents_total,
+                 sum(net) AS net_cents
+          FROM (
+            SELECT o_orderpriority, o_orderstatus,
+                   -- lateral column alias: cents is defined here and
+                   -- referenced by net in the SAME select list
+                   -- (GROUP BY ALL + lateral alias in one list is
+                   -- unsupported, so the chain lives in this inner
+                   -- projection)
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   cents * 9L div 10 AS net
+            FROM orders_f23
+          )
+          GROUP BY ALL
+        )
+        ORDER BY ALL
+        """
+    )

@@ -536,3 +536,106 @@ def funnel_stages(ev: DataFrame, funnel: list[str]) -> DataFrame:
 def qd9_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return funnel_stages(ev, ["signup", "view", "click", "purchase"])
+
+
+# --- QD10: RFM customer segmentation ----------------------------------------
+# The classic lifecycle-marketing cut: score every customer on Recency
+# (days since last order, lower is better), Frequency (order count)
+# and Monetary (lifetime cents), quintile each score, and report the
+# 3-digit segments. The quintile assignment uses percent_rank — but
+# through chunked_percent_ranks (the x37/x43 machinery, fourth use):
+# a naive row_number/ntile over all customers is a single-task global
+# sort at 100 TB, exactly the funnel the respell removes. Monetary is
+# integer cents; quintiles come from floor(pr*5) on the identical
+# double pr both engines derive (constant partition column — the
+# machinery's windows key on (part, sig, chunk), never one task).
+# Recency is inverted (most recent = 5) per RFM convention.
+
+_QD10_ORACLE = """
+WITH anchor AS (SELECT max(o_orderdate) AS mx FROM orders),
+cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', max(o_orderdate), (SELECT mx FROM anchor))
+              AS BIGINT) AS r_days,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS mon_cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT *,
+         percent_rank() OVER (ORDER BY r_days)    AS pr_r,
+         percent_rank() OVER (ORDER BY freq)      AS pr_f,
+         percent_rank() OVER (ORDER BY mon_cents) AS pr_m
+  FROM cust
+),
+scored AS (
+  SELECT o_custkey, mon_cents,
+         5 - least(CAST(floor(pr_r * 5) AS BIGINT), 4) AS r_q,
+         least(CAST(floor(pr_f * 5) AS BIGINT), 4) + 1 AS f_q,
+         least(CAST(floor(pr_m * 5) AS BIGINT), 4) + 1 AS m_q
+  FROM ranked
+)
+SELECT CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(mon_cents) AS BIGINT) AS seg_cents
+FROM scored
+GROUP BY r_q, f_q, m_q
+ORDER BY segment
+"""
+
+
+@register("qd10_rfm_segmentation", oracle=_QD10_ORACLE, tags=("A1", "W1", "F2"))
+def qd10_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import chunked_percent_ranks
+
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("mx"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("mon_cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("mx", "last_order").cast("long").alias("r_days"),
+            "freq",
+            "mon_cents",
+        )
+        .withColumn("__all", F.lit("all"))
+    )
+    ranked = chunked_percent_ranks(
+        cust,
+        part_col="__all",
+        value_cols=["r_days", "freq", "mon_cents"],
+        id_cols=["o_custkey"],
+    ).join(cust.select("o_custkey", "mon_cents"), "o_custkey")
+    scored = ranked.select(
+        "o_custkey",
+        "mon_cents",
+        (5 - F.least(F.floor(F.col("pr_r_days") * 5), F.lit(4))).alias("r_q"),
+        (F.least(F.floor(F.col("pr_freq") * 5), F.lit(4)) + 1).alias("f_q"),
+        (F.least(F.floor(F.col("pr_mon_cents") * 5), F.lit(4)) + 1).alias(
+            "m_q"
+        ),
+    )
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("mon_cents").alias("seg_cents"),
+        )
+        .select(
+            (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
+            .cast("long")
+            .alias("segment"),
+            "n_customers",
+            "seg_cents",
+        )
+        .orderBy("segment")
+    )

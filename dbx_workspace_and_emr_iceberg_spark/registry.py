@@ -140,17 +140,39 @@ def all_queries() -> dict[str, Query]:
 #:      (x20 newly value-oracled, x37 respelled via chunked prefix
 #:      rank, qd6's cap changed both sides of the contract, x25
 #:      refactored onto table_profile) — each needs a fresh hash row;
-#:   2. the 35 rows-only queries that have NEVER had any driver row
+#:   2. the round-8 additions — each needs its FIRST hash-green row
+#:      (an unproven new query outranks re-sampling a pytest-covered
+#:      rows-only one, so these precede tier 3);
+#:   3. the 35 rows-only queries that have NEVER had any driver row
 #:      (pytest-only evidence until now): lakehouse DML lifecycles,
-#:      streaming, LSH/ANN recall suites, multimodal stubs;
-#:   3. queries newly added in round 8 (appended as built).
+#:      streaming, LSH/ANN recall suites, multimodal stubs — a budget
+#:      cut costs the tail entries, whose oracled twins are already
+#:      cumulative-green.
 _DRIVER_PRIORITY = [
     # 1. changed oracle/implementation in r8 — re-prove first
     "x20_semantic_dedup",
     "qd6_basket_pairs",
     "x37_quality_ensemble",
     "x25_table_profile",
-    # 2. first-ever driver rows for the rows-only tail (r7 verdict #2)
+    # 2. round-8 additions — each needs its first hash-green row
+    "f20_variant_type",
+    "f21_session_variables",
+    "f22_try_arithmetic",
+    "f23_star_sugar",
+    "x38_dsir_importance",
+    "x39_soft_dedup_weights",
+    "x40_unimax_mixture",
+    "x41_ngram_overlap",
+    "x43_perplexity_buckets",
+    "x44_line_filtering",
+    "x45_inverted_index",
+    "t18_stream_dedup_history",
+    "qd9_funnel_analysis",
+    "qd10_rfm_segmentation",
+    # 3. first-ever driver rows for the rows-only tail (r7 verdict
+    #    #2) — ordered so a budget cut drops the least-critical:
+    #    the x3d/x3g entries last (their oracled twins are already
+    #    cumulative-green)
     "m1_lakehouse_dml_lifecycle",
     "m5_lakehouse_maintenance",
     "m6_lakehouse_schema_evolution",
@@ -179,26 +201,13 @@ _DRIVER_PRIORITY = [
     "f8c_native_ids",
     "x2_minhash_lsh",
     "x12b_lsh_dedup_pipeline",
+    "x24_bloom_contamination",
     "x3b_ann_lsh",
-    "x3d_topk_vectorized",
     "x3e_ivf_ann",
-    "x3g_topk_vectorized_bench",
     "x5b_decode_pipeline",
     "x5c_frame_sampling",
-    "x24_bloom_contamination",
-    # 3. round-8 additions (appended as built)
-    "f20_variant_type",
-    "f21_session_variables",
-    "x38_dsir_importance",
-    "x39_soft_dedup_weights",
-    "x40_unimax_mixture",
-    "x41_ngram_overlap",
-    "t18_stream_dedup_history",
-    "qd9_funnel_analysis",
-    "f22_try_arithmetic",
-    "x43_perplexity_buckets",
-    "x44_line_filtering",
-    "x45_inverted_index",
+    "x3d_topk_vectorized",
+    "x3g_topk_vectorized_bench",
 ]
 
 

@@ -2054,3 +2054,134 @@ def x45_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("word")
     )
+
+
+# --- X46: distributed BPE merge induction -----------------------------------
+# Byte-pair-encoding vocabulary induction (Sennrich et al., public —
+# the tokenizer-training step of every LLM data stack), run IN the
+# engine: N iterations of (count adjacent symbol pairs across the
+# corpus) -> (pick the most frequent pair, deterministic tie-break)
+# -> (apply the merge corpus-wide). The corpus state is one string
+# column of [sym][sym]... wrapped symbols ([ and ] are absent from
+# the fixture charset — asserted), so a merge application is ONE
+# map-side replace('[a][b]' -> '[ab]') with identical left-to-right
+# non-overlapping semantics in Spark and DuckDB — which is exactly
+# BPE's greedy scan. Like x35's PageRank, the FIXED iteration count
+# makes the whole algorithm one lazy declarative plan (each argmax is
+# a broadcast 1-row frame) and lets DuckDB replay it as unrolled CTE
+# steps — the repo's second value-oracled iterative algorithm.
+# Scale shape per iteration: corpus-linear pair explode, (pair ->
+# count) int shuffle with map-side combine, 1-row argmax broadcast,
+# map-side replace. Nothing ever collects; the merge table is N rows.
+# At real scale you run this on a hash-sampled slice (x13) — the
+# merge ranking is what matters, and counts concentrate fast.
+
+_X46_MERGES = 4
+
+
+def _x46_oracle() -> str:
+    steps = []
+    prev = "state0"
+    selects = []
+    for i in range(1, _X46_MERGES + 1):
+        steps.append(f"""
+arr{i} AS (
+  SELECT doc_id,
+         string_split(substr(s, 2, len(s) - 2), '][') AS a
+  FROM {prev}
+),
+pairs{i} AS (
+  SELECT a[i] AS sa, a[i + 1] AS sb
+  FROM arr{i},
+       LATERAL (SELECT unnest(generate_series(1, len(a) - 1)) AS i) t
+),
+best{i} AS (
+  SELECT sa, sb, CAST(count(*) AS BIGINT) AS c
+  FROM pairs{i} GROUP BY sa, sb
+  ORDER BY c DESC, sa, sb LIMIT 1
+),
+state{i} AS (
+  SELECT doc_id,
+         replace(s, '[' || sa || '][' || sb || ']', '[' || sa || sb || ']')
+           AS s
+  FROM {prev} CROSS JOIN best{i}
+)""")
+        selects.append(
+            f"SELECT {i} AS step, sa, sb, c FROM best{i}"
+        )
+        prev = f"state{i}"
+    return (
+        """
+WITH state0 AS (
+  SELECT doc_id,
+         '[' || array_to_string(string_split(text, ' '), '][') || ']' AS s
+  FROM documents
+),"""
+        + ",".join(steps)
+        + "\n"
+        + "\nUNION ALL ".join(selects)
+        + "\nORDER BY step"
+    )
+
+
+_X46_ORACLE = _x46_oracle()
+
+
+@register("x46_bpe_merges", oracle=_X46_ORACLE, tags=("X46", "X4", "X22"))
+def x46_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # sentinel-safety assert: symbols must never contain the wrappers
+    n_bad = d.filter(
+        F.col("text").contains("[") | F.col("text").contains("]")
+    ).limit(1).count()
+    if n_bad:
+        raise AssertionError("x46: corpus contains the [ ] sentinels")
+    state = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("["),
+            F.array_join(F.split("text", " "), "]["),
+            F.lit("]"),
+        ).alias("s"),
+    )
+    merge_rows = None
+    for i in range(1, _X46_MERGES + 1):
+        arr = F.split(F.expr("substr(s, 2, length(s) - 2)"), r"\]\[")
+        pairs = state.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(arr) - 1),
+                    lambda j: F.struct(
+                        F.try_element_at(arr, j.cast("int")).alias("sa"),
+                        F.try_element_at(arr, (j + 1).cast("int")).alias(
+                            "sb"
+                        ),
+                    ),
+                )
+            ).alias("p")
+        ).select("p.sa", "p.sb")
+        best = (
+            pairs.groupBy("sa", "sb")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), "sa", "sb")
+            .limit(1)
+        )
+        row = best.select(
+            F.lit(i).alias("step"), "sa", "sb", "c"
+        )
+        merge_rows = row if merge_rows is None else merge_rows.unionByName(row)
+        state = state.crossJoin(F.broadcast(best)).select(
+            "doc_id",
+            F.replace(
+                F.col("s"),
+                F.concat(F.lit("["), "sa", F.lit("]["), "sb", F.lit("]")),
+                F.concat(F.lit("["), "sa", F.col("sb"), F.lit("]")),
+            ).alias("s"),
+        )
+        # cache each iteration's state: the merge-table union references
+        # best1..bestN whose subtrees would otherwise each re-derive
+        # every earlier state — O(N²) corpus passes in one action. At
+        # real scale this is a per-iteration checkpoint (x35's
+        # lineage note applies verbatim).
+        state = state.cache()
+    return merge_rows.orderBy("step")

@@ -169,6 +169,7 @@ _DRIVER_PRIORITY = [
     "t18_stream_dedup_history",
     "qd9_funnel_analysis",
     "qd10_rfm_segmentation",
+    "x46_bpe_merges",
     # 3. first-ever driver rows for the rows-only tail (r7 verdict
     #    #2) — ordered so a budget cut drops the least-critical:
     #    the x3d/x3g entries last (their oracled twins are already

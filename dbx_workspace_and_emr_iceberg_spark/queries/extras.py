@@ -1779,3 +1779,101 @@ def f23_star_sugar(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+# --- X47: count-min sketch heavy hitters ------------------------------------
+# The mergeable frequency sketch (Cormode & Muthukrishnan, public)
+# that telemetry and governance pipelines use when exact per-token
+# counts are too wide to keep: D=4 hash rows x W=64 cells, every cell
+# a SUM — so partial sketches from any partitioning merge by
+# addition, the same mergeability contract as a5c's HLL union, and
+# the whole sketch is a (D*W)-row DataFrame, never a driver-side
+# array. Estimate(token) = min over rows of its cell — an
+# OVERestimate by construction (never under), which the output
+# carries as an `overcount` column so the guarantee is part of the
+# hash-checked values. Hashing is the repo-standard md5 bucket on a
+# row-salted key, so DuckDB replays the ENTIRE sketch cell-for-cell —
+# a fully value-oracled sketch, unlike engine-opaque HLL/CMS blobs.
+# Scale shape: corpus-linear token explode, (row, cell) int shuffle
+# with map-side combine into <= D*W groups, then probes join the
+# 256-row sketch BROADCAST. At 100 TB the probe set comes from
+# per-partition candidate top-k, not the full vocabulary.
+
+_X47_D = 4
+_X47_W = 64
+_X47_TOPK = 10
+
+_X47_ORACLE = f"""
+WITH tok AS (
+  SELECT t.tok FROM documents,
+       LATERAL unnest(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+cells AS (
+  SELECT r,
+         CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || '#' || tok), 1, 8))
+              AS BIGINT) % {_X47_W} AS cell,
+         CAST(count(*) AS BIGINT) AS c
+  FROM tok, LATERAL (SELECT unnest(generate_series(0, {_X47_D - 1})) AS r) g
+  GROUP BY 1, 2
+),
+exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_n FROM tok GROUP BY tok),
+probes AS (
+  SELECT tok, exact_n, r,
+         CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || '#' || tok), 1, 8))
+              AS BIGINT) % {_X47_W} AS cell
+  FROM exact, LATERAL (SELECT unnest(generate_series(0, {_X47_D - 1})) AS r) g
+),
+est AS (
+  SELECT tok, exact_n, min(c) AS cms_est
+  FROM probes JOIN cells USING (r, cell)
+  GROUP BY tok, exact_n
+)
+SELECT tok, exact_n, CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - exact_n AS BIGINT) AS overcount
+FROM est
+ORDER BY cms_est DESC, tok
+LIMIT {_X47_TOPK}
+"""
+
+
+@register("x47_countmin_heavy_hitters", oracle=_X47_ORACLE, tags=("X47", "A5", "X4"))
+def x47_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_bucket
+
+    D, W = _X47_D, _X47_W
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    tok.cache()  # sketch build + exact probe share one corpus pass
+    rows = F.explode(F.sequence(F.lit(0), F.lit(D - 1))).alias("r")
+    salted = lambda: hash_bucket(  # noqa: E731 — shared cell spelling
+        F.concat(F.col("r").cast("string"), F.lit("#"), F.col("tok")), W
+    )
+    cells = (
+        tok.select("tok", rows)
+        .withColumn("cell", salted())
+        .groupBy("r", "cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = exact.select("tok", "exact_n", rows).withColumn(
+        "cell", salted()
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["r", "cell"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return (
+        est.select(
+            "tok",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.col("cms_est").desc(), "tok")
+        .limit(_X47_TOPK)
+    )

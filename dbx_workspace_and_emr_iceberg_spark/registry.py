@@ -170,6 +170,7 @@ _DRIVER_PRIORITY = [
     "qd9_funnel_analysis",
     "qd10_rfm_segmentation",
     "x46_bpe_merges",
+    "x47_countmin_heavy_hitters",
     # 3. first-ever driver rows for the rows-only tail (r7 verdict
     #    #2) — ordered so a budget cut drops the least-critical:
     #    the x3d/x3g entries last (their oracled twins are already

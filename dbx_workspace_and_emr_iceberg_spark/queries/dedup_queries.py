@@ -1557,3 +1557,146 @@ def x39_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- X2e: value-oracled MinHash-LSH twin (md5 hash family) ------------------
+# x2's production MinHash uses xxhash64 — the right call JVM-side, but
+# engine-opaque, so x2's evidence is recall/precision self-asserts.
+# This twin runs the IDENTICAL banding mechanism (shingle -> per-seed
+# min-hash -> banded signature -> bucket join -> candidate pairs) on
+# the repo's cross-engine md5 hash family, so DuckDB re-derives every
+# signature, every band key, and THE ENTIRE candidate-pair set —
+# turning the LSH mechanism itself into hash-checked values. Per
+# shingle one md5 yields two 32-bit halves; seed s's hash is the
+# Kirsch-Mitzenmacher affine (h1 + s*h2) mod 2^32 (products <= ~2^37,
+# no bigint overflow under ANSI), bloom.py's derivation. Band key =
+# md5 of the band's comma-joined signature slice. 16 seeds x 8 bands
+# (2 rows/band): the planted near-dups (~0.9 Jaccard) collide w.p.
+# ~1-(1-0.9^2)^8 ~ 1. Scale shape identical to x2: shuffles carry
+# (doc, band digest), never text; bucket join emits O(sum bucket^2)
+# candidates.
+
+_X2E_SEEDS = 16
+_X2E_BANDS = 8
+_X2E_ROWS = _X2E_SEEDS // _X2E_BANDS
+
+_X2E_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_COPY_OFFSET},
+         array_to_string(list_slice(string_split(text, ' '), 1,
+           greatest(len(string_split(text, ' ')) - 3, 1)), ' ')
+  FROM documents WHERE doc_id % 20 = 0
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+           i -> concat(string_split(text,' ')[i], ' ',
+                       coalesce(string_split(text,' ')[i+1], ''), ' ',
+                       coalesce(string_split(text,' ')[i+2], ''))))) AS shingle
+  FROM corpus
+  WHERE len(string_split(text, ' ')) >= 3
+),
+hh AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS h2
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, s, min((h1 + s * h2) % 4294967296) AS mh
+  FROM hh, LATERAL (SELECT unnest(generate_series(0, {_X2E_SEEDS - 1})) AS s) g
+  GROUP BY doc_id, s
+),
+bands AS (
+  SELECT doc_id, s // {_X2E_ROWS} AS band_id,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY s)) AS band_val
+  FROM sig GROUP BY doc_id, s // {_X2E_ROWS}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(CASE WHEN b.doc_id - a.doc_id = {_COPY_OFFSET}
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_planted
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_val = b.band_val
+ AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+@register("x2e_lsh_value_oracle", oracle=_X2E_ORACLE, tags=("X2", "X2E"))
+def x2e_lsh_value_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text_queries import _padded_ngrams
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(_planted_near_dups(d))
+    words = F.split("text", " ")
+    sh = (
+        corpus.filter(F.size(words) >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(_padded_ngrams(words, 3))).alias(
+                "shingle"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h1"),
+            F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10)
+            .cast("long")
+            .alias("h2"),
+        )
+    )
+    sig = (
+        sh.select(
+            "doc_id",
+            "h1",
+            "h2",
+            F.explode(F.sequence(F.lit(0), F.lit(_X2E_SEEDS - 1))).alias("s"),
+        )
+        .groupBy("doc_id", "s")
+        .agg(
+            F.min(
+                (F.col("h1") + F.col("s") * F.col("h2")) % F.lit(4294967296)
+            ).alias("mh")
+        )
+    )
+    bands = (
+        sig.withColumn("band_id", F.expr(f"s div {_X2E_ROWS}"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("s", "mh"))
+                        ),
+                        lambda x: x["mh"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_val")
+        )
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), "band_id", "band_val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), "band_id", "band_val"
+    )
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("id_b") - F.col("id_a") == _COPY_OFFSET)
+            .cast("long")
+            .alias("is_planted"),
+        )
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )

@@ -171,6 +171,7 @@ _DRIVER_PRIORITY = [
     "qd10_rfm_segmentation",
     "x46_bpe_merges",
     "x47_countmin_heavy_hitters",
+    "x2e_lsh_value_oracle",
     # 3. first-ever driver rows for the rows-only tail (r7 verdict
     #    #2) — ordered so a budget cut drops the least-critical:
     #    the x3d/x3g entries last (their oracled twins are already

@@ -2147,10 +2147,17 @@ def x46_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge_rows = None
     for i in range(1, _X46_MERGES + 1):
         arr = F.split(F.expr("substr(s, 2, length(s) - 2)"), r"\]\[")
+        # greatest(..., 1): a doc merged down to ONE symbol has no
+        # pairs — but Spark's sequence(1, 0) is the DESCENDING [1, 0]
+        # and element_at(arr, 0) raises; clamp to [1,1] and let the
+        # sb IS NULL filter below drop the lone padded pair (DuckDB's
+        # generate_series(1, 0) is simply empty — same net rows)
         pairs = state.select(
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.size(arr) - 1),
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size(arr) - 1, F.lit(1))
+                    ),
                     lambda j: F.struct(
                         F.try_element_at(arr, j.cast("int")).alias("sa"),
                         F.try_element_at(arr, (j + 1).cast("int")).alias(
@@ -2159,7 +2166,7 @@ def x46_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                 )
             ).alias("p")
-        ).select("p.sa", "p.sb")
+        ).select("p.sa", "p.sb").filter(F.col("sb").isNotNull())
         best = (
             pairs.groupBy("sa", "sb")
             .agg(F.count(F.lit(1)).alias("c"))

@@ -609,12 +609,18 @@ def qd10_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("__all", F.lit("all"))
     )
+    # cached: the rank machinery consumes cust three ways (its eager
+    # approxQuantile pass, the explode/groupBy pipeline, the offsets
+    # collect) — uncached, the orders aggregation re-runs each time.
+    # mon_cents rides through id_cols (unique per o_custkey) so no
+    # re-join against a fourth derivation is needed (review finding).
+    cust = cust.cache()
     ranked = chunked_percent_ranks(
         cust,
         part_col="__all",
         value_cols=["r_days", "freq", "mon_cents"],
-        id_cols=["o_custkey"],
-    ).join(cust.select("o_custkey", "mon_cents"), "o_custkey")
+        id_cols=["o_custkey", "mon_cents"],
+    )
     scored = ranked.select(
         "o_custkey",
         "mon_cents",

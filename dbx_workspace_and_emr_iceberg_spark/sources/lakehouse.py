@@ -196,6 +196,32 @@ class LakehouseTable:
         except FileNotFoundError:
             return 0
 
+    def main_head(self) -> int:
+        """Main's logical head: the newest snapshot NOT tagged
+        ``staged_ref`` by a branch write. The emulation keeps ONE
+        snapshot log (Iceberg's snapshot list is likewise shared
+        across refs) with `_current` as the log head; branch commits
+        advance the log but not main, so every MAIN-side content
+        resolution (reads, DML base file lists, schema) goes through
+        this walk — basing main DML on the raw log head would fold
+        another branch's STAGED files into main (review-pass finding,
+        reproduced). Equal to current_version() whenever no staged
+        snapshot sits on top. Raises if the walk falls off expired
+        history (publish or drop staged refs before expiring)."""
+        v = self.current_version()
+        while v > 0:
+            try:
+                if not self._read_manifest(v).get("staged_ref"):
+                    return v
+            except FileNotFoundError:
+                raise ValueError(
+                    f"{self.name}: main head expired below staged "
+                    "snapshots — publish or drop staged refs before "
+                    "expire_snapshots"
+                ) from None
+            v -= 1
+        return 0
+
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.snap_dir, f"v{version:05d}.json")
 
@@ -247,7 +273,8 @@ class LakehouseTable:
         )
 
     def _files(self, version: int | None = None) -> list[str]:
-        v = version if version is not None else self.current_version()
+        # default = main_head(), NOT the raw log head: see main_head()
+        v = version if version is not None else self.main_head()
         if v == 0:
             return []
         return self._read_manifest(v)["files"]
@@ -283,7 +310,7 @@ class LakehouseTable:
                 "append_positional for INSERT-style positional binding"
             )
         parent = self.current_version()
-        files = self._files(parent) + self._write_files(df.select(table_cols))
+        files = self._files() + self._write_files(df.select(table_cols))
         return self._commit(
             {"files": files, "schema": self.schema_json(), "op": "append"}, parent
         )
@@ -318,7 +345,7 @@ class LakehouseTable:
         )
 
     def schema_json(self) -> dict:
-        v = self.current_version()
+        v = self.main_head()
         if v == 0:
             raise ValueError(f"table {self.name} does not exist")
         return self._read_manifest(v)["schema"]
@@ -334,7 +361,7 @@ class LakehouseTable:
         """
         from pyspark.sql.types import StructType
 
-        v = version if version is not None else self.current_version()
+        v = version if version is not None else self.main_head()
         m = self._read_manifest(v) if v else {}
         schema = StructType.fromJson(m["schema"]) if v else None
         files = self._files(v)
@@ -481,7 +508,7 @@ class LakehouseTable:
         if not cur:
             return []
         hits = (
-            self._scan_files(cur, self._read_manifest(self.current_version()))
+            self._scan_files(cur, self._read_manifest(self.main_head()))
             .withColumn("__file", F.input_file_name())
             .filter(cond)
             .select("__file")
@@ -499,12 +526,12 @@ class LakehouseTable:
         affected = self._affected_files(cond)
         if not affected:
             return parent  # no-op delete commits nothing
-        keep = [f for f in self._files(parent) if f not in affected]
+        keep = [f for f in self._files() if f not in affected]
         # SQL DELETE removes only rows where cond is TRUE; a bare ~cond
         # filter would also drop NULL-predicate rows (NOT NULL => NULL,
         # filtered out). Keep rows where cond is FALSE *or* NULL.
         survivors = self._scan_files(
-            affected, self._read_manifest(parent)
+            affected, self._read_manifest(self.main_head())
         ).filter(~F.coalesce(cond, F.lit(False)))
         new_files = self._write_files(survivors)
         return self._commit(
@@ -523,8 +550,8 @@ class LakehouseTable:
         affected = self._affected_files(cond)
         if not affected:
             return parent
-        keep = [f for f in self._files(parent) if f not in affected]
-        df = self._scan_files(affected, self._read_manifest(parent))
+        keep = [f for f in self._files() if f not in affected]
+        df = self._scan_files(affected, self._read_manifest(self.main_head()))
         updated = df.select(
             *[
                 F.when(cond, assignments[c]).otherwise(F.col(c)).alias(c)
@@ -754,7 +781,7 @@ class LakehouseTable:
         is the canonical ordering (deterministic scan sets, dedup'd
         entries). Data files are untouched, exactly like Iceberg."""
         parent = self.current_version()
-        files = sorted(dict.fromkeys(self._files(parent)))
+        files = sorted(dict.fromkeys(self._files()))
         return self._commit(
             {
                 "files": files,
@@ -866,7 +893,7 @@ class LakehouseTable:
             {"name": name, "type": spark_type, "nullable": True, "metadata": {}}
         )
         manifest: dict = {
-            "files": self._files(parent),
+            "files": self._files(),
             "schema": schema,
             "op": f"add_column:{name}",
         }
@@ -874,11 +901,11 @@ class LakehouseTable:
             # merge onto the parent's defaults; the default=None case is
             # _commit's standard inheritance
             defaults = dict(
-                self._read_manifest(parent).get("defaults", {})
+                self._read_manifest(self.main_head()).get("defaults", {})
             ) if parent else {}
             defaults[name] = {
                 "value": default,
-                "absent_files": self._files(parent),
+                "absent_files": self._files(),
             }
             manifest["defaults"] = defaults
         return self._commit(manifest, parent)
@@ -911,11 +938,11 @@ class LakehouseTable:
             raise ValueError(f"drop_column: no column {name!r}")
         schema["fields"] = [f for f in schema["fields"] if f["name"] != name]
         manifest: dict = {
-            "files": self._files(parent),
+            "files": self._files(),
             "schema": schema,
             "op": f"drop_column:{name}",
         }
-        pm = self._read_manifest(parent)
+        pm = self._read_manifest(self.main_head())
         defaults = {
             k: v for k, v in pm.get("defaults", {}).items() if k != name
         }
@@ -948,9 +975,9 @@ class LakehouseTable:
         for f in schema["fields"]:
             if f["name"] == old:
                 f["name"] = new
-        pm = self._read_manifest(parent)
+        pm = self._read_manifest(self.main_head())
         renames = dict(pm.get("renames", {}))
-        cur_files = self._files(parent)
+        cur_files = self._files()
         # chain-safe: files already mapped to an even-older physical
         # name keep that mapping; only the rest physically hold `old`
         prior = renames.pop(old, [])
@@ -1170,7 +1197,7 @@ class PartitionedLakehouseTable(LakehouseTable):
         """
         from pyspark.sql.types import StructType
 
-        v = version if version is not None else self.current_version()
+        v = version if version is not None else self.main_head()
         files = self._files(v)
         if not files:
             schema = StructType.fromJson(self._read_manifest(v)["schema"])
@@ -1250,7 +1277,7 @@ class PartitionedLakehouseTable(LakehouseTable):
             return s[:13] + ":00:00"  # hours
 
         lo_iso, hi_iso = iso(lo), iso(hi)
-        files = self._files(self.current_version())
+        files = self._files()
         prefixes = {f"p_{n}_{col}": n for n in ("years", "months", "days", "hours")}
         keep = []
         for f in files:
@@ -1278,7 +1305,7 @@ class PartitionedLakehouseTable(LakehouseTable):
             empty = self.spark.createDataFrame([], schema)
             return empty.filter((F.col(col) >= lo) & (F.col(col) < hi)), 0, len(files)
         df = self._scan_files(
-            sorted(keep), self._read_manifest(self.current_version())
+            sorted(keep), self._read_manifest(self.main_head())
         )
         return (
             df.filter((F.col(col) >= lo) & (F.col(col) < hi)),
@@ -1331,7 +1358,7 @@ class PartitionedLakehouseTable(LakehouseTable):
             # which can never equal a touched tuple of strings => kept
             return tuple(vals.get(n) for n in names)
 
-        keep = [f for f in self._files(parent) if file_partition(f) not in touched]
+        keep = [f for f in self._files() if file_partition(f) not in touched]
         new_files = self._write_files(df)
         return self._commit(
             {
@@ -1351,7 +1378,7 @@ class PartitionedLakehouseTable(LakehouseTable):
         self.specs = new_specs
         return self._commit(
             {
-                "files": self._files(parent),
+                "files": self._files(),
                 "schema": self.schema_json(),
                 "op": f"evolve_partitioning:{','.join(new_specs)}",
             },
@@ -1386,18 +1413,9 @@ class BranchedLakehouse:
         os.replace(tmp, self.refs_path)
 
     def main_head(self) -> int:
-        """Main's logical head: the newest snapshot NOT staged by a
-        branch write. The emulation shares one snapshot log between
-        main and branches (the `_current` pointer is the log head, as
-        Iceberg's snapshot list is shared across refs); branch writes
-        tag their snapshots with `staged_ref`, so main's head is the
-        newest untagged one — this is what ref creation must default
-        to, or a branch created after another branch's write would
-        capture that branch's STAGED data (review-pass finding)."""
-        v = self.table.current_version()
-        while v > 0 and self.table._read_manifest(v).get("staged_ref"):
-            v -= 1
-        return v
+        """Delegates to the table's main_head() — the newest snapshot
+        not staged by a branch write (see LakehouseTable.main_head)."""
+        return self.table.main_head()
 
     def create_branch(
         self,
@@ -1631,7 +1649,7 @@ class StatsLakehouseTable(LakehouseTable):
         """The `t.files` metadata relation: path + per-column min/max."""
         import json as _json
 
-        m = self._read_manifest(self.current_version())
+        m = self._read_manifest(self.main_head())
         rows = [
             (f, _json.dumps(m.get("stats", {}).get(f, {})))
             for f in m["files"]
@@ -1649,7 +1667,7 @@ class StatsLakehouseTable(LakehouseTable):
             lo = lo.isoformat()
         if isinstance(hi, (datetime.datetime, datetime.date)):
             hi = hi.isoformat()
-        m = self._read_manifest(self.current_version())
+        m = self._read_manifest(self.main_head())
         stats = m.get("stats", {})
         out = []
         for f in m["files"]:
@@ -1779,7 +1797,7 @@ class StatsLakehouseTable(LakehouseTable):
             schema = StructType.fromJson(self.schema_json())
             return self.spark.createDataFrame([], schema)
         df = self._scan_files(
-            files, self._read_manifest(self.current_version())
+            files, self._read_manifest(self.main_head())
         )
         return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
 
@@ -1807,7 +1825,7 @@ def cherrypick_snapshot(table: LakehouseTable, version: int) -> int:
     parent_files = set(table._read_manifest(m["parent"])["files"]) if m["parent"] else set()
     delta = [f for f in m["files"] if f not in parent_files]
     parent = table.current_version()
-    files = table._files(parent) + [f for f in delta if f not in set(table._files(parent))]
+    files = table._files() + [f for f in delta if f not in set(table._files())]
     return table._commit(
         {
             "files": files,

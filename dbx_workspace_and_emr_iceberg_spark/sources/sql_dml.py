@@ -419,8 +419,12 @@ def execute_alter(engine, sql: str) -> DataFrame:
                 name, at_version=args[1], if_not_exists=args[2]
             )
         elif action == "replace_branch":
+            # default = main_head(), not the raw log head: after any
+            # branch write the log head is a STAGED snapshot, and
+            # re-pointing another branch there leaks unaudited data
+            # (review-pass finding, reproduced)
             version = b.replace_branch(
-                name, args[1] if args[1] is not None else t.current_version()
+                name, args[1] if args[1] is not None else b.main_head()
             )
         elif action == "create_tag":
             version = b.create_tag(

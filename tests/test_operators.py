@@ -939,3 +939,26 @@ def test_funnel_stages_dead_stage_yields_null_conversion(spark):
     assert got["view"] == (0, 0)
     # previous stage had 0 users -> conversion undefined -> NULL
     assert got["click"] == (0, None)
+
+
+def test_x46_survives_one_word_documents(spark, tmp_path):
+    """A document with a single symbol has no pairs: Spark's
+    sequence(1, 0) is the DESCENDING [1, 0] and element_at(arr, 0)
+    raises — the clamp+null-filter guard must keep x46 alive and the
+    merges correct (review-pass finding)."""
+    from dbx_workspace_and_emr_iceberg_spark.queries.text_queries import (
+        x46_bpe_merges,
+    )
+
+    rows = [
+        (1, "solo", "en", "s", 4),  # one word -> zero pairs
+        (2, "a b a b a b", "en", "s", 11),
+        (3, "a b c a b", "en", "s", 9),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = x46_bpe_merges(spark, str(tmp_path)).collect()
+    assert len(got) == 4
+    # first merge is the most frequent adjacent pair (a, b) x5
+    assert (got[0].sa, got[0].sb, got[0].c) == ("a", "b", 5)

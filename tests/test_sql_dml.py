@@ -730,3 +730,93 @@ def test_branch_write_accepts_dash_and_dot_names(spark, tmp_path):
         assert eng.sql("SELECT count(*) FROM brd_t").collect()[0][0] == 1
     finally:
         spark.catalog.dropTempView("brd_src")
+
+
+def test_main_dml_after_branch_write_excludes_staged_files(spark, tmp_path):
+    """Main-side DML must base on main_head(), not the shared log head:
+    after a branch write, INSERT into MAIN must not fold the branch's
+    staged files in (review-pass finding, was reproduced live)."""
+    from dbx_workspace_and_emr_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path))
+    spark.createDataFrame([(1, "a")], "id long, v string").createOrReplaceTempView(
+        "mh_src"
+    )
+    try:
+        eng.sql("CREATE TABLE mh_t AS SELECT * FROM mh_src")
+        eng.sql("ALTER TABLE mh_t CREATE BRANCH b")
+        eng.sql("INSERT INTO mh_t.branch_b VALUES (9, 'z')")
+        eng.sql("INSERT INTO mh_t VALUES (2, 'b')")
+        ids = sorted(
+            r.id for r in eng.sql("SELECT id FROM mh_t").collect()
+        )
+        assert ids == [1, 2], ids  # staged row 9 must NOT appear
+        # the branch still sees exactly its own lineage
+        bids = sorted(
+            r.id
+            for r in eng.sql(
+                "SELECT id FROM mh_t VERSION AS OF 'b'"
+            ).collect()
+        )
+        assert bids == [1, 9], bids
+        # and a tag created now pins main's head, not the staged write
+        eng.sql("ALTER TABLE mh_t CREATE TAG after")
+        tids = sorted(
+            r.id
+            for r in eng.sql(
+                "SELECT id FROM mh_t VERSION AS OF 'after'"
+            ).collect()
+        )
+        assert tids == [1, 2], tids
+    finally:
+        spark.catalog.dropTempView("mh_src")
+
+
+def test_replace_branch_default_is_main_head(spark, tmp_path):
+    """REPLACE BRANCH without AS OF VERSION re-points to main_head(),
+    never to another branch's staged snapshot (review-pass finding,
+    was reproduced live)."""
+    from dbx_workspace_and_emr_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path))
+    spark.createDataFrame([(1, "a")], "id long, v string").createOrReplaceTempView(
+        "rb_src"
+    )
+    try:
+        eng.sql("CREATE TABLE rb_t AS SELECT * FROM rb_src")
+        eng.sql("ALTER TABLE rb_t CREATE BRANCH b1")
+        eng.sql("ALTER TABLE rb_t CREATE BRANCH b2")
+        eng.sql("INSERT INTO rb_t.branch_b1 VALUES (9, 'z')")
+        eng.sql("ALTER TABLE rb_t REPLACE BRANCH b2")
+        ids = sorted(
+            r.id
+            for r in eng.sql(
+                "SELECT id FROM rb_t VERSION AS OF 'b2'"
+            ).collect()
+        )
+        assert ids == [1], ids  # b1's staged row must not leak into b2
+    finally:
+        spark.catalog.dropTempView("rb_src")
+
+
+def test_main_head_raises_past_expired_history(spark, tmp_path):
+    """main_head() walking staged snapshots down into expired history
+    must raise the contracted error, not FileNotFoundError."""
+    import pytest as _pytest
+
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        BranchedLakehouse,
+        LakehouseTable,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path), "exp_t")
+    t.create(spark.createDataFrame([(1,)], "id long"))
+    t.append(spark.createDataFrame([(2,)], "id long"))  # v2
+    b = BranchedLakehouse(t)
+    b.create_branch("s")
+    b.write_to_branch("s", spark.createDataFrame([(9,)], "id long"))  # v3 staged
+    b.write_to_branch("s", spark.createDataFrame([(10,)], "id long"))  # v4 staged
+    # expire everything below the staged pair
+    t.expire_snapshots(keep_last=2)
+    with _pytest.raises(ValueError, match="expired below staged"):
+        t.main_head()

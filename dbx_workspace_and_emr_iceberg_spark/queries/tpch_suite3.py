@@ -1,13 +1,14 @@
-"""Suite 3 — TPC-DS-flavored analytic shapes (round 7).
+"""Suite 3 — TPC-DS-flavored analytic shapes (rounds 7-8).
 
 The 22-shape TPC-H suite covers the reference's Spark-SQL relational
-surface; these eight add the DS-style compositions real warehouse
-workloads lean on — share-of-parent over a rollup, year-over-year
-growth, moving-window trend smoothing, mix-shift analysis, cohort
-retention, basket-pair affinity, purchase-cadence histograms, and
-exact discrete percentile reports — each a pure declarative plan
-(rollup/window/join over one fact scan, dims broadcast) and each
-value-oracled in DuckDB.
+surface; these add the DS-style compositions real warehouse workloads
+lean on — share-of-parent over a rollup, year-over-year growth,
+moving-window trend smoothing, mix-shift analysis, cohort retention,
+basket-pair affinity, purchase-cadence histograms, exact discrete
+percentile reports, ordered funnels (qd9), RFM segmentation via
+chunked ranks (qd10), and as-of last-touch attribution (qd11) — each
+a pure declarative plan (rollup/window/join over one fact scan, dims
+broadcast) and each value-oracled in DuckDB.
 
 Scale shapes: every query is one fact-table scan + one keyed shuffle;
 windows partition on the analysis key (year / segment / priority), so
@@ -644,4 +645,96 @@ def qd10_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seg_cents",
         )
         .orderBy("segment")
+    )
+
+
+# --- QD11: last-touch attribution via as-of join ----------------------------
+# Marketing attribution's core primitive: credit each purchase to the
+# user's most recent preceding 'view', then roll revenue up by the
+# view's channel. The temporal join is the repo's own as-of operator
+# (operators/asof.py — one shuffle on user_id + a partition-local
+# carry window, never a range crossJoin), composed with F7 JSON
+# extraction for the channel and oracled against DuckDB's NATIVE
+# ASOF LEFT JOIN — two independent as-of implementations agreeing on
+# every credited (purchase, view) pair. Unattributed purchases (no
+# prior view) keep channel -1 — the honest "direct" bucket. The
+# right side is deduped to one row per (user_id, ts) with max()
+# (as-of tie rule must be deterministic on both engines); attribution
+# lag is integer seconds.
+
+_QD11_ORACLE = """
+WITH views AS (
+  SELECT user_id, ts,
+         max(CAST(json_extract(props, '$.k') AS BIGINT) % 5) AS channel
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+attributed AS (
+  SELECT p.user_id, p.value,
+         coalesce(v.channel, -1) AS channel,
+         CASE WHEN v.ts IS NULL THEN NULL
+              ELSE CAST(date_diff('second', v.ts, p.ts) AS BIGINT)
+         END AS lag_s
+  FROM purchases p
+  ASOF LEFT JOIN views v
+    ON p.user_id = v.user_id AND v.ts <= p.ts
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+         AS revenue,
+       CAST(sum(lag_s) AS BIGINT) AS total_lag_s
+FROM attributed
+GROUP BY channel ORDER BY channel
+"""
+
+
+@register("qd11_lasttouch_attribution", oracle=_QD11_ORACLE, tags=("J8", "F7", "A1"))
+def qd11_lasttouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max(
+                F.get_json_object("props", "$.k").cast("bigint") % 5
+            ).alias("channel")
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["channel"],
+    )
+    attributed = joined.select(
+        F.coalesce("channel_right", F.lit(-1)).alias("channel"),
+        "value",
+        F.when(
+            F.col("ts_right").isNotNull(),
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp("ts_right")
+            ).cast("long"),
+        ).alias("lag_s"),
+    )
+    return (
+        attributed.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("revenue"),
+            F.sum("lag_s").alias("total_lag_s"),
+        )
+        .orderBy("channel")
     )

@@ -81,6 +81,10 @@ HEADLINE = [
     "x38_dsir_importance",
     "x43_perplexity_buckets",
     "qd9_funnel_analysis",
+    # iterative merge-induction shape: N chained (pair explode ->
+    # argmax broadcast -> map-side replace) rounds with per-round
+    # state cache — distinct from x35's join+groupBy iteration
+    "x46_bpe_merges",
 ]
 
 

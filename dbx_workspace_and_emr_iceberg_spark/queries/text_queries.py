@@ -2192,3 +2192,142 @@ def x46_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lineage note applies verbatim).
         state = state.cache()
     return merge_rows.orderBy("step")
+
+
+# --- X48: corpus drift report between crawl snapshots -----------------------
+# The ops question every continuously-crawled corpus needs answered
+# before retraining: did the NEW crawl's composition drift from the
+# old one, and along which dimension? Two snapshots (here the
+# deterministic doc_id parity halves — any two corpus versions slot
+# in) are compared per dimension (lang, source, and length decile
+# proxy) as share distributions, scored with the chi-square-style
+# divergence on integer ppm shares:
+#
+#   share_ppm = count * 1e6 div total          (bigint, exact)
+#   cell      = (a_ppm - b_ppm)^2 div (a_ppm + b_ppm + 1)
+#   drift     = sum over cells                 (x2 the classic chi2)
+#
+# — every step bigint, so the drift score is engine-exact (the
+# PSI/KL spellings need ln; the chi-square form is the standard
+# float-free alternative and ranks dimensions identically for small
+# drifts). Scale shape: one corpus scan per snapshot feeding
+# |dimension|-row aggregates; the comparison frames never exceed the
+# category counts. Output: per (dimension, category) the two shares
+# and the cell contribution, plus per-dimension totals via ROLLUP —
+# the report a data-ops dashboard renders directly.
+# Fixture note: source is a pure function of doc_id (src{id % 20}),
+# so the parity halves have DISJOINT source sets and the report
+# correctly scores source at the ~2e6 ppm maximum while lang drifts
+# only by sampling noise — the detector demonstrably separates a
+# real composition break from jitter.
+
+_X48_ORACLE = """
+WITH tagged AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS snap,
+         lang, source,
+         CAST(least(n_chars // 100, 9) AS VARCHAR) AS len_bucket
+  FROM documents
+),
+long_t AS (
+  SELECT snap, 'lang' AS dim, lang AS category FROM tagged
+  UNION ALL SELECT snap, 'source', source FROM tagged
+  UNION ALL SELECT snap, 'len_bucket', len_bucket FROM tagged
+),
+counts AS (
+  SELECT dim, category,
+         count(*) FILTER (WHERE snap = 'a') AS ca,
+         count(*) FILTER (WHERE snap = 'b') AS cb
+  FROM long_t GROUP BY dim, category
+),
+tot AS (
+  SELECT dim, sum(ca) AS ta, sum(cb) AS tb FROM counts GROUP BY dim
+),
+shares AS (
+  SELECT c.dim, c.category,
+         ca * 1000000 // ta AS a_ppm,
+         cb * 1000000 // tb AS b_ppm
+  FROM counts c JOIN tot USING (dim)
+),
+cells AS (
+  SELECT dim, category, a_ppm, b_ppm,
+         (a_ppm - b_ppm) * (a_ppm - b_ppm) // (a_ppm + b_ppm + 1)
+           AS drift_cell
+  FROM shares
+)
+SELECT dim,
+       coalesce(category, '__TOTAL__') AS category,
+       CAST(sum(a_ppm) AS BIGINT) AS a_ppm,
+       CAST(sum(b_ppm) AS BIGINT) AS b_ppm,
+       CAST(sum(drift_cell) AS BIGINT) AS drift
+FROM cells
+GROUP BY ROLLUP (dim, category)
+HAVING dim IS NOT NULL
+ORDER BY dim, category
+"""
+
+
+@register("x48_corpus_drift", oracle=_X48_ORACLE, tags=("X48", "X25", "A7"))
+def x48_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tagged = d.select(
+        F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b").alias("snap"),
+        "lang",
+        "source",
+        F.least(F.expr("n_chars div 100"), F.lit(9))
+        .cast("string")
+        .alias("len_bucket"),
+    )
+    long_t = (
+        tagged.select("snap", F.lit("lang").alias("dim"), F.col("lang").alias("category"))
+        .unionByName(
+            tagged.select(
+                "snap", F.lit("source").alias("dim"),
+                F.col("source").alias("category"),
+            )
+        )
+        .unionByName(
+            tagged.select(
+                "snap", F.lit("len_bucket").alias("dim"),
+                F.col("len_bucket").alias("category"),
+            )
+        )
+    )
+    counts = long_t.groupBy("dim", "category").agg(
+        F.sum((F.col("snap") == "a").cast("long")).alias("ca"),
+        F.sum((F.col("snap") == "b").cast("long")).alias("cb"),
+    )
+    tot = counts.groupBy("dim").agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    )
+    cells = (
+        counts.join(F.broadcast(tot), "dim")
+        .select(
+            "dim",
+            "category",
+            F.expr("ca * 1000000L div ta").alias("a_ppm"),
+            F.expr("cb * 1000000L div tb").alias("b_ppm"),
+        )
+        .withColumn(
+            "drift_cell",
+            F.expr(
+                "(a_ppm - b_ppm) * (a_ppm - b_ppm) div (a_ppm + b_ppm + 1)"
+            ),
+        )
+    )
+    return (
+        cells.rollup("dim", "category")
+        .agg(
+            F.sum("a_ppm").alias("a_ppm"),
+            F.sum("b_ppm").alias("b_ppm"),
+            F.sum("drift_cell").alias("drift"),
+        )
+        .filter(F.col("dim").isNotNull())
+        .select(
+            "dim",
+            F.coalesce("category", F.lit("__TOTAL__")).alias("category"),
+            "a_ppm",
+            "b_ppm",
+            "drift",
+        )
+        .orderBy("dim", "category")
+    )

@@ -173,6 +173,7 @@ _DRIVER_PRIORITY = [
     "x47_countmin_heavy_hitters",
     "x2e_lsh_value_oracle",
     "qd11_lasttouch_attribution",
+    "x48_corpus_drift",
     # 3. first-ever driver rows for the rows-only tail (r7 verdict
     #    #2) — ordered so a budget cut drops the least-critical:
     #    the x3d/x3g entries last (their oracled twins are already

@@ -2146,13 +2146,22 @@ def x46_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merge_rows = None
     for i in range(1, _X46_MERGES + 1):
-        arr = F.split(F.expr("substr(s, 2, length(s) - 2)"), r"\]\[")
+        # materialize the token array BEFORE the per-element lambdas
+        # reference it (the quantizer's O(d²) lesson): a split()
+        # embedded in transform() re-evaluates the whole split per
+        # element access — measured 28 s before / 4.8 s after at
+        # sf0.1 for this query
+        arred = state.withColumn(
+            "__arr",
+            F.split(F.expr("substr(s, 2, length(s) - 2)"), r"\]\["),
+        )
+        arr = F.col("__arr")
         # greatest(..., 1): a doc merged down to ONE symbol has no
         # pairs — but Spark's sequence(1, 0) is the DESCENDING [1, 0]
         # and element_at(arr, 0) raises; clamp to [1,1] and let the
         # sb IS NULL filter below drop the lone padded pair (DuckDB's
         # generate_series(1, 0) is simply empty — same net rows)
-        pairs = state.select(
+        pairs = arred.select(
             F.explode(
                 F.transform(
                     F.sequence(

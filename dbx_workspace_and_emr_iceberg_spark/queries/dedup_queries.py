@@ -1630,8 +1630,10 @@ def x2e_lsh_value_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text_queries import _padded_ngrams
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = d.unionByName(_planted_near_dups(d))
-    words = F.split("text", " ")
+    corpus = d.unionByName(_planted_near_dups(d)).withColumn(
+        "__words", F.split("text", " ")  # materialized — x4d idiom
+    )
+    words = F.col("__words")
     sh = (
         corpus.filter(F.size(words) >= 3)
         .select(

@@ -585,8 +585,13 @@ def x16_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     is tiny and BROADCAST, so the 100 TB training corpus streams
     map-side through one scan. This is the eval-hygiene pass every
     pretraining pipeline runs before training."""
-    d = load_table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
+    # __words materialized (x4d idiom): a split embedded in the ngram
+    # lambda re-evaluates per element access — measured ~8x on this
+    # explode at sf0.1
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "__words", F.split("text", " ")
+    )
+    words = F.col("__words")
     sh = d.select(
         "doc_id",
         F.explode(F.array_distinct(_padded_ngrams(words, 3))).alias("shingle"),
@@ -1691,8 +1696,10 @@ ORDER BY overlap_bp DESC, s.doc_id
 
 @register("x41_ngram_overlap", oracle=_X41_ORACLE, tags=("X41", "X4"))
 def x41_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "__words", F.split("text", " ")  # materialized — x4d idiom
+    )
+    words = F.col("__words")
     # lang rides through the explode (few bytes per shingle row) so the
     # per-doc aggregate needs no second corpus scan + doc_id join
     sh = d.select(

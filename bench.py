@@ -85,6 +85,20 @@ HEADLINE = [
     # argmax broadcast -> map-side replace) rounds with per-round
     # state cache — distinct from x35's join+groupBy iteration
     "x46_bpe_merges",
+    # round-9 additions (r8 verdict #5): the r8 heavyweights the shared
+    # regression signal could not yet see — line-rule filtering +
+    # reassembly (x44), the (token, doc) posting-list build (x45), the
+    # 256-cell count-min sketch + broadcast probe (x47), the integer
+    # chi-square drift report's double corpus scan (x48), RFM's triple
+    # chunked percent_rank (qd10), last-touch attribution's as-of-style
+    # window (qd11), and the streaming history-dedup batch twin (t18)
+    "x44_line_filtering",
+    "x45_inverted_index",
+    "x47_countmin_heavy_hitters",
+    "x48_corpus_drift",
+    "qd10_rfm_segmentation",
+    "qd11_lasttouch_attribution",
+    "t18_stream_dedup_history",
 ]
 
 

@@ -207,6 +207,24 @@ def quantized_unit_vectors(
     # re-evaluates the whole O(d) fold once per element — O(d²) per row
     # on the corpus-linear pass instead of O(d)
     df = df.withColumn("__norm", F.sqrt(sq))
+    # zero-vector guard: /0 yields NaN/Inf whose ANSI cast-to-long
+    # raises deep inside the job — raise the contract violation HERE
+    # instead (a unit vector of the zero vector does not exist;
+    # callers filter or fix upstream). raise_error is eager per row,
+    # so the check costs nothing on valid data.
+    df = df.withColumn(
+        "__norm",
+        F.when(
+            F.col("__norm") > 0, F.col("__norm")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("quantized_unit_vectors: zero-norm vector at "),
+                    F.col(id_col).cast("string"),
+                )
+            )
+        ),
+    )
     vq = F.transform(
         vec_col,
         lambda x: F.floor(
@@ -239,6 +257,14 @@ def _int_assign(df: DataFrame, cent: list[tuple[int, list[int]]]) -> DataFrame:
     Empty clusters DROP OUT (their centroid row simply does not exist
     next round) — mirrored exactly by the SQL oracle.
     """
+    # zero-sum centroids (components can cancel in the integer SUM
+    # vector) would floor-divide by 0 below; a zero vector carries no
+    # direction, so such a cluster drops out like an empty one. A
+    # degenerate case — unit-norm member vectors make it vanishingly
+    # rare — but a crash inside mapInPandas is the wrong failure mode.
+    cent = [(cid, v) for cid, v in cent if any(x != 0 for x in v)]
+    if not cent:
+        raise ValueError("_int_assign: every centroid is the zero vector")
     cent = sorted(cent)  # ascending cluster id -> argmax picks first max
     cids = np.array([c for c, _ in cent], dtype="int32")
     S = np.array([v for _, v in cent], dtype="int64")  # (k, d)

@@ -457,16 +457,24 @@ class LakehouseTable:
 
     def read_as_of_timestamp(self, ts_ms: int) -> DataFrame:
         """TIMESTAMP AS OF (M4's second spelling): scan the latest
-        snapshot committed at or before ``ts_ms``. Raises if the table
-        did not exist yet — Iceberg's `Cannot find a snapshot older
-        than` contract, not an empty frame (an empty frame would
-        silently mean 'table existed and was empty')."""
+        MAIN snapshot committed at or before ``ts_ms``. Raises if the
+        table did not exist yet — Iceberg's `Cannot find a snapshot
+        older than` contract, not an empty frame (an empty frame would
+        silently mean 'table existed and was empty'). Snapshots staged
+        by a branch write (``staged_ref``) are SKIPPED, mirroring
+        main_head(): a main-side time-travel read landing on an
+        unaudited staged snapshot would be the WAP leak every other
+        main-side resolution already routes around (review-pass
+        finding, reproduced: INSERT INTO t.branch_b then TIMESTAMP AS
+        OF now returned the staged rows)."""
         best = None
         for v in range(1, self.current_version() + 1):
             try:
                 m = self._read_manifest(v)
             except FileNotFoundError:
                 continue  # expired
+            if m.get("staged_ref"):
+                continue  # branch-staged: not main history
             if m["timestamp_ms"] <= ts_ms:
                 best = v
         if best is None:
@@ -749,10 +757,32 @@ class LakehouseTable:
                 manifests[v] = self._read_manifest(v)
             except FileNotFoundError:
                 continue  # expired by an earlier call (any keep_last)
+        # Ref retention (Iceberg semantics): a snapshot a branch or tag
+        # still points to — and any staged snapshot whose branch still
+        # exists — is non-expirable regardless of keep_last/age, else
+        # read_ref dies on FileNotFoundError after routine maintenance
+        # (review-pass finding). Refs live in BranchedLakehouse's
+        # _refs.json beside the snapshot log.
+        protected: set[int] = set()
+        try:
+            with open(os.path.join(self.root, "_refs.json")) as f:
+                refs = json.load(f)
+        except FileNotFoundError:
+            refs = None
+        if refs:
+            protected.update(int(v) for v in refs.get("branches", {}).values())
+            protected.update(int(v) for v in refs.get("tags", {}).values())
+            live_branches = set(refs.get("branches", {}))
+            protected.update(
+                v
+                for v, m in manifests.items()
+                if m.get("staged_ref") in live_branches
+            )
         to_expire = [
             v
             for v in candidates
             if v in manifests
+            and v not in protected
             and (
                 older_than_ms is None
                 or manifests[v]["timestamp_ms"] < older_than_ms
@@ -1483,19 +1513,55 @@ class BranchedLakehouse:
         self._save(refs)
         return at_version
 
+    def _assert_fast_forward(self, frm: int, to: int, label: str) -> None:
+        """True-fast-forward guard: ``frm`` (the ref being moved) must
+        be an ANCESTOR of ``to`` in the CONTENT chain — each staged
+        snapshot links to the branch head it was based on via
+        ``ref_base`` (written by write_to_branch). Iceberg's
+        system.fast_forward refuses when the target is not a
+        descendant; a blind re-point would silently discard every
+        commit the moved ref gained after the branch was based (e.g. a
+        concurrent main append between the branch write and the
+        publish) — a data-loss hazard, not a merge (review-pass
+        finding). Divergent publishes go through cherrypick_snapshot.
+        """
+        cur, seen = to, set()
+        while True:
+            if cur == frm:
+                return  # frm is an ancestor: genuine fast-forward
+            if cur <= 0 or cur in seen:
+                break
+            seen.add(cur)
+            try:
+                m = self.table._read_manifest(cur)
+            except FileNotFoundError:
+                break  # chain expired: cannot prove ancestry → refuse
+            if not m.get("staged_ref"):
+                break  # reached a main-side snapshot that is not frm
+            # pre-ref_base staged manifests fall back to the log parent
+            cur = int(m.get("ref_base") or m.get("parent") or 0)
+        raise ValueError(
+            f"fast_forward: {label} (v{frm}) is not an ancestor of the "
+            f"target snapshot v{to} — the refs diverged; use "
+            "cherrypick_snapshot to publish divergent work"
+        )
+
     def fast_forward(self, branch: str, to: str) -> int:
         """CALL system.fast_forward(table, branch, to): move ``branch``
         to ``to``'s head. 'main' is the table itself (not a refs
         entry), so fast-forwarding main is a rollforward commit — the
-        P of WAP."""
+        P of WAP. Refuses (like Iceberg) unless the moved ref's head is
+        an ancestor of the target — see _assert_fast_forward."""
         refs = self._refs()
         v = refs["branches"].get(to, refs["tags"].get(to))
         if v is None:
             raise KeyError(f"unknown ref {to}")
         if branch == "main":
+            self._assert_fast_forward(self.main_head(), v, "main")
             return self.table.rollback_to(v)
         if branch not in refs["branches"]:
             raise KeyError(f"unknown branch {branch}")
+        self._assert_fast_forward(refs["branches"][branch], v, branch)
         refs["branches"][branch] = v
         self._save(refs)
         return v
@@ -1558,6 +1624,10 @@ class BranchedLakehouse:
                 "schema": schema,
                 "op": f"branch_append:{name}",
                 "staged_ref": name,
+                # content parent (the branch head this append was based
+                # on) — NOT the log parent: fast_forward walks this
+                # chain to prove ancestry before publishing
+                "ref_base": base,
             },
             parent,
         )
@@ -1568,9 +1638,12 @@ class BranchedLakehouse:
 
     def fast_forward_main(self, branch: str) -> int:
         """The P of WAP: after auditing the branch snapshot, make it the
-        table's current version via a rollforward commit."""
+        table's current version via a rollforward commit. Same
+        ancestry guard as fast_forward — a publish must never discard
+        main commits that landed after the branch was based."""
         refs = self._refs()
         v = refs["branches"][branch]
+        self._assert_fast_forward(self.main_head(), v, "main")
         return self.table.rollback_to(v)
 
 

@@ -291,8 +291,10 @@ def execute_insert(engine, sql: str) -> DataFrame:
             lambda: b.write_to_branch(branch, df, positional=True)
         )
         # main's view is NOT refreshed: the branch pointer moved, main
-        # didn't — that is the W of WAP
-        n = b.read_ref(branch).count()
+        # didn't — that is the W of WAP. n_rows reports the INSERTED
+        # batch (O(batch)): counting the whole branch would full-scan
+        # the table per INSERT statement (review-pass finding).
+        n = df.count()
         return engine.spark.createDataFrame(
             [(f"{table}.branch_{branch}", "insert_branch", version, n)],
             "table string, operation string, version int, n_rows long",

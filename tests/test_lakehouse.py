@@ -822,3 +822,142 @@ def test_changelog_across_schema_evolution(spark, tmp_path):
     # v6's append carries the post-evolution columns
     v6 = [r for r in rows if r._change_version == 6]
     assert {(r.region_name, r.zone) for r in v6} == {("ATLANTIS", "deep")}
+
+
+def test_timestamp_as_of_skips_staged_branch_snapshots(spark, tmp_path):
+    """A main-side TIMESTAMP AS OF read resolving to the newest
+    snapshot by timestamp must skip staged branch snapshots — else an
+    INSERT INTO t.branch_b leaks unaudited rows into main-side time
+    travel (the WAP leak class; review-pass finding)."""
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        BranchedLakehouse,
+        LakehouseTable,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path), "tt")
+    t.create(spark.createDataFrame([(1,), (2,)], "id long"))  # v1 main
+    b = BranchedLakehouse(t)
+    b.create_branch("b")
+    b.write_to_branch("b", spark.createDataFrame([(9,)], "id long"))  # v2 staged
+    ts_now = t._read_manifest(2)["timestamp_ms"] + 10_000
+    got = t.read_as_of_timestamp(ts_now)
+    assert got.count() == 2, "TIMESTAMP AS OF leaked staged branch rows"
+    # the branch itself still sees its write
+    assert b.read_ref("b").count() == 3
+
+
+def test_fast_forward_refuses_divergent_publish(spark, tmp_path):
+    """fast_forward('main', b) when main advanced AFTER the branch was
+    based must refuse (Iceberg: target must be a descendant) — a blind
+    rollforward would silently discard the concurrent main commit's
+    rows (data-loss hazard; review-pass finding)."""
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        BranchedLakehouse,
+        LakehouseTable,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path), "ff")
+    t.create(spark.createDataFrame([(1,)], "id long"))  # v1 main
+    b = BranchedLakehouse(t)
+    b.create_branch("b")  # based at v1
+    b.write_to_branch("b", spark.createDataFrame([(9,)], "id long"))  # v2 staged
+    t.append(spark.createDataFrame([(2,)], "id long"))  # v3: main ADVANCED
+    with pytest.raises(ValueError, match="not an ancestor"):
+        b.fast_forward("main", "b")
+    with pytest.raises(ValueError, match="not an ancestor"):
+        b.fast_forward_main("b")
+    # main's concurrent commit survives intact
+    assert t.read().count() == 2
+
+    # the happy path still publishes: rebase the branch on main's new
+    # head, write, publish — a true fast-forward
+    b.replace_branch("b", t.main_head())
+    b.write_to_branch("b", spark.createDataFrame([(10,)], "id long"))
+    b.fast_forward("main", "b")
+    assert t.read().count() == 3
+
+
+def test_fast_forward_branch_to_branch_guarded(spark, tmp_path):
+    """The branch→branch arm carries the same ancestry guard: moving a
+    branch onto a ref that does not descend from it is a refusal, while
+    advancing a stale branch onto its own descendant succeeds."""
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        BranchedLakehouse,
+        LakehouseTable,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path), "fb")
+    t.create(spark.createDataFrame([(1,)], "id long"))  # v1 main
+    b = BranchedLakehouse(t)
+    b.create_branch("dev")   # v1
+    b.create_branch("lag")   # v1
+    b.write_to_branch("dev", spark.createDataFrame([(9,)], "id long"))  # v2
+    # lag (v1) is an ancestor of dev's head (v2): fast-forward OK
+    assert b.fast_forward("lag", "dev") == 2
+    # now diverge: lag writes its own snapshot off v2, dev writes too
+    b.write_to_branch("lag", spark.createDataFrame([(8,)], "id long"))  # v3
+    b.write_to_branch("dev", spark.createDataFrame([(7,)], "id long"))  # v4
+    with pytest.raises(ValueError, match="not an ancestor"):
+        b.fast_forward("lag", "dev")
+
+
+def test_expire_snapshots_protects_ref_targets(spark, tmp_path):
+    """Snapshots still pointed to by a branch/tag — and staged
+    snapshots of live branches — survive expire_snapshots regardless
+    of keep_last, matching Iceberg ref retention; read_ref must keep
+    working after routine maintenance (review-pass finding)."""
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        BranchedLakehouse,
+        LakehouseTable,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path), "er")
+    t.create(spark.createDataFrame([(1,)], "id long"))   # v1
+    b = BranchedLakehouse(t)
+    b.create_tag("v1-tag")                               # -> v1
+    t.append(spark.createDataFrame([(2,)], "id long"))   # v2
+    b.create_branch("s")                                 # -> v2
+    b.write_to_branch("s", spark.createDataFrame([(9,)], "id long"))  # v3 staged
+    t.append(spark.createDataFrame([(3,)], "id long"))   # v4
+    t.append(spark.createDataFrame([(4,)], "id long"))   # v5
+
+    removed = t.expire_snapshots(keep_last=1)
+    # v1 (tag), v2 (branch base is v2? branch points at v3), v3
+    # (staged + branch head) are protected; only unreferenced old
+    # main snapshots expire
+    assert 1 not in removed and 3 not in removed
+    assert b.read_ref("v1-tag").count() == 1
+    assert b.read_ref("s").count() == 3
+    # dropping the refs releases them for the next maintenance pass
+    b.drop_tag("v1-tag")
+    b.drop_branch("s")
+    removed2 = t.expire_snapshots(keep_last=1)
+    assert 1 in removed2 and 3 in removed2
+
+
+def test_quantizer_and_assign_zero_guards(spark):
+    """quantized_unit_vectors raises loudly on a zero-norm input vector
+    (instead of NaN/Inf failing an ANSI cast deep in the job); zero-sum
+    centroids drop out of _int_assign instead of ZeroDivisionError
+    inside mapInPandas (review-pass findings)."""
+    from dbx_workspace_and_emr_iceberg_spark.operators.semantic import (
+        _int_assign,
+        quantized_unit_vectors,
+    )
+
+    bad = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0])], "id long, v array<double>"
+    )
+    with pytest.raises(Exception, match="zero-norm"):
+        quantized_unit_vectors(bad, "id", "v").collect()
+
+    good = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "id long, v array<double>"
+    )
+    q = quantized_unit_vectors(good, "id", "v")
+    # one genuine centroid + one all-zero centroid: assignment must
+    # complete and use only the genuine one
+    out = _int_assign(q, [(0, [10_000, 0]), (1, [0, 0])]).collect()
+    assert {r.cluster for r in out} == {0}
+    with pytest.raises(ValueError, match="zero vector"):
+        _int_assign(q, [(0, [0, 0])])

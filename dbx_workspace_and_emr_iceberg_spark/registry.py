@@ -132,106 +132,83 @@ def all_queries() -> dict[str, Query]:
     return dict(_REGISTRY)
 
 
-#: Driver front-load list, refreshed each round from CORRECTNESS_r0N.
-#: Round-8 basis (CORRECTNESS_r07): 50/50 hash-green, the oracled-unrun
-#: backlog is EMPTY — every prior-round name DROPPED. This round's
-#: front-load, per the r7 verdict "Next round" item #2:
-#:   1. the 4 queries whose oracle or implementation changed in r8
-#:      (x20 newly value-oracled, x37 respelled via chunked prefix
-#:      rank, qd6's cap changed both sides of the contract, x25
-#:      refactored onto table_profile) — each needs a fresh hash row;
-#:   2. the round-8 additions — each needs its FIRST hash-green row
-#:      (an unproven new query outranks re-sampling a pytest-covered
-#:      rows-only one, so these precede tier 3);
-#:   3. the 35 rows-only queries that have NEVER had any driver row
-#:      (pytest-only evidence until now): lakehouse DML lifecycles,
-#:      streaming, LSH/ANN recall suites, multimodal stubs — a budget
-#:      cut costs the tail entries, whose oracled twins are already
-#:      cumulative-green.
-_DRIVER_PRIORITY = [
-    # 1. changed oracle/implementation in r8 — re-prove first
+#: Queries whose ORACLE STRING or PHYSICAL PLAN changed since their
+#: last driver-green row — the only hand-maintained list left.  Every
+#: other ordering decision is derived from driver_history.py (generated
+#: by tools/gen_driver_history.py from the CORRECTNESS_r0*.json record),
+#: so the r9 failure mode — a stale hand list re-proving 50
+#: already-green rows while 8 queries stayed never-sampled — cannot
+#: recur: never-sampled and stalest-green rows float to the front
+#: automatically.  Add a name here when you change its plan or oracle;
+#: delete the whole list's content after the round's CORRECTNESS lands
+#: green (regenerating driver_history.py then carries the evidence).
+#:
+#: Round-10 entries:
+_CHANGED_THIS_ROUND = [
+    # plan changed in the r8 lambda sweep (commit 13f448c) but the only
+    # driver row is r5 — the hard signal is stale (r9 verdict #2)
+    "x16_contamination_check",
+    # r10: oracle gains the zero-centroid WHERE mirror (ADVICE low)
     "x20_semantic_dedup",
-    "qd6_basket_pairs",
-    "x37_quality_ensemble",
-    "x25_table_profile",
-    # 2. round-8 additions — each needs its first hash-green row
-    "f20_variant_type",
-    "f21_session_variables",
-    "f22_try_arithmetic",
-    "f23_star_sugar",
-    "x38_dsir_importance",
-    "x39_soft_dedup_weights",
-    "x40_unimax_mixture",
-    "x41_ngram_overlap",
-    "x43_perplexity_buckets",
-    "x44_line_filtering",
-    "x45_inverted_index",
+    # r10: respelled onto chunked_percent_ranks (r9 verdict #3)
+    "x15_quality_quantile_gate",
+    # r10: newly value-oracled bloom frame (r9 verdict #4)
+    "x24_bloom_contamination",
+    # r10: bloom-probe history path is now the default (r9 verdict #5)
     "t18_stream_dedup_history",
-    "qd9_funnel_analysis",
-    "qd10_rfm_segmentation",
-    "x46_bpe_merges",
-    "x47_countmin_heavy_hitters",
-    "x2e_lsh_value_oracle",
-    "qd11_lasttouch_attribution",
-    "x48_corpus_drift",
-    # 3. first-ever driver rows for the rows-only tail (r7 verdict
-    #    #2) — ordered so a budget cut drops the least-critical:
-    #    the x3d/x3g entries last (their oracled twins are already
-    #    cumulative-green)
-    "m1_lakehouse_dml_lifecycle",
-    "m5_lakehouse_maintenance",
-    "m6_lakehouse_schema_evolution",
-    "m6b_rename_drop_column",
-    "m7_partition_transforms",
+    # r10: banded LSH pre-filter replaces the all-pairs crossJoin
+    # (r9 verdict #6)
+    "x2b_ngram_jaccard",
+    # r10: extended WAP self-asserts (staged TIMESTAMP-AS-OF skip +
+    # divergent-publish refusal + repeated-publish cycle) — r9 verdict
+    # #7 + the ADVICE fast-forward fixes
     "m8_branches_wap",
     "m8b_sql_branch_lifecycle",
-    "m9_stats_file_skipping",
-    "m10_incremental_cdc",
-    "m11_sorted_clustering",
-    "m12_sql_dml_door",
-    "m13_zorder_clustering",
-    "m16_sql_time_travel",
-    "m17_column_defaults",
-    "m18_call_procedures",
+    # r10: insert_branch n_rows now counted from written files
     "m20_pure_sql_lifecycle",
-    "t1b_rate_source",
-    "t5_watermark_append_finalize",
-    "t9_stream_to_lakehouse",
-    "t10_stream_merge_upsert",
-    "t17_streaming_listener",
-    "s18_file_ingest_options",
-    "s2e_csv_malformed_modes",
-    "o4_sort_within_partitions",
-    "a5c_hll_mergeable",
-    "f8c_native_ids",
-    "x2_minhash_lsh",
-    "x12b_lsh_dedup_pipeline",
-    "x24_bloom_contamination",
-    "x3b_ann_lsh",
-    "x3e_ivf_ann",
-    "x5b_decode_pipeline",
-    "x5c_frame_sampling",
-    "x3d_topk_vectorized",
-    "x3g_topk_vectorized_bench",
 ]
 
 
-def queries_dict() -> dict[str, QueryFn]:
-    """Driver execution order, three tiers:
+def _driver_order_key(q: Query) -> tuple:
+    """Sort key implementing (changed, never-sampled, stalest-green).
 
-      1. :data:`_DRIVER_PRIORITY` — oracled queries with no prior
-         driver-green row (see its comment),
-      2. every other ORACLED query in registration order,
-      3. rows-only queries last: they yield the same weak row-count
-         signal wherever they run, and the rows-only set (lakehouse DML
-         lifecycles, streaming triggers) is also where most of the
-         wall-clock lives."""
-    qs = list(all_queries().values())
-    prio = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
-    first = sorted((q for q in qs if q.name in prio), key=lambda q: prio[q.name])
-    rest_oracled = [q for q in qs if q.oracle is not None and q.name not in prio]
-    rows_only = [q for q in qs if q.oracle is None and q.name not in prio]
-    return {q.name: q.fn for q in first + rest_oracled + rows_only}
+    Tier 0: _CHANGED_THIS_ROUND, in list order — a changed plan or
+            oracle invalidates its old evidence, so these re-prove
+            first.
+    Tier 1: never driver-sampled — an unproven query outranks
+            re-sampling any already-green one.
+    Tier 2: everything else, stalest green round first; a query whose
+            last sample FAILED (sampled but never green) sorts at
+            last_green=0, i.e. ahead of every green row.  Ties break
+            oracled-before-rows-only (stronger signal per driver slot),
+            then name for determinism.
+    """
+    from . import driver_history as H
+
+    if q.name in _CHANGED_SET:
+        return (0, _CHANGED_SET[q.name], 0, "")
+    if q.name not in H.LAST_SAMPLED:
+        return (1, 0, 0 if q.oracle is not None else 1, q.name)
+    return (
+        2,
+        H.LAST_GREEN.get(q.name, 0),
+        0 if q.oracle is not None else 1,
+        q.name,
+    )
+
+
+_CHANGED_SET = {n: i for i, n in enumerate(_CHANGED_THIS_ROUND)}
+
+
+def queries_dict() -> dict[str, QueryFn]:
+    """Driver execution order — DERIVED, not hand-curated (r9 verdict
+    #2): (changed-this-round, never-sampled, stalest-green-first) from
+    the generated driver_history maps.  The per-round driver samples
+    ~50 entries in this dict order, so the budget always lands on the
+    rows with the least (or invalidated) evidence; a budget cut costs
+    re-proving the freshest greens, never the untested."""
+    qs = sorted(all_queries().values(), key=_driver_order_key)
+    return {q.name: q.fn for q in qs}
 
 
 def oracle_dict() -> dict[str, str]:

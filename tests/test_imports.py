@@ -15,10 +15,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-PKG = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "dbx_workspace_and_emr_iceberg_spark",
-)
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = os.path.join(REPO, "dbx_workspace_and_emr_iceberg_spark")
 
 
 def test_package_compiles():
@@ -54,11 +52,54 @@ def test_driver_contract_importable():
 
 
 def test_driver_priority_names_resolve():
-    # a typo'd priority name is silently ignored by queries_dict — the
-    # query would quietly lose its front-of-budget slot
+    # a typo'd changed-list name is silently ignored by the ordering —
+    # the query would quietly lose its front-of-budget slot
     from dbx_workspace_and_emr_iceberg_spark import registry
 
     qs = registry.all_queries()
-    missing = [n for n in registry._DRIVER_PRIORITY if n not in qs]
-    assert not missing, f"priority names not in registry: {missing}"
-    assert len(set(registry._DRIVER_PRIORITY)) == len(registry._DRIVER_PRIORITY)
+    missing = [n for n in registry._CHANGED_THIS_ROUND if n not in qs]
+    assert not missing, f"changed-list names not in registry: {missing}"
+    assert len(set(registry._CHANGED_THIS_ROUND)) == len(
+        registry._CHANGED_THIS_ROUND
+    )
+
+
+def test_driver_order_rule():
+    """Pin the derived driver ordering (r9 verdict #2): changed names
+    first in list order, then every never-sampled query, then the rest
+    with last-green round non-decreasing — so a stale hand list can
+    never again spend the driver budget on already-green rows."""
+    from dbx_workspace_and_emr_iceberg_spark import driver_history as H
+    from dbx_workspace_and_emr_iceberg_spark import registry
+
+    order = list(registry.queries_dict())
+    changed = [n for n in registry._CHANGED_THIS_ROUND]
+    assert order[: len(changed)] == changed
+
+    tail = order[len(changed):]
+    never = [n for n in tail if n not in H.LAST_SAMPLED]
+    # every never-sampled query sits immediately after the changed tier
+    assert tail[: len(never)] == never, (
+        "never-sampled queries must precede all sampled ones"
+    )
+    greens = [H.LAST_GREEN.get(n, 0) for n in tail[len(never):]]
+    assert greens == sorted(greens), "stalest-green must come first"
+
+
+def test_driver_history_in_sync():
+    """driver_history.py is generated; a CORRECTNESS file newer than the
+    last regeneration would silently skew the ordering."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        gen = importlib.import_module("gen_driver_history")
+    finally:
+        sys.path.pop(0)
+    from dbx_workspace_and_emr_iceberg_spark import driver_history as H
+
+    last_green, last_sampled = gen.collect()
+    assert H.LAST_GREEN == last_green and H.LAST_SAMPLED == last_sampled, (
+        "driver_history.py is stale — run python tools/gen_driver_history.py"
+    )

@@ -577,12 +577,18 @@ vec AS (
           FROM base))
 ),
 cent0 AS (
-  SELECT cluster, sv,
-         CAST(list_sum(list_transform(sv, x -> x*x)) AS HUGEINT) AS n2s
-  FROM (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
-                 AS cluster,
-               vq AS sv
-        FROM (SELECT vec_id, vq FROM vec ORDER BY vec_id LIMIT {_X20_K}))
+  -- n2s > 0 mirrors the engine's zero-centroid dropout
+  -- (operators/semantic.py::_int_assign): a zero-sum centroid carries
+  -- no direction and DROPS OUT instead of dividing by zero — the
+  -- oracle must take the identical decision (ADVICE r9)
+  SELECT cluster, sv, n2s FROM (
+    SELECT cluster, sv,
+           CAST(list_sum(list_transform(sv, x -> x*x)) AS HUGEINT) AS n2s
+    FROM (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                   AS cluster,
+                 vq AS sv
+          FROM (SELECT vec_id, vq FROM vec ORDER BY vec_id LIMIT {_X20_K})))
+  WHERE n2s > 0
 )"""
     parts = [quant]
     for t in range(_X20_ITERS + 1):
@@ -607,17 +613,20 @@ a{t} AS (
         if t < _X20_ITERS:
             parts.append(f"""
 cent{t + 1} AS (
-  SELECT cluster, sv,
-         CAST(list_sum(list_transform(sv, x -> x*x)) AS HUGEINT) AS n2s
-  FROM (
-    SELECT cluster, list(sx ORDER BY d) AS sv
+  -- n2s > 0: zero-sum centroids drop out, mirroring _int_assign
+  SELECT cluster, sv, n2s FROM (
+    SELECT cluster, sv,
+           CAST(list_sum(list_transform(sv, x -> x*x)) AS HUGEINT) AS n2s
     FROM (
-      SELECT cluster, d, CAST(sum(x) AS BIGINT) AS sx
-      FROM (SELECT cluster, unnest(vq) AS x,
-                   generate_subscripts(vq, 1) AS d
-            FROM a{t})
-      GROUP BY cluster, d)
-    GROUP BY cluster)
+      SELECT cluster, list(sx ORDER BY d) AS sv
+      FROM (
+        SELECT cluster, d, CAST(sum(x) AS BIGINT) AS sx
+        FROM (SELECT cluster, unnest(vq) AS x,
+                     generate_subscripts(vq, 1) AS d
+              FROM a{t})
+        GROUP BY cluster, d)
+      GROUP BY cluster))
+  WHERE n2s > 0
 )""")
     fin = f"a{_X20_ITERS}"
     parts.append(f"""

@@ -443,6 +443,57 @@ def m8_branches_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert t.read().count() == n0 + 3, "main advanced to audited snapshot"
         assert b.read_ref("v1-audited").count() == n0, "tag still pinned at v1"
         steps.append(("publish", v, t.read().count()))
+
+        # repeated WAP cycle on the SAME branch (ADVICE r9, reproduced
+        # there as a dead-end): a second write + publish must succeed —
+        # the publish rollforward is stamped rollforward_of, so the
+        # ancestry proof recognizes main's head as the branch content
+        # it was published from
+        extra2 = nat.limit(2).select(
+            (F.col("n_nationkey") + 600).alias("n_nationkey"),
+            "n_name",
+            "n_regionkey",
+        )
+        b.write_to_branch("staging", extra2)
+        v2 = b.fast_forward_main("staging")
+        assert t.read().count() == n0 + 5, "second publish landed"
+        steps.append(("publish_again", v2, t.read().count()))
+
+        # divergent publish REFUSED: a branch based at v1 lacks the two
+        # published commits — blind fast-forward would discard them
+        b.create_branch("divergent", at_version=1)
+        div_v = b.write_to_branch(
+            "divergent",
+            nat.limit(3).select(
+                (F.col("n_nationkey") + 700).alias("n_nationkey"),
+                "n_name",
+                "n_regionkey",
+            ),
+        )
+        try:
+            b.fast_forward_main("divergent")
+            raise AssertionError("divergent publish was not refused")
+        except ValueError:
+            pass
+        # …and the refusal's documented recovery path works (ADVICE r9:
+        # cherrypick used to reject staged snapshots): re-apply the
+        # staged delta on top of main
+        from ..sources.lakehouse import cherrypick_snapshot
+
+        v3 = cherrypick_snapshot(t, div_v)
+        assert t.read().count() == n0 + 8, "cherrypick applied the delta"
+        steps.append(("cherrypick_divergent", v3, t.read().count()))
+
+        # stale-branch CATCH-UP is a genuine fast-forward (ADVICE r9:
+        # the walk used to refuse it): a branch pinned at v1 moves to a
+        # ref at the newer main head
+        b.create_branch("stale", at_version=1)
+        b.create_tag("head-now")
+        b.fast_forward("stale", "head-now")
+        assert (
+            b.read_ref("stale").count() == t.read().count()
+        ), "caught-up branch sees main's head"
+        steps.append(("catch_up", t.current_version(), b.read_ref("stale").count()))
         return _log(spark, steps)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
@@ -512,6 +563,51 @@ def m8b_sql_branch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("publish", 3, count("SELECT count(*) FROM nation_m8b"))
         )
 
+        # staged snapshots are INVISIBLE to TIMESTAMP AS OF (the r9 WAP
+        # leak, driver-visible per the r9 verdict #7): a fresh branch
+        # INSERT advances the shared snapshot log, but resolving a
+        # timestamp at/after that commit must land on MAIN's head, not
+        # the staged snapshot
+        eng.sql("ALTER TABLE nation_m8b CREATE BRANCH audit2")
+        eng.sql("INSERT INTO nation_m8b.branch_audit2 VALUES (601, 'YS', 1)")
+        t = eng.managed("nation_m8b")
+        staged_ts = t._read_manifest(t.current_version())["timestamp_ms"]
+        from datetime import datetime, timezone
+
+        iso = datetime.fromtimestamp(
+            staged_ts / 1000, tz=timezone.utc
+        ).strftime("%Y-%m-%dT%H:%M:%S.%f")
+        n_asof = count(
+            f"SELECT count(*) FROM nation_m8b TIMESTAMP AS OF '{iso}'"
+        )
+        assert n_asof == n0 + 3, (
+            f"TIMESTAMP AS OF leaked a staged snapshot: {n_asof}"
+        )
+        steps.append(("asof_skips_staged", t.current_version(), n_asof))
+
+        # repeated publish on the SAME branch through the SQL door
+        # (ADVICE r9: the second publish used to dead-end)
+        eng.sql(
+            "INSERT INTO nation_m8b.branch_staging VALUES (504, 'HYBORIA', 3)"
+        )
+        eng.sql("CALL system.fast_forward('nation_m8b', 'main', 'staging')")
+        n_main2 = count("SELECT count(*) FROM nation_m8b")
+        assert n_main2 == n0 + 4, f"second publish landed ({n_main2})"
+        steps.append(("publish_again", t.current_version(), n_main2))
+
+        # divergent publish REFUSED through the SQL door: a branch
+        # based at v1 lacks the published commits
+        eng.sql("ALTER TABLE nation_m8b CREATE BRANCH div AS OF VERSION 1")
+        eng.sql("INSERT INTO nation_m8b.branch_div VALUES (701, 'OZ', 2)")
+        try:
+            eng.sql("CALL system.fast_forward('nation_m8b', 'main', 'div')")
+            raise AssertionError("divergent publish was not refused")
+        except ValueError:
+            pass
+        eng.sql("ALTER TABLE nation_m8b DROP BRANCH div")
+        eng.sql("ALTER TABLE nation_m8b DROP BRANCH audit2")
+        steps.append(("divergent_refused", t.current_version(), n_main2))
+
         # REPLACE re-points an existing branch; DROP removes refs — a
         # read of a dropped ref must surface Spark's own error (the
         # rewriter leaves the statement alone)
@@ -527,7 +623,7 @@ def m8b_sql_branch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception as e:
             if isinstance(e, AssertionError):
                 raise
-        steps.append(("drop_refs", 3, n0 + 3))
+        steps.append(("drop_refs", 3, n_main2))
         return _log(spark, steps)
     finally:
         shutil.rmtree(wh, ignore_errors=True)

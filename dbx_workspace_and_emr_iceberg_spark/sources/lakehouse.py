@@ -710,7 +710,15 @@ class LakehouseTable:
 
     def rollback_to(self, version: int) -> int:
         """CALL system.rollback_to_snapshot (M4): new commit whose file
-        list is the old snapshot's — history is preserved, not erased."""
+        list is the old snapshot's — history is preserved, not erased.
+
+        The commit is stamped ``rollforward_of`` so ancestry proofs
+        treat it as the SAME content point as its source: without the
+        stamp, a WAP publish (fast_forward_main → rollback_to) gives
+        the published content a new version identity and the NEXT
+        publish from the same branch can never prove ancestry — a
+        long-lived staging branch dead-ended after one publish
+        (ADVICE r9, reproduced)."""
         parent = self.current_version()
         m = self._read_manifest(version)
         return self._commit(
@@ -718,6 +726,7 @@ class LakehouseTable:
                 "files": m["files"],
                 "schema": m["schema"],
                 "op": f"rollback_to_v{version}",
+                "rollforward_of": version,
             },
             parent,
         )
@@ -1513,33 +1522,85 @@ class BranchedLakehouse:
         self._save(refs)
         return at_version
 
+    def _manifest_or_none(self, v: int) -> dict | None:
+        try:
+            return self.table._read_manifest(v)
+        except FileNotFoundError:
+            return None  # expired — callers treat as unprovable
+
+    def _rollforward_identity(self, v: int) -> set[int]:
+        """``v`` plus every version it is a rollforward of,
+        transitively: a rollback_to / publish commit carries its
+        source's CONTENT under a new version number, so ancestry
+        proofs must treat the whole chain as one point in history
+        (ADVICE r9: without this, the second publish from a
+        long-lived staging branch always failed)."""
+        ids, cur = {v}, v
+        while cur > 0:
+            m = self._manifest_or_none(cur)
+            if m is None or not m.get("rollforward_of"):
+                break
+            cur = int(m["rollforward_of"])
+            if cur in ids:
+                break
+            ids.add(cur)
+        return ids
+
     def _assert_fast_forward(self, frm: int, to: int, label: str) -> None:
         """True-fast-forward guard: ``frm`` (the ref being moved) must
-        be an ANCESTOR of ``to`` in the CONTENT chain — each staged
-        snapshot links to the branch head it was based on via
-        ``ref_base`` (written by write_to_branch). Iceberg's
+        be an ANCESTOR of ``to`` in the CONTENT chain. Iceberg's
         system.fast_forward refuses when the target is not a
         descendant; a blind re-point would silently discard every
         commit the moved ref gained after the branch was based (e.g. a
         concurrent main append between the branch write and the
         publish) — a data-loss hazard, not a merge (review-pass
         finding). Divergent publishes go through cherrypick_snapshot.
+
+        The content chain walked from ``to`` downward:
+          * staged snapshot → its ``ref_base`` (the branch head the
+            write was based on, written by write_to_branch);
+          * rollforward commit → its ``rollforward_of`` source (same
+            content, older identity);
+          * plain main commit → the newest non-staged version below it
+            (main commits base on main_head(), which is exactly that
+            walk) — so a stale branch catching up to a NEWER main head
+            is recognized as the genuine fast-forward it is (ADVICE
+            r9: the old walk broke at the first main-side snapshot and
+            refused Iceberg's standard branch catch-up).
+        ``frm`` matches through its own rollforward identity, so a
+        published (rolled-forward) main head equals the branch content
+        it was published from.
         """
+        frm_ids = self._rollforward_identity(frm)
         cur, seen = to, set()
         while True:
-            if cur == frm:
+            if cur in frm_ids:
                 return  # frm is an ancestor: genuine fast-forward
             if cur <= 0 or cur in seen:
                 break
             seen.add(cur)
-            try:
-                m = self.table._read_manifest(cur)
-            except FileNotFoundError:
+            m = self._manifest_or_none(cur)
+            if m is None:
                 break  # chain expired: cannot prove ancestry → refuse
-            if not m.get("staged_ref"):
-                break  # reached a main-side snapshot that is not frm
-            # pre-ref_base staged manifests fall back to the log parent
-            cur = int(m.get("ref_base") or m.get("parent") or 0)
+            if m.get("staged_ref"):
+                # pre-ref_base staged manifests fall back to log parent
+                cur = int(m.get("ref_base") or m.get("parent") or 0)
+            elif m.get("rollforward_of"):
+                cur = int(m["rollforward_of"])
+            else:
+                # main-side commit: content predecessor = newest
+                # non-staged version below (what main_head() resolved
+                # to when this commit was written)
+                nxt = cur - 1
+                while nxt > 0:
+                    mm = self._manifest_or_none(nxt)
+                    if mm is None:
+                        nxt = 0  # expired below: unprovable → refuse
+                        break
+                    if not mm.get("staged_ref"):
+                        break
+                    nxt -= 1
+                cur = nxt
         raise ValueError(
             f"fast_forward: {label} (v{frm}) is not an ancestor of the "
             f"target snapshot v{to} — the refs diverged; use "
@@ -1891,11 +1952,25 @@ def history(table: LakehouseTable) -> DataFrame:
 
 def cherrypick_snapshot(table: LakehouseTable, version: int) -> int:
     """CALL system.cherrypick_snapshot (M5): re-apply the file DELTA an
-    append-type snapshot introduced on top of the current state."""
+    append-type snapshot introduced on top of the current state.
+
+    Staged branch appends (op ``branch_append:<name>``) are accepted
+    too — they are append-type deltas with a valid base file list — so
+    the recovery path _assert_fast_forward's refusal message points at
+    actually works (ADVICE r9: it used to reject staged snapshots, so
+    the documented path for publishing divergent work always failed).
+    The delta base is the snapshot's CONTENT parent: ``ref_base`` for
+    a staged append (the branch head it was based on), the log parent
+    otherwise.
+    """
     m = table._read_manifest(version)
-    if m["op"] not in ("append", "create"):
-        raise ValueError(f"can only cherry-pick append snapshots, got {m['op']!r}")
-    parent_files = set(table._read_manifest(m["parent"])["files"]) if m["parent"] else set()
+    op = m["op"]
+    if op not in ("append", "create") and not op.startswith("branch_append:"):
+        raise ValueError(f"can only cherry-pick append snapshots, got {op!r}")
+    base = m.get("ref_base") if m.get("staged_ref") else m.get("parent")
+    parent_files = (
+        set(table._read_manifest(int(base))["files"]) if base else set()
+    )
     delta = [f for f in m["files"] if f not in parent_files]
     parent = table.current_version()
     files = table._files() + [f for f in delta if f not in set(table._files())]

@@ -293,8 +293,23 @@ def execute_insert(engine, sql: str) -> DataFrame:
         # main's view is NOT refreshed: the branch pointer moved, main
         # didn't — that is the W of WAP. n_rows reports the INSERTED
         # batch (O(batch)): counting the whole branch would full-scan
-        # the table per INSERT statement (review-pass finding).
-        n = df.count()
+        # the table per INSERT statement (review-pass finding). NOTE
+        # this differs from the insert/insert_overwrite arms below,
+        # which report the post-statement TABLE total — a branch
+        # INSERT's table total is ambiguous (which ref?), the batch is
+        # not. Counted from the NEWLY WRITTEN files' parquet footers
+        # (O(batch) metadata reads), never by re-running the source
+        # SELECT — a non-deterministic source would otherwise report a
+        # count differing from the rows actually written (ADVICE r9).
+        import pyarrow.parquet as pq
+
+        man = t._read_manifest(version)
+        base_files = set(t._files(int(man.get("ref_base") or 0)))
+        n = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in man["files"]
+            if f not in base_files
+        )
         return engine.spark.createDataFrame(
             [(f"{table}.branch_{branch}", "insert_branch", version, n)],
             "table string, operation string, version int, n_rows long",

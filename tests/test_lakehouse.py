@@ -961,3 +961,97 @@ def test_quantizer_and_assign_zero_guards(spark):
     assert {r.cluster for r in out} == {0}
     with pytest.raises(ValueError, match="zero vector"):
         _int_assign(q, [(0, [0, 0])])
+
+
+def test_repeated_wap_publish_cycle(spark, tmp_path):
+    """A long-lived staging branch can write → publish repeatedly
+    (ADVICE r9, reproduced as a dead-end): the publish rollforward is
+    stamped rollforward_of, so the NEXT publish proves ancestry through
+    it instead of refusing."""
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        BranchedLakehouse,
+        LakehouseTable,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path), "wap")
+    t.create(spark.createDataFrame([(1,)], "id long"))  # v1
+    b = BranchedLakehouse(t)
+    b.create_branch("stage")
+    for i, expect in ((9, 2), (10, 3), (11, 4)):
+        b.write_to_branch("stage", spark.createDataFrame([(i,)], "id long"))
+        b.fast_forward_main("stage")
+        assert t.read().count() == expect, f"publish #{expect - 1} failed"
+
+
+def test_fast_forward_stale_branch_catches_up_to_main(spark, tmp_path):
+    """Iceberg's standard branch catch-up: fast-forwarding a stale
+    branch onto a ref at a NEWER main snapshot succeeds — the branch
+    head is a genuine ancestor along main history (ADVICE r9: the old
+    walk broke at the first main-side snapshot and refused)."""
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        BranchedLakehouse,
+        LakehouseTable,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path), "cu")
+    t.create(spark.createDataFrame([(1,)], "id long"))   # v1
+    b = BranchedLakehouse(t)
+    b.create_branch("stale")                             # -> v1
+    # interleave a staged write from ANOTHER branch so the main walk
+    # must skip staged entries on its way down
+    b.create_branch("other")
+    b.write_to_branch("other", spark.createDataFrame([(9,)], "id long"))
+    t.append(spark.createDataFrame([(2,)], "id long"))   # main advances
+    t.append(spark.createDataFrame([(3,)], "id long"))   # and again
+    b.create_tag("head-now")                             # -> main head
+    b.fast_forward("stale", "head-now")
+    assert b.read_ref("stale").count() == 3
+    # a genuinely divergent branch still refuses
+    with pytest.raises(ValueError, match="not an ancestor"):
+        b.fast_forward("other", "head-now")
+
+
+def test_cherrypick_accepts_staged_branch_append(spark, tmp_path):
+    """cherrypick_snapshot accepts op branch_append:* — the recovery
+    path the fast-forward refusal message points at (ADVICE r9: it
+    used to reject staged snapshots, so the documented path always
+    failed). The delta base is ref_base, not the log parent."""
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        BranchedLakehouse,
+        LakehouseTable,
+        cherrypick_snapshot,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path), "cp")
+    t.create(spark.createDataFrame([(1,)], "id long"))   # v1
+    b = BranchedLakehouse(t)
+    b.create_branch("d")                                 # -> v1
+    v_staged = b.write_to_branch(
+        "d", spark.createDataFrame([(9,)], "id long")
+    )
+    t.append(spark.createDataFrame([(2,)], "id long"))   # main diverges
+    with pytest.raises(ValueError, match="not an ancestor"):
+        b.fast_forward_main("d")
+    v = cherrypick_snapshot(t, v_staged)
+    assert t.main_head() == v
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 9]
+
+
+def test_insert_branch_reports_written_row_count(spark, tmp_path):
+    """INSERT INTO t.branch_<b> reports the rows actually WRITTEN
+    (parquet footer counts of the new files), not a re-run of the
+    source SELECT (ADVICE r9: a non-deterministic source could report
+    a count differing from the rows written)."""
+    from dbx_workspace_and_emr_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path))
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string") \
+        .createOrReplaceTempView("ib_src")
+    eng.sql("CREATE TABLE ib AS SELECT * FROM ib_src")
+    eng.sql("ALTER TABLE ib CREATE BRANCH st")
+    r1 = eng.sql(
+        "INSERT INTO ib.branch_st VALUES (3, 'c'), (4, 'd'), (5, 'e')"
+    ).collect()[0]
+    assert r1.n_rows == 3, f"first branch insert reported {r1.n_rows}"
+    r2 = eng.sql("INSERT INTO ib.branch_st VALUES (6, 'f')").collect()[0]
+    assert r2.n_rows == 1, f"second branch insert reported {r2.n_rows}"

@@ -514,7 +514,7 @@ _X15_ORACLE = """
 WITH scored AS (
   SELECT doc_id, lang, len(string_split(text, ' ')) AS ntok,
          percent_rank() OVER (PARTITION BY lang ORDER BY
-                              len(string_split(text, ' ')), doc_id) AS pr
+                              len(string_split(text, ' '))) AS pr
   FROM documents
 )
 SELECT lang,
@@ -529,21 +529,50 @@ GROUP BY lang ORDER BY lang
 @register("x15_quality_quantile_gate", oracle=_X15_ORACLE, tags=("X4",))
 def x15_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep each language's top quality quartile (score = token count
-    here; any score column works) via percent_rank over a per-lang
-    window — a RELATIVE gate, so low-resource languages aren't wiped
-    out by one absolute threshold tuned on the high-resource one. ONE
-    shuffle on lang + local sort; ties broken by doc_id so the kept
-    set is deterministic and engine-independent (exact DuckDB oracle —
-    contrast approx_percentile gates, whose sketches differ per
-    engine). At 100 TB, salt hot languages into sub-strata first (the
-    gate is per-partition-key; compose with operators/skew.py)."""
+    here; any score column works) via per-lang percent_rank — a
+    RELATIVE gate, so low-resource languages aren't wiped out by one
+    absolute threshold tuned on the high-resource one.
+
+    Respelled (r9 verdict #3) onto chunked_percent_ranks
+    (operators/skew.py — the x37/x43/qd10 machinery): a bare
+    ``Window.partitionBy(lang)`` funnels the dominant language's
+    billions of rows through ONE task at 100 TB, exactly the skewed
+    shape the repo's own rule forbids. The respell drops the previous
+    doc_id tie-break in favor of SQL percent_rank's native ties-share-
+    min-rank rule (the x37/x43 precedent): gate-wise that is the RIGHT
+    semantics — two docs with identical scores must get the identical
+    keep/drop decision, not be split by id accident — and it is what
+    keeps every window chunk-partitioned (a tie-break-by-id needs a
+    (lang, score)-cell window, itself a skew funnel when one score
+    value dominates). Exact DuckDB oracle — contrast
+    approx_percentile gates, whose sketches differ per engine."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.size(F.split("text", " ")).alias("ntok")
     )
-    w = Window.partitionBy("lang").orderBy("ntok", "doc_id")
+    from ..operators.skew import chunked_percent_ranks
+
+    ranked = chunked_percent_ranks(
+        d,
+        part_col="lang",
+        value_cols=["ntok"],
+        id_cols=["doc_id", "ntok"],
+        out_prefix="pr_",
+    )
+    # scale assert (x37 pattern): every window in the rank pipeline
+    # must be chunk-partitioned — a window partitioned on lang alone
+    # (or unpartitioned) would re-open the single-language funnel
+    import re as _re
+
+    plan = ranked._jdf.queryExecution().optimizedPlan().toString()
+    if "windowspecdefinition" not in plan:
+        raise AssertionError("x15: expected chunked windows in the plan")
+    for m in _re.finditer(r"windowspecdefinition\((.*?)(?:ASC|DESC)", plan):
+        if "chunk" not in m.group(1):
+            raise AssertionError(
+                "x15: window not chunk-partitioned: " + m.group(0)
+            )
     return (
-        d.withColumn("pr", F.percent_rank().over(w))
-        .filter(F.col("pr") >= 0.75)
+        ranked.filter(F.col("pr_ntok") >= 0.75)
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),

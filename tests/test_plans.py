@@ -416,3 +416,24 @@ def test_x34_span_detect_no_text_in_post_explode_plan(spark):
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", p):
         assert "text" not in m.group(1), m.group(0)
     assert X.python_eval_count(df) == 0
+
+
+def test_x15_no_window_partitioned_on_lang_alone(spark):
+    """r9 verdict #3, pinned: x15's quantile gate runs on
+    chunked_percent_ranks — the only lang-keyed exchange left is the
+    final bounded groupBy(lang) aggregate; every window is
+    chunk-partitioned (enforced by x15's own in-query assert — this
+    call not raising IS that check) and none is global."""
+    import re
+
+    from dbx_workspace_and_emr_iceberg_spark.queries.text_queries import (
+        x15_quality_quantile_gate,
+    )
+
+    df = x15_quality_quantile_gate(spark, SF_DIR)
+    p = X.simple_plan(df)
+    solo_lang = re.findall(r"hashpartitioning\(lang#\d+, \d+\)", p)
+    assert len(solo_lang) <= 1, p
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    for m in re.finditer(r"windowspecdefinition\((.*?)(?:ASC|DESC)", opt):
+        assert m.group(1).strip(" ,") != "", "global window: " + m.group(0)

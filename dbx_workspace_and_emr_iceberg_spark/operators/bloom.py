@@ -17,9 +17,12 @@ Spark-first layout:
     var inside a ``mapInPandas``; membership for every shingle of a
     batch is vectorized numpy indexing.
 
-Hashing is xxhash-free and deterministic: double-md5-derived 64-bit
-values with k affine derivations (Kirsch-Mitzenmacher), identical on
-driver and executors, so build/probe never disagree.
+Hashing is xxhash-free and deterministic: the md5 hex halves with k
+affine derivations (Kirsch-Mitzenmacher), identical on driver and
+executors — AND re-derivable by DuckDB (`CAST('0x' || substr(md5(s),
+1, 8) AS BIGINT)`, the x2e-proven cross-engine spelling), so the
+entire bloom — every set bit and every probe verdict — is
+value-oracle-able (x24).
 """
 
 from __future__ import annotations
@@ -35,14 +38,21 @@ from pyspark.sql import functions as F
 
 
 def _h64(s: str) -> tuple[int, int]:
-    """Two independent 64-bit hashes of s (md5 split in half)."""
-    d = hashlib.md5(s.encode()).digest()
-    return int.from_bytes(d[:8], "little"), int.from_bytes(d[8:], "little")
+    """Two independent 32-bit hashes of s: md5's first two hex-string
+    halves. This is the repo's PROVEN cross-engine hash spelling (x2e):
+    DuckDB re-derives them as ``CAST('0x' || substr(md5(s), 1, 8) AS
+    BIGINT)`` / ``substr(…, 9, 8)``, so every bloom bit position is
+    replayable by the oracle. (Previously little-endian 64-bit digest
+    halves — deterministic, but engine-opaque.)"""
+    h = hashlib.md5(s.encode()).hexdigest()
+    return int(h[:8], 16), int(h[8:16], 16)
 
 
 def _positions(s: str, k: int, m: int) -> np.ndarray:
     h1, h2 = _h64(s)
-    # Kirsch-Mitzenmacher: k positions from two base hashes
+    # Kirsch-Mitzenmacher: k positions from two base hashes; values
+    # stay under 2^35 (32-bit halves), exact in int64 and in DuckDB's
+    # BIGINT replay
     return np.array([(h1 + i * h2) % m for i in range(k)], dtype=np.int64)
 
 
@@ -130,3 +140,45 @@ def probe_bloom(
         F.when(F.col("n_shingles") > 0, F.col("n_hits") / F.col("n_shingles"))
         .otherwise(F.lit(0.0)),
     )
+
+
+def probe_bloom_scalar(
+    df: DataFrame,
+    col: str,
+    bitmap: bytes,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    out_col: str = "in_bloom",
+) -> DataFrame:
+    """Append boolean ``out_col``: is ``df[col]`` (a scalar string, e.g.
+    a content digest) possibly in the bloom? Map-side only — the bitmap
+    rides in the UDF closure — so it composes with Structured Streaming
+    (t18's history probe: not-in-bloom rows are DEFINITELY new and skip
+    the exact history join entirely; only the flagged slice joins).
+    """
+    import pandas as pd  # noqa: F811 — closure-local for executors
+
+    from pyspark.sql.functions import pandas_udf
+
+    bits = np.frombuffer(bitmap, dtype=np.uint8)
+    mb, kk = m_bits, k
+
+    @pandas_udf("boolean")
+    def _probe(s: pd.Series) -> pd.Series:
+        out = []
+        for v in s:
+            if v is None:
+                out.append(False)
+                continue
+            pos = _positions(v, kk, mb)
+            out.append(
+                bool(
+                    np.all(
+                        bits[pos // 8]
+                        & (np.uint8(1) << (pos % 8).astype(np.uint8))
+                    )
+                )
+            )
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _probe(F.col(col)))

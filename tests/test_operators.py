@@ -451,7 +451,7 @@ def test_bloom_same_byte_positions_all_set(spark):
         probe_bloom,
     )
 
-    keys = ["key_7057", "key_8016", "key_9611", "key_14400", "key_21697"]
+    keys = ["key_3273", "key_3942", "key_6793", "key_6923", "key_8529"]
     # precondition: the fixture really does collide byte-wise
     for s in keys:
         b = (_positions(s, 5, 1 << 16) // 8).tolist()
@@ -962,3 +962,46 @@ def test_x46_survives_one_word_documents(spark, tmp_path):
     assert len(got) == 4
     # first merge is the most frequent adjacent pair (a, b) x5
     assert (got[0].sa, got[0].sb, got[0].c) == ("a", "b", 5)
+
+
+def test_stream_anti_history_bloom_path_over_threshold(spark):
+    """stream_anti_history (t18's primitive): when the history exceeds
+    broadcast_max, the bloom+slice-join path runs by default and
+    returns EXACTLY the anti-join rows — no false negatives ever, and
+    false positives resolved by the exact join on the flagged slice
+    (r9 verdict #5)."""
+    from pyspark.sql import functions as F
+
+    from dbx_workspace_and_emr_iceberg_spark.streaming.jobs import (
+        stream_anti_history,
+    )
+
+    hist = spark.range(3000).select(
+        F.md5(F.col("id").cast("string")).alias("digest")
+    )
+    # stream: ids 1500..4499 — half overlap the history, half are new
+    stream = spark.range(1500, 4500).select(
+        F.col("id").alias("sid"),
+        F.md5(F.col("id").cast("string")).alias("digest"),
+    )
+    expected = sorted(
+        r.sid
+        for r in stream.join(hist, "digest", "left_anti").collect()
+    )
+    # history (3000) > broadcast_max (1000): bloom path chosen WITHOUT
+    # force_bloom — it is the default at scale
+    got = sorted(
+        r.sid
+        for r in stream_anti_history(
+            stream, hist, "digest", broadcast_max=1000
+        ).collect()
+    )
+    assert got == expected and len(got) == 1500
+    # small-history fast path returns the identical answer
+    got_fast = sorted(
+        r.sid
+        for r in stream_anti_history(
+            stream, hist, "digest", broadcast_max=10_000
+        ).collect()
+    )
+    assert got_fast == expected

@@ -124,62 +124,154 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-# --- X2b: exact n-gram Jaccard similarity (oracle-able) --------------------
+# --- X2b: banded LSH candidates + exact n-gram Jaccard (oracle-able) -------
+# The SCALE-SHAPED spelling (r9 verdict #6; previously an all-pairs
+# crossJoin fixture): candidate pairs come from an x2e-style banded
+# minhash join over the WORD sets — O(docs·bands) signature rows plus
+# O(Σ bucket²) candidates, never |A|×|B| — and only candidates get the
+# exact-Jaccard verification kernel. Everything (md5 hex-half hashes,
+# KM affine minhash, band digests, the candidate set, the Jaccard
+# values) replays in DuckDB, so the banding itself is value-oracled.
+# Pool B plants a near-copy (last 3 words dropped) of every pool-A doc
+# so the banded candidate set is non-degenerate by construction.
 
-_X2B_ORACLE = """
-WITH pool_a AS (
-  SELECT doc_id AS id_a, list_distinct(string_split(text, ' ')) AS wa
+_X2B_SEEDS = 16
+_X2B_ROWS = 2  # rows per band -> 8 bands
+
+_X2B_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 40 IN (0, 1)
+  UNION ALL
+  SELECT doc_id + {_COPY_OFFSET},
+         array_to_string(list_slice(string_split(text, ' '), 1,
+           greatest(len(string_split(text, ' ')) - 3, 1)), ' ')
   FROM documents WHERE doc_id % 40 = 0
 ),
-pool_b AS (
-  SELECT doc_id AS id_b, list_distinct(string_split(text, ' ')) AS wb
-  FROM documents WHERE doc_id % 40 = 1
+w AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+  FROM corpus
+),
+hh AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(word), 9, 8)) AS BIGINT) AS h2
+  FROM w
+),
+sig AS (
+  SELECT doc_id, s, min((h1 + s * h2) % 4294967296) AS mh
+  FROM hh, LATERAL (SELECT unnest(generate_series(0, {_X2B_SEEDS - 1})) AS s) g
+  GROUP BY doc_id, s
+),
+bands AS (
+  SELECT doc_id, s // {_X2B_ROWS} AS band_id,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY s)) AS band_val
+  FROM sig GROUP BY doc_id, s // {_X2B_ROWS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+  WHERE a.doc_id % 40 = 0 AND a.doc_id < {_COPY_OFFSET}
+    AND (b.doc_id % 40 = 1 OR b.doc_id >= {_COPY_OFFSET})
+),
+sets AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM corpus
 )
-SELECT
-  id_a,
-  id_b,
-  round(cast(len(list_intersect(wa, wb)) AS DOUBLE)
-        / (len(wa) + len(wb) - len(list_intersect(wa, wb))), 6) AS jaccard
-FROM pool_a CROSS JOIN pool_b
+SELECT id_a, id_b,
+       round(CAST(len(list_intersect(sa.ws, sb.ws)) AS DOUBLE)
+             / (len(sa.ws) + len(sb.ws) - len(list_intersect(sa.ws, sb.ws))),
+             6) AS jaccard
+FROM cand
+JOIN sets sa ON sa.doc_id = cand.id_a
+JOIN sets sb ON sb.doc_id = cand.id_b
+WHERE len(list_intersect(sa.ws, sb.ws)) >= 1
 ORDER BY id_a, id_b
 """
 
 
 @register("x2b_ngram_jaccard", oracle=_X2B_ORACLE, tags=("X2",))
 def x2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact pairwise word-set Jaccard between two deterministic doc
-    pools. Uses the explode+join formulation (scales linearly with
-    pair-candidate count; never builds in-memory sets on the driver).
-
-    SCALE NOTE: the all-pairs crossJoin between the two pools is an
-    ORACLE FIXTURE ONLY — O(|A|x|B|) candidates is not the 100 TB
-    dedup route. For corpus-scale near-dup detection use
-    ``x2_minhash_lsh`` / ``x12b_lsh_dedup_pipeline``, which generate
-    candidates via banded LSH buckets and only then verify with this
-    same exact-Jaccard kernel."""
-    d = load_table(spark, sf_dir, "documents")
-    pool_a = d.filter(F.col("doc_id") % 40 == 0).select(
-        F.col("doc_id").alias("id_a"), F.col("text")
+    """Banded-LSH candidate generation + exact word-set Jaccard — the
+    100 TB near-dup shape end-to-end, fully value-oracled: shuffles
+    carry (doc, band digest) and word hashes, never text; candidates
+    are O(Σ bucket²), not all-pairs; the exact kernel (explode+join,
+    linear in pair count × doc length) verifies only candidates.
+    The oracle filter mirrors exact_jaccard's inner join (pairs with
+    zero shared words cannot surface a Jaccard)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pool_a = d.filter(F.col("doc_id") % 40 == 0)
+    planted = pool_a.select(
+        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                F.split("text", " "),
+                1,
+                F.greatest(
+                    F.size(F.split("text", " ")) - 3, F.lit(1)
+                ),
+            ),
+            " ",
+        ).alias("text"),
     )
-    pool_b = d.filter(F.col("doc_id") % 40 == 1).select(
-        F.col("doc_id").alias("id_b"), F.col("text")
+    corpus = (
+        d.filter(F.col("doc_id") % 40 == 1)
+        .unionByName(pool_a)
+        .unionByName(planted)
     )
-    # LOUD growth bound (r6 verdict: "named so it never silently
-    # grows"): the fixture contract is a few hundred candidate pairs;
-    # if a fixture change ever inflates the pools, fail here rather
-    # than silently running a big crossJoin
-    n_a, n_b = pool_a.count(), pool_b.count()
-    if n_a * n_b > 10_000:
-        raise AssertionError(
-            f"x2b all-pairs fixture grew to {n_a}x{n_b} pairs — use the "
-            "banded LSH path (x2) for candidate generation at this size"
+    words = corpus.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("word"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("word"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h1"),
+        F.conv(F.substring(F.md5("word"), 9, 8), 16, 10)
+        .cast("long")
+        .alias("h2"),
+    )
+    sig = (
+        words.select(
+            "doc_id",
+            "h1",
+            "h2",
+            F.explode(F.sequence(F.lit(0), F.lit(_X2B_SEEDS - 1))).alias("s"),
         )
-    pairs = pool_a.select("id_a").crossJoin(pool_b.select("id_b"))
-    corpus = pool_a.select(F.col("id_a").alias("doc_id"), "text").unionByName(
-        pool_b.select(F.col("id_b").alias("doc_id"), "text")
+        .groupBy("doc_id", "s")
+        .agg(
+            F.min(
+                (F.col("h1") + F.col("s") * F.col("h2")) % F.lit(4294967296)
+            ).alias("mh")
+        )
+    )
+    bands = (
+        sig.withColumn("band_id", F.expr(f"s div {_X2B_ROWS}"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("s", "mh"))),
+                        lambda x: x["mh"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_val")
+        )
+    )
+    a = bands.filter(
+        (F.col("doc_id") % 40 == 0) & (F.col("doc_id") < _COPY_OFFSET)
+    ).select(F.col("doc_id").alias("id_a"), "band_id", "band_val")
+    b = bands.filter(
+        (F.col("doc_id") % 40 == 1) | (F.col("doc_id") >= _COPY_OFFSET)
+    ).select(F.col("doc_id").alias("id_b"), "band_id", "band_val")
+    cand = (
+        a.join(b, ["band_id", "band_val"])
+        .select("id_a", "id_b")
+        .distinct()
     )
     return (
-        exact_jaccard(corpus, pairs, "doc_id", "text")
+        exact_jaccard(corpus, cand, "doc_id", "text")
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )

@@ -164,8 +164,6 @@ _CHANGED_THIS_ROUND = [
     # #7 + the ADVICE fast-forward fixes
     "m8_branches_wap",
     "m8b_sql_branch_lifecycle",
-    # r10: insert_branch n_rows now counted from written files
-    "m20_pure_sql_lifecycle",
 ]
 
 

@@ -815,6 +815,154 @@ def x20_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.unpersist(blocking=False)
 
 
+# --- X49: semantic benchmark contamination (embedding-space x16) ------------
+# The decontamination quartet's fourth member: x16 catches exact
+# n-gram overlap, x24 its zero-shuffle bloom spelling, x41 fractional
+# overlap — but a PARAPHRASED benchmark item shares no shingles. The
+# semantic pass flags corpus embeddings whose cosine to ANY benchmark
+# embedding clears θ, on x20's integer machinery: unit vectors
+# quantize to integers once (bit-identical IEEE op sequence both
+# engines), and cos ≥ θ respells as dot > 0 AND dot²·den ≥ num·n2i·n2j
+# (θ² = 9801/10000 exact rational, decimal(19,0) products JVM-side,
+# HUGEINT in DuckDB) — so every flag decision is integer-exact and the
+# whole pass value-oracles. Scale shape: the benchmark side is an eval
+# suite (KBs against 100 TB) → broadcast nested-loop with a map-side
+# integer dot; the corpus streams through ONE scan, no shuffle before
+# the per-doc aggregate of the flagged slice. Planted contamination:
+# perturbed copies (v·1.01 + 0.001, cosine ≈ 1) of every third
+# benchmark vector join the corpus under offset ids.
+
+_X49_TNUM, _X49_TDEN = 9801, 10_000  # θ² = 0.99² as an exact rational
+_X49_SCALE = 10_000
+
+_X49_ORACLE = f"""
+WITH raw AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+pool AS (
+  SELECT vec_id, emb, vec_id % 13 = 0 AS is_bench FROM raw
+  UNION ALL
+  SELECT vec_id + {_COPY_OFFSET},
+         list_transform(emb, x -> x * 1.01 + 0.001), FALSE
+  FROM raw WHERE vec_id % 13 = 0 AND vec_id % 3 = 0
+),
+quant AS (
+  SELECT vec_id, is_bench, vq,
+         CAST(list_sum(list_transform(vq, x -> x*x)) AS BIGINT) AS n2
+  FROM (
+    SELECT vec_id, is_bench,
+           list_transform(
+             emb, x -> CAST(floor(x / sqrt(n2d) * {_X49_SCALE} + 0.5)
+                            AS BIGINT)) AS vq
+    FROM (SELECT vec_id, is_bench, emb,
+                 list_reduce(list_transform(emb, x -> x*x),
+                             (a, b) -> a + b) AS n2d
+          FROM pool))
+),
+hits AS (
+  SELECT c.vec_id, CAST(count(*) AS BIGINT) AS n_bench_hits
+  FROM (SELECT * FROM quant WHERE NOT is_bench) c
+  JOIN (SELECT * FROM quant WHERE is_bench) b
+    ON CAST(list_sum(list_transform(list_zip(c.vq, b.vq),
+                                    p -> p[1]*p[2])) AS HUGEINT) > 0
+   AND CAST(list_sum(list_transform(list_zip(c.vq, b.vq),
+                                    p -> p[1]*p[2])) AS HUGEINT)
+       * CAST(list_sum(list_transform(list_zip(c.vq, b.vq),
+                                      p -> p[1]*p[2])) AS HUGEINT)
+       * {_X49_TDEN}
+       >= {_X49_TNUM} * CAST(c.n2 AS HUGEINT) * CAST(b.n2 AS HUGEINT)
+  GROUP BY c.vec_id
+)
+SELECT vec_id, n_bench_hits,
+       CAST(CASE WHEN vec_id >= {_COPY_OFFSET} THEN 1 ELSE 0 END AS BIGINT)
+         AS is_planted
+FROM hits ORDER BY vec_id
+"""
+
+
+@register(
+    "x49_semantic_contamination",
+    oracle=_X49_ORACLE,
+    tags=("X49", "X16", "X20", "X3"),
+)
+def x49_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag corpus embeddings within cosine θ=0.99 of any benchmark
+    embedding — contamination x16/x24/x41 cannot see (paraphrases share
+    no shingles). Integer-exact end-to-end on x20's quantizer
+    (operators/semantic.py): the flag predicate is the same
+    dot²·den ≥ num·n2·n2 decimal spelling int_semdedup_keep uses.
+    Self-asserts: ≥90% of planted perturbed benchmark copies flag
+    (quantization wobble bounds it below 100%), and no flagged row is
+    a benchmark member itself (bench ids are excluded from the corpus
+    side by construction)."""
+    from ..operators.semantic import quantized_unit_vectors
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bench = e.filter(F.col("vec_id") % 13 == 0)
+    planted = bench.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + _COPY_OFFSET).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.01 + 0.001).alias(
+            "embedding"
+        ),
+    )
+    corpus = e.filter(F.col("vec_id") % 13 != 0).unionByName(planted)
+
+    cq = quantized_unit_vectors(corpus, "vec_id", "embedding", _X49_SCALE)
+    bq = quantized_unit_vectors(bench, "vec_id", "embedding", _X49_SCALE).select(
+        F.col("vec_id").alias("bid"),
+        F.col("vq").alias("bvq"),
+        F.col("n2").alias("bn2"),
+    )
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    pairs = cq.join(F.broadcast(bq)).select(
+        "vec_id",
+        "n2",
+        "bn2",
+        F.aggregate(
+            F.zip_with(F.col("vq"), F.col("bvq"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dd"),
+    )
+    hits = (
+        pairs.filter(
+            (F.col("dd") > 0)
+            & (
+                dec(F.col("dd")) * dec(F.col("dd")) * F.lit(_X49_TDEN)
+                >= F.lit(_X49_TNUM) * dec(F.col("n2")) * dec(F.col("bn2"))
+            )
+        )
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_bench_hits"))
+    )
+    out = hits.select(
+        "vec_id",
+        "n_bench_hits",
+        (F.col("vec_id") >= _COPY_OFFSET).cast("long").alias("is_planted"),
+    ).cache()
+    try:
+        n_planted = planted.count()
+        n_flagged_planted = out.filter(F.col("is_planted") == 1).count()
+        if n_planted == 0:
+            raise AssertionError("x49 fixture lost its planted copies")
+        if n_flagged_planted < 0.9 * n_planted:
+            raise AssertionError(
+                f"semantic pass missed planted contamination: "
+                f"{n_flagged_planted}/{n_planted}"
+            )
+        bench_leak = out.join(
+            bench.select("vec_id"), "vec_id", "left_semi"
+        ).count()
+        if bench_leak:
+            raise AssertionError(
+                f"{bench_leak} benchmark ids leaked into the corpus side"
+            )
+        return out.orderBy("vec_id").localCheckpoint()
+    finally:
+        out.unpersist(blocking=False)
+
+
 # --- X2d: MLlib MinHashLSH (the packaged alternative) -----------------------
 # operators/dedup.py builds MinHash-LSH from first principles (banded,
 # seed-deterministic, no fitted model object). Spark also SHIPS the op:

@@ -99,6 +99,15 @@ HEADLINE = [
     "qd10_rfm_segmentation",
     "qd11_lasttouch_attribution",
     "t18_stream_dedup_history",
+    # round-10 additions — the round's new/changed plan shapes under
+    # the clock: the banded-LSH candidate join (x2b, replaces the
+    # all-pairs fixture), the value-oracled bloom build+probe (x24),
+    # the broadcast integer-dot semantic contamination scan (x49),
+    # and the chunked-rank quantile gate (x15, plan changed r10)
+    "x2b_ngram_jaccard",
+    "x24_bloom_contamination",
+    "x49_semantic_contamination",
+    "x15_quality_quantile_gate",
 ]
 
 

@@ -70,30 +70,60 @@ def build_bloom(
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bits = np.zeros(mb // 8, dtype=np.uint8)
         any_rows = False
+        i = np.arange(k, dtype=np.int64)[None, :]
         for pdf in batches:
-            for s in pdf.iloc[:, 0]:
-                if s is None:
-                    continue
-                any_rows = True
-                pos = _positions(s, k, mb)
-                # np.bitwise_or.at, NOT bits[idx] |= …: fancy-index
-                # assignment is unbuffered-once — when two of a key's k
-                # positions land in the same byte, |= applies only one,
-                # silently dropping a bit and breaking the no-false-
-                # negatives contract (~7.6e-5/key at default m/k).
-                np.bitwise_or.at(
-                    bits, pos // 8, np.uint8(1) << (pos % 8).astype(np.uint8)
-                )
+            if len(pdf) == 0:
+                continue
+            any_rows = True
+            h1 = pdf["__h1"].to_numpy(dtype=np.int64)
+            h2 = pdf["__h2"].to_numpy(dtype=np.int64)
+            pos = ((h1[:, None] + i * h2[:, None]) % mb).ravel()
+            # np.bitwise_or.at, NOT bits[idx] |= …: fancy-index
+            # assignment is unbuffered-once — when two of a key's k
+            # positions land in the same byte, |= applies only one,
+            # silently dropping a bit and breaking the no-false-
+            # negatives contract (~7.6e-5/key at default m/k).
+            np.bitwise_or.at(
+                bits, pos // 8, np.uint8(1) << (pos % 8).astype(np.uint8)
+            )
         if any_rows:
             yield pd.DataFrame({"bitmap": [bits.tobytes()]})
 
-    parts = items.select(F.col(col)).mapInPandas(
-        partial, "bitmap binary"
-    ).collect()
+    h1c, h2c = _hash_halves(F.col(col))
+    # hash JVM-side (codegen), drop NULL keys there too — the pandas
+    # stage sees only two integer columns (vectorized; the per-key
+    # hashlib loop cost ~20 s at sf0.1 on the bench-shingle build)
+    hashed = items.select(
+        h1c.alias("__h1"), h2c.alias("__h2")
+    ).filter(F.col("__h1").isNotNull())
+    parts = hashed.mapInPandas(partial, "bitmap binary").collect()
     merged = np.zeros(m_bits // 8, dtype=np.uint8)
     for r in parts:
         merged |= np.frombuffer(r.bitmap, dtype=np.uint8)
     return merged.tobytes()
+
+
+def _hash_halves(col) -> tuple:
+    """JVM-side (h1, h2) for one string column — whole-stage-codegen'd
+    md5 + hex-slice, the x2e spelling. The Python-side twin is _h64;
+    probe paths hash here so the Arrow batch carries only integers and
+    the pandas stage is pure vectorized numpy (the per-shingle hashlib
+    loop cost 30 s at sf0.1 before this — measured r10)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"),
+        F.conv(F.substring(F.md5(col), 9, 8), 16, 10).cast("long"),
+    )
+
+
+def _hit_mask(h1: np.ndarray, h2: np.ndarray, bits: np.ndarray, k: int, m: int) -> np.ndarray:
+    """Vectorized membership for L (h1, h2) pairs: (L,) bool — all k
+    Kirsch-Mitzenmacher positions set."""
+    if len(h1) == 0:
+        return np.zeros(0, dtype=bool)
+    i = np.arange(k, dtype=np.int64)[None, :]
+    pos = (h1[:, None] + i * h2[:, None]) % m  # (L, k)
+    got = bits[pos // 8] & (np.uint8(1) << (pos % 8).astype(np.uint8))
+    return (got != 0).all(axis=1)
 
 
 def probe_bloom(
@@ -106,33 +136,65 @@ def probe_bloom(
 ) -> DataFrame:
     """(id, n_shingles, n_hits, hit_frac) per document — the
     contamination score against the bloom. The bitmap ships once per
-    task inside the closure (broadcast-equivalent for a few-MB sketch).
+    task inside the closure (broadcast-equivalent for a few-MB sketch);
+    shingle hashes are computed JVM-side so the pandas stage is one
+    numpy matmul-shaped pass per batch (np.add.reduceat over per-doc
+    offsets), never a per-shingle Python loop.
     """
     bits = np.frombuffer(bitmap, dtype=np.uint8)
-    mb = m_bits
+    mb, kk = m_bits, k
+
+    # md5 ONCE per shingle (a separate transform per half would hash
+    # every shingle twice — lambdas don't share subexpressions), then
+    # element-wise hex slices off the materialized digest array
+    hashed = docs.select(
+        F.col(id_col),
+        F.size(F.col(shingles_col)).alias("__n"),
+        F.transform(shingles_col, lambda s: F.md5(s)).alias("__m"),
+    ).select(
+        id_col,
+        "__n",
+        F.transform(
+            "__m", lambda m: F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+        ).alias("__h1s"),
+        F.transform(
+            "__m", lambda m: F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
+        ).alias("__h2s"),
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_id, out_n, out_hits = [], [], []
-            for _id, shingles in zip(pdf[id_col], pdf[shingles_col]):
-                n = len(shingles)
-                hits = 0
-                for s in shingles:
-                    pos = _positions(s, k, mb)
-                    if np.all(bits[pos // 8] & (np.uint8(1) << (pos % 8).astype(np.uint8))):
-                        hits += 1
-                out_id.append(_id)
-                out_n.append(n)
-                out_hits.append(hits)
+            if len(pdf) == 0:
+                continue
+            lens = pdf["__n"].to_numpy(dtype=np.int64)
+            h1 = (
+                np.concatenate(pdf["__h1s"].to_numpy())
+                if lens.sum()
+                else np.zeros(0, dtype=np.int64)
+            ).astype(np.int64)
+            h2 = (
+                np.concatenate(pdf["__h2s"].to_numpy())
+                if lens.sum()
+                else np.zeros(0, dtype=np.int64)
+            ).astype(np.int64)
+            hit = _hit_mask(h1, h2, bits, kk, mb).astype(np.int64)
+            offsets = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            # reduceat needs non-empty segments: empty docs get 0 hits
+            sums = np.zeros(len(lens), dtype=np.int64)
+            nz = lens > 0
+            if hit.size:
+                seg = np.add.reduceat(hit, offsets[nz])
+                sums[nz] = seg
             yield pd.DataFrame(
                 {
-                    "doc_id": out_id,
-                    "n_shingles": out_n,
-                    "n_hits": out_hits,
+                    "doc_id": pdf.iloc[:, 0].to_numpy(),
+                    "n_shingles": lens,
+                    "n_hits": sums,
                 }
             )
 
-    scored = docs.select(F.col(id_col), F.col(shingles_col)).mapInPandas(
+    scored = hashed.mapInPandas(
         run, "doc_id bigint, n_shingles int, n_hits int"
     )
     return scored.withColumn(
@@ -164,21 +226,14 @@ def probe_bloom_scalar(
     mb, kk = m_bits, k
 
     @pandas_udf("boolean")
-    def _probe(s: pd.Series) -> pd.Series:
-        out = []
-        for v in s:
-            if v is None:
-                out.append(False)
-                continue
-            pos = _positions(v, kk, mb)
-            out.append(
-                bool(
-                    np.all(
-                        bits[pos // 8]
-                        & (np.uint8(1) << (pos % 8).astype(np.uint8))
-                    )
-                )
-            )
-        return pd.Series(out)
+    def _probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        a1 = h1.to_numpy(dtype=np.int64, na_value=0)
+        a2 = h2.to_numpy(dtype=np.int64, na_value=0)
+        mask = _hit_mask(a1, a2, bits, kk, mb)
+        # NULL keys are never "in" the bloom
+        return pd.Series(mask & ~h1.isna().to_numpy())
 
-    return df.withColumn(out_col, _probe(F.col(col)))
+    # md5 halves computed JVM-side (codegen); the pandas stage is one
+    # vectorized numpy membership test per Arrow batch
+    h1c, h2c = _hash_halves(F.col(col))
+    return df.withColumn(out_col, _probe(h1c, h2c))

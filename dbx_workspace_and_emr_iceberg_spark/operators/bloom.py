@@ -144,6 +144,17 @@ def probe_bloom(
     bits = np.frombuffer(bitmap, dtype=np.uint8)
     mb, kk = m_bits, k
 
+    # NULL shingle arrays normalize to empty FIRST: F.size(NULL) is
+    # -1/NULL depending on ANSI mode, and a NULL array reaching the
+    # numpy concatenate would silently corrupt the batch's per-doc
+    # offsets (review-pass finding — the old per-row loop crashed
+    # loudly instead)
+    docs = docs.withColumn(
+        shingles_col,
+        F.coalesce(
+            F.col(shingles_col), F.array().cast("array<string>")
+        ),
+    )
     # md5 ONCE per shingle (a separate transform per half would hash
     # every shingle twice — lambdas don't share subexpressions), then
     # element-wise hex slices off the materialized digest array

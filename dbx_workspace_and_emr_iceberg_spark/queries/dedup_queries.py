@@ -218,18 +218,13 @@ def x2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pool_a)
         .unionByName(planted)
     )
+    from ..operators.bloom import _hash_halves
+
+    h1c, h2c = _hash_halves(F.col("word"))
     words = corpus.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("word"),
-    ).select(
-        "doc_id",
-        F.conv(F.substring(F.md5("word"), 1, 8), 16, 10)
-        .cast("long")
-        .alias("h1"),
-        F.conv(F.substring(F.md5("word"), 9, 8), 16, 10)
-        .cast("long")
-        .alias("h2"),
-    )
+    ).select("doc_id", h1c.alias("h1"), h2c.alias("h2"))
     sig = (
         words.select(
             "doc_id",
@@ -270,6 +265,18 @@ def x2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
+    # LOUD growth bound, banded edition (r6 rule: "named so it never
+    # silently grows"): degenerate band buckets — many docs with
+    # identical word sets, exactly what dedup corpora contain — would
+    # explode the bucket join quadratically; fail here rather than
+    # silently running a giant verification join
+    n_cand = cand.count()
+    if n_cand > 50_000:
+        raise AssertionError(
+            f"x2b banded candidate set grew to {n_cand} pairs — band "
+            "buckets degenerated; tighten bands or dedup exact copies "
+            "(x1) before the LSH pass"
+        )
     return (
         exact_jaccard(corpus, cand, "doc_id", "text")
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

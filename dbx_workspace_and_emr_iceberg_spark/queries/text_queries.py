@@ -1312,9 +1312,14 @@ def x24_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("doc_id") % 11 == 0).cast("long").alias("is_planted"),
             )
             .orderBy("doc_id")
+            # sever lineage BEFORE the finally unpersists the cache —
+            # a lazy return would re-run the whole probe pipeline when
+            # the caller evaluates it (x20/x49 pattern; review-pass
+            # finding)
+            .localCheckpoint()
         )
     finally:
-        scored.unpersist()
+        scored.unpersist(blocking=False)
 
 
 # --- X33: per-host quota capping (domain-balanced corpus governance) --------

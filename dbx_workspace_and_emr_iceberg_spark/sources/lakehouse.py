@@ -1967,7 +1967,16 @@ def cherrypick_snapshot(table: LakehouseTable, version: int) -> int:
     op = m["op"]
     if op not in ("append", "create") and not op.startswith("branch_append:"):
         raise ValueError(f"can only cherry-pick append snapshots, got {op!r}")
-    base = m.get("ref_base") if m.get("staged_ref") else m.get("parent")
+    if m.get("staged_ref"):
+        # pre-ref_base staged manifests fall back to the LOG parent
+        # (same fallback as _assert_fast_forward) — treating base=None
+        # as "no base" would count the branch's inherited base files as
+        # delta and resurrect rows main has since deleted (review-pass
+        # finding). `in` test, not `or`: ref_base == 0 legitimately
+        # means "based on the empty table".
+        base = m["ref_base"] if "ref_base" in m else m.get("parent")
+    else:
+        base = m.get("parent")
     parent_files = (
         set(table._read_manifest(int(base))["files"]) if base else set()
     )

@@ -121,8 +121,10 @@ def stream_anti_history(
 
     from ..operators.bloom import build_bloom, probe_bloom_scalar
 
-    n_hist = hist_df.count()
-    if not force_bloom and n_hist <= broadcast_max:
+    # count only when the decision needs it: a forced-bloom caller
+    # must not pay a full history scan for an unused number
+    # (review-pass finding)
+    if not force_bloom and hist_df.count() <= broadcast_max:
         return stream_df.join(F.broadcast(hist_df), key, "left_anti")
     bitmap = build_bloom(hist_df, key, m_bits=m_bits, k=k)
     probed = probe_bloom_scalar(

@@ -1055,3 +1055,36 @@ def test_insert_branch_reports_written_row_count(spark, tmp_path):
     assert r1.n_rows == 3, f"first branch insert reported {r1.n_rows}"
     r2 = eng.sql("INSERT INTO ib.branch_st VALUES (6, 'f')").collect()[0]
     assert r2.n_rows == 1, f"second branch insert reported {r2.n_rows}"
+
+
+def test_cherrypick_legacy_staged_manifest_uses_log_parent(spark, tmp_path):
+    """A staged manifest written before ref_base existed falls back to
+    the LOG parent as the delta base (same fallback as
+    _assert_fast_forward) — treating it as base-less would count the
+    branch's inherited base files as delta and resurrect rows main has
+    since deleted (review-pass finding)."""
+    import json as _json
+
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        BranchedLakehouse,
+        LakehouseTable,
+        cherrypick_snapshot,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path), "cpl")
+    t.create(spark.createDataFrame([(1,), (2,)], "id long"))  # v1
+    b = BranchedLakehouse(t)
+    b.create_branch("d")
+    v_staged = b.write_to_branch("d", spark.createDataFrame([(9,)], "id long"))
+    # simulate a legacy staged manifest: strip the ref_base key
+    mp = t._manifest_path(v_staged)
+    m = _json.load(open(mp))
+    assert m.pop("ref_base", None) is not None
+    _json.dump(m, open(mp, "w"))
+    # main deletes a row the branch's base files still contain
+    t.delete_where(F.col("id") == 1)
+    ids_before = sorted(r.id for r in t.read().collect())
+    assert ids_before == [2]
+    cherrypick_snapshot(t, v_staged)
+    ids = sorted(r.id for r in t.read().collect())
+    assert ids == [2, 9], f"cherrypick resurrected deleted rows: {ids}"

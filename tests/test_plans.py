@@ -437,3 +437,31 @@ def test_x15_no_window_partitioned_on_lang_alone(spark):
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     for m in re.finditer(r"windowspecdefinition\((.*?)(?:ASC|DESC)", opt):
         assert m.group(1).strip(" ,") != "", "global window: " + m.group(0)
+
+
+def test_x49_benchmark_side_broadcasts(spark):
+    """x49's scale contract: the benchmark embedding frame broadcasts
+    (eval suites are KBs), so the corpus is never shuffled before the
+    flagged-slice aggregate — the x16 shape in embedding space. The
+    returned frame is checkpointed, so the broadcast/no-cartesian
+    check lives IN-QUERY (this call not raising IS the assertion);
+    here we only pin that the query still runs and returns rows."""
+    from dbx_workspace_and_emr_iceberg_spark.queries.dedup_queries import (
+        x49_semantic_contamination,
+    )
+
+    assert x49_semantic_contamination(spark, SF_DIR).count() > 0
+
+
+def test_x2b_candidates_come_from_band_join(spark):
+    """x2b's scale contract (r9 verdict #6): candidate pairs come from
+    an equi-join on (band_id, band_val) — never a cross join of the
+    pools; shuffles carry band digests and word hashes, not text."""
+    from dbx_workspace_and_emr_iceberg_spark.queries.dedup_queries import (
+        x2b_ngram_jaccard,
+    )
+
+    df = x2b_ngram_jaccard(spark, SF_DIR)
+    plan = X.simple_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

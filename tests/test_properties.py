@@ -551,3 +551,36 @@ def test_discrete_percentiles_match_quantile_disc(spark, rows, p):
     }
     con.close()
     assert got == want
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+def test_hash_halves_python_jvm_agree(spark, keys):
+    """The cross-engine md5 hex-half spelling must agree between its
+    Python twin (_h64, used by build_bloom's driver-side sizing and
+    the unit fixtures) and the JVM expression (_hash_halves, used by
+    every probe and by the x2b/x2e oracles) for ARBITRARY unicode —
+    any drift silently breaks the bloom's no-false-negative contract
+    and every md5-family oracle."""
+    from dbx_workspace_and_emr_iceberg_spark.operators.bloom import (
+        _h64,
+        _hash_halves,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "s string")
+    h1c, h2c = _hash_halves(F.col("s"))
+    rows = df.select("s", h1c.alias("h1"), h2c.alias("h2")).collect()
+    for r in rows:
+        p1, p2 = _h64(r.s)
+        assert (p1, p2) == (r.h1, r.h2), f"hash drift on {r.s!r}"

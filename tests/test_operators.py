@@ -1005,3 +1005,29 @@ def test_stream_anti_history_bloom_path_over_threshold(spark):
         ).collect()
     )
     assert got_fast == expected
+
+
+def test_probe_bloom_null_shingle_array(spark):
+    """A NULL shingles array must probe as an empty doc (n_shingles=0,
+    n_hits=0) WITHOUT corrupting sibling docs in the same Arrow batch —
+    the vectorized offsets math once saw F.size(NULL) and silently
+    zeroed a neighbor's hits (review-pass finding)."""
+    from dbx_workspace_and_emr_iceberg_spark.operators.bloom import (
+        build_bloom,
+        probe_bloom,
+    )
+
+    keys = spark.createDataFrame([("k1",), ("k2",)], "s string")
+    bitmap = build_bloom(keys, "s", m_bits=1 << 16, k=5)
+    probe = spark.createDataFrame(
+        [(1, None), (2, ["k1", "k2"]), (3, []), (4, ["k1", "nope"])],
+        "doc_id long, sh array<string>",
+    ).coalesce(1)  # one batch: the corruption mode needs co-residents
+    out = {
+        r.doc_id: r
+        for r in probe_bloom(probe, "sh", bitmap, 1 << 16, 5).collect()
+    }
+    assert (out[1].n_shingles, out[1].n_hits) == (0, 0)
+    assert (out[2].n_shingles, out[2].n_hits) == (2, 2), out[2]
+    assert (out[3].n_shingles, out[3].n_hits) == (0, 0)
+    assert out[4].n_shingles == 2 and out[4].n_hits >= 1

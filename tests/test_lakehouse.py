@@ -1088,3 +1088,25 @@ def test_cherrypick_legacy_staged_manifest_uses_log_parent(spark, tmp_path):
     cherrypick_snapshot(t, v_staged)
     ids = sorted(r.id for r in t.read().collect())
     assert ids == [2, 9], f"cherrypick resurrected deleted rows: {ids}"
+
+
+def test_repeated_publish_survives_snapshot_expiry(spark, tmp_path):
+    """expire_snapshots between WAP publishes must not break the next
+    publish's ancestry proof: ref retention keeps the staged chain
+    (branch head) and the rollforward identity stamps survive, so only
+    genuinely unreferenced snapshots expire."""
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        BranchedLakehouse,
+        LakehouseTable,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path), "exp")
+    t.create(spark.createDataFrame([(1,)], "id long"))
+    b = BranchedLakehouse(t)
+    b.create_branch("s")
+    b.write_to_branch("s", spark.createDataFrame([(9,)], "id long"))
+    b.fast_forward_main("s")
+    t.expire_snapshots(keep_last=1)
+    b.write_to_branch("s", spark.createDataFrame([(10,)], "id long"))
+    b.fast_forward_main("s")
+    assert t.read().count() == 3

@@ -1239,7 +1239,19 @@ def x24_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_sh = bench.select(
         F.explode(word_shingles("text", 3)).alias("sh")
     ).distinct()
-    bitmap = build_bloom(bench_sh, "sh", m_bits=_X24_M, k=_X24_K)
+    # build from the RAW explode, not the distinct frame: OR-ing a
+    # duplicate shingle is idempotent, so the bitmap is identical, and
+    # skipping distinct makes the build entirely map-side — zero
+    # shuffle (measured: the distinct's string exchange + coalesced
+    # single-task tail was over half the query's wall at sf0.1). The
+    # distinct frame still feeds the truth join, where multiplicity
+    # would overcount.
+    bitmap = build_bloom(
+        bench.select(F.explode(word_shingles("text", 3)).alias("sh")),
+        "sh",
+        m_bits=_X24_M,
+        k=_X24_K,
+    )
 
     corpus = d.select("doc_id", word_shingles("text", 3).alias("sh"))
     scored = probe_bloom(corpus, "sh", bitmap, m_bits=_X24_M, k=_X24_K).cache()

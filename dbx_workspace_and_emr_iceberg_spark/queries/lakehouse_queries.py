@@ -110,6 +110,275 @@ def m1_lakehouse_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+# --- M1b: DML semantics value oracle ----------------------------------------
+# m1 proves the lifecycle with step-count self-asserts; this twin runs
+# the SAME CTAS -> INSERT -> MERGE -> UPDATE -> DELETE sequence and
+# hash-compares the FINAL TABLE CONTENT against a DuckDB oracle that
+# replays the DML as pure relational algebra over the fixture (merge =
+# anti-join the deletes + CASE the updates + union the unmatched
+# inserts). Copy-on-write MERGE/UPDATE/DELETE semantics become
+# hash-checked values instead of rows-only evidence — the first
+# value-oracled M-family row.
+
+_M1B_ORACLE = """
+WITH base AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS nm,
+         CAST(n_regionkey AS BIGINT) AS rg
+  FROM nation
+),
+appended AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT k + 100, 'NEW_' || nm, rg FROM base WHERE k < 5
+),
+src(k, nm, rg) AS (
+  VALUES (0, 'MERGED_A', 9), (3, 'DELETE_ME', 9), (200, 'BRAND_NEW', 9)
+),
+merged AS (
+  -- WHEN MATCHED THEN UPDATE: update_cols override (rg = 9), every
+  -- OTHER column takes the SOURCE value (UPDATE SET * semantics,
+  -- matching merge_into's out_col)
+  SELECT a.k,
+         CASE WHEN s.k IS NOT NULL THEN s.nm ELSE a.nm END AS nm,
+         CASE WHEN s.k IS NOT NULL THEN 9 ELSE a.rg END AS rg
+  FROM appended a
+  LEFT JOIN (SELECT k, nm FROM src WHERE nm <> 'DELETE_ME') s
+    ON a.k = s.k
+  WHERE a.k NOT IN (SELECT k FROM src WHERE nm = 'DELETE_ME')
+  UNION ALL
+  SELECT CAST(k AS BIGINT), nm, CAST(rg AS BIGINT)
+  FROM src WHERE k NOT IN (SELECT k FROM appended)
+),
+updated AS (
+  SELECT k, CASE WHEN rg = 9 THEN upper(nm) ELSE nm END AS nm, rg
+  FROM merged
+)
+SELECT k AS n_nationkey, nm AS n_name, rg AS n_regionkey
+FROM updated WHERE k < 100
+ORDER BY n_nationkey
+"""
+
+
+@register(
+    "m1b_dml_final_state",
+    oracle=_M1B_ORACLE,
+    tags=("M1", "M2", "M3", "S4", "S5"),
+)
+def m1b_dml_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wh = tempfile.mkdtemp(prefix="lakehouse_m1b_")
+    try:
+        nat = load_table(spark, sf_dir, "nation").coalesce(1)
+        t = LakehouseTable(spark, wh, "nation_m1b")
+        t.create(nat)
+        t.append(
+            nat.filter(F.col("n_nationkey") < 5).select(
+                (F.col("n_nationkey") + 100).alias("n_nationkey"),
+                F.concat(F.lit("NEW_"), F.col("n_name")).alias("n_name"),
+                "n_regionkey",
+            )
+        )
+        src = spark.createDataFrame(
+            [(0, "MERGED_A", 9), (3, "DELETE_ME", 9), (200, "BRAND_NEW", 9)],
+            "n_nationkey int, n_name string, n_regionkey int",
+        )
+        t.merge_into(
+            src,
+            on="n_nationkey",
+            update_cols={"n_regionkey": F.lit(9)},
+            insert=True,
+            delete_cond=F.col("__src").getField("n_name") == "DELETE_ME",
+            validate_source_keys=False,
+        )
+        t.update_set(
+            F.col("n_regionkey") == 9, {"n_name": F.upper(F.col("n_name"))}
+        )
+        t.delete_where(F.col("n_nationkey") >= 100)
+        out = t.read().select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        ).orderBy("n_nationkey")
+        # localCheckpoint BEFORE the temp warehouse is removed: the
+        # returned frame must not lazily re-read deleted files
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+# --- M6c: schema evolution value oracle -------------------------------------
+# m6/m6b/m17 self-assert ADD/RENAME/DROP + initial-default semantics;
+# this twin hash-proves them: create -> ADD COLUMN with an Iceberg-v3
+# initial DEFAULT (old files read the default with NO rewrite) ->
+# append rows carrying real values (including a real NULL, which must
+# NOT collapse to the default) -> RENAME the column (manifest-only) ->
+# final content vs a DuckDB oracle that derives the same frame from
+# the fixture.
+
+_M6C_ORACLE = """
+WITH base AS (
+  SELECT CAST(r_regionkey AS BIGINT) AS k, r_name AS nm FROM region
+),
+evolved AS (
+  SELECT k, nm, 'bronze' AS tier FROM base
+  UNION ALL
+  SELECT 100, 'VALHALLA', 'gold'
+  UNION ALL
+  SELECT 101, 'ELYSIUM', NULL
+)
+SELECT k AS r_regionkey, nm AS r_name, tier AS quality_tier
+FROM evolved ORDER BY r_regionkey
+"""
+
+
+@register("m6c_evolution_final_state", oracle=_M6C_ORACLE, tags=("M6", "M17"))
+def m6c_evolution_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wh = tempfile.mkdtemp(prefix="lakehouse_m6c_")
+    try:
+        reg = load_table(spark, sf_dir, "region").select(
+            "r_regionkey", "r_name"
+        ).coalesce(1)
+        t = LakehouseTable(spark, wh, "region_m6c")
+        t.create(reg)
+        # initial DEFAULT: pre-existing files read 'bronze', no rewrite
+        t.add_column("tier", "string", default="bronze")
+        # post-evolution rows carry stored values — including a REAL
+        # NULL that must not collapse to the default
+        t.append(
+            spark.createDataFrame(
+                [(100, "VALHALLA", "gold"), (101, "ELYSIUM", None)],
+                "r_regionkey int, r_name string, tier string",  # match table schema
+            )
+        )
+        t.rename_column("tier", "quality_tier")
+        out = t.read().select(
+            F.col("r_regionkey").cast("long").alias("r_regionkey"),
+            "r_name",
+            "quality_tier",
+        ).orderBy("r_regionkey")
+        return out.localCheckpoint()  # temp warehouse removed in finally
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+# --- M10b: CDC changelog value oracle ---------------------------------------
+# m10 self-asserts the incremental/CDC machinery; this twin hash-proves
+# the row-level changelog: create(v1) -> append(v2) -> delete(v3),
+# then changelog(1, 3) must emit EXACTLY the appended rows as INSERTs
+# stamped v2 plus the deleted rows as DELETEs stamped v3 — all
+# derivable from the fixture in DuckDB. Raw column values pass through
+# unarithmetic'd, so doubles hash bit-identically.
+
+_M10B_ORACLE = """
+WITH base AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         CAST(o_custkey AS BIGINT) AS o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+delta AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         CAST(o_custkey AS BIGINT) AS o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 5 = 1
+)
+SELECT o_orderkey, o_custkey, o_totalprice,
+       'INSERT' AS _change_type, CAST(2 AS BIGINT) AS _change_version
+FROM delta
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice, 'DELETE', 3
+FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+WHERE o_totalprice > 400000
+ORDER BY _change_version, _change_type, o_orderkey
+"""
+
+
+@register(
+    "m10b_changelog_values", oracle=_M10B_ORACLE, tags=("M10", "M3", "S8")
+)
+def m10b_changelog_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wh = tempfile.mkdtemp(prefix="lakehouse_m10b_")
+    try:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        t = LakehouseTable(spark, wh, "orders_m10b")
+        t.create(o.filter(F.col("o_orderkey") % 5 == 0).coalesce(2))  # v1
+        t.append(o.filter(F.col("o_orderkey") % 5 == 1).coalesce(2))  # v2
+        t.delete_where(F.col("o_totalprice") > 400000)                # v3
+        out = t.changelog(1, 3).select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("o_custkey").cast("long").alias("o_custkey"),
+            "o_totalprice",
+            "_change_type",
+            F.col("_change_version").cast("long").alias("_change_version"),
+        ).orderBy("_change_version", "_change_type", "o_orderkey")
+        return out.localCheckpoint()  # temp warehouse removed in finally
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+# --- M8c: WAP publish + time travel value oracle -----------------------------
+# m8/m8b self-assert the write-audit-publish flow; this twin
+# hash-proves its CONTENT semantics: after branch-write -> publish,
+# the head must be base + staged rows while VERSION 1 still reads the
+# original base — both frames derived from the fixture in DuckDB and
+# returned as one snapshot-tagged union.
+
+_M8C_ORACLE = """
+WITH base AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS nm,
+         CAST(n_regionkey AS BIGINT) AS rg
+  FROM nation
+),
+staged AS (
+  SELECT k + 500, 'WAP_' || nm, rg FROM base WHERE k < 3
+)
+SELECT 'v1' AS snapshot, k AS n_nationkey, nm AS n_name, rg AS n_regionkey
+FROM base
+UNION ALL
+SELECT 'head', k, nm, rg FROM (SELECT * FROM base UNION ALL SELECT * FROM staged)
+ORDER BY snapshot, n_nationkey
+"""
+
+
+@register("m8c_wap_final_state", oracle=_M8C_ORACLE, tags=("M8", "S8"))
+def m8c_wap_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.lakehouse import BranchedLakehouse
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_m8c_")
+    try:
+        nat = load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        ).coalesce(1)
+        t = LakehouseTable(spark, wh, "nation_m8c")
+        t.create(nat)  # v1
+        b = BranchedLakehouse(t)
+        b.create_branch("stage")
+        b.write_to_branch(
+            "stage",
+            nat.filter(F.col("n_nationkey") < 3).select(
+                (F.col("n_nationkey") + 500).alias("n_nationkey"),
+                F.concat(F.lit("WAP_"), F.col("n_name")).alias("n_name"),
+                "n_regionkey",
+            ),
+        )  # v2 staged — main must NOT see it until publish
+        b.fast_forward_main("stage")  # v3 rollforward
+        cast_cols = [
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        ]
+        out = (
+            t.read(version=1)
+            .select(F.lit("v1").alias("snapshot"), *cast_cols)
+            .unionByName(
+                t.read().select(F.lit("head").alias("snapshot"), *cast_cols)
+            )
+            .orderBy("snapshot", "n_nationkey")
+        )
+        return out.localCheckpoint()  # temp warehouse removed in finally
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 @register("m5_lakehouse_maintenance", oracle=None, tags=("M5", "S7"))
 def m5_lakehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot metadata (S7), compaction and snapshot expiry (M5),

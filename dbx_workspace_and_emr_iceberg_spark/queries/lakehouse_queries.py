@@ -135,15 +135,13 @@ src(k, nm, rg) AS (
   VALUES (0, 'MERGED_A', 9), (3, 'DELETE_ME', 9), (200, 'BRAND_NEW', 9)
 ),
 merged AS (
-  -- WHEN MATCHED THEN UPDATE: update_cols override (rg = 9), every
-  -- OTHER column takes the SOURCE value (UPDATE SET * semantics,
-  -- matching merge_into's out_col)
-  SELECT a.k,
-         CASE WHEN s.k IS NOT NULL THEN s.nm ELSE a.nm END AS nm,
-         CASE WHEN s.k IS NOT NULL THEN 9 ELSE a.rg END AS rg
+  -- WHEN MATCHED THEN UPDATE SET n_regionkey = 9: ONLY the listed
+  -- column updates; unlisted columns keep the TARGET value (SQL
+  -- standard, matching merge_into's explicit-dict semantics)
+  SELECT a.k, a.nm,
+         CASE WHEN a.k IN (SELECT k FROM src WHERE nm <> 'DELETE_ME')
+              THEN 9 ELSE a.rg END AS rg
   FROM appended a
-  LEFT JOIN (SELECT k, nm FROM src WHERE nm <> 'DELETE_ME') s
-    ON a.k = s.k
   WHERE a.k NOT IN (SELECT k FROM src WHERE nm = 'DELETE_ME')
   UNION ALL
   SELECT CAST(k AS BIGINT), nm, CAST(rg AS BIGINT)

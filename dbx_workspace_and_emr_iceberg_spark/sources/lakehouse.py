@@ -596,6 +596,12 @@ class LakehouseTable:
         WHEN MATCHED THEN UPDATE SET update_cols
         WHEN NOT MATCHED THEN INSERT *                        (M1)
 
+        ``update_cols`` semantics (SQL standard): ``None`` = UPDATE
+        SET * (every column from source); an explicit dict updates
+        ONLY the listed columns, unlisted ones keep the target value;
+        ``{}`` = no UPDATE clause (matched rows survive unchanged —
+        what a delete-only MERGE needs).
+
         ``schema_evolution`` mirrors Iceberg/Spark 4's
         ``mergeInto(...).withSchemaEvolution()``: source columns absent
         from the target are first ADDed (manifest-only, M6 path — no
@@ -682,11 +688,22 @@ class LakehouseTable:
             act = F.when(matched & delete_cond, F.lit("D")).otherwise(act)
 
         def out_col(c: str) -> F.Column:
-            updated = (
-                update_cols[c]
-                if update_cols and c in update_cols
-                else F.col("__src").getField(c)
-            )
+            # UPDATE semantics (SQL standard, and this method's own
+            # docstring): update_cols=None means UPDATE SET * (every
+            # column from source); an explicit dict updates ONLY the
+            # listed columns — unlisted ones KEEP THE TARGET VALUE.
+            # (Review-pass r10 finding, reproduced: the old spelling
+            # took unlisted columns from source, so a SQL-door
+            # `UPDATE SET t.v = s.v` silently overwrote every other
+            # column too, and a delete-only MERGE rewrote matched rows
+            # from source.) An empty dict therefore means "no UPDATE
+            # clause": matched rows survive byte-identical.
+            if update_cols is None:
+                updated = F.col("__src").getField(c)
+            elif c in update_cols:
+                updated = update_cols[c]
+            else:
+                updated = F.col(c)
             return (
                 F.when(F.col("__act") == "U", updated)
                 .when(F.col("__act") == "I", F.col("__src").getField(c))

@@ -515,13 +515,17 @@ def execute(engine, sql: str) -> DataFrame:
         t = engine.managed(table)
         source = spark.table(spec["source"])
         ta, sa = spec["target_alias"], spec["source_alias"]
+        # no UPDATE clause -> {} (matched rows survive unchanged),
+        # NEVER None: None means UPDATE SET * to merge_into, which
+        # would rewrite matched rows from source in a delete-only
+        # MERGE (review-pass r10 finding)
         update_cols = (
             {
                 c: F.expr(_rewrite(e, ta, sa))
                 for c, e in spec["update_set"].items()
             }
             if spec["update_set"]
-            else None
+            else {}
         )
         delete_cond = (
             F.expr(_rewrite(spec["delete_cond"], ta, sa))

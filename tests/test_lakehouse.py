@@ -1110,3 +1110,51 @@ def test_repeated_publish_survives_snapshot_expiry(spark, tmp_path):
     b.write_to_branch("s", spark.createDataFrame([(10,)], "id long"))
     b.fast_forward_main("s")
     assert t.read().count() == 3
+
+
+def test_merge_explicit_update_cols_keep_unlisted_target_values(spark, wh):
+    """SQL-standard UPDATE semantics (review-pass r10, reproduced):
+    an explicit update_cols dict updates ONLY the listed columns —
+    unlisted columns keep the TARGET value, never the source's."""
+    t = LakehouseTable(spark, wh, "mu")
+    t.create(
+        spark.createDataFrame([(1, "ALPHA", 10), (2, "BETA", 20)],
+                              "k long, nm string, v long")
+    )
+    src = spark.createDataFrame([(1, "SRCNAME", 99)], "k long, nm string, v long")
+    t.merge_into(src, on="k", update_cols={"v": F.col("__src").getField("v")})
+    rows = {r.k: (r.nm, r.v) for r in t.read().collect()}
+    assert rows[1] == ("ALPHA", 99), rows  # nm kept, v updated
+    assert rows[2] == ("BETA", 20)
+
+
+def test_merge_without_update_clause_keeps_matched_rows(spark, wh):
+    """update_cols={} = no UPDATE clause: a delete-only MERGE must
+    leave non-deleted matched rows byte-identical (they used to be
+    rewritten from source)."""
+    t = LakehouseTable(spark, wh, "md")
+    t.create(
+        spark.createDataFrame([(1, "ALPHA"), (2, "BETA")], "k long, nm string")
+    )
+    src = spark.createDataFrame(
+        [(1, "DROP"), (2, "SRC_B"), (7, "NEW")], "k long, nm string"
+    )
+    t.merge_into(
+        src,
+        on="k",
+        update_cols={},
+        insert=True,
+        delete_cond=F.col("__src").getField("nm") == "DROP",
+    )
+    rows = {r.k: r.nm for r in t.read().collect()}
+    assert rows == {2: "BETA", 7: "NEW"}, rows  # 2 untouched, 1 deleted
+
+
+def test_merge_update_set_star_still_takes_source(spark, wh):
+    """update_cols=None keeps UPDATE SET * semantics: every column of
+    a matched row comes from source."""
+    t = LakehouseTable(spark, wh, "ms")
+    t.create(spark.createDataFrame([(1, "ALPHA")], "k long, nm string"))
+    src = spark.createDataFrame([(1, "SRC_A")], "k long, nm string")
+    t.merge_into(src, on="k", update_cols=None)
+    assert t.read().collect()[0].nm == "SRC_A"

@@ -377,6 +377,144 @@ def m8c_wap_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+# --- M12b: SQL-door DML value oracle ----------------------------------------
+# m12 self-asserts the statement grammar; this twin drives the SAME
+# statement sequence through engine.sql() and hash-compares the final
+# content against a DuckDB replay — proving the door's parse +
+# execution semantics end-to-end: UPDATE rewrites only matching rows,
+# DELETE keeps NULL-predicate rows (three-valued logic), and MERGE's
+# explicit UPDATE SET touches ONLY the listed column (the r10
+# review-pass fix, now hash-pinned).
+
+_M12B_ORACLE = """
+WITH base AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS nm,
+         CAST(n_regionkey AS BIGINT) AS rg,
+         CASE WHEN n_nationkey % 3 = 0 THEN NULL
+              ELSE CAST(n_nationkey AS BIGINT) END AS sc
+  FROM nation
+),
+updated AS (
+  SELECT k, CASE WHEN rg = 2 THEN upper('u_' || nm) ELSE nm END AS nm, rg, sc
+  FROM base
+),
+deleted AS (
+  -- DELETE WHERE sc < 5: only TRUE deletes; NULL-predicate rows stay
+  SELECT * FROM updated WHERE sc >= 5 OR sc IS NULL
+),
+merged AS (
+  -- MERGE: key 6 matched -> UPDATE SET rg ONLY (nm/sc keep target);
+  -- key 9 matched + name cond -> DELETE; 300 unmatched -> INSERT
+  SELECT k, nm, CASE WHEN k = 6 THEN 9 ELSE rg END AS rg, sc
+  FROM deleted WHERE k <> 9
+  UNION ALL
+  SELECT 300, 'BRAND_NEW', 9, 300
+)
+SELECT k AS n_nationkey, nm AS n_name, rg AS n_regionkey, sc AS n_score
+FROM merged ORDER BY n_nationkey
+"""
+
+
+@register(
+    "m12b_sql_dml_final_state",
+    oracle=_M12B_ORACLE,
+    tags=("M12", "M1", "M2", "M3"),
+)
+def m12b_sql_dml_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..engine import Engine
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_m12b_")
+    try:
+        eng = Engine(spark, warehouse=wh)
+        nat = (
+            load_table(spark, sf_dir, "nation")
+            .coalesce(1)
+            .withColumn(
+                "n_score",
+                F.when(F.col("n_nationkey") % 3 == 0, F.lit(None)).otherwise(
+                    F.col("n_nationkey").cast("long")
+                ),
+            )
+        )
+        eng.create_table("nation_m12b", nat)
+        eng.sql(
+            "UPDATE nation_m12b SET n_name = upper(concat('u_', n_name)) "
+            "WHERE n_regionkey = 2"
+        )
+        eng.sql("DELETE FROM nation_m12b WHERE n_score < 5")
+        spark.createDataFrame(
+            [(6, "MERGED", 9, 600), (9, "DROP", 9, 900),
+             (300, "BRAND_NEW", 9, 300)],
+            "n_nationkey int, n_name string, n_regionkey int, n_score long",
+        ).createOrReplaceTempView("m12b_updates")
+        eng.sql(
+            """
+            MERGE INTO nation_m12b AS t USING m12b_updates AS s
+            ON t.n_nationkey = s.n_nationkey
+            WHEN MATCHED AND s.n_name = 'DROP' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET t.n_regionkey = s.n_regionkey
+            WHEN NOT MATCHED THEN INSERT *
+            """
+        )
+        out = eng.sql(
+            "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, "
+            "CAST(n_regionkey AS BIGINT) AS n_regionkey, "
+            "CAST(n_score AS BIGINT) AS n_score "
+            "FROM nation_m12b ORDER BY n_nationkey"
+        )
+        return out.localCheckpoint()  # temp warehouse removed in finally
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+# --- M5b: maintenance content-preservation value oracle ----------------------
+# m5 self-asserts compaction/expiry mechanics; this twin hash-proves
+# the invariant users actually depend on: after compact (file-count
+# rewrite) AND expire_snapshots (history removal), the table content
+# is byte-identical to the declarative expectation — maintenance is
+# layout-only. A corrupting compaction is exactly the bug class this
+# pins.
+
+_M5B_ORACLE = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(c_nationkey AS BIGINT) AS c_nationkey, c_acctbal
+FROM customer WHERE c_custkey % 3 = 0
+UNION ALL
+SELECT CAST(c_custkey AS BIGINT), c_name, CAST(c_nationkey AS BIGINT),
+       c_acctbal
+FROM customer WHERE c_custkey % 3 = 1
+ORDER BY c_custkey
+"""
+
+
+@register("m5b_maintenance_preserves_content", oracle=_M5B_ORACLE, tags=("M5",))
+def m5b_maintenance_preserves_content(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    wh = tempfile.mkdtemp(prefix="lakehouse_m5b_")
+    try:
+        c = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+        )
+        t = LakehouseTable(spark, wh, "cust_m5b")
+        # many small files on purpose: compaction must have real work
+        t.create(c.filter(F.col("c_custkey") % 3 == 0).repartition(8))
+        t.append(c.filter(F.col("c_custkey") % 3 == 1).repartition(8))
+        n_files_before = len(t._files())
+        t.compact(target_partitions=2)
+        assert len(t._files()) < n_files_before, "compaction did not shrink"
+        t.expire_snapshots(keep_last=1)
+        out = t.read().select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name",
+            F.col("c_nationkey").cast("long").alias("c_nationkey"),
+            "c_acctbal",
+        ).orderBy("c_custkey")
+        return out.localCheckpoint()  # temp warehouse removed in finally
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 @register("m5_lakehouse_maintenance", oracle=None, tags=("M5", "S7"))
 def m5_lakehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot metadata (S7), compaction and snapshot expiry (M5),

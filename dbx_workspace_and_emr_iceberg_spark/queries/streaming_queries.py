@@ -598,6 +598,96 @@ def t10_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+# --- T10b: streaming upsert final-state value oracle ------------------------
+# t10 self-asserts the foreachBatch MERGE mechanics; this twin
+# hash-proves the SINK CONTENT: after two micro-batches (overlap on
+# event_id % 60 == 20) upsert via MERGE, the table must hold every
+# key once with n_seen = 2 exactly on the overlap — derived from the
+# fixture in DuckDB. Batch-equivalent streaming + DML in one
+# hash-checked frame (keep-target UPDATE semantics make the
+# non-counter columns provably stable across re-merges).
+
+_T10B_ORACLE = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       value,
+       CAST(CASE WHEN event_id % 60 = 20 THEN 2 ELSE 1 END AS BIGINT)
+         AS n_seen
+FROM events WHERE event_id % 60 IN (0, 20, 40)
+ORDER BY event_id
+"""
+
+
+@register(
+    "t10b_stream_upsert_final_state",
+    oracle=_T10B_ORACLE,
+    tags=("T9", "T10", "M1"),
+)
+def t10b_stream_upsert_final_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    from ..sources.lakehouse import LakehouseTable
+
+    wh = tempfile.mkdtemp(prefix="stream_merge_vo_")
+    try:
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "user_id", "value")
+            .withColumn("__r", F.col("event_id") % 60)
+        )
+        b1 = ev.filter(F.col("__r").isin(0, 20)).drop("__r")
+        b2 = ev.filter(F.col("__r").isin(20, 40)).drop("__r")
+        src_dir = os.path.join(wh, "incoming")
+        os.makedirs(src_dir)
+        for name, b in (("b1", b1), ("b2", b2)):
+            tmp_out = os.path.join(wh, f"_w_{name}")
+            b.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+            part = next(
+                f for f in os.listdir(tmp_out) if f.endswith(".parquet")
+            )
+            os.rename(
+                os.path.join(tmp_out, part),
+                os.path.join(src_dir, f"{name}.parquet"),
+            )
+
+        table = LakehouseTable(spark, wh, "events_upsert_vo")
+        table.create(b1.limit(0).withColumn("n_seen", F.lit(1).cast("int")))
+
+        def upsert(batch_df: DataFrame, batch_id: int) -> None:
+            src = batch_df.withColumn("n_seen", F.lit(1).cast("int"))
+            table.merge_into(
+                src,
+                on="event_id",
+                update_cols={"n_seen": F.col("n_seen") + F.lit(1)},
+                insert=True,
+                validate_source_keys=False,  # event_id unique per batch
+            )
+
+        stream = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", "1")  # one MERGE per file
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", wh + "/_ckpt")
+            .start()
+        )
+        q.awaitTermination(300)
+        out = table.read().select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            "value",
+            F.col("n_seen").cast("long").alias("n_seen"),
+        ).orderBy("event_id")
+        return out.localCheckpoint()  # temp warehouse removed in finally
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 # --- T11: deterministic split under streaming ------------------------------
 
 _T11_ORACLE = """

@@ -164,6 +164,11 @@ _CHANGED_THIS_ROUND = [
     # #7 + the ADVICE fast-forward fixes
     "m8_branches_wap",
     "m8b_sql_branch_lifecycle",
+    # r10: MERGE UPDATE semantics fix (explicit SET keeps unlisted
+    # target columns) changed these queries' DML paths — re-prove
+    "m1_lakehouse_dml_lifecycle",
+    "m12_sql_dml_door",
+    "t10_stream_merge_upsert",
 ]
 
 

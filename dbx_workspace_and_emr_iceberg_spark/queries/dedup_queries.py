@@ -948,16 +948,19 @@ def x49_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bench_hits",
         (F.col("vec_id") >= _COPY_OFFSET).cast("long").alias("is_planted"),
     ).cache()
-    # scale assert (x16/x37 pattern, checked HERE because the returned
-    # frame is checkpointed): the benchmark side must ride a broadcast
-    # join — a shuffle-side join of the corpus would break the
-    # one-scan contract
-    _plan = out._jdf.queryExecution().executedPlan().toString()
-    if "Broadcast" not in _plan:
-        raise AssertionError("x49: benchmark side not broadcast: " + _plan)
-    if "CartesianProduct" in _plan:
-        raise AssertionError("x49: cartesian corpus join: " + _plan)
     try:
+        # scale assert (x16/x37 pattern, checked HERE because the
+        # returned frame is checkpointed): the benchmark side must ride
+        # a broadcast join — a shuffle-side join of the corpus would
+        # break the one-scan contract. Inside the try so an assert
+        # failure still unpersists the cache (review-pass finding).
+        _plan = out._jdf.queryExecution().executedPlan().toString()
+        if "Broadcast" not in _plan:
+            raise AssertionError(
+                "x49: benchmark side not broadcast: " + _plan
+            )
+        if "CartesianProduct" in _plan:
+            raise AssertionError("x49: cartesian corpus join: " + _plan)
         n_planted = planted.count()
         n_flagged_planted = out.filter(F.col("is_planted") == 1).count()
         if n_planted == 0:

@@ -518,6 +518,67 @@ def t6b_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- T10: streaming MERGE upsert (foreachBatch CDC apply) -------------------
 
 
+def _run_upsert_stream(spark, sf_dir, wh, table_name):
+    """Shared t10/t10b machinery (review-pass finding: two verbatim
+    copies would silently drift): stage two overlapping event
+    micro-batches (event_id % 60 in {0,20} and {20,40}) as single
+    parquet files, then run the foreachBatch MERGE upsert stream to
+    completion. Returns (table, b1, b2)."""
+    import os
+
+    from ..sources.lakehouse import LakehouseTable
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .withColumn("__r", F.col("event_id") % 60)
+    )
+    b1 = ev.filter(F.col("__r").isin(0, 20)).drop("__r")
+    b2 = ev.filter(F.col("__r").isin(20, 40)).drop("__r")
+    src_dir = os.path.join(wh, "incoming")
+    os.makedirs(src_dir)
+    for name, b in (("b1", b1), ("b2", b2)):
+        tmp_out = os.path.join(wh, f"_w_{name}")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        part = next(f for f in os.listdir(tmp_out) if f.endswith(".parquet"))
+        os.rename(
+            os.path.join(tmp_out, part),
+            os.path.join(src_dir, f"{name}.parquet"),
+        )
+
+    table = LakehouseTable(spark, wh, table_name)
+    table.create(b1.limit(0).withColumn("n_seen", F.lit(1).cast("int")))
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        src = batch_df.withColumn("n_seen", F.lit(1).cast("int"))
+        table.merge_into(
+            src,
+            on="event_id",
+            update_cols={"n_seen": F.col("n_seen") + F.lit(1)},
+            insert=True,
+            validate_source_keys=False,  # event_id unique per batch
+        )
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")  # force one MERGE per file
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", wh + "/_ckpt")
+        .start()
+    )
+    # a timed-out stream must FAIL HERE, not fall through to a
+    # partially-merged sink that reads as a MERGE-semantics bug
+    # (review-pass finding)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise AssertionError("upsert stream did not finish within 300s")
+    return table, b1, b2
+
+
 @register("t10_stream_merge_upsert", oracle=None, tags=("T9", "M1"))
 def t10_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch MERGE INTO the snapshot table — the streaming-CDC
@@ -530,62 +591,9 @@ def t10_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     idempotence; availableNow over a static dir gives exactly-once
     here.)
     """
-    import os
-
-    from pyspark.sql import functions as F
-
-    from ..sources.lakehouse import LakehouseTable
-
     wh = tempfile.mkdtemp(prefix="stream_merge_")
     try:
-        ev = (
-            load_table(spark, sf_dir, "events")
-            .select("event_id", "user_id", "value")
-            .withColumn("__r", F.col("event_id") % 60)
-        )
-        b1 = ev.filter(F.col("__r").isin(0, 20)).drop("__r")
-        b2 = ev.filter(F.col("__r").isin(20, 40)).drop("__r")
-        src_dir = os.path.join(wh, "incoming")
-        os.makedirs(src_dir)
-        for name, b in (("b1", b1), ("b2", b2)):
-            tmp_out = os.path.join(wh, f"_w_{name}")
-            b.coalesce(1).write.mode("overwrite").parquet(tmp_out)
-            part = next(
-                f for f in os.listdir(tmp_out) if f.endswith(".parquet")
-            )
-            os.rename(
-                os.path.join(tmp_out, part),
-                os.path.join(src_dir, f"{name}.parquet"),
-            )
-
-        table = LakehouseTable(spark, wh, "events_upsert")
-        table.create(
-            b1.limit(0).withColumn("n_seen", F.lit(1).cast("int"))
-        )
-
-        def upsert(batch_df: DataFrame, batch_id: int) -> None:
-            src = batch_df.withColumn("n_seen", F.lit(1).cast("int"))
-            table.merge_into(
-                src,
-                on="event_id",
-                update_cols={"n_seen": F.col("n_seen") + F.lit(1)},
-                insert=True,
-                validate_source_keys=False,  # event_id unique per batch
-            )
-
-        stream = (
-            spark.readStream.schema(b1.schema)
-            .option("maxFilesPerTrigger", "1")  # force one merge per file
-            .parquet(src_dir)
-        )
-        q = (
-            stream.writeStream.foreachBatch(upsert)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", wh + "/_ckpt")
-            .start()
-        )
-        q.awaitTermination(300)
-
+        table, b1, b2 = _run_upsert_stream(spark, sf_dir, wh, "events_upsert")
         got = table.read().select("event_id", "n_seen").collect()
         seen = {r.event_id: r.n_seen for r in got}
         assert len(seen) == len(got), "merge key duplicated in sink"
@@ -626,57 +634,11 @@ ORDER BY event_id
 def t10b_stream_upsert_final_state(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import os
-
-    from ..sources.lakehouse import LakehouseTable
-
     wh = tempfile.mkdtemp(prefix="stream_merge_vo_")
     try:
-        ev = (
-            load_table(spark, sf_dir, "events")
-            .select("event_id", "user_id", "value")
-            .withColumn("__r", F.col("event_id") % 60)
+        table, _b1, _b2 = _run_upsert_stream(
+            spark, sf_dir, wh, "events_upsert_vo"
         )
-        b1 = ev.filter(F.col("__r").isin(0, 20)).drop("__r")
-        b2 = ev.filter(F.col("__r").isin(20, 40)).drop("__r")
-        src_dir = os.path.join(wh, "incoming")
-        os.makedirs(src_dir)
-        for name, b in (("b1", b1), ("b2", b2)):
-            tmp_out = os.path.join(wh, f"_w_{name}")
-            b.coalesce(1).write.mode("overwrite").parquet(tmp_out)
-            part = next(
-                f for f in os.listdir(tmp_out) if f.endswith(".parquet")
-            )
-            os.rename(
-                os.path.join(tmp_out, part),
-                os.path.join(src_dir, f"{name}.parquet"),
-            )
-
-        table = LakehouseTable(spark, wh, "events_upsert_vo")
-        table.create(b1.limit(0).withColumn("n_seen", F.lit(1).cast("int")))
-
-        def upsert(batch_df: DataFrame, batch_id: int) -> None:
-            src = batch_df.withColumn("n_seen", F.lit(1).cast("int"))
-            table.merge_into(
-                src,
-                on="event_id",
-                update_cols={"n_seen": F.col("n_seen") + F.lit(1)},
-                insert=True,
-                validate_source_keys=False,  # event_id unique per batch
-            )
-
-        stream = (
-            spark.readStream.schema(b1.schema)
-            .option("maxFilesPerTrigger", "1")  # one MERGE per file
-            .parquet(src_dir)
-        )
-        q = (
-            stream.writeStream.foreachBatch(upsert)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", wh + "/_ckpt")
-            .start()
-        )
-        q.awaitTermination(300)
         out = table.read().select(
             F.col("event_id").cast("long").alias("event_id"),
             F.col("user_id").cast("long").alias("user_id"),

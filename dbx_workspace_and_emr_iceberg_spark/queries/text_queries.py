@@ -1236,9 +1236,13 @@ def x24_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # "benchmark" = docs 0 mod 11; "training corpus" = all docs, so the
     # benchmark docs themselves are planted contamination
     bench = d.filter(F.col("doc_id") % 11 == 0)
-    bench_sh = bench.select(
+    # ONE definition of the bench shingle frame (review-pass finding:
+    # two spelled-out copies could silently diverge and break the
+    # no-false-negative contract confusingly)
+    bench_raw = bench.select(
         F.explode(word_shingles("text", 3)).alias("sh")
-    ).distinct()
+    )
+    bench_sh = bench_raw.distinct()
     # build from the RAW explode, not the distinct frame: OR-ing a
     # duplicate shingle is idempotent, so the bitmap is identical, and
     # skipping distinct makes the build entirely map-side — zero
@@ -1246,12 +1250,7 @@ def x24_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-task tail was over half the query's wall at sf0.1). The
     # distinct frame still feeds the truth join, where multiplicity
     # would overcount.
-    bitmap = build_bloom(
-        bench.select(F.explode(word_shingles("text", 3)).alias("sh")),
-        "sh",
-        m_bits=_X24_M,
-        k=_X24_K,
-    )
+    bitmap = build_bloom(bench_raw, "sh", m_bits=_X24_M, k=_X24_K)
 
     corpus = d.select("doc_id", word_shingles("text", 3).alias("sh"))
     scored = probe_bloom(corpus, "sh", bitmap, m_bits=_X24_M, k=_X24_K).cache()

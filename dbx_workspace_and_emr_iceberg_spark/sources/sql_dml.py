@@ -88,6 +88,12 @@ def _parse_assignments(set_clause: str) -> dict[str, str]:
         if not m:
             raise ValueError(f"unparseable SET assignment: {item!r}")
         out[m.group(2)] = m.group(3).strip()
+    if not out:
+        # an UPDATE SET clause that parses to zero assignments is
+        # malformed SQL, not "no UPDATE clause" — raising here keeps
+        # the module contract (unsupported syntax raises rather than
+        # mis-executing; a falsy {} would silently no-op the UPDATE)
+        raise ValueError(f"empty SET clause: {set_clause!r}")
     return out
 
 
@@ -524,7 +530,7 @@ def execute(engine, sql: str) -> DataFrame:
                 c: F.expr(_rewrite(e, ta, sa))
                 for c, e in spec["update_set"].items()
             }
-            if spec["update_set"]
+            if spec["update_set"] is not None
             else {}
         )
         delete_cond = (

@@ -820,3 +820,19 @@ def test_main_head_raises_past_expired_history(spark, tmp_path):
     t.expire_snapshots(keep_last=2)
     with _pytest.raises(ValueError, match="expired below staged"):
         t.main_head()
+
+
+def test_empty_set_clause_raises():
+    """An UPDATE SET clause with zero parseable assignments is
+    malformed SQL and must raise — a falsy {} would silently no-op the
+    UPDATE (review-pass r10)."""
+    import pytest
+
+    from dbx_workspace_and_emr_iceberg_spark.sources.sql_dml import (
+        _parse_assignments,
+    )
+
+    with pytest.raises(ValueError, match="empty SET"):
+        _parse_assignments("")
+    with pytest.raises(ValueError, match="empty SET"):
+        _parse_assignments(" , ")

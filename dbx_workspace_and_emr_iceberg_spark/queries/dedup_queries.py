@@ -914,6 +914,10 @@ def x49_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     corpus = e.filter(F.col("vec_id") % 13 != 0).unionByName(planted)
+    # fixture-parallelism restoration (x24 pattern): the sf fixtures
+    # arrive as ONE parquet file, so the integer-dot scan would run on
+    # 1-2 tasks; a real corpus arrives in thousands of files
+    corpus = corpus.repartition(spark.sparkContext.defaultParallelism)
 
     cq = quantized_unit_vectors(corpus, "vec_id", "embedding", _X49_SCALE)
     bq = quantized_unit_vectors(bench, "vec_id", "embedding", _X49_SCALE).select(

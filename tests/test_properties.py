@@ -584,3 +584,80 @@ def test_hash_halves_python_jvm_agree(spark, keys):
     for r in rows:
         p1, p2 = _h64(r.s)
         assert (p1, p2) == (r.h1, r.h2), f"hash drift on {r.s!r}"
+
+
+@given(
+    tgt=st.dictionaries(
+        st.integers(0, 12),
+        st.tuples(st.integers(-5, 50), st.integers(0, 50)),
+        min_size=1,
+        max_size=6,
+    ),
+    src=st.dictionaries(
+        st.integers(0, 12),
+        st.tuples(st.integers(-5, 50), st.integers(0, 50)),
+        min_size=1,
+        max_size=6,
+    ),
+    mode=st.sampled_from(["star", "listed", "none"]),
+    insert=st.booleans(),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_merge_update_semantics_property(spark, tgt, src, mode, insert):
+    """Pin the full r10 MERGE UPDATE contract against a pure-Python
+    model: update_cols=None takes every column from source (SET *);
+    an explicit dict updates only the listed columns (others keep the
+    TARGET value); {} leaves matched rows untouched; the delete
+    condition (src.a < 0) wins over update; unmatched source rows
+    insert iff insert=True; target-only rows always survive."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    wh = _tempfile.mkdtemp(prefix="merge_prop_")
+    try:
+        t = LakehouseTable(spark, wh, "mp")
+        t.create(
+            spark.createDataFrame(
+                [(k, a, b) for k, (a, b) in tgt.items()],
+                "k long, a long, b long",
+            )
+        )
+        src_df = spark.createDataFrame(
+            [(k, a, b) for k, (a, b) in src.items()],
+            "k long, a long, b long",
+        )
+        update_cols = {
+            "star": None,
+            "listed": {"a": F.col("__src").getField("a")},
+            "none": {},
+        }[mode]
+        t.merge_into(
+            src_df,
+            on="k",
+            update_cols=update_cols,
+            insert=insert,
+            delete_cond=F.col("__src").getField("a") < 0,
+            validate_source_keys=False,  # dict keys are unique
+        )
+        expected = set()
+        for k, (a, b) in tgt.items():
+            if k in src:
+                sa, sb = src[k]
+                if sa < 0:
+                    continue  # matched + delete_cond -> DELETE
+                if mode == "star":
+                    expected.add((k, sa, sb))
+                elif mode == "listed":
+                    expected.add((k, sa, b))  # a updated, b kept
+                else:
+                    expected.add((k, a, b))  # no UPDATE clause
+            else:
+                expected.add((k, a, b))
+        if insert:
+            for k, (a, b) in src.items():
+                if k not in tgt:
+                    expected.add((k, a, b))
+        got = {(r.k, r.a, r.b) for r in t.read().collect()}
+        assert got == expected, (mode, insert, sorted(got), sorted(expected))
+    finally:
+        _shutil.rmtree(wh, ignore_errors=True)

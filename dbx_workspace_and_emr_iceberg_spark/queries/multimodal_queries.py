@@ -125,3 +125,90 @@ def x5c_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("frame_feature"), 4).alias("avg_feature"),
         )
     )
+
+# --- X5d/X5e: value-oracled decode / frame-sampling twins -------------------
+# x5b/x5c self-verify the Arrow plumbing mechanics; these twins
+# hash-prove the per-row DECODE VALUES and the per-frame EXPANSION:
+# the fixture text is pure ASCII (verified), so byte == codepoint and
+# DuckDB replays the fake codec exactly — byte lengths, first/last-
+# byte dimensions, frame counts, per-frame features. A real codec
+# swaps in behind the same mapInPandas signature; the plumbing
+# evidence (row preservation, batch shape, deterministic 1→N
+# expansion) is what these hashes pin.
+
+_X5D_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+       CAST(16 + CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                      ELSE unicode(substr(text, 1, 1)) END % 64
+            AS INTEGER) AS width,
+       CAST(16 + CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                      ELSE unicode(substr(text, length(text), 1)) END % 64
+            AS INTEGER) AS height,
+       CAST(1 + octet_length(encode(text)) % 3 AS INTEGER) AS n_frames,
+       round(CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(
+                         string_split_regex(text, ''),
+                         c -> unicode(c))) AS DOUBLE)
+                       / octet_length(encode(text)) END, 4) AS mean_byte
+FROM documents WHERE doc_id % 7 = 0
+ORDER BY doc_id
+"""
+
+
+@register("x5d_decode_values", oracle=_X5D_ORACLE, tags=("X5",))
+def x5d_decode_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    mm = attach_payload(d).select(
+        "doc_id", "payload", F.col("meta.format").alias("format")
+    )
+    decoded = mm.mapInPandas(fake_decode_batch, DECODE_SCHEMA)
+    return decoded.select(
+        "doc_id",
+        "byte_len",
+        "width",
+        "height",
+        "n_frames",
+        F.round("mean_byte", 4).alias("mean_byte"),
+    ).orderBy("doc_id")
+
+
+_X5E_ORACLE = """
+WITH d AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS bl,
+         1 + octet_length(encode(text)) % 240 AS n_total
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       CAST(n_total AS INTEGER) AS n_frames_total,
+       round(CAST((CASE WHEN bl = 0 THEN 0
+                        ELSE unicode(substr(
+                               text,
+                               CAST(i % greatest(bl, 1) AS INTEGER) + 1,
+                               1)) END * 31 + i) % 256 AS DOUBLE)
+             / 255.0, 6) AS frame_feature
+FROM (SELECT doc_id, text, bl, n_total,
+             unnest(generate_series(0, n_total - 1, 30)) AS i
+      FROM d)
+ORDER BY doc_id, frame_idx
+"""
+
+
+@register("x5e_frame_values", oracle=_X5E_ORACLE, tags=("X5", "D5"))
+def x5e_frame_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        FRAME_SCHEMA,
+        fake_frame_sample_batch,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    src = attach_payload(d).select("doc_id", "payload")
+    frames = src.mapInPandas(fake_frame_sample_batch, FRAME_SCHEMA)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "n_frames_total",
+        F.round("frame_feature", 6).alias("frame_feature"),
+    ).orderBy("doc_id", "frame_idx")
+

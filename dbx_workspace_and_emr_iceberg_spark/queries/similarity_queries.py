@@ -492,3 +492,109 @@ def x29_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not (0.8 < r < 1.2):
         raise AssertionError(f"JL norm ratio off: {r}")
     return out.orderBy("vec_id", "dim")
+
+
+# --- X3h: integer-exact vectorized top-k (fully value-oracled ANN member) ---
+# The x3 family's hard evidence gap: the exact float top-k (x3) is
+# oracled, but the VECTORIZED members (x3d/x3g) self-assert ≥95%
+# agreement because float ulp ties differ per engine. This twin makes
+# the vectorized rank itself hash-exact: unit vectors quantize to
+# integers at scale 1000 (x20's quantizer), and the ranking key is
+# sign(dot) · ((dot²·1000) div n2) — PURE LONG arithmetic (dot ≤
+# 64·10⁶ ⇒ dot²·1000 ≤ 4.2e18 < 2⁶³), identical `div`/`//` in both
+# engines, ties broken by neighbor id. DuckDB re-derives every key and
+# the full top-5 per query. Scale shape: the query batch broadcasts
+# (x3's contract), the corpus streams one scan, the rank window
+# partitions on q_id (bounded by the batch).
+
+_X3H_SCALE = 1_000
+_X3H_K = 5
+
+_X3H_ORACLE = f"""
+WITH vec AS (
+  SELECT vec_id, vq,
+         CAST(list_sum(list_transform(vq, x -> x*x)) AS BIGINT) AS n2
+  FROM (
+    SELECT vec_id,
+           list_transform(
+             emb, x -> CAST(floor(x / sqrt(n2d) * {_X3H_SCALE} + 0.5)
+                            AS BIGINT)) AS vq
+    FROM (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+                 list_reduce(list_transform(
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                   x -> x*x), (a, b) -> a + b) AS n2d
+          FROM embeddings))
+),
+pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         CAST(list_sum(list_transform(list_zip(q.vq, c.vq),
+                                      p -> p[1]*p[2])) AS BIGINT) AS dd,
+         c.n2 AS n2c
+  FROM (SELECT * FROM vec WHERE vec_id % 50 = 0) q
+  JOIN vec c ON c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT q_id, n_id,
+         CASE WHEN dd >= 0 THEN (dd*dd*{_X3H_SCALE}) // n2c
+              ELSE -((dd*dd*{_X3H_SCALE}) // n2c) END AS sim_key,
+         row_number() OVER (
+           PARTITION BY q_id
+           ORDER BY CASE WHEN dd >= 0 THEN (dd*dd*{_X3H_SCALE}) // n2c
+                         ELSE -((dd*dd*{_X3H_SCALE}) // n2c) END DESC,
+                    n_id) AS rk
+  FROM pairs
+)
+SELECT q_id, CAST(rk AS BIGINT) AS rank, n_id AS neighbor_id, sim_key
+FROM ranked WHERE rk <= {_X3H_K}
+ORDER BY q_id, rank
+"""
+
+
+@register("x3h_topk_int_exact", oracle=_X3H_ORACLE, tags=("X3",))
+def x3h_topk_int_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.semantic import quantized_unit_vectors
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    quant = quantized_unit_vectors(e, "vec_id", "embedding", _X3H_SCALE)
+    qs = quant.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vq").alias("qvq"),
+    )
+    # materialize dd BEFORE keying (the __words idiom): the fold is
+    # referenced twice by the sign/magnitude key
+    pairs = (
+        quant.join(F.broadcast(qs), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            "n2",
+            F.aggregate(
+                F.zip_with(F.col("qvq"), F.col("vq"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dd"),
+        )
+    )
+    keyed = pairs.withColumn(
+        "sim_key",
+        F.when(
+            F.col("dd") >= 0,
+            F.expr(f"(dd * dd * {_X3H_SCALE}L) div n2"),
+        ).otherwise(-F.expr(f"(dd * dd * {_X3H_SCALE}L) div n2")),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("sim_key").desc(), "n_id")
+    out = (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _X3H_K)
+        .select(
+            "q_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("n_id").alias("neighbor_id"),
+            "sim_key",
+        )
+        .orderBy("q_id", "rank")
+    )
+    return out

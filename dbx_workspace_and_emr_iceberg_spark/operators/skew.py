@@ -84,6 +84,134 @@ def salted_top_k(
     return out.withColumnRenamed("__rk", rank_col)
 
 
+def chunked_discrete_percentiles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ps: dict[str, float],
+    n_chunks: int = 8,
+) -> DataFrame:
+    """Exact per-key DISCRETE quantiles — the element at 1-indexed rank
+    ceil(p*n) of the key's sorted values (DuckDB quantile_disc's
+    inverse-CDF rule) — with NO window partitioned on ``key_col``
+    alone. The skew-proof respelling of qd8's original
+    ``Window.partitionBy(segment)`` over the raw frame (r10 verdict
+    #2): a 5-value market-segment key funnels ~1/5 of all orders
+    through one task at 100 TB; here every window is partitioned on
+    (key, chunk) and the only key-alone shuffles carry frames bounded
+    by the number of DISTINCT values, never raw rows.
+
+    Same machinery as chunked_percent_ranks, specialized from
+    percent_rank to rank-range membership: a distinct value v with
+    cnt occurrences and lt strictly-smaller rows occupies ranks
+    [lt+1, lt+cnt]; the discrete p-quantile is the unique v whose
+    range contains ceil(p*n).
+
+    Pipeline:
+      1. distinct-value counts groupBy(key, val) — combiner-friendly;
+         the rank frame is bounded by |distinct values|, not rows;
+      2. chunk the value axis by approxQuantile boundaries (balance is
+         approximate, correctness never depends on it); chunk-LOCAL
+         exclusive prefix sums over windows partitioned by
+         (key, chunk);
+      3. per-(key, chunk) totals collect to the driver — bounded by
+         |keys| * n_chunks rows — exclusive prefix there, broadcast
+         back as offsets; per-key row count n comes from the same
+         totals;
+      4. one bounded groupBy(key) picks, for each (alias, p), the
+         value whose global rank range contains ceil(p*n).
+
+    ``value_col`` must be non-NULL. Returns
+    (key_col, n_rows, *ps-aliases) with the value column's original
+    dtype preserved.
+    """
+    spark = df.sparkSession
+    probs = [i / n_chunks for i in range(1, n_chunks)]
+    (bounds,) = df.stat.approxQuantile([value_col], probs, 0.01)
+
+    # chunk id is monotone in val and ties share a chunk, so the
+    # chunk-local prefix + driver offset composes to the global
+    # strictly-smaller count
+    chunk_expr = F.lit(0)
+    for b in sorted(set(bounds)):
+        chunk_expr = chunk_expr + F.when(
+            F.col(value_col) >= F.lit(float(b)), 1
+        ).otherwise(0)
+
+    vc = (
+        df.groupBy(key_col, value_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("chunk", chunk_expr)
+        .cache()
+    )
+    w_loc = (
+        Window.partitionBy(key_col, "chunk")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    loc = vc.withColumn(
+        "lt_loc", F.coalesce(F.sum("cnt").over(w_loc), F.lit(0))
+    )
+
+    totals = (
+        vc.groupBy(key_col, "chunk").agg(F.sum("cnt").alias("t")).collect()
+    )  # <= |keys| * n_chunks rows — bounded collect
+    acc: dict = {}
+    off_rows = []
+    for r in sorted(totals, key=lambda r: (str(r[0]), r["chunk"])):
+        off = acc.get(r[0], 0)
+        off_rows.append((r[0], int(r["chunk"]), off))
+        acc[r[0]] = off + int(r["t"])
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    key_type = df.schema[key_col].dataType
+    offsets = spark.createDataFrame(
+        off_rows,
+        StructType(
+            [
+                StructField(key_col, key_type),
+                StructField("chunk", IntegerType()),
+                StructField("lt_off", LongType()),
+            ]
+        ),
+    )
+    nparts = spark.createDataFrame(
+        [(k, int(n)) for k, n in acc.items()],
+        StructType(
+            [
+                StructField(key_col, key_type),
+                StructField("n_part", LongType()),
+            ]
+        ),
+    )
+    ranked = (
+        loc.withColumn("chunk", F.col("chunk").cast("int"))
+        .join(F.broadcast(offsets), [key_col, "chunk"])
+        .join(F.broadcast(nparts), key_col)
+        .withColumn("lt", F.col("lt_loc") + F.col("lt_off"))
+    )
+    aggs = [F.max("n_part").cast("long").alias("n_rows")]
+    for alias, p in ps.items():
+        # same ceil(p*n) expression as the single-window spelling —
+        # property-pinned against quantile_disc in test_properties
+        r = F.ceil(F.col("n_part") * F.lit(p))
+        aggs.append(
+            F.max(
+                F.when(
+                    (F.col("lt") < r) & (r <= F.col("lt") + F.col("cnt")),
+                    F.col(value_col),
+                )
+            ).alias(alias)
+        )
+    return ranked.groupBy(key_col).agg(*aggs)
+
+
 def chunked_percent_ranks(
     df: DataFrame,
     part_col: str,

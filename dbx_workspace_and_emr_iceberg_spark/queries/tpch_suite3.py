@@ -389,9 +389,10 @@ def qd7_order_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # makes interpolated midpoints land on half-cent boundaries where the
 # two engines' rounding direction can differ by one ulp (measured:
 # p50 251483.295 → .29 vs .30); discrete quantiles return actual data
-# values, so no rounding is involved at all. Exact percentiles sort
-# within groups (one shuffle on the 5-value segment key); the approx
-# sketch tier for 100 TB group explosions is a5's approx_percentile.
+# values, so no rounding is involved at all. Ranks come from the
+# chunked distinct-value machinery (operators/skew.py) — no window on
+# the 5-value segment key alone; the approx sketch tier for 100 TB
+# group explosions is a5's approx_percentile.
 
 _QD8_ORACLE = """
 SELECT c.c_mktsegment AS segment,
@@ -428,27 +429,20 @@ def discrete_percentiles(
     the element at 1-indexed rank ceil(p*n) of the key's sorted values
     — DuckDB quantile_disc's inverse-CDF rule (probed empirically;
     property-pinned against it in tests/test_properties.py). Output:
-    (key_col, n_rows, *aliases). One shuffle on the key; ties in
-    ``value_col`` are harmless (any tied row yields the same value)."""
-    rn_w = Window.partitionBy(key_col).orderBy(value_col)
-    n_w = Window.partitionBy(key_col)
-    ranked = df.select(
-        key_col,
-        value_col,
-        F.row_number().over(rn_w).alias("__rn"),
-        F.count(F.lit(1)).over(n_w).alias("__n"),
-    )
-    aggs = [F.max("__n").cast("long").alias("n_rows")]
-    for alias, p in ps.items():
-        aggs.append(
-            F.max(
-                F.when(
-                    F.col("__rn") == F.ceil(F.col("__n") * F.lit(p)),
-                    F.col(value_col),
-                )
-            ).alias(alias)
-        )
-    return ranked.groupBy(key_col).agg(*aggs)
+    (key_col, n_rows, *aliases); ties in ``value_col`` are harmless
+    (any tied row yields the same value).
+
+    Spelled on chunked_discrete_percentiles (operators/skew.py), NOT
+    a ``Window.partitionBy(key_col)`` over the raw frame: qd8's key
+    is the 5-value market segment, so a key-partitioned window would
+    funnel ~1/5 of all orders through one task at 100 TB (r10 verdict
+    #2 — the repo-wide rule against full-granularity windows on
+    low-cardinality keys). Every window here is (key, chunk)-
+    partitioned and key-alone shuffles carry only the distinct-value
+    frame."""
+    from ..operators.skew import chunked_discrete_percentiles
+
+    return chunked_discrete_percentiles(df, key_col, value_col, ps)
 
 
 # --- QD9: ordered funnel analysis over the events stream --------------------

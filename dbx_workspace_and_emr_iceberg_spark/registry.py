@@ -143,32 +143,11 @@ def all_queries() -> dict[str, Query]:
 #: delete the whole list's content after the round's CORRECTNESS lands
 #: green (regenerating driver_history.py then carries the evidence).
 #:
-#: Round-10 entries:
+#: Round-11 entries:
 _CHANGED_THIS_ROUND = [
-    # plan changed in the r8 lambda sweep (commit 13f448c) but the only
-    # driver row is r5 — the hard signal is stale (r9 verdict #2)
-    "x16_contamination_check",
-    # r10: oracle gains the zero-centroid WHERE mirror (ADVICE low)
-    "x20_semantic_dedup",
-    # r10: respelled onto chunked_percent_ranks (r9 verdict #3)
-    "x15_quality_quantile_gate",
-    # r10: newly value-oracled bloom frame (r9 verdict #4)
-    "x24_bloom_contamination",
-    # r10: bloom-probe history path is now the default (r9 verdict #5)
-    "t18_stream_dedup_history",
-    # r10: banded LSH pre-filter replaces the all-pairs crossJoin
-    # (r9 verdict #6)
-    "x2b_ngram_jaccard",
-    # r10: extended WAP self-asserts (staged TIMESTAMP-AS-OF skip +
-    # divergent-publish refusal + repeated-publish cycle) — r9 verdict
-    # #7 + the ADVICE fast-forward fixes
-    "m8_branches_wap",
-    "m8b_sql_branch_lifecycle",
-    # r10: MERGE UPDATE semantics fix (explicit SET keeps unlisted
-    # target columns) changed these queries' DML paths — re-prove
-    "m1_lakehouse_dml_lifecycle",
-    "m12_sql_dml_door",
-    "t10_stream_merge_upsert",
+    # r11: respelled onto per-key chunked discrete-rank machinery
+    # (r10 verdict #2 — the last Window.partitionBy(low-card key))
+    "qd8_percentile_report",
 ]
 
 

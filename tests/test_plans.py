@@ -465,3 +465,25 @@ def test_x2b_candidates_come_from_band_join(spark):
     plan = X.simple_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_qd8_no_window_partitioned_on_segment_alone(spark):
+    """r10 verdict #2, pinned: qd8's discrete percentiles run on the
+    chunked distinct-value machinery — no window is partitioned on the
+    5-value segment key alone (that shape funnels ~1/5 of all orders
+    through one task at scale); every windowspec partitions on
+    (segment, chunk), and the only segment-keyed exchanges carry the
+    bounded distinct-value / final-report frames."""
+    import re
+
+    from dbx_workspace_and_emr_iceberg_spark.queries.tpch_suite3 import (
+        qd8_percentile_report,
+    )
+
+    df = qd8_percentile_report(spark, SF_DIR)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    for m in re.finditer(
+        r"windowspecdefinition\(([^)]*?)(?:ASC|DESC)", opt
+    ):
+        spec = m.group(1)
+        assert "chunk" in spec, "window partitioned on key alone: " + m.group(0)

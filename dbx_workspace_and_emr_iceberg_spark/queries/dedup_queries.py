@@ -1852,8 +1852,11 @@ _X2E_SEEDS = 16
 _X2E_BANDS = 8
 _X2E_ROWS = _X2E_SEEDS // _X2E_BANDS
 
-_X2E_ORACLE = f"""
-WITH corpus AS (
+#: The md5 MinHash-LSH CTE chain (corpus -> shingles -> hash halves ->
+#: signatures -> band digests), shared verbatim by x2e's candidate-set
+#: oracle and x12c's end-to-end pipeline oracle. Emitted WITHOUT the
+#: leading WITH so x12c can prepend RECURSIVE for its closure stage.
+_MD5_LSH_CTES = f"""corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + {_COPY_OFFSET},
@@ -1886,7 +1889,10 @@ bands AS (
   SELECT doc_id, s // {_X2E_ROWS} AS band_id,
          md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY s)) AS band_val
   FROM sig GROUP BY doc_id, s // {_X2E_ROWS}
-)
+)"""
+
+_X2E_ORACLE = f"""
+WITH {_MD5_LSH_CTES}
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(CASE WHEN b.doc_id - a.doc_id = {_COPY_OFFSET}
                  THEN 1 ELSE 0 END AS BIGINT) AS is_planted
@@ -1897,12 +1903,16 @@ ORDER BY id_a, id_b
 """
 
 
-@register("x2e_lsh_value_oracle", oracle=_X2E_ORACLE, tags=("X2", "X2E"))
-def x2e_lsh_value_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _md5_band_frame(corpus: DataFrame) -> DataFrame:
+    """Cross-engine md5 MinHash band frame (doc_id, band_id, band_val)
+    over a (doc_id, text) corpus — the Spark mirror of _MD5_LSH_CTES.
+    Per shingle one md5 yields two 32-bit halves; seed s's hash is the
+    Kirsch-Mitzenmacher affine (h1 + s*h2) mod 2^32; band key = md5 of
+    the band's comma-joined signature slice. Shared by x2e (candidate
+    set) and x12c (full pipeline)."""
     from .text_queries import _padded_ngrams
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = d.unionByName(_planted_near_dups(d)).withColumn(
+    corpus = corpus.withColumn(
         "__words", F.split("text", " ")  # materialized — x4d idiom
     )
     words = F.col("__words")
@@ -1938,7 +1948,7 @@ def x2e_lsh_value_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mh")
         )
     )
-    bands = (
+    return (
         sig.withColumn("band_id", F.expr(f"s div {_X2E_ROWS}"))
         .groupBy("doc_id", "band_id")
         .agg(
@@ -1955,6 +1965,13 @@ def x2e_lsh_value_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("band_val")
         )
     )
+
+
+@register("x2e_lsh_value_oracle", oracle=_X2E_ORACLE, tags=("X2", "X2E"))
+def x2e_lsh_value_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(_planted_near_dups(d))
+    bands = _md5_band_frame(corpus)
     a = bands.select(
         F.col("doc_id").alias("id_a"), "band_id", "band_val"
     )
@@ -1973,4 +1990,107 @@ def x2e_lsh_value_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         .orderBy("id_a", "id_b")
+    )
+
+
+# --- X12c: end-to-end LSH dedup pipeline, value-oracled ----------------------
+# x12b runs the production pipeline (xxhash64 MinHash -> jaccard verify
+# -> connected components) with recall self-asserts; both of its halves
+# got independent value oracles in r10 (x2e replays the banding, x12's
+# recursive CTE replays the clustering) — this twin composes them
+# (r10 verdict #4): the IDENTICAL pipeline on the cross-engine md5
+# hash family, so DuckDB re-derives the candidate set, the verified
+# edge set, the transitive clusters, and the final per-cluster summary
+# end to end. The jaccard gate is spelled integer-exact
+# (20*|A∩B| >= 17*|A∪B|, i.e. >= 0.85) so no float predicate can flip
+# across engines. Scale shape identical to x12b: shuffles carry band
+# digests and word arrays of CANDIDATES only — never all pairs; the
+# clustering is min-label propagation with pointer jumping.
+
+_X12C_ORACLE = f"""
+WITH RECURSIVE {_MD5_LSH_CTES},
+cand AS (
+  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+),
+pool AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM corpus
+),
+edges0 AS (
+  SELECT ia AS s, ib AS d
+  FROM cand
+  JOIN pool pa ON pa.doc_id = cand.ia
+  JOIN pool pb ON pb.doc_id = cand.ib
+  WHERE 20 * len(list_intersect(pa.w, pb.w))
+        >= 17 * (len(pa.w) + len(pb.w) - len(list_intersect(pa.w, pb.w)))
+),
+edges AS (SELECT s, d FROM edges0 UNION SELECT d, s FROM edges0),
+reach AS (
+  SELECT doc_id AS n, doc_id AS m FROM corpus
+  UNION
+  SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n
+),
+comp AS (SELECT n, min(m) AS c FROM reach GROUP BY n)
+SELECT c AS cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+       min(n) AS canonical_doc
+FROM comp GROUP BY c HAVING count(*) > 1
+ORDER BY cluster_id
+"""
+
+
+@register(
+    "x12c_lsh_pipeline_values", oracle=_X12C_ORACLE, tags=("X2", "X6", "X1")
+)
+def x12c_lsh_pipeline_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidates -> integer-exact jaccard verify ->
+    connected components -> per-cluster summary, every stage
+    DuckDB-replayed (see module comment above _X12C_ORACLE).
+    NOTE: calling this RUNS the clustering fixpoint (x12 caveat); the
+    returned frame is the materialized labelling's cheap projection."""
+    from ..operators.components import connected_components
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(_planted_near_dups(d))
+    bands = _md5_band_frame(corpus)
+    a = bands.select(F.col("doc_id").alias("id_a"), "band_id", "band_val")
+    b = bands.select(F.col("doc_id").alias("id_b"), "band_id", "band_val")
+    cand = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    pool = corpus.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("w")
+    )
+    scored = cand.join(
+        pool.select(F.col("doc_id").alias("id_a"), F.col("w").alias("wa")),
+        "id_a",
+    ).join(
+        pool.select(F.col("doc_id").alias("id_b"), F.col("w").alias("wb")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("wa", "wb"))
+    union = F.size("wa") + F.size("wb") - inter
+    edges = scored.filter(20 * inter >= 17 * union).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(
+        edges, "src", "dst", nodes=corpus.select("doc_id")
+    )
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("node").alias("canonical_doc"),
+        )
+        .filter(F.col("cluster_size") > 1)
+        .select(
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            "canonical_doc",
+        )
+        .orderBy("cluster_id")
     )

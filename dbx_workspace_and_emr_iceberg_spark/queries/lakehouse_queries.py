@@ -737,6 +737,106 @@ def m7_partition_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+# --- M7b: partition evolution value oracle ----------------------------------
+# m7 self-asserts hidden pruning + manifest-only evolution; this twin
+# hash-proves the CONTENT side (m5b/m6c precedent): the day slice read
+# THROUGH the manifest predicate rewrite, and the final table after
+# evolve-to-months + append, must both equal frames DuckDB derives
+# from the fixture. The scan-set evidence (files_scanned < files_total
+# before AND after evolution) stays in-query — a full scan would still
+# return right values, so the assert is what pins the pruning.
+
+_M7B_ORACLE = """
+WITH ev AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id, ts,
+         CAST(user_id AS BIGINT) AS user_id, event_type
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+),
+base AS (SELECT * FROM ev WHERE event_id % 5 = 0),
+appended AS (SELECT * FROM ev WHERE event_id % 5 = 1)
+SELECT 'day' AS phase, * FROM base
+ WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+   AND ts <  TIMESTAMP '2024-01-16 00:00:00'
+UNION ALL
+SELECT 'final', * FROM base
+UNION ALL
+SELECT 'final', * FROM appended
+ORDER BY phase, event_id
+"""
+
+
+@register(
+    "m7b_partition_evolution_values",
+    oracle=_M7B_ORACLE,
+    tags=("M7", "P3", "S6"),
+)
+def m7b_partition_evolution_values(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Value-oracled partition evolution (r10 verdict #3): CTAS under
+    days(ts) x bucket(4, user_id) -> hidden-pruned day read (content
+    tagged phase='day') -> evolve spec to months(ts) (asserted
+    manifest-only) -> append a second deterministic slice -> full
+    content (phase='final'). DuckDB replays both frames relationally
+    from the fixture; the pruning effect itself is asserted in-query
+    on read_pruned's (files_scanned, files_total) both before and
+    after the spec change."""
+    from ..sources.lakehouse import PartitionedLakehouseTable
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_m7b_")
+    try:
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "ts", "user_id", "event_type")
+            .filter(
+                (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+                & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+            )
+        )
+        base = ev.filter(F.col("event_id") % 5 == 0)
+        appended = ev.filter(F.col("event_id") % 5 == 1)
+        t = PartitionedLakehouseTable(
+            spark, wh, "events_m7b", ["days(ts)", "bucket(4, user_id)"]
+        )
+        t.create(base)
+
+        day_lo, day_hi = "2024-01-15 00:00:00", "2024-01-16 00:00:00"
+        day_df, n_scan, n_total = t.read_pruned("ts", day_lo, day_hi)
+        assert n_scan * 5 <= n_total, (
+            f"pre-evolution rewrite did not prune: {n_scan}/{n_total}"
+        )
+
+        files_before = set(t._files())
+        t.evolve_partitioning(["months(ts)"])
+        assert set(t._files()) == files_before, "evolution rewrote files"
+        t.append(appended)
+
+        # post-evolution pruning: old-spec files prune by days(ts),
+        # new-spec files by months(ts) — a one-day probe must still
+        # drop most of the scan set (safe over-read on the month file)
+        _, n_scan2, n_total2 = t.read_pruned("ts", day_lo, day_hi)
+        assert n_scan2 * 2 <= n_total2, (
+            f"post-evolution rewrite did not prune: {n_scan2}/{n_total2}"
+        )
+
+        cols = [
+            F.col("event_id").cast("long").alias("event_id"),
+            "ts",
+            F.col("user_id").cast("long").alias("user_id"),
+            "event_type",
+        ]
+        out = (
+            day_df.select(F.lit("day").alias("phase"), *cols)
+            .unionAll(t.read().select(F.lit("final").alias("phase"), *cols))
+            .orderBy("phase", "event_id")
+        )
+        return out.localCheckpoint()  # temp warehouse removed in finally
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 @register("s6_dynamic_partition_overwrite", oracle=None, tags=("S6", "M7"))
 def s6_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition-level INSERT OVERWRITE (S6) — Iceberg's

@@ -189,21 +189,40 @@ def x3g_topk_vectorized_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("query_id", "rank")
 
 
-# --- X3e: IVF-partitioned ANN (self-verified recall) ------------------------
+# --- X3e: IVF-partitioned ANN (contract-oracled) ----------------------------
+# ANN output is seed/partition-order sensitive in general, so the
+# VALUES aren't SQL-replayable — but the CONTRACT is (o5 precedent,
+# r10 verdict #5): with deterministic centroid seeding the whole
+# pipeline must reproduce bit-identically, every query must return at
+# most k ranked neighbors none of which is itself, and recall@5 vs the
+# oracle-checked exact scorer must clear the floor. Each clause is a
+# bigint 0/1 flag the driver hash-checks, so any violation hash-reds
+# instead of silently passing a rows-only sample.
+
+_X3E_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(1 AS BIGINT) AS per_query_le_k,
+       CAST(1 AS BIGINT) AS no_self_match,
+       CAST(1 AS BIGINT) AS recall_ge_threshold,
+       CAST(1 AS BIGINT) AS reproducible
+FROM embeddings WHERE vec_id % 50 = 0
+"""
 
 
-@register("x3e_ivf_ann", oracle=None, tags=("X3",))
+@register("x3e_ivf_ann", oracle=_X3E_ORACLE, tags=("X3",))
 def x3e_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (16 cells, probe 4, 2 Lloyd iterations — deterministic
-    init from lowest-id vectors). Self-verifies recall@5 ≥ 0.5 vs exact;
-    scanning ~25% of cells should beat that comfortably on clustered
-    data and the floor guards the plumbing, not the statistics."""
+    init from lowest-id vectors), contract-oracled: recall@5 ≥ 0.5 vs
+    exact (scanning ~25% of cells should beat that comfortably on
+    clustered data — the floor guards the plumbing, not the
+    statistics), ≤ k ranked neighbors per query, no self-matches, and
+    a full second run reproduces the first bit-identically."""
     from ..operators.similarity import cosine_topk, ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0)
-    # cache: both feed the recall join and the final result/count, and
-    # both are ≤ k·|queries| rows
+    # cache: feeds the recall join, the bound checks, the repro diff,
+    # and the counts — all over a ≤ k·|queries| row frame
     approx = ivf_topk(e, q, k=5).select("query_id", "neighbor_id", "rank").cache()
     exact = cosine_topk(e, q, k=5).select(
         "query_id", F.col("neighbor_id").alias("exact_neighbor")
@@ -214,9 +233,35 @@ def x3e_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (approx.neighbor_id == exact.exact_neighbor),
     ).count()
     total = exact.count()
-    if total and hit / total < 0.5:
-        raise AssertionError(f"IVF recall@5 too low: {hit}/{total}")
-    return approx.orderBy("query_id", "rank")
+    recall_ok = (total == 0) or (hit / total >= 0.5)
+
+    bounds = approx.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("c"), F.max("rank").alias("mr")
+    ).agg(F.max("c").alias("mc"), F.max("mr").alias("mmr")).first()
+    le_k = (bounds.mc or 0) <= 5 and (bounds.mmr or 0) <= 5
+    no_self = (
+        approx.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+    )
+    # reproducibility: a SECOND full pipeline run (fresh Lloyd passes,
+    # fresh assignment) must emit the identical ranked set
+    approx2 = ivf_topk(e, q, k=5).select("query_id", "neighbor_id", "rank")
+    repro = (
+        approx.exceptAll(approx2).count() == 0
+        and approx2.exceptAll(approx).count() == 0
+    )
+    return spark.createDataFrame(
+        [
+            (
+                q.count(),
+                int(le_k),
+                int(no_self),
+                int(recall_ok),
+                int(repro),
+            )
+        ],
+        "n_queries long, per_query_le_k long, no_self_match long, "
+        "recall_ge_threshold long, reproducible long",
+    )
 
 
 # --- X10: int8 embedding quantization (shuffle/storage compression) ---------

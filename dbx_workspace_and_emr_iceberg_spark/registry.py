@@ -148,6 +148,12 @@ _CHANGED_THIS_ROUND = [
     # r11: respelled onto per-key chunked discrete-rank machinery
     # (r10 verdict #2 — the last Window.partitionBy(low-card key))
     "qd8_percentile_report",
+    # r11: new value-oracled twin of m7 (r10 verdict #3)
+    "m7b_partition_evolution_values",
+    # r11: new end-to-end value-oracled LSH pipeline (r10 verdict #4)
+    "x12c_lsh_pipeline_values",
+    # r11: converted rows-only -> contract-oracled (r10 verdict #5)
+    "x3e_ivf_ann",
 ]
 
 

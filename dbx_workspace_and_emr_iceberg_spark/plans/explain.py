@@ -84,3 +84,76 @@ def python_eval_count(df: DataFrame) -> int:
     ArrowEvalPython / MapInPandas etc. = vectorized)."""
     p = simple_plan(df)
     return p.count("BatchEvalPython") + p.count("ArrowEvalPython")
+
+
+# --- centralized in-query scale guards (ADVICE r10) -------------------------
+# Several queries assert their own plan SHAPE at run time (chunked
+# windows, broadcast dim sides) — the 100 TB contract enforced on
+# every execution, not only under pytest. The plan-string spellings
+# below are Spark-version-dependent ("windowspecdefinition(...)",
+# "BroadcastHashJoin"), so they live HERE, in one regex-tested place:
+# an engine upgrade that reformats plans is a single fix, and
+# tests/test_plans.py pins both the match and the non-match direction
+# against hand-built frames.
+
+_WINDOWSPEC_RE = r"windowspecdefinition\((.*?)(?:ASC|DESC)"
+_GLOBAL_WINDOW_RE = r"windowspecdefinition\([^,)]*(?:ASC|DESC)"
+
+
+def window_partition_specs(df: DataFrame) -> list[str]:
+    """One entry per window spec in the OPTIMIZED plan: the text before
+    the first sort direction — partition expressions plus the first
+    order column. Empty list = no windows."""
+    import re
+
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return [m.group(1) for m in re.finditer(_WINDOWSPEC_RE, plan)]
+
+
+def assert_windows_partitioned_by(
+    df: DataFrame, token: str, label: str
+) -> None:
+    """Every window spec must carry ``token`` in its partition clause —
+    the chunked-rank contract (operators/skew.py): a window partitioned
+    on the raw low-cardinality key alone (or on nothing) funnels one
+    key's rows through ONE task at scale. Also requires at least one
+    window to exist, so a silent plan rewrite can't vacuously pass."""
+    specs = window_partition_specs(df)
+    if not specs:
+        raise AssertionError(f"{label}: expected windows in the plan")
+    for s in specs:
+        if token not in s:
+            raise AssertionError(
+                f"{label}: window not {token}-partitioned: "
+                f"windowspecdefinition({s}...)"
+            )
+
+
+def assert_no_unpartitioned_window(
+    df: DataFrame, label: str, require_window: bool = False
+) -> None:
+    """No window spec may be GLOBAL (no partition clause): an
+    unpartitioned spec's first argument is the sort column itself
+    ("col#N ASC ..."), i.e. no comma before the direction keyword.
+    ``require_window=True`` additionally demands at least one window
+    exists, so a plan rewrite can't pass vacuously."""
+    import re
+
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if require_window and "windowspecdefinition" not in plan:
+        raise AssertionError(f"{label}: expected a window in the plan")
+    if re.search(_GLOBAL_WINDOW_RE, plan):
+        raise AssertionError(
+            f"{label}: unpartitioned (single-task) window in plan"
+        )
+
+
+def assert_broadcast_no_cartesian(df: DataFrame, label: str) -> None:
+    """The EXECUTED plan must contain a broadcast (the small side rides
+    a BroadcastExchange) and no cartesian product — the dim-side
+    contract for corpus-vs-small-frame joins (x49/x24 shape)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "Broadcast" not in plan:
+        raise AssertionError(f"{label}: small side not broadcast: " + plan)
+    if "CartesianProduct" in plan:
+        raise AssertionError(f"{label}: cartesian join in plan: " + plan)

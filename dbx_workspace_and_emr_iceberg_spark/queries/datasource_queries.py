@@ -64,15 +64,25 @@ def s13_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("t14_python_stream_source", oracle=None, tags=("T14", "T1"))
+_T14_ORACLE = """
+SELECT CAST(i % 17 AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM range(0, 600) t(i)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("t14_python_stream_source", oracle=_T14_ORACLE, tags=("T14", "T1"))
 def t14_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Micro-batch stream from the same Python source under
     Trigger.AvailableNow: the run admits the whole declared backlog
     (see SyntheticEventsStreamReader on why that is the only lossless
-    availableNow contract for Python sources) and terminates. Rows-only
-    by design (streaming); self-verified: the streamed per-bucket
-    counts must equal the batch read's — exactly-once across the
-    offset boundary, no rows lost or duplicated."""
+    availableNow contract for Python sources) and terminates.
+    Self-verified (streamed per-bucket counts equal the batch read's —
+    exactly-once across the offset boundary) AND value-oracled (r11,
+    the s13b precedent): the generator's row formula is pure integer
+    arithmetic, so DuckDB replays the streamed aggregate from
+    range(0, n) with no table at all."""
     register_python_datasource(spark)
     n = 600
     sdf = (

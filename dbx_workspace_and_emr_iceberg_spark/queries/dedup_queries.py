@@ -958,13 +958,9 @@ def x49_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a broadcast join — a shuffle-side join of the corpus would
         # break the one-scan contract. Inside the try so an assert
         # failure still unpersists the cache (review-pass finding).
-        _plan = out._jdf.queryExecution().executedPlan().toString()
-        if "Broadcast" not in _plan:
-            raise AssertionError(
-                "x49: benchmark side not broadcast: " + _plan
-            )
-        if "CartesianProduct" in _plan:
-            raise AssertionError("x49: cartesian corpus join: " + _plan)
+        from ..plans.explain import assert_broadcast_no_cartesian
+
+        assert_broadcast_no_cartesian(out, "x49")
         n_planted = planted.count()
         n_flagged_planted = out.filter(F.col("is_planted") == 1).count()
         if n_planted == 0:

@@ -89,12 +89,23 @@ def s2d_json_timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- S2e: CSV malformed-row handling (PERMISSIVE / DROPMALFORMED / ---------
 # FAILFAST) — the parse-mode contract every CSV ingestion pipeline
-# depends on. Rows-only: DuckDB's CSV error handling differs by design,
-# so the three modes are asserted against each other and against the
-# known-planted corruption instead.
+# depends on. DuckDB's CSV error handling differs by design, so the
+# modes are asserted against the known-planted corruption — but the
+# resulting ACCOUNTING is fixture-derivable (3 planted bad lines over
+# the nation row count), so it is value-ORACLED (r11): a mode that
+# leaks or drops the wrong rows changes a count and hash-reds.
+
+_S2E_ORACLE = """
+SELECT 'dropmalformed_kept' AS label, CAST(count(*) AS BIGINT) AS n
+FROM nation
+UNION ALL SELECT 'failfast_raised', 1
+UNION ALL SELECT 'permissive_corrupt', 3
+UNION ALL SELECT 'permissive_total', CAST(count(*) + 3 AS BIGINT) FROM nation
+ORDER BY label
+"""
 
 
-@register("s2e_csv_malformed_modes", oracle=None, tags=("S2",))
+@register("s2e_csv_malformed_modes", oracle=_S2E_ORACLE, tags=("S2",))
 def s2e_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write a CSV with a known number of planted malformed rows, then
     read it under all three parse modes and assert the contract:
@@ -179,8 +190,8 @@ def s2e_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("dropmalformed_kept", n_dropped),
             ("failfast_raised", 1),
         ],
-        "check string, n long",
-    )
+        "label string, n long",
+    ).orderBy("label")
 
 
 # --- S2f: parquet schema merge on read (mergeSchema=true) -------------------
@@ -471,7 +482,24 @@ def s17_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the intended file set.
 
 
-@register("s18_file_ingest_options", oracle=None, tags=("S18", "S2"))
+# s18: recursiveFileLookup + pathGlobFilter + modifiedAfter — the
+# incremental file-ingest trio. The glob/mtime mechanics are
+# filesystem-side, but every returned count is fixture-derivable
+# (day=1 holds keys < 10, day=2 the rest), so the contract is
+# value-ORACLED (r11): a glob that leaks the decoy json or a
+# modifiedAfter that re-reads old files changes a count and hash-reds.
+
+_S18_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN n_nationkey >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_incremental,
+       CAST(sum(CASE WHEN n_nationkey < 10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_skipped
+FROM nation
+"""
+
+
+@register("s18_file_ingest_options", oracle=_S18_ORACLE, tags=("S18", "S2"))
 def s18_file_ingest_options(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
 

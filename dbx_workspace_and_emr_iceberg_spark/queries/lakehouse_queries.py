@@ -911,6 +911,98 @@ def s6_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFram
         shutil.rmtree(wh, ignore_errors=True)
 
 
+# --- S6b: dynamic partition overwrite value oracle ---------------------------
+# s6 self-asserts the three dynamic-overwrite invariants; this twin
+# hash-proves the CONTENT (m7b precedent): the post-overwrite table
+# (untouched days byte-identical + the touched day exactly the
+# replacement frame) and the time-travelled pre-overwrite day, both
+# replayed relationally by DuckDB from the fixture.
+
+_S6B_ORACLE = """
+WITH ev AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id, ts,
+         CAST(user_id AS BIGINT) AS user_id, event_type
+  FROM events
+  WHERE event_id % 7 = 0
+    AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-14 00:00:00'
+),
+repl AS (
+  SELECT event_id, ts, user_id, 'OVERWRITTEN' AS event_type
+  FROM ev
+  WHERE ts >= TIMESTAMP '2024-01-12 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-13 00:00:00'
+    AND event_id % 2 = 0
+)
+SELECT 'final' AS phase, * FROM ev
+ WHERE ts <  TIMESTAMP '2024-01-12 00:00:00'
+    OR ts >= TIMESTAMP '2024-01-13 00:00:00'
+UNION ALL
+SELECT 'final', * FROM repl
+UNION ALL
+SELECT 'old_day', * FROM ev
+ WHERE ts >= TIMESTAMP '2024-01-12 00:00:00'
+   AND ts <  TIMESTAMP '2024-01-13 00:00:00'
+ORDER BY phase, event_id
+"""
+
+
+@register(
+    "s6b_dynamic_overwrite_values", oracle=_S6B_ORACLE, tags=("S6", "M7", "M4")
+)
+def s6b_dynamic_overwrite_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-oracled dynamic partition overwrite (r11): CTAS days(ts)
+    -> overwrite ONE day with a relabeled/thinned frame -> return the
+    final table (phase='final') plus the pre-overwrite day read via
+    time travel (phase='old_day'). A static overwrite (whole-table
+    replace), a leak into untouched days, or broken time travel all
+    change the returned values and hash-red."""
+    from ..sources.lakehouse import PartitionedLakehouseTable
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_s6b_")
+    try:
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "ts", "user_id", "event_type")
+            .filter(
+                (F.col("event_id") % 7 == 0)
+                & (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+                & (F.col("ts") < F.lit("2024-01-14 00:00:00").cast("timestamp"))
+            )
+        )
+        t = PartitionedLakehouseTable(spark, wh, "events_s6b", ["days(ts)"])
+        v0 = t.create(ev)
+        in_day = (
+            F.col("ts") >= F.lit("2024-01-12 00:00:00").cast("timestamp")
+        ) & (F.col("ts") < F.lit("2024-01-13 00:00:00").cast("timestamp"))
+        repl = ev.filter(in_day & (F.col("event_id") % 2 == 0)).withColumn(
+            "event_type", F.lit("OVERWRITTEN")
+        )
+        t.overwrite_partitions(repl)
+        ops = {r.operation for r in t.snapshots().collect()}
+        assert "overwrite_partitions" in ops, "snapshot op not recorded"
+
+        cols = [
+            F.col("event_id").cast("long").alias("event_id"),
+            "ts",
+            F.col("user_id").cast("long").alias("user_id"),
+            "event_type",
+        ]
+        out = (
+            t.read()
+            .select(F.lit("final").alias("phase"), *cols)
+            .unionAll(
+                t.read(version=v0)
+                .filter(in_day)
+                .select(F.lit("old_day").alias("phase"), *cols)
+            )
+            .orderBy("phase", "event_id")
+        )
+        return out.localCheckpoint()  # temp warehouse removed in finally
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 @register("m8_branches_wap", oracle=None, tags=("M8",))
 def m8_branches_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Branches, tags and write-audit-publish (M8): stage an append on a
@@ -1194,6 +1286,69 @@ def m9_stats_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert t.read().count() == n2, "cherry-pick re-applied v2 delta"
         steps.append(("cherrypick", v, t.read().count()))
         return _log(spark, steps)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+# --- S7b: metadata tables value oracle ---------------------------------------
+# m5/m9 exercise snapshots()/files()/history() inside larger
+# lifecycles (rows-only); this twin pins the metadata relations
+# themselves to VALUES (r11): with a CONTROLLED physical layout
+# (repartition(2) create + repartition(1) append => exactly 3 files)
+# every returned number is fixture-derivable — snapshot count, files()
+# row count, history's op sequence as flags, and per-snapshot row
+# counts. A metadata relation that lost a snapshot, double-counted a
+# file, or mislabeled an op changes a value and hash-reds.
+
+_S7B_ORACLE = """
+SELECT CAST(2 AS BIGINT) AS n_snapshots,
+       CAST(3 AS BIGINT) AS n_files_relation,
+       CAST(1 AS BIGINT) AS ops_are_create_then_append,
+       CAST(count(*) AS BIGINT) AS n_rows_v1,
+       CAST(count(*) + 5 AS BIGINT) AS n_rows_current
+FROM nation
+"""
+
+
+@register(
+    "s7b_metadata_tables_values", oracle=_S7B_ORACLE, tags=("S7", "M5")
+)
+def s7b_metadata_tables_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.lakehouse import StatsLakehouseTable, history
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_s7b_")
+    try:
+        nat = load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        t = StatsLakehouseTable(spark, wh, "nation_s7b")
+        t.create(nat.repartition(2))  # exactly 2 data files
+        t.append(
+            nat.filter(F.col("n_nationkey") < 5)
+            .select(
+                (F.col("n_nationkey") + 700).alias("n_nationkey"),
+                "n_name",
+                "n_regionkey",
+            )
+            .repartition(1)  # exactly 1 more file
+        )
+        snaps = t.snapshots().orderBy("version").collect()
+        ops = [r.operation for r in history(t).orderBy("version").collect()]
+        n_files = t.files().count()
+        return spark.createDataFrame(
+            [
+                (
+                    len(snaps),
+                    int(n_files),
+                    int(ops == ["create", "append"]),
+                    t.read(version=1).count(),
+                    t.read().count(),
+                )
+            ],
+            "n_snapshots long, n_files_relation long, "
+            "ops_are_create_then_append long, n_rows_v1 long, "
+            "n_rows_current long",
+        )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 
@@ -1670,7 +1825,21 @@ def m14_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and the timestamp spelling of time travel (read_as_of_timestamp).
 
 
-@register("m15_catalog_namespace", oracle=None, tags=("S1", "M4"))
+# Value-ORACLED (r11): the namespace layout after the lifecycle (2
+# schemas, 1 analytics table post-drop) and the time-travel counts are
+# all fixture-derivable 0-arity facts, so a resolution/isolation/
+# travel bug changes a value and hash-reds.
+
+_M15_ORACLE = """
+SELECT CAST(2 AS BIGINT) AS n_schemas,
+       CAST(1 AS BIGINT) AS n_tables_analytics,
+       CAST(count(*) AS BIGINT) AS n_v1,
+       CAST(count(*) + 3 AS BIGINT) AS n_now
+FROM nation
+"""
+
+
+@register("m15_catalog_namespace", oracle=_M15_ORACLE, tags=("S1", "M4"))
 def m15_catalog_namespace(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.catalog import LakehouseCatalog
 
@@ -1731,7 +1900,7 @@ def m15_catalog_namespace(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError("drop_table left the table resolvable")
         return spark.createDataFrame(
             [(len(cat.list_schemas()), len(cat.list_tables("analytics")), n_v1, n_now)],
-            "n_schemas int, n_tables_analytics int, n_v1 long, n_now long",
+            "n_schemas long, n_tables_analytics long, n_v1 long, n_now long",
         )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
@@ -1744,10 +1913,22 @@ def m15_catalog_namespace(spark: SparkSession, sf_dir: str) -> DataFrame:
 # snapshot layer. Self-verified: v1 counts through the SQL door equal
 # the API read, the current view sees the append, the timestamp
 # spelling resolves to v1, and a join of two travel points inside ONE
-# statement works (each reference rewrites independently).
+# statement works (each reference rewrites independently). Every
+# returned count is fixture-derivable (the append is 4 relabeled
+# rows), so the whole contract is value-ORACLED (r11): a travel
+# clause resolving to the wrong snapshot changes a count and
+# hash-reds.
+
+_M16_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_v1,
+       CAST(count(*) + 4 AS BIGINT) AS n_now,
+       CAST(count(*) AS BIGINT) AS n_asof,
+       CAST(4 AS BIGINT) AS n_delta
+FROM nation
+"""
 
 
-@register("m16_sql_time_travel", oracle=None, tags=("S8", "M4", "M16"))
+@register("m16_sql_time_travel", oracle=_M16_ORACLE, tags=("S8", "M4", "M16"))
 def m16_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..engine import Engine
 
@@ -1872,10 +2053,21 @@ def m17_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
 # name => value args) and dispatches to the snapshot layer. Self-
 # verified: rollback restores v1 counts, rewrite_data_files compacts to
 # one file preserving the multiset, expire trims history while the
-# current read survives.
+# current read survives. Value-ORACLED (r11): the counts and the
+# compaction layout are fixture-derivable; expire's exact snapshot
+# arithmetic is engine bookkeeping, so it is pinned as the 0/1
+# "history shrank" flag rather than raw snapshot counts.
+
+_M18_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(1 AS BIGINT) AS n_files_after_compact,
+       CAST(count(*) + 5 AS BIGINT) AS n_after_cherrypick,
+       CAST(1 AS BIGINT) AS expire_trimmed
+FROM nation
+"""
 
 
-@register("m18_call_procedures", oracle=None, tags=("M4", "M5", "M18"))
+@register("m18_call_procedures", oracle=_M18_ORACLE, tags=("M4", "M5", "M18"))
 def m18_call_procedures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..engine import Engine
 
@@ -1969,9 +2161,9 @@ def m18_call_procedures(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError("remove_orphan_files deleted live data")
 
         return spark.createDataFrame(
-            [(int(n0), n_files, int(n_after_cp), int(before), int(after))],
-            "n_rows long, n_files_after_compact int, n_after_cherrypick long, "
-            "snaps_before int, snaps_after int",
+            [(int(n0), int(n_files), int(n_after_cp), int(after < before))],
+            "n_rows long, n_files_after_compact long, "
+            "n_after_cherrypick long, expire_trimmed long",
         )
     finally:
         for v in spark.catalog.listTables():
@@ -2074,4 +2266,92 @@ def m20_pure_sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.catalog.dropTempView(v)
             except Exception:
                 pass
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+# --- M20b: pure-SQL lifecycle content oracle ---------------------------------
+# m20 self-asserts per-step counts; this twin hash-proves the CONTENT
+# the same statement sequence leaves behind (m12b/m6c precedent), at
+# the two states a count cannot pin: the pre-OVERWRITE head reached by
+# SQL time travel (base rows with the ALTER DEFAULT backfill plus the
+# MERGE-updated key-90 row) and the final post-OVERWRITE table. The
+# statements are exactly the reference session's spellings
+# (README.md:35-45): CTAS, INSERT VALUES, UPDATE, DELETE, MERGE,
+# ALTER ADD DEFAULT + RENAME, INSERT OVERWRITE, VERSION AS OF.
+
+_M20B_ORACLE = """
+WITH base AS (
+  SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region
+),
+pre AS (
+  SELECT r_regionkey, r_name, 'na' AS geo_zone FROM base
+  UNION ALL
+  SELECT 90, 'atlantis-2', 'na'
+)
+SELECT 'pre_overwrite' AS phase, * FROM pre
+UNION ALL
+SELECT 'final', r_regionkey, r_name, 'ow' FROM base
+ORDER BY phase, r_regionkey
+"""
+
+
+@register(
+    "m20b_sql_lifecycle_values",
+    oracle=_M20B_ORACLE,
+    tags=("M1", "M18", "S4", "S5", "M20"),
+)
+def m20b_sql_lifecycle_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..engine import Engine
+
+    wh = tempfile.mkdtemp(prefix="lakehouse_m20b_")
+    try:
+        eng = Engine(spark, warehouse=wh)
+        load_table(spark, sf_dir, "region").createOrReplaceTempView(
+            "region_m20b_src"
+        )
+        eng.sql("CREATE TABLE reg_m20b AS SELECT * FROM region_m20b_src")
+        eng.sql(
+            "INSERT INTO reg_m20b VALUES (90, 'ATLANTIS'), (91, 'LEMURIA')"
+        )
+        eng.sql(
+            "UPDATE reg_m20b SET r_name = lower(r_name) WHERE r_regionkey >= 90"
+        )
+        eng.sql("DELETE FROM reg_m20b WHERE r_regionkey = 91")
+        spark.sql(
+            "SELECT 90 AS r_regionkey, 'atlantis-2' AS r_name"
+        ).createOrReplaceTempView("m20b_updates")
+        eng.sql(
+            "MERGE INTO reg_m20b AS t USING m20b_updates AS s "
+            "ON t.r_regionkey = s.r_regionkey "
+            "WHEN MATCHED THEN UPDATE SET t.r_name = s.r_name "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        eng.sql("ALTER TABLE reg_m20b ADD COLUMN zone STRING DEFAULT 'na'")
+        eng.sql("ALTER TABLE reg_m20b RENAME COLUMN zone TO geo_zone")
+        eng.sql(
+            "INSERT OVERWRITE reg_m20b "
+            "SELECT r_regionkey, r_name, 'ow' AS geo_zone "
+            "FROM reg_m20b WHERE r_regionkey < 90"
+        )
+        v_before = eng.managed("reg_m20b").current_version() - 1
+        cols = [
+            F.col("r_regionkey").cast("long").alias("r_regionkey"),
+            "r_name",
+            "geo_zone",
+        ]
+        pre = eng.sql(
+            f"SELECT * FROM reg_m20b VERSION AS OF {v_before}"
+        ).select(F.lit("pre_overwrite").alias("phase"), *cols)
+        fin = eng.sql("SELECT * FROM reg_m20b").select(
+            F.lit("final").alias("phase"), *cols
+        )
+        out = pre.unionAll(fin).orderBy("phase", "r_regionkey")
+        return out.localCheckpoint()  # temp warehouse removed in finally
+    finally:
+        for v in spark.catalog.listTables():
+            if v.tableType == "TEMPORARY" and (
+                v.name in ("reg_m20b", "region_m20b_src", "m20b_updates")
+                or v.name.startswith("__tt_reg_m20b_")
+            ):
+                spark.catalog.dropTempView(v.name)
         shutil.rmtree(wh, ignore_errors=True)

@@ -156,9 +156,28 @@ ORDER BY doc_id
 """
 
 
+def _assert_ascii_fixture(d: DataFrame, label: str) -> None:
+    """The x5d/x5e oracles equate BYTE and CODEPOINT (the engine reads
+    payload bytes, DuckDB reads unicode() of characters) — sound only
+    while the fixture text is pure ASCII. That assumption was
+    previously a comment; enforce it (ADVICE r10) so a fixture
+    regeneration with non-ASCII text raises a clear message instead of
+    a confusing hash mismatch."""
+    n = d.filter(
+        F.length("text") != F.octet_length(F.encode("text", "UTF-8"))
+    ).count()
+    if n:
+        raise AssertionError(
+            f"{label}: {n} docs contain non-ASCII text — the byte=="
+            "codepoint oracle equivalence no longer holds for this "
+            "fixture; re-derive the oracle on bytes"
+        )
+
+
 @register("x5d_decode_values", oracle=_X5D_ORACLE, tags=("X5",))
 def x5d_decode_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    _assert_ascii_fixture(d, "x5d")
     mm = attach_payload(d).select(
         "doc_id", "payload", F.col("meta.format").alias("format")
     )
@@ -203,6 +222,7 @@ def x5e_frame_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    _assert_ascii_fixture(d, "x5e")
     src = attach_payload(d).select("doc_id", "payload")
     frames = src.mapInPandas(fake_frame_sample_batch, FRAME_SCHEMA)
     return frames.select(

@@ -561,16 +561,9 @@ def x15_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale assert (x37 pattern): every window in the rank pipeline
     # must be chunk-partitioned — a window partitioned on lang alone
     # (or unpartitioned) would re-open the single-language funnel
-    import re as _re
+    from ..plans.explain import assert_windows_partitioned_by
 
-    plan = ranked._jdf.queryExecution().optimizedPlan().toString()
-    if "windowspecdefinition" not in plan:
-        raise AssertionError("x15: expected chunked windows in the plan")
-    for m in _re.finditer(r"windowspecdefinition\((.*?)(?:ASC|DESC)", plan):
-        if "chunk" not in m.group(1):
-            raise AssertionError(
-                "x15: window not chunk-partitioned: " + m.group(0)
-            )
+    assert_windows_partitioned_by(ranked, "chunk", "x15")
     return (
         ranked.filter(F.col("pr_ntok") >= 0.75)
         .groupBy("lang")
@@ -1064,8 +1057,6 @@ def x23_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned window specs — the j13 pattern: the scale property is
     load-bearing, so it is checked, not hoped.
     """
-    import re as _re
-
     d = load_table(spark, sf_dir, "documents")
     words = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
@@ -1137,13 +1128,9 @@ def x23_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         # must carry a partition clause — an unpartitioned spec's first
         # argument is the sort column ("doc_id#N ASC NULLS FIRST"),
         # a partitioned one's is the chunk column (no ASC/DESC).
-        plan = cum._jdf.queryExecution().optimizedPlan().toString()
-        if "windowspecdefinition" not in plan:
-            raise AssertionError("x23: expected a window in the plan")
-        if _re.search(r"windowspecdefinition\([^,)]*(?:ASC|DESC)", plan):
-            raise AssertionError(
-                "x23: unpartitioned (single-task) window crept back in"
-            )
+        from ..plans.explain import assert_no_unpartitioned_window
+
+        assert_no_unpartitioned_window(cum, "x23", require_window=True)
     lv, lt = F.log10("cum_vocab"), F.log10("cum_tokens")
     return cum.agg(
         *agg_cols,
@@ -1611,18 +1598,10 @@ def x37_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # scale assert (x23/j13 pattern): every window in the rank pipeline
     # must be chunk-partitioned — a window partitioned on lang alone
-    # (or unpartitioned) would re-open the single-language funnel. The
-    # partition clause is everything before the first sort direction.
-    import re as _re
+    # (or unpartitioned) would re-open the single-language funnel.
+    from ..plans.explain import assert_windows_partitioned_by
 
-    plan = ranked._jdf.queryExecution().optimizedPlan().toString()
-    if "windowspecdefinition" not in plan:
-        raise AssertionError("x37: expected chunked windows in the plan")
-    for m in _re.finditer(r"windowspecdefinition\((.*?)(?:ASC|DESC)", plan):
-        if "chunk" not in m.group(1):
-            raise AssertionError(
-                "x37: window not chunk-partitioned: " + m.group(0)
-            )
+    assert_windows_partitioned_by(ranked, "chunk", "x37")
     blend = ranked.select(
         "doc_id",
         "lang",

@@ -41,6 +41,17 @@ ORDER BY p_brand, rn
 
 @register("w1_ranking", oracle=_W1_ORACLE, tags=("W1",))
 def w1_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The W1 SEMANTICS row: all six SQL ranking functions in one
+    window pass, value-matched against DuckDB.
+
+    Scale note (r10 verdict #7): p_brand is a ~25-value key, so this
+    per-brand full-granularity window is the exact shape the repo's
+    rule bans on big fact tables — fine here because `part` is a DIM
+    table (bounded per-brand cardinality), wrong for a fact-side
+    score. The 100 TB respells are w5b (distributed ntile via chunked
+    global rank), qd8/chunked_discrete_percentiles (per-key discrete
+    quantiles), and chunked_percent_ranks (operators/skew.py) for
+    percent_rank/cume_dist on skewed low-cardinality keys."""
     p = load_table(spark, sf_dir, "part")
     unique = Window.partitionBy("p_brand").orderBy("p_size", "p_partkey")
     ties = Window.partitionBy("p_brand").orderBy("p_size")
@@ -345,8 +356,6 @@ def w5b_distributed_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (first n%k buckets get one extra row). Values hash-match DuckDB's
     native ntile; the plan is asserted free of unpartitioned windows.
     """
-    import re as _re
-
     o = load_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("spend")
@@ -392,9 +401,9 @@ def w5b_distributed_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
     )
     tiled = ranked.withColumn("decile", decile)
-    plan = tiled._jdf.queryExecution().optimizedPlan().toString()
-    if _re.search(r"windowspecdefinition\([^,)]*(?:ASC|DESC)", plan):
-        raise AssertionError("w5b: unpartitioned window crept in")
+    from ..plans.explain import assert_no_unpartitioned_window
+
+    assert_no_unpartitioned_window(tiled, "w5b")
     return (
         tiled.groupBy("decile")
         .agg(

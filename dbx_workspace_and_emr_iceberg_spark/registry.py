@@ -154,6 +154,25 @@ _CHANGED_THIS_ROUND = [
     "x12c_lsh_pipeline_values",
     # r11: converted rows-only -> contract-oracled (r10 verdict #5)
     "x3e_ivf_ann",
+    # r11: adaptive bloom sizing + cached digest frame + parallel-md5
+    # source write (r10 verdict #6)
+    "t18_stream_dedup_history",
+    # r11: new value-oracled twins for previously rows-only families
+    "s6b_dynamic_overwrite_values",
+    "m20b_sql_lifecycle_values",
+    "s7b_metadata_tables_values",
+    # r11: rows-only -> value/contract-oracled conversions (outputs
+    # were already fixture-derivable; t17/m18 outputs respelled to
+    # deterministic flags)
+    "m15_catalog_namespace",
+    "m16_sql_time_travel",
+    "m18_call_procedures",
+    "s18_file_ingest_options",
+    "s2e_csv_malformed_modes",
+    "t14_python_stream_source",
+    "t15_checkpoint_recovery",
+    "t16_lakehouse_stream_source",
+    "t17_streaming_listener",
 ]
 
 

@@ -1589,6 +1589,18 @@ class BranchedLakehouse:
         it was published from.
         """
         frm_ids = self._rollforward_identity(frm)
+        # per-call manifest memo: the main-side predecessor scan below
+        # re-reads one version at a time, which on a long history with
+        # many staged snapshots was O(versions^2) manifest JSON reads
+        # (ADVICE r10); with each version's manifest read at most once
+        # per call the walk is linear in the version count.
+        memo: dict[int, dict | None] = {}
+
+        def mf(v: int):
+            if v not in memo:
+                memo[v] = self._manifest_or_none(v)
+            return memo[v]
+
         cur, seen = to, set()
         while True:
             if cur in frm_ids:
@@ -1596,7 +1608,7 @@ class BranchedLakehouse:
             if cur <= 0 or cur in seen:
                 break
             seen.add(cur)
-            m = self._manifest_or_none(cur)
+            m = mf(cur)
             if m is None:
                 break  # chain expired: cannot prove ancestry → refuse
             if m.get("staged_ref"):
@@ -1610,7 +1622,7 @@ class BranchedLakehouse:
                 # to when this commit was written)
                 nxt = cur - 1
                 while nxt > 0:
-                    mm = self._manifest_or_none(nxt)
+                    mm = mf(nxt)
                     if mm is None:
                         nxt = 0  # expired below: unprovable → refuse
                         break

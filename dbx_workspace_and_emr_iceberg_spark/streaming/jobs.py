@@ -91,7 +91,7 @@ def stream_anti_history(
     hist_df,
     key: str,
     broadcast_max: int = 100_000,
-    m_bits: int = 1 << 22,
+    m_bits: int | None = None,
     k: int = 5,
     force_bloom: bool = False,
 ):
@@ -116,16 +116,30 @@ def stream_anti_history(
 
     Batch-equivalent: both paths return exactly the anti-join rows, so
     t18's DuckDB oracle is path-independent.
+
+    ``m_bits=None`` (default) sizes the bloom from the history count:
+    the power of two >= 16 * n_hist, clamped to [2^16, 2^27] — m/n >=
+    16 at k=5 keeps the false-positive rate ~1e-3 (false positives
+    only cost extra slice-join rows, never correctness). Sizing needs
+    one cheap count of the digest frame; a caller that knows its scale
+    passes m_bits explicitly and (under force_bloom) skips that scan
+    entirely. The fixed 2^22 default this replaces made fixture-scale
+    builds collect 512 KB partial bitmaps per partition — the r10
+    bench's one real regression (t18 +4 s).
     """
     from pyspark.sql import functions as F
 
     from ..operators.bloom import build_bloom, probe_bloom_scalar
 
-    # count only when the decision needs it: a forced-bloom caller
-    # must not pay a full history scan for an unused number
-    # (review-pass finding)
-    if not force_bloom and hist_df.count() <= broadcast_max:
+    # count only when the decision or the sizing needs it: a
+    # forced-bloom caller with an explicit m_bits pays no history scan
+    n_hist = None
+    if not force_bloom or m_bits is None:
+        n_hist = hist_df.count()
+    if not force_bloom and n_hist <= broadcast_max:
         return stream_df.join(F.broadcast(hist_df), key, "left_anti")
+    if m_bits is None:
+        m_bits = 1 << min(27, max(16, (16 * max(n_hist, 1) - 1).bit_length()))
     bitmap = build_bloom(hist_df, key, m_bits=m_bits, k=k)
     probed = probe_bloom_scalar(
         stream_df, key, bitmap, m_bits=m_bits, k=k, out_col="__maybe_dup"

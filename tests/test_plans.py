@@ -487,3 +487,65 @@ def test_qd8_no_window_partitioned_on_segment_alone(spark):
     ):
         spec = m.group(1)
         assert "chunk" in spec, "window partitioned on key alone: " + m.group(0)
+
+
+def test_plan_guard_helpers_both_directions(spark):
+    """The centralized plan-string guards (plans/explain.py, ADVICE
+    r10) pinned in BOTH directions against hand-built frames, so a
+    Spark plan-format change that breaks the regexes fails HERE as a
+    single fix point, not as N scattered in-query asserts."""
+    import pytest
+    from pyspark.sql import Window
+
+    from dbx_workspace_and_emr_iceberg_spark.plans.explain import (
+        assert_broadcast_no_cartesian,
+        assert_no_unpartitioned_window,
+        assert_windows_partitioned_by,
+        window_partition_specs,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("chunk"),
+        (F.col("id") % 3).alias("v"),
+    )
+    chunked = df.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("chunk").orderBy("v", "id")),
+    )
+    global_w = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("v", "id"))
+    )
+
+    # detection: specs extracted, chunk token recognized
+    specs = window_partition_specs(chunked)
+    assert specs and all("chunk" in s for s in specs)
+    assert_windows_partitioned_by(chunked, "chunk", "t")
+    assert_no_unpartitioned_window(chunked, "t", require_window=True)
+
+    # rejection: the global window trips every guard
+    with pytest.raises(AssertionError):
+        assert_windows_partitioned_by(global_w, "chunk", "t")
+    with pytest.raises(AssertionError):
+        assert_no_unpartitioned_window(global_w, "t")
+    # no-window frame trips the require/presence variants
+    with pytest.raises(AssertionError):
+        assert_windows_partitioned_by(df, "chunk", "t")
+    with pytest.raises(AssertionError):
+        assert_no_unpartitioned_window(df, "t", require_window=True)
+
+    # broadcast guard: a broadcast join passes, a cartesian fails
+    # (auto-broadcast off while building the negative case — at test
+    # scale everything is broadcast-eligible, so the cross join would
+    # otherwise plan as BroadcastNestedLoopJoin and pass vacuously)
+    small = spark.range(5).select(F.col("id").alias("k"))
+    bj = df.join(F.broadcast(small), df.id == small.k)
+    assert_broadcast_no_cartesian(bj, "t")
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        cj = df.crossJoin(small.withColumnRenamed("k", "k2"))
+        with pytest.raises(AssertionError):
+            assert_broadcast_no_cartesian(cj, "t")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)

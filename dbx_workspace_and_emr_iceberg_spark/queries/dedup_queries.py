@@ -989,11 +989,21 @@ def x49_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reach for first. This query proves that packaged path end-to-end on
 # the same planted near-dups x2 uses: HashingTF shingle vectors →
 # fitted MinHash model → approxSimilarityJoin at a Jaccard-distance
-# threshold; recall over planted pairs asserted. Rows-only: the model's
-# hash seeds are internal, so candidate sets are engine-specific (the
-# custom x2 carries the hash-oracled twin x2b/x2c).
+# threshold; recall over planted pairs asserted. The model's hash
+# seeds are internal, so candidate SETS are engine-specific (the
+# custom x2 carries the hash-oracled twin x2b/x2c) — but the recall
+# CONTRACT and the planted-pair denominator are fixture-derivable,
+# so they are oracled as a flag + count (r11).
 
-@register("x2d_mllib_minhash", oracle=None, tags=("X2",))
+_X2D_ORACLE = """
+SELECT CAST(1 AS BIGINT) AS recall_ge_80pct,
+       CAST(1 AS BIGINT) AS has_candidates,
+       CAST(count(*) AS BIGINT) AS n_planted_total
+FROM documents WHERE doc_id % 20 = 0
+"""
+
+
+@register("x2d_mllib_minhash", oracle=_X2D_ORACLE, tags=("X2",))
 def x2d_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
@@ -1030,13 +1040,16 @@ def x2d_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(
             f"MLlib LSH recall too low: {n_planted_found}/{n_expected}"
         )
-    return (
-        pairs.groupBy()
-        .agg(
-            F.count(F.lit(1)).alias("n_candidate_pairs"),
-            F.lit(n_planted_found).alias("n_planted_found"),
-            F.lit(n_expected).alias("n_planted_total"),
-        )
+    n_pairs = pairs.count()
+    return spark.createDataFrame(
+        [
+            (
+                int(n_planted_found >= 0.8 * n_expected),
+                int(n_pairs > 0),
+                int(n_expected),
+            )
+        ],
+        "recall_ge_80pct long, has_candidates long, n_planted_total long",
     )
 
 

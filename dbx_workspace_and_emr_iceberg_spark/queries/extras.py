@@ -776,7 +776,15 @@ def f2c_date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- A5c: mergeable HLL sketches (incremental distinct) ---------------------
 
 
-@register("a5c_hll_mergeable", oracle=None, tags=("A5", "X6"))
+_A5C_ORACLE = """
+SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_day_sketches,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       CAST(1 AS BIGINT) AS merged_within_5pct
+FROM events
+"""
+
+
+@register("a5c_hll_mergeable", oracle=_A5C_ORACLE, tags=("A5", "X6"))
 def a5c_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The incremental-distinct pattern for 100 TB: build one HLL
     sketch PER DAY (`hll_sketch_agg` — the sketch is a storable binary
@@ -787,6 +795,11 @@ def a5c_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     within 5% of the exact distinct count (Datasketches HLL, lgK=12 →
     ~1.6% rse), and per-day sketch estimates must each match their
     day's exact count within 5%.
+
+    Value-ORACLED (r11): the sketch ESTIMATE is Datasketches-internal
+    (not DuckDB-replayable), so the contract is pinned as the exact
+    fixture-derivable counts plus a 0/1 "merged estimate within 5%"
+    flag — an estimator drift past the bound hash-reds.
     """
     ev = load_table(spark, sf_dir, "events")
     day = F.col("ts").cast("date").alias("day")
@@ -822,11 +835,10 @@ def a5c_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 int(row["n_day_sketches"]),
                 int(exact_total),
-                int(row["est_total"]),
-                round(abs(row["est_total"] - exact_total) / exact_total, 6),
+                int(abs(row["est_total"] - exact_total) <= 0.05 * exact_total),
             )
         ],
-        "n_day_sketches int, exact_distinct int, merged_estimate int, rel_err double",
+        "n_day_sketches long, exact_distinct long, merged_within_5pct long",
     )
 
 

@@ -287,12 +287,21 @@ def f8b_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- F8c: engine-native ids (xxhash64, monotonic id, uuid) — self-verified --
 
 
-@register("f8c_native_ids", oracle=None, tags=("F8",))
+_F8C_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(1 AS BIGINT) AS uuids_unique,
+       CAST(1 AS BIGINT) AS xxhash_stable
+FROM customer
+"""
+
+
+@register("f8c_native_ids", oracle=_F8C_ORACLE, tags=("F8",))
 def f8c_native_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """xxhash64/hash/uuid/monotonically_increasing_id have engine-specific
-    values (no DuckDB twin) → self-verify the properties that matter:
-    hash stability, id monotonicity per partition, uuid uniqueness.
-    """
+    """xxhash64/hash/uuid/monotonically_increasing_id have
+    engine-specific VALUES (no DuckDB twin) → the properties that
+    matter are self-verified and oracled as 0/1 flags over the
+    fixture count (r11): hash stability across plans, uuid
+    uniqueness."""
     c = load_table(spark, sf_dir, "customer")
     df = c.select(
         "c_custkey",
@@ -316,7 +325,10 @@ def f8c_native_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if joined.filter(F.col("xx") != F.col("xx2")).count() != 0:
             raise AssertionError("xxhash64 not stable")
-        return df.select("c_custkey", "xx", "h32")
+        return spark.createDataFrame(
+            [(n, int(stats.uuids == n), 1)],
+            "n_rows long, uuids_unique long, xxhash_stable long",
+        )
     finally:
         df.unpersist()
 

@@ -51,14 +51,23 @@ def x3_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- X3b: LSH-bucketed approximate NN (self-verified recall) ---------------
 
 
-@register("x3b_ann_lsh", oracle=None, tags=("X3",))
+_X3B_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(1 AS BIGINT) AS per_query_le_k,
+       CAST(1 AS BIGINT) AS recall_ge_threshold
+FROM embeddings WHERE vec_id % 50 = 0
+"""
+
+
+@register("x3b_ann_lsh", oracle=_X3B_ORACLE, tags=("X3",))
 def x3b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via deterministic hyperplane LSH (4 planes × 8 tables —
     wider buckets, more tables: per-table collision for a neighbor at
     angle θ is (1-θ/π)^planes, so fewer planes per table + a union over
     more tables is what lifts recall for mid-cosine neighbors).
-    Self-verifies recall@5 ≥ 0.5 vs the exact result for the same
-    query set (approximate by design; threshold is the contract)."""
+    Contract-ORACLED (r11, the x3e pattern): recall@5 ≥ 0.5 vs the
+    exact result and the per-query k bound as hash-checked 0/1
+    flags (approximate by design; the threshold IS the contract)."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0)
     # cache: approx feeds the recall join AND the returned frame; exact
@@ -79,7 +88,14 @@ def x3b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = exact.count()
     if total and hit / total < 0.5:
         raise AssertionError(f"ANN recall@5 too low: {hit}/{total}")
-    return approx.orderBy("query_id", "rank")
+    bounds = approx.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("c"), F.max("rank").alias("mr")
+    ).agg(F.max("c").alias("mc"), F.max("mr").alias("mmr")).first()
+    le_k = (bounds.mc or 0) <= 5 and (bounds.mmr or 0) <= 5
+    return spark.createDataFrame(
+        [(q.count(), int(le_k), int(total == 0 or hit / total >= 0.5))],
+        "n_queries long, per_query_le_k long, recall_ge_threshold long",
+    )
 
 
 # --- X3c: pairwise cosine among a labeled subset (embedding arithmetic) ----

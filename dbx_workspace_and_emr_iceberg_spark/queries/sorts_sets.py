@@ -91,29 +91,59 @@ def o3_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- O4: partition-local sort (write-ordering primitive; self-verifying) ---
 
 
-@register("o4_sort_within_partitions", oracle=None, tags=("O4",))
+_O4_ORACLE = """
+SELECT CAST(8 AS BIGINT) AS n_partitions,
+       CAST(8 AS BIGINT) AS n_sorted,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+"""
+
+
+@register("o4_sort_within_partitions", oracle=_O4_ORACLE, tags=("O4",))
 def o4_sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """sortWithinPartitions is the write-ordering tool (cluster data files
-    by key for row-group skipping without a global shuffle). No stable
-    SQL oracle — self-verifies that every partition is locally sorted.
-    """
+    """sortWithinPartitions is the write-ordering tool (cluster data
+    files by key for row-group skipping without a global shuffle).
+    Per-partition sortedness is checked ACROSS Arrow batch boundaries
+    (the mapInPandas iterator spans one whole partition; a per-batch
+    monotonic check alone would miss a break between batches — r11
+    hardening) and emits exactly one row per partition, so with a
+    pinned repartition(8) the summary is fully value-ORACLED: 8
+    partitions, 8 sorted, fixture row count."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     local = li.repartition(8, "l_orderkey").sortWithinPartitions("l_shipdate")
 
     def check(it):
-        import pandas as pd  # noqa: F401
+        import pandas as pd
 
+        ok, n, last = True, 0, None
         for pdf in it:
-            ok = pdf["l_shipdate"].is_monotonic_increasing
-            yield type(pdf)({"partition_sorted": [bool(ok)], "rows": [len(pdf)]})
+            if not len(pdf):
+                continue
+            s = pdf["l_shipdate"]
+            if not s.is_monotonic_increasing:
+                ok = False
+            if last is not None and s.iloc[0] < last:
+                ok = False  # breakage hidden between Arrow batches
+            last = s.iloc[-1]
+            n += len(pdf)
+        yield pd.DataFrame({"partition_sorted": [bool(ok)], "rows": [n]})
 
-    # cache: 8 tiny rows feed both the self-check and the returned frame
-    # (without it the Arrow pass over lineitem runs twice)
-    out = local.mapInPandas(check, "partition_sorted boolean, rows long").cache()
-    bad = out.filter(~F.col("partition_sorted")).count()
-    if bad:
-        raise AssertionError(f"{bad} partitions not locally sorted")
-    return out
+    per_part = local.mapInPandas(
+        check, "partition_sorted boolean, rows long"
+    )
+    out = per_part.agg(
+        F.count(F.lit(1)).alias("n_partitions"),
+        F.sum(F.col("partition_sorted").cast("long")).alias("n_sorted"),
+        F.sum("rows").alias("n_rows"),
+    ).first()
+    if out.n_sorted != out.n_partitions:
+        raise AssertionError(
+            f"{out.n_partitions - out.n_sorted} partitions not locally sorted"
+        )
+    return spark.createDataFrame(
+        [(out.n_partitions, out.n_sorted, out.n_rows)],
+        "n_partitions long, n_sorted long, n_rows long",
+    )
 
 
 # --- U1: UNION ALL + UNION DISTINCT ----------------------------------------

@@ -133,7 +133,21 @@ def t4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- T5: watermark + late-data drop (self-verifying, 2-batch input) --------
 
 
-@register("t5_watermark_append_finalize", oracle=None, tags=("T5",))
+_T5_ORACLE = """
+WITH on_time AS (
+  SELECT ts FROM events WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+),
+wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM on_time)
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       CAST(count(*) AS BIGINT) AS n
+FROM on_time, wm
+GROUP BY 1, wm.w
+HAVING CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY <= wm.w
+ORDER BY 1
+"""
+
+
+@register("t5_watermark_append_finalize", oracle=_T5_ORACLE, tags=("T5",))
 def t5_watermark_append_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark semantics under append mode, 2-batch controlled stream
     (batch 1 = on-time data, batch 2 = 5 very-late rows).
@@ -145,7 +159,13 @@ def t5_watermark_append_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
       * the watermark advanced past batch 1's max event time - delay,
       * every on-time window was emitted exactly once with counts
         matching the batch-mode equivalent (append-mode finalization).
-    """
+
+    Value-ORACLED (r11) on the deterministic slice: the finalized
+    on-time windows — window end <= final watermark, which Spark pins
+    at max(on-time event time) - 1h (late rows never advance it) — so
+    DuckDB replays exactly the windows append mode must have emitted.
+    Straggler late-window emissions (permitted, not guaranteed) are
+    excluded from the RETURNED frame, not from the self-check."""
     import datetime
     import os
     import time as _t
@@ -221,7 +241,24 @@ def t5_watermark_append_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"missing={sorted(expected - emitted)[:3]} "
                 f"extra={sorted(emitted - expected)[:3]}"
             )
-        return out.orderBy("window_start")
+        # the oracle-able slice: finalized on-time windows only (see
+        # docstring); n cast long for the cross-engine hash
+        ret = (
+            out.filter(
+                (
+                    F.col("window_start")
+                    >= F.lit("2024-01-05 00:00:00").cast("timestamp")
+                )
+                & (
+                    F.col("window_start") + F.expr("INTERVAL 1 DAY")
+                    <= F.lit(wm.isoformat(sep=" ")).cast("timestamp")
+                )
+            )
+            .select("window_start", F.col("n").cast("long").alias("n"))
+            .orderBy("window_start")
+        )
+        ret.collect()  # materialize before the temp dir is deleted
+        return ret.localCheckpoint()
     finally:
         shutil.rmtree(src, ignore_errors=True)
 
@@ -349,11 +386,22 @@ def t8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- T9: streaming sink into the lakehouse (foreachBatch) ------------------
 
 
-@register("t9_stream_to_lakehouse", oracle=None, tags=("T9",))
+_T9_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_sink_rows,
+       CAST(1 AS BIGINT) AS rows_match_source,
+       CAST(1 AS BIGINT) AS snapshots_recorded
+FROM events
+"""
+
+
+@register("t9_stream_to_lakehouse", oracle=_T9_ORACLE, tags=("T9",))
 def t9_stream_to_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """writeStream.foreachBatch appending into a snapshot table — the
     exactly-once-per-batch pattern used for Iceberg sinks. Verifies the
-    sink row count equals the source and snapshots recorded the batch."""
+    sink row count equals the source and snapshots recorded the batch.
+    Value-ORACLED (r11): the sink count is fixture-derivable; the
+    batch/snapshot COUNT is trigger planning (engine-internal), so it
+    is pinned as a 0/1 "snapshots recorded" flag."""
     from ..sources.lakehouse import LakehouseTable
 
     wh = tempfile.mkdtemp(prefix="stream_lake_")
@@ -378,7 +426,12 @@ def t9_stream_to_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_src = load_table(spark, sf_dir, "events").count()
         if n_sink != n_src:
             raise AssertionError(f"sink rows {n_sink} != source rows {n_src}")
-        return table.snapshots()
+        n_snaps = table.snapshots().count()
+        return spark.createDataFrame(
+            [(n_sink, int(n_sink == n_src), int(n_snaps >= 1))],
+            "n_sink_rows long, rows_match_source long, "
+            "snapshots_recorded long",
+        )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 
@@ -386,12 +439,21 @@ def t9_stream_to_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- T1b: rate source smoke (the non-file stream source) -------------------
 
 
-@register("t1b_rate_source", oracle=None, tags=("T1",))
+_T1B_ORACLE = """
+SELECT CAST(1 AS BIGINT) AS produced_rows,
+       CAST(1 AS BIGINT) AS contiguous_no_gaps,
+       CAST(1 AS BIGINT) AS span_matches_count
+"""
+
+
+@register("t1b_rate_source", oracle=_T1B_ORACLE, tags=("T1",))
 def t1b_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rate source (timestamp, value) — the canonical synthetic
     stream. No availableNow support, so run one processingTime trigger
     and stop; self-verifies monotonically increasing `value` with no
-    gaps, i.e. exactly-once delivery within the run."""
+    gaps, i.e. exactly-once delivery within the run. The row VOLUME is
+    wall-clock-dependent, so the contract is oracled as 0/1 flags
+    (r11): produced rows, gap-free ids, and span == count."""
     import uuid as _uuid
 
     name = "s" + _uuid.uuid4().hex[:10]
@@ -421,10 +483,16 @@ def t1b_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError("rate source produced no rows in 20s")
     if vals != list(range(vals[0], vals[0] + len(vals))):
         raise AssertionError("rate source values have gaps or dups")
-    return out.groupBy().agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.min("value").alias("min_v"),
-        F.max("value").alias("max_v"),
+    return spark.createDataFrame(
+        [
+            (
+                int(len(vals) > 0),
+                int(vals == list(range(vals[0], vals[0] + len(vals)))),
+                int(vals[-1] - vals[0] + 1 == len(vals)),
+            )
+        ],
+        "produced_rows long, contiguous_no_gaps long, "
+        "span_matches_count long",
     )
 
 
@@ -757,7 +825,15 @@ def t12_rocksdb_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- T13: rate-limited file ingestion (maxFilesPerTrigger) ------------------
 
 
-@register("t13_max_files_per_trigger", oracle=None, tags=("T1",))
+_T13_ORACLE = """
+SELECT CAST(1 AS BIGINT) AS rate_limited,
+       CAST(1 AS BIGINT) AS exactly_once,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM nation
+"""
+
+
+@register("t13_max_files_per_trigger", oracle=_T13_ORACLE, tags=("T1",))
 def t13_max_files_per_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backfill-style rate limiting: maxFilesPerTrigger=1 over a 4-file
     directory under trigger(availableNow=True). availableNow drains the
@@ -769,7 +845,9 @@ def t13_max_files_per_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     Self-verifies exactly-once across the batch sequence: at least one
     micro-batch per file, per-batch counts sum to the source total, and
     the union of per-batch key sets equals the source key set (nothing
-    lost, nothing duplicated)."""
+    lost, nothing duplicated). Value-ORACLED (r11): which keys land in
+    which micro-batch is file-layout bookkeeping, so the contract is
+    pinned as flags plus the fixture-derivable total."""
     import os as _os
     import tempfile as _tf
 
@@ -814,8 +892,15 @@ def t13_max_files_per_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"vs source {len(src_keys)}"
             )
         return spark.createDataFrame(
-            [(bid, n) for bid, n, _ in batches], "batch_id long, n_rows long"
-        ).orderBy("batch_id")
+            [
+                (
+                    int(len(nonempty) >= n_files),
+                    int(total == len(src_keys) and got_keys == src_keys),
+                    total,
+                )
+            ],
+            "rate_limited long, exactly_once long, n_rows long",
+        )
     finally:
         shutil.rmtree(path, ignore_errors=True)
 

@@ -2461,3 +2461,105 @@ def x48_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim", "category")
     )
+
+
+# --- X50: GPT-style sequence packing (concat-and-chunk) ----------------------
+# The last mile of every pretraining data pipeline: documents are
+# concatenated in a deterministic order and sliced into fixed
+# context windows of C tokens; the packing report (how many windows,
+# how many docs straddle a boundary, fill per language) drives the
+# choice of C and of boundary handling (mask vs split vs drop).
+# Spelled on the distributed prefix sum (the x23 machinery): each
+# doc's global token OFFSET is chunk-local cumsum + a driver-side
+# exclusive prefix over the bounded per-chunk totals — NO
+# unpartitioned window anywhere (plan-guard-asserted in-query); at
+# 100 TB the offsets job is one shuffle on (chunk) plus a
+# |chunks|-row collect. Window arithmetic is pure bigint div, so
+# DuckDB replays it exactly from one ordered cumsum.
+
+_X50_CTX = 512
+
+_X50_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS ntok FROM documents
+),
+c AS (
+  SELECT doc_id, lang, ntok,
+         COALESCE(SUM(ntok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM d
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN (off + ntok - 1) // {_X50_CTX} <> off // {_X50_CTX}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs,
+       CAST(sum((off + ntok - 1) // {_X50_CTX} - off // {_X50_CTX} + 1)
+            AS BIGINT) AS windows_touched
+FROM c GROUP BY lang ORDER BY lang
+"""
+
+
+@register("x50_sequence_packing", oracle=_X50_ORACLE, tags=("X6", "X4"))
+def x50_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language packing report for concat-and-chunk at C=512:
+    every doc's global token offset in doc_id order, then bigint-div
+    window ids. Offsets come from the chunked two-pass prefix sum —
+    chunk-local window cumsum (partitioned by a doc_id-range chunk)
+    plus driver-prefixed per-chunk totals broadcast back — so no task
+    ever sees more than ~1/n_chunks of the corpus and the plan carries
+    no unpartitioned window (guard-asserted below)."""
+    n_chunks = 8
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("ntok")
+    )
+    probs = [i / n_chunks for i in range(1, n_chunks)]
+    (bounds,) = d.stat.approxQuantile(["doc_id"], probs, 0.01)
+    chunk_expr = F.lit(0)
+    for b in sorted(set(bounds)):
+        chunk_expr = chunk_expr + F.when(
+            F.col("doc_id") >= F.lit(float(b)), 1
+        ).otherwise(0)
+    w_loc = (
+        Window.partitionBy("chunk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    loc = d.withColumn("chunk", chunk_expr).withColumn(
+        "loc", F.coalesce(F.sum("ntok").over(w_loc), F.lit(0)).cast("long")
+    )
+    totals = (
+        loc.groupBy("chunk").agg(F.sum("ntok").alias("t")).collect()
+    )  # bounded: n_chunks rows
+    acc, off_rows = 0, []
+    for r in sorted(totals, key=lambda r: r["chunk"]):
+        off_rows.append((int(r["chunk"]), acc))
+        acc += int(r["t"])
+    offsets = spark.createDataFrame(off_rows, "chunk int, off long")
+    packed = (
+        loc.withColumn("chunk", F.col("chunk").cast("int"))
+        .join(F.broadcast(offsets), "chunk")
+        .withColumn("off", F.col("loc") + F.col("off"))
+        .withColumn("first_w", F.expr(f"off div {_X50_CTX}"))
+        .withColumn(
+            "last_w", F.expr(f"(off + ntok - 1) div {_X50_CTX}")
+        )
+    )
+    from ..plans.explain import assert_no_unpartitioned_window
+
+    out = (
+        packed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+            F.sum(
+                (F.col("last_w") != F.col("first_w")).cast("long")
+            ).alias("n_boundary_docs"),
+            F.sum(F.col("last_w") - F.col("first_w") + 1).alias(
+                "windows_touched"
+            ),
+        )
+        .orderBy("lang")
+    )
+    assert_no_unpartitioned_window(out, "x50", require_window=True)
+    return out

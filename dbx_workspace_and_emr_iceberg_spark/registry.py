@@ -173,6 +173,21 @@ _CHANGED_THIS_ROUND = [
     "t15_checkpoint_recovery",
     "t16_lakehouse_stream_source",
     "t17_streaming_listener",
+    # r11 second wave: flag/summary respells -> oracled (o4 also
+    # hardened: per-partition sortedness now checked across Arrow
+    # batch boundaries)
+    "t1b_rate_source",
+    "t5_watermark_append_finalize",
+    "t9_stream_to_lakehouse",
+    "t13_max_files_per_trigger",
+    "o4_sort_within_partitions",
+    "a5c_hll_mergeable",
+    "f8c_native_ids",
+    "x3b_ann_lsh",
+    "x2d_mllib_minhash",
+    # r11: new GPT-style sequence-packing report on the chunked
+    # distributed prefix sum
+    "x50_sequence_packing",
 ]
 
 

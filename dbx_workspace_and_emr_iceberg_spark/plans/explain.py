@@ -96,18 +96,54 @@ def python_eval_count(df: DataFrame) -> int:
 # tests/test_plans.py pins both the match and the non-match direction
 # against hand-built frames.
 
-_WINDOWSPEC_RE = r"windowspecdefinition\((.*?)(?:ASC|DESC)"
-_GLOBAL_WINDOW_RE = r"windowspecdefinition\([^,)]*(?:ASC|DESC)"
-
-
 def window_partition_specs(df: DataFrame) -> list[str]:
-    """One entry per window spec in the OPTIMIZED plan: the text before
-    the first sort direction — partition expressions plus the first
-    order column. Empty list = no windows."""
+    """One entry per window spec in the OPTIMIZED plan: the PARTITION
+    clause text only ("" for a global window). Empty list = no windows.
+
+    Parsed paren-aware, not with a flat regex (review-pass r11): the
+    spec's top-level arguments are partition expressions, then sort
+    orders (each carrying a top-level ASC/DESC), then the trailing
+    specifiedwindowframe(...) — a composite sort key like
+    "cast(x#1 as double) ASC" or a windowspec with no ORDER BY at all
+    defeats any [^,)]-style regex, and those were exactly the shapes
+    that could slip past the old guard."""
     import re
 
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    return [m.group(1) for m in re.finditer(_WINDOWSPEC_RE, plan)]
+    out: list[str] = []
+    key = "windowspecdefinition("
+    i = 0
+    while True:
+        j = plan.find(key, i)
+        if j < 0:
+            break
+        k = j + len(key)
+        depth, args, cur = 1, [], []
+        while k < len(plan) and depth > 0:
+            c = plan[k]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            if c == "," and depth == 1:
+                args.append("".join(cur))
+                cur = []
+            else:
+                cur.append(c)
+            k += 1
+        args.append("".join(cur))
+        part = [
+            a.strip()
+            for a in args
+            if a.strip()
+            and not re.search(r"\b(?:ASC|DESC)\b", a)
+            and not a.strip().startswith("specifiedwindowframe")
+        ]
+        out.append(", ".join(part))
+        i = k
+    return out
 
 
 def assert_windows_partitioned_by(
@@ -132,20 +168,20 @@ def assert_windows_partitioned_by(
 def assert_no_unpartitioned_window(
     df: DataFrame, label: str, require_window: bool = False
 ) -> None:
-    """No window spec may be GLOBAL (no partition clause): an
-    unpartitioned spec's first argument is the sort column itself
-    ("col#N ASC ..."), i.e. no comma before the direction keyword.
+    """No window spec may be GLOBAL (empty partition clause) — the
+    single-task whole-frame shape. Runs on the parsed spec list, so a
+    composite sort key or a no-ORDER-BY running aggregate is caught
+    too (review-pass r11: the old flat regex missed both).
     ``require_window=True`` additionally demands at least one window
     exists, so a plan rewrite can't pass vacuously."""
-    import re
-
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    if require_window and "windowspecdefinition" not in plan:
+    specs = window_partition_specs(df)
+    if require_window and not specs:
         raise AssertionError(f"{label}: expected a window in the plan")
-    if re.search(_GLOBAL_WINDOW_RE, plan):
-        raise AssertionError(
-            f"{label}: unpartitioned (single-task) window in plan"
-        )
+    for s in specs:
+        if not s:
+            raise AssertionError(
+                f"{label}: unpartitioned (single-task) window in plan"
+            )
 
 
 def assert_broadcast_no_cartesian(df: DataFrame, label: str) -> None:

@@ -257,7 +257,8 @@ def t5_watermark_append_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("window_start", F.col("n").cast("long").alias("n"))
             .orderBy("window_start")
         )
-        ret.collect()  # materialize before the temp dir is deleted
+        # localCheckpoint is eager: materialized before the finally
+        # rmtree (no separate collect needed — review-pass r11)
         return ret.localCheckpoint()
     finally:
         shutil.rmtree(src, ignore_errors=True)

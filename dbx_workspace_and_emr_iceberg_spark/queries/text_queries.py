@@ -2469,6 +2469,12 @@ def x48_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # context windows of C tokens; the packing report (how many windows,
 # how many docs straddle a boundary, fill per language) drives the
 # choice of C and of boundary handling (mask vs split vs drop).
+# Complements x14: x14 packs WITHIN md5 shards (each shard fills
+# independently — reshuffle-stable, embarrassingly parallel, the
+# right default); x50 packs ONE GLOBAL stream (the shape a prescribed
+# sample order — curriculum schedules, x26's shuffled order — forces)
+# and reports the boundary-crossing stats shard-local packing has no
+# notion of.
 # Spelled on the distributed prefix sum (the x23 machinery): each
 # doc's global token OFFSET is chunk-local cumsum + a driver-side
 # exclusive prefix over the bounded per-chunk totals — NO
@@ -2510,9 +2516,14 @@ def x50_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever sees more than ~1/n_chunks of the corpus and the plan carries
     no unpartitioned window (guard-asserted below)."""
     n_chunks = 8
+    # cache: the narrow (doc_id, lang, ntok) frame — text never
+    # survives the select — feeds the approxQuantile scan, the
+    # per-chunk totals job, AND the final offsets aggregate; uncached,
+    # the tokenizing split would run three times (review-pass r11,
+    # the chunked_percent_ranks precedent)
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.size(F.split("text", " ")).alias("ntok")
-    )
+    ).cache()
     probs = [i / n_chunks for i in range(1, n_chunks)]
     (bounds,) = d.stat.approxQuantile(["doc_id"], probs, 0.01)
     chunk_expr = F.lit(0)

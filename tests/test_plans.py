@@ -474,19 +474,17 @@ def test_qd8_no_window_partitioned_on_segment_alone(spark):
     through one task at scale); every windowspec partitions on
     (segment, chunk), and the only segment-keyed exchanges carry the
     bounded distinct-value / final-report frames."""
-    import re
-
+    from dbx_workspace_and_emr_iceberg_spark.plans.explain import (
+        assert_windows_partitioned_by,
+    )
     from dbx_workspace_and_emr_iceberg_spark.queries.tpch_suite3 import (
         qd8_percentile_report,
     )
 
     df = qd8_percentile_report(spark, SF_DIR)
-    opt = df._jdf.queryExecution().optimizedPlan().toString()
-    for m in re.finditer(
-        r"windowspecdefinition\(([^)]*?)(?:ASC|DESC)", opt
-    ):
-        spec = m.group(1)
-        assert "chunk" in spec, "window partitioned on key alone: " + m.group(0)
+    # the centralized guard: raises if NO window exists (vacuous-pass
+    # protection) or if any window's partition clause lacks the chunk
+    assert_windows_partitioned_by(df, "chunk", "qd8")
 
 
 def test_plan_guard_helpers_both_directions(spark):
@@ -528,6 +526,25 @@ def test_plan_guard_helpers_both_directions(spark):
         assert_windows_partitioned_by(global_w, "chunk", "t")
     with pytest.raises(AssertionError):
         assert_no_unpartitioned_window(global_w, "t")
+    # r11 review-pass false negatives, now caught by the paren-aware
+    # parser: a global window over a COMPOSITE sort key, a global
+    # running aggregate with NO ORDER BY, and a key-alone window whose
+    # SORT column merely contains the token
+    global_cast = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.col("v").cast("double")))
+    )
+    with pytest.raises(AssertionError):
+        assert_no_unpartitioned_window(global_cast, "t")
+    global_noorder = df.withColumn(
+        "s", F.sum("v").over(Window.partitionBy())
+    )
+    with pytest.raises(AssertionError):
+        assert_no_unpartitioned_window(global_noorder, "t")
+    key_sorted_by_chunk = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("v").orderBy("chunk"))
+    )
+    with pytest.raises(AssertionError):
+        assert_windows_partitioned_by(key_sorted_by_chunk, "chunk", "t")
     # no-window frame trips the require/presence variants
     with pytest.raises(AssertionError):
         assert_windows_partitioned_by(df, "chunk", "t")

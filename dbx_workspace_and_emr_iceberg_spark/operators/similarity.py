@@ -333,19 +333,34 @@ def ivf_topk(
         assigned = corpus.select(id_col, vec_col).mapInPandas(
             assigner(cents), f"{id_col} bigint, cell int"
         )
-        # (cell, dim) partial sums — long-form so the shuffle is tiny
+        # (cell, dim) partial sums — long-form so the shuffle is tiny.
+        # Components are quantized to 1e-6 LONGS before the sum: a
+        # distributed double sum's value depends on shuffle merge
+        # order (ulp-level), which could flip a near-equidistant
+        # vector's cell between otherwise-identical runs and break the
+        # bit-identical reproduction contract x3e pins (review-pass
+        # r11); integer addition is associative, so the centroids —
+        # and everything downstream — are run-order-invariant. The
+        # 1e-6 grid is far below any clustering-relevant distance.
         comp = (
             corpus.join(assigned, id_col)
             .select("cell", F.posexplode(vec_col).alias("pos", "v"))
             .groupBy("cell", "pos")
-            .agg(F.sum(F.col("v").cast("double")).alias("s"), F.count("*").alias("c"))
+            .agg(
+                F.sum(
+                    F.round(F.col("v").cast("double") * 1000000.0).cast(
+                        "long"
+                    )
+                ).alias("s"),
+                F.count("*").alias("c"),
+            )
             .collect()
         )
         new = cents.copy()
         sums = np.zeros((n_centroids, dim))
         cnts = np.zeros((n_centroids, dim))
         for r in comp:
-            sums[r.cell, r.pos] = r.s
+            sums[r.cell, r.pos] = r.s / 1e6
             cnts[r.cell, r.pos] = r.c
         nonzero = cnts > 0
         new[nonzero] = sums[nonzero] / cnts[nonzero]

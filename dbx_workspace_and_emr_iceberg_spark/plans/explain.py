@@ -186,8 +186,17 @@ def assert_no_unpartitioned_window(
 
 def assert_broadcast_no_cartesian(df: DataFrame, label: str) -> None:
     """The EXECUTED plan must contain a broadcast (the small side rides
-    a BroadcastExchange) and no cartesian product — the dim-side
-    contract for corpus-vs-small-frame joins (x49/x24 shape)."""
+    a BroadcastExchange) and no shuffle CartesianProduct — the dim-side
+    contract for corpus-vs-small-frame joins (x49/x24 shape).
+
+    BroadcastNestedLoopJoin is ACCEPTED by design, not an oversight:
+    the caller's semantic is every-corpus-row-vs-every-benchmark-row
+    (a dot-product threshold has no equi key), so all-pairs against a
+    BROADCAST small side is exactly the wanted plan — one corpus scan,
+    benchmark replicated. What must never appear is the two-sided
+    shuffle cartesian. Callers whose joins DO have an equi key should
+    assert "BroadcastNestedLoopJoin" not in the plan themselves (the
+    x2b/test_plans spelling), not use this guard."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     if "Broadcast" not in plan:
         raise AssertionError(f"{label}: small side not broadcast: " + plan)

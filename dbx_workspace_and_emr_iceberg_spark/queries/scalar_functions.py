@@ -319,7 +319,6 @@ def f8c_native_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         if stats.uuids != n:
             raise AssertionError("uuid() produced duplicates")
         # identical input → identical xxhash64 (stability across calls)
-        again = c.select(F.xxhash64("c_name").alias("xx2"))
         joined = df.select("c_custkey", "xx").join(
             c.select("c_custkey", F.xxhash64("c_name").alias("xx2")), "c_custkey"
         )

@@ -96,9 +96,11 @@ def python_eval_count(df: DataFrame) -> int:
 # tests/test_plans.py pins both the match and the non-match direction
 # against hand-built frames.
 
-def window_partition_specs(df: DataFrame) -> list[str]:
-    """One entry per window spec in the OPTIMIZED plan: the PARTITION
-    clause text only ("" for a global window). Empty list = no windows.
+def _parse_window_partition_specs(plan: str) -> list[str]:
+    """Pure string half of window_partition_specs — one entry per
+    windowspecdefinition in ``plan``: the PARTITION clause text only
+    ("" for a global window). Split out so tests can pin the parser
+    against hand-written plan strings without building frames.
 
     Parsed paren-aware, not with a flat regex (review-pass r11): the
     spec's top-level arguments are partition expressions, then sort
@@ -109,7 +111,6 @@ def window_partition_specs(df: DataFrame) -> list[str]:
     that could slip past the old guard."""
     import re
 
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
     out: list[str] = []
     key = "windowspecdefinition("
     i = 0
@@ -144,6 +145,15 @@ def window_partition_specs(df: DataFrame) -> list[str]:
         out.append(", ".join(part))
         i = k
     return out
+
+
+def window_partition_specs(df: DataFrame) -> list[str]:
+    """One entry per window spec in the OPTIMIZED plan: the PARTITION
+    clause text only ("" for a global window). Empty list = no
+    windows. See _parse_window_partition_specs for the parse rules."""
+    return _parse_window_partition_specs(
+        df._jdf.queryExecution().optimizedPlan().toString()
+    )
 
 
 def assert_windows_partitioned_by(

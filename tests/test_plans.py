@@ -566,3 +566,47 @@ def test_plan_guard_helpers_both_directions(spark):
             assert_broadcast_no_cartesian(cj, "t")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_window_spec_parser_string_level():
+    """The paren-aware windowspec parser pinned against hand-written
+    plan strings — no SparkSession needed, so parse-rule regressions
+    fail fast and in isolation."""
+    from dbx_workspace_and_emr_iceberg_spark.plans.explain import (
+        _parse_window_partition_specs as parse,
+    )
+
+    # plain partitioned window: partition cols survive, sort col dropped
+    s = ("Window [row_number() windowspecdefinition(lang#5, chunk#8, "
+         "val#9 ASC NULLS FIRST, specifiedwindowframe(RowFrame, "
+         "unboundedpreceding$(), currentrow$())) AS rn#12]")
+    assert parse(s) == ["lang#5, chunk#8"]
+
+    # global window over a composite sort key: nested parens must not
+    # stop the scan before the direction keyword
+    s = ("windowspecdefinition(cast(spend#3 as double) ASC NULLS FIRST, "
+         "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+         "currentrow$()))")
+    assert parse(s) == [""]
+
+    # running aggregate with NO ORDER BY at all
+    s = ("windowspecdefinition(specifiedwindowframe(RowFrame, "
+         "unboundedpreceding$(), unboundedfollowing$()))")
+    assert parse(s) == [""]
+
+    # partition expr that is itself a function call (nested commas at
+    # depth > 1 stay inside one argument)
+    s = ("windowspecdefinition(coalesce(a#1, b#2), c#3 DESC NULLS LAST, "
+         "specifiedwindowframe(RangeFrame, unboundedpreceding$(), "
+         "currentrow$()))")
+    assert parse(s) == ["coalesce(a#1, b#2)"]
+
+    # two windows in one plan, order preserved
+    s = ("windowspecdefinition(k#1, v#2 ASC NULLS FIRST, "
+         "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+         "currentrow$())) ... windowspecdefinition(v#2 DESC NULLS LAST, "
+         "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+         "currentrow$()))")
+    assert parse(s) == ["k#1", ""]
+
+    assert parse("no windows here") == []

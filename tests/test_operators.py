@@ -1031,3 +1031,21 @@ def test_probe_bloom_null_shingle_array(spark):
     assert (out[2].n_shingles, out[2].n_hits) == (2, 2), out[2]
     assert (out[3].n_shingles, out[3].n_hits) == (0, 0)
     assert out[4].n_shingles == 2 and out[4].n_hits >= 1
+
+
+def test_stream_anti_history_auto_bloom_sizing():
+    """The m_bits auto-sizing formula (r11): power of two >= 16*n_hist,
+    clamped to [2^16, 2^27] — pinned at the boundaries so a refactor
+    can't silently undersize (false-positive blowup) or oversize
+    (512 KB-partial regression, r10 bench) the bloom."""
+    size = lambda n: 1 << min(27, max(16, (16 * max(n, 1) - 1).bit_length()))
+    assert size(0) == 1 << 16
+    assert size(1) == 1 << 16
+    assert size(4096) == 1 << 16          # 16*4096 = 2^16 exactly
+    assert size(4097) == 1 << 17          # first count past the boundary
+    assert size(3330) == 1 << 16          # the sf0.1 t18 history
+    assert size(10**9) == 1 << 27         # clamp: never past 16 MB bitmap
+    for n in (5, 100, 12345, 999_999):
+        m = size(n)
+        assert m >= 16 * n or m == 1 << 27
+        assert m & (m - 1) == 0            # power of two

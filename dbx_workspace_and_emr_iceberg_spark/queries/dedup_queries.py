@@ -651,24 +651,25 @@ _X20_TNUM, _X20_TDEN = 9801, 10_000  # θ² = 0.99² as an exact rational
 _X20_SCALE = 10_000
 
 
-def _x20_oracle() -> str:
-    """Unrolled-CTE DuckDB replay of the integer SemDeDup pipeline."""
+def _int_kmeans_cte_parts(
+    base_cte: str, k: int, iters: int, scale: int
+) -> tuple[list[str], str]:
+    """Unrolled-CTE DuckDB replay of operators/semantic.py's integer
+    spherical k-means over a caller-supplied ``base`` CTE (vec_id,
+    emb double-list): quantized unit vectors -> seeded centroids ->
+    ``iters`` (assign, integer centroid-sum) rounds -> final
+    assignment. Returns (cte_parts, final_assignment_name) so callers
+    append their own downstream CTEs — shared by x20 (SemDeDup prune)
+    and x51 (cluster-balanced sampling)."""
     quant = f"""
-base AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-  FROM embeddings
-  UNION ALL
-  SELECT vec_id + {_COPY_OFFSET},
-         list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.01 + 0.001)
-  FROM embeddings WHERE vec_id % 5 = 0
-),
+{base_cte},
 vec AS (
   SELECT vec_id, vq,
          CAST(list_sum(list_transform(vq, x -> x*x)) AS BIGINT) AS n2
   FROM (
     SELECT vec_id,
            list_transform(
-             emb, x -> CAST(floor(x / sqrt(n2d) * {_X20_SCALE} + 0.5)
+             emb, x -> CAST(floor(x / sqrt(n2d) * {scale} + 0.5)
                             AS BIGINT)) AS vq
     FROM (SELECT vec_id, emb,
                  list_reduce(list_transform(emb, x -> x*x),
@@ -686,11 +687,11 @@ cent0 AS (
     FROM (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
                    AS cluster,
                  vq AS sv
-          FROM (SELECT vec_id, vq FROM vec ORDER BY vec_id LIMIT {_X20_K})))
+          FROM (SELECT vec_id, vq FROM vec ORDER BY vec_id LIMIT {k})))
   WHERE n2s > 0
 )"""
     parts = [quant]
-    for t in range(_X20_ITERS + 1):
+    for t in range(iters + 1):
         parts.append(f"""
 k{t} AS (
   SELECT vec_id, vq, n2, cluster,
@@ -709,7 +710,7 @@ a{t} AS (
                               ORDER BY key DESC, cluster) AS rn
     FROM k{t}) WHERE rn = 1
 )""")
-        if t < _X20_ITERS:
+        if t < iters:
             parts.append(f"""
 cent{t + 1} AS (
   -- n2s > 0: zero-sum centroids drop out, mirroring _int_assign
@@ -727,7 +728,24 @@ cent{t + 1} AS (
       GROUP BY cluster))
   WHERE n2s > 0
 )""")
-    fin = f"a{_X20_ITERS}"
+    return parts, f"a{iters}"
+
+
+_X20_BASE = f"""base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_COPY_OFFSET},
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.01 + 0.001)
+  FROM embeddings WHERE vec_id % 5 = 0
+)"""
+
+
+def _x20_oracle() -> str:
+    """Unrolled-CTE DuckDB replay of the integer SemDeDup pipeline."""
+    parts, fin = _int_kmeans_cte_parts(
+        _X20_BASE, _X20_K, _X20_ITERS, _X20_SCALE
+    )
     parts.append(f"""
 edges AS (
   SELECT i, j FROM (
@@ -2103,3 +2121,135 @@ def x12c_lsh_pipeline_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# --- X51: cluster-balanced diversity sampling --------------------------------
+# The mixture tool the embedding-space pipelines (SemDeDup/DataComp
+# lineage) pair with semantic dedup: k-means the corpus in embedding
+# space, then give every cluster an EQUAL sample budget — rare
+# semantic regions survive at full strength while the dominant
+# cluster is cut to its quota, the embedding-space analog of x40's
+# per-language UniMax. Deterministic end-to-end on x20's integer
+# k-means (operators/semantic.py — quantized unit vectors, exact
+# integer comparator) + md5 content-addressed emission
+# (operators/sampling.py::hash_bucket), so DuckDB replays cluster
+# assignment, per-cluster rates, and EVERY emission decision; id_sum
+# pins which ids were emitted, not just how many. Scale shape: the
+# k-means collects only k·dim aggregated longs per round; rates are a
+# k-row broadcast; emission is one map-side hash compare — the corpus
+# is never shuffled after assignment.
+
+_X51_K = 8
+_X51_ITERS = 2
+#: corpus-wide sample budget = 2/5 of rows, split evenly over live
+#: clusters (bigint arithmetic both engines)
+_X51_BNUM, _X51_BDEN = 2, 5
+
+
+def _x51_oracle() -> str:
+    base = """base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+)"""
+    parts, fin = _int_kmeans_cte_parts(base, _X51_K, _X51_ITERS, _X20_SCALE)
+    parts.append(f"""
+per AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs
+  FROM {fin} GROUP BY cluster
+),
+tot AS (
+  SELECT CAST(sum(n_vecs) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS kc
+  FROM per
+),
+rates AS (
+  SELECT cluster, n_vecs,
+         least(10000,
+               (10000 * ((SELECT (n * {_X51_BNUM} // {_X51_BDEN}) // kc
+                          FROM tot))) // n_vecs) AS rate_bp
+  FROM per
+),
+s AS (
+  SELECT a.cluster, r.n_vecs, r.rate_bp, a.vec_id,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)),
+                                        1, 8)) AS BIGINT) % 10000
+                   < r.rate_bp
+              THEN 1 ELSE 0 END AS emit
+  FROM {fin} a JOIN rates r USING (cluster)
+)""")
+    parts.append("""
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       max(n_vecs) AS n_vecs,
+       CAST(max(rate_bp) AS BIGINT) AS rate_bp,
+       CAST(sum(emit) AS BIGINT) AS n_sampled,
+       CAST(sum(CASE WHEN emit = 1 THEN vec_id ELSE 0 END) AS BIGINT)
+         AS id_sum
+FROM s GROUP BY cluster ORDER BY cluster""")
+    return "WITH " + ",".join(parts[:-1]) + parts[-1]
+
+
+@register(
+    "x51_cluster_balanced_sample",
+    oracle=_x51_oracle(),
+    tags=("X6", "X13", "X3", "X20"),
+)
+def x51_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal per-cluster sample budgets over integer k-means cells —
+    see the module comment above _x51_oracle. Returns one row per
+    live cluster: size, emission rate (basis points), sampled count,
+    and the emitted ids' sum (content proof)."""
+    from ..operators.sampling import hash_bucket
+    from ..operators.semantic import (
+        int_kmeans_assign,
+        quantized_unit_vectors,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    quant = quantized_unit_vectors(e, "vec_id", "embedding")
+    # cache: the assignment feeds the per-cluster counts AND the
+    # emission join; uncached, the whole k-means pipeline (mapInPandas
+    # assignment passes included) would run twice
+    assigned = int_kmeans_assign(quant, k=_X51_K, iters=_X51_ITERS).select(
+        "vec_id", "cluster"
+    ).cache()
+    try:
+        per = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n_vecs")
+        )
+        tot = per.agg(
+            F.sum("n_vecs").alias("n"), F.count(F.lit(1)).alias("kc")
+        ).first()  # bounded: one row
+        quota = (int(tot.n) * _X51_BNUM // _X51_BDEN) // int(tot.kc)
+        rates = per.withColumn(
+            "rate_bp",
+            F.least(F.lit(10000), F.expr(f"(10000 * {quota}L) div n_vecs")),
+        )
+        out = (
+            assigned.join(F.broadcast(rates), "cluster")
+            .withColumn(
+                "emit",
+                (hash_bucket(F.col("vec_id")) < F.col("rate_bp")).cast(
+                    "long"
+                ),
+            )
+            .groupBy("cluster")
+            .agg(
+                F.max("n_vecs").alias("n_vecs"),
+                F.max("rate_bp").cast("long").alias("rate_bp"),
+                F.sum("emit").alias("n_sampled"),
+                F.sum(
+                    F.when(F.col("emit") == 1, F.col("vec_id")).otherwise(0)
+                ).alias("id_sum"),
+            )
+            .select(
+                F.col("cluster").cast("long").alias("cluster"),
+                "n_vecs",
+                "rate_bp",
+                "n_sampled",
+                "id_sum",
+            )
+            .orderBy("cluster")
+        )
+        return out.localCheckpoint()  # materialized before unpersist
+    finally:
+        assigned.unpersist()

@@ -188,6 +188,9 @@ _CHANGED_THIS_ROUND = [
     # r11: new GPT-style sequence-packing report on the chunked
     # distributed prefix sum
     "x50_sequence_packing",
+    # r11: new cluster-balanced diversity sampling on the integer
+    # k-means + md5 emission (full DuckDB replay)
+    "x51_cluster_balanced_sample",
 ]
 
 

@@ -84,6 +84,22 @@ def salted_top_k(
     return out.withColumnRenamed("__rk", rank_col)
 
 
+def quantile_chunk_expr(df: DataFrame, col: str, n_chunks: int = 8):
+    """Monotone chunk id for ``col``: the count of approxQuantile
+    boundaries <= the value. Ties always share a chunk and the id is
+    monotone in the value, so chunk-local prefix sums compose with a
+    driver-side offset into exact global order statistics — the
+    load-bearing property of every chunked respell (percent ranks,
+    discrete quantiles, x50's packing offsets). Balance is
+    approximate; correctness never depends on it."""
+    probs = [i / n_chunks for i in range(1, n_chunks)]
+    (bounds,) = df.stat.approxQuantile([col], probs, 0.01)
+    e = F.lit(0)
+    for b in sorted(set(bounds)):
+        e = e + F.when(F.col(col) >= F.lit(float(b)), 1).otherwise(0)
+    return e
+
+
 def chunked_discrete_percentiles(
     df: DataFrame,
     key_col: str,
@@ -126,17 +142,7 @@ def chunked_discrete_percentiles(
     dtype preserved.
     """
     spark = df.sparkSession
-    probs = [i / n_chunks for i in range(1, n_chunks)]
-    (bounds,) = df.stat.approxQuantile([value_col], probs, 0.01)
-
-    # chunk id is monotone in val and ties share a chunk, so the
-    # chunk-local prefix + driver offset composes to the global
-    # strictly-smaller count
-    chunk_expr = F.lit(0)
-    for b in sorted(set(bounds)):
-        chunk_expr = chunk_expr + F.when(
-            F.col(value_col) >= F.lit(float(b)), 1
-        ).otherwise(0)
+    chunk_expr = quantile_chunk_expr(df, value_col, n_chunks)
 
     vc = (
         df.groupBy(key_col, value_col)

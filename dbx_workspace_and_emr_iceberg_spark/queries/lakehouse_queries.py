@@ -737,6 +737,18 @@ def m7_partition_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def _event_out_cols() -> list:
+    """The hash-stable events projection shared by the m7b/s6b oracle
+    twins: ids cast long (fixture writes int64; the lakehouse round
+    trip must not change the hashed type), ts/event_type verbatim."""
+    return [
+        F.col("event_id").cast("long").alias("event_id"),
+        "ts",
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+    ]
+
+
 # --- M7b: partition evolution value oracle ----------------------------------
 # m7 self-asserts hidden pruning + manifest-only evolution; this twin
 # hash-proves the CONTENT side (m5b/m6c precedent): the day slice read
@@ -821,12 +833,7 @@ def m7b_partition_evolution_values(
             f"post-evolution rewrite did not prune: {n_scan2}/{n_total2}"
         )
 
-        cols = [
-            F.col("event_id").cast("long").alias("event_id"),
-            "ts",
-            F.col("user_id").cast("long").alias("user_id"),
-            "event_type",
-        ]
+        cols = _event_out_cols()
         out = (
             day_df.select(F.lit("day").alias("phase"), *cols)
             .unionAll(t.read().select(F.lit("final").alias("phase"), *cols))
@@ -982,12 +989,7 @@ def s6b_dynamic_overwrite_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         ops = {r.operation for r in t.snapshots().collect()}
         assert "overwrite_partitions" in ops, "snapshot op not recorded"
 
-        cols = [
-            F.col("event_id").cast("long").alias("event_id"),
-            "ts",
-            F.col("user_id").cast("long").alias("user_id"),
-            "event_type",
-        ]
+        cols = _event_out_cols()
         out = (
             t.read()
             .select(F.lit("final").alias("phase"), *cols)

@@ -51,6 +51,19 @@ def x3_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- X3b: LSH-bucketed approximate NN (self-verified recall) ---------------
 
 
+def _per_query_le_k(approx: DataFrame, k: int) -> bool:
+    """True iff every query in a ranked ANN frame carries at most k
+    rows and no rank exceeds k — the bound clause of the x3b/x3e
+    contract oracles (one bounded two-level aggregate)."""
+    b = (
+        approx.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("c"), F.max("rank").alias("mr"))
+        .agg(F.max("c").alias("mc"), F.max("mr").alias("mmr"))
+        .first()
+    )
+    return (b.mc or 0) <= k and (b.mmr or 0) <= k
+
+
 _X3B_ORACLE = """
 SELECT CAST(count(*) AS BIGINT) AS n_queries,
        CAST(1 AS BIGINT) AS per_query_le_k,
@@ -88,12 +101,14 @@ def x3b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = exact.count()
     if total and hit / total < 0.5:
         raise AssertionError(f"ANN recall@5 too low: {hit}/{total}")
-    bounds = approx.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("c"), F.max("rank").alias("mr")
-    ).agg(F.max("c").alias("mc"), F.max("mr").alias("mmr")).first()
-    le_k = (bounds.mc or 0) <= 5 and (bounds.mmr or 0) <= 5
     return spark.createDataFrame(
-        [(q.count(), int(le_k), int(total == 0 or hit / total >= 0.5))],
+        [
+            (
+                q.count(),
+                int(_per_query_le_k(approx, 5)),
+                int(total == 0 or hit / total >= 0.5),
+            )
+        ],
         "n_queries long, per_query_le_k long, recall_ge_threshold long",
     )
 
@@ -250,11 +265,7 @@ def x3e_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).count()
     total = exact.count()
     recall_ok = (total == 0) or (hit / total >= 0.5)
-
-    bounds = approx.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("c"), F.max("rank").alias("mr")
-    ).agg(F.max("c").alias("mc"), F.max("mr").alias("mmr")).first()
-    le_k = (bounds.mc or 0) <= 5 and (bounds.mmr or 0) <= 5
+    le_k = _per_query_le_k(approx, 5)
     no_self = (
         approx.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
     )

@@ -2524,13 +2524,9 @@ def x50_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.size(F.split("text", " ")).alias("ntok")
     ).cache()
-    probs = [i / n_chunks for i in range(1, n_chunks)]
-    (bounds,) = d.stat.approxQuantile(["doc_id"], probs, 0.01)
-    chunk_expr = F.lit(0)
-    for b in sorted(set(bounds)):
-        chunk_expr = chunk_expr + F.when(
-            F.col("doc_id") >= F.lit(float(b)), 1
-        ).otherwise(0)
+    from ..operators.skew import quantile_chunk_expr
+
+    chunk_expr = quantile_chunk_expr(d, "doc_id", n_chunks)
     w_loc = (
         Window.partitionBy("chunk")
         .orderBy("doc_id")

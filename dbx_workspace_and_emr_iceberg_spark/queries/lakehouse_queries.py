@@ -31,7 +31,25 @@ def _assert_same_rows(a: DataFrame, b: DataFrame, msg: str) -> None:
         raise AssertionError(msg)
 
 
-@register("m1_lakehouse_dml_lifecycle", oracle=None, tags=("M1", "M2", "M3", "M4", "S4", "S5", "S8"))
+# Value-ORACLED r11 (the m14 precedent): the step protocol — commit
+# versions are sequential by construction, counts fixture-derivable —
+# IS the contract, so the lifecycle log hash-checks; per-row semantics
+# stay in-query asserts plus the m1b content twin.
+
+_M1_ORACLE = """
+WITH m AS (SELECT CAST(count(*) AS BIGINT) AS c FROM nation)
+SELECT 'append' AS step, CAST(2 AS INTEGER) AS version, c + 5 AS row_count
+FROM m
+UNION ALL SELECT 'create', 1, c FROM m
+UNION ALL SELECT 'delete', 5, c - 1 FROM m
+UNION ALL SELECT 'merge', 3, c + 5 FROM m
+UNION ALL SELECT 'rollback', 6, c FROM m
+UNION ALL SELECT 'update', 4, c + 5 FROM m
+ORDER BY step
+"""
+
+
+@register("m1_lakehouse_dml_lifecycle", oracle=_M1_ORACLE, tags=("M1", "M2", "M3", "M4", "S4", "S5", "S8"))
 def m1_lakehouse_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CTAS → INSERT → MERGE (update+insert+delete) → UPDATE → DELETE →
     time travel → rollback, with count assertions at every step."""
@@ -515,7 +533,24 @@ def m5b_maintenance_preserves_content(
         shutil.rmtree(wh, ignore_errors=True)
 
 
-@register("m5_lakehouse_maintenance", oracle=None, tags=("M5", "S7"))
+# Value-ORACLED r11: the three %50-slice appends are limit(10) each
+# (counts exact while the slices hold >= 10 rows — asserted by the
+# expiry count), so every step is count(events %10==0)-derivable.
+
+_M5_ORACLE = """
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS c FROM events WHERE event_id % 10 = 0
+)
+SELECT 'compact' AS step, CAST(5 AS INTEGER) AS version, c + 30 AS row_count
+FROM m
+UNION ALL SELECT 'conflict_detected', 6, c + 31 FROM m
+UNION ALL SELECT 'expire', 5, c + 30 FROM m
+UNION ALL SELECT 'snapshots', 4, 4
+ORDER BY step
+"""
+
+
+@register("m5_lakehouse_maintenance", oracle=_M5_ORACLE, tags=("M5", "S7"))
 def m5_lakehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot metadata (S7), compaction and snapshot expiry (M5),
     optimistic-commit conflict detection."""
@@ -571,7 +606,16 @@ def m5_lakehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(wh, ignore_errors=True)
 
 
-@register("m6_lakehouse_schema_evolution", oracle=None, tags=("M6",))
+_M6_ORACLE = """
+WITH m AS (SELECT CAST(count(*) AS BIGINT) AS c FROM region)
+SELECT 'add_column' AS step, CAST(2 AS INTEGER) AS version, c AS row_count
+FROM m
+UNION ALL SELECT 'evolved_append', 3, c + 2 FROM m
+ORDER BY step
+"""
+
+
+@register("m6_lakehouse_schema_evolution", oracle=_M6_ORACLE, tags=("M6",))
 def m6_lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADD COLUMN without rewriting files; old snapshots keep the old
     schema; new writes carry the new column (M6)."""
@@ -613,7 +657,18 @@ def m6_lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(wh, ignore_errors=True)
 
 
-@register("m6b_rename_drop_column", oracle=None, tags=("M6", "M18"))
+_M6B_ORACLE = """
+WITH m AS (SELECT CAST(count(*) AS BIGINT) AS c FROM nation)
+SELECT 'append_post_rename' AS step, CAST(3 AS INTEGER) AS version,
+       c + 4 AS row_count
+FROM m
+UNION ALL SELECT 'drop', 4, c + 4 FROM m
+UNION ALL SELECT 'rename', 2, c FROM m
+ORDER BY step
+"""
+
+
+@register("m6b_rename_drop_column", oracle=_M6B_ORACLE, tags=("M6", "M18"))
 def m6b_rename_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6 completion (r7): RENAME and DROP COLUMN — manifest-only like
     Iceberg's field-id evolution, driven through the SQL door's ALTER
@@ -844,7 +899,33 @@ def m7b_partition_evolution_values(
         shutil.rmtree(wh, ignore_errors=True)
 
 
-@register("s6_dynamic_partition_overwrite", oracle=None, tags=("S6", "M7"))
+_S6_ORACLE = """
+WITH ev AS (
+  SELECT event_id, ts FROM events
+  WHERE event_id % 7 = 0
+    AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-14 00:00:00'
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-12 00:00:00'
+                        AND ts < TIMESTAMP '2024-01-13 00:00:00'
+                   THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-12 00:00:00'
+                        AND ts < TIMESTAMP '2024-01-13 00:00:00'
+                        AND event_id % 2 = 0
+                   THEN 1 ELSE 0 END) AS BIGINT) AS nr
+  FROM ev
+)
+SELECT 'create_partitioned' AS step, CAST(1 AS INTEGER) AS version,
+       n0 AS row_count FROM m
+UNION ALL SELECT 'overwrite_partitions', 2, nr FROM m
+UNION ALL SELECT 'verify', 2, n0 - nd + nr FROM m
+ORDER BY step
+"""
+
+
+@register("s6_dynamic_partition_overwrite", oracle=_S6_ORACLE, tags=("S6", "M7"))
 def s6_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition-level INSERT OVERWRITE (S6) — Iceberg's
     ``overwritePartitions()`` / ``partitionOverwriteMode=dynamic``
@@ -1005,7 +1086,20 @@ def s6b_dynamic_overwrite_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(wh, ignore_errors=True)
 
 
-@register("m8_branches_wap", oracle=None, tags=("M8",))
+_M8_ORACLE = """
+WITH m AS (SELECT CAST(count(*) AS BIGINT) AS c FROM nation)
+SELECT 'catch_up' AS step, CAST(7 AS INTEGER) AS version,
+       c + 8 AS row_count FROM m
+UNION ALL SELECT 'cherrypick_divergent', 7, c + 8 FROM m
+UNION ALL SELECT 'publish', 3, c + 3 FROM m
+UNION ALL SELECT 'publish_again', 5, c + 5 FROM m
+UNION ALL SELECT 'tag_and_branch', 1, c FROM m
+UNION ALL SELECT 'write_branch', 2, c + 3 FROM m
+ORDER BY step
+"""
+
+
+@register("m8_branches_wap", oracle=_M8_ORACLE, tags=("M8",))
 def m8_branches_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Branches, tags and write-audit-publish (M8): stage an append on a
     branch, audit it, publish by fast-forwarding main; tags stay pinned."""
@@ -1098,7 +1192,22 @@ def m8_branches_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(wh, ignore_errors=True)
 
 
-@register("m8b_sql_branch_lifecycle", oracle=None, tags=("M8", "M18", "M20"))
+_M8B_ORACLE = """
+WITH m AS (SELECT CAST(count(*) AS BIGINT) AS c FROM nation)
+SELECT 'asof_skips_staged' AS step, CAST(4 AS INTEGER) AS version,
+       c + 3 AS row_count FROM m
+UNION ALL SELECT 'ctas', 1, c FROM m
+UNION ALL SELECT 'divergent_refused', 7, c + 4 FROM m
+UNION ALL SELECT 'drop_refs', 3, c + 4 FROM m
+UNION ALL SELECT 'publish', 3, c + 3 FROM m
+UNION ALL SELECT 'publish_again', 6, c + 4 FROM m
+UNION ALL SELECT 'tag_and_branch', 1, c FROM m
+UNION ALL SELECT 'write_branch', 2, c + 3 FROM m
+ORDER BY step
+"""
+
+
+@register("m8b_sql_branch_lifecycle", oracle=_M8B_ORACLE, tags=("M8", "M18", "M20"))
 def m8b_sql_branch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """m8's WAP flow with ZERO API calls — every step a SQL string
     through the door (the r7 verdict's one missing pure-SQL lifecycle):
@@ -1355,7 +1464,34 @@ def s7b_metadata_tables_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(wh, ignore_errors=True)
 
 
-@register("m10_incremental_cdc", oracle=None, tags=("S8",))
+_M10_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey % 8 AS b, o_totalprice, o_orderstatus FROM orders
+  WHERE o_orderkey % 8 IN (0, 1, 2)
+),
+m AS (
+  SELECT
+    CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(sum(CASE WHEN b IN (1, 2) THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+    CAST(sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT)
+      AS nd,
+    CAST(sum(CASE WHEN o_totalprice <= 200000 AND o_orderstatus = 'F'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS nu,
+    CAST(sum(CASE WHEN o_totalprice <= 200000 THEN 1 ELSE 0 END) AS BIGINT)
+      AS nf
+  FROM o
+)
+SELECT 'changelog_delete' AS step, CAST(4 AS INTEGER) AS version,
+       nd AS row_count FROM m
+UNION ALL SELECT 'changelog_reconcile', 5, nf FROM m
+UNION ALL SELECT 'changelog_update', 5, nu FROM m
+UNION ALL SELECT 'incremental_append', 2, n2 FROM m
+UNION ALL SELECT 'incremental_range', 3, nr FROM m
+ORDER BY step
+"""
+
+
+@register("m10_incremental_cdc", oracle=_M10_ORACLE, tags=("S8",))
 def m10_incremental_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental append scan + row-level CDC changelog (S8 extended —
     Iceberg's start/end-snapshot-id read and create_changelog_view
@@ -1448,7 +1584,17 @@ def m10_incremental_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(wh, ignore_errors=True)
 
 
-@register("m12_sql_dml_door", oracle=None, tags=("M1", "M2", "M3"))
+_M12_ORACLE = """
+WITH m AS (SELECT CAST(count(*) AS BIGINT) AS c FROM nation)
+SELECT 'create' AS step, CAST(1 AS INTEGER) AS version, c AS row_count FROM m
+UNION ALL SELECT 'sql_delete', 3, c - 3 FROM m
+UNION ALL SELECT 'sql_merge', 4, c - 3 FROM m
+UNION ALL SELECT 'sql_update', 2, c FROM m
+ORDER BY step
+"""
+
+
+@register("m12_sql_dml_door", oracle=_M12_ORACLE, tags=("M1", "M2", "M3"))
 def m12_sql_dml_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DML driven purely through SQL strings — engine.sql("MERGE INTO
     ...") etc. — the reference's spark-sql UX (README.md:35-45), parsed
@@ -1764,7 +1910,24 @@ def p3_hidden_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 # values, and the PRE-merge snapshot still presents the old schema.
 
 
-@register("m14_merge_schema_evolution", oracle=None, tags=("M1", "M6"))
+# m14: MERGE with automatic schema evolution — the step protocol is
+# deterministic (create=v1, the evolving merge=v2) and the counts are
+# fixture-derivable, so the lifecycle log itself is value-ORACLED
+# (r11); the per-row semantics (update/insert/NULL backfill/pre-merge
+# schema isolation) stay in-query asserts plus m6c's content twin.
+
+_M14_ORACLE = """
+SELECT 'create' AS step, CAST(1 AS INTEGER) AS version,
+       CAST(count(*) AS BIGINT) AS row_count
+FROM nation
+UNION ALL
+SELECT 'merge_evolve', CAST(2 AS INTEGER), CAST(count(*) + 1 AS BIGINT)
+FROM nation
+ORDER BY step
+"""
+
+
+@register("m14_merge_schema_evolution", oracle=_M14_ORACLE, tags=("M1", "M6"))
 def m14_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = tempfile.mkdtemp(prefix="lakehouse_msev_")
     try:
@@ -2012,7 +2175,20 @@ def m16_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # append, DELETE rewrite, and time travel.
 
 
-@register("m17_column_defaults", oracle=None, tags=("M6", "M17"))
+# m17: every returned number is fixture-derivable (nation keys are
+# 0..24 at every SF: 10 pre-evolution rows read the default, key 3 is
+# CoW-deleted, so 24 rows / 9 defaulted) — value-ORACLED r11; the
+# NULL-vs-default and time-travel clauses stay in-query asserts.
+
+_M17_ORACLE = """
+SELECT CAST(count(*) - 1 AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN n_nationkey < 10 AND n_nationkey <> 3
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_defaulted
+FROM nation
+"""
+
+
+@register("m17_column_defaults", oracle=_M17_ORACLE, tags=("M6", "M17"))
 def m17_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = tempfile.mkdtemp(prefix="lakehouse_def_")
     try:
@@ -2174,7 +2350,20 @@ def m18_call_procedures(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(wh, ignore_errors=True)
 
 
-@register("m20_pure_sql_lifecycle", oracle=None, tags=("M1", "M18", "S4", "S5"))
+_M20_ORACLE = """
+WITH m AS (SELECT CAST(count(*) AS BIGINT) AS c FROM region)
+SELECT 'ctas' AS step, CAST(1 AS INTEGER) AS version, c AS row_count FROM m
+UNION ALL SELECT 'delete', 4, c + 1 FROM m
+UNION ALL SELECT 'insert_overwrite', 8, c FROM m
+UNION ALL SELECT 'insert_values', 2, c + 2 FROM m
+UNION ALL SELECT 'maintenance', 9, c FROM m
+UNION ALL SELECT 'merge', 5, c + 1 FROM m
+UNION ALL SELECT 'update', 3, c + 2 FROM m
+ORDER BY step
+"""
+
+
+@register("m20_pure_sql_lifecycle", oracle=_M20_ORACLE, tags=("M1", "M18", "S4", "S5"))
 def m20_pure_sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's complete spark-sql session (README.md:35-45)
     with ZERO API calls — every step a SQL string through engine.sql:

@@ -648,7 +648,16 @@ def _run_upsert_stream(spark, sf_dir, wh, table_name):
     return table, b1, b2
 
 
-@register("t10_stream_merge_upsert", oracle=None, tags=("T9", "M1"))
+_T10_ORACLE = """
+SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS n_keys,
+       CAST(count(DISTINCT CASE WHEN event_id % 60 = 20
+                                THEN event_id END) AS BIGINT) AS n_twice,
+       CAST(1 AS BIGINT) AS counts_ok
+FROM events WHERE event_id % 60 IN (0, 20, 40)
+"""
+
+
+@register("t10_stream_merge_upsert", oracle=_T10_ORACLE, tags=("T9", "M1"))
 def t10_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch MERGE INTO the snapshot table — the streaming-CDC
     upsert pattern Iceberg users run (each micro-batch merges on the
@@ -670,7 +679,13 @@ def t10_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         bad = {k for k, n in seen.items() if n != (2 if k in expect2 else 1)}
         assert not bad, f"upsert counts wrong for keys {sorted(bad)[:5]}"
         assert expect2 and len(seen) > len(expect2), "fixture overlap drift"
-        return table.snapshots()
+        # value-ORACLED r11: key/overlap counts are fixture-derivable
+        # (%60 buckets); the snapshot COUNT is trigger planning, so
+        # the per-key upsert correctness rides the counts_ok flag
+        return spark.createDataFrame(
+            [(len(seen), len(expect2), int(not bad))],
+            "n_keys long, n_twice long, counts_ok long",
+        )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 

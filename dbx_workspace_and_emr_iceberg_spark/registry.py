@@ -191,6 +191,23 @@ _CHANGED_THIS_ROUND = [
     # r11: new cluster-balanced diversity sampling on the integer
     # k-means + md5 emission (full DuckDB replay)
     "x51_cluster_balanced_sample",
+    # r11 third wave, ordered LAST (pure oracle additions, zero plan
+    # change, so a driver-budget spill costs the least evidence): the
+    # lifecycle step protocols value-oracled (m14 precedent — commit
+    # versions sequential by construction, counts fixture-derivable)
+    "m14_merge_schema_evolution",
+    "m17_column_defaults",
+    "m1_lakehouse_dml_lifecycle",
+    "m12_sql_dml_door",
+    "m20_pure_sql_lifecycle",
+    "m6_lakehouse_schema_evolution",
+    "m6b_rename_drop_column",
+    "m10_incremental_cdc",
+    "m5_lakehouse_maintenance",
+    "s6_dynamic_partition_overwrite",
+    "m8_branches_wap",
+    "m8b_sql_branch_lifecycle",
+    "t10_stream_merge_upsert",
 ]
 
 

@@ -143,71 +143,14 @@ def all_queries() -> dict[str, Query]:
 #: delete the whole list's content after the round's CORRECTNESS lands
 #: green (regenerating driver_history.py then carries the evidence).
 #:
-#: Round-11 entries:
+#: Round-12 entries (kept deliberately SHORT — r12 is the re-proof
+#: round per VERDICT-r11 #3: with few changed plans the derived
+#: ordering lets the ~50-slot driver budget flow to the 132 queries
+#: last sampled <= r6):
 _CHANGED_THIS_ROUND = [
-    # r11: respelled onto per-key chunked discrete-rank machinery
-    # (r10 verdict #2 — the last Window.partitionBy(low-card key))
-    "qd8_percentile_report",
-    # r11: new value-oracled twin of m7 (r10 verdict #3)
-    "m7b_partition_evolution_values",
-    # r11: new end-to-end value-oracled LSH pipeline (r10 verdict #4)
-    "x12c_lsh_pipeline_values",
-    # r11: converted rows-only -> contract-oracled (r10 verdict #5)
-    "x3e_ivf_ann",
-    # r11: adaptive bloom sizing + cached digest frame + parallel-md5
-    # source write (r10 verdict #6)
-    "t18_stream_dedup_history",
-    # r11: new value-oracled twins for previously rows-only families
-    "s6b_dynamic_overwrite_values",
-    "m20b_sql_lifecycle_values",
-    "s7b_metadata_tables_values",
-    # r11: rows-only -> value/contract-oracled conversions (outputs
-    # were already fixture-derivable; t17/m18 outputs respelled to
-    # deterministic flags)
-    "m15_catalog_namespace",
-    "m16_sql_time_travel",
-    "m18_call_procedures",
-    "s18_file_ingest_options",
-    "s2e_csv_malformed_modes",
-    "t14_python_stream_source",
-    "t15_checkpoint_recovery",
-    "t16_lakehouse_stream_source",
-    "t17_streaming_listener",
-    # r11 second wave: flag/summary respells -> oracled (o4 also
-    # hardened: per-partition sortedness now checked across Arrow
-    # batch boundaries)
-    "t1b_rate_source",
-    "t5_watermark_append_finalize",
-    "t9_stream_to_lakehouse",
-    "t13_max_files_per_trigger",
-    "o4_sort_within_partitions",
-    "a5c_hll_mergeable",
-    "f8c_native_ids",
-    "x3b_ann_lsh",
-    "x2d_mllib_minhash",
-    # r11: new GPT-style sequence-packing report on the chunked
-    # distributed prefix sum
-    "x50_sequence_packing",
-    # r11: new cluster-balanced diversity sampling on the integer
-    # k-means + md5 emission (full DuckDB replay)
-    "x51_cluster_balanced_sample",
-    # r11 third wave, ordered LAST (pure oracle additions, zero plan
-    # change, so a driver-budget spill costs the least evidence): the
-    # lifecycle step protocols value-oracled (m14 precedent — commit
-    # versions sequential by construction, counts fixture-derivable)
-    "m14_merge_schema_evolution",
-    "m17_column_defaults",
-    "m1_lakehouse_dml_lifecycle",
-    "m12_sql_dml_door",
-    "m20_pure_sql_lifecycle",
-    "m6_lakehouse_schema_evolution",
-    "m6b_rename_drop_column",
-    "m10_incremental_cdc",
-    "m5_lakehouse_maintenance",
-    "s6_dynamic_partition_overwrite",
-    "m8_branches_wap",
-    "m8b_sql_branch_lifecycle",
-    "t10_stream_merge_upsert",
+    # r12: packing stage respelled off the lang-alone full-granularity
+    # window onto the x50 chunked prefix-sum machinery (r11 verdict #2)
+    "x31_curation_pipeline_v2",
 ]
 
 

@@ -1314,8 +1314,11 @@ def x27_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Value-oracled end-to-end: DuckDB re-derives dedup, rates, sampling
 # AND bin assignment exactly (all content-addressed / integer math).
 # Scale: stage 1 shuffles digests; stage 2 is a broadcast-rate filter;
-# stage 3's cumsum partitions by lang — production shards finer (x26's
-# chunking trick applies verbatim if one stratum dominates).
+# stage 3 (r12) runs the x50 chunked two-pass prefix sum — every
+# window partitions on (lang, chunk), never lang alone, so the
+# dominant language of a real corpus spreads across n_chunks tasks
+# (plan-guard-asserted in-query; the oracle's single ordered cumsum
+# replays the identical arithmetic).
 
 _X31_ORACLE = """
 WITH toks AS (
@@ -1422,18 +1425,50 @@ def x31_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = deduped.join(F.broadcast(rates), "lang").filter(
         hash_bucket(F.col("doc_id")) < F.col("bp")
     )
-    w_pack = (
-        W.partitionBy("lang")
+    # packing stage, r12 respell (VERDICT-r11 #2): the old spelling ran
+    # ONE running-cumsum window per language over every surviving row —
+    # at 100 TB the dominant language funnels through a single task,
+    # the exact shape the x50 machinery exists to replace. Same bigint
+    # arithmetic on the chunked two-pass prefix sum instead: checkpoint
+    # the narrow survivor frame (3 columns; also severs the triple
+    # re-derivation of the dedup+sampling pipeline that the boundary
+    # and totals passes would otherwise trigger), chunk the doc_id axis
+    # monotonically, take chunk-LOCAL exclusive cumsums over
+    # (lang, chunk) windows, and add driver-prefixed per-(lang, chunk)
+    # totals back as broadcast offsets — a bounded |langs| * n_chunks
+    # row collect. exclusive_prefix = loc + off is identical to the old
+    # inclusive-cumsum-minus-self, so the oracle is unchanged.
+    from ..operators.skew import quantile_chunk_expr
+    from ..plans.explain import assert_windows_partitioned_by
+
+    n_chunks = 8
+    sampled = sampled.select("lang", "doc_id", "n_tokens").localCheckpoint()
+    chunk_expr = quantile_chunk_expr(sampled, "doc_id", n_chunks)
+    w_loc = (
+        W.partitionBy("lang", "chunk")
         .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, 0)
+        .rowsBetween(W.unboundedPreceding, -1)
     )
-    packed = sampled.withColumn(
+    loc = sampled.withColumn("chunk", chunk_expr.cast("int")).withColumn(
+        "excl_loc",
+        F.coalesce(F.sum("n_tokens").over(w_loc), F.lit(0)).cast("long"),
+    )
+    totals = (
+        loc.groupBy("lang", "chunk").agg(F.sum("n_tokens").alias("t")).collect()
+    )  # bounded: |langs| * n_chunks rows
+    acc: dict = {}
+    off_rows = []
+    for r in sorted(totals, key=lambda r: (r["lang"], r["chunk"])):
+        off_rows.append((r["lang"], int(r["chunk"]), acc.get(r["lang"], 0)))
+        acc[r["lang"]] = acc.get(r["lang"], 0) + int(r["t"])
+    offsets = spark.createDataFrame(
+        off_rows, "lang string, chunk int, off long"
+    )
+    packed = loc.join(F.broadcast(offsets), ["lang", "chunk"]).withColumn(
         "bin",
-        F.floor(
-            (F.sum("n_tokens").over(w_pack) - F.col("n_tokens")) / 256.0
-        ).cast("long"),
+        F.floor((F.col("excl_loc") + F.col("off")) / 256.0).cast("long"),
     )
-    return (
+    out = (
         packed.groupBy("lang", "bin")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -1441,6 +1476,10 @@ def x31_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bin")
     )
+    # the 100 TB contract, enforced on every execution: the packing
+    # window must be chunk-partitioned (and exist at all)
+    assert_windows_partitioned_by(out, "chunk", "x31")
+    return out
 
 
 # --- X32: contamination-safe split assignment (cluster-aware) ---------------

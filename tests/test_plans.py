@@ -487,6 +487,33 @@ def test_qd8_no_window_partitioned_on_segment_alone(spark):
     assert_windows_partitioned_by(df, "chunk", "qd8")
 
 
+def test_x31_no_window_partitioned_on_lang_alone(spark):
+    """r11 verdict #2, pinned: x31's sequence-packing stage runs on the
+    x50 chunked prefix-sum machinery — no window is partitioned on the
+    low-cardinality lang key alone (that shape funnels the dominant
+    language through ONE task at 100 TB); the packing window partitions
+    on (lang, chunk) and the only solo-lang exchange left is the
+    bounded per-language counts aggregate feeding the mixture rates."""
+    import re
+
+    from dbx_workspace_and_emr_iceberg_spark.queries.dedup_queries import (
+        x31_curation_pipeline_v2,
+    )
+
+    df = x31_curation_pipeline_v2(spark, SF_DIR)
+    # in-query assert_windows_partitioned_by already ran (this call not
+    # raising IS the chunk-partitioning check); pin the exchange shape
+    # too: the packing stage sits above a localCheckpoint, so its plan
+    # must carry NO solo-lang hashpartitioning at all
+    p = X.simple_plan(df)
+    solo_lang = re.findall(r"hashpartitioning\(lang#\d+, \d+\)", p)
+    assert len(solo_lang) == 0, p
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    for m in re.finditer(r"windowspecdefinition\((.*?)(?:ASC|DESC)", opt):
+        assert m.group(1).strip(" ,") != "", "global window: " + m.group(0)
+    assert X.python_eval_count(df) == 0
+
+
 def test_plan_guard_helpers_both_directions(spark):
     """The centralized plan-string guards (plans/explain.py, ADVICE
     r10) pinned in BOTH directions against hand-built frames, so a

@@ -360,6 +360,18 @@ def ivf_topk(
         sums = np.zeros((n_centroids, dim))
         cnts = np.zeros((n_centroids, dim))
         for r in comp:
+            # overflow bound (ADVICE r11): components are unit-scale
+            # embeddings (|v| <= ~1), so |s| <= c * 1e6 and the long
+            # partial sums wrap only past ~9.2e12 members in ONE cell;
+            # guard at half that. ANSI mode (the session default)
+            # already raises on the actual sum overflow — this keeps
+            # the contract explicit rather than config-dependent.
+            if r.c >= (1 << 62) // 1_000_000:
+                raise ArithmeticError(
+                    f"ivf_topk: cell {r.cell} holds {r.c} vectors — the "
+                    "quantized long centroid sums overflow past ~4.6e12 "
+                    "unit-scale members; raise n_centroids or rescale"
+                )
             sums[r.cell, r.pos] = r.s / 1e6
             cnts[r.cell, r.pos] = r.c
         nonzero = cnts > 0

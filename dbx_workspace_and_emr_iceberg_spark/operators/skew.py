@@ -144,11 +144,20 @@ def chunked_discrete_percentiles(
     spark = df.sparkSession
     chunk_expr = quantile_chunk_expr(df, value_col, n_chunks)
 
+    # localCheckpoint, not .cache() (ADVICE r11): the distinct-value
+    # frame feeds BOTH the bounded totals collect and the caller's
+    # final pass, but a CacheManager entry is never auto-dropped — in
+    # the long-lived 296-query driver session every call would pin
+    # executor memory forever. Checkpoint blocks are GC-cleaned with
+    # the RDD reference once the caller's result is materialized and
+    # released, and the window/join nodes ABOVE it stay visible to the
+    # plan guards. (Caveat at scale: local checkpoints don't survive
+    # executor loss — acceptable for a frame this cheap to recompute.)
     vc = (
         df.groupBy(key_col, value_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("chunk", chunk_expr)
-        .cache()
+        .localCheckpoint()
     )
     w_loc = (
         Window.partitionBy(key_col, "chunk")
@@ -293,15 +302,19 @@ def chunked_percent_ranks(
         )
         chunk_expr = F.when(F.col("sig") == c, e).otherwise(chunk_expr)
 
-    # cached: the distinct-value frame (bounded by #distinct values,
-    # not rows) feeds BOTH the totals collect and the lt_loc/join
-    # pipeline — uncached, the corpus explode + groupBy would run
-    # twice (review-pass finding; same reasoning as x43's doc_nll)
+    # localCheckpoint, not .cache() (ADVICE r11): the distinct-value
+    # frame (bounded by #distinct values, not rows) feeds BOTH the
+    # totals collect and the lt_loc/join pipeline — uncheckpointed,
+    # the corpus explode + groupBy would run twice; CACHED, the entry
+    # would pin executor memory for the rest of the 296-query driver
+    # session (CacheManager never auto-drops). Checkpoint blocks are
+    # GC-cleaned with the RDD reference, and the chunk-partitioned
+    # windows ABOVE the checkpoint stay visible to the plan guards.
     vc = (
         long.groupBy(part_col, "sig", "val")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("chunk", chunk_expr)
-        .cache()
+        .localCheckpoint()
     )
     w_loc = (
         Window.partitionBy(part_col, "sig", "chunk")

@@ -135,11 +135,20 @@ def _parse_window_partition_specs(plan: str) -> list[str]:
                 cur.append(c)
             k += 1
         args.append("".join(cur))
+        # a sort order carries its direction as the argument's TRAILING
+        # token (optionally followed by NULLS FIRST/LAST) — matching
+        # ASC/DESC anywhere misclassified a partition EXPRESSION whose
+        # printed form merely contains the token (e.g. a CASE/string
+        # literal with ' DESC ' inside) as a sort order, making a
+        # correctly partitioned window fail the guard (ADVICE r11)
+        sort_dir = re.compile(
+            r"\b(?:ASC|DESC)\b(?:\s+NULLS\s+(?:FIRST|LAST))?\s*$"
+        )
         part = [
             a.strip()
             for a in args
             if a.strip()
-            and not re.search(r"\b(?:ASC|DESC)\b", a)
+            and not sort_dir.search(a.strip())
             and not a.strip().startswith("specifiedwindowframe")
         ]
         out.append(", ".join(part))

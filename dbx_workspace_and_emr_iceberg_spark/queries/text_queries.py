@@ -2516,14 +2516,18 @@ def x50_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever sees more than ~1/n_chunks of the corpus and the plan carries
     no unpartitioned window (guard-asserted below)."""
     n_chunks = 8
-    # cache: the narrow (doc_id, lang, ntok) frame — text never
-    # survives the select — feeds the approxQuantile scan, the
-    # per-chunk totals job, AND the final offsets aggregate; uncached,
-    # the tokenizing split would run three times (review-pass r11,
-    # the chunked_percent_ranks precedent)
+    # localCheckpoint, not .cache() (ADVICE r11): the narrow
+    # (doc_id, lang, ntok) frame — text never survives the select —
+    # feeds the approxQuantile scan, the per-chunk totals job, AND the
+    # final offsets aggregate; unmaterialized, the tokenizing split
+    # would run three times. A .cache() here pinned executor memory
+    # for the rest of the 296-query driver session (CacheManager never
+    # auto-drops); checkpoint blocks are GC-cleaned with the RDD
+    # reference, and the packing window ABOVE the checkpoint stays
+    # visible to the in-query plan guard.
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.size(F.split("text", " ")).alias("ntok")
-    ).cache()
+    ).localCheckpoint()
     from ..operators.skew import quantile_chunk_expr
 
     chunk_expr = quantile_chunk_expr(d, "doc_id", n_chunks)

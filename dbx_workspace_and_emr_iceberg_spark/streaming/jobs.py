@@ -86,6 +86,17 @@ def run_to_memory(
     return spark.table(name)
 
 
+def _auto_m_bits(n_hist: int) -> int:
+    """Bloom bitmap size for ``n_hist`` history digests: the power of
+    two >= 16 * n_hist, clamped to [2^16, 2^27]. m/n >= 16 at k=5
+    keeps the false-positive rate ~1e-3; the clamps stop fixture-scale
+    builds from collecting 512 KB partial bitmaps per partition (the
+    r10 bench regression) and unbounded histories from growing the
+    broadcast past 16 MB. Named so tests pin THIS implementation, not
+    a restated copy of the formula (ADVICE r11)."""
+    return 1 << min(27, max(16, (16 * max(n_hist, 1) - 1).bit_length()))
+
+
 def stream_anti_history(
     stream_df,
     hist_df,
@@ -139,7 +150,7 @@ def stream_anti_history(
     if not force_bloom and n_hist <= broadcast_max:
         return stream_df.join(F.broadcast(hist_df), key, "left_anti")
     if m_bits is None:
-        m_bits = 1 << min(27, max(16, (16 * max(n_hist, 1) - 1).bit_length()))
+        m_bits = _auto_m_bits(n_hist)
     bitmap = build_bloom(hist_df, key, m_bits=m_bits, k=k)
     probed = probe_bloom_scalar(
         stream_df, key, bitmap, m_bits=m_bits, k=k, out_col="__maybe_dup"

@@ -1037,8 +1037,12 @@ def test_stream_anti_history_auto_bloom_sizing():
     """The m_bits auto-sizing formula (r11): power of two >= 16*n_hist,
     clamped to [2^16, 2^27] — pinned at the boundaries so a refactor
     can't silently undersize (false-positive blowup) or oversize
-    (512 KB-partial regression, r10 bench) the bloom."""
-    size = lambda n: 1 << min(27, max(16, (16 * max(n, 1) - 1).bit_length()))
+    (512 KB-partial regression, r10 bench) the bloom. Pins the
+    IMPLEMENTATION (ADVICE r11) — a drift in stream_anti_history's
+    sizing now fails here, not only in a bench regression."""
+    from dbx_workspace_and_emr_iceberg_spark.streaming.jobs import (
+        _auto_m_bits as size,
+    )
     assert size(0) == 1 << 16
     assert size(1) == 1 << 16
     assert size(4096) == 1 << 16          # 16*4096 = 2^16 exactly

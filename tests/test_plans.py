@@ -636,4 +636,19 @@ def test_window_spec_parser_string_level():
          "currentrow$()))")
     assert parse(s) == ["k#1", ""]
 
+    # partition EXPRESSION whose printed form merely CONTAINS a
+    # direction token (ADVICE r11): a CASE arm with the literal
+    # ' DESC ' inside must stay classified as a partition expression —
+    # the direction keyword only counts as the argument's trailing token
+    s = ("windowspecdefinition(CASE WHEN contains(note#4,  DESC ) THEN 1 "
+         "ELSE 0 END, ts#6 ASC NULLS FIRST, "
+         "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+         "currentrow$()))")
+    assert parse(s) == ["CASE WHEN contains(note#4,  DESC ) THEN 1 ELSE 0 END"]
+
+    # ...while a sort order with no NULLS suffix is still dropped
+    s = ("windowspecdefinition(k#1, v#2 DESC, specifiedwindowframe("
+         "RowFrame, unboundedpreceding$(), currentrow$()))")
+    assert parse(s) == ["k#1"]
+
     assert parse("no windows here") == []

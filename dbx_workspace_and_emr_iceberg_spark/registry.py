@@ -151,6 +151,13 @@ _CHANGED_THIS_ROUND = [
     # r12: packing stage respelled off the lang-alone full-granularity
     # window onto the x50 chunked prefix-sum machinery (r11 verdict #2)
     "x31_curation_pipeline_v2",
+    # r12: engine-layout file counts respelled as layout-contract
+    # flags + fixture-derivable counts -> value-oracled (r11 verdict
+    # #4; flags computed with no preceding assert per ADVICE r11)
+    "m7_partition_transforms",
+    "m9_stats_file_skipping",
+    "m11_sorted_clustering",
+    "m13_zorder_clustering",
 ]
 
 

@@ -110,6 +110,19 @@ HEADLINE = [
     "x15_quality_quantile_gate",
 ]
 
+#: Second reported section (r11 verdict #6): new/changed heavy plans get
+#: round-over-round tracking from the round they land, WITHOUT breaking
+#: the shared-49 set's comparability — "value"/"queries" stay the
+#: shared set; these report under "additions_*".
+ADDITIONS = [
+    # r11: global-order packing (chunked distributed prefix sum)
+    "x50_sequence_packing",
+    # r11: cluster-balanced diversity sampling (k-means CTE + md5)
+    "x51_cluster_balanced_sample",
+    # r12: packing stage respelled onto the chunked machinery
+    "x31_curation_pipeline_v2",
+]
+
 
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -154,9 +167,14 @@ def main() -> None:
     # min so rounds compare like-for-like; "passes" carries the raw data.
     passes: list[dict[str, float]] = []
     timings: dict[str, float] = {}
+    add_passes: list[dict[str, float]] = []
+    add_timings: dict[str, float] = {}
     for _pass in range(2):
         cur: dict[str, float] = {}
-        for name in HEADLINE:
+        add_cur: dict[str, float] = {}
+        for name, sink in [(n, cur) for n in HEADLINE] + [
+            (n, add_cur) for n in ADDITIONS
+        ]:
             q = queries[name]
             # Cold cache per timed run: queries that .cache() internally
             # (x2) must pay their real plan cost on EVERY pass — without
@@ -166,10 +184,12 @@ def main() -> None:
             t0 = time.perf_counter()
             q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
-            cur[name] = dt
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
+            sink[name] = dt
+            t = timings if sink is cur else add_timings
+            if name not in t or dt < t[name]:
+                t[name] = dt
         passes.append(cur)
+        add_passes.append(add_cur)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -187,6 +207,11 @@ def main() -> None:
                 # (r6 verdict #6): surfaced explicitly so readers don't
                 # have to derive it from passes
                 "cold_total": round(sum(passes[0].values()), 3),
+                # round-over-round tracking for new heavy plans without
+                # polluting the shared headline set (r11 verdict #6)
+                "additions_queries": add_timings,
+                "additions_total": round(sum(add_timings.values()), 3),
+                "additions_passes": add_passes,
                 "noise_floor": noise_floor,
                 "sf": sf_num,
             }

@@ -369,8 +369,9 @@ def ivf_topk(
             if r.c >= (1 << 62) // 1_000_000:
                 raise ArithmeticError(
                     f"ivf_topk: cell {r.cell} holds {r.c} vectors — the "
-                    "quantized long centroid sums overflow past ~4.6e12 "
-                    "unit-scale members; raise n_centroids or rescale"
+                    "quantized long centroid sums wrap past ~9.2e12 "
+                    "unit-scale members (guarded at half that); raise "
+                    "n_centroids or rescale"
                 )
             sums[r.cell, r.pos] = r.s / 1e6
             cnts[r.cell, r.pos] = r.c

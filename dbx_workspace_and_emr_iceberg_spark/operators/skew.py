@@ -100,6 +100,78 @@ def quantile_chunk_expr(df: DataFrame, col: str, n_chunks: int = 8):
     return e
 
 
+def chunked_exclusive_prefix(
+    df: DataFrame,
+    order_col: str,
+    sum_col: str,
+    part_cols: tuple[str, ...] = (),
+    n_chunks: int = 8,
+    out_col: str = "excl",
+) -> DataFrame:
+    """EXCLUSIVE running sum of ``sum_col`` in global ``order_col``
+    order — per ``part_cols`` when given — with NO full-granularity
+    window on a low-cardinality (or absent) partition key: chunk the
+    order axis monotonically (quantile_chunk_expr), take chunk-LOCAL
+    exclusive window cumsums, collect the bounded per-(part, chunk)
+    totals, exclusive-prefix them on the driver and broadcast back as
+    offsets. The x50/x31 sequence-packing spelling, shared (review-pass
+    r12 — the two inline copies had already drifted one variable name
+    apart).
+
+    Returns df's columns plus ``chunk`` (int) and ``out_col`` (long).
+    ``df`` should be cheap to rescan or already materialized (both
+    packing callers localCheckpoint a narrow frame first): the chunk
+    boundary scan, the totals job and the consumer each evaluate it.
+    """
+    spark = df.sparkSession
+    chunk_expr = quantile_chunk_expr(df, order_col, n_chunks)
+    w_loc = (
+        Window.partitionBy(*part_cols, "chunk")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    loc = df.withColumn("chunk", chunk_expr.cast("int")).withColumn(
+        out_col,
+        F.coalesce(F.sum(sum_col).over(w_loc), F.lit(0)).cast("long"),
+    )
+    totals = (
+        loc.groupBy(*part_cols, "chunk")
+        .agg(F.sum(sum_col).alias("t"))
+        .collect()
+    )  # bounded: |parts| * n_chunks rows
+    acc: dict[tuple, int] = {}
+    rows = []
+    for r in sorted(
+        totals, key=lambda r: ([str(r[c]) for c in part_cols], r["chunk"])
+    ):
+        key = tuple(r[c] for c in part_cols)
+        rows.append((*key, int(r["chunk"]), acc.get(key, 0)))
+        acc[key] = acc.get(key, 0) + int(r["t"])
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    offsets = spark.createDataFrame(
+        rows,
+        StructType(
+            [StructField(c, df.schema[c].dataType) for c in part_cols]
+            + [
+                StructField("chunk", IntegerType()),
+                StructField("__off", LongType()),
+            ]
+        ),
+    )
+    return (
+        loc.join(F.broadcast(offsets), [*part_cols, "chunk"])
+        .withColumn(out_col, F.col(out_col) + F.col("__off"))
+        .drop("__off")
+    )
+
+
 def chunked_discrete_percentiles(
     df: DataFrame,
     key_col: str,

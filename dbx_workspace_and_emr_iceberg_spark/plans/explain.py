@@ -10,6 +10,8 @@ Python round-trips in pure-relational plans.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
@@ -96,6 +98,15 @@ def python_eval_count(df: DataFrame) -> int:
 # tests/test_plans.py pins both the match and the non-match direction
 # against hand-built frames.
 
+# a sort order carries its direction as the argument's TRAILING token
+# (optionally followed by NULLS FIRST/LAST) — matching ASC/DESC
+# anywhere misclassified a partition EXPRESSION whose printed form
+# merely contains the token (e.g. a CASE/string literal with ' DESC '
+# inside) as a sort order, making a correctly partitioned window fail
+# the guard (ADVICE r11)
+_SORT_DIR = re.compile(r"\b(?:ASC|DESC)\b(?:\s+NULLS\s+(?:FIRST|LAST))?\s*$")
+
+
 def _parse_window_partition_specs(plan: str) -> list[str]:
     """Pure string half of window_partition_specs — one entry per
     windowspecdefinition in ``plan``: the PARTITION clause text only
@@ -109,8 +120,6 @@ def _parse_window_partition_specs(plan: str) -> list[str]:
     "cast(x#1 as double) ASC" or a windowspec with no ORDER BY at all
     defeats any [^,)]-style regex, and those were exactly the shapes
     that could slip past the old guard."""
-    import re
-
     out: list[str] = []
     key = "windowspecdefinition("
     i = 0
@@ -135,20 +144,11 @@ def _parse_window_partition_specs(plan: str) -> list[str]:
                 cur.append(c)
             k += 1
         args.append("".join(cur))
-        # a sort order carries its direction as the argument's TRAILING
-        # token (optionally followed by NULLS FIRST/LAST) — matching
-        # ASC/DESC anywhere misclassified a partition EXPRESSION whose
-        # printed form merely contains the token (e.g. a CASE/string
-        # literal with ' DESC ' inside) as a sort order, making a
-        # correctly partitioned window fail the guard (ADVICE r11)
-        sort_dir = re.compile(
-            r"\b(?:ASC|DESC)\b(?:\s+NULLS\s+(?:FIRST|LAST))?\s*$"
-        )
         part = [
             a.strip()
             for a in args
             if a.strip()
-            and not sort_dir.search(a.strip())
+            and not _SORT_DIR.search(a.strip())
             and not a.strip().startswith("specifiedwindowframe")
         ]
         out.append(", ".join(part))

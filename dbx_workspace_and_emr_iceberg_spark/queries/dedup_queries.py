@@ -1438,36 +1438,13 @@ def x31_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # totals back as broadcast offsets — a bounded |langs| * n_chunks
     # row collect. exclusive_prefix = loc + off is identical to the old
     # inclusive-cumsum-minus-self, so the oracle is unchanged.
-    from ..operators.skew import quantile_chunk_expr
+    from ..operators.skew import chunked_exclusive_prefix
     from ..plans.explain import assert_windows_partitioned_by
 
-    n_chunks = 8
     sampled = sampled.select("lang", "doc_id", "n_tokens").localCheckpoint()
-    chunk_expr = quantile_chunk_expr(sampled, "doc_id", n_chunks)
-    w_loc = (
-        W.partitionBy("lang", "chunk")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    loc = sampled.withColumn("chunk", chunk_expr.cast("int")).withColumn(
-        "excl_loc",
-        F.coalesce(F.sum("n_tokens").over(w_loc), F.lit(0)).cast("long"),
-    )
-    totals = (
-        loc.groupBy("lang", "chunk").agg(F.sum("n_tokens").alias("t")).collect()
-    )  # bounded: |langs| * n_chunks rows
-    acc: dict = {}
-    off_rows = []
-    for r in sorted(totals, key=lambda r: (r["lang"], r["chunk"])):
-        off_rows.append((r["lang"], int(r["chunk"]), acc.get(r["lang"], 0)))
-        acc[r["lang"]] = acc.get(r["lang"], 0) + int(r["t"])
-    offsets = spark.createDataFrame(
-        off_rows, "lang string, chunk int, off long"
-    )
-    packed = loc.join(F.broadcast(offsets), ["lang", "chunk"]).withColumn(
-        "bin",
-        F.floor((F.col("excl_loc") + F.col("off")) / 256.0).cast("long"),
-    )
+    packed = chunked_exclusive_prefix(
+        sampled, "doc_id", "n_tokens", part_cols=("lang",), out_col="excl"
+    ).withColumn("bin", F.floor(F.col("excl") / 256.0).cast("long"))
     out = (
         packed.groupBy("lang", "bin")
         .agg(

@@ -1849,6 +1849,8 @@ WITH k AS (
 SELECT CAST(1 AS BIGINT) AS hash_layout_no_pruning_both,
        CAST(1 AS BIGINT) AS zorder_prunes_a,
        CAST(1 AS BIGINT) AS zorder_prunes_b,
+       CAST(1 AS BIGINT) AS pre_scan_parity_a,
+       CAST(1 AS BIGINT) AS pre_scan_parity_b,
        CAST(1 AS BIGINT) AS scan_parity_a,
        CAST(1 AS BIGINT) AS scan_parity_b,
        (SELECT CAST(count(*) AS BIGINT) FROM lineitem, k
@@ -1898,6 +1900,17 @@ def m13_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         pb0 = len(t.pruned_files("l_partkey", b_lo, b_hi))
         expected_a = li.filter(F.col("l_orderkey").between(a_lo, a_hi))
         expected_b = li.filter(F.col("l_partkey").between(b_lo, b_hi))
+        # pre-rewrite parity (review-pass r12: the r12 conversion
+        # initially dropped this without a replacement flag): a
+        # read_range bug on the initial hash layout — e.g. boundary
+        # rows lost to min/max pruning before any rewrite — must flip
+        # a flag, not hide behind the post-rewrite checks
+        pre_parity_a = _same_rows_flag(
+            t.read_range("l_orderkey", a_lo, a_hi), expected_a
+        )
+        pre_parity_b = _same_rows_flag(
+            t.read_range("l_partkey", b_lo, b_hi), expected_b
+        )
 
         t.rewrite_zorder("l_orderkey", "l_partkey", target_files=16)
         n_rows_after = t.read().count()
@@ -1912,6 +1925,8 @@ def m13_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
                     int(pa0 == n_files and pb0 == n_files),
                     int(pa1 < pa0),
                     int(pb1 < pb0),
+                    pre_parity_a,
+                    pre_parity_b,
                     _same_rows_flag(scan_a, expected_a),
                     _same_rows_flag(scan_b, expected_b),
                     scan_a.count(),
@@ -1922,7 +1937,8 @@ def m13_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ],
             "hash_layout_no_pruning_both bigint, zorder_prunes_a bigint, "
-            "zorder_prunes_b bigint, scan_parity_a bigint, "
+            "zorder_prunes_b bigint, pre_scan_parity_a bigint, "
+            "pre_scan_parity_b bigint, scan_parity_a bigint, "
             "scan_parity_b bigint, n_range_a bigint, n_range_b bigint, "
             "n_rows_after bigint",
         )

@@ -2528,29 +2528,12 @@ def x50_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.size(F.split("text", " ")).alias("ntok")
     ).localCheckpoint()
-    from ..operators.skew import quantile_chunk_expr
+    from ..operators.skew import chunked_exclusive_prefix
 
-    chunk_expr = quantile_chunk_expr(d, "doc_id", n_chunks)
-    w_loc = (
-        Window.partitionBy("chunk")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    loc = d.withColumn("chunk", chunk_expr).withColumn(
-        "loc", F.coalesce(F.sum("ntok").over(w_loc), F.lit(0)).cast("long")
-    )
-    totals = (
-        loc.groupBy("chunk").agg(F.sum("ntok").alias("t")).collect()
-    )  # bounded: n_chunks rows
-    acc, off_rows = 0, []
-    for r in sorted(totals, key=lambda r: r["chunk"]):
-        off_rows.append((int(r["chunk"]), acc))
-        acc += int(r["t"])
-    offsets = spark.createDataFrame(off_rows, "chunk int, off long")
     packed = (
-        loc.withColumn("chunk", F.col("chunk").cast("int"))
-        .join(F.broadcast(offsets), "chunk")
-        .withColumn("off", F.col("loc") + F.col("off"))
+        chunked_exclusive_prefix(
+            d, "doc_id", "ntok", n_chunks=n_chunks, out_col="off"
+        )
         .withColumn("first_w", F.expr(f"off div {_X50_CTX}"))
         .withColumn(
             "last_w", F.expr(f"(off + ntok - 1) div {_X50_CTX}")

@@ -158,6 +158,10 @@ _CHANGED_THIS_ROUND = [
     "m9_stats_file_skipping",
     "m11_sorted_clustering",
     "m13_zorder_clustering",
+    # r12: packing offsets extracted into the shared
+    # chunked_exclusive_prefix helper (review-pass) — same physical
+    # shape, but the plan string changed, so re-prove
+    "x50_sequence_packing",
 ]
 
 

@@ -711,6 +711,49 @@ def test_chunked_percent_ranks_equals_native_window(spark):
     assert want[("xx", 2000)] == (0.0, 0.0)
 
 
+def test_chunked_exclusive_prefix_equals_native_window(spark):
+    """The shared x50/x31 packing kernel: the chunked two-pass
+    exclusive running sum must equal Spark's native exclusive-cumsum
+    window exactly — global (no part_cols) and per-key, with a
+    heavily skewed key, across partition layouts."""
+    from pyspark.sql import Window
+
+    from dbx_workspace_and_emr_iceberg_spark.operators.skew import (
+        chunked_exclusive_prefix,
+    )
+
+    rows = [("en", i, (i * 13) % 97 + 1) for i in range(500)]  # hot key
+    rows += [("fr", 1000 + i, i + 1) for i in range(9)]
+    rows += [("xx", 2000, 5)]  # singleton
+    df = spark.createDataFrame(rows, "lang string, id long, n long")
+
+    def native(part_cols):
+        w = (
+            Window.partitionBy(*part_cols)
+            .orderBy("id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return {
+            r.id: r.e
+            for r in df.select(
+                "id", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("e")
+            ).collect()
+        }
+
+    for part_cols in ((), ("lang",)):
+        want = native(part_cols)
+        for layout in (df, df.repartition(13)):
+            got = {
+                r.id: r.excl
+                for r in chunked_exclusive_prefix(
+                    layout, "id", "n", part_cols=part_cols, n_chunks=4
+                ).collect()
+            }
+            assert got == want, part_cols
+    # the singleton key's only row has an empty exclusive prefix
+    assert native(("lang",))[2000] == 0
+
+
 def test_salted_top_k_rank_col_matches_window_rank(spark):
     """rank_col exposes phase 2's per-key rank; it must equal the
     single-window row_number for a total order."""

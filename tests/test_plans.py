@@ -393,11 +393,15 @@ def test_x37_no_window_partitioned_on_lang_alone(spark):
     p = X.simple_plan(df)
     solo_lang = re.findall(r"hashpartitioning\(lang#\d+, \d+\)", p)
     assert len(solo_lang) <= 1, p
-    # no unpartitioned window anywhere: every windowspecdefinition in
-    # the optimized plan must carry at least one partition expression
-    opt = df._jdf.queryExecution().optimizedPlan().toString()
-    for m in re.finditer(r"windowspecdefinition\((.*?)(?:ASC|DESC)", opt):
-        assert m.group(1).strip(" ,") != "", "global window: " + m.group(0)
+    # no unpartitioned window anywhere — via the paren-aware parser;
+    # the old inline (.*?)(?:ASC|DESC) regex always captured at least
+    # the sort column, so its non-empty check could never fire
+    # (review-pass r12)
+    from dbx_workspace_and_emr_iceberg_spark.plans.explain import (
+        assert_no_unpartitioned_window,
+    )
+
+    assert_no_unpartitioned_window(df, "x37", require_window=True)
     assert X.python_eval_count(df) == 0, "ensemble crossed into Python"
 
 
@@ -434,9 +438,14 @@ def test_x15_no_window_partitioned_on_lang_alone(spark):
     p = X.simple_plan(df)
     solo_lang = re.findall(r"hashpartitioning\(lang#\d+, \d+\)", p)
     assert len(solo_lang) <= 1, p
-    opt = df._jdf.queryExecution().optimizedPlan().toString()
-    for m in re.finditer(r"windowspecdefinition\((.*?)(?:ASC|DESC)", opt):
-        assert m.group(1).strip(" ,") != "", "global window: " + m.group(0)
+    # paren-aware guard, not the dead inline regex (review-pass r12:
+    # (.*?)(?:ASC|DESC) always captured at least the sort column, so
+    # its non-empty check could never fire)
+    from dbx_workspace_and_emr_iceberg_spark.plans.explain import (
+        assert_no_unpartitioned_window,
+    )
+
+    assert_no_unpartitioned_window(df, "x15", require_window=True)
 
 
 def test_x49_benchmark_side_broadcasts(spark):
@@ -508,9 +517,11 @@ def test_x31_no_window_partitioned_on_lang_alone(spark):
     p = X.simple_plan(df)
     solo_lang = re.findall(r"hashpartitioning\(lang#\d+, \d+\)", p)
     assert len(solo_lang) == 0, p
-    opt = df._jdf.queryExecution().optimizedPlan().toString()
-    for m in re.finditer(r"windowspecdefinition\((.*?)(?:ASC|DESC)", opt):
-        assert m.group(1).strip(" ,") != "", "global window: " + m.group(0)
+    from dbx_workspace_and_emr_iceberg_spark.plans.explain import (
+        assert_no_unpartitioned_window,
+    )
+
+    assert_no_unpartitioned_window(df, "x31", require_window=True)
     assert X.python_eval_count(df) == 0
 
 

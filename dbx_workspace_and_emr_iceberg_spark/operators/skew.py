@@ -92,6 +92,10 @@ def quantile_chunk_expr(df: DataFrame, col: str, n_chunks: int = 8):
     load-bearing property of every chunked respell (percent ranks,
     discrete quantiles, x50's packing offsets). Balance is
     approximate; correctness never depends on it."""
+    if n_chunks <= 1:
+        # degenerate single-chunk config: approxQuantile rejects an
+        # empty probability list (property-test finding, r12)
+        return F.lit(0)
     probs = [i / n_chunks for i in range(1, n_chunks)]
     (bounds,) = df.stat.approxQuantile([col], probs, 0.01)
     e = F.lit(0)

@@ -661,3 +661,56 @@ def test_merge_update_semantics_property(spark, tgt, src, mode, insert):
         assert got == expected, (mode, insert, sorted(got), sorted(expected))
     finally:
         _shutil.rmtree(wh, ignore_errors=True)
+
+
+# --- chunked exclusive prefix vs native window -------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "fr", "xx"]),
+            st.integers(min_value=1, max_value=300),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.sampled_from([1, 2, 4, 8]),
+    st.booleans(),
+)
+@SLOW
+def test_chunked_exclusive_prefix_property(spark, rows, n_chunks, per_key):
+    """The shared x50/x31 packing kernel vs the native exclusive-cumsum
+    window on adversarial inputs: duplicate order values (approx-
+    quantile boundaries land ON ties), single-chunk and many-chunk
+    configurations, global and per-key — exact long equality. The
+    order column is made a total order (unique ids) because the kernel
+    contracts on one, like every packing caller."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dbx_workspace_and_emr_iceberg_spark.operators.skew import (
+        chunked_exclusive_prefix,
+    )
+
+    data = [(lang, i, n) for i, (lang, n) in enumerate(rows)]
+    df = spark.createDataFrame(data, "lang string, id long, n long")
+    part_cols = ("lang",) if per_key else ()
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        r.id: r.e
+        for r in df.select(
+            "id", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("e")
+        ).collect()
+    }
+    got = {
+        r.id: r.excl
+        for r in chunked_exclusive_prefix(
+            df, "id", "n", part_cols=part_cols, n_chunks=n_chunks
+        ).collect()
+    }
+    assert got == want

@@ -126,6 +126,14 @@ def chunked_exclusive_prefix(
     ``df`` should be cheap to rescan or already materialized (both
     packing callers localCheckpoint a narrow frame first): the chunk
     boundary scan, the totals job and the consumer each evaluate it.
+
+    ``part_cols`` and ``sum_col`` must be non-NULL (the
+    chunked_percent_ranks contract): the offsets come back through a
+    null-unsafe equi-join, so a NULL partition key would silently drop
+    its rows instead of forming its own partition the way a native
+    window would, and an all-NULL (key, chunk) total breaks the driver
+    prefix (review-pass r12). Callers satisfy this by construction —
+    x31's lang survives an inner join, x50 passes no part_cols.
     """
     spark = df.sparkSession
     chunk_expr = quantile_chunk_expr(df, order_col, n_chunks)

@@ -27,7 +27,7 @@ def _log(spark: SparkSession, steps: list[tuple[str, int, int]]) -> DataFrame:
 def _assert_same_rows(a: DataFrame, b: DataFrame, msg: str) -> None:
     """Multiset equality via symmetric difference — distributed, stops
     at the first differing row."""
-    if a.exceptAll(b).union(b.exceptAll(a)).limit(1).count() != 0:
+    if not _same_rows_flag(a, b):
         raise AssertionError(msg)
 
 
@@ -753,6 +753,7 @@ SELECT e.c               AS n_create,
        CAST(1 AS BIGINT) AS create_preserves_rows,
        CAST(1 AS BIGINT) AS pruned_scan_subset,
        d.c               AS n_day_rows,
+       CAST(1 AS BIGINT) AS probe_nonempty,
        CAST(1 AS BIGINT) AS pruned_matches_full,
        CAST(1 AS BIGINT) AS evolution_metadata_only,
        e.c + 20          AS n_after_append
@@ -825,6 +826,11 @@ def m7_partition_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
                     int(n == ev.count()),
                     int(n_scan * 5 <= n_total),
                     n_day,
+                    # literal-1 oracle twin makes fixture drift to an
+                    # EMPTY probe day hash-red instead of letting the
+                    # parity flag pass vacuously on 0 == 0
+                    # (review-pass r12; was an in-query assert)
+                    int(n_day > 0),
                     int(n_day == full.count()),
                     evolution_metadata_only,
                     n_after,
@@ -832,6 +838,7 @@ def m7_partition_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
             "n_create bigint, create_preserves_rows bigint, "
             "pruned_scan_subset bigint, n_day_rows bigint, "
+            "probe_nonempty bigint, "
             "pruned_matches_full bigint, evolution_metadata_only bigint, "
             "n_after_append bigint",
         )
@@ -1395,6 +1402,7 @@ WITH o AS (
 SELECT CAST(1 AS BIGINT) AS multi_file_layout,
        CAST(1 AS BIGINT) AS pruning_effective,
        r.c               AS n_range_rows,
+       CAST(1 AS BIGINT) AS range_nonempty,
        CAST(1 AS BIGINT) AS pruned_matches_full,
        CAST(1 AS BIGINT) AS files_relation_consistent,
        CAST(1 AS BIGINT) AS history_starts_create,
@@ -1467,6 +1475,9 @@ def m9_stats_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                     int(n_files >= 4),
                     int(0 < len(pruned) < n_files),
                     got,
+                    # literal-1 oracle twin: an empty probe range would
+                    # make got == want vacuously (review-pass r12)
+                    int(want > 0),
                     int(got == want),
                     files_relation_consistent,
                     int(bool(ops) and ops[0] == "create"),
@@ -1475,7 +1486,8 @@ def m9_stats_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ],
             "multi_file_layout bigint, pruning_effective bigint, "
-            "n_range_rows bigint, pruned_matches_full bigint, "
+            "n_range_rows bigint, range_nonempty bigint, "
+            "pruned_matches_full bigint, "
             "files_relation_consistent bigint, history_starts_create bigint, "
             "rollback_restored bigint, n_after_cherrypick bigint",
         )

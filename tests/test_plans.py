@@ -501,8 +501,10 @@ def test_x31_no_window_partitioned_on_lang_alone(spark):
     x50 chunked prefix-sum machinery — no window is partitioned on the
     low-cardinality lang key alone (that shape funnels the dominant
     language through ONE task at 100 TB); the packing window partitions
-    on (lang, chunk) and the only solo-lang exchange left is the
-    bounded per-language counts aggregate feeding the mixture rates."""
+    on (lang, chunk). The dedup/mixture stages (which do carry one
+    bounded per-language counts aggregate) sit BELOW the survivor
+    frame's localCheckpoint, so the packing plan itself must show ZERO
+    solo-lang hashpartitioning."""
     import re
 
     from dbx_workspace_and_emr_iceberg_spark.queries.dedup_queries import (

@@ -753,6 +753,17 @@ def test_chunked_exclusive_prefix_equals_native_window(spark):
     # the singleton key's only row has an empty exclusive prefix
     assert native(("lang",))[2000] == 0
 
+    # plan shape: the bounded offsets frame must come back via a
+    # broadcast join (never a shuffle of the corpus side), and the
+    # only window must be chunk-partitioned
+    from dbx_workspace_and_emr_iceberg_spark.plans import explain as X
+
+    out = chunked_exclusive_prefix(df, "id", "n", part_cols=("lang",))
+    X.assert_windows_partitioned_by(out, "chunk", "kernel")
+    plan = X.simple_plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
 
 def test_salted_top_k_rank_col_matches_window_rank(spark):
     """rank_col exposes phase 2's per-key rank; it must equal the

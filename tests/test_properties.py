@@ -714,3 +714,62 @@ def test_chunked_exclusive_prefix_property(spark, rows, n_chunks, per_key):
         ).collect()
     }
     assert got == want
+
+
+# --- windowspec parser fuzz (string-level, no Spark) --------------------------
+
+_PART_POOL = [
+    "k#7",
+    "lang#5",
+    "chunk#8",
+    "coalesce(a#1, b#2)",
+    "cast(x#3 as double)",
+    "CASE WHEN contains(note#4,  DESC ) THEN 1 ELSE 0 END",
+    "concat(host#9,  ASC , tag#2)",
+    "pmod(xxhash64(a#1, b#2), 8)",
+]
+_SORT_POOL = ["v#2", "cast(spend#3 as double)", "coalesce(t#4, u#5)"]
+_DIRS = [" ASC NULLS FIRST", " DESC NULLS LAST", " ASC", " DESC"]
+_FRAME = (
+    "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())"
+)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.sampled_from(_PART_POOL), max_size=3),
+            st.lists(
+                st.tuples(
+                    st.sampled_from(_SORT_POOL), st.sampled_from(_DIRS)
+                ),
+                max_size=2,
+            ),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_windowspec_parser_fuzz(specs):
+    """_parse_window_partition_specs against generated plan strings:
+    any mix of partition expressions (including ones CONTAINING
+    direction tokens mid-string — the ADVICE-r11 misclassification),
+    0-2 sort orders in all four direction spellings, multiple specs
+    per plan with junk between — the parser must recover exactly the
+    partition clauses, in order."""
+    from dbx_workspace_and_emr_iceberg_spark.plans.explain import (
+        _parse_window_partition_specs as parse,
+    )
+
+    chunks, want = [], []
+    for parts, sorts in specs:
+        args = list(parts) + [e + d for e, d in sorts] + [_FRAME]
+        chunks.append(
+            "Window [sum(n#1L) windowspecdefinition("
+            + ", ".join(args)
+            + ") AS e#9L]"
+        )
+        want.append(", ".join(parts))
+    plan = "\n+- ".join(chunks)
+    assert parse(plan) == want

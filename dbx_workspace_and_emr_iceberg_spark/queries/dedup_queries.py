@@ -1734,13 +1734,14 @@ def x36_governance_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import dup_span_stats
 
     d = load_table(spark, sf_dir, "documents")
-    ranked = d.select(
+    hosts = d.select(
         "doc_id",
         "text",
         "n_chars",
         "source",
         F.concat("source", F.lit(".example.org")).alias("host"),
-    ).withColumn(
+    )
+    ranked = hosts.withColumn(
         "rk",
         F.row_number().over(
             Window.partitionBy("source").orderBy(
@@ -1761,9 +1762,21 @@ def x36_governance_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "final_chars"
         ),
     )
-    per_host_cand = ranked.groupBy("host").agg(
+    # candidate accounting WITHOUT the window (r12 audit): row_number
+    # is dense 1..n per host, so count(rk <= Q) == least(n, Q) — a
+    # pure combiner-friendly aggregate. The old sum-over-rk spelling
+    # forced a second, NON-group-limited instance of the quota window
+    # (every row per host through one task); now the only windowed
+    # branch is the rk <= Q rank-filter, which Spark bounds with
+    # WindowGroupLimit below the shuffle (<= Q rows per host per map
+    # task — plan-pinned in tests/test_plans.py). Host carries the
+    # same scale note as x33: high-cardinality in a real crawl, and
+    # salted_top_k is the mega-host respell.
+    per_host_cand = hosts.groupBy("host").agg(
         F.count(F.lit(1)).alias("n_candidates"),
-        F.sum((F.col("rk") <= _X36_QUOTA).cast("long")).alias("n_quota_kept"),
+        F.least(F.count(F.lit(1)), F.lit(_X36_QUOTA))
+        .cast("long")
+        .alias("n_quota_kept"),
     )
     return (
         per_host_cand.join(per_host_final, "host")

@@ -1363,7 +1363,17 @@ def x33_host_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     proxy), deterministic tie-break on doc_id; report the keep/drop
     accounting per host. The kept set itself is ``rk <= Q`` — the
     rollup is returned because it is the auditable governance artifact.
-    Quota chosen to bite at sf0.01 (25 docs/host → 10 dropped)."""
+    Quota chosen to bite at sf0.01 (25 docs/host → 10 dropped).
+
+    r12 respell (the x36 audit pattern): the old aggregate-over-ranks
+    spelling forced the quota window to rank EVERY row per host with
+    no group limit; now the kept-side stats come from the rk <= Q
+    rank-FILTER branch — which Spark bounds with WindowGroupLimit
+    below the shuffle (<= Q rows per host per map task) — and the
+    totals are a pure aggregate; n_dropped is their difference (ranks
+    are dense). Host is high-cardinality in a real crawl; for the
+    mega-host skew case operators/skew.py::salted_top_k is the
+    salt-composable respell of the same cut."""
     d = load_table(spark, sf_dir, "documents")
     hosts = d.select(
         "doc_id",
@@ -1371,16 +1381,27 @@ def x33_host_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat("source", F.lit(".example.org")).alias("host"),
     )
     w = Window.partitionBy("host").orderBy(F.col("n_chars").desc(), "doc_id")
-    ranked = hosts.withColumn("rk", F.row_number().over(w))
-    kept = F.col("rk") <= _X33_QUOTA
-    return (
-        ranked.groupBy("host")
+    kept_stats = (
+        hosts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _X33_QUOTA)  # -> WindowGroupLimit
+        .groupBy("host")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(kept.cast("long")).alias("n_kept"),
-            F.sum((~kept).cast("long")).alias("n_dropped"),
-            F.sum(F.when(kept, F.col("n_chars"))).alias("kept_chars"),
-            F.min(F.when(kept, F.col("n_chars"))).alias("kept_min_chars"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+            F.min("n_chars").alias("kept_min_chars"),
+        )
+    )
+    totals = hosts.groupBy("host").agg(F.count(F.lit(1)).alias("n_docs"))
+    # every host keeps >= 1 doc (Q >= 1), so the inner join drops none
+    return (
+        totals.join(kept_stats, "host")
+        .select(
+            "host",
+            "n_docs",
+            "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+            "kept_chars",
+            "kept_min_chars",
         )
         .orderBy("host")
     )

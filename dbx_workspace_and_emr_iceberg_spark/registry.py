@@ -162,6 +162,11 @@ _CHANGED_THIS_ROUND = [
     # chunked_exclusive_prefix helper (review-pass) — same physical
     # shape, but the plan string changed, so re-prove
     "x50_sequence_packing",
+    # r12 window audit: candidate accounting respelled off the quota
+    # window (least(n, Q) pure aggregate / totals-minus-kept) — every
+    # quota window left is the WindowGroupLimit-bounded rank-filter
+    "x36_governance_pipeline",
+    "x33_host_quota",
 ]
 
 

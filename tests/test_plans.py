@@ -527,6 +527,40 @@ def test_x31_no_window_partitioned_on_lang_alone(spark):
     assert X.python_eval_count(df) == 0
 
 
+def test_x36_quota_window_group_limited(spark):
+    """r12 audit: x36's candidate accounting is a pure aggregate
+    (least(n, Q) — row_number is dense), so every windowed branch left
+    is the rk <= Q rank-filter, which Spark bounds with
+    WindowGroupLimit below the shuffle (<= Q rows per host per map
+    task). Catalyst duplicates the kept subtree per consumer, so pin
+    the invariant per INSTANCE: every source-partitioned Window node
+    in the executed plan has a WindowGroupLimit as its immediate
+    child — the old sum-over-rk spelling added an instance WITHOUT
+    one (every row per host through one task) and fails here."""
+    from dbx_workspace_and_emr_iceberg_spark.queries.dedup_queries import (
+        x36_governance_pipeline,
+    )
+
+    from dbx_workspace_and_emr_iceberg_spark.queries.text_queries import (
+        x33_host_quota,
+    )
+
+    for fn, key in ((x36_governance_pipeline, "source#"), (x33_host_quota, "host#")):
+        df = fn(spark, SF_DIR)
+        lines = df._jdf.queryExecution().executedPlan().toString().splitlines()
+        quota_windows = [
+            i
+            for i, l in enumerate(lines)
+            if "Window [" in l and f"windowspecdefinition({key}" in l
+        ]
+        assert quota_windows, "\n".join(lines)
+        for i in quota_windows:
+            assert f"WindowGroupLimit [{key}" in lines[i + 1], (
+                "non-group-limited host-quota window:\n"
+                + "\n".join(lines[i : i + 3])
+            )
+
+
 def test_plan_guard_helpers_both_directions(spark):
     """The centralized plan-string guards (plans/explain.py, ADVICE
     r10) pinned in BOTH directions against hand-built frames, so a

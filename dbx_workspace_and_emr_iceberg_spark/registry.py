@@ -143,31 +143,11 @@ def all_queries() -> dict[str, Query]:
 #: delete the whole list's content after the round's CORRECTNESS lands
 #: green (regenerating driver_history.py then carries the evidence).
 #:
-#: Round-12 entries (kept deliberately SHORT — r12 is the re-proof
-#: round per VERDICT-r11 #3: with few changed plans the derived
-#: ordering lets the ~50-slot driver budget flow to the 132 queries
-#: last sampled <= r6):
-_CHANGED_THIS_ROUND = [
-    # r12: packing stage respelled off the lang-alone full-granularity
-    # window onto the x50 chunked prefix-sum machinery (r11 verdict #2)
-    "x31_curation_pipeline_v2",
-    # r12: engine-layout file counts respelled as layout-contract
-    # flags + fixture-derivable counts -> value-oracled (r11 verdict
-    # #4; flags computed with no preceding assert per ADVICE r11)
-    "m7_partition_transforms",
-    "m9_stats_file_skipping",
-    "m11_sorted_clustering",
-    "m13_zorder_clustering",
-    # r12: packing offsets extracted into the shared
-    # chunked_exclusive_prefix helper (review-pass) — same physical
-    # shape, but the plan string changed, so re-prove
-    "x50_sequence_packing",
-    # r12 window audit: candidate accounting respelled off the quota
-    # window (least(n, Q) pure aggregate / totals-minus-kept) — every
-    # quota window left is the WindowGroupLimit-bounded rank-filter
-    "x36_governance_pipeline",
-    "x33_host_quota",
-]
+#: Round-13 entries (kept deliberately SHORT — r13 finishes the
+#: staleness burn-down per VERDICT-r12 #2: with few changed plans the
+#: derived ordering lets the ~50-slot driver budget flow to the 90
+#: queries last sampled <= r6):
+_CHANGED_THIS_ROUND = []
 
 
 def _driver_order_key(q: Query) -> tuple:

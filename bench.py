@@ -123,6 +123,21 @@ ADDITIONS = [
     "x31_curation_pipeline_v2",
 ]
 
+#: Heavy tail (r12 verdict #7): the five historically heaviest headline
+#: queries get a THIRD timed run so each carries its own q1-style
+#: noise floor — t18 swung 6.5 -> 4.4 -> 6.9 s across r10-r12 with an
+#: unchanged plan, and without per-query spreads that read as a
+#: regression. Reported under "heavy_tail" as {runs, min, spread_pct};
+#: runs[0:2] are the two shared passes (comparable round-over-round),
+#: runs[2] is the extra repeat.
+HEAVY_TAIL = [
+    "t18_stream_dedup_history",
+    "x24_bloom_contamination",
+    "x35_host_pagerank",
+    "x43_perplexity_buckets",
+    "x2_minhash_lsh",
+]
+
 
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -191,6 +206,28 @@ def main() -> None:
         passes.append(cur)
         add_passes.append(add_cur)
 
+    # Third run for the heavy tail only: combined with the two shared
+    # passes this gives each heavy query three same-session timings —
+    # the per-query analogue of the q1 noise floor (r12 verdict #7).
+    heavy_tail: dict[str, dict] = {}
+    for name in HEAVY_TAIL:
+        q = queries[name]
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        extra = round(time.perf_counter() - t0, 3)
+        runs = [p[name] for p in passes] + [extra]
+        heavy_tail[name] = {
+            "runs": runs,
+            "min": min(runs),
+            "spread_pct": round(
+                100.0 * (max(runs) - min(runs)) / min(runs), 1
+            ),
+        }
+        # NOTE: timings/value stay min-of-the-two-shared-passes so the
+        # headline total compares like-for-like with r11/r12; the
+        # 3-run min lives only under heavy_tail.
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -212,6 +249,9 @@ def main() -> None:
                 "additions_queries": add_timings,
                 "additions_total": round(sum(add_timings.values()), 3),
                 "additions_passes": add_passes,
+                # per-query noise floors for the historically heaviest
+                # plans (r12 verdict #7): 3 same-session runs each
+                "heavy_tail": heavy_tail,
                 "noise_floor": noise_floor,
                 "sf": sf_num,
             }

@@ -161,7 +161,7 @@ def pagerank(
     Lifecycle: the transition and node frames are .cache()'d and stay
     live after return so the caller's action reuses them across all
     ``iters`` self-joins — x2's caller-owned-cache convention; call
-    ``spark.catalog.clearCache()`` (bench.py does) or unpersist when
+    ``spark.catalog.clearCache()`` (bench.py and driver_sim do) or unpersist when
     the returned frame is consumed. Scale: persist ``edges`` before
     calling; for deep iteration counts localCheckpoint the rank frame
     every few rounds to truncate lineage (iters is fixed and small

@@ -425,7 +425,8 @@ def int_semdedup_keep(
     # the whole operator — without this the caller's consumption of the
     # returned frame re-runs it all from scratch (review-pass finding).
     # Callers that persist/checkpoint the result (x20) make this cache
-    # short-lived; it is bounded at one row per vector either way.
+    # short-lived; it is bounded at one row per vector either way (and
+    # the harness — bench.py / driver_sim — clearCache()s it regardless).
     checked = fix.join(greedy, "vec_id").cache()
     n_bad = checked.filter(F.col("keep") != F.col("keep_greedy")).count()
     if n_bad:

@@ -127,14 +127,25 @@ def chunked_exclusive_prefix(
     packing callers localCheckpoint a narrow frame first): the chunk
     boundary scan, the totals job and the consumer each evaluate it.
 
-    ``part_cols`` and ``sum_col`` must be non-NULL (the
+    ``part_cols``, ``order_col`` and ``sum_col`` must be non-NULL (the
     chunked_percent_ranks contract): the offsets come back through a
     null-unsafe equi-join, so a NULL partition key would silently drop
     its rows instead of forming its own partition the way a native
     window would, and an all-NULL (key, chunk) total breaks the driver
     prefix (review-pass r12). Callers satisfy this by construction —
-    x31's lang survives an inner join, x50 passes no part_cols.
+    x31's lang survives an inner join, x50 passes no part_cols — and
+    the contract is ENFORCED on the bounded totals collect (ValueError,
+    ADVICE r12): a violation fails fast instead of silently dropping
+    rows.
     """
+    if {"chunk", "__off"} & set(df.columns):
+        # withColumn would overwrite the caller's column and the
+        # offsets join would then key on kernel-internal values,
+        # silently corrupting results (ADVICE r12)
+        raise ValueError(
+            "chunked_exclusive_prefix: input must not already have "
+            "'chunk' or '__off' columns"
+        )
     spark = df.sparkSession
     chunk_expr = quantile_chunk_expr(df, order_col, n_chunks)
     w_loc = (
@@ -148,7 +159,15 @@ def chunked_exclusive_prefix(
     )
     totals = (
         loc.groupBy(*part_cols, "chunk")
-        .agg(F.sum(sum_col).alias("t"))
+        .agg(
+            F.sum(sum_col).alias("t"),
+            # non-NULL contract enforcement, piggybacked on the totals
+            # job so it costs no extra pass (ADVICE r12)
+            F.sum(
+                F.col(order_col).isNull().cast("long")
+                + F.col(sum_col).isNull().cast("long")
+            ).alias("__nulls"),
+        )
         .collect()
     )  # bounded: |parts| * n_chunks rows
     acc: dict[tuple, int] = {}
@@ -157,6 +176,12 @@ def chunked_exclusive_prefix(
         totals, key=lambda r: ([str(r[c]) for c in part_cols], r["chunk"])
     ):
         key = tuple(r[c] for c in part_cols)
+        if any(k is None for k in key) or (r["__nulls"] or 0) > 0:
+            raise ValueError(
+                "chunked_exclusive_prefix: part_cols/order_col/sum_col "
+                "must be non-NULL (null-unsafe offsets join would "
+                "silently drop rows)"
+            )
         rows.append((*key, int(r["chunk"]), acc.get(key, 0)))
         acc[key] = acc.get(key, 0) + int(r["t"])
 

@@ -84,7 +84,8 @@ def x3b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0)
     # cache: approx feeds the recall join AND the returned frame; exact
-    # feeds the join and its count — both are ≤ k·|queries| rows.
+    # feeds the join and its count — both are ≤ k·|queries| rows. Pins
+    # cleared by the harness (bench.py / driver_sim clearCache).
     approx = (
         ann_topk_lsh(e, q, k=5, n_planes=4, n_tables=8)
         .select("query_id", "neighbor_id", "rank")
@@ -253,7 +254,8 @@ def x3e_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0)
     # cache: feeds the recall join, the bound checks, the repro diff,
-    # and the counts — all over a ≤ k·|queries| row frame
+    # and the counts — all over a ≤ k·|queries| row frame (pins cleared
+    # by the harness: bench.py / driver_sim clearCache)
     approx = ivf_topk(e, q, k=5).select("query_id", "neighbor_id", "rank").cache()
     exact = cosine_topk(e, q, k=5).select(
         "query_id", F.col("neighbor_id").alias("exact_neighbor")

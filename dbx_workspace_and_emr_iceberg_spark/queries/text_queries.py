@@ -1740,9 +1740,10 @@ def x38_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # three aggregates over one corpus-linear pass. No unpersist: the
     # returned frame executes lazily AFTER this function returns, so
-    # an in-function unpersist would defeat the cache; the harnesses
-    # clearCache() between queries (bench.py does per timed run), so
-    # the pin never outlives one query's execution.
+    # an in-function unpersist would defeat the cache. The pin is
+    # cleared by the harness: bench.py clearCache()s per timed run and
+    # tools/driver_sim.py between queries (r13); any other caller of
+    # queries() owns the same responsibility.
     tok.cache()
     raw = tok.groupBy("b").agg(F.count(F.lit(1)).alias("r_b"))
     tgt = (
@@ -1958,7 +1959,8 @@ def x43_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the per-doc NLL frame is tiny (one row per doc) but its subtree
     # is the whole bigram-LM join, and it feeds THREE consumers (the
     # rank machinery's approxQuantile action, its offset collect, and
-    # the final join) — cache it so the LM trains once
+    # the final join) — cache it so the LM trains once; pin cleared
+    # by the harness (bench.py / driver_sim clearCache)
     doc_nll = doc_nll.cache()
     ranked = chunked_percent_ranks(
         doc_nll, "lang", ["nll"], ["doc_id"], n_chunks=8
@@ -2340,7 +2342,8 @@ def x46_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # best1..bestN whose subtrees would otherwise each re-derive
         # every earlier state — O(N²) corpus passes in one action. At
         # real scale this is a per-iteration checkpoint (x35's
-        # lineage note applies verbatim).
+        # lineage note applies verbatim). Pins cleared by the harness
+        # (bench.py / driver_sim clearCache).
         state = state.cache()
     return merge_rows.orderBy("step")
 

@@ -500,7 +500,9 @@ def funnel_stages(ev: DataFrame, funnel: list[str]) -> DataFrame:
     arrival must be strictly after the user's previous-stage arrival
     (first qualifying arrival wins)."""
     ev = ev.select("user_id", "event_type", "ts")
-    ev.cache()  # one projection feeds every stage scan
+    # one projection feeds every stage scan; pin cleared by the
+    # harness (bench.py / driver_sim clearCache)
+    ev.cache()
 
     prev = None
     stages = None
@@ -609,6 +611,7 @@ def qd10_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collect) — uncached, the orders aggregation re-runs each time.
     # mon_cents rides through id_cols (unique per o_custkey) so no
     # re-join against a fourth derivation is needed (review finding).
+    # Pin cleared by the harness (bench.py / driver_sim clearCache).
     cust = cust.cache()
     ranked = chunked_percent_ranks(
         cust,

@@ -147,7 +147,14 @@ def all_queries() -> dict[str, Query]:
 #: staleness burn-down per VERDICT-r12 #2: with few changed plans the
 #: derived ordering lets the ~50-slot driver budget flow to the 90
 #: queries last sampled <= r6):
-_CHANGED_THIS_ROUND = []
+_CHANGED_THIS_ROUND = [
+    # r13: append/cherry-pick count pins respelled LEAST(c, k) so a
+    # smaller fixture slice can't false-positive the oracle (ADVICE
+    # r12); m9's rollback flag now compares the measured pre-append
+    # count
+    "m7_partition_transforms",
+    "m9_stats_file_skipping",
+]
 
 
 def _driver_order_key(q: Query) -> tuple:

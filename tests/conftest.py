@@ -107,10 +107,24 @@ def compare_frames(spark_rows, spark_cols, duck_rows, duck_cols, rel_tol=None):
                 )
 
 
+def _audit_windows(name: str, df) -> None:
+    """Scale-weak window audit on every frame the suite builds
+    (VERDICT r12 #3, permanent form of the one-off that caught
+    x33/x36): a window partitioned only on low-cardinality keys with
+    no chunk co-key / WindowGroupLimit / reviewed allowlist entry
+    fails the query's correctness test, so a NEW query can never
+    reintroduce the shape. Logic lives in tools/window_audit.py."""
+    from tools.window_audit import audit_frame
+
+    findings = audit_frame(name, df)
+    assert not findings, "\n".join(findings)
+
+
 @pytest.fixture(scope="session")
 def oracle_check(spark, oracle_con):
     def check(query):
         df = query.fn(spark, SF_DIR)
+        _audit_windows(query.name, df)
         spark_rows = [tuple(r) for r in df.collect()]
         res = oracle_con.execute(query.oracle)
         duck_cols = [c[0] for c in res.description]

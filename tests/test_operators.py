@@ -765,6 +765,52 @@ def test_chunked_exclusive_prefix_equals_native_window(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_chunked_exclusive_prefix_contract_guards(spark):
+    """ADVICE r12: the shared kernel must fail FAST, not silently
+    corrupt, when (a) the input already carries an internal column
+    name, or (b) a part/order/sum column is NULL (the null-unsafe
+    offsets join would otherwise drop those rows)."""
+    import pytest
+
+    from dbx_workspace_and_emr_iceberg_spark.operators.skew import (
+        chunked_exclusive_prefix,
+    )
+
+    ok = spark.createDataFrame(
+        [("en", i, 1) for i in range(10)], "lang string, id long, n long"
+    )
+    with pytest.raises(ValueError, match="chunk"):
+        chunked_exclusive_prefix(
+            ok.withColumnRenamed("lang", "chunk"), "id", "n"
+        )
+    with pytest.raises(ValueError, match="__off"):
+        chunked_exclusive_prefix(ok.withColumn("__off", F.lit(1)), "id", "n")
+
+    null_key = spark.createDataFrame(
+        [("en", 1, 1), (None, 2, 1)], "lang string, id long, n long"
+    )
+    with pytest.raises(ValueError, match="non-NULL"):
+        chunked_exclusive_prefix(null_key, "id", "n", part_cols=("lang",))
+    null_sum = spark.createDataFrame(
+        [("en", 1, 1), ("en", 2, None)], "lang string, id long, n long"
+    )
+    with pytest.raises(ValueError, match="non-NULL"):
+        chunked_exclusive_prefix(null_sum, "id", "n", part_cols=("lang",))
+    null_order = spark.createDataFrame(
+        [("en", 1, 1), ("en", None, 1)], "lang string, id long, n long"
+    )
+    with pytest.raises(ValueError, match="non-NULL"):
+        chunked_exclusive_prefix(null_order, "id", "n", part_cols=("lang",))
+    # and a clean frame still goes through the guarded path unchanged
+    got = {
+        r.id: r.excl
+        for r in chunked_exclusive_prefix(
+            ok, "id", "n", part_cols=("lang",), n_chunks=3
+        ).collect()
+    }
+    assert got == {i: i for i in range(10)}
+
+
 def test_salted_top_k_rank_col_matches_window_rank(spark):
     """rank_col exposes phase 2's per-key rank; it must equal the
     single-window row_number for a total order."""

@@ -19,9 +19,10 @@ QUERIES = all_queries()
 def test_query_matches_oracle(name, oracle_check, spark):
     q = QUERIES[name]
     if q.oracle is None:
-        from tests.conftest import SF_DIR
+        from tests.conftest import SF_DIR, _audit_windows
 
         df = q.fn(spark, SF_DIR)
+        _audit_windows(name, df)
         assert df.count() >= 0
     else:
         oracle_check(q)

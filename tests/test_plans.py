@@ -555,10 +555,93 @@ def test_x36_quota_window_group_limited(spark):
         ]
         assert quota_windows, "\n".join(lines)
         for i in quota_windows:
-            assert f"WindowGroupLimit [{key}" in lines[i + 1], (
+            # structural, not literal-next-line (ADVICE r12): the group
+            # limit must appear on the same key BELOW this Window and
+            # BEFORE the next Exchange — an interposed Sort/Project
+            # from a formatting or planner change is fine, a missing
+            # limit (rows flow ungated into the window's task) is not
+            below = []
+            for l in lines[i + 1 : i + 8]:
+                if "Exchange" in l:
+                    break
+                below.append(l)
+            assert any(f"WindowGroupLimit [{key}" in l for l in below), (
                 "non-group-limited host-quota window:\n"
-                + "\n".join(lines[i : i + 3])
+                + "\n".join(lines[i : i + 8])
             )
+
+
+def test_window_audit_both_directions(spark):
+    """The permanent scale-weak window audit (VERDICT r12 #3, wired
+    into every per-query test via conftest._audit_windows) pinned in
+    both directions against hand-built frames: it must FLAG a
+    low-cardinality-only window — including one keyed on a DERIVED
+    column whose lineage is all-lowcard, the x33 lesson — and must
+    PASS the three sanctioned shapes (chunk co-key, WindowGroupLimit,
+    high-cardinality key)."""
+    from pyspark.sql import Window
+
+    from tools.window_audit import audit_frame, audit_plan
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", "en" if i % 2 else "fr") for i in range(100)],
+        "doc_id long, source string, lang string",
+    )
+
+    # FLAG: window partitioned on the raw low-card key alone
+    bad = docs.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("lang").orderBy("doc_id"))
+    )
+    assert audit_frame("t_bad", bad), X.simple_plan(bad)
+
+    # FLAG: global (unpartitioned) window
+    glob = docs.withColumn(
+        "rn", F.row_number().over(Window.orderBy("doc_id"))
+    ).filter(F.col("rn") > 2)  # no top-k filter -> no group limit
+    assert audit_frame("t_glob", glob)
+
+    # FLAG: DERIVED key whose lineage is all-lowcard (host from source)
+    derived = (
+        docs.withColumn("host", F.concat(F.col("source"), F.lit(".com")))
+        .withColumn(
+            "rn",
+            F.sum(F.lit(1)).over(
+                Window.partitionBy("host")
+                .orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    assert audit_frame("t_derived", derived), X.simple_plan(derived)
+
+    # PASS: chunk co-key (the respelled kernel shape)
+    chunked = docs.withColumn("chunk", (F.col("doc_id") % 8)).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("lang", "chunk").orderBy("doc_id")
+        ),
+    )
+    assert audit_frame("t_chunk", chunked) == []
+
+    # PASS: rank-filter -> Spark inserts WindowGroupLimit
+    topk = docs.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("lang").orderBy("doc_id"))
+    ).filter(F.col("rk") <= 3)
+    assert audit_frame("t_topk", topk) == [], (
+        topk._jdf.queryExecution().executedPlan().toString()
+    )
+
+    # PASS: high-cardinality key (doc_id is not in the lowcard set)
+    hc = docs.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("source")),
+    )
+    assert audit_frame("t_hc", hc) == []
+
+    # allowlist honored, keyed by (query, spec substring)
+    plan = bad._jdf.queryExecution().executedPlan().toString()
+    assert audit_plan("qd2_yoy_growth", plan.replace("lang#", "c_mktsegment#"))\
+        == []
 
 
 def test_plan_guard_helpers_both_directions(spark):

@@ -61,6 +61,11 @@ for name, fn in qs.items():  # registration order == driver order
     t0 = time.time()
     df = fn(spark, SF)
     srows = [tuple(r) for r in df.collect()]
+    # drop any cache the query pinned for its own multi-consumer pass:
+    # without this, a 296-query session accumulates every in-query
+    # .cache() in the CacheManager (VERDICT r12 #4; bench.py already
+    # clears per timed run)
+    spark.catalog.clearCache()
     if name not in osql:
         print(f"  {name}: rows-only, {len(srows)} rows  [{time.time()-t0:.2f}s cum {time.time()-t_start:.1f}s]"); continue
     res = con.execute(osql[name])

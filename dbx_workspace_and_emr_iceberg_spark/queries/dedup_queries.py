@@ -16,7 +16,6 @@ from ..operators.dedup import (
     SIMHASH_BITS,
     exact_dedup,
     exact_jaccard,
-    minhash_lsh_pairs,
     simhash,
 )
 from ..registry import register
@@ -36,6 +35,195 @@ def _planted_near_dups(d: DataFrame) -> DataFrame:
             F.slice(words, 1, F.greatest(F.size(words) - 3, F.lit(1))), " "
         ).alias("text"),
     )
+
+
+# --- Shared md5 MinHash-LSH machinery (cross-engine hash family) -----------
+# The repo's MinHash has two hash families with one banding mechanism:
+# xxhash64 (operators/dedup.py::minhash_lsh_pairs — one 8-byte JVM hash
+# per (shingle, seed); the cheapest spelling when no second engine must
+# replay it, property-tested in tests/test_operators.py) and this md5
+# family, where per shingle one md5 yields two 32-bit halves and seed
+# s's hash is the Kirsch-Mitzenmacher affine (h1 + s*h2) mod 2^32
+# (products <= ~2^37, no bigint overflow under ANSI — bloom.py's
+# derivation). Band key = md5 of the band's comma-joined signature
+# slice. Because DuckDB reproduces md5 bit-for-bit, every signature,
+# band digest and candidate pair value-oracles — so the REGISTERED
+# LSH queries (x2, x2e, x12b, x12c) all ride this family, each with
+# its own band geometry. Scale shape is family-independent: shuffles
+# carry (doc, band digest), never text; the bucket join emits
+# O(sum bucket^2) candidates, never all-pairs.
+
+_X2E_SEEDS = 16
+_X2E_BANDS = 8
+_X2E_ROWS = _X2E_SEEDS // _X2E_BANDS
+
+
+def _md5_lsh_ctes(seeds: int, rows: int) -> str:
+    """The md5 MinHash-LSH CTE chain (corpus -> shingles -> hash halves
+    -> signatures -> band digests) for one band geometry — the DuckDB
+    mirror of :func:`_md5_band_frame`. Shared by x2 (16 seeds x 2
+    rows + jaccard verify), x2e (16x2 candidate set), x12c (16x2 full
+    pipeline) and x12b (16x4 — the production band choice). Emitted
+    WITHOUT the leading WITH so the pipeline oracles can prepend
+    RECURSIVE for their closure stage."""
+    return f"""corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_COPY_OFFSET},
+         array_to_string(list_slice(string_split(text, ' '), 1,
+           greatest(len(string_split(text, ' ')) - 3, 1)), ' ')
+  FROM documents WHERE doc_id % 20 = 0
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+           i -> concat(string_split(text,' ')[i], ' ',
+                       coalesce(string_split(text,' ')[i+1], ''), ' ',
+                       coalesce(string_split(text,' ')[i+2], ''))))) AS shingle
+  FROM corpus
+  WHERE len(string_split(text, ' ')) >= 3
+),
+hh AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS h2
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, s, min((h1 + s * h2) % 4294967296) AS mh
+  FROM hh, LATERAL (SELECT unnest(generate_series(0, {seeds - 1})) AS s) g
+  GROUP BY doc_id, s
+),
+bands AS (
+  SELECT doc_id, s // {rows} AS band_id,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY s)) AS band_val
+  FROM sig GROUP BY doc_id, s // {rows}
+)"""
+
+
+#: x2e/x12c's geometry, kept as the module constant their r10-era
+#: oracles reference verbatim
+_MD5_LSH_CTES = _md5_lsh_ctes(_X2E_SEEDS, _X2E_ROWS)
+
+
+def _md5_band_frame(
+    corpus: DataFrame, seeds: int = _X2E_SEEDS, rows: int = _X2E_ROWS
+) -> DataFrame:
+    """Cross-engine md5 MinHash band frame (doc_id, band_id, band_val)
+    over a (doc_id, text) corpus — the Spark mirror of
+    :func:`_md5_lsh_ctes` (same geometry parameters). Per shingle one
+    md5 yields two 32-bit halves; seed s's hash is the
+    Kirsch-Mitzenmacher affine (h1 + s*h2) mod 2^32; band key = md5 of
+    the band's comma-joined signature slice. Shared by x2/x2e
+    (candidate sets) and x12b/x12c (full pipelines)."""
+    from .text_queries import _padded_ngrams
+
+    corpus = corpus.withColumn(
+        "__words", F.split("text", " ")  # materialized — x4d idiom
+    )
+    words = F.col("__words")
+    sh = (
+        corpus.filter(F.size(words) >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(_padded_ngrams(words, 3))).alias(
+                "shingle"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h1"),
+            F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10)
+            .cast("long")
+            .alias("h2"),
+        )
+    )
+    sig = (
+        sh.select(
+            "doc_id",
+            "h1",
+            "h2",
+            F.explode(F.sequence(F.lit(0), F.lit(seeds - 1))).alias("s"),
+        )
+        .groupBy("doc_id", "s")
+        .agg(
+            F.min(
+                (F.col("h1") + F.col("s") * F.col("h2")) % F.lit(4294967296)
+            ).alias("mh")
+        )
+    )
+    return (
+        sig.withColumn("band_id", F.expr(f"s div {rows}"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("s", "mh"))
+                        ),
+                        lambda x: x["mh"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_val")
+        )
+    )
+
+
+def _md5_lsh_candidates(bands: DataFrame) -> DataFrame:
+    """Distinct (id_a < id_b) candidate pairs from a band frame — the
+    bucket self-join all four md5-family LSH queries share."""
+    a = bands.select(F.col("doc_id").alias("id_a"), "band_id", "band_val")
+    b = bands.select(F.col("doc_id").alias("id_b"), "band_id", "band_val")
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+#: Closure + per-cluster summary SQL shared by the two end-to-end LSH
+#: pipeline oracles (x12b: 16 seeds x 4-row bands, the production
+#: geometry; x12c: 16 x 2): banded candidates -> integer-exact jaccard
+#: gate (>= 0.85 spelled 20*inter >= 17*union so no float predicate
+#: can flip cross-engine) -> undirected min-label reachability ->
+#: non-singleton cluster summary. Appended after a band-geometry CTE
+#: chain from :func:`_md5_lsh_ctes` under WITH RECURSIVE.
+_MD5_PIPELINE_TAIL = """
+cand AS (
+  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+),
+pool AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM corpus
+),
+edges0 AS (
+  SELECT ia AS s, ib AS d
+  FROM cand
+  JOIN pool pa ON pa.doc_id = cand.ia
+  JOIN pool pb ON pb.doc_id = cand.ib
+  WHERE 20 * len(list_intersect(pa.w, pb.w))
+        >= 17 * (len(pa.w) + len(pb.w) - len(list_intersect(pa.w, pb.w)))
+),
+edges AS (SELECT s, d FROM edges0 UNION SELECT d, s FROM edges0),
+reach AS (
+  SELECT doc_id AS n, doc_id AS m FROM corpus
+  UNION
+  SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n
+),
+comp AS (SELECT n, min(m) AS c FROM reach GROUP BY n)
+SELECT c AS cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+       min(n) AS canonical_doc
+FROM comp GROUP BY c HAVING count(*) > 1
+ORDER BY cluster_id
+"""
 
 
 # --- X1: exact dedup (hash-first keep-lowest-id) ---------------------------
@@ -87,27 +275,74 @@ def x1b_keyed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- X2: MinHash-LSH near-dup detection (self-verifying; no SQL oracle) ----
+# --- X2: MinHash-LSH near-dup detection (value-oracled since r13) ----------
+
+_X2_ORACLE = f"""
+WITH {_md5_lsh_ctes(_X2E_SEEDS, _X2E_ROWS)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+),
+sets AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM corpus
+)
+SELECT id_a, id_b,
+       round(CAST(len(list_intersect(sa.ws, sb.ws)) AS DOUBLE)
+             / (len(sa.ws) + len(sb.ws) - len(list_intersect(sa.ws, sb.ws))),
+             4) AS jaccard
+FROM cand
+JOIN sets sa ON sa.doc_id = cand.id_a
+JOIN sets sb ON sb.doc_id = cand.id_b
+WHERE 2 * len(list_intersect(sa.ws, sb.ws))
+      >= len(sa.ws) + len(sb.ws) - len(list_intersect(sa.ws, sb.ws))
+ORDER BY id_a, id_b
+"""
 
 
-@register("x2_minhash_lsh", oracle=None, tags=("X2",))
+@register("x2_minhash_lsh", oracle=_X2_ORACLE, tags=("X2",))
 def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded MinHash-LSH over an inflated corpus with known near-dups
-    (docs %20==0 copied minus their last 3 words).
+    (docs %20==0 copied minus their last 3 words): banded candidates
+    -> exact word-set Jaccard verification -> verified pairs.
 
-    Self-verifies:
-      * recall — every planted pair with exact Jaccard ≥ 0.8 must be
-        among the LSH candidates;
-      * precision — every reported pair is verified with exact Jaccard
-        ≥ 0.5 (verification is part of the operator, not the test).
+    VALUE-ORACLED r13 (VERDICT r12 #5): the signatures ride the
+    cross-engine md5 hash family (see the shared-machinery comment
+    above :func:`_md5_lsh_ctes`), so DuckDB replays the ENTIRE
+    pipeline — every band digest, the candidate set, and each
+    verified pair's jaccard — and the driver hash-checks the result.
+    The xxhash64 family (operators/dedup.py::minhash_lsh_pairs — the
+    cheaper per-shingle fold when no second engine must replay the
+    hashes) keeps its property-test coverage in tests/test_operators.
+
+    The >= 0.5 verification gate is spelled integer-exact
+    (2*|A∩B| >= |A∪B|) on BOTH engines so no float predicate can flip
+    across them (r8 rule); the displayed jaccard is a single exact
+    division, bit-identical cross-engine, rounded for display only.
+
+    Self-verifies recall on top of the oracle: >= 80% of planted pairs
+    must be among the VERIFIED pairs.
     """
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = d.unionByName(_planted_near_dups(d))
-    cand = minhash_lsh_pairs(corpus, "doc_id", "text", num_hashes=32, bands=8)
-    verified = (
-        exact_jaccard(corpus, cand, "doc_id", "text")
-        .filter(F.col("jaccard") >= 0.5)
-        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    cand = _md5_lsh_candidates(_md5_band_frame(corpus))
+    pool = corpus.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("w")
+    )
+    scored = cand.join(
+        pool.select(F.col("doc_id").alias("id_a"), F.col("w").alias("wa")),
+        "id_a",
+    ).join(
+        pool.select(F.col("doc_id").alias("id_b"), F.col("w").alias("wb")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("wa", "wb"))
+    union = F.size("wa") + F.size("wb") - inter
+    verified = scored.filter(2 * inter >= union).select(
+        "id_a",
+        "id_b",
+        F.round(inter.cast("double") / union, 4).alias("jaccard"),
     )
     # cache() stays live for the caller: the self-check below consumes
     # the pipeline once, and the returned DataFrame re-reads the cached
@@ -479,15 +714,34 @@ def x12_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register("x12b_lsh_dedup_pipeline", oracle=None, tags=("X2", "X6"))
+_X12B_SEEDS = 16
+_X12B_ROWS = 4  # -> 4 bands: the production geometry (see docstring)
+
+_X12B_ORACLE = f"""
+WITH RECURSIVE {_md5_lsh_ctes(_X12B_SEEDS, _X12B_ROWS)},{_MD5_PIPELINE_TAIL}"""
+
+
+@register("x12b_lsh_dedup_pipeline", oracle=_X12B_ORACLE, tags=("X2", "X6"))
 def x12b_lsh_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fuzzy-dedup pipeline in its FULL-CORPUS shape — exactly what
     runs at 100 TB, with no all-pairs stage anywhere:
 
-      MinHash-LSH bucketed candidates (operators/dedup.py — linear scan
-      + per-bucket pairs) → exact-Jaccard verification on candidates
-      only → connected components (operators/components.py) →
-      one canonical doc per cluster (smallest id).
+      MinHash-LSH bucketed candidates → exact-Jaccard verification on
+      candidates only → connected components (operators/components.py)
+      → one canonical doc per cluster (smallest id).
+
+    VALUE-ORACLED r13 (VERDICT r12 #5): rides the cross-engine md5
+    hash family (shared-machinery comment above :func:`_md5_lsh_ctes`)
+    with the PRODUCTION band geometry — 16 hashes / 4 bands: the
+    signature pass is the pipeline's dominant cost and planted dups
+    sit at jaccard >= 0.9, where 4 bands of 4 rows still collide with
+    P ~ 0.99 per pair (x12c is the same pipeline at 16x2). DuckDB
+    re-derives the candidate set, the verified edge set, the
+    transitive clusters and the final summary end to end. The 0.85
+    dup gate is integer-exact (20*inter >= 17*union) on both engines:
+    the synthetic corpus's tiny vocabulary makes unrelated docs
+    overlap heavily (mean cross-doc jaccard ~0.65); a threshold below
+    that connects half the corpus and bloats the edge list.
 
     Self-verifies: >= 80% of planted (base, copy) pairs (x2-style:
     docs %20==0 copied minus their last 3 words) land in the SAME
@@ -499,16 +753,23 @@ def x12b_lsh_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = d.unionByName(_planted_near_dups(d))
-    # 16 hashes / 4 bands (vs x2's 32/8): the signature pass is the
-    # pipeline's dominant cost and planted dups sit at jaccard >= 0.9,
-    # where 4 bands of 4 rows still collide with P ~ 0.99 per pair
-    cand = minhash_lsh_pairs(corpus, "doc_id", "text", num_hashes=16, bands=4)
-    # 0.85: the synthetic corpus's tiny vocabulary makes unrelated docs
-    # overlap heavily (mean cross-doc jaccard ~0.65); a dup threshold
-    # below that connects half the corpus and bloats the edge list
+    cand = _md5_lsh_candidates(
+        _md5_band_frame(corpus, seeds=_X12B_SEEDS, rows=_X12B_ROWS)
+    )
+    pool = corpus.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("w")
+    )
+    scored = cand.join(
+        pool.select(F.col("doc_id").alias("id_a"), F.col("w").alias("wa")),
+        "id_a",
+    ).join(
+        pool.select(F.col("doc_id").alias("id_b"), F.col("w").alias("wb")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("wa", "wb"))
+    union = F.size("wa") + F.size("wb") - inter
     edges = (
-        exact_jaccard(corpus, cand, "doc_id", "text")
-        .filter(F.col("jaccard") >= 0.85)
+        scored.filter(20 * inter >= 17 * union)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
     comp = connected_components(edges, "src", "dst", nodes=corpus.select("doc_id"))
@@ -1888,65 +2149,15 @@ def x39_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- X2e: value-oracled MinHash-LSH twin (md5 hash family) ------------------
-# x2's production MinHash uses xxhash64 — the right call JVM-side, but
-# engine-opaque, so x2's evidence is recall/precision self-asserts.
-# This twin runs the IDENTICAL banding mechanism (shingle -> per-seed
-# min-hash -> banded signature -> bucket join -> candidate pairs) on
-# the repo's cross-engine md5 hash family, so DuckDB re-derives every
-# signature, every band key, and THE ENTIRE candidate-pair set —
-# turning the LSH mechanism itself into hash-checked values. Per
-# shingle one md5 yields two 32-bit halves; seed s's hash is the
-# Kirsch-Mitzenmacher affine (h1 + s*h2) mod 2^32 (products <= ~2^37,
-# no bigint overflow under ANSI), bloom.py's derivation. Band key =
-# md5 of the band's comma-joined signature slice. 16 seeds x 8 bands
-# (2 rows/band): the planted near-dups (~0.9 Jaccard) collide w.p.
-# ~1-(1-0.9^2)^8 ~ 1. Scale shape identical to x2: shuffles carry
-# (doc, band digest), never text; bucket join emits O(sum bucket^2)
-# candidates.
-
-_X2E_SEEDS = 16
-_X2E_BANDS = 8
-_X2E_ROWS = _X2E_SEEDS // _X2E_BANDS
-
-#: The md5 MinHash-LSH CTE chain (corpus -> shingles -> hash halves ->
-#: signatures -> band digests), shared verbatim by x2e's candidate-set
-#: oracle and x12c's end-to-end pipeline oracle. Emitted WITHOUT the
-#: leading WITH so x12c can prepend RECURSIVE for its closure stage.
-_MD5_LSH_CTES = f"""corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + {_COPY_OFFSET},
-         array_to_string(list_slice(string_split(text, ' '), 1,
-           greatest(len(string_split(text, ' ')) - 3, 1)), ' ')
-  FROM documents WHERE doc_id % 20 = 0
-),
-sh AS (
-  SELECT doc_id,
-         unnest(list_distinct(list_transform(
-           generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
-           i -> concat(string_split(text,' ')[i], ' ',
-                       coalesce(string_split(text,' ')[i+1], ''), ' ',
-                       coalesce(string_split(text,' ')[i+2], ''))))) AS shingle
-  FROM corpus
-  WHERE len(string_split(text, ' ')) >= 3
-),
-hh AS (
-  SELECT doc_id,
-         CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h1,
-         CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS h2
-  FROM sh
-),
-sig AS (
-  SELECT doc_id, s, min((h1 + s * h2) % 4294967296) AS mh
-  FROM hh, LATERAL (SELECT unnest(generate_series(0, {_X2E_SEEDS - 1})) AS s) g
-  GROUP BY doc_id, s
-),
-bands AS (
-  SELECT doc_id, s // {_X2E_ROWS} AS band_id,
-         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY s)) AS band_val
-  FROM sig GROUP BY doc_id, s // {_X2E_ROWS}
-)"""
+# --- X2e: the bare MinHash-LSH candidate set, value-oracled -----------------
+# The banding MECHANISM alone (shingle -> per-seed min-hash -> banded
+# signature -> bucket join -> candidate pairs), without x2's
+# verification stage on top, so the candidate set itself — before any
+# jaccard gate can mask a banding bug — is hash-checked values.
+# (Historically this was x2's md5-family twin; since r13 x2 rides the
+# same family and oracles its VERIFIED pairs, while this entry keeps
+# the raw candidates pinned.) 16 seeds x 8 bands (2 rows/band): the
+# planted near-dups (~0.9 Jaccard) collide w.p. ~1-(1-0.9^2)^8 ~ 1.
 
 _X2E_ORACLE = f"""
 WITH {_MD5_LSH_CTES}
@@ -1958,70 +2169,6 @@ FROM bands a JOIN bands b
  AND a.doc_id < b.doc_id
 ORDER BY id_a, id_b
 """
-
-
-def _md5_band_frame(corpus: DataFrame) -> DataFrame:
-    """Cross-engine md5 MinHash band frame (doc_id, band_id, band_val)
-    over a (doc_id, text) corpus — the Spark mirror of _MD5_LSH_CTES.
-    Per shingle one md5 yields two 32-bit halves; seed s's hash is the
-    Kirsch-Mitzenmacher affine (h1 + s*h2) mod 2^32; band key = md5 of
-    the band's comma-joined signature slice. Shared by x2e (candidate
-    set) and x12c (full pipeline)."""
-    from .text_queries import _padded_ngrams
-
-    corpus = corpus.withColumn(
-        "__words", F.split("text", " ")  # materialized — x4d idiom
-    )
-    words = F.col("__words")
-    sh = (
-        corpus.filter(F.size(words) >= 3)
-        .select(
-            "doc_id",
-            F.explode(F.array_distinct(_padded_ngrams(words, 3))).alias(
-                "shingle"
-            ),
-        )
-        .select(
-            "doc_id",
-            F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
-            .cast("long")
-            .alias("h1"),
-            F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10)
-            .cast("long")
-            .alias("h2"),
-        )
-    )
-    sig = (
-        sh.select(
-            "doc_id",
-            "h1",
-            "h2",
-            F.explode(F.sequence(F.lit(0), F.lit(_X2E_SEEDS - 1))).alias("s"),
-        )
-        .groupBy("doc_id", "s")
-        .agg(
-            F.min(
-                (F.col("h1") + F.col("s") * F.col("h2")) % F.lit(4294967296)
-            ).alias("mh")
-        )
-    )
-    return (
-        sig.withColumn("band_id", F.expr(f"s div {_X2E_ROWS}"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("s", "mh"))
-                        ),
-                        lambda x: x["mh"].cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("band_val")
-        )
-    )
 
 
 @register("x2e_lsh_value_oracle", oracle=_X2E_ORACLE, tags=("X2", "X2E"))
@@ -2065,36 +2212,7 @@ def x2e_lsh_value_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # clustering is min-label propagation with pointer jumping.
 
 _X12C_ORACLE = f"""
-WITH RECURSIVE {_MD5_LSH_CTES},
-cand AS (
-  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-  FROM bands a JOIN bands b
-    ON a.band_id = b.band_id AND a.band_val = b.band_val
-   AND a.doc_id < b.doc_id
-),
-pool AS (
-  SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM corpus
-),
-edges0 AS (
-  SELECT ia AS s, ib AS d
-  FROM cand
-  JOIN pool pa ON pa.doc_id = cand.ia
-  JOIN pool pb ON pb.doc_id = cand.ib
-  WHERE 20 * len(list_intersect(pa.w, pb.w))
-        >= 17 * (len(pa.w) + len(pb.w) - len(list_intersect(pa.w, pb.w)))
-),
-edges AS (SELECT s, d FROM edges0 UNION SELECT d, s FROM edges0),
-reach AS (
-  SELECT doc_id AS n, doc_id AS m FROM corpus
-  UNION
-  SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n
-),
-comp AS (SELECT n, min(m) AS c FROM reach GROUP BY n)
-SELECT c AS cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
-       min(n) AS canonical_doc
-FROM comp GROUP BY c HAVING count(*) > 1
-ORDER BY cluster_id
-"""
+WITH RECURSIVE {_MD5_LSH_CTES},{_MD5_PIPELINE_TAIL}"""
 
 
 @register(

@@ -171,30 +171,60 @@ def x3c_pairwise_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- X3d: vectorized exact top-k (the scale path; self-verified) ------------
+# --- X3d: vectorized exact top-k (the scale path; contract-oracled) ---------
+
+_X3D_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(1 AS BIGINT) AS rows_per_query_le_k,
+       CAST(1 AS BIGINT) AS agreement_ge_95
+FROM embeddings WHERE vec_id % 50 = 0
+"""
 
 
-@register("x3d_topk_vectorized", oracle=None, tags=("X3", "D5"))
+@register("x3d_topk_vectorized", oracle=_X3D_ORACLE, tags=("X3", "D5"))
 def x3d_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """numpy-matmul top-k via mapInPandas (see cosine_topk_vectorized).
-    Self-verifies neighbor sets match the oracle-checked interpreted
-    variant on ≥95% of (query, neighbor) pairs (ulp ties allowed)."""
+
+    CONTRACT-ORACLED r13 (x3e/o5 precedent, VERDICT r12 #5): the raw
+    VALUES are float-ulp tie-sensitive — numpy's fused dot products
+    can order two near-equal cosines differently from the interpreted
+    JVM fold, swapping tail ranks, which is why this entry was
+    rows-only (x3h is the integer-exact value twin) — but the contract
+    is not: the fast path must (a) cover every query vector, (b)
+    return at most k rows per query, and (c) agree with the
+    hash-green interpreted x3 on >= 95% of (query, neighbor) pairs.
+    Flags are computed WITHOUT preceding asserts (ADVICE r11), so a
+    violation reaches the driver as a hash mismatch rather than dying
+    in-query where the oracle can't see it."""
+    from collections import Counter
+
     from ..operators.similarity import cosine_topk, cosine_topk_vectorized
 
+    K = 5
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0)
-    fast = cosine_topk_vectorized(e, q, k=5).select(
-        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    fast = cosine_topk_vectorized(e, q, k=K).select(
+        "query_id", "neighbor_id", "rank"
     )
-    slow = cosine_topk(e, q, k=5).select(
+    slow = cosine_topk(e, q, k=K).select(
         "query_id", F.col("neighbor_id").alias("slow_neighbor")
     )
-    fast_set = {(r.query_id, r.neighbor_id) for r in fast.collect()}
+    fast_rows = fast.collect()  # bounded: <= k * |queries|
     slow_set = {(r.query_id, r.slow_neighbor) for r in slow.collect()}
+    fast_set = {(r.query_id, r.neighbor_id) for r in fast_rows}
     overlap = len(fast_set & slow_set) / max(len(slow_set), 1)
-    if overlap < 0.95:
-        raise AssertionError(f"vectorized top-k diverges: overlap={overlap:.2f}")
-    return fast.orderBy("query_id", "rank")
+    per_q = Counter(r.query_id for r in fast_rows)
+    return spark.createDataFrame(
+        [
+            (
+                len(per_q),
+                int(all(v <= K for v in per_q.values())),
+                int(overlap >= 0.95),
+            )
+        ],
+        "n_queries bigint, rows_per_query_le_k bigint, "
+        "agreement_ge_95 bigint",
+    )
 
 
 # --- X3g: vectorized top-k, bench-clean (invariants only) -------------------

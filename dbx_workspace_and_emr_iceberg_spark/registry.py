@@ -154,6 +154,16 @@ _CHANGED_THIS_ROUND = [
     # count
     "m7_partition_transforms",
     "m9_stats_file_skipping",
+    # r13 rows-only endgame (VERDICT r12 #5): x2/x12b respelled onto
+    # the cross-engine md5 hash family so DuckDB replays the full LSH
+    # pipeline (plan + new oracle); x3d converted to agreement
+    # contract flags (new frame + oracle)
+    "x2_minhash_lsh",
+    "x12b_lsh_dedup_pipeline",
+    "x3d_topk_vectorized",
+    # r13: state-store partition pin for the stream run (task COUNT at
+    # fixture scale, same plan nodes; VERDICT r12 #7 — min 4.4 -> 2.6s)
+    "t18_stream_dedup_history",
 ]
 
 

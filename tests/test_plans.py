@@ -74,7 +74,9 @@ def test_partition_filter_prunes_row_groups(spark):
 
 # Queries that legitimately cross into Python (UDF surface, Arrow decode,
 # numpy ANN paths, DML lifecycles that build log frames driver-side).
-_PYTHON_ALLOWED_PREFIXES = ("d", "m", "t", "x2_", "x3b", "x3d", "x3e", "x5b", "o4")
+# (x2_ dropped r13: the md5-family respell is pure JVM and now oracled,
+# so the zero-Python guard covers it like every other relational plan.)
+_PYTHON_ALLOWED_PREFIXES = ("d", "m", "t", "x3b", "x3d", "x3e", "x5b", "o4")
 
 
 def test_q2_decorrelates_to_single_lineitem_scan(spark):

@@ -138,13 +138,15 @@ def chunked_exclusive_prefix(
     ADVICE r12): a violation fails fast instead of silently dropping
     rows.
     """
-    if {"chunk", "__off"} & set(df.columns):
+    if {"chunk", "__off", out_col} & set(df.columns):
         # withColumn would overwrite the caller's column and the
         # offsets join would then key on kernel-internal values,
-        # silently corrupting results (ADVICE r12)
+        # silently corrupting results (ADVICE r12; out_col included —
+        # review-pass r13: a pre-existing output column is the same
+        # silent-overwrite class)
         raise ValueError(
             "chunked_exclusive_prefix: input must not already have "
-            "'chunk' or '__off' columns"
+            f"'chunk', '__off' or '{out_col}' columns"
         )
     spark = df.sparkSession
     chunk_expr = quantile_chunk_expr(df, order_col, n_chunks)

@@ -187,6 +187,33 @@ def _md5_lsh_candidates(bands: DataFrame) -> DataFrame:
     )
 
 
+def _md5_verified_pairs(corpus: DataFrame, cand: DataFrame) -> DataFrame:
+    """(id_a, id_b, n_inter, n_union) word-set overlap counts for
+    candidate pairs — the exact-verification join shared by x2
+    (>= 0.5 gate + jaccard values), x12b and x12c (>= 0.85 edge
+    gates), so the Spark side cannot drift from the single SQL
+    spelling in the oracles (review-pass r13). Carries word arrays of
+    CANDIDATES only, never all pairs; gates stay integer-exact at the
+    call sites."""
+    pool = corpus.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("w")
+    )
+    scored = cand.join(
+        pool.select(F.col("doc_id").alias("id_a"), F.col("w").alias("wa")),
+        "id_a",
+    ).join(
+        pool.select(F.col("doc_id").alias("id_b"), F.col("w").alias("wb")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("wa", "wb"))
+    return scored.select(
+        "id_a",
+        "id_b",
+        inter.alias("n_inter"),
+        (F.size("wa") + F.size("wb") - inter).alias("n_union"),
+    )
+
+
 #: Closure + per-cluster summary SQL shared by the two end-to-end LSH
 #: pipeline oracles (x12b: 16 seeds x 4-row bands, the production
 #: geometry; x12c: 16 x 2): banded candidates -> integer-exact jaccard
@@ -327,22 +354,15 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = d.unionByName(_planted_near_dups(d))
     cand = _md5_lsh_candidates(_md5_band_frame(corpus))
-    pool = corpus.select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("w")
-    )
-    scored = cand.join(
-        pool.select(F.col("doc_id").alias("id_a"), F.col("w").alias("wa")),
-        "id_a",
-    ).join(
-        pool.select(F.col("doc_id").alias("id_b"), F.col("w").alias("wb")),
-        "id_b",
-    )
-    inter = F.size(F.array_intersect("wa", "wb"))
-    union = F.size("wa") + F.size("wb") - inter
-    verified = scored.filter(2 * inter >= union).select(
+    ver = _md5_verified_pairs(corpus, cand)
+    verified = ver.filter(
+        2 * F.col("n_inter") >= F.col("n_union")
+    ).select(
         "id_a",
         "id_b",
-        F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        F.round(
+            F.col("n_inter").cast("double") / F.col("n_union"), 4
+        ).alias("jaccard"),
     )
     # cache() stays live for the caller: the self-check below consumes
     # the pipeline once, and the returned DataFrame re-reads the cached
@@ -756,20 +776,9 @@ def x12b_lsh_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _md5_lsh_candidates(
         _md5_band_frame(corpus, seeds=_X12B_SEEDS, rows=_X12B_ROWS)
     )
-    pool = corpus.select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("w")
-    )
-    scored = cand.join(
-        pool.select(F.col("doc_id").alias("id_a"), F.col("w").alias("wa")),
-        "id_a",
-    ).join(
-        pool.select(F.col("doc_id").alias("id_b"), F.col("w").alias("wb")),
-        "id_b",
-    )
-    inter = F.size(F.array_intersect("wa", "wb"))
-    union = F.size("wa") + F.size("wb") - inter
     edges = (
-        scored.filter(20 * inter >= 17 * union)
+        _md5_verified_pairs(corpus, cand)
+        .filter(20 * F.col("n_inter") >= 17 * F.col("n_union"))
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
     comp = connected_components(edges, "src", "dst", nodes=corpus.select("doc_id"))
@@ -2228,29 +2237,11 @@ def x12c_lsh_pipeline_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = d.unionByName(_planted_near_dups(d))
-    bands = _md5_band_frame(corpus)
-    a = bands.select(F.col("doc_id").alias("id_a"), "band_id", "band_val")
-    b = bands.select(F.col("doc_id").alias("id_b"), "band_id", "band_val")
-    cand = (
-        a.join(b, ["band_id", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    pool = corpus.select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("w")
-    )
-    scored = cand.join(
-        pool.select(F.col("doc_id").alias("id_a"), F.col("w").alias("wa")),
-        "id_a",
-    ).join(
-        pool.select(F.col("doc_id").alias("id_b"), F.col("w").alias("wb")),
-        "id_b",
-    )
-    inter = F.size(F.array_intersect("wa", "wb"))
-    union = F.size("wa") + F.size("wb") - inter
-    edges = scored.filter(20 * inter >= 17 * union).select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    cand = _md5_lsh_candidates(_md5_band_frame(corpus))
+    edges = (
+        _md5_verified_pairs(corpus, cand)
+        .filter(20 * F.col("n_inter") >= 17 * F.col("n_union"))
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
     comp = connected_components(
         edges, "src", "dst", nodes=corpus.select("doc_id")

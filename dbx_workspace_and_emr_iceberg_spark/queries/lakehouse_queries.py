@@ -1462,7 +1462,6 @@ def m9_stats_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         n1 = t.read().count()
         extra = o.limit(10).coalesce(1)
         v_app = t.append(extra)                   # v2: +min(n, 10) rows
-        n2 = t.read().count()
         t.delete_where(F.col("o_orderkey") < 0)   # no-op keeps lineage moving
         t.append(o.limit(5).coalesce(1))          # v3
         t.rollback_to(1)                          # drop both appends

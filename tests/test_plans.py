@@ -74,9 +74,10 @@ def test_partition_filter_prunes_row_groups(spark):
 
 # Queries that legitimately cross into Python (UDF surface, Arrow decode,
 # numpy ANN paths, DML lifecycles that build log frames driver-side).
-# (x2_ dropped r13: the md5-family respell is pure JVM and now oracled,
-# so the zero-Python guard covers it like every other relational plan.)
-_PYTHON_ALLOWED_PREFIXES = ("d", "m", "t", "x3b", "x3d", "x3e", "x5b", "o4")
+# (x2_ and x3d dropped r13: x2's md5-family respell is pure JVM, and
+# x3d now returns a local contract-flags frame — both oracled, so the
+# zero-Python guard covers them like every other relational plan.)
+_PYTHON_ALLOWED_PREFIXES = ("d", "m", "t", "x3b", "x3e", "x5b", "o4")
 
 
 def test_q2_decorrelates_to_single_lineitem_scan(spark):

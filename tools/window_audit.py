@@ -118,7 +118,12 @@ def _alias_defs(plan: str) -> dict[str, set[str]]:
 
 def _base_columns(name: str, defs: dict[str, set[str]], _seen=None) -> set[str]:
     """Transitive closure of one column name through the alias defs,
-    down to names with no definition (scan columns / literals)."""
+    down to names with no definition (scan columns). A defined alias
+    with NO column refs (``1 AS g#5``) returns the EMPTY set: it is a
+    constant, and a constant partition key is one task by construction
+    — the caller must treat empty as low-cardinality, not high
+    (review-pass r13: ``out or {name}`` classified literal aliases as
+    unknown-high-card and exempted them)."""
     if _seen is None:
         _seen = set()
     if name in _seen:
@@ -129,7 +134,7 @@ def _base_columns(name: str, defs: dict[str, set[str]], _seen=None) -> set[str]:
     out: set[str] = set()
     for ref in defs[name]:
         out |= _base_columns(ref, defs, _seen)
-    return out or {name}
+    return out
 
 
 def _spec_is_lowcard(spec: str, defs: dict[str, set[str]]) -> bool:
@@ -146,16 +151,35 @@ def _spec_is_lowcard(spec: str, defs: dict[str, set[str]]) -> bool:
         return True
     for c in cols:
         base = _base_columns(c, defs)
-        if not base <= LOWCARD:
+        # empty base = constant lineage (literal alias) — as
+        # low-cardinality as it gets, do NOT exempt it
+        if base and not base <= LOWCARD:
             return False
     return True
 
 
+def _node_depth(line: str) -> int:
+    """Tree depth of a plan line = column where the node text starts
+    (past the ``:  `` bars and ``+- `` marker). Children print deeper
+    than their parent; a line at <= the parent's depth ends the
+    parent's subtree."""
+    i = 0
+    while i < len(line) and line[i] in " :+-":
+        i += 1
+    return i
+
+
 def _window_group_limited(lines: list[str], i: int) -> bool:
     """Structural WindowGroupLimit check (the test_x36 rule, ADVICE
-    r12): a group limit below this Window line and before the next
-    Exchange bounds the rows per key per task."""
-    for l in lines[i + 1 : i + 8]:
+    r12): a group limit in this Window's OWN subtree, before the next
+    Exchange, bounds the rows per key per task. The walk is
+    depth-aware (review-pass r13): a fixed next-N-lines scan could be
+    exonerated by a WindowGroupLimit in a SIBLING subtree (e.g. the
+    other side of a join) that happens to print within range."""
+    depth = _node_depth(lines[i])
+    for l in lines[i + 1 :]:
+        if _node_depth(l) <= depth:
+            return False  # left the window's subtree
         if "Exchange" in l:
             return False
         if "WindowGroupLimit" in l:
@@ -183,8 +207,13 @@ def audit_plan(name: str, executed_plan: str) -> list[str]:
             if _window_group_limited(lines, i):
                 continue
             if any(
-                q == name and s in spec for (q, s) in ALLOWLIST
-            ) or (not spec and (name, "") in ALLOWLIST):
+                q == name and ((s in spec) if s else not spec.strip())
+                for (q, s) in ALLOWLIST
+            ):
+                # empty-substring entries match ONLY the empty (global)
+                # spec — `"" in spec` is vacuously true for every spec
+                # and would wildcard-exempt the whole query
+                # (review-pass r13)
                 continue
             findings.append(
                 f"{name}: low-cardinality{' (global)' if not spec else ''} "
@@ -214,8 +243,11 @@ def main(argv: list[str]) -> int:
     sf_dir = os.environ.get(
         "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
     )
-    spark = get_spark(app_name="window-audit", cpus=8)
     qs = all_queries()
+    # validate BEFORE paying JVM startup (driver_sim's arg pattern)
+    unknown = [n for n in argv if n not in qs]
+    assert not unknown, f"unknown query names: {unknown}"
+    spark = get_spark(app_name="window-audit", cpus=8)
     names = argv or sorted(qs)
     bad: list[str] = []
     for n in names:

@@ -164,6 +164,10 @@ _CHANGED_THIS_ROUND = [
     # r13: state-store partition pin for the stream run (task COUNT at
     # fixture scale, same plan nodes; VERDICT r12 #7 — min 4.4 -> 2.6s)
     "t18_stream_dedup_history",
+    # r13: rollups respelled integer-exact (scaled-long quantization)
+    # and value-oracled over the DuckDB-replayable fake codec
+    "x5b_decode_pipeline",
+    "x5c_frame_sampling",
 ]
 
 

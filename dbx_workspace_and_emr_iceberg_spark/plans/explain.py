@@ -82,10 +82,24 @@ def codegen_stage_count(df: DataFrame) -> int:
 
 
 def python_eval_count(df: DataFrame) -> int:
-    """Python boundary crossings (BatchEvalPython = row UDF slow path,
-    ArrowEvalPython / MapInPandas etc. = vectorized)."""
+    """Python boundary crossings (BatchEvalPython = row UDF slow path;
+    the rest are the Arrow-vectorized family). Counts the FULL family
+    (review-pass r13): the old two-node count silently ignored
+    MapInPandas/MapInArrow/FlatMapGroupsInPandas, making the
+    zero-Python plan guard vacuous for exactly the operators it
+    documents."""
     p = simple_plan(df)
-    return p.count("BatchEvalPython") + p.count("ArrowEvalPython")
+    return sum(
+        p.count(n)
+        for n in (
+            "BatchEvalPython",
+            "ArrowEvalPython",
+            "MapInPandas",
+            "MapInArrow",
+            "FlatMapGroupsInPandas",
+            "PythonMapInArrow",
+        )
+    )
 
 
 # --- centralized in-query scale guards (ADVICE r10) -------------------------

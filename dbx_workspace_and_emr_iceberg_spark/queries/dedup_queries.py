@@ -2184,16 +2184,11 @@ ORDER BY id_a, id_b
 def x2e_lsh_value_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = d.unionByName(_planted_near_dups(d))
-    bands = _md5_band_frame(corpus)
-    a = bands.select(
-        F.col("doc_id").alias("id_a"), "band_id", "band_val"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("id_b"), "band_id", "band_val"
-    )
+    # is_planted is a pure function of the pair, so deriving it AFTER
+    # the shared candidate helper's distinct is equivalent to the old
+    # inline project-then-distinct spelling (review-pass r13 dedup)
     return (
-        a.join(b, ["band_id", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        _md5_lsh_candidates(_md5_band_frame(corpus))
         .select(
             "id_a",
             "id_b",
@@ -2201,24 +2196,23 @@ def x2e_lsh_value_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("is_planted"),
         )
-        .distinct()
         .orderBy("id_a", "id_b")
     )
 
 
 # --- X12c: end-to-end LSH dedup pipeline, value-oracled ----------------------
-# x12b runs the production pipeline (xxhash64 MinHash -> jaccard verify
-# -> connected components) with recall self-asserts; both of its halves
-# got independent value oracles in r10 (x2e replays the banding, x12's
-# recursive CTE replays the clustering) — this twin composes them
-# (r10 verdict #4): the IDENTICAL pipeline on the cross-engine md5
-# hash family, so DuckDB re-derives the candidate set, the verified
-# edge set, the transitive clusters, and the final per-cluster summary
-# end to end. The jaccard gate is spelled integer-exact
-# (20*|A∩B| >= 17*|A∪B|, i.e. >= 0.85) so no float predicate can flip
-# across engines. Scale shape identical to x12b: shuffles carry band
-# digests and word arrays of CANDIDATES only — never all pairs; the
-# clustering is min-label propagation with pointer jumping.
+# Historically the md5-family composition of x2e's banding and x12's
+# clustering oracles (r10 verdict #4), back when x12b rode xxhash64
+# with recall self-asserts. Since r13 x12b itself is md5-family and
+# value-oracled; the two now differ only in band GEOMETRY — x12b runs
+# the production 16 seeds x 4-row bands (higher per-band precision),
+# this entry 16 x 2 (higher per-pair recall) — so together they pin
+# the banding-curve behavior of one pipeline at two operating points.
+# The jaccard gate is spelled integer-exact (20*|A∩B| >= 17*|A∪B|,
+# i.e. >= 0.85) so no float predicate can flip across engines. Scale
+# shape: shuffles carry band digests and word arrays of CANDIDATES
+# only — never all pairs; the clustering is min-label propagation
+# with pointer jumping.
 
 _X12C_ORACLE = f"""
 WITH RECURSIVE {_MD5_LSH_CTES},{_MD5_PIPELINE_TAIL}"""

@@ -76,8 +76,13 @@ def test_partition_filter_prunes_row_groups(spark):
 # numpy ANN paths, DML lifecycles that build log frames driver-side).
 # (x2_ and x3d dropped r13: x2's md5-family respell is pure JVM, and
 # x3d now returns a local contract-flags frame — both oracled, so the
-# zero-Python guard covers them like every other relational plan.)
-_PYTHON_ALLOWED_PREFIXES = ("d", "m", "t", "x3b", "x3e", "x5b", "o4")
+# zero-Python guard covers them like every other relational plan.
+# x29/x5c/x5d/x5e added r13 when python_eval_count learned to see the
+# MapInPandas family: Arrow-batched Python IS those queries' declared
+# point — the JL matmul and the stub-codec decode/frame-sample stages.)
+_PYTHON_ALLOWED_PREFIXES = (
+    "d", "m", "t", "x29", "x3b", "x3e", "x5b", "x5c", "x5d", "x5e", "o4",
+)
 
 
 def test_q2_decorrelates_to_single_lineitem_scan(spark):
@@ -558,14 +563,19 @@ def test_x36_quota_window_group_limited(spark):
         ]
         assert quota_windows, "\n".join(lines)
         for i in quota_windows:
-            # structural, not literal-next-line (ADVICE r12): the group
-            # limit must appear on the same key BELOW this Window and
-            # BEFORE the next Exchange — an interposed Sort/Project
-            # from a formatting or planner change is fine, a missing
-            # limit (rows flow ungated into the window's task) is not
+            # structural, not literal-next-line (ADVICE r12), and
+            # depth-aware (review-pass r13): the group limit must be
+            # on the same key in this Window's OWN subtree before the
+            # next Exchange — an interposed Sort/Project is fine; a
+            # sibling subtree's WindowGroupLimit printing nearby must
+            # NOT exonerate it (the window_audit._window_group_limited
+            # rule, with the key pinned on top)
+            from tools.window_audit import _node_depth
+
+            depth = _node_depth(lines[i])
             below = []
-            for l in lines[i + 1 : i + 8]:
-                if "Exchange" in l:
+            for l in lines[i + 1 :]:
+                if _node_depth(l) <= depth or "Exchange" in l:
                     break
                 below.append(l)
             assert any(f"WindowGroupLimit [{key}" in l for l in below), (

@@ -90,14 +90,19 @@ ALLOWLIST: dict[tuple[str, str], str] = {
 
 
 def _alias_defs(plan: str) -> dict[str, set[str]]:
-    """name -> referenced base-column names, from every ``expr AS
-    name#id`` in the plan string. The expression is recovered by a
-    paren-balanced backward walk from the AS (a flat regex truncates at
-    the first comma inside concat(a#1, b#2)). Ids are dropped: lineage
-    here answers 'which FIXTURE columns feed this name', and fixture
-    names are unique across tables."""
+    """``name#id`` -> referenced ``name#id`` tokens, from every
+    ``expr AS name#id`` in the plan string. The expression is recovered
+    by a paren-balanced backward walk from the AS (a flat regex
+    truncates at the first comma inside concat(a#1, b#2)). Lineage is
+    keyed by the FULL attribute token, ids included (review-pass r13):
+    derived alias names are NOT unique across a plan — dropping ids
+    merged `concat(source#3) AS host#9` with an unrelated
+    `substr(url#7) AS host#21` into one over-broad definition, which
+    both exempted the low-card host#9 window (false negative, the x33
+    class) and made a bare re-alias `x#10 AS x#55` look like a
+    self-reference constant (false positive on high-card keys)."""
     defs: dict[str, set[str]] = {}
-    for m in re.finditer(r" AS (\w+)#\d+", plan):
+    for m in re.finditer(r" AS (\w+#\d+)", plan):
         i, depth = m.start() - 1, 0
         while i >= 0:
             c = plan[i]
@@ -111,28 +116,28 @@ def _alias_defs(plan: str) -> dict[str, set[str]]:
                 break
             i -= 1
         expr = plan[i + 1 : m.start()]
-        refs = set(re.findall(r"(\w+)#\d+", expr)) - {m.group(1)}
+        refs = set(re.findall(r"\w+#\d+", expr)) - {m.group(1)}
         defs.setdefault(m.group(1), set()).update(refs)
     return defs
 
 
-def _base_columns(name: str, defs: dict[str, set[str]], _seen=None) -> set[str]:
-    """Transitive closure of one column name through the alias defs,
-    down to names with no definition (scan columns). A defined alias
-    with NO column refs (``1 AS g#5``) returns the EMPTY set: it is a
-    constant, and a constant partition key is one task by construction
-    — the caller must treat empty as low-cardinality, not high
-    (review-pass r13: ``out or {name}`` classified literal aliases as
-    unknown-high-card and exempted them)."""
+def _base_columns(tok: str, defs: dict[str, set[str]], _seen=None) -> set[str]:
+    """Transitive closure of one ``name#id`` token through the alias
+    defs, down to tokens with no definition (scan columns) — returned
+    as BARE names for the LOWCARD comparison (fixture scan columns are
+    unique by name). A defined alias with NO column refs (``1 AS
+    g#5``) returns the EMPTY set: it is a constant, and a constant
+    partition key is one task by construction — the caller must treat
+    empty as low-cardinality, not high (review-pass r13)."""
     if _seen is None:
         _seen = set()
-    if name in _seen:
+    if tok in _seen:
         return set()
-    _seen.add(name)
-    if name not in defs:
-        return {name}
+    _seen.add(tok)
+    if tok not in defs:
+        return {tok.split("#", 1)[0]}
     out: set[str] = set()
-    for ref in defs[name]:
+    for ref in defs[tok]:
         out |= _base_columns(ref, defs, _seen)
     return out
 
@@ -144,7 +149,7 @@ def _spec_is_lowcard(spec: str, defs: dict[str, set[str]]) -> bool:
     high-card base name is fine."""
     if not spec.strip():
         return True
-    cols = set(re.findall(r"(\w+)#\d+", spec))
+    cols = set(re.findall(r"\w+#\d+", spec))
     if not cols:
         # partition expressions with no column refs (literals) — a
         # constant partition key is one task by construction
@@ -257,7 +262,11 @@ def main(argv: list[str]) -> int:
         except Exception as e:  # noqa: BLE001 — audit sweep, not a test
             print(f"  {n}: SKIP ({type(e).__name__}: {e})")
             continue
-        spark.catalog.clearCache()
+        finally:
+            # clear on BOTH paths: a raising query's pinned caches
+            # must not leak into the remaining sweep (the VERDICT r12
+            # #4 accumulation problem; review-pass r13)
+            spark.catalog.clearCache()
         for f in found:
             print("  FLAG", f)
         bad += found

@@ -657,6 +657,68 @@ def test_window_audit_both_directions(spark):
         == []
 
 
+def test_window_audit_lineage_id_keyed():
+    """Pure-string pins for the r13 lineage fixes (no Spark needed):
+    alias defs are keyed by name#id, so (a) same-NAMED derived aliases
+    in different subtrees keep separate lineages — a low-card host#9
+    must not borrow an unrelated high-card host#21's lineage and
+    escape the audit; (b) a bare re-alias (x#10 AS x#55) resolves to
+    its scan column, not to a constant; (c) a literal-only alias IS a
+    constant and counts low-card."""
+    from tools.window_audit import (
+        _alias_defs,
+        _base_columns,
+        _spec_is_lowcard,
+    )
+
+    plan = (
+        "Project [concat(source#3, .com) AS host#9]\n"
+        "Project [substring(url#7, 1, 10) AS host#21]\n"
+        "Project [doc_id#10L AS doc_id#55L]\n"
+        "Project [1 AS g#5]\n"
+    )
+    defs = _alias_defs(plan)
+    assert _base_columns("host#9", defs) == {"source"}
+    assert _base_columns("host#21", defs) == {"url"}
+    assert _base_columns("doc_id#55", defs) == {"doc_id"}
+    assert _base_columns("g#5", defs) == set()
+    assert _spec_is_lowcard("host#9", defs)          # source is low-card
+    assert not _spec_is_lowcard("host#21", defs)     # url is not
+    assert not _spec_is_lowcard("doc_id#55L", defs)  # re-alias stays high-card
+    assert _spec_is_lowcard("g#5", defs)             # literal = constant
+
+
+def test_window_group_limit_walk_is_depth_aware():
+    """A WindowGroupLimit in a SIBLING subtree must not exonerate an
+    unguarded window; one in the window's own child chain (even past
+    an interposed Sort) must."""
+    from tools.window_audit import _window_group_limited
+
+    sibling = [
+        "Join Inner",
+        ":- Window [windowspecdefinition(lang#1 ...)]",
+        ":  +- Scan parquet",
+        "+- Filter",
+        "   +- WindowGroupLimit [lang#1]",
+    ]
+    assert not _window_group_limited(sibling, 1)
+
+    own_chain = [
+        "Window [windowspecdefinition(lang#1 ...)]",
+        "+- Sort [lang#1 ASC]",
+        "   +- WindowGroupLimit [lang#1]",
+        "      +- Exchange hashpartitioning(lang#1)",
+    ]
+    assert _window_group_limited(own_chain, 0)
+
+    unguarded = [
+        "Window [windowspecdefinition(lang#1 ...)]",
+        "+- Exchange hashpartitioning(lang#1)",
+        "   +- WindowGroupLimit [lang#1]",
+    ]
+    assert not _window_group_limited(unguarded, 0)
+
+
 def test_plan_guard_helpers_both_directions(spark):
     """The centralized plan-string guards (plans/explain.py, ADVICE
     r10) pinned in BOTH directions against hand-built frames, so a

@@ -123,3 +123,21 @@ def test_rows_only_set_is_pinned():
 
     rows_only = {n for n, q in all_queries().items() if q.oracle is None}
     assert rows_only == {"x3g_topk_vectorized_bench"}, rows_only
+
+
+def test_bench_query_lists_resolve():
+    """bench.py's HEADLINE / ADDITIONS / HEAVY_TAIL lists must name
+    registered queries (a rename that misses bench.py would crash the
+    driver's per-round bench run, not a local test) and HEAVY_TAIL
+    must be a subset of HEADLINE (its third timed run reuses the two
+    shared-pass timings by name)."""
+    import bench
+
+    from dbx_workspace_and_emr_iceberg_spark.registry import all_queries
+
+    names = set(all_queries())
+    for lst in (bench.HEADLINE, bench.ADDITIONS, bench.HEAVY_TAIL):
+        missing = [n for n in lst if n not in names]
+        assert not missing, missing
+    assert set(bench.HEAVY_TAIL) <= set(bench.HEADLINE)
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)  # no dups

@@ -1153,3 +1153,55 @@ def test_stream_anti_history_auto_bloom_sizing():
         m = size(n)
         assert m >= 16 * n or m == 1 << 27
         assert m & (m - 1) == 0            # power of two
+
+
+def test_md5_band_frame_matches_sql_chain_random_corpus(spark):
+    """Cross-engine pin for the r13 band-geometry parameterization at a
+    THIRD geometry no registered query uses (8 seeds x 2 rows): the
+    Spark band frame and the DuckDB CTE chain must agree band-for-band
+    on a seeded random corpus, including the planted near-dups and the
+    < 3-word filter boundary. The fixture-corpus oracle tests pin 16x2
+    and 16x4; this catches a parameterization bug those geometries
+    would mask (e.g. a hardcoded seed count surviving in one side)."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from dbx_workspace_and_emr_iceberg_spark.queries.dedup_queries import (
+        _md5_band_frame,
+        _md5_lsh_ctes,
+        _planted_near_dups,
+    )
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(25)]
+    texts = []
+    for i in range(40):
+        # lengths 1..12 words: exercise the >= 3-shingle-word filter
+        # boundary on BOTH sides (1- and 2-word docs must vanish)
+        n = rng.choice([1, 2, 3, 3, 4, 6, 8, 12])
+        texts.append(" ".join(rng.choice(vocab) for _ in range(n)))
+    pdf = pd.DataFrame({"doc_id": pd.array(range(0, 80, 2), dtype="int64"),
+                        "text": texts})
+
+    d = spark.createDataFrame(pdf)
+    corpus = d.unionByName(_planted_near_dups(d))
+    got = {
+        (r.doc_id, int(r.band_id), r.band_val)
+        for r in _md5_band_frame(corpus, seeds=8, rows=2).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    sql = (
+        "WITH "
+        + _md5_lsh_ctes(8, 2)
+        + " SELECT doc_id, band_id, band_val FROM bands"
+    )
+    want = {(int(a), int(b), c) for a, b, c in con.execute(sql).fetchall()}
+    con.close()
+
+    assert got == want
+    # the geometry actually took effect: 4 bands per surviving doc
+    assert {b for (_, b, _) in got} == {0, 1, 2, 3}

@@ -89,6 +89,9 @@ def python_eval_count(df: DataFrame) -> int:
     zero-Python plan guard vacuous for exactly the operators it
     documents."""
     p = simple_plan(df)
+    # "MapInArrow" is a substring of the 3.x-era "PythonMapInArrow"
+    # spelling, so the one needle covers both without double-counting
+    # (review-pass r13)
     return sum(
         p.count(n)
         for n in (
@@ -97,7 +100,6 @@ def python_eval_count(df: DataFrame) -> int:
             "MapInPandas",
             "MapInArrow",
             "FlatMapGroupsInPandas",
-            "PythonMapInArrow",
         )
     )
 

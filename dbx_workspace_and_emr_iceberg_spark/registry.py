@@ -168,9 +168,10 @@ _CHANGED_THIS_ROUND = [
     # and value-oracled over the DuckDB-replayable fake codec
     "x5b_decode_pipeline",
     "x5c_frame_sampling",
-    # r13: rides the shared candidate helper (distinct now precedes the
-    # is_planted projection — equivalent set, slightly different plan)
+    # r13: ride the shared candidate/verification helpers (equivalent
+    # algebra, slightly different plan instances)
     "x2e_lsh_value_oracle",
+    "x12c_lsh_pipeline_values",
 ]
 
 

@@ -134,7 +134,15 @@ def test_relational_queries_never_cross_into_python(spark):
     # Iterative operators (fixpoint loops over localCheckpoints) EXECUTE
     # when their fn is called and return a checkpoint-scan plan, so a
     # python_eval assertion on them is both expensive and vacuous.
-    iterative = ("x12_neardup_clusters",)
+    # x12b/x12c joined the tuple r13: their connected-components
+    # fixpoint EXECUTES at fn() time and the returned frame is a
+    # checkpoint-scan projection — running the whole md5 LSH pipeline
+    # here buys a vacuous zero-Python check on a post-checkpoint plan
+    iterative = (
+        "x12_neardup_clusters",
+        "x12b_lsh_dedup_pipeline",
+        "x12c_lsh_pipeline_values",
+    )
     for name, q in sorted(all_queries().items()):
         if name.startswith(_PYTHON_ALLOWED_PREFIXES):
             continue
@@ -636,6 +644,19 @@ def test_window_audit_both_directions(spark):
     )
     assert audit_frame("t_chunk", chunked) == []
 
+    # FLAG: a CONSTANT chunk co-key (the n_chunks=1 degenerate) is
+    # still one task per lang — the name alone must not exempt it
+    # (review-pass r13)
+    const_chunk = docs.withColumn("chunk", F.lit(0)).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("lang", "chunk").orderBy("doc_id")
+        ),
+    )
+    assert audit_frame("t_const_chunk", const_chunk), X.simple_plan(
+        const_chunk
+    )
+
     # PASS: rank-filter -> Spark inserts WindowGroupLimit
     topk = docs.withColumn(
         "rk", F.row_number().over(Window.partitionBy("lang").orderBy("doc_id"))
@@ -676,16 +697,22 @@ def test_window_audit_lineage_id_keyed():
         "Project [substring(url#7, 1, 10) AS host#21]\n"
         "Project [doc_id#10L AS doc_id#55L]\n"
         "Project [1 AS g#5]\n"
+        "Project [split(text#3,  , -1)[0] AS w0#8]\n"
     )
     defs = _alias_defs(plan)
     assert _base_columns("host#9", defs) == {"source"}
     assert _base_columns("host#21", defs) == {"url"}
     assert _base_columns("doc_id#55", defs) == {"doc_id"}
     assert _base_columns("g#5", defs) == set()
+    # subscript alias keeps its refs: the backward walk balances ']'
+    # like ')' (review-pass r13 — '[0]' used to truncate the expr to a
+    # constant and falsely flag high-card subscript-derived keys)
+    assert _base_columns("w0#8", defs) == {"text"}
     assert _spec_is_lowcard("host#9", defs)          # source is low-card
     assert not _spec_is_lowcard("host#21", defs)     # url is not
     assert not _spec_is_lowcard("doc_id#55L", defs)  # re-alias stays high-card
     assert _spec_is_lowcard("g#5", defs)             # literal = constant
+    assert not _spec_is_lowcard("w0#8", defs)        # text is high-card
 
 
 def test_window_group_limit_walk_is_depth_aware():

@@ -106,13 +106,17 @@ def _alias_defs(plan: str) -> dict[str, set[str]]:
         i, depth = m.start() - 1, 0
         while i >= 0:
             c = plan[i]
-            if c == ")":
+            if c in ")]":
+                # ']' balanced like ')' (review-pass r13): a subscript
+                # alias `split(text#3,  )[0] AS w#9` must keep walking
+                # past the '[' of '[0]' or it loses every column ref
+                # and reads as a constant
                 depth += 1
-            elif c == "(":
+            elif c in "([":
                 if depth == 0:
                     break
                 depth -= 1
-            elif c in ",[" and depth == 0:
+            elif c == "," and depth == 0:
                 break
             i -= 1
         expr = plan[i + 1 : m.start()]
@@ -205,7 +209,19 @@ def audit_plan(name: str, executed_plan: str) -> list[str]:
         if "windowspecdefinition(" not in line:
             continue
         for spec in _parse_window_partition_specs(line):
-            if any(t in spec for t in CHUNK_TOKENS):
+            chunk_cols = [
+                c
+                for c in re.findall(r"\w+#\d+", spec)
+                if any(t in c.split("#", 1)[0] for t in CHUNK_TOKENS)
+            ]
+            if chunk_cols and any(
+                _base_columns(c, defs) for c in chunk_cols
+            ):
+                # a chunk co-key exempts the spec ONLY if its lineage
+                # reaches a real column (review-pass r13): a constant
+                # chunk (the n_chunks=1 degenerate, lit(0) AS chunk)
+                # is still one task per key and must fall through to
+                # the lowcard check
                 continue
             if not _spec_is_lowcard(spec, defs):
                 continue

@@ -134,45 +134,20 @@ def all_queries() -> dict[str, Query]:
 
 #: Queries whose ORACLE STRING or PHYSICAL PLAN changed since their
 #: last driver-green row — the only hand-maintained list left.  Every
-#: other ordering decision is derived from driver_history.py (generated
-#: by tools/gen_driver_history.py from the CORRECTNESS_r0*.json record),
-#: so the r9 failure mode — a stale hand list re-proving 50
-#: already-green rows while 8 queries stayed never-sampled — cannot
-#: recur: never-sampled and stalest-green rows float to the front
+#: other ordering decision is derived by driver_history.py at IMPORT
+#: time from the CORRECTNESS_r0*.json record (r14: no generated file,
+#: no per-round regeneration ritual — a result file dropped after the
+#: final commit refreshes the ordering instead of going stale), so the
+#: r9 failure mode — a stale hand list re-proving 50 already-green
+#: rows while 8 queries stayed never-sampled — cannot recur:
+#: never-sampled and stalest-green rows float to the front
 #: automatically.  Add a name here when you change its plan or oracle;
-#: delete the whole list's content after the round's CORRECTNESS lands
-#: green (regenerating driver_history.py then carries the evidence).
+#: delete the whole list's content at the start of the next round (the
+#: derived maps then carry the evidence).
 #:
-#: Round-13 entries (kept deliberately SHORT — r13 finishes the
-#: staleness burn-down per VERDICT-r12 #2: with few changed plans the
-#: derived ordering lets the ~50-slot driver budget flow to the 90
-#: queries last sampled <= r6):
-_CHANGED_THIS_ROUND = [
-    # r13: append/cherry-pick count pins respelled LEAST(c, k) so a
-    # smaller fixture slice can't false-positive the oracle (ADVICE
-    # r12); m9's rollback flag now compares the measured pre-append
-    # count
-    "m7_partition_transforms",
-    "m9_stats_file_skipping",
-    # r13 rows-only endgame (VERDICT r12 #5): x2/x12b respelled onto
-    # the cross-engine md5 hash family so DuckDB replays the full LSH
-    # pipeline (plan + new oracle); x3d converted to agreement
-    # contract flags (new frame + oracle)
-    "x2_minhash_lsh",
-    "x12b_lsh_dedup_pipeline",
-    "x3d_topk_vectorized",
-    # r13: state-store partition pin for the stream run (task COUNT at
-    # fixture scale, same plan nodes; VERDICT r12 #7 — min 4.4 -> 2.6s)
-    "t18_stream_dedup_history",
-    # r13: rollups respelled integer-exact (scaled-long quantization)
-    # and value-oracled over the DuckDB-replayable fake codec
-    "x5b_decode_pipeline",
-    "x5c_frame_sampling",
-    # r13: ride the shared candidate/verification helpers (equivalent
-    # algebra, slightly different plan instances)
-    "x2e_lsh_value_oracle",
-    "x12c_lsh_pipeline_values",
-]
+#: Round-14 entries (kept deliberately SHORT per VERDICT-r13 #2 — the
+#: ~42 spare driver slots flow to the 50 queries last sampled <= r6):
+_CHANGED_THIS_ROUND = []
 
 
 def _driver_order_key(q: Query) -> tuple:

@@ -86,23 +86,59 @@ def test_driver_order_rule():
     assert greens == sorted(greens), "stalest-green must come first"
 
 
-def test_driver_history_in_sync():
-    """driver_history.py is generated; a CORRECTNESS file newer than the
-    last regeneration would silently skew the ordering."""
-    import importlib
-    import sys
-
-    sys.path.insert(0, os.path.join(REPO, "tools"))
-    try:
-        gen = importlib.import_module("gen_driver_history")
-    finally:
-        sys.path.pop(0)
+def test_driver_history_derives_from_record():
+    """driver_history derives its maps at IMPORT time from the
+    CORRECTNESS_r*.json files (r14, VERDICT-r13 #1) — the generated
+    file + regeneration ritual it replaces was stale by construction
+    at every judging point (the driver drops the round's result file
+    AFTER the final commit).  The module-level maps must equal a fresh
+    fold of the repo record, and every registered query the fold knows
+    must exist (a rename that orphaned history would silently demote
+    the renamed query to never-sampled — that's expected and fine, but
+    sampled names should all be real past-or-present query names)."""
     from dbx_workspace_and_emr_iceberg_spark import driver_history as H
 
-    last_green, last_sampled = gen.collect()
-    assert H.LAST_GREEN == last_green and H.LAST_SAMPLED == last_sampled, (
-        "driver_history.py is stale — run python tools/gen_driver_history.py"
-    )
+    last_green, last_sampled = H.collect()
+    assert H.LAST_GREEN == last_green and H.LAST_SAMPLED == last_sampled
+    assert set(last_green) <= set(last_sampled)
+    assert last_sampled, "repo record present but fold returned nothing"
+
+
+def test_driver_history_fold_semantics(tmp_path):
+    """Pin the green rules on a synthetic record: hash_match=True is
+    green; a clean rows-only run (err='no_oracle', compare fields
+    absent-by-design) is green; a failed run that smuggles
+    err='no_oracle' alongside partial compare fields is NOT (ADVICE
+    r10); latest round wins; a half-written JSON file is skipped
+    without poisoning the rest."""
+    import json as _json
+
+    from dbx_workspace_and_emr_iceberg_spark import driver_history as H
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(_json.dumps({
+        "q_green": {"hash_match": True, "err": None},
+        "q_flaky": {"hash_match": False, "err": "boom"},
+        "q_rows_only": {
+            "err": "no_oracle", "spark_rows": 7,
+            "rows_match": None, "schema_match": None, "hash_match": None,
+        },
+        "q_fake_rows_only": {
+            # partial compare fields present -> must not read green
+            "err": "no_oracle", "spark_rows": 7,
+            "rows_match": True, "schema_match": None, "hash_match": None,
+        },
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(_json.dumps({
+        "q_green": {"hash_match": True, "err": None},
+        "q_flaky": {"hash_match": True, "err": None},
+    }))
+    (tmp_path / "CORRECTNESS_r03.json").write_text("{ not json")
+
+    last_green, last_sampled = H.collect(str(tmp_path))
+    assert last_green == {"q_green": 2, "q_flaky": 2, "q_rows_only": 1}
+    assert last_sampled == {
+        "q_green": 2, "q_flaky": 2, "q_rows_only": 1, "q_fake_rows_only": 1,
+    }
 
 
 def test_rows_only_set_is_pinned():

@@ -123,20 +123,35 @@ ADDITIONS = [
     "x31_curation_pipeline_v2",
 ]
 
-#: Heavy tail (r12 verdict #7): the five historically heaviest headline
-#: queries get a THIRD timed run so each carries its own q1-style
-#: noise floor — t18 swung 6.5 -> 4.4 -> 6.9 s across r10-r12 with an
-#: unchanged plan, and without per-query spreads that read as a
-#: regression. Reported under "heavy_tail" as {runs, min, spread_pct};
-#: runs[0:2] are the two shared passes (comparable round-over-round),
-#: runs[2] is the extra repeat.
-HEAVY_TAIL = [
+#: Heavy-tail WATCH list (r13 verdict #3): the third-run set is now
+#: DYNAMIC — the top-5 headline queries by THIS run's pass-1 time,
+#: unioned with these static watch entries.  The r12-era static top-5
+#: missed x49's 7.70 s pass-2 outlier (real min 2.25 s — box noise)
+#: because the list was frozen from the PREVIOUS round's history; the
+#: dynamic selection guarantees the round's actual heaviest plans each
+#: carry their own q1-style noise floor.  Watch entries are the known
+#: multi-round swingers that deserve a spread even in a fast round:
+#: t18 swung 6.5 -> 4.4 -> 6.9 s across r10-r12 on an unchanged plan,
+#: and x49 is the r13 escapee.  Reported under "heavy_tail" as
+#: {runs, min, spread_pct}; runs[0:2] are the two shared passes
+#: (comparable round-over-round), runs[2] is the extra repeat.
+HEAVY_TAIL_WATCH = [
     "t18_stream_dedup_history",
-    "x24_bloom_contamination",
-    "x35_host_pagerank",
-    "x43_perplexity_buckets",
-    "x2_minhash_lsh",
+    "x49_semantic_contamination",
 ]
+
+#: How many of this run's heaviest pass-1 headline entries get the
+#: third run (before the watch-list union).
+HEAVY_TAIL_TOP_N = 5
+
+
+def heavy_tail_names(pass1: dict[str, float]) -> list[str]:
+    """The round's third-run set: top-N by pass-1 time, then any watch
+    entries not already selected (stable order: heaviest first, then
+    watch order).  Pure function of the pass-1 timings so the unit
+    test can pin the selection rule without running Spark."""
+    top = sorted(pass1, key=pass1.get, reverse=True)[:HEAVY_TAIL_TOP_N]
+    return top + [n for n in HEAVY_TAIL_WATCH if n not in top]
 
 
 def main() -> None:
@@ -209,8 +224,10 @@ def main() -> None:
     # Third run for the heavy tail only: combined with the two shared
     # passes this gives each heavy query three same-session timings —
     # the per-query analogue of the q1 noise floor (r12 verdict #7).
+    # Selection is dynamic (r13 verdict #3): this run's pass-1 top-5
+    # plus the static watch entries.
     heavy_tail: dict[str, dict] = {}
-    for name in HEAVY_TAIL:
+    for name in heavy_tail_names(passes[0]):
         q = queries[name]
         spark.catalog.clearCache()
         t0 = time.perf_counter()

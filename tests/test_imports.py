@@ -162,18 +162,36 @@ def test_rows_only_set_is_pinned():
 
 
 def test_bench_query_lists_resolve():
-    """bench.py's HEADLINE / ADDITIONS / HEAVY_TAIL lists must name
-    registered queries (a rename that misses bench.py would crash the
-    driver's per-round bench run, not a local test) and HEAVY_TAIL
-    must be a subset of HEADLINE (its third timed run reuses the two
-    shared-pass timings by name)."""
+    """bench.py's HEADLINE / ADDITIONS / HEAVY_TAIL_WATCH lists must
+    name registered queries (a rename that misses bench.py would crash
+    the driver's per-round bench run, not a local test) and the watch
+    list must be a subset of HEADLINE (the third timed run reuses the
+    two shared-pass timings by name)."""
     import bench
 
     from dbx_workspace_and_emr_iceberg_spark.registry import all_queries
 
     names = set(all_queries())
-    for lst in (bench.HEADLINE, bench.ADDITIONS, bench.HEAVY_TAIL):
+    for lst in (bench.HEADLINE, bench.ADDITIONS, bench.HEAVY_TAIL_WATCH):
         missing = [n for n in lst if n not in names]
         assert not missing, missing
-    assert set(bench.HEAVY_TAIL) <= set(bench.HEADLINE)
+    assert set(bench.HEAVY_TAIL_WATCH) <= set(bench.HEADLINE)
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)  # no dups
+
+
+def test_bench_heavy_tail_selection_dynamic():
+    """Pin the r13-verdict-#3 rule: the third-run set is the top-5 of
+    THIS run's pass-1 times plus any watch entries not already in it —
+    a static list frozen from last round's history missed x49's 7.7 s
+    outlier in r13."""
+    import bench
+
+    pass1 = {f"q{i:02d}": float(i) for i in range(1, 20)}
+    pass1["t18_stream_dedup_history"] = 0.5
+    pass1["x49_semantic_contamination"] = 25.0
+    sel = bench.heavy_tail_names(pass1)
+    # heaviest five first, heaviest-first order
+    assert sel[:5] == ["x49_semantic_contamination", "q19", "q18", "q17", "q16"]
+    # watch entries not in the top-5 are appended, no duplicates
+    assert sel[5:] == ["t18_stream_dedup_history"]
+    assert len(sel) == len(set(sel))

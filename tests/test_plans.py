@@ -672,10 +672,32 @@ def test_window_audit_both_directions(spark):
     )
     assert audit_frame("t_hc", hc) == []
 
-    # allowlist honored, keyed by (query, spec substring)
+    # allowlist keyed by (query, base-column fingerprint) AND, for
+    # agg_input entries, the window must actually sit over an
+    # aggregate: a RAW-ROW window on the allowlisted key is flagged —
+    # the ADVICE-r13 hole where any future window in the query
+    # containing the substring was silently exempted
     plan = bad._jdf.queryExecution().executedPlan().toString()
-    assert audit_plan("qd2_yoy_growth", plan.replace("lang#", "c_mktsegment#"))\
-        == []
+    assert audit_plan("qd2_yoy_growth", plan.replace("lang#", "c_mktsegment#"))
+
+    # ...while the true post-aggregate shape the entry describes IS
+    # exempt (HashAggregate inside the window's subtree)
+    agg_win = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "prev",
+            F.lag("n").over(Window.partitionBy("lang").orderBy("n")),
+        )
+    )
+    aplan = agg_win._jdf.queryExecution().executedPlan().toString()
+    assert audit_plan(
+        "qd2_yoy_growth", aplan.replace("lang#", "c_mktsegment#")
+    ) == []
+
+    # fingerprint-only entries (agg_input=False, the w1 dim-table
+    # demo) stay exempt without an aggregate below
+    assert audit_plan("w1_ranking", plan.replace("lang#", "p_brand#")) == []
 
 
 def test_window_audit_lineage_id_keyed():
@@ -884,3 +906,39 @@ def test_window_spec_parser_string_level():
     assert parse(s) == ["k#1"]
 
     assert parse("no windows here") == []
+
+
+def test_window_audit_sweep_covers_rows_only(spark):
+    """VERDICT r13 #7 asked for a sweep so queries that never pass
+    through oracle_check are audited too.  Coverage note: EVERY
+    registered query — rows-only included — is already audited in its
+    own test_query_matches_oracle case (tests/test_oracle.py's
+    rows-only branch calls _audit_windows directly), so a full
+    296-query CLI sweep here would re-build every frame (~3.5 min) for
+    zero new coverage.  This test instead pins the two things the
+    suite did NOT previously exercise: (a) the rows-only set (x3g) is
+    swept through window_audit.main()'s CLI path itself, and (b) the
+    CLI's skip accounting — a sweep where every build fails must exit
+    nonzero instead of reading as clean (ADVICE r13)."""
+    from dbx_workspace_and_emr_iceberg_spark.registry import all_queries
+
+    from tools import window_audit
+
+    rows_only = sorted(n for n, q in all_queries().items() if q.oracle is None)
+    assert "x3g_topk_vectorized_bench" in rows_only
+    assert window_audit.main(rows_only) == 0
+
+    # all-skipped sweep: missing fixture dir -> every build raises ->
+    # exit 2, not a clean 0 (ADVICE r13 — a broken audit run must be
+    # distinguishable from a clean one)
+    import os
+
+    old = os.environ.get("SPARK_GRAFT_TEST_SF_DIR")
+    os.environ["SPARK_GRAFT_TEST_SF_DIR"] = "/nonexistent-audit-dir"
+    try:
+        assert window_audit.main(rows_only) == 2
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_TEST_SF_DIR", None)
+        else:
+            os.environ["SPARK_GRAFT_TEST_SF_DIR"] = old

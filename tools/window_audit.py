@@ -52,40 +52,71 @@ LOWCARD = {
     "p_brand", "p_mfgr", "p_container", "p_type", "p_size",
 }
 
-# Tokens that exonerate a spec: the chunked-kernel co-keys. A window
-# on (lang, chunk) is the RESPELLED shape — each key's rows split
-# across n_chunks tasks (operators/skew.py).
-CHUNK_TOKENS = ("chunk",)
+# Column names that exonerate a spec: the chunked-kernel co-keys. A
+# window on (lang, chunk) is the RESPELLED shape — each key's rows
+# split across n_chunks tasks (operators/skew.py). Matched by EXACT
+# bare name (ADVICE r13): a substring test would let any column merely
+# CONTAINING 'chunk' (e.g. a per-key chunk_count) exempt a
+# low-cardinality window. Every chunked kernel and query in the repo
+# names the co-key exactly 'chunk'.
+CHUNK_COL_NAMES = ("chunk",)
 
-# Reviewed exceptions: (query_name, substring of the offending spec) ->
-# reason the window input is bounded. Keep each entry justified; an
-# unexplained addition here is a review finding, not a fix.
-ALLOWLIST: dict[tuple[str, str], str] = {
-    ("qd2_yoy_growth", "c_mktsegment"): (
-        "lag window runs over the POST-AGGREGATE |segment|x|year| "
-        "frame (<= 5*7 rows at any scale) - VERDICT r12 'safe at any "
-        "scale'"
-    ),
-    ("qd9_funnel_analysis", ""): (
-        "lag over the per-stage aggregate union - |funnel| = 4 rows "
-        "at any scale (funnel_stages docstring)"
-    ),
-    ("w1_ranking", "p_brand"): (
-        "the W1 SEMANTICS demo of all six native ranking functions on "
-        "the part DIM table (bounded per-brand cardinality); its own "
-        "docstring carries the scale note (r10 verdict #7) pointing "
-        "fact-side scores at w5b/qd8/chunked_percent_ranks"
-    ),
-    ("w5_ntile_deciles", ""): (
-        "the W5 SEMANTICS demo of native ntile over the per-customer "
-        "rollup; w5b_distributed_ntile is the 100 TB respell and "
-        "hash-matches it (w5 docstring)"
-    ),
-    ("x40_unimax_mixture", ""): (
-        "closed-form waterfill windows run over the |lang x source| "
-        "strata aggregate (<= 100 rows at any scale; 'strata-row "
-        "frame from here on' comment in unimax_waterfill)"
-    ),
+# Reviewed exceptions, keyed on (query_name, spec FINGERPRINT) where
+# the fingerprint is the sorted tuple of BASE column names every
+# partition expression resolves to (() = the global window / constant
+# keys).  Substring keys (ADVICE r13) matched any spec in the query
+# containing the text, so a FUTURE second window partitioned on the
+# same column over raw rows would have been silently exempted; the
+# fingerprint plus the agg_input requirement below closes that: with
+# agg_input=True the window's own subtree must contain an Aggregate
+# node (the bounded post-aggregate frame the reason describes) — a
+# raw-row window on the same key has no aggregate below it and is
+# flagged. Keep each entry justified; an unexplained addition here is
+# a review finding, not a fix.
+ALLOWLIST: dict[tuple[str, tuple[str, ...]], dict] = {
+    ("qd2_yoy_growth", ("c_mktsegment",)): {
+        "reason": (
+            "lag window runs over the POST-AGGREGATE |segment|x|year| "
+            "frame (<= 5*7 rows at any scale) - VERDICT r12 'safe at "
+            "any scale'"
+        ),
+        "agg_input": True,
+    },
+    ("qd9_funnel_analysis", ()): {
+        "reason": (
+            "lag over the per-stage aggregate union - |funnel| = 4 "
+            "rows at any scale (funnel_stages docstring)"
+        ),
+        "agg_input": True,
+    },
+    ("w1_ranking", ("p_brand",)): {
+        "reason": (
+            "the W1 SEMANTICS demo of all six native ranking functions "
+            "on the part DIM table (bounded per-brand cardinality); its "
+            "own docstring carries the scale note (r10 verdict #7) "
+            "pointing fact-side scores at w5b/qd8/chunked_percent_ranks"
+        ),
+        # dim-table demo: the window input IS raw rows (of a bounded
+        # dimension table) — no aggregate below, fingerprint-only
+        "agg_input": False,
+    },
+    ("w5_ntile_deciles", ()): {
+        "reason": (
+            "the W5 SEMANTICS demo of native ntile over the "
+            "per-customer rollup; w5b_distributed_ntile is the 100 TB "
+            "respell and hash-matches it (w5 docstring)"
+        ),
+        "agg_input": True,
+    },
+    ("x40_unimax_mixture", ()): {
+        "reason": (
+            "closed-form waterfill windows run over the |lang x "
+            "source| strata aggregate (<= 100 rows at any scale; "
+            "'strata-row frame from here on' comment in "
+            "unimax_waterfill)"
+        ),
+        "agg_input": True,
+    },
 }
 
 
@@ -178,6 +209,36 @@ def _node_depth(line: str) -> int:
     return i
 
 
+def _spec_fingerprint(spec: str, defs: dict[str, set[str]]) -> tuple[str, ...]:
+    """ALLOWLIST key for a spec: the sorted tuple of base column names
+    every partition expression resolves to. () for the global window,
+    for literal-only specs, and for constant-lineage aliases — all of
+    which the audit treats identically (one task by construction)."""
+    base: set[str] = set()
+    for c in set(re.findall(r"\w+#\d+", spec)):
+        base |= _base_columns(c, defs)
+    return tuple(sorted(base))
+
+
+def _window_input_aggregated(lines: list[str], i: int) -> bool:
+    """True if the Window node's OWN subtree contains an aggregate
+    node — the structural signature of the 'bounded post-aggregate
+    frame' every agg_input ALLOWLIST reason describes. The walk does
+    NOT stop at Exchange (the window's required partitioning inserts
+    one between the aggregate and the window). A window over a join
+    whose OTHER side aggregates would also pass — acceptable, because
+    entries are per-query and reviewed; the check exists to catch a
+    future RAW-ROW window on the allowlisted key (no aggregate
+    anywhere below), the ADVICE-r13 hole."""
+    depth = _node_depth(lines[i])
+    for l in lines[i + 1 :]:
+        if _node_depth(l) <= depth:
+            return False
+        if "Aggregate" in l:  # HashAggregate / SortAggregate / Object...
+            return True
+    return False
+
+
 def _window_group_limited(lines: list[str], i: int) -> bool:
     """Structural WindowGroupLimit check (the test_x36 rule, ADVICE
     r12): a group limit in this Window's OWN subtree, before the next
@@ -212,7 +273,7 @@ def audit_plan(name: str, executed_plan: str) -> list[str]:
             chunk_cols = [
                 c
                 for c in re.findall(r"\w+#\d+", spec)
-                if any(t in c.split("#", 1)[0] for t in CHUNK_TOKENS)
+                if c.split("#", 1)[0] in CHUNK_COL_NAMES
             ]
             if chunk_cols and any(
                 _base_columns(c, defs) for c in chunk_cols
@@ -227,14 +288,11 @@ def audit_plan(name: str, executed_plan: str) -> list[str]:
                 continue
             if _window_group_limited(lines, i):
                 continue
-            if any(
-                q == name and ((s in spec) if s else not spec.strip())
-                for (q, s) in ALLOWLIST
+            entry = ALLOWLIST.get((name, _spec_fingerprint(spec, defs)))
+            if entry is not None and (
+                not entry["agg_input"]
+                or _window_input_aggregated(lines, i)
             ):
-                # empty-substring entries match ONLY the empty (global)
-                # spec — `"" in spec` is vacuously true for every spec
-                # and would wildcard-exempt the whole query
-                # (review-pass r13)
                 continue
             findings.append(
                 f"{name}: low-cardinality{' (global)' if not spec else ''} "
@@ -246,6 +304,20 @@ def audit_plan(name: str, executed_plan: str) -> list[str]:
 
 
 def audit_frame(name: str, df) -> list[str]:
+    """Audit a not-yet-executed DataFrame's plan.
+
+    KNOWN ASSUMPTION (ADVICE r13): ``executedPlan()`` on an unexecuted
+    frame is the INITIAL physical plan (under AQE, isFinalPlan=false).
+    AQE re-planning can later convert or remove Exchange boundaries
+    (e.g. SMJ -> broadcast), which the _window_group_limited walk uses
+    as subtree terminators. That is the conservative direction for
+    this audit: AQE only ever REMOVES exchanges, so a WindowGroupLimit
+    visible before the initial plan's Exchange is still before the
+    final plan's (if any), and windowspecdefinition partition specs
+    come from the logical plan and are not re-planned at all. Auditing
+    the post-execution final plan would require executing every frame
+    — the suite audits at build time on purpose (one plan parse per
+    query, no second execution)."""
     return audit_plan(
         name, df._jdf.queryExecution().executedPlan().toString()
     )
@@ -271,12 +343,14 @@ def main(argv: list[str]) -> int:
     spark = get_spark(app_name="window-audit", cpus=8)
     names = argv or sorted(qs)
     bad: list[str] = []
+    skipped: list[str] = []
     for n in names:
         try:
             df = qs[n].fn(spark, sf_dir)
             found = audit_frame(n, df)
         except Exception as e:  # noqa: BLE001 — audit sweep, not a test
             print(f"  {n}: SKIP ({type(e).__name__}: {e})")
+            skipped.append(n)
             continue
         finally:
             # clear on BOTH paths: a raising query's pinned caches
@@ -286,7 +360,16 @@ def main(argv: list[str]) -> int:
         for f in found:
             print("  FLAG", f)
         bad += found
-    print(f"{len(bad)} finding(s) over {len(names)} queries")
+    print(
+        f"{len(bad)} finding(s) over {len(names)} queries "
+        f"({len(skipped)} skipped)"
+    )
+    # A sweep that audited NOTHING must not read as clean (ADVICE
+    # r13): a missing fixture dir turns every build into a SKIP and
+    # previously exited 0 with '0 finding(s)'.
+    if skipped and len(skipped) == len(names):
+        print("ERROR: every query was skipped — audit ran on nothing")
+        return 2
     return 1 if bad else 0
 
 

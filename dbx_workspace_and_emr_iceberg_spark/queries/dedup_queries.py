@@ -1999,7 +1999,18 @@ GROUP BY r.host ORDER BY r.host
     oracle=_X36_ORACLE,
     tags=("X36", "X33", "X34", "X1"),
 )
-def x36_governance_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x36_governance_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    salted: bool = False,
+    n_salts: int = 32,
+) -> DataFrame:
+    """``salted=True`` (r14, VERDICT r13 #4) routes the quota cut
+    through operators/skew.py::salted_top_k — the mega-host respell;
+    the driver default stays the single group-limited window (the
+    honest plan at fixture scale).  Parity pinned in
+    tests/test_operators.py::test_x33_x36_salted_path_parity."""
     from pyspark.sql import Window
 
     from ..operators.dedup import dup_span_stats
@@ -2012,15 +2023,19 @@ def x36_governance_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.concat("source", F.lit(".example.org")).alias("host"),
     )
-    ranked = hosts.withColumn(
-        "rk",
-        F.row_number().over(
-            Window.partitionBy("source").orderBy(
-                F.col("n_chars").desc(), "doc_id"
-            )
-        ),
-    )
-    kept = ranked.filter(F.col("rk") <= _X36_QUOTA)
+    order = [F.col("n_chars").desc(), F.col("doc_id")]
+    if salted:
+        from ..operators.skew import salted_top_k
+
+        kept = salted_top_k(hosts, ["source"], order, _X36_QUOTA, n_salts)
+    else:
+        ranked = hosts.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(*order)
+            ),
+        )
+        kept = ranked.filter(F.col("rk") <= _X36_QUOTA).drop("rk")
     stats = dup_span_stats(
         kept.select("doc_id", "text"), "doc_id", "text", k=_X36_K
     )

@@ -1358,7 +1358,13 @@ FROM ranked GROUP BY host ORDER BY host
 
 
 @register("x33_host_quota", oracle=_X33_ORACLE, tags=("X33", "X21", "W4"))
-def x33_host_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x33_host_quota(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    salted: bool = False,
+    n_salts: int = 32,
+) -> DataFrame:
     """Cap every host at its top-``_X33_QUOTA`` docs by length (quality
     proxy), deterministic tie-break on doc_id; report the keep/drop
     accounting per host. The kept set itself is ``rk <= Q`` — the
@@ -1371,25 +1377,41 @@ def x33_host_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-FILTER branch — which Spark bounds with WindowGroupLimit
     below the shuffle (<= Q rows per host per map task) — and the
     totals are a pure aggregate; n_dropped is their difference (ranks
-    are dense). Host is high-cardinality in a real crawl; for the
-    mega-host skew case operators/skew.py::salted_top_k is the
-    salt-composable respell of the same cut."""
+    are dense).
+
+    ``salted=True`` (r14, VERDICT r13 #4) runs the SAME cut through
+    operators/skew.py::salted_top_k — the two-phase salt-composable
+    spelling for the mega-host skew case, where one pathologically hot
+    host would otherwise funnel its <= Q-per-map-task survivors
+    through a single reduce task: phase 1 ranks within (host, salt)
+    across ``n_salts`` tasks, phase 2 re-ranks the bounded <=
+    n_salts*Q survivors. Result-parity with the default path is
+    pinned on a planted mega-host fixture in
+    tests/test_operators.py::test_x33_x36_salted_path_parity; the
+    driver default stays the single group-limited window — the honest
+    plan at fixture scale."""
     d = load_table(spark, sf_dir, "documents")
     hosts = d.select(
         "doc_id",
         "n_chars",
         F.concat("source", F.lit(".example.org")).alias("host"),
     )
-    w = Window.partitionBy("host").orderBy(F.col("n_chars").desc(), "doc_id")
-    kept_stats = (
-        hosts.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _X33_QUOTA)  # -> WindowGroupLimit
-        .groupBy("host")
-        .agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.sum("n_chars").alias("kept_chars"),
-            F.min("n_chars").alias("kept_min_chars"),
+    order = [F.col("n_chars").desc(), F.col("doc_id")]
+    if salted:
+        from ..operators.skew import salted_top_k
+
+        kept = salted_top_k(hosts, ["host"], order, _X33_QUOTA, n_salts)
+    else:
+        w = Window.partitionBy("host").orderBy(*order)
+        kept = (
+            hosts.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _X33_QUOTA)  # -> WindowGroupLimit
+            .drop("rk")
         )
+    kept_stats = kept.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+        F.min("n_chars").alias("kept_min_chars"),
     )
     totals = hosts.groupBy("host").agg(F.count(F.lit(1)).alias("n_docs"))
     # every host keeps >= 1 doc (Q >= 1), so the inner join drops none

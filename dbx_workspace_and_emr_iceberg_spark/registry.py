@@ -147,7 +147,14 @@ def all_queries() -> dict[str, Query]:
 #:
 #: Round-14 entries (kept deliberately SHORT per VERDICT-r13 #2 — the
 #: ~42 spare driver slots flow to the 50 queries last sampled <= r6):
-_CHANGED_THIS_ROUND = []
+_CHANGED_THIS_ROUND = [
+    # r14: quota cut refactored behind the salted/windowed switch
+    # (VERDICT r13 #4) — default path algebraically identical (drop
+    # of the rank column now happens before the kept-side aggregate),
+    # re-proven out of caution
+    "x33_host_quota",
+    "x36_governance_pipeline",
+]
 
 
 def _driver_order_key(q: Query) -> tuple:

@@ -1205,3 +1205,57 @@ def test_md5_band_frame_matches_sql_chain_random_corpus(spark):
     assert got == want
     # the geometry actually took effect: 4 bands per surviving doc
     assert {b for (_, b, _) in got} == {0, 1, 2, 3}
+
+
+def test_x33_x36_salted_path_parity(spark, tmp_path):
+    """The salted=True quota path (r14, VERDICT r13 #4: the mega-host
+    respell as CODE, not prose) must return EXACTLY the default
+    group-limited-window result on a planted mega-host fixture: one
+    pathologically hot source (200 docs vs the quota of 15) plus two
+    cold ones, total order guaranteed by the doc_id tie-break.
+    Duplicate texts inside and outside the hot host's quota exercise
+    x36's span accounting through both paths."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbx_workspace_and_emr_iceberg_spark.queries.dedup_queries import (
+        x36_governance_pipeline,
+    )
+    from dbx_workspace_and_emr_iceberg_spark.queries.text_queries import (
+        x33_host_quota,
+    )
+
+    rows = []
+    dup = " ".join(f"d{j}" for j in range(30))
+    for i in range(200):  # mega-host: 200 docs, quota 15
+        text = dup if i % 7 == 0 else " ".join(f"h{i}w{j}" for j in range(20))
+        rows.append((i, text, "en", "mega", len(text)))
+    for s, base in (("cold_a", 1000), ("cold_b", 2000)):
+        for i in range(5):
+            text = " ".join(f"{s}{i}w{j}" for j in range(12))
+            rows.append((base + i, text, "en", s, len(text)))
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(cols[0], pa.int64()),
+                "text": pa.array(cols[1], pa.string()),
+                "lang": pa.array(cols[2], pa.string()),
+                "source": pa.array(cols[3], pa.string()),
+                "n_chars": pa.array(cols[4], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    sf = str(tmp_path)
+    for fn in (x33_host_quota, x36_governance_pipeline):
+        plain = sorted(map(tuple, fn(spark, sf).collect()))
+        for n_salts in (1, 5):  # degenerate single-salt + real split
+            got = sorted(
+                map(tuple, fn(spark, sf, salted=True, n_salts=n_salts).collect())
+            )
+            assert got == plain, (fn.__name__, n_salts)
+    # the planted skew actually bit: the mega host dropped rows
+    mega = [r for r in plain if r[0] == "mega.example.org"]
+    assert mega and mega[0][1] == 200  # n_candidates

@@ -145,12 +145,17 @@ HEAVY_TAIL_WATCH = [
 HEAVY_TAIL_TOP_N = 5
 
 
-def heavy_tail_names(pass1: dict[str, float]) -> list[str]:
-    """The round's third-run set: top-N by pass-1 time, then any watch
-    entries not already selected (stable order: heaviest first, then
-    watch order).  Pure function of the pass-1 timings so the unit
-    test can pin the selection rule without running Spark."""
-    top = sorted(pass1, key=pass1.get, reverse=True)[:HEAVY_TAIL_TOP_N]
+def heavy_tail_names(worst: dict[str, float]) -> list[str]:
+    """The round's third-run set: top-N by per-query time, then any
+    watch entries not already selected (stable order: heaviest first,
+    then watch order).  The caller feeds the per-query WORST of the
+    two shared passes (review-pass r14): selection off pass-1 alone
+    would re-open the exact r13 hole this exists to close — x49's
+    outlier was a pass-2-only 7.7 s, and both passes have completed by
+    the time the third runs start, so the worst-of-both is free.  Pure
+    function of the timings so the unit test can pin the selection
+    rule without running Spark."""
+    top = sorted(worst, key=worst.get, reverse=True)[:HEAVY_TAIL_TOP_N]
     return top + [n for n in HEAVY_TAIL_WATCH if n not in top]
 
 
@@ -224,10 +229,11 @@ def main() -> None:
     # Third run for the heavy tail only: combined with the two shared
     # passes this gives each heavy query three same-session timings —
     # the per-query analogue of the q1 noise floor (r12 verdict #7).
-    # Selection is dynamic (r13 verdict #3): this run's pass-1 top-5
-    # plus the static watch entries.
+    # Selection is dynamic (r13 verdict #3): this run's top-5 by the
+    # WORST of the two shared passes, plus the static watch entries.
     heavy_tail: dict[str, dict] = {}
-    for name in heavy_tail_names(passes[0]):
+    worst = {n: max(p[n] for p in passes) for n in passes[0]}
+    for name in heavy_tail_names(worst):
         q = queries[name]
         spark.catalog.clearCache()
         t0 = time.perf_counter()

@@ -92,10 +92,11 @@ def test_driver_history_derives_from_record():
     file + regeneration ritual it replaces was stale by construction
     at every judging point (the driver drops the round's result file
     AFTER the final commit).  The module-level maps must equal a fresh
-    fold of the repo record, and every registered query the fold knows
-    must exist (a rename that orphaned history would silently demote
-    the renamed query to never-sampled — that's expected and fine, but
-    sampled names should all be real past-or-present query names)."""
+    fold of the repo record.  (Historical names are deliberately NOT
+    validated against the live registry: a renamed query keeps its old
+    name in the immutable CORRECTNESS record and is simply demoted to
+    never-sampled under its new name — wanted behavior; as of r14 the
+    two sets happen to coincide exactly, 296=296.)"""
     from dbx_workspace_and_emr_iceberg_spark import driver_history as H
 
     last_green, last_sampled = H.collect()
@@ -104,13 +105,15 @@ def test_driver_history_derives_from_record():
     assert last_sampled, "repo record present but fold returned nothing"
 
 
-def test_driver_history_fold_semantics(tmp_path):
+def test_driver_history_fold_semantics(tmp_path, capsys):
     """Pin the green rules on a synthetic record: hash_match=True is
     green; a clean rows-only run (err='no_oracle', compare fields
     absent-by-design) is green; a failed run that smuggles
     err='no_oracle' alongside partial compare fields is NOT (ADVICE
     r10); latest round wins; a half-written JSON file is skipped
-    without poisoning the rest."""
+    without poisoning the rest — but LOUDLY (review-pass r14: a
+    silently dropped round would misdirect the driver budget, the r9
+    failure mode)."""
     import json as _json
 
     from dbx_workspace_and_emr_iceberg_spark import driver_history as H
@@ -139,6 +142,8 @@ def test_driver_history_fold_semantics(tmp_path):
     assert last_sampled == {
         "q_green": 2, "q_flaky": 2, "q_rows_only": 1, "q_fake_rows_only": 1,
     }
+    err = capsys.readouterr().err
+    assert "CORRECTNESS_r03.json" in err and "NOT reflected" in err
 
 
 def test_rows_only_set_is_pinned():
@@ -181,15 +186,16 @@ def test_bench_query_lists_resolve():
 
 def test_bench_heavy_tail_selection_dynamic():
     """Pin the r13-verdict-#3 rule: the third-run set is the top-5 of
-    THIS run's pass-1 times plus any watch entries not already in it —
-    a static list frozen from last round's history missed x49's 7.7 s
-    outlier in r13."""
+    THIS run's per-query times (main() feeds the WORST of the two
+    shared passes, so a pass-2-only outlier like r13's x49 is caught)
+    plus any watch entries not already in it — a static list frozen
+    from last round's history missed that 7.7 s outlier in r13."""
     import bench
 
-    pass1 = {f"q{i:02d}": float(i) for i in range(1, 20)}
-    pass1["t18_stream_dedup_history"] = 0.5
-    pass1["x49_semantic_contamination"] = 25.0
-    sel = bench.heavy_tail_names(pass1)
+    worst = {f"q{i:02d}": float(i) for i in range(1, 20)}
+    worst["t18_stream_dedup_history"] = 0.5
+    worst["x49_semantic_contamination"] = 25.0
+    sel = bench.heavy_tail_names(worst)
     # heaviest five first, heaviest-first order
     assert sel[:5] == ["x49_semantic_contamination", "q19", "q18", "q17", "q16"]
     # watch entries not in the top-5 are appended, no duplicates

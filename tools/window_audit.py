@@ -364,13 +364,21 @@ def main(argv: list[str]) -> int:
         f"{len(bad)} finding(s) over {len(names)} queries "
         f"({len(skipped)} skipped)"
     )
-    # A sweep that audited NOTHING must not read as clean (ADVICE
-    # r13): a missing fixture dir turns every build into a SKIP and
-    # previously exited 0 with '0 finding(s)'.
-    if skipped and len(skipped) == len(names):
-        print("ERROR: every query was skipped — audit ran on nothing")
+    # A sweep with ANY skipped build must not read as clean (ADVICE
+    # r13 + review-pass r14: an all-but-one-skipped sweep is no more
+    # trustworthy than an all-skipped one, and every registered query
+    # builds cleanly in a healthy checkout — the full 296-query sweep
+    # has zero skips). Findings dominate the exit code; skips make an
+    # otherwise-clean run exit 2.
+    if bad:
+        return 1
+    if skipped:
+        print(
+            f"ERROR: {len(skipped)} build(s) skipped — the audit did "
+            f"not cover them"
+        )
         return 2
-    return 1 if bad else 0
+    return 0
 
 
 if __name__ == "__main__":

@@ -124,12 +124,13 @@ ADDITIONS = [
 ]
 
 #: Heavy-tail WATCH list (r13 verdict #3): the third-run set is now
-#: DYNAMIC — the top-5 headline queries by THIS run's pass-1 time,
-#: unioned with these static watch entries.  The r12-era static top-5
-#: missed x49's 7.70 s pass-2 outlier (real min 2.25 s — box noise)
-#: because the list was frozen from the PREVIOUS round's history; the
-#: dynamic selection guarantees the round's actual heaviest plans each
-#: carry their own q1-style noise floor.  Watch entries are the known
+#: DYNAMIC — the top-5 headline queries by the WORST of this run's two
+#: shared passes, unioned with these static watch entries.  The
+#: r12-era static top-5 missed x49's 7.70 s pass-2 outlier (real min
+#: 2.25 s — box noise) because the list was frozen from the PREVIOUS
+#: round's history; the dynamic worst-of-both selection guarantees the
+#: round's actual heaviest plans — including pass-2-only outliers like
+#: x49's — each carry their own q1-style noise floor.  Watch entries are the known
 #: multi-round swingers that deserve a spread even in a fast round:
 #: t18 swung 6.5 -> 4.4 -> 6.9 s across r10-r12 on an unchanged plan,
 #: and x49 is the r13 escapee.  Reported under "heavy_tail" as
@@ -140,8 +141,8 @@ HEAVY_TAIL_WATCH = [
     "x49_semantic_contamination",
 ]
 
-#: How many of this run's heaviest pass-1 headline entries get the
-#: third run (before the watch-list union).
+#: How many of this run's heaviest headline entries (by worst of the
+#: two shared passes) get the third run (before the watch-list union).
 HEAVY_TAIL_TOP_N = 5
 
 

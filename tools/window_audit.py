@@ -28,7 +28,10 @@ Rules — a window instance is flagged iff ALL of:
 
 CLI: ``python tools/window_audit.py [names...]`` builds every (or the
 named) registered query at $SPARK_GRAFT_TEST_SF_DIR (default sf0.001)
-and prints findings; exits nonzero if any.
+and prints findings.  Exit code: 1 = findings exist; 2 = no findings
+but one or more query builds were SKIPPED (the sweep did not cover
+them — a broken run must not read as clean, ADVICE r13/r14); 0 = all
+requested queries built and audited clean.
 """
 
 from __future__ import annotations

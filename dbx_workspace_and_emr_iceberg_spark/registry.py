@@ -145,16 +145,14 @@ def all_queries() -> dict[str, Query]:
 #: delete the whole list's content at the start of the next round (the
 #: derived maps then carry the evidence).
 #:
-#: Round-14 entries (kept deliberately SHORT per VERDICT-r13 #2 — the
-#: ~42 spare driver slots flow to the 50 queries last sampled <= r6):
-_CHANGED_THIS_ROUND = [
-    # r14: quota cut refactored behind the salted/windowed switch
-    # (VERDICT r13 #4) — default path algebraically identical (drop
-    # of the rank column now happens before the kept-side aggregate),
-    # re-proven out of caution
-    "x33_host_quota",
-    "x36_governance_pipeline",
-]
+#: Round-14 entries: EMPTY per VERDICT-r13 #2 — every driver slot
+#: flows to the 50 queries last sampled <= r6, clearing the staleness
+#: backlog in one pass.  The round's only query-source change (x33/x36
+#: refactored behind the salted/windowed switch, VERDICT r13 #4) was
+#: verified plan-IDENTICAL on the default path (executed plans equal
+#: modulo expression ids against the r13 spelling), so their r13
+#: driver evidence remains valid and they need no re-proof slot.
+_CHANGED_THIS_ROUND = []
 
 
 def _driver_order_key(q: Query) -> tuple:

@@ -189,7 +189,9 @@ _CHANGED_SET = {n: i for i, n in enumerate(_CHANGED_THIS_ROUND)}
 def queries_dict() -> dict[str, QueryFn]:
     """Driver execution order — DERIVED, not hand-curated (r9 verdict
     #2): (changed-this-round, never-sampled, stalest-green-first) from
-    the generated driver_history maps.  The per-round driver samples
+    the driver_history maps, themselves folded at import time from the
+    CORRECTNESS_r*.json record (r14 — no generated file, no
+    regeneration ritual).  The per-round driver samples
     ~50 entries in this dict order, so the budget always lands on the
     rows with the least (or invalidated) evidence; a budget cut costs
     re-proving the freshest greens, never the untested."""

@@ -134,6 +134,9 @@ def test_driver_history_fold_semantics(tmp_path, capsys):
     (tmp_path / "CORRECTNESS_r02.json").write_text(_json.dumps({
         "q_green": {"hash_match": True, "err": None},
         "q_flaky": {"hash_match": True, "err": None},
+        # a non-dict ROW is skipped loudly too (review-pass r14),
+        # without poisoning the file's other rows
+        "q_bad_row": None,
     }))
     (tmp_path / "CORRECTNESS_r03.json").write_text("{ not json")
 
@@ -144,6 +147,7 @@ def test_driver_history_fold_semantics(tmp_path, capsys):
     }
     err = capsys.readouterr().err
     assert "CORRECTNESS_r03.json" in err and "NOT reflected" in err
+    assert "q_bad_row" in err
 
 
 def test_rows_only_set_is_pinned():

@@ -1213,8 +1213,11 @@ def test_x33_x36_salted_path_parity(spark, tmp_path):
     group-limited-window result on a planted mega-host fixture: one
     pathologically hot source (200 docs vs the quota of 15) plus two
     cold ones, total order guaranteed by the doc_id tie-break.
-    Duplicate texts inside and outside the hot host's quota exercise
-    x36's span accounting through both paths."""
+    The duplicate text is the LONGEST doc, so copies of it fill the
+    hot host's quota (15 identical survivors, 14 more quota-dropped) —
+    x36's span accounting must fire on the survivors through both
+    paths (asserted below; review-pass r14 — a shorter dup text let
+    the quota cut every copy, making the span stage vacuously zero)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1226,7 +1229,7 @@ def test_x33_x36_salted_path_parity(spark, tmp_path):
     )
 
     rows = []
-    dup = " ".join(f"d{j}" for j in range(30))
+    dup = " ".join(f"d{j}" for j in range(60))  # ~290 chars > any filler
     for i in range(200):  # mega-host: 200 docs, quota 15
         text = dup if i % 7 == 0 else " ".join(f"h{i}w{j}" for j in range(20))
         rows.append((i, text, "en", "mega", len(text)))
@@ -1256,6 +1259,8 @@ def test_x33_x36_salted_path_parity(spark, tmp_path):
                 map(tuple, fn(spark, sf, salted=True, n_salts=n_salts).collect())
             )
             assert got == plain, (fn.__name__, n_salts)
-    # the planted skew actually bit: the mega host dropped rows
+    # the planted skew actually bit: the mega host dropped rows, and
+    # the span stage saw surviving duplicates (non-vacuous coverage)
     mega = [r for r in plain if r[0] == "mega.example.org"]
-    assert mega and mega[0][1] == 200  # n_candidates
+    assert mega and mega[0][1] == 200  # n_candidates (x36 is last fn)
+    assert mega[0][3] > 0, mega  # n_dupspan_dropped among survivors

@@ -205,3 +205,58 @@ def test_bench_heavy_tail_selection_dynamic():
     # watch entries not in the top-5 are appended, no duplicates
     assert sel[5:] == ["t18_stream_dedup_history"]
     assert len(sel) == len(set(sel))
+
+
+def test_bench_heavy_tail_selection_properties():
+    """Property-pin heavy_tail_names over random timing dicts: the
+    result is the TOP_N argmaxes (heaviest first) plus every watch
+    entry, no duplicates, and never longer than TOP_N + |watch|."""
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    import bench
+
+    names = st.text("abcdefgh", min_size=1, max_size=6)
+    timings = st.dictionaries(
+        names, st.floats(0.001, 1e6, allow_nan=False), min_size=1, max_size=40
+    )
+
+    @given(timings, st.booleans())
+    def check(worst, include_watch):
+        if include_watch:
+            worst = dict(worst)
+            for i, w in enumerate(bench.HEAVY_TAIL_WATCH):
+                worst[w] = 0.0005 + i * 1e-6  # never in the top-N
+        sel = bench.heavy_tail_names(worst)
+        n_top = min(bench.HEAVY_TAIL_TOP_N, len(worst))
+        assert len(sel) == len(set(sel))
+        assert len(sel) <= bench.HEAVY_TAIL_TOP_N + len(bench.HEAVY_TAIL_WATCH)
+        top = sel[:n_top]
+        # the selected head is exactly the N heaviest, heaviest first
+        assert [worst[n] for n in top] == sorted(
+            worst.values(), reverse=True
+        )[:n_top]
+        # watch entries always present when they exist in the run
+        for w in bench.HEAVY_TAIL_WATCH:
+            if w in worst:
+                assert w in sel
+
+    check()
+
+
+def test_plan_compare_normalizer():
+    """tools/plan_compare.py's normalizer strips ONLY per-session ids:
+    two plans differing in expression ids normalize equal; a plan with
+    an extra node, a different partitioning, or a changed literal must
+    stay different."""
+    from tools.plan_compare import normalize
+
+    a = "Project [n_chars#12L AS len#34L]\n+- Exchange hashpartitioning(host#5, 32) [id=#88]"
+    b = "Project [n_chars#99L AS len#7L]\n+- Exchange hashpartitioning(host#3, 32) [id=#12]"
+    assert normalize(a) == normalize(b)
+
+    c = a.replace("32", "64")          # partitioning width is structural
+    d = a + "\n+- Filter (rk#1 <= 15)"  # extra node is structural
+    e = a.replace("hashpartitioning", "rangepartitioning")
+    for other in (c, d, e):
+        assert normalize(a) != normalize(other)

@@ -24,7 +24,10 @@ _D2_ORACLE = """
 SELECT
   l_orderkey,
   l_linenumber,
-  round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charged
+  ((CAST(round(l_extendedprice * 100) AS BIGINT)
+    * (100 - CAST(round(l_discount * 100) AS BIGINT))
+    * (100 + CAST(round(l_tax * 100) AS BIGINT))
+    + 5000) // 10000) / 100.0 AS charged
 FROM lineitem
 WHERE l_orderkey % 29 = 0
 ORDER BY l_orderkey, l_linenumber
@@ -36,25 +39,49 @@ def d2_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Series→Series pandas UDF: whole Arrow batches cross the Python
     boundary once; numpy does the arithmetic vectorized. (A built-in
     expression is still faster — this query exists to prove the D2
-    transport; see SURVEY.md §2.10.)"""
+    transport; see SURVEY.md §2.10.)
 
-    @pandas_udf("double")
-    def charge(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
-        # Return the RAW product: pandas .round(2) is half-to-even
-        # (banker's) while DuckDB round() is half-away-from-zero — the
-        # two half-tie cells in sf0.01 lineitem diverge. Rounding happens
-        # Spark-side below so both engines round the same way.
-        return price * (1 - disc) * (1 + tax)
+    r14 integer-cents respell: the r14 sf0.1 oracle sweep found 22
+    rows whose exact charge is a TRUE half-cent tie (e.g.
+    8835560.5 c) — the double product sits one ulp BELOW .xx5, so
+    Spark's round (exact binary value, HALF_UP) rounds down while
+    DuckDB rounds up: round(double, 2) of a per-row PRODUCT is a
+    per-row tie lottery that sf0.01 happened to win. price/disc/tax
+    are cent- and percent-valued, so the product in cents*1e-4 is an
+    exact int64 (= 1.1e11 max); half-up in integer arithmetic
+    ((x + 5000) div 10000) and a final exact /100.0 make both engines
+    bit-identical at EVERY scale — verified 296/296 at sf0.1. The UDF
+    still carries the D2 Arrow transport, now returning the integer
+    product."""
+
+    @pandas_udf("long")
+    def charge_e4(
+        price: pd.Series, disc: pd.Series, tax: pd.Series
+    ) -> pd.Series:
+        # cents * 1e-4 units, exact: inputs are 2-decimal fixtures, so
+        # rint(x*100) recovers the integer numerator exactly
+        import numpy as np
+
+        pc = np.rint(price.to_numpy() * 100).astype("int64")
+        dc = np.rint(disc.to_numpy() * 100).astype("int64")
+        tc = np.rint(tax.to_numpy() * 100).astype("int64")
+        return pd.Series(pc * (100 - dc) * (100 + tc))
 
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_orderkey") % 29 == 0)
-        .select(
+        .withColumn(
+            "__e4",
+            charge_e4("l_extendedprice", "l_discount", "l_tax"),
+        )
+        # integer half-up to cents (bigint `div`, never floor-a-double),
+        # then exact display division — identical IEEE op both engines
+        .selectExpr(
             "l_orderkey",
             "l_linenumber",
-            F.round(
-                charge("l_extendedprice", "l_discount", "l_tax"), 2
-            ).alias("charged"),
+            # 100.0D: Spark parses a bare 100.0 as DECIMAL(4,1) and the
+            # division would come back decimal(26,6), not double
+            "((__e4 + 5000) div 10000) / 100.0D AS charged",
         )
         .orderBy("l_orderkey", "l_linenumber")
     )

@@ -145,14 +145,19 @@ def all_queries() -> dict[str, Query]:
 #: delete the whole list's content at the start of the next round (the
 #: derived maps then carry the evidence).
 #:
-#: Round-14 entries: EMPTY per VERDICT-r13 #2 — every driver slot
-#: flows to the 50 queries last sampled <= r6, clearing the staleness
-#: backlog in one pass.  The round's only query-source change (x33/x36
-#: refactored behind the salted/windowed switch, VERDICT r13 #4) was
-#: verified plan-IDENTICAL on the default path (executed plans equal
-#: modulo expression ids against the r13 spelling), so their r13
-#: driver evidence remains valid and they need no re-proof slot.
-_CHANGED_THIS_ROUND = []
+#: Round-14 entries (ONE, per VERDICT-r13 #2 — the other ~49 driver
+#: slots flow to the 50 queries last sampled <= r6).  The x33/x36
+#: salted-switch refactor (VERDICT r13 #4) needed NO entry: it was
+#: verified plan-IDENTICAL on the default path (tools/plan_compare.py,
+#: executed plans equal modulo expression ids vs the r13 spelling), so
+#: its r13 driver evidence remains valid.
+_CHANGED_THIS_ROUND = [
+    # r14: integer-cents respell (plan + oracle) after the sf0.1 oracle
+    # sweep found 22 true half-cent ties where Spark's exact-binary
+    # HALF_UP and DuckDB's round() disagree on the per-row product;
+    # re-verified hash-green at sf0.001/0.01/0.1
+    "d2_scalar_pandas_udf",
+]
 
 
 def _driver_order_key(q: Query) -> tuple:

@@ -805,7 +805,18 @@ def m7_partition_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
         # scan — matching rows only ever live in matching dirs) plus
         # result parity vs the full-scan residual filter
         day_lo, day_hi = "2024-01-15 00:00:00", "2024-01-16 00:00:00"
-        day_df, n_scan, n_total = t.read_pruned("ts", day_lo, day_hi)
+        day_df, kept_f, all_f = t.read_pruned(
+            "ts", day_lo, day_hi, with_files=True
+        )
+        # partition-LEVEL contract (r14): the kept files' day values
+        # are exactly the probe's two boundary days out of the ten
+        # written — layout-invariant where the old files-ratio
+        # (n_scan * 5 <= n_total) broke on multi-file input layouts
+        pruned_ok = int(
+            _hidden_partition_values(kept_f, "p_days_ts")
+            <= _DAY_PROBE_PARTS
+            and len(_hidden_partition_values(all_f, "p_days_ts")) == 10
+        )
         full = t.read().filter(
             (F.col("ts") >= F.lit(day_lo).cast("timestamp"))
             & (F.col("ts") < F.lit(day_hi).cast("timestamp"))
@@ -824,7 +835,7 @@ def m7_partition_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (
                     n,
                     int(n == ev.count()),
-                    int(n_scan * 5 <= n_total),
+                    pruned_ok,
                     n_day,
                     # literal-1 oracle twin makes fixture drift to an
                     # EMPTY probe day hash-red instead of letting the
@@ -844,6 +855,30 @@ def m7_partition_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+def _hidden_partition_values(files: list, prefix: str) -> set:
+    """Distinct unquoted values of one hidden-partition path segment
+    (e.g. ``prefix='p_days_ts'``).  Pruning contracts are stated at
+    the PARTITION level because file-count ratios are layout noise
+    (r14 multi-file fixture sweep): per-partition file counts scale
+    with the writer's input task count, so a ratio threshold tuned on
+    the single-file fixtures broke on a 4-file input while the
+    pruning itself was exactly right."""
+    import urllib.parse
+
+    out = set()
+    for f in files:
+        for seg in f.split(os.sep):
+            if seg.startswith(prefix + "="):
+                out.add(urllib.parse.unquote(seg.split("=", 1)[1]))
+    return out
+
+
+#: the [Jan 15, Jan 16) probe's exact partition-level scan set: day 15
+#: plus day 16 (read_pruned keeps trunc(hi)'s period inclusively — a
+#: sound over-read; see read_pruned)
+_DAY_PROBE_PARTS = {"2024-01-15 00:00:00", "2024-01-16 00:00:00"}
 
 
 def _event_out_cols() -> list:
@@ -924,9 +959,18 @@ def m7b_partition_evolution_values(
         t.create(base)
 
         day_lo, day_hi = "2024-01-15 00:00:00", "2024-01-16 00:00:00"
-        day_df, n_scan, n_total = t.read_pruned("ts", day_lo, day_hi)
-        assert n_scan * 5 <= n_total, (
-            f"pre-evolution rewrite did not prune: {n_scan}/{n_total}"
+        day_df, kept_f, all_f = t.read_pruned(
+            "ts", day_lo, day_hi, with_files=True
+        )
+        # partition-LEVEL pruning contract (r14, layout-invariant —
+        # the old files-ratio broke on multi-file input layouts while
+        # the pruning was exactly right): the kept day values are the
+        # probe's two boundary days, out of the ten written
+        kept_days = _hidden_partition_values(kept_f, "p_days_ts")
+        all_days = _hidden_partition_values(all_f, "p_days_ts")
+        assert kept_days <= _DAY_PROBE_PARTS and len(all_days) == 10, (
+            f"pre-evolution rewrite did not prune: kept {sorted(kept_days)} "
+            f"of {sorted(all_days)}"
         )
 
         files_before = set(t._files())
@@ -934,12 +978,23 @@ def m7b_partition_evolution_values(
         assert set(t._files()) == files_before, "evolution rewrote files"
         t.append(appended)
 
-        # post-evolution pruning: old-spec files prune by days(ts),
-        # new-spec files by months(ts) — a one-day probe must still
-        # drop most of the scan set (safe over-read on the month file)
-        _, n_scan2, n_total2 = t.read_pruned("ts", day_lo, day_hi)
-        assert n_scan2 * 2 <= n_total2, (
-            f"post-evolution rewrite did not prune: {n_scan2}/{n_total2}"
+        # post-evolution pruning: old-spec (day-era) files still prune
+        # to the probe's two days; new-spec files carry months(ts) and
+        # are kept whole (safe over-read on the month partition)
+        _, kept_f2, all_f2 = t.read_pruned(
+            "ts", day_lo, day_hi, with_files=True
+        )
+        kept_days2 = _hidden_partition_values(kept_f2, "p_days_ts")
+        assert kept_days2 <= _DAY_PROBE_PARTS, (
+            f"post-evolution day-era scan grew: {sorted(kept_days2)}"
+        )
+        month_files = [
+            f
+            for f in all_f2
+            if not _hidden_partition_values([f], "p_days_ts")
+        ]
+        assert month_files and set(month_files) <= set(kept_f2), (
+            "month-era files must exist and be kept whole (over-read)"
         )
 
         cols = _event_out_cols()
@@ -2022,16 +2077,18 @@ def p3_hidden_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lo = "2024-01-15 00:00:00"
     hi = "2024-01-16 00:00:00"
-    day_read, n_scan, n_total = t.read_pruned("ts", lo, hi)
-    # 10 day-partitions were written; a working rewrite scans ≤ 2 of
-    # them (day 15, plus day 16's files only if the bound's own day is
-    # present — it is not, with hi at midnight, but ≤2 keeps the assert
-    # about pruning, not about boundary conventions). files_total also
-    # guards against a degenerate single-file layout making this vacuous.
-    if n_total < 5 or n_scan * 5 > n_total:
+    day_read, kept_f, all_f = t.read_pruned("ts", lo, hi, with_files=True)
+    # partition-LEVEL contract (r14, layout-invariant — file-count
+    # ratios scale with the writer's input task count): 10 day
+    # partitions were written; the probe keeps exactly its two
+    # boundary days (day 15, plus day 16 via read_pruned's inclusive
+    # trunc(hi) — a sound over-read).
+    kept_days = _hidden_partition_values(kept_f, "p_days_ts")
+    all_days = _hidden_partition_values(all_f, "p_days_ts")
+    if len(all_days) != 10 or not kept_days <= _DAY_PROBE_PARTS:
         raise AssertionError(
-            f"hidden-partition rewrite did not prune: scanned {n_scan} of "
-            f"{n_total} files"
+            f"hidden-partition rewrite did not prune: kept "
+            f"{sorted(kept_days)} of {sorted(all_days)}"
         )
     return day_read.select("event_id", "ts", "user_id", "event_type").orderBy(
         "event_id"

@@ -1286,7 +1286,7 @@ class PartitionedLakehouseTable(LakehouseTable):
                 )
         return self._apply_defaults(out, m, set(files))
 
-    def read_pruned(self, col: str, lo, hi):
+    def read_pruned(self, col: str, lo, hi, with_files: bool = False):
         """Hidden-partition predicate rewrite (SURVEY §2.2 P3) — the
         engine-side half of hidden partitioning: a range predicate on
         the SOURCE column ``col`` is mapped to predicates on the derived
@@ -1297,7 +1297,13 @@ class PartitionedLakehouseTable(LakehouseTable):
 
         Returns ``(df, files_scanned, files_total)`` so callers can
         assert the pruning effect (files_scanned < files_total), not
-        just result correctness. Files whose path carries no time
+        just result correctness.  ``with_files=True`` returns the file
+        LISTS instead of counts — ``(df, kept_files, all_files)`` — so
+        callers can state partition-LEVEL contracts (the r14
+        multi-file fixture sweep showed file-count ratios are layout
+        noise: per-partition file counts scale with the writer's input
+        task count, so a ratio threshold tuned on single-file fixtures
+        broke on a 4-file input while the pruning itself was correct). Files whose path carries no time
         transform of ``col`` (bucket/truncate transforms, or spec eras
         from before partition evolution) are KEPT — safe over-read,
         exactly how Iceberg handles partition-spec evolution. The
@@ -1359,15 +1365,15 @@ class PartitionedLakehouseTable(LakehouseTable):
         schema = StructType.fromJson(self.schema_json())
         if not keep:
             empty = self.spark.createDataFrame([], schema)
-            return empty.filter((F.col(col) >= lo) & (F.col(col) < hi)), 0, len(files)
+            out = empty.filter((F.col(col) >= lo) & (F.col(col) < hi))
+            return (out, [], list(files)) if with_files else (out, 0, len(files))
         df = self._scan_files(
             sorted(keep), self._read_manifest(self.main_head())
         )
-        return (
-            df.filter((F.col(col) >= lo) & (F.col(col) < hi)),
-            len(keep),
-            len(files),
-        )
+        out = df.filter((F.col(col) >= lo) & (F.col(col) < hi))
+        if with_files:
+            return out, sorted(keep), list(files)
+        return out, len(keep), len(files)
 
     def overwrite_partitions(self, df: DataFrame) -> int:
         """Dynamic partition-level INSERT OVERWRITE (S6) — Iceberg's

@@ -48,11 +48,24 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         schema = static.schema
         fix = F.col("ts").cast("timestamp")
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    import os
+
+    table = f"{sf_dir}/events.parquet"
+    if os.path.isdir(table):
+        # directory-shaped table (multi-file split layout — the 100 TB
+        # shape, exercised by the r14 multi-file fixture sweep): the
+        # file-stream source lists the directory itself; the
+        # pathGlobFilter spelling below would match NO files because
+        # it filters on leaf FILE names
+        stream = spark.readStream.schema(schema).parquet(table)
+    else:
+        # single-file fixture: the file-stream source needs a
+        # directory to list, so read the parent filtered to this file
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     return stream.withColumn("ts", fix)
 
 

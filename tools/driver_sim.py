@@ -24,10 +24,17 @@ assert len(rows) > 0
 print(rows[0])
 
 # t2 oracle compare at sf0.01
-SF = __import__("os").environ.get("SF", "/root/testdata/sf0.01")
+import os as _os
+SF = _os.environ.get("SF", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    # directory-shaped tables (tools/make_layout_fixtures.py's
+    # multi-file variant — the 100 TB layout) need a glob; Spark's
+    # reader handles both shapes natively
+    p = f"{SF}/{t}.parquet"
+    if _os.path.isdir(p):
+        p += "/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 def cell(v):
     # FULL precision, always: %.6g masked cent-level diffs on values

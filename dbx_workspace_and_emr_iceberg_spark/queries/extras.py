@@ -116,9 +116,11 @@ def f2b_date_parse_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.date_format(d, "yyyy/MM/dd HH:mm").alias("formatted"),
             F.make_date(F.year(d), F.month(d), F.dayofmonth(d)).alias("reconstructed"),
+            # to_timestamp returns ZONED timestamp; NTZ keeps collect()
+            # immune to the driver's local zone (r14 host-TZ sweep)
             F.to_timestamp(
                 F.date_format(d, "yyyy-MM-dd HH:mm"), "yyyy-MM-dd HH:mm"
-            ).alias("reparsed"),
+            ).cast("timestamp_ntz").alias("reparsed"),
         )
         .orderBy("o_orderkey")
     )

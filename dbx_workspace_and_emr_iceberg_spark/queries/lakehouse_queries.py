@@ -1499,13 +1499,20 @@ def m9_stats_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.create(o.repartitionByRange(6, "o_orderdate"))
         n_files = len(t._files())
 
-        lo = __import__("datetime").datetime(1996, 6, 1)
-        hi = __import__("datetime").datetime(1996, 9, 1)
-        pruned = t.pruned_files("o_orderdate", lo.isoformat(), hi.isoformat())
+        # ISO-string bounds cast Spark-side (r14 host-TZ sweep): a
+        # naive Python datetime literal is converted through the
+        # driver's LOCAL zone into a zoned timestamp, shifting the
+        # range against the NTZ column by the host's UTC offset
+        lo, hi = "1996-06-01 00:00:00", "1996-09-01 00:00:00"
+        d_ty = t.read().schema["o_orderdate"].dataType
+        pruned = t.pruned_files("o_orderdate", lo, hi)
         got = t.read_range("o_orderdate", lo, hi).count()
         want = (
             t.read()
-            .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") <= hi))
+            .filter(
+                (F.col("o_orderdate") >= F.lit(lo).cast(d_ty))
+                & (F.col("o_orderdate") <= F.lit(hi).cast(d_ty))
+            )
             .count()
         )
 

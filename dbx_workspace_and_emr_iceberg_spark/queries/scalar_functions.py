@@ -116,8 +116,12 @@ def f2_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.filter(F.col("o_orderkey") % 11 == 0)
         .select(
             "o_orderkey",
-            F.date_trunc("month", d).alias("month_start"),
-            F.date_trunc("day", d).alias("day_start"),
+            # date_trunc returns ZONED timestamp even for NTZ input;
+            # cast back to NTZ so collect() is immune to the driver's
+            # local zone (r14 host-TZ sweep — rendered -05:00-shifted
+            # under TZ=America/New_York)
+            F.date_trunc("month", d).cast("timestamp_ntz").alias("month_start"),
+            F.date_trunc("day", d).cast("timestamp_ntz").alias("day_start"),
             F.year(d).alias("yr"),
             F.month(d).alias("mo"),
             F.dayofmonth(d).alias("dy"),

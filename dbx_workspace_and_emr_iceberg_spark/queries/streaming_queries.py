@@ -47,8 +47,14 @@ def t2_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = run_to_memory(agg, "complete")
+    # NTZ for the returned window bound (r14 host-TZ sweep): zoned
+    # collect() renders through the driver's local zone; the session
+    # is pinned UTC so the cast preserves the civil value
     return out.select(
-        F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
     ).orderBy("window_start", "event_type")
 
 
@@ -77,9 +83,10 @@ def t3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     )
     out = run_to_memory(agg, "complete")
-    return out.select(F.col("w.start").alias("window_start"), "n").orderBy(
-        "window_start"
-    )
+    # NTZ: see t2 (r14 host-TZ sweep)
+    return out.select(
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"), "n"
+    ).orderBy("window_start")
 
 
 # --- T4: session windows (oracle: gaps-and-islands SQL) --------------------
@@ -217,23 +224,39 @@ def t5_watermark_append_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = spark.table(name).select(
             F.col("w.start").alias("window_start"), "n"
         )
+        # Self-check boundary math runs in SPARK (session tz pinned
+        # UTC) and compares canonical strings — collect() of a ZONED
+        # timestamp renders through the PYTHON process's local zone
+        # (datetime.fromtimestamp), so the old naive-datetime
+        # comparisons broke under TZ=America/New_York (r14 host-TZ
+        # sweep: two boundary windows mis-bucketed by the -05:00
+        # rendering).
+        fmt = "yyyy-MM-dd HH:mm:ss"
         emitted = {
-            (r.window_start, r.n)
-            for r in out.collect()
-            if r.window_start >= datetime.datetime(2024, 1, 5)
+            (r.ws, r.n)
+            for r in out.filter(
+                F.col("window_start")
+                >= F.lit("2024-01-05 00:00:00").cast("timestamp")
+            )
+            .select(F.date_format("window_start", fmt).alias("ws"), "n")
+            .collect()
         }
         # Append mode finalizes only windows whose END the watermark has
         # passed — the trailing window is legitimately withheld.
         wm = datetime.datetime.fromisoformat(final_wm.replace("Z", ""))
         expected = {
-            (r.window_start, r.n)
+            (r.ws, r.n)
             for r in on_time.groupBy(
                 F.window("ts", "1 day").alias("w")
             )
             .agg(F.count(F.lit(1)).alias("n"))
             .select(F.col("w.start").alias("window_start"), "n")
+            .filter(
+                F.col("window_start") + F.expr("INTERVAL 1 DAY")
+                <= F.lit(wm.isoformat(sep=" ")).cast("timestamp")
+            )
+            .select(F.date_format("window_start", fmt).alias("ws"), "n")
             .collect()
-            if r.window_start + datetime.timedelta(days=1) <= wm
         }
         if emitted != expected:
             raise AssertionError(
@@ -254,7 +277,18 @@ def t5_watermark_append_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     <= F.lit(wm.isoformat(sep=" ")).cast("timestamp")
                 )
             )
-            .select("window_start", F.col("n").cast("long").alias("n"))
+            # NTZ for the RETURNED column (r14 host-TZ sweep): the
+            # session is pinned UTC so the cast preserves the civil
+            # value, and NTZ collect() is immune to the driver
+            # process's system timezone — the zoned original rendered
+            # -05:00-shifted under TZ=America/New_York and would
+            # hash-mismatch the oracle's naive timestamps
+            .select(
+                F.col("window_start").cast("timestamp_ntz").alias(
+                    "window_start"
+                ),
+                F.col("n").cast("long").alias("n"),
+            )
             .orderBy("window_start")
         )
         # localCheckpoint is eager: materialized before the finally

@@ -157,6 +157,20 @@ _CHANGED_THIS_ROUND = [
     # HALF_UP and DuckDB's round() disagree on the per-row product;
     # re-verified hash-green at sf0.001/0.01/0.1
     "d2_scalar_pandas_udf",
+    # r14: returned window_start cast to TIMESTAMP_NTZ (host-TZ sweep:
+    # a zoned collect renders through the Python process's local zone
+    # and hash-mismatched under TZ=America/New_York); self-check
+    # boundary math moved Spark-side; re-verified green in UTC and EST
+    "t5_watermark_append_finalize",
+    # r14 host-TZ sweep: same NTZ-cast fix on the returned zoned
+    # columns (window starts / date_trunc / to_timestamp results);
+    # each re-verified green in UTC and EST.  (m9's naive-datetime
+    # range literals were fixed too, but its returned flag values are
+    # identical under UTC — LocalRelation unchanged, no re-proof slot.)
+    "t2_tumbling_window",
+    "t3_sliding_window",
+    "f2_date_funcs",
+    "f2b_date_parse_format",
 ]
 
 

@@ -1831,11 +1831,18 @@ class StatsLakehouseTable(LakehouseTable):
         import datetime
 
         # stats store timestamps as ISO strings; normalize the bounds
-        # (ISO-8601 orders lexicographically, so string compare is sound)
+        # (ISO-8601 orders lexicographically, so string compare is sound
+        # — but ONLY in one separator convention: stats use the
+        # 'T'-separated isoformat, so space-separated string bounds are
+        # re-normalized too, r14)
         if isinstance(lo, (datetime.datetime, datetime.date)):
             lo = lo.isoformat()
         if isinstance(hi, (datetime.datetime, datetime.date)):
             hi = hi.isoformat()
+        if isinstance(lo, str):
+            lo = lo.replace(" ", "T")
+        if isinstance(hi, str):
+            hi = hi.replace(" ", "T")
         m = self._read_manifest(self.main_head())
         stats = m.get("stats", {})
         out = []
@@ -1958,7 +1965,15 @@ class StatsLakehouseTable(LakehouseTable):
         )
 
     def read_range(self, col: str, lo, hi) -> DataFrame:
-        """Range scan using min/max skipping + the residual filter."""
+        """Range scan using min/max skipping + the residual filter.
+
+        Datetime bounds are normalized to ISO strings cast to the
+        COLUMN's own type (r14 host-TZ sweep): a naive Python datetime
+        passed to Spark becomes a ZONED literal converted through the
+        driver process's LOCAL timezone, so comparing it against an
+        NTZ column shifted the range by the host's UTC offset."""
+        import datetime
+
         from pyspark.sql.types import StructType
 
         files = self.pruned_files(col, lo, hi)
@@ -1968,7 +1983,21 @@ class StatsLakehouseTable(LakehouseTable):
         df = self._scan_files(
             files, self._read_manifest(self.main_head())
         )
-        return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+
+        def bound(v):
+            if isinstance(v, (datetime.datetime, datetime.date)):
+                v = v.isoformat(sep=" ") if isinstance(
+                    v, datetime.datetime
+                ) else v.isoformat()
+            if isinstance(v, str):
+                return F.lit(v.replace("T", " ")).cast(
+                    df.schema[col].dataType
+                )
+            return F.lit(v)
+
+        return df.filter(
+            (F.col(col) >= bound(lo)) & (F.col(col) <= bound(hi))
+        )
 
 
 def history(table: LakehouseTable) -> DataFrame:

@@ -33,10 +33,11 @@ import os
 import shutil
 import sys
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# single source of truth — a new fixture table added to the package
+# must flow into the layout sweeps automatically (review-pass r14)
+from dbx_workspace_and_emr_iceberg_spark.tables import TABLES  # noqa: E402
 
 
 def make(src: str, dst_root: str) -> None:

@@ -812,9 +812,10 @@ def m7_partition_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
         # are exactly the probe's two boundary days out of the ten
         # written — layout-invariant where the old files-ratio
         # (n_scan * 5 <= n_total) broke on multi-file input layouts
+        kept_days_m7 = _hidden_partition_values(kept_f, "p_days_ts")
         pruned_ok = int(
-            _hidden_partition_values(kept_f, "p_days_ts")
-            <= _DAY_PROBE_PARTS
+            "2024-01-15 00:00:00" in kept_days_m7  # probe day scanned
+            and kept_days_m7 <= _DAY_PROBE_PARTS
             and len(_hidden_partition_values(all_f, "p_days_ts")) == 10
         )
         full = t.read().filter(
@@ -865,14 +866,9 @@ def _hidden_partition_values(files: list, prefix: str) -> set:
     with the writer's input task count, so a ratio threshold tuned on
     the single-file fixtures broke on a 4-file input while the
     pruning itself was exactly right."""
-    import urllib.parse
+    from ..sources.lakehouse import partition_segments
 
-    out = set()
-    for f in files:
-        for seg in f.split(os.sep):
-            if seg.startswith(prefix + "="):
-                out.add(urllib.parse.unquote(seg.split("=", 1)[1]))
-    return out
+    return {v for f in files for k, v in partition_segments(f) if k == prefix}
 
 
 #: the [Jan 15, Jan 16) probe's exact partition-level scan set: day 15
@@ -968,7 +964,11 @@ def m7b_partition_evolution_values(
         # probe's two boundary days, out of the ten written
         kept_days = _hidden_partition_values(kept_f, "p_days_ts")
         all_days = _hidden_partition_values(all_f, "p_days_ts")
-        assert kept_days <= _DAY_PROBE_PARTS and len(all_days) == 10, (
+        assert (
+            "2024-01-15 00:00:00" in kept_days  # over-pruning guard
+            and kept_days <= _DAY_PROBE_PARTS
+            and len(all_days) == 10
+        ), (
             f"pre-evolution rewrite did not prune: kept {sorted(kept_days)} "
             f"of {sorted(all_days)}"
         )
@@ -985,7 +985,10 @@ def m7b_partition_evolution_values(
             "ts", day_lo, day_hi, with_files=True
         )
         kept_days2 = _hidden_partition_values(kept_f2, "p_days_ts")
-        assert kept_days2 <= _DAY_PROBE_PARTS, (
+        assert (
+            "2024-01-15 00:00:00" in kept_days2
+            and kept_days2 <= _DAY_PROBE_PARTS
+        ), (
             f"post-evolution day-era scan grew: {sorted(kept_days2)}"
         )
         month_files = [
@@ -2092,7 +2095,11 @@ def p3_hidden_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trunc(hi) — a sound over-read).
     kept_days = _hidden_partition_values(kept_f, "p_days_ts")
     all_days = _hidden_partition_values(all_f, "p_days_ts")
-    if len(all_days) != 10 or not kept_days <= _DAY_PROBE_PARTS:
+    if (
+        len(all_days) != 10
+        or "2024-01-15 00:00:00" not in kept_days  # over-pruning guard
+        or not kept_days <= _DAY_PROBE_PARTS
+    ):
         raise AssertionError(
             f"hidden-partition rewrite did not prune: kept "
             f"{sorted(kept_days)} of {sorted(all_days)}"

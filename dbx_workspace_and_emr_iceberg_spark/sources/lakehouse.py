@@ -1187,6 +1187,23 @@ class LakehouseTable:
 # ---------------------------------------------------------------------------
 
 
+def partition_segments(path: str) -> list[tuple[str, str]]:
+    """(key, unquoted value) pairs from a file path's hive-style
+    partition directory segments — THE one decoder for the engine's
+    ``k=v`` encoding.  read_pruned, overwrite_partitions and the
+    queries-side pruning contracts all parse this convention; a single
+    shared decoder keeps them bit-identical if the escaping ever
+    changes (review-pass r14)."""
+    import urllib.parse
+
+    out = []
+    for seg in path.split(os.sep):
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            out.append((k, urllib.parse.unquote(v)))
+    return out
+
+
 def partition_transform(spec: str) -> tuple[str, F.Column]:
     """Parse an Iceberg-style partition transform into (name, column):
     identity(c) | years(c) | months(c) | days(c) | hours(c) |
@@ -1310,7 +1327,6 @@ class PartitionedLakehouseTable(LakehouseTable):
         residual predicate is still applied, so correctness never
         depends on pruning."""
         import datetime
-        import urllib.parse
 
         from pyspark.sql.types import StructType
 
@@ -1344,13 +1360,9 @@ class PartitionedLakehouseTable(LakehouseTable):
         keep = []
         for f in files:
             verdict = None  # None = no transform of col on this path
-            for seg in f.split(os.sep):
-                if "=" not in seg:
-                    continue
-                k, v = seg.split("=", 1)
+            for k, v in partition_segments(f):
                 if k in prefixes:
                     n = prefixes[k]
-                    v = urllib.parse.unquote(v)
                     # partition value is the truncated period START; a
                     # period overlaps [lo, hi] iff its start is within
                     # [trunc(lo), trunc(hi)] (inclusive both ends).
@@ -1394,8 +1406,6 @@ class PartitionedLakehouseTable(LakehouseTable):
         eras (same caveat Iceberg documents for dynamic overwrite
         across spec changes).
         """
-        import urllib.parse
-
         parent = self.current_version()
         if parent == 0:
             return self.create(df)
@@ -1411,11 +1421,9 @@ class PartitionedLakehouseTable(LakehouseTable):
 
         def file_partition(f: str):
             vals = {}
-            for seg in f.split(os.sep):
-                if "=" in seg:
-                    k, v = seg.split("=", 1)
-                    if k in names:
-                        vals[k] = urllib.parse.unquote(v)
+            for k, v in partition_segments(f):
+                if k in names:
+                    vals[k] = v
             # missing derived column (older spec era) => tuple with None,
             # which can never equal a touched tuple of strings => kept
             return tuple(vals.get(n) for n in names)

@@ -48,10 +48,15 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         schema = static.schema
         fix = F.col("ts").cast("timestamp")
-    import os
-
     table = f"{sf_dir}/events.parquet"
-    if os.path.isdir(table):
+    # Dispatch on the TABLE path's actual filesystem (Hadoop FS, so
+    # s3a://, hdfs:// and file:// all answer correctly — review-pass
+    # r14: a driver-local os.path.isdir returns False for any remote
+    # prefix and would silently recreate the zero-rows bug below).
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(table)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath) and fs.getFileStatus(hpath).isDirectory():
         # directory-shaped table (multi-file split layout — the 100 TB
         # shape, exercised by the r14 multi-file fixture sweep): the
         # file-stream source lists the directory itself; the

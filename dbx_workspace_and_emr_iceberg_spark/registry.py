@@ -145,12 +145,14 @@ def all_queries() -> dict[str, Query]:
 #: delete the whole list's content at the start of the next round (the
 #: derived maps then carry the evidence).
 #:
-#: Round-14 entries (ONE, per VERDICT-r13 #2 — the other ~49 driver
-#: slots flow to the 50 queries last sampled <= r6).  The x33/x36
+#: Round-14 entries (SIX — the other ~44 driver slots flow to the 50
+#: queries last sampled <= r6, per VERDICT-r13 #2).  The x33/x36
 #: salted-switch refactor (VERDICT r13 #4) needed NO entry: it was
 #: verified plan-IDENTICAL on the default path (tools/plan_compare.py,
 #: executed plans equal modulo expression ids vs the r13 spelling), so
-#: its r13 driver evidence remains valid.
+#: its r13 driver evidence remains valid; likewise the m7/m7b/p3/m9
+#: contract respells (build-time asserts / driver-side flags with
+#: unchanged values and oracles).
 _CHANGED_THIS_ROUND = [
     # r14: integer-cents respell (plan + oracle) after the sf0.1 oracle
     # sweep found 22 true half-cent ties where Spark's exact-binary

@@ -1187,6 +1187,50 @@ class LakehouseTable:
 # ---------------------------------------------------------------------------
 
 
+#: ISO date / datetime shapes (either separator convention) — the gate
+#: for every temporal-bound normalization below: NON-temporal string
+#: bounds must pass through verbatim (review-pass r14: a blanket
+#: separator replace corrupted string-column range bounds like
+#: 'NEW YORK')
+_ISO_TEMPORAL_RE = None
+
+
+def _looks_temporal(s: str) -> bool:
+    global _ISO_TEMPORAL_RE
+    if _ISO_TEMPORAL_RE is None:
+        import re
+
+        _ISO_TEMPORAL_RE = re.compile(
+            r"\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}(:\d{2})?(\.\d+)?)?$"
+        )
+    return bool(_ISO_TEMPORAL_RE.match(s))
+
+
+def temporal_bound_iso(v, sep: str = " ") -> str | None:
+    """Canonical civil ISO string for a temporal range bound — THE one
+    bound normalizer (review-pass r14: three inline variants in this
+    file each encoded their own separator convention, the exact drift
+    class the host-TZ sweep caught in the stats pruner).  Accepts
+    datetime/date objects and ISO strings in either separator
+    convention; date-only inputs gain midnight.  Returns None when the
+    value is a string that does not look temporal — the caller must
+    pass those through VERBATIM (string-column bounds)."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        s = v.isoformat(sep=" ")
+    elif isinstance(v, datetime.date):
+        s = f"{v.isoformat()} 00:00:00"
+    else:
+        s = str(v)
+        if not _looks_temporal(s):
+            return None
+        s = s.replace("T", " ")
+        if len(s) == 10:
+            s += " 00:00:00"
+    return s.replace(" ", sep, 1) if sep != " " else s
+
+
 def partition_segments(path: str) -> list[tuple[str, str]]:
     """(key, unquoted value) pairs from a file path's hive-style
     partition directory segments — THE one decoder for the engine's
@@ -1326,22 +1370,18 @@ class PartitionedLakehouseTable(LakehouseTable):
         exactly how Iceberg handles partition-spec evolution. The
         residual predicate is still applied, so correctness never
         depends on pruning."""
-        import datetime
-
         from pyspark.sql.types import StructType
 
         def iso(v) -> str:
-            # Canonicalize EVERY bound to 'YYYY-MM-DD HH:MM:SS' — the
+            # Canonicalize EVERY bound to 'YYYY-MM-DD HH:MM:SS...' — the
             # trunc() slices below are positional, so a raw date-only or
             # 'T'-separated string would truncate wrongly and silently
             # prune files that contain matching rows.
-            if isinstance(v, datetime.datetime):
-                return v.strftime("%Y-%m-%d %H:%M:%S")
-            if isinstance(v, datetime.date):
-                return f"{v.isoformat()} 00:00:00"
-            return datetime.datetime.fromisoformat(
-                str(v).replace("T", " ")
-            ).strftime("%Y-%m-%d %H:%M:%S")
+            out = temporal_bound_iso(v)
+            assert out is not None, (
+                f"non-temporal bound for time-transform pruning: {v!r}"
+            )
+            return out
 
         def trunc(name: str, s: str) -> str:
             # date_trunc's string form for each unit, derived from the
@@ -1836,21 +1876,14 @@ class StatsLakehouseTable(LakehouseTable):
     def pruned_files(self, col: str, lo, hi) -> list[str]:
         """Files whose [min,max] for col intersects [lo,hi] — the scan
         set for a range predicate. Files without stats are kept (safe)."""
-        import datetime
-
-        # stats store timestamps as ISO strings; normalize the bounds
-        # (ISO-8601 orders lexicographically, so string compare is sound
-        # — but ONLY in one separator convention: stats use the
-        # 'T'-separated isoformat, so space-separated string bounds are
-        # re-normalized too, r14)
-        if isinstance(lo, (datetime.datetime, datetime.date)):
-            lo = lo.isoformat()
-        if isinstance(hi, (datetime.datetime, datetime.date)):
-            hi = hi.isoformat()
-        if isinstance(lo, str):
-            lo = lo.replace(" ", "T")
-        if isinstance(hi, str):
-            hi = hi.replace(" ", "T")
+        # stats store timestamps as ISO strings; normalize TEMPORAL
+        # bounds to the stats' 'T'-separated convention (ISO-8601
+        # orders lexicographically only within one separator
+        # convention). Non-temporal string bounds pass through
+        # VERBATIM — string-column stats compare raw (review-pass r14:
+        # a blanket separator replace corrupted bounds like 'NEW YORK').
+        lo = temporal_bound_iso(lo, sep="T") or lo
+        hi = temporal_bound_iso(hi, sep="T") or hi
         m = self._read_manifest(self.main_head())
         stats = m.get("stats", {})
         out = []
@@ -1980,8 +2013,6 @@ class StatsLakehouseTable(LakehouseTable):
         passed to Spark becomes a ZONED literal converted through the
         driver process's LOCAL timezone, so comparing it against an
         NTZ column shifted the range by the host's UTC offset."""
-        import datetime
-
         from pyspark.sql.types import StructType
 
         files = self.pruned_files(col, lo, hi)
@@ -1992,15 +2023,26 @@ class StatsLakehouseTable(LakehouseTable):
             files, self._read_manifest(self.main_head())
         )
 
+        from pyspark.sql.types import (
+            DateType,
+            TimestampNTZType,
+            TimestampType,
+        )
+
+        temporal_col = isinstance(
+            df.schema[col].dataType,
+            (DateType, TimestampNTZType, TimestampType),
+        )
+
         def bound(v):
-            if isinstance(v, (datetime.datetime, datetime.date)):
-                v = v.isoformat(sep=" ") if isinstance(
-                    v, datetime.datetime
-                ) else v.isoformat()
-            if isinstance(v, str):
-                return F.lit(v.replace("T", " ")).cast(
-                    df.schema[col].dataType
-                )
+            # only TEMPORAL columns get the ISO normalization + cast;
+            # string/numeric bounds pass through verbatim (review-pass
+            # r14: a blanket separator replace corrupted string-column
+            # bounds)
+            if temporal_col:
+                iso_v = temporal_bound_iso(v)
+                if iso_v is not None:
+                    return F.lit(iso_v).cast(df.schema[col].dataType)
             return F.lit(v)
 
         return df.filter(

@@ -1158,3 +1158,28 @@ def test_merge_update_set_star_still_takes_source(spark, wh):
     src = spark.createDataFrame([(1, "SRC_A")], "k long, nm string")
     t.merge_into(src, on="k", update_cols=None)
     assert t.read().collect()[0].nm == "SRC_A"
+
+
+def test_temporal_bound_iso_contract():
+    """THE one bound normalizer (r14): temporal inputs canonicalize in
+    either separator convention, date-only gains midnight, and
+    NON-temporal strings return None so callers pass them through
+    verbatim — a blanket separator replace corrupted string-column
+    bounds like 'NEW YORK' (review-pass r14)."""
+    import datetime
+
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        temporal_bound_iso,
+    )
+
+    assert temporal_bound_iso(datetime.datetime(1996, 6, 1)) == "1996-06-01 00:00:00"
+    assert temporal_bound_iso(datetime.date(1996, 6, 1)) == "1996-06-01 00:00:00"
+    assert temporal_bound_iso("1996-06-01T08:30:00") == "1996-06-01 08:30:00"
+    assert temporal_bound_iso("1996-06-01 08:30:00", sep="T") == "1996-06-01T08:30:00"
+    assert temporal_bound_iso("1996-06-01") == "1996-06-01 00:00:00"
+    # fractional seconds survive (stats may carry them)
+    assert temporal_bound_iso("1996-06-01 08:30:00.25", sep="T") == "1996-06-01T08:30:00.25"
+    # non-temporal strings: caller must pass through verbatim
+    assert temporal_bound_iso("NEW YORK") is None
+    assert temporal_bound_iso("ATLAS") is None
+    assert temporal_bound_iso("1996-06") is None

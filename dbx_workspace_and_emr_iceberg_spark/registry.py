@@ -145,35 +145,14 @@ def all_queries() -> dict[str, Query]:
 #: delete the whole list's content at the start of the next round (the
 #: derived maps then carry the evidence).
 #:
-#: Round-14 entries (SIX — the other ~44 driver slots flow to the 50
-#: queries last sampled <= r6, per VERDICT-r13 #2).  The x33/x36
-#: salted-switch refactor (VERDICT r13 #4) needed NO entry: it was
-#: verified plan-IDENTICAL on the default path (tools/plan_compare.py,
-#: executed plans equal modulo expression ids vs the r13 spelling), so
-#: its r13 driver evidence remains valid; likewise the m7/m7b/p3/m9
-#: contract respells (build-time asserts / driver-side flags with
-#: unchanged values and oracles).
-_CHANGED_THIS_ROUND = [
-    # r14: integer-cents respell (plan + oracle) after the sf0.1 oracle
-    # sweep found 22 true half-cent ties where Spark's exact-binary
-    # HALF_UP and DuckDB's round() disagree on the per-row product;
-    # re-verified hash-green at sf0.001/0.01/0.1
-    "d2_scalar_pandas_udf",
-    # r14: returned window_start cast to TIMESTAMP_NTZ (host-TZ sweep:
-    # a zoned collect renders through the Python process's local zone
-    # and hash-mismatched under TZ=America/New_York); self-check
-    # boundary math moved Spark-side; re-verified green in UTC and EST
-    "t5_watermark_append_finalize",
-    # r14 host-TZ sweep: same NTZ-cast fix on the returned zoned
-    # columns (window starts / date_trunc / to_timestamp results);
-    # each re-verified green in UTC and EST.  (m9's naive-datetime
-    # range literals were fixed too, but its returned flag values are
-    # identical under UTC — LocalRelation unchanged, no re-proof slot.)
-    "t2_tumbling_window",
-    "t3_sliding_window",
-    "f2_date_funcs",
-    "f2b_date_parse_format",
-]
+#: Round-15 entries: NONE — the round's code changes (the
+#: pruned_files/read_pruned temporal type-gate fixes, VERDICT-r14 #2 and
+#: the ADVICE items) alter only bound LITERALS inside the pruning path;
+#: every affected declared query was re-verified hash-identical via a
+#: scoped sim at sf0.01, so existing driver evidence stays valid and all
+#: ~50 driver slots flow to the 48-query <=r7 staleness backlog
+#: (VERDICT-r14 #1: the 5 r6-era rows sort first, then the 43 r7-era).
+_CHANGED_THIS_ROUND = []
 
 
 def _driver_order_key(q: Query) -> tuple:

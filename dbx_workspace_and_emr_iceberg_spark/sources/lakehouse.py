@@ -1201,7 +1201,7 @@ def _looks_temporal(s: str) -> bool:
         import re
 
         _ISO_TEMPORAL_RE = re.compile(
-            r"\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}(:\d{2})?(\.\d+)?)?$"
+            r"\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}(:\d{2}(\.\d+)?)?)?$"
         )
     return bool(_ISO_TEMPORAL_RE.match(s))
 
@@ -1212,9 +1212,14 @@ def temporal_bound_iso(v, sep: str = " ") -> str | None:
     file each encoded their own separator convention, the exact drift
     class the host-TZ sweep caught in the stats pruner).  Accepts
     datetime/date objects and ISO strings in either separator
-    convention; date-only inputs gain midnight.  Returns None when the
-    value is a string that does not look temporal — the caller must
-    pass those through VERBATIM (string-column bounds)."""
+    convention; date-only inputs gain midnight, minute-precision inputs
+    gain ':00' — every temporal return value is the FULL
+    'YYYY-MM-DD HH:MM:SS[.fff]' form (ADVICE r14: read_pruned's trunc
+    slices are positional and pruned_files' compare is lexicographic,
+    so an un-padded 'HH:MM' hi bound over-pruned a file whose min is
+    exactly that minute: '...T08:30' < '...T08:30:00').  Returns None
+    when the value is a string that does not look temporal — the caller
+    must pass those through VERBATIM (string-column bounds)."""
     import datetime
 
     if isinstance(v, datetime.datetime):
@@ -1228,6 +1233,8 @@ def temporal_bound_iso(v, sep: str = " ") -> str | None:
         s = s.replace("T", " ")
         if len(s) == 10:
             s += " 00:00:00"
+        elif len(s) == 16:
+            s += ":00"
     return s.replace(" ", sep, 1) if sep != " " else s
 
 
@@ -1395,6 +1402,21 @@ class PartitionedLakehouseTable(LakehouseTable):
             return s[:13] + ":00:00"  # hours
 
         lo_iso, hi_iso = iso(lo), iso(hi)
+
+        def residual(frame: DataFrame) -> DataFrame:
+            # The residual predicate compares the normalized ISO bounds
+            # CAST to the column's own dtype — the same treatment
+            # read_range.bound() applies (ADVICE r14): a naive Python
+            # datetime handed to Spark raw becomes a ZONED literal
+            # converted through the driver process's LOCAL timezone, so
+            # comparing it against an NTZ column would shift the range
+            # by the host's UTC offset.
+            dt = frame.schema[col].dataType
+            return frame.filter(
+                (F.col(col) >= F.lit(lo_iso).cast(dt))
+                & (F.col(col) < F.lit(hi_iso).cast(dt))
+            )
+
         files = self._files()
         prefixes = {f"p_{n}_{col}": n for n in ("years", "months", "days", "hours")}
         keep = []
@@ -1417,12 +1439,12 @@ class PartitionedLakehouseTable(LakehouseTable):
         schema = StructType.fromJson(self.schema_json())
         if not keep:
             empty = self.spark.createDataFrame([], schema)
-            out = empty.filter((F.col(col) >= lo) & (F.col(col) < hi))
+            out = residual(empty)
             return (out, [], list(files)) if with_files else (out, 0, len(files))
         df = self._scan_files(
             sorted(keep), self._read_manifest(self.main_head())
         )
-        out = df.filter((F.col(col) >= lo) & (F.col(col) < hi))
+        out = residual(df)
         if with_files:
             return out, sorted(keep), list(files)
         return out, len(keep), len(files)
@@ -1826,8 +1848,18 @@ def _file_column_stats(path: str) -> dict[str, list]:
                 maxs[name] = hi
 
     def enc(v):
-        if isinstance(v, (datetime.datetime, datetime.date)):
+        # datetime first (it subclasses date): 'T'-separated with
+        # seconds.  Bare dates gain an explicit midnight so DATE-column
+        # stats share the timestamp convention — pruned_files compares
+        # bounds lexicographically after normalizing them to the SAME
+        # 'YYYY-MM-DDTHH:MM:SS' shape, and a date-only stat would sort
+        # BEFORE its own day's midnight ('2024-01-02' <
+        # '2024-01-02T00:00:00'), wrongly pruning the file whose max is
+        # exactly the bound's day (VERDICT r14 #2).
+        if isinstance(v, datetime.datetime):
             return v.isoformat()
+        if isinstance(v, datetime.date):
+            return v.isoformat() + "T00:00:00"
         return v
 
     return {
@@ -1879,11 +1911,31 @@ class StatsLakehouseTable(LakehouseTable):
         # stats store timestamps as ISO strings; normalize TEMPORAL
         # bounds to the stats' 'T'-separated convention (ISO-8601
         # orders lexicographically only within one separator
-        # convention). Non-temporal string bounds pass through
-        # VERBATIM — string-column stats compare raw (review-pass r14:
-        # a blanket separator replace corrupted bounds like 'NEW YORK').
-        lo = temporal_bound_iso(lo, sep="T") or lo
-        hi = temporal_bound_iso(hi, sep="T") or hi
+        # convention).  The normalization is gated on the COLUMN's own
+        # dtype, exactly like read_range's bound() below (VERDICT r14
+        # #2): a date-SHAPED bound on a STRING column must compare raw
+        # against the raw string stats — normalizing it to
+        # '...T00:00:00' would over-prune a file whose string max is
+        # the bare 'YYYY-MM-DD'.  DATE-column stats carry an explicit
+        # midnight (see _file_column_stats.enc), so DATE bounds share
+        # the timestamp convention after normalization.  The gate
+        # travels with this API — callers can't forget it (VERDICT r14
+        # #7).
+        from pyspark.sql.types import (
+            DateType,
+            StructType,
+            TimestampNTZType,
+            TimestampType,
+        )
+
+        schema = StructType.fromJson(self.schema_json())
+        temporal_col = col in schema.fieldNames() and isinstance(
+            schema[col].dataType,
+            (DateType, TimestampNTZType, TimestampType),
+        )
+        if temporal_col:
+            lo = temporal_bound_iso(lo, sep="T") or lo
+            hi = temporal_bound_iso(hi, sep="T") or hi
         m = self._read_manifest(self.main_head())
         stats = m.get("stats", {})
         out = []

@@ -1183,3 +1183,62 @@ def test_temporal_bound_iso_contract():
     assert temporal_bound_iso("NEW YORK") is None
     assert temporal_bound_iso("ATLAS") is None
     assert temporal_bound_iso("1996-06") is None
+    # minute-precision inputs gain ':00' (ADVICE r14: the positional
+    # trunc slices and lexicographic stat compares assume full
+    # 'HH:MM:SS'; '...T08:30' < '...T08:30:00' over-pruned the
+    # boundary minute)
+    assert temporal_bound_iso("1996-06-01 08:30") == "1996-06-01 08:30:00"
+    assert temporal_bound_iso("1996-06-01T08:30", sep="T") == "1996-06-01T08:30:00"
+    # a fraction without seconds is not a temporal shape we canonicalize
+    assert temporal_bound_iso("1996-06-01 08:30.5") is None
+
+
+def _boundary_day_table(spark, wh, ddl: str, days):
+    """Three files, one per day, via repartitionByRange on the day
+    column — the exact-boundary pruning probe's fixture shape."""
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        StatsLakehouseTable,
+    )
+
+    rows = [(d, i) for i, d in enumerate(days)]
+    df = spark.createDataFrame(rows, ddl).repartitionByRange(3, "d")
+    t = StatsLakehouseTable(spark, wh, "bday")
+    t.create(df)
+    return t
+
+
+def test_pruned_files_date_column_exact_boundary_day(spark, wh):
+    """VERDICT r14 #2: a DATE-typed column's stats encode date-only ISO
+    strings while bounds normalize to 'T00:00:00'; lexicographically
+    '2024-01-02' < '2024-01-02T00:00:00', so the file whose max IS the
+    inclusive lower-bound day was wrongly pruned.  With midnight-
+    canonical date stats + the dtype gate, the file must be KEPT and
+    read_range must return its rows."""
+    import datetime
+
+    days = [datetime.date(2024, 1, d) for d in (2, 5, 9)]
+    t = _boundary_day_table(spark, wh, "d date, i long", days)
+    assert len(t._files()) == 3
+    # lo bound == the earliest file's max day: that file must survive
+    kept = t.pruned_files("d", "2024-01-02", "2024-01-09")
+    assert len(kept) == 3, f"boundary-day file wrongly pruned: {kept}"
+    assert t.read_range("d", "2024-01-02", "2024-01-09").count() == 3
+    # date-object bounds take the same path
+    got = t.read_range("d", days[0], days[0]).collect()
+    assert [r.i for r in got] == [0]
+    # pruning still prunes: a range strictly between days drops files
+    assert len(t.pruned_files("d", "2024-01-03", "2024-01-04")) == 0
+
+
+def test_pruned_files_date_shaped_string_column(spark, wh):
+    """A STRING column holding date-shaped values must compare RAW: the
+    dtype gate keeps temporal normalization away from it, otherwise the
+    '...T00:00:00'-padded bound sorts after the bare 'YYYY-MM-DD' stat
+    and the exact-boundary file is wrongly pruned."""
+    days = ["2024-01-02", "2024-01-05", "2024-01-09"]
+    t = _boundary_day_table(spark, wh, "d string, i long", days)
+    assert len(t._files()) == 3
+    kept = t.pruned_files("d", "2024-01-02", "2024-01-09")
+    assert len(kept) == 3, f"boundary-day file wrongly pruned: {kept}"
+    assert t.read_range("d", "2024-01-02", "2024-01-02").count() == 1
+    assert len(t.pruned_files("d", "2024-01-03", "2024-01-04")) == 0

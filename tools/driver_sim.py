@@ -4,15 +4,21 @@ Iterates in REGISTRATION order (the real driver does; round-1's budget
 cutoff hit the first 50 registrations) and prints per-query wall time so
 slow queries are visible before the driver's budget is.
 """
-import hashlib, math, sys, time
+import hashlib, math, os, sys, time
 sys.path.insert(0, "/root/repo")
 import duckdb
 from pyspark.sql import SparkSession
 
 import __spark_entry__ as E
 
-spark = (SparkSession.builder.master("local[8]")
-         .config("spark.sql.shuffle.partitions", "8")
+# tools/invariance_sweep.py axes: task-parallelism / shuffle-partition
+# count / AQE are sweep variables — correctness must not depend on any
+# of them (defaults preserved for the plain gate run)
+spark = (SparkSession.builder.master(os.environ.get("SIM_MASTER", "local[8]"))
+         .config("spark.sql.shuffle.partitions",
+                 os.environ.get("SIM_SHUFFLE_PARTITIONS", "8"))
+         .config("spark.sql.adaptive.enabled",
+                 os.environ.get("SIM_AQE", "true"))
          .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 

@@ -1,0 +1,154 @@
+"""One-command six-axis invariance sweep (VERDICT r14 #3).
+
+r14 ran these six axes by hand and they found ten real bugs the sf0.01
+gate had passed for 13 rounds (half-cent rounding ties at 10x scale,
+a stream source that read ZERO rows from directory-shaped tables,
+file-count pruning contracts that were layout noise, six host-TZ
+dependencies).  This wraps them in one command so every round can
+re-run the program mechanically:
+
+    python tools/invariance_sweep.py              # all six axes
+    python tools/invariance_sweep.py tz aqe_off   # a subset
+
+Axes (each a FULL driver_sim run in a fresh subprocess):
+
+  scale       SF=/root/testdata/sf0.1                      (~25 min)
+  shuf        shuffled row order at sf0.01 (make_layout_fixtures.py)
+  multi       shuffled + <=4-file DIRECTORY tables at sf0.01
+  partitions  SIM_MASTER=local[4] SIM_SHUFFLE_PARTITIONS=3 at sf0.001
+  aqe_off     SIM_AQE=false at sf0.001
+  tz          TZ=America/New_York at sf0.001
+
+Per-axis PASS requires ALL of:
+  * driver_sim exit code 0,
+  * zero MISMATCH lines,
+  * MATCH count == registered oracled-query count, and
+  * rows-only count == registered rows-only count.
+
+The count checks are the point (VERDICT r14 #3): a sim that ABORTS
+mid-sweep on an in-query assert leaves every later query UNSWEPT, and
+"RESULT: ALL MATCH" over a prefix looks identical to a full pass in the
+tail of a log — only comparing the per-query line count against the
+registry catches it.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SIM = os.path.join(REPO, "tools", "driver_sim.py")
+LAYOUT_ROOT = "/tmp/sf_layout"
+
+#: axis -> (SF dir, extra env) — single source of truth for the program
+AXES: dict[str, tuple[str, dict[str, str]]] = {
+    "scale": ("/root/testdata/sf0.1", {}),
+    "shuf": (f"{LAYOUT_ROOT}/shuf", {}),
+    "multi": (f"{LAYOUT_ROOT}/multi", {}),
+    "partitions": (
+        "/root/testdata/sf0.001",
+        {"SIM_MASTER": "local[4]", "SIM_SHUFFLE_PARTITIONS": "3"},
+    ),
+    "aqe_off": ("/root/testdata/sf0.001", {"SIM_AQE": "false"}),
+    "tz": ("/root/testdata/sf0.001", {"TZ": "America/New_York"}),
+}
+
+_LINE = re.compile(r"^  (\S+): (rows-only,|spark=\d+ duck=\d+ hash (MATCH|MISMATCH))")
+
+
+def registry_counts() -> tuple[int, int]:
+    """(oracled, rows_only) straight from the live registry — the
+    denominator every axis's per-query line count must hit."""
+    from dbx_workspace_and_emr_iceberg_spark import registry
+
+    qs = registry.all_queries()
+    oracled = sum(1 for q in qs.values() if q.oracle is not None)
+    return oracled, len(qs) - oracled
+
+
+def run_axis(name: str, log_dir: str) -> dict:
+    sf, extra = AXES[name]
+    env = dict(os.environ, SF=sf, **extra)
+    log = os.path.join(log_dir, f"{name}.log")
+    t0 = time.time()
+    with open(log, "w") as fh:
+        rc = subprocess.run(
+            [sys.executable, SIM], env=env, stdout=fh, stderr=subprocess.STDOUT
+        ).returncode
+    match = mismatch = rows_only = 0
+    with open(log) as fh:
+        for line in fh:
+            m = _LINE.match(line)
+            if not m:
+                continue
+            if m.group(2).startswith("rows-only"):
+                rows_only += 1
+            elif m.group(3) == "MATCH":
+                match += 1
+            else:
+                mismatch += 1
+    return {
+        "axis": name,
+        "rc": rc,
+        "match": match,
+        "mismatch": mismatch,
+        "rows_only": rows_only,
+        "secs": round(time.time() - t0, 1),
+        "log": log,
+    }
+
+
+def main(argv: list[str]) -> int:
+    names = argv or list(AXES)
+    unknown = [n for n in names if n not in AXES]
+    assert not unknown, f"unknown axes {unknown}; valid: {list(AXES)}"
+    log_dir = os.environ.get("SWEEP_LOG_DIR", "/tmp/invariance_sweep")
+    os.makedirs(log_dir, exist_ok=True)
+
+    if {"shuf", "multi"} & set(names):
+        print("regenerating layout fixtures (sf0.01 ->", LAYOUT_ROOT, ")")
+        subprocess.run(
+            [
+                sys.executable,
+                os.path.join(REPO, "tools", "make_layout_fixtures.py"),
+                "/root/testdata/sf0.01",
+                LAYOUT_ROOT,
+            ],
+            check=True,
+        )
+
+    want_oracled, want_rows_only = registry_counts()
+    print(
+        f"registry: {want_oracled} oracled + {want_rows_only} rows-only "
+        f"= {want_oracled + want_rows_only} queries; axes: {names}"
+    )
+    results, ok = [], True
+    for name in names:
+        r = run_axis(name, log_dir)
+        r["pass"] = (
+            r["rc"] == 0
+            and r["mismatch"] == 0
+            and r["match"] == want_oracled
+            and r["rows_only"] == want_rows_only
+        )
+        ok &= r["pass"]
+        results.append(r)
+        print(
+            f"  {name:<11} {'PASS' if r['pass'] else 'FAIL'}  "
+            f"match={r['match']}/{want_oracled} mismatch={r['mismatch']} "
+            f"rows_only={r['rows_only']}/{want_rows_only} rc={r['rc']} "
+            f"[{r['secs']}s  {r['log']}]",
+            flush=True,
+        )
+    print("SWEEP:", "ALL AXES PASS" if ok else "FAILURES — see logs")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -182,7 +182,8 @@ WITH base AS (
 tot AS (SELECT yr, sum(n) AS t FROM base GROUP BY yr)
 SELECT b.yr, b.l_returnflag AS return_flag,
        CAST(b.n AS BIGINT) AS n_lines,
-       round(b.n * 1.0 / t.t, 6) AS year_share
+       CAST((2 * b.n * 1000000 + t.t) // (2 * t.t) AS BIGINT) / 1000000.0
+         AS year_share
 FROM base b JOIN tot t USING (yr)
 ORDER BY yr, return_flag
 """
@@ -190,6 +191,15 @@ ORDER BY yr, return_flag
 
 @register("qd4_mix_shift", oracle=_QD4_ORACLE, tags=("A1", "W3"))
 def qd4_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-year mix: n/t is an exact RATIONAL of two counts, so a
+    per-group round(n/t, 6) is the d2 tie class (r14: Spark's
+    exact-binary HALF_UP and DuckDB's scaled rint split on exact
+    decimal ties) — respelled as half-up INTEGER arithmetic,
+    floor((2*n*10^6 + t) / (2*t)), which both engines compute
+    identically on bigints; the displayed double is then the IEEE
+    division of identical integers (bit-identical cross-engine).
+    Overflow bound: 2*n*10^6 needs n <= ~4.6e12 rows per (yr, flag) —
+    comfortable at 100 TB (~4e11 lineitem rows total)."""
     li = load_table(spark, sf_dir, "lineitem")
     base = li.groupBy(
         F.year("l_shipdate").cast("int").alias("yr"),
@@ -197,12 +207,14 @@ def qd4_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_lines"))
     w = Window.partitionBy("yr")
     return (
-        base.select(
+        base.withColumn("__t", F.sum("n_lines").over(w))
+        .select(
             "yr",
             "return_flag",
             "n_lines",
-            F.round(
-                F.col("n_lines") / F.sum("n_lines").over(w), 6
+            (
+                F.expr("(2 * n_lines * 1000000 + __t) div (2 * __t)")
+                / F.lit(1000000.0)
             ).alias("year_share"),
         )
         .orderBy("yr", "return_flag")
@@ -224,7 +236,9 @@ cohort AS (SELECT o_custkey, min(yr) AS cohort_yr FROM cust_year GROUP BY 1)
 SELECT c.cohort_yr AS cohort_year,
        cy.yr - c.cohort_yr AS years_since,
        CAST(count(*) AS BIGINT) AS n_active,
-       round(count(*) * 1.0 / max(sz.cohort_size), 6) AS retention
+       CAST((2 * count(*) * 1000000 + max(sz.cohort_size))
+            // (2 * max(sz.cohort_size)) AS BIGINT) / 1000000.0
+         AS retention
 FROM cust_year cy
 JOIN cohort c USING (o_custkey)
 JOIN (SELECT cohort_yr, count(*) AS cohort_size FROM cohort GROUP BY 1) sz
@@ -235,6 +249,10 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 @register("qd5_cohort_retention", oracle=_QD5_ORACLE, tags=("A1", "A4", "J1"))
 def qd5_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention = n_active/cohort_size, an exact rational of two
+    counts — the same d2 tie class as qd4's year_share, respelled the
+    same way: half-up integer ppm via bigint div, displayed as the
+    IEEE division of identical integers (see qd4_mix_shift)."""
     o = load_table(spark, sf_dir, "orders")
     cust_year = o.select(
         "o_custkey", F.year("o_orderdate").alias("yr")
@@ -254,8 +272,15 @@ def qd5_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_active"),
-            F.round(
-                F.count(F.lit(1)) / F.max("cohort_size"), 6
+            F.max("cohort_size").alias("__sz"),
+        )
+        .select(
+            "cohort_year",
+            "years_since",
+            "n_active",
+            (
+                F.expr("(2 * n_active * 1000000 + __sz) div (2 * __sz)")
+                / F.lit(1000000.0)
             ).alias("retention"),
         )
         .orderBy("cohort_year", "years_since")

@@ -145,14 +145,22 @@ def all_queries() -> dict[str, Query]:
 #: delete the whole list's content at the start of the next round (the
 #: derived maps then carry the evidence).
 #:
-#: Round-15 entries: NONE — the round's code changes (the
-#: pruned_files/read_pruned temporal type-gate fixes, VERDICT-r14 #2 and
-#: the ADVICE items) alter only bound LITERALS inside the pruning path;
-#: every affected declared query was re-verified hash-identical via a
-#: scoped sim at sf0.01, so existing driver evidence stays valid and all
-#: ~50 driver slots flow to the 48-query <=r7 staleness backlog
-#: (VERDICT-r14 #1: the 5 r6-era rows sort first, then the 43 r7-era).
-_CHANGED_THIS_ROUND = []
+#: Round-15 entries (TWO — exactly the spare budget above the 48-query
+#: <=r7 staleness backlog, so the backlog still clears completely per
+#: VERDICT-r14 #1).  The pruned_files/read_pruned temporal type-gate
+#: fixes (VERDICT-r14 #2 + ADVICE) needed NO entries: they alter only
+#: bound literals inside the pruning path, and all six affected queries
+#: (m7/m7b/m9/m11/m13/p3) re-verified hash-identical via a scoped sim
+#: at sf0.01, so their driver evidence stays valid.
+_CHANGED_THIS_ROUND = [
+    # r15 round()-audit respells (VERDICT-r14 #4): year_share/retention
+    # were per-group round(count/count, 6) — an exact RATIONAL of two
+    # counts, the d2 tie class — respelled as half-up integer ppm via
+    # bigint div on both engines; re-verified hash-green at
+    # sf0.001/0.01/0.1
+    "qd4_mix_shift",
+    "qd5_cohort_retention",
+]
 
 
 def _driver_order_key(q: Query) -> tuple:

@@ -260,3 +260,46 @@ def test_plan_compare_normalizer():
     e = a.replace("hashpartitioning", "rangepartitioning")
     for other in (c, d, e):
         assert normalize(a) != normalize(other)
+
+
+def test_invariance_sweep_log_parser():
+    """Pin tools/invariance_sweep.py's per-axis counting against REAL
+    driver_sim output shapes: the axis check is (rc == 0) AND
+    (mismatch == 0) AND (match == oracled) AND (rows_only == expected),
+    so the parser mis-reading any line shape would either fail a clean
+    axis (annoying) or — worse — count a MISMATCH line as noise and
+    pass a broken one."""
+    from tools.invariance_sweep import AXES, parse_sim_log
+
+    lines = [
+        "SMOKE entry(): 32 rows, schema=['l_returnflag']\n",
+        "296 queries, 295 with oracle\n",
+        "  q1_pricing_summary: spark=4 duck=4 hash MATCH  [1.2s cum 1.2s]\n",
+        # progress-bar prefixed lines from Spark stages must NOT match
+        "[Stage 10:> (0 + 1) / 1]   q9_x: spark=1 duck=1 hash MATCH\n",
+        "  x3g_topk_vectorized_bench: rows-only, 10 rows  [0.5s cum 2s]\n",
+        "  d2_scalar_pandas_udf: spark=9 duck=9 hash MISMATCH ab12 vs cd34  [1s cum 3s]\n",
+        "RESULT: ALL MATCH\n",
+    ]
+    assert parse_sim_log(lines) == (1, 1, 1)
+
+    # run_axis reads the log with DEFAULT text mode, i.e. universal
+    # newlines: Spark's \r-progress-bars glue themselves onto query
+    # lines in the raw bytes ('\r[Stage 86:>...]\r\r   \r  q: ...'),
+    # and the \r-split is what un-glues them — pin the end-to-end
+    # behavior through a real file, not just the pure parser
+    import tempfile
+
+    raw = (
+        "\r[Stage 86:> (0 + 1) / 1]\r\r        "
+        "\r  d10_arrow_python_udf: spark=67 duck=67 hash MATCH  [2s cum 8s]\n"
+        "  x3g_topk_vectorized_bench: rows-only, 10 rows\n"
+    )
+    with tempfile.NamedTemporaryFile("w", suffix=".log", delete=False) as fh:
+        fh.write(raw)
+    with open(fh.name) as rd:
+        assert parse_sim_log(rd) == (1, 0, 1)
+
+    # every axis points at an existing fixture dir or the layout root
+    for name, (sf, env) in AXES.items():
+        assert sf.startswith(("/root/testdata/", "/tmp/")), (name, sf)

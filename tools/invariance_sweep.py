@@ -62,6 +62,26 @@ AXES: dict[str, tuple[str, dict[str, str]]] = {
 _LINE = re.compile(r"^  (\S+): (rows-only,|spark=\d+ duck=\d+ hash (MATCH|MISMATCH))")
 
 
+def parse_sim_log(lines) -> tuple[int, int, int]:
+    """(match, mismatch, rows_only) from driver_sim output lines — the
+    pure half of the per-axis check, unit-tested so a sim output-format
+    drift fails a test instead of silently zeroing every count (a
+    zeroed count would FAIL the axis loudly, but a regex that matches
+    the wrong thing could PASS it)."""
+    match = mismatch = rows_only = 0
+    for line in lines:
+        m = _LINE.match(line)
+        if not m:
+            continue
+        if m.group(2).startswith("rows-only"):
+            rows_only += 1
+        elif m.group(3) == "MATCH":
+            match += 1
+        else:
+            mismatch += 1
+    return match, mismatch, rows_only
+
+
 def registry_counts() -> tuple[int, int]:
     """(oracled, rows_only) straight from the live registry — the
     denominator every axis's per-query line count must hit."""
@@ -81,18 +101,8 @@ def run_axis(name: str, log_dir: str) -> dict:
         rc = subprocess.run(
             [sys.executable, SIM], env=env, stdout=fh, stderr=subprocess.STDOUT
         ).returncode
-    match = mismatch = rows_only = 0
     with open(log) as fh:
-        for line in fh:
-            m = _LINE.match(line)
-            if not m:
-                continue
-            if m.group(2).startswith("rows-only"):
-                rows_only += 1
-            elif m.group(3) == "MATCH":
-                match += 1
-            else:
-                mismatch += 1
+        match, mismatch, rows_only = parse_sim_log(fh)
     return {
         "axis": name,
         "rc": rc,

@@ -1238,6 +1238,20 @@ def temporal_bound_iso(v, sep: str = " ") -> str | None:
     return s.replace(" ", sep, 1) if sep != " " else s
 
 
+def is_temporal_dtype(dt) -> bool:
+    """THE one definition of 'temporal column' for bound normalization
+    — pruned_files, read_range and read_pruned's residual all gate on
+    this, so the temporal-type set can never diverge between the
+    pruning paths (review-pass r15: the gate was spelled twice)."""
+    from pyspark.sql.types import (
+        DateType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    return isinstance(dt, (DateType, TimestampNTZType, TimestampType))
+
+
 def partition_segments(path: str) -> list[tuple[str, str]]:
     """(key, unquoted value) pairs from a file path's hive-style
     partition directory segments — THE one decoder for the engine's
@@ -1404,18 +1418,23 @@ class PartitionedLakehouseTable(LakehouseTable):
         lo_iso, hi_iso = iso(lo), iso(hi)
 
         def residual(frame: DataFrame) -> DataFrame:
-            # The residual predicate compares the normalized ISO bounds
-            # CAST to the column's own dtype — the same treatment
+            # TEMPORAL columns compare the normalized ISO bounds CAST
+            # to the column's own dtype — the same treatment
             # read_range.bound() applies (ADVICE r14): a naive Python
             # datetime handed to Spark raw becomes a ZONED literal
             # converted through the driver process's LOCAL timezone, so
             # comparing it against an NTZ column would shift the range
-            # by the host's UTC offset.
+            # by the host's UTC offset.  A date-shaped STRING column
+            # (e.g. a truncate()-partitioned ISO-day column) compares
+            # the RAW bounds verbatim — padding them to '... 00:00:00'
+            # would over-filter its boundary rows lexicographically
+            # (review-pass r15, the same dtype gate as pruned_files).
             dt = frame.schema[col].dataType
-            return frame.filter(
-                (F.col(col) >= F.lit(lo_iso).cast(dt))
-                & (F.col(col) < F.lit(hi_iso).cast(dt))
-            )
+            if is_temporal_dtype(dt):
+                lo_l, hi_l = F.lit(lo_iso).cast(dt), F.lit(hi_iso).cast(dt)
+            else:
+                lo_l, hi_l = F.lit(lo), F.lit(hi)
+            return frame.filter((F.col(col) >= lo_l) & (F.col(col) < hi_l))
 
         files = self._files()
         prefixes = {f"p_{n}_{col}": n for n in ("years", "months", "days", "hours")}
@@ -1921,17 +1940,11 @@ class StatsLakehouseTable(LakehouseTable):
         # the timestamp convention after normalization.  The gate
         # travels with this API — callers can't forget it (VERDICT r14
         # #7).
-        from pyspark.sql.types import (
-            DateType,
-            StructType,
-            TimestampNTZType,
-            TimestampType,
-        )
+        from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(self.schema_json())
-        temporal_col = col in schema.fieldNames() and isinstance(
-            schema[col].dataType,
-            (DateType, TimestampNTZType, TimestampType),
+        temporal_col = col in schema.fieldNames() and is_temporal_dtype(
+            schema[col].dataType
         )
         if temporal_col:
             lo = temporal_bound_iso(lo, sep="T") or lo
@@ -1945,6 +1958,15 @@ class StatsLakehouseTable(LakehouseTable):
                 out.append(f)
                 continue
             fmin, fmax = s["min"][col], s["max"][col]
+            if temporal_col:
+                # self-healing for stats written before the midnight
+                # canonicalization (review-pass r15): manifests carry
+                # file stats FORWARD across commits, so a legacy
+                # date-only 'YYYY-MM-DD' stat on a DATE column would
+                # still sort before its own day's normalized bound —
+                # pad stats through the same normalizer the bounds use
+                fmin = temporal_bound_iso(fmin, sep="T") or fmin
+                fmax = temporal_bound_iso(fmax, sep="T") or fmax
             if not (fmax < lo or fmin > hi):
                 out.append(f)
         return out
@@ -2075,16 +2097,7 @@ class StatsLakehouseTable(LakehouseTable):
             files, self._read_manifest(self.main_head())
         )
 
-        from pyspark.sql.types import (
-            DateType,
-            TimestampNTZType,
-            TimestampType,
-        )
-
-        temporal_col = isinstance(
-            df.schema[col].dataType,
-            (DateType, TimestampNTZType, TimestampType),
-        )
+        temporal_col = is_temporal_dtype(df.schema[col].dataType)
 
         def bound(v):
             # only TEMPORAL columns get the ISO normalization + cast;

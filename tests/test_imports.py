@@ -262,7 +262,7 @@ def test_plan_compare_normalizer():
         assert normalize(a) != normalize(other)
 
 
-def test_invariance_sweep_log_parser():
+def test_invariance_sweep_log_parser(tmp_path):
     """Pin tools/invariance_sweep.py's per-axis counting against REAL
     driver_sim output shapes: the axis check is (rc == 0) AND
     (mismatch == 0) AND (match == oracled) AND (rows_only == expected),
@@ -288,16 +288,14 @@ def test_invariance_sweep_log_parser():
     # lines in the raw bytes ('\r[Stage 86:>...]\r\r   \r  q: ...'),
     # and the \r-split is what un-glues them — pin the end-to-end
     # behavior through a real file, not just the pure parser
-    import tempfile
-
     raw = (
         "\r[Stage 86:> (0 + 1) / 1]\r\r        "
         "\r  d10_arrow_python_udf: spark=67 duck=67 hash MATCH  [2s cum 8s]\n"
         "  x3g_topk_vectorized_bench: rows-only, 10 rows\n"
     )
-    with tempfile.NamedTemporaryFile("w", suffix=".log", delete=False) as fh:
-        fh.write(raw)
-    with open(fh.name) as rd:
+    log = tmp_path / "axis.log"
+    log.write_text(raw)
+    with open(log) as rd:
         assert parse_sim_log(rd) == (1, 0, 1)
 
     # every axis points at an existing fixture dir or the layout root

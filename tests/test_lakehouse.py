@@ -1242,3 +1242,54 @@ def test_pruned_files_date_shaped_string_column(spark, wh):
     assert len(kept) == 3, f"boundary-day file wrongly pruned: {kept}"
     assert t.read_range("d", "2024-01-02", "2024-01-02").count() == 1
     assert len(t.pruned_files("d", "2024-01-03", "2024-01-04")) == 0
+
+
+def test_read_pruned_residual_string_column_boundary(spark, wh):
+    """Review-pass r15: read_pruned's residual predicate must compare a
+    date-SHAPED STRING column against the RAW bounds — padding them to
+    '... 00:00:00' would drop the boundary day lexicographically
+    ('2024-01-02' >= '2024-01-02 00:00:00' is FALSE).  The string
+    column carries no time transform, so every file is kept and the
+    residual alone decides correctness."""
+    import datetime
+
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        PartitionedLakehouseTable,
+    )
+
+    rows = [
+        (datetime.datetime(2024, 1, d, 12), f"2024-01-{d:02d}", d)
+        for d in (2, 5, 9)
+    ]
+    t = PartitionedLakehouseTable(spark, wh, "sb", ["days(ts)"])
+    t.create(spark.createDataFrame(rows, "ts timestamp_ntz, d string, i long"))
+    out, kept, total = t.read_pruned("d", "2024-01-02", "2024-01-06")
+    assert kept == total  # no transform of d: nothing prunable
+    got = sorted(r.i for r in out.collect())
+    assert got == [2, 5], f"boundary day dropped: {got}"
+
+
+def test_pruned_files_self_heals_legacy_date_stats(spark, wh):
+    """Review-pass r15: manifests carry file stats FORWARD across
+    commits, so stats written before the midnight canonicalization
+    (bare 'YYYY-MM-DD' for DATE columns) can survive in a live table.
+    pruned_files must normalize the STAT side through the same
+    normalizer as the bounds, or the legacy stat sorts before its own
+    day's bound and the boundary file is wrongly pruned."""
+    import json
+
+    days = [__import__("datetime").date(2024, 1, d) for d in (2, 5, 9)]
+    t = _boundary_day_table(spark, wh, "d date, i long", days)
+    # rewrite the head manifest's stats to the LEGACY date-only form
+    head = t.main_head()
+    mpath = t._manifest_path(head)
+    m = json.loads(open(mpath).read())
+    for s in m["stats"].values():
+        for side in ("min", "max"):
+            if "d" in s[side]:
+                s[side]["d"] = s[side]["d"][:10]  # strip 'T00:00:00'
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    kept = t.pruned_files("d", "2024-01-02", "2024-01-09")
+    assert len(kept) == 3, f"legacy-stat boundary file wrongly pruned: {kept}"
+    assert t.read_range("d", "2024-01-02", "2024-01-02").count() == 1

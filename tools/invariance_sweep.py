@@ -88,6 +88,11 @@ def registry_counts() -> tuple[int, int]:
     from dbx_workspace_and_emr_iceberg_spark import registry
 
     qs = registry.all_queries()
+    # a quarantined queries module would shrink the denominator HERE
+    # and drop the same queries in every child sim — all axes would
+    # "PASS" with that module unswept, the exact failure mode the
+    # count check exists to catch (review-pass r15)
+    assert not registry._BROKEN_MODULES, registry._BROKEN_MODULES
     oracled = sum(1 for q in qs.values() if q.oracle is not None)
     return oracled, len(qs) - oracled
 

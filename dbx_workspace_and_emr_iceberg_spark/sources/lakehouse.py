@@ -1235,6 +1235,18 @@ def temporal_bound_iso(v, sep: str = " ") -> str | None:
             s += " 00:00:00"
         elif len(s) == 16:
             s += ":00"
+        if "." in s:
+            # canonicalize the FRACTION to the stats encoder's
+            # convention (datetime.isoformat: absent when zero, else
+            # exactly 6 digits) — review-pass r15: a short-fraction
+            # bound '…15.5' compared lexicographically against the
+            # 6-digit stat '…15.500000' and over-pruned the boundary
+            # file. Digits past microseconds are truncated — safe for
+            # this engine's timestamp[us] data: any value the extra
+            # digits could admit or exclude is not representable.
+            head, frac = s.split(".", 1)
+            frac = (frac + "000000")[:6]
+            s = head if int(frac) == 0 else f"{head}.{frac}"
     return s.replace(" ", sep, 1) if sep != " " else s
 
 
@@ -1942,14 +1954,33 @@ class StatsLakehouseTable(LakehouseTable):
         # #7).
         from pyspark.sql.types import StructType
 
-        schema = StructType.fromJson(self.schema_json())
+        head = self.main_head()
+        if head == 0:
+            raise ValueError(f"table {self.name} does not exist")
+        # ONE manifest read serves schema, file list and stats
+        # (review-pass r15: schema_json() + a second _read_manifest
+        # doubled the snapshot-log walks per range scan)
+        m = self._read_manifest(head)
+        schema = StructType.fromJson(m["schema"])
         temporal_col = col in schema.fieldNames() and is_temporal_dtype(
             schema[col].dataType
         )
         if temporal_col:
-            lo = temporal_bound_iso(lo, sep="T") or lo
-            hi = temporal_bound_iso(hi, sep="T") or hi
-        m = self._read_manifest(self.main_head())
+            lo_n = temporal_bound_iso(lo, sep="T")
+            hi_n = temporal_bound_iso(hi, sep="T")
+            if lo_n is None or hi_n is None:
+                # a bound the normalizer can't canonicalize must FAIL
+                # LOUDLY on a temporal column — the raw space-separated
+                # string would compare lexicographically against
+                # 'T'-separated stats and silently drop files
+                # (review-pass r15; fractional-minute ISO shapes like
+                # '08:30.5' are rejected: pass full seconds)
+                raise ValueError(
+                    f"unsupported temporal bound for {col!r}: "
+                    f"{lo!r}..{hi!r} — pass "
+                    "'YYYY-MM-DD[ HH:MM:SS[.ffffff]]' or datetime/date"
+                )
+            lo, hi = lo_n, hi_n
         stats = m.get("stats", {})
         out = []
         for f in m["files"]:

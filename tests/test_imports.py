@@ -298,6 +298,14 @@ def test_invariance_sweep_log_parser(tmp_path):
     with open(log) as rd:
         assert parse_sim_log(rd) == (1, 0, 1)
 
-    # every axis points at an existing fixture dir or the layout root
+    # static axes must point at fixture dirs that EXIST (a renamed
+    # fixture should fail here, not 10 minutes into the sweep's scale
+    # axis); the /tmp layout dirs are generated at sweep time, so only
+    # their prefix is checkable
+    import os
+
     for name, (sf, env) in AXES.items():
-        assert sf.startswith(("/root/testdata/", "/tmp/")), (name, sf)
+        if sf.startswith("/root/testdata/"):
+            assert os.path.isdir(sf), (name, sf)
+        else:
+            assert sf.startswith("/tmp/"), (name, sf)

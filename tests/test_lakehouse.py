@@ -1177,8 +1177,13 @@ def test_temporal_bound_iso_contract():
     assert temporal_bound_iso("1996-06-01T08:30:00") == "1996-06-01 08:30:00"
     assert temporal_bound_iso("1996-06-01 08:30:00", sep="T") == "1996-06-01T08:30:00"
     assert temporal_bound_iso("1996-06-01") == "1996-06-01 00:00:00"
-    # fractional seconds survive (stats may carry them)
-    assert temporal_bound_iso("1996-06-01 08:30:00.25", sep="T") == "1996-06-01T08:30:00.25"
+    # fractional seconds survive, canonicalized to the stats encoder's
+    # 6-digit convention (r15 — see
+    # test_temporal_bound_iso_fraction_canonicalization)
+    assert (
+        temporal_bound_iso("1996-06-01 08:30:00.25", sep="T")
+        == "1996-06-01T08:30:00.250000"
+    )
     # non-temporal strings: caller must pass through verbatim
     assert temporal_bound_iso("NEW YORK") is None
     assert temporal_bound_iso("ATLAS") is None
@@ -1293,3 +1298,60 @@ def test_pruned_files_self_heals_legacy_date_stats(spark, wh):
     kept = t.pruned_files("d", "2024-01-02", "2024-01-09")
     assert len(kept) == 3, f"legacy-stat boundary file wrongly pruned: {kept}"
     assert t.read_range("d", "2024-01-02", "2024-01-02").count() == 1
+
+
+def test_temporal_bound_iso_fraction_canonicalization():
+    """Review-pass r15: the stats encoder (datetime.isoformat) emits
+    NO fraction when microseconds are zero and EXACTLY six digits
+    otherwise — bounds must canonicalize to the same convention or the
+    lexicographic compare over-prunes ('…15.5' < '…15.500000')."""
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        temporal_bound_iso,
+    )
+
+    f = temporal_bound_iso
+    assert f("1996-06-01 08:30:15.5") == "1996-06-01 08:30:15.500000"
+    assert f("1996-06-01T08:30:15.5", sep="T") == "1996-06-01T08:30:15.500000"
+    # zero fractions strip entirely (isoformat omits zero micros)
+    assert f("1996-06-01 08:30:15.0") == "1996-06-01 08:30:15"
+    assert f("1996-06-01 08:30:15.000000") == "1996-06-01 08:30:15"
+    # digits past microseconds truncate (timestamp[us] data)
+    assert f("1996-06-01 08:30:15.1234567") == "1996-06-01 08:30:15.123456"
+    import datetime
+
+    assert (
+        f(datetime.datetime(1996, 6, 1, 8, 30, 15, 500000))
+        == "1996-06-01 08:30:15.500000"
+    )
+
+
+def test_pruned_files_fractional_second_boundary(spark, wh):
+    """A timestamp file whose max is exactly the lo bound's
+    fractional-second instant must be KEPT: stats carry 6-digit
+    microseconds, so a short-fraction bound must canonicalize before
+    the lexicographic compare (review-pass r15)."""
+    import datetime
+
+    ts = [datetime.datetime(2024, 1, 2, 8, 30, 15, 500000),
+          datetime.datetime(2024, 1, 5, 0, 0, 0),
+          datetime.datetime(2024, 1, 9, 0, 0, 0)]
+    t = _boundary_day_table(spark, wh, "d timestamp_ntz, i long", ts)
+    kept = t.pruned_files("d", "2024-01-02 08:30:15.5", "2024-01-09")
+    assert len(kept) == 3, f"fractional boundary file wrongly pruned: {kept}"
+    got = t.read_range("d", "2024-01-02 08:30:15.5", "2024-01-02 08:30:15.5")
+    assert [r.i for r in got.collect()] == [0]
+
+
+def test_pruned_files_rejects_unparseable_temporal_bound(spark, wh):
+    """A bound the normalizer cannot canonicalize must FAIL LOUDLY on a
+    temporal column (review-pass r15): the raw space-separated string
+    would compare lexicographically against 'T'-separated stats and
+    silently prune matching files."""
+    import datetime
+
+    import pytest as _pytest
+
+    days = [datetime.date(2024, 1, d) for d in (2, 5, 9)]
+    t = _boundary_day_table(spark, wh, "d date, i long", days)
+    with _pytest.raises(ValueError, match="unsupported temporal bound"):
+        t.pruned_files("d", "2024-01-02 08:30.5", "2024-01-09")

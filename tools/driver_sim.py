@@ -30,15 +30,14 @@ assert len(rows) > 0
 print(rows[0])
 
 # t2 oracle compare at sf0.01
-import os as _os
-SF = _os.environ.get("SF", "/root/testdata/sf0.01")
+SF = os.environ.get("SF", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     # directory-shaped tables (tools/make_layout_fixtures.py's
     # multi-file variant — the 100 TB layout) need a glob; Spark's
     # reader handles both shapes natively
     p = f"{SF}/{t}.parquet"
-    if _os.path.isdir(p):
+    if os.path.isdir(p):
         p += "/*.parquet"
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 

@@ -773,3 +773,46 @@ def test_windowspec_parser_fuzz(specs):
         want.append(", ".join(parts))
     plan = "\n+- ".join(chunks)
     assert parse(plan) == want
+
+
+def test_temporal_bound_iso_properties():
+    """Property-pin the bound normalizer (r15): IDEMPOTENT in both
+    separator conventions (the pruned_files self-heal path re-runs it
+    on already-canonical stats), and AGREED with the stats encoder —
+    for any datetime/date, normalizing the encoder's output equals
+    normalizing the object itself, so bound-vs-stat compares are
+    exact at every boundary."""
+    import datetime
+
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        temporal_bound_iso,
+    )
+
+    dts = st.datetimes(
+        min_value=datetime.datetime(1970, 1, 1),
+        max_value=datetime.datetime(2100, 1, 1),
+    )
+
+    @given(dts, st.sampled_from([" ", "T"]))
+    def check(dt, sep):
+        out = temporal_bound_iso(dt, sep=sep)
+        # canonical: full seconds, fraction absent or exactly 6 digits
+        assert len(out) == 19 or (len(out) == 26 and out[19] == ".")
+        assert out[10] == sep
+        # idempotent through EITHER separator convention
+        assert temporal_bound_iso(out, sep=sep) == out
+        other = "T" if sep == " " else " "
+        assert temporal_bound_iso(out, sep=other) == out.replace(sep, other, 1)
+        # encoder agreement: isoformat()-encoded stats normalize to the
+        # same canonical string as the object (datetime stats path)
+        assert temporal_bound_iso(dt.isoformat(), sep=sep) == out
+        # date stats path: midnight-canonical both ways
+        d = dt.date()
+        assert temporal_bound_iso(d.isoformat() + "T00:00:00", sep=sep) == (
+            temporal_bound_iso(d, sep=sep)
+        )
+
+    check()

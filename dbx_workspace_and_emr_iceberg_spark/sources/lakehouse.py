@@ -1223,6 +1223,13 @@ def temporal_bound_iso(v, sep: str = " ") -> str | None:
     import datetime
 
     if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            # zoned instants canonicalize to UTC-NAIVE (review-pass
+            # r15): an offset-suffixed '…15+00:00' compares
+            # lexicographically against naive stats and over-prunes;
+            # UTC civil order equals instant order, and the session
+            # pins UTC so civil values are what the engine compares
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
         s = v.isoformat(sep=" ")
     elif isinstance(v, datetime.date):
         s = f"{v.isoformat()} 00:00:00"
@@ -1241,9 +1248,12 @@ def temporal_bound_iso(v, sep: str = " ") -> str | None:
             # exactly 6 digits) — review-pass r15: a short-fraction
             # bound '…15.5' compared lexicographically against the
             # 6-digit stat '…15.500000' and over-pruned the boundary
-            # file. Digits past microseconds are truncated — safe for
-            # this engine's timestamp[us] data: any value the extra
-            # digits could admit or exclude is not representable.
+            # file. Digits past microseconds TRUNCATE — the same thing
+            # Spark's cast does in the residual/filter, so pruning and
+            # filtering always agree; note a truncated lo bound is up
+            # to 1 µs more inclusive than the sub-µs literal asked for
+            # (a row at exactly …15.000000 passes lo '…15.0000001') —
+            # timestamp[us] engines cannot honor sub-µs bounds exactly.
             head, frac = s.split(".", 1)
             frac = (frac + "000000")[:6]
             s = head if int(frac) == 0 else f"{head}.{frac}"
@@ -1448,7 +1458,13 @@ class PartitionedLakehouseTable(LakehouseTable):
                 lo_l, hi_l = F.lit(lo), F.lit(hi)
             return frame.filter((F.col(col) >= lo_l) & (F.col(col) < hi_l))
 
-        files = self._files()
+        # ONE snapshot-log walk + manifest read serves file list,
+        # schema and the scan (review-pass r15)
+        head = self.main_head()
+        if head == 0:
+            raise ValueError(f"table {self.name} does not exist")
+        m = self._read_manifest(head)
+        files = m["files"]
         prefixes = {f"p_{n}_{col}": n for n in ("years", "months", "days", "hours")}
         keep = []
         for f in files:
@@ -1467,14 +1483,12 @@ class PartitionedLakehouseTable(LakehouseTable):
                     verdict = seg_ok if verdict is None else (verdict and seg_ok)
             if verdict is None or verdict:
                 keep.append(f)
-        schema = StructType.fromJson(self.schema_json())
+        schema = StructType.fromJson(m["schema"])
         if not keep:
             empty = self.spark.createDataFrame([], schema)
             out = residual(empty)
             return (out, [], list(files)) if with_files else (out, 0, len(files))
-        df = self._scan_files(
-            sorted(keep), self._read_manifest(self.main_head())
-        )
+        df = self._scan_files(sorted(keep), m)
         out = residual(df)
         if with_files:
             return out, sorted(keep), list(files)
@@ -1880,7 +1894,10 @@ def _file_column_stats(path: str) -> dict[str, list]:
 
     def enc(v):
         # datetime first (it subclasses date): 'T'-separated with
-        # seconds.  Bare dates gain an explicit midnight so DATE-column
+        # seconds, zoned instants stored UTC-NAIVE (a pyarrow stat from
+        # a Spark-written zoned column is tz-aware; its '+00:00' suffix
+        # would defeat every lexicographic compare — review-pass r15).
+        # Bare dates gain an explicit midnight so DATE-column
         # stats share the timestamp convention — pruned_files compares
         # bounds lexicographically after normalizing them to the SAME
         # 'YYYY-MM-DDTHH:MM:SS' shape, and a date-only stat would sort
@@ -1888,6 +1905,10 @@ def _file_column_stats(path: str) -> dict[str, list]:
         # '2024-01-02T00:00:00'), wrongly pruning the file whose max is
         # exactly the bound's day (VERDICT r14 #2).
         if isinstance(v, datetime.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(datetime.timezone.utc).replace(
+                    tzinfo=None
+                )
             return v.isoformat()
         if isinstance(v, datetime.date):
             return v.isoformat() + "T00:00:00"
@@ -1939,6 +1960,16 @@ class StatsLakehouseTable(LakehouseTable):
     def pruned_files(self, col: str, lo, hi) -> list[str]:
         """Files whose [min,max] for col intersects [lo,hi] — the scan
         set for a range predicate. Files without stats are kept (safe)."""
+        head = self.main_head()
+        if head == 0:
+            raise ValueError(f"table {self.name} does not exist")
+        return self._pruned_files_in(self._read_manifest(head), col, lo, hi)
+
+    def _pruned_files_in(self, m: dict, col: str, lo, hi) -> list[str]:
+        """pruned_files against an ALREADY-READ head manifest — range
+        scans read the snapshot log once and share the manifest between
+        pruning, schema and the file scan (review-pass r15: the scan
+        path walked the log three times per call)."""
         # stats store timestamps as ISO strings; normalize TEMPORAL
         # bounds to the stats' 'T'-separated convention (ISO-8601
         # orders lexicographically only within one separator
@@ -1954,13 +1985,6 @@ class StatsLakehouseTable(LakehouseTable):
         # #7).
         from pyspark.sql.types import StructType
 
-        head = self.main_head()
-        if head == 0:
-            raise ValueError(f"table {self.name} does not exist")
-        # ONE manifest read serves schema, file list and stats
-        # (review-pass r15: schema_json() + a second _read_manifest
-        # doubled the snapshot-log walks per range scan)
-        m = self._read_manifest(head)
         schema = StructType.fromJson(m["schema"])
         temporal_col = col in schema.fieldNames() and is_temporal_dtype(
             schema[col].dataType
@@ -2120,13 +2144,17 @@ class StatsLakehouseTable(LakehouseTable):
         NTZ column shifted the range by the host's UTC offset."""
         from pyspark.sql.types import StructType
 
-        files = self.pruned_files(col, lo, hi)
+        head = self.main_head()
+        if head == 0:
+            raise ValueError(f"table {self.name} does not exist")
+        # ONE snapshot-log walk + manifest read serves pruning, schema
+        # and the file scan (review-pass r15)
+        m = self._read_manifest(head)
+        files = self._pruned_files_in(m, col, lo, hi)
         if not files:
-            schema = StructType.fromJson(self.schema_json())
+            schema = StructType.fromJson(m["schema"])
             return self.spark.createDataFrame([], schema)
-        df = self._scan_files(
-            files, self._read_manifest(self.main_head())
-        )
+        df = self._scan_files(files, m)
 
         temporal_col = is_temporal_dtype(df.schema[col].dataType)
 

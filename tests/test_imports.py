@@ -269,7 +269,7 @@ def test_invariance_sweep_log_parser(tmp_path):
     so the parser mis-reading any line shape would either fail a clean
     axis (annoying) or — worse — count a MISMATCH line as noise and
     pass a broken one."""
-    from tools.invariance_sweep import AXES, parse_sim_log
+    from tools.invariance_sweep import parse_sim_log
 
     lines = [
         "SMOKE entry(): 32 rows, schema=['l_returnflag']\n",
@@ -298,11 +298,15 @@ def test_invariance_sweep_log_parser(tmp_path):
     with open(log) as rd:
         assert parse_sim_log(rd) == (1, 0, 1)
 
-    # static axes must point at fixture dirs that EXIST (a renamed
-    # fixture should fail here, not 10 minutes into the sweep's scale
-    # axis); the /tmp layout dirs are generated at sweep time, so only
-    # their prefix is checkable
+
+def test_invariance_sweep_axes_point_at_fixtures():
+    """Separate from the parser pin (review-pass r15): this one is
+    fixture-coupled by design — a renamed fixture dir should fail HERE,
+    not 10 minutes into the sweep's scale axis. The /tmp layout dirs
+    are generated at sweep time, so only their prefix is checkable."""
     import os
+
+    from tools.invariance_sweep import AXES
 
     for name, (sf, env) in AXES.items():
         if sf.startswith("/root/testdata/"):

@@ -1355,3 +1355,27 @@ def test_pruned_files_rejects_unparseable_temporal_bound(spark, wh):
     t = _boundary_day_table(spark, wh, "d date, i long", days)
     with _pytest.raises(ValueError, match="unsupported temporal bound"):
         t.pruned_files("d", "2024-01-02 08:30.5", "2024-01-09")
+
+
+def test_pruned_files_zoned_timestamp_column_boundary(spark, wh):
+    """Review-pass r15: a ZONED TimestampType column's pyarrow stats
+    are tz-aware ('…+00:00' in isoformat), and tz-aware bounds carried
+    the same suffix — either side's offset defeats the lexicographic
+    compare against the naive canonical form, silently over-pruning
+    the exact-boundary file.  Both the stats encoder and the bound
+    normalizer now canonicalize zoned instants to UTC-naive."""
+    import datetime
+
+    utc = datetime.timezone.utc
+    ts = [datetime.datetime(2024, 1, d, 8, 30, 15, tzinfo=utc)
+          for d in (2, 5, 9)]
+    t = _boundary_day_table(spark, wh, "d timestamp, i long", ts)
+    assert len(t._files()) == 3
+    # tz-aware datetime bounds at the exact boundary instants
+    kept = t.pruned_files("d", ts[0], ts[2])
+    assert len(kept) == 3, f"zoned boundary file wrongly pruned: {kept}"
+    got = t.read_range("d", ts[0], ts[0]).collect()
+    assert [r.i for r in got] == [0]
+    # naive ISO-string bounds against the zoned column's stats
+    kept2 = t.pruned_files("d", "2024-01-02 08:30:15", "2024-01-09 08:30:15")
+    assert len(kept2) == 3, f"naive bound vs zoned stats pruned: {kept2}"

@@ -279,9 +279,14 @@ def test_invariance_sweep_log_parser(tmp_path):
         "[Stage 10:> (0 + 1) / 1]   q9_x: spark=1 duck=1 hash MATCH\n",
         "  x3g_topk_vectorized_bench: rows-only, 10 rows  [0.5s cum 2s]\n",
         "  d2_scalar_pandas_udf: spark=9 duck=9 hash MISMATCH ab12 vs cd34  [1s cum 3s]\n",
+        # the rerun axis's divergence shapes (r15): an oracled rerun
+        # divergence is a MISMATCH line; a rows-only divergence matches
+        # NOTHING, so it fails the axis via the rows-only count check
+        "  f9_listagg: spark=5 duck=5 hash MISMATCH rerun ab12 vs cd34  [1s cum 4s]\n",
+        "  x3g_topk_vectorized_bench: rerun-diverged ab12 vs cd34\n",
         "RESULT: ALL MATCH\n",
     ]
-    assert parse_sim_log(lines) == (1, 1, 1)
+    assert parse_sim_log(lines) == (1, 2, 1)
 
     # run_axis reads the log with DEFAULT text mode, i.e. universal
     # newlines: Spark's \r-progress-bars glue themselves onto query

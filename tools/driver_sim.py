@@ -12,13 +12,30 @@ from pyspark.sql import SparkSession
 import __spark_entry__ as E
 
 # tools/invariance_sweep.py axes: task-parallelism / shuffle-partition
-# count / AQE are sweep variables — correctness must not depend on any
-# of them (defaults preserved for the plain gate run)
+# count / AQE / whole-stage codegen / Arrow batch size / input split
+# size are sweep variables — correctness must not depend on any of
+# them (every default here equals Spark's own default, so the plain
+# gate run is byte-identical to an unconfigured session)
 spark = (SparkSession.builder.master(os.environ.get("SIM_MASTER", "local[8]"))
          .config("spark.sql.shuffle.partitions",
                  os.environ.get("SIM_SHUFFLE_PARTITIONS", "8"))
          .config("spark.sql.adaptive.enabled",
                  os.environ.get("SIM_AQE", "true"))
+         .config("spark.sql.codegen.wholeStage",
+                 os.environ.get("SIM_CODEGEN", "true"))
+         # a tiny batch (e.g. 7) forces every scalar pandas UDF and
+         # mapInPandas body through MANY partial batches — any
+         # accidental batch==partition or batch==group assumption
+         # diverges
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                 os.environ.get("SIM_ARROW_BATCH", "10000"))
+         # tiny maxPartitionBytes + zero open cost shatters every file
+         # scan into many splits (and empty tail partitions) — any
+         # per-input-partition assumption diverges
+         .config("spark.sql.files.maxPartitionBytes",
+                 os.environ.get("SIM_MAX_PARTITION_BYTES", "134217728"))
+         .config("spark.sql.files.openCostInBytes",
+                 os.environ.get("SIM_OPEN_COST", "4194304"))
          .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 
@@ -60,6 +77,14 @@ def vhash(cols, rows):
     lines = sorted("|".join(cell(r[i]) for i in order) for r in rows)
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:12]
 
+# tools/invariance_sweep.py 'rerun' axis: build + collect every query
+# TWICE in the same session and require identical value hashes — the
+# within-session determinism the oracle compare only samples (a
+# nondeterministic collect_list order or an unseeded sample can look
+# green on any single run). Safe to re-run: every side-effectful query
+# mkdtemp()s its own warehouse/checkpoint per call.
+TWICE = os.environ.get("SIM_TWICE") == "1"
+
 qs, osql = E.queries(), E.oracle_sql()
 only = set(sys.argv[1:])  # optional: spot-check just these names
 if only:
@@ -78,13 +103,26 @@ for name, fn in qs.items():  # registration order == driver order
     # .cache() in the CacheManager (VERDICT r12 #4; bench.py already
     # clears per timed run)
     spark.catalog.clearCache()
+    sh = vhash(df.columns, srows)
+    rerun_ok = True
+    if TWICE:
+        df2 = fn(spark, SF)
+        sh2 = vhash(df2.columns, [tuple(r) for r in df2.collect()])
+        spark.catalog.clearCache()
+        rerun_ok = sh == sh2
     if name not in osql:
+        if not rerun_ok:
+            # deliberately does NOT match the sweep parser's rows-only
+            # shape: the axis then fails BOTH the rc check and the
+            # rows-only count check
+            print(f"  {name}: rerun-diverged {sh} vs {sh2}"); fail += 1; continue
         print(f"  {name}: rows-only, {len(srows)} rows  [{time.time()-t0:.2f}s cum {time.time()-t_start:.1f}s]"); continue
     res = con.execute(osql[name])
     dcols = [c[0] for c in res.description]; drows = res.fetchall()
-    sh, dh = vhash(df.columns, srows), vhash(dcols, drows)
-    ok = (len(srows)==len(drows)) and sorted(df.columns)==sorted(dcols) and sh==dh
-    print(f"  {name}: spark={len(srows)} duck={len(drows)} hash {'MATCH' if ok else 'MISMATCH '+sh+' vs '+dh}  [{time.time()-t0:.2f}s cum {time.time()-t_start:.1f}s]")
+    dh = vhash(dcols, drows)
+    ok = (len(srows)==len(drows)) and sorted(df.columns)==sorted(dcols) and sh==dh and rerun_ok
+    tag = 'MATCH' if ok else ('MISMATCH rerun '+sh+' vs '+sh2 if not rerun_ok else 'MISMATCH '+sh+' vs '+dh)
+    print(f"  {name}: spark={len(srows)} duck={len(drows)} hash {tag}  [{time.time()-t0:.2f}s cum {time.time()-t_start:.1f}s]")
     fail += 0 if ok else 1
 print(f"TOTAL query wall: {time.time()-t_start:.1f}s")
 print("RESULT:", "ALL MATCH" if fail==0 else f"{fail} FAILURES")

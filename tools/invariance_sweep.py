@@ -1,13 +1,14 @@
-"""One-command six-axis invariance sweep (VERDICT r14 #3).
+"""One-command invariance sweep (VERDICT r14 #3; ten axes since r15).
 
-r14 ran these six axes by hand and they found ten real bugs the sf0.01
-gate had passed for 13 rounds (half-cent rounding ties at 10x scale,
-a stream source that read ZERO rows from directory-shaped tables,
-file-count pruning contracts that were layout noise, six host-TZ
-dependencies).  This wraps them in one command so every round can
-re-run the program mechanically:
+r14 ran the first six axes by hand and they found ten real bugs the
+sf0.01 gate had passed for 13 rounds (half-cent rounding ties at 10x
+scale, a stream source that read ZERO rows from directory-shaped
+tables, file-count pruning contracts that were layout noise, six
+host-TZ dependencies).  r15 mechanized them and added four
+execution-engine axes (codegen off / tiny Arrow batches / shattered
+input splits / run-twice determinism).  Usage:
 
-    python tools/invariance_sweep.py              # all six axes
+    python tools/invariance_sweep.py              # all axes
     python tools/invariance_sweep.py tz aqe_off   # a subset
 
 Axes (each a FULL driver_sim run in a fresh subprocess):
@@ -18,6 +19,11 @@ Axes (each a FULL driver_sim run in a fresh subprocess):
   partitions  SIM_MASTER=local[4] SIM_SHUFFLE_PARTITIONS=3 at sf0.001
   aqe_off     SIM_AQE=false at sf0.001
   tz          TZ=America/New_York at sf0.001
+  codegen_off SIM_CODEGEN=false at sf0.001        (r15)
+  arrow_batch SIM_ARROW_BATCH=7 at sf0.001        (r15)
+  splits      SIM_MAX_PARTITION_BYTES=64k at sf0.01 (r15)
+  rerun       SIM_TWICE=1 at sf0.001 — build+collect each query twice,
+              identical value hashes (within-session determinism) (r15)
 
 Per-axis PASS requires ALL of:
   * driver_sim exit code 0,
@@ -57,6 +63,28 @@ AXES: dict[str, tuple[str, dict[str, str]]] = {
     ),
     "aqe_off": ("/root/testdata/sf0.001", {"SIM_AQE": "false"}),
     "tz": ("/root/testdata/sf0.001", {"TZ": "America/New_York"}),
+    # r15 additions — execution-engine axes the config sweep missed:
+    # interpreted (non-codegen) expression evaluation must agree with
+    # whole-stage-codegen output ...
+    "codegen_off": ("/root/testdata/sf0.001", {"SIM_CODEGEN": "false"}),
+    # ... every pandas-UDF / mapInPandas body must be Arrow-batch-size
+    # invariant (batch 7 forces thousands of partial batches; an
+    # accidental batch==partition or batch==group aggregate diverges) ...
+    "arrow_batch": ("/root/testdata/sf0.001", {"SIM_ARROW_BATCH": "7"}),
+    # ... and every scan-adjacent computation must be input-SPLIT
+    # invariant: 64 KiB maxPartitionBytes + zero open cost shatters the
+    # sf0.01 single-file tables into many splits plus empty tail
+    # partitions (parquet can only split at row-group boundaries, so the
+    # extras arrive EMPTY — the shape mapInPandas sees at 100 TB when a
+    # filter empties a task)
+    "splits": (
+        "/root/testdata/sf0.01",
+        {"SIM_MAX_PARTITION_BYTES": "65536", "SIM_OPEN_COST": "0"},
+    ),
+    # ... and every query must be within-session DETERMINISTIC: build +
+    # collect twice, identical value hashes (the oracle compare only
+    # samples one run of a nondeterministic query)
+    "rerun": ("/root/testdata/sf0.001", {"SIM_TWICE": "1"}),
 }
 
 _LINE = re.compile(r"^  (\S+): (rows-only,|spark=\d+ duck=\d+ hash (MATCH|MISMATCH))")

@@ -304,6 +304,24 @@ def test_invariance_sweep_log_parser(tmp_path):
         assert parse_sim_log(rd) == (1, 0, 1)
 
 
+def test_invariance_sweep_parse_args():
+    """--jobs parsing must not eat axis names (and vice versa): a flag
+    mistaken for an axis would abort the sweep; an axis mistaken for a
+    flag would silently skip it."""
+    import pytest
+
+    from tools.invariance_sweep import AXES, parse_args
+
+    assert parse_args([]) == (list(AXES), 1)
+    assert parse_args(["--jobs=4"]) == (list(AXES), 4)
+    assert parse_args(["tz", "aqe_off"]) == (["tz", "aqe_off"], 1)
+    assert parse_args(["--jobs=2", "rerun"]) == (["rerun"], 2)
+    with pytest.raises(AssertionError):
+        parse_args(["nonsense_axis"])
+    with pytest.raises(AssertionError):
+        parse_args(["--jobs=0"])
+
+
 def test_invariance_sweep_axes_point_at_fixtures():
     """Separate from the parser pin (review-pass r15): this one is
     fixture-coupled by design — a renamed fixture dir should fail HERE,

@@ -8,8 +8,10 @@ host-TZ dependencies).  r15 mechanized them and added four
 execution-engine axes (codegen off / tiny Arrow batches / shattered
 input splits / run-twice determinism).  Usage:
 
-    python tools/invariance_sweep.py              # all axes
+    python tools/invariance_sweep.py              # all axes, serial
     python tools/invariance_sweep.py tz aqe_off   # a subset
+    python tools/invariance_sweep.py --jobs=4     # 4 axes at a time
+                                                  # (~59 min -> ~17)
 
 Axes (each a FULL driver_sim run in a fresh subprocess):
 
@@ -147,10 +149,24 @@ def run_axis(name: str, log_dir: str) -> dict:
     }
 
 
-def main(argv: list[str]) -> int:
-    names = argv or list(AXES)
+def parse_args(argv: list[str]) -> tuple[list[str], int]:
+    """(axis names, jobs) from argv — unit-tested separately from the
+    subprocess machinery."""
+    jobs, names = 1, []
+    for a in argv:
+        if a.startswith("--jobs="):
+            jobs = int(a.split("=", 1)[1])
+            assert jobs >= 1, f"--jobs must be >= 1, got {jobs}"
+        else:
+            names.append(a)
+    names = names or list(AXES)
     unknown = [n for n in names if n not in AXES]
     assert not unknown, f"unknown axes {unknown}; valid: {list(AXES)}"
+    return names, jobs
+
+
+def main(argv: list[str]) -> int:
+    names, jobs = parse_args(argv)
     log_dir = os.environ.get("SWEEP_LOG_DIR", "/tmp/invariance_sweep")
     os.makedirs(log_dir, exist_ok=True)
 
@@ -171,24 +187,37 @@ def main(argv: list[str]) -> int:
         f"registry: {want_oracled} oracled + {want_rows_only} rows-only "
         f"= {want_oracled + want_rows_only} queries; axes: {names}"
     )
-    results, ok = [], True
-    for name in names:
-        r = run_axis(name, log_dir)
+    def finish(r: dict) -> bool:
         r["pass"] = (
             r["rc"] == 0
             and r["mismatch"] == 0
             and r["match"] == want_oracled
             and r["rows_only"] == want_rows_only
         )
-        ok &= r["pass"]
-        results.append(r)
         print(
-            f"  {name:<11} {'PASS' if r['pass'] else 'FAIL'}  "
+            f"  {r['axis']:<11} {'PASS' if r['pass'] else 'FAIL'}  "
             f"match={r['match']}/{want_oracled} mismatch={r['mismatch']} "
             f"rows_only={r['rows_only']}/{want_rows_only} rc={r['rc']} "
             f"[{r['secs']}s  {r['log']}]",
             flush=True,
         )
+        return r["pass"]
+
+    ok = True
+    if jobs == 1:
+        for name in names:
+            ok &= finish(run_axis(name, log_dir))
+    else:
+        # each axis is its own subprocess (own JVM) — threads here only
+        # wait on them; results print in COMPLETION order. Per-axis wall
+        # times inflate under co-scheduling: compare timings only
+        # against serial runs.
+        from concurrent.futures import ThreadPoolExecutor, as_completed
+
+        with ThreadPoolExecutor(max_workers=jobs) as ex:
+            futs = [ex.submit(run_axis, n, log_dir) for n in names]
+            for f in as_completed(futs):
+                ok &= finish(f.result())
     print("SWEEP:", "ALL AXES PASS" if ok else "FAILURES — see logs")
     return 0 if ok else 1
 

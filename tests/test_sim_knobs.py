@@ -24,6 +24,9 @@ K_CODEGEN = "spark.sql.codegen.wholeStage"
 K_ARROW = "spark.sql.execution.arrow.maxRecordsPerBatch"
 K_SPLIT = "spark.sql.files.maxPartitionBytes"
 K_OPEN = "spark.sql.files.openCostInBytes"
+K_BCAST = "spark.sql.autoBroadcastJoinThreshold"
+K_VEC = "spark.sql.parquet.enableVectorizedReader"
+K_AQE = "spark.sql.adaptive.enabled"
 
 
 @pytest.fixture
@@ -47,7 +50,7 @@ def conf_scope(spark):
 def test_driver_sim_spells_the_same_keys():
     with open(os.path.join(REPO, "tools", "driver_sim.py")) as fh:
         src = fh.read()
-    for key in (K_CODEGEN, K_ARROW, K_SPLIT, K_OPEN):
+    for key in (K_CODEGEN, K_ARROW, K_SPLIT, K_OPEN, K_BCAST, K_VEC):
         assert key in src, f"driver_sim.py no longer sets {key}"
 
 
@@ -85,6 +88,40 @@ def test_arrow_batch_knob_caps_mapinpandas_batches(spark, conf_scope):
     assert max(sizes) <= 7, sizes
     assert len(sizes) >= 15, sizes
     assert sum(sizes) == 100, sizes
+
+
+def test_broadcast_knob_flips_unhinted_join_strategy(spark, conf_scope):
+    conf_scope(K_AQE, "false")  # static executedPlan for inspection
+
+    def plan() -> str:
+        df = spark.range(1000).join(spark.range(10), "id")
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    conf_scope(K_BCAST, "10MB")
+    assert "BroadcastHashJoin" in plan()
+    conf_scope(K_BCAST, "-1")
+    off = plan()
+    assert "BroadcastHashJoin" not in off, off
+
+
+def test_vectorized_knob_toggles_columnar_scan(spark, conf_scope):
+    path = "/root/testdata/sf0.001/nation.parquet"
+
+    def plan() -> str:
+        df = spark.read.parquet(path).selectExpr("n_nationkey + 1 AS k")
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    conf_scope(K_VEC, "true")
+    assert "ColumnarToRow" in plan()
+    conf_scope(K_VEC, "false")
+    off = plan()
+    assert "ColumnarToRow" not in off, off
+    # the knob changes the DECODER, never the DATA
+    conf_scope(K_VEC, "true")
+    on_rows = sorted(map(tuple, spark.read.parquet(path).collect()))
+    conf_scope(K_VEC, "false")
+    off_rows = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert on_rows == off_rows
 
 
 def test_split_knobs_shatter_a_single_file_scan(spark, conf_scope):

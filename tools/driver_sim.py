@@ -36,6 +36,15 @@ spark = (SparkSession.builder.master(os.environ.get("SIM_MASTER", "local[8]"))
                  os.environ.get("SIM_MAX_PARTITION_BYTES", "134217728"))
          .config("spark.sql.files.openCostInBytes",
                  os.environ.get("SIM_OPEN_COST", "4194304"))
+         # -1 disables AUTO broadcasts: every un-hinted join must agree
+         # with its shuffle-side strategy (explicit F.broadcast() hints
+         # are unaffected — at 100 TB the planner's size estimates flip
+         # strategies all the time, results must not care)
+         .config("spark.sql.autoBroadcastJoinThreshold",
+                 os.environ.get("SIM_BROADCAST", "10MB"))
+         # row-based parquet decode must agree with the vectorized reader
+         .config("spark.sql.parquet.enableVectorizedReader",
+                 os.environ.get("SIM_VECTORIZED", "true"))
          .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 

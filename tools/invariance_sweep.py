@@ -1,12 +1,13 @@
-"""One-command invariance sweep (VERDICT r14 #3; ten axes since r15).
+"""One-command invariance sweep (VERDICT r14 #3; twelve axes since r15).
 
 r14 ran the first six axes by hand and they found ten real bugs the
 sf0.01 gate had passed for 13 rounds (half-cent rounding ties at 10x
 scale, a stream source that read ZERO rows from directory-shaped
 tables, file-count pruning contracts that were layout noise, six
-host-TZ dependencies).  r15 mechanized them and added four
+host-TZ dependencies).  r15 mechanized them and added six
 execution-engine axes (codegen off / tiny Arrow batches / shattered
-input splits / run-twice determinism).  Usage:
+input splits / run-twice determinism / no auto-broadcast /
+non-vectorized parquet).  Usage:
 
     python tools/invariance_sweep.py              # all axes, serial
     python tools/invariance_sweep.py tz aqe_off   # a subset
@@ -26,6 +27,10 @@ Axes (each a FULL driver_sim run in a fresh subprocess):
   splits      SIM_MAX_PARTITION_BYTES=64k at sf0.01 (r15)
   rerun       SIM_TWICE=1 at sf0.001 — build+collect each query twice,
               identical value hashes (within-session determinism) (r15)
+  no_broadcast SIM_BROADCAST=-1 at sf0.001 — un-hinted joins all run
+              shuffle-side; join-strategy invariance (r15)
+  vectorized_off SIM_VECTORIZED=false at sf0.001 — row-based parquet
+              decode must agree with the vectorized reader (r15)
 
 Per-axis PASS requires ALL of:
   * driver_sim exit code 0,
@@ -87,6 +92,16 @@ AXES: dict[str, tuple[str, dict[str, str]]] = {
     # collect twice, identical value hashes (the oracle compare only
     # samples one run of a nondeterministic query)
     "rerun": ("/root/testdata/sf0.001", {"SIM_TWICE": "1"}),
+    # join-STRATEGY invariance: -1 disables auto-broadcast, so every
+    # un-hinted join runs shuffle-side (at 100 TB the planner's size
+    # estimates flip strategies constantly; results must not care).
+    # Explicit F.broadcast() hints are honored regardless, so the
+    # in-query broadcast-plan asserts (x49/x24/j16) stay valid.
+    "no_broadcast": ("/root/testdata/sf0.001", {"SIM_BROADCAST": "-1"}),
+    # parquet DECODER invariance: the row-based reader must produce the
+    # same values as the vectorized one (decimal/timestamp decode is a
+    # recurring upstream divergence class)
+    "vectorized_off": ("/root/testdata/sf0.001", {"SIM_VECTORIZED": "false"}),
 }
 
 _LINE = re.compile(r"^  (\S+): (rows-only,|spark=\d+ duck=\d+ hash (MATCH|MISMATCH))")

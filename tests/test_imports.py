@@ -316,10 +316,34 @@ def test_invariance_sweep_parse_args():
     assert parse_args(["--jobs=4"]) == (list(AXES), 4)
     assert parse_args(["tz", "aqe_off"]) == (["tz", "aqe_off"], 1)
     assert parse_args(["--jobs=2", "rerun"]) == (["rerun"], 2)
-    with pytest.raises(AssertionError):
+    # SystemExit, not assert: `python -O` strips asserts, and a bad
+    # --jobs should print usage, not a ValueError traceback
+    with pytest.raises(SystemExit):
         parse_args(["nonsense_axis"])
-    with pytest.raises(AssertionError):
+    with pytest.raises(SystemExit):
         parse_args(["--jobs=0"])
+    with pytest.raises(SystemExit):
+        parse_args(["--jobs=four"])
+
+
+def test_invariance_sweep_env_names_reach_driver_sim():
+    """The riskiest link between an axis and its effect is the SIM_*
+    env-var NAME: if AXES sets SIM_ARROW_BATCH but driver_sim reads
+    SIM_ARROWBATCH, the child runs the DEFAULT config and the axis
+    vacuously passes (the conf-KEY pin in test_sim_knobs.py cannot see
+    this). Every SIM_* name any axis sets must appear verbatim in
+    driver_sim.py."""
+    import os
+
+    from tools.invariance_sweep import AXES
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "tools", "driver_sim.py")) as fh:
+        src = fh.read()
+    sim_names = {k for _, env in AXES.values() for k in env if k.startswith("SIM_")}
+    assert sim_names, "no SIM_* axes? the sweep lost its env wiring"
+    for name in sorted(sim_names):
+        assert f'"{name}"' in src, f"driver_sim.py never reads {name}"
 
 
 def test_invariance_sweep_axes_point_at_fixtures():

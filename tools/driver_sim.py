@@ -13,9 +13,12 @@ import __spark_entry__ as E
 
 # tools/invariance_sweep.py axes: task-parallelism / shuffle-partition
 # count / AQE / whole-stage codegen / Arrow batch size / input split
-# size are sweep variables — correctness must not depend on any of
-# them (every default here equals Spark's own default, so the plain
-# gate run is byte-identical to an unconfigured session)
+# size / broadcast threshold / parquet reader are sweep variables —
+# correctness must not depend on any of them. The r15 knobs (codegen
+# and below) default to Spark's own defaults, so the plain gate run is
+# unchanged by their addition; master/shuffle-partitions deliberately
+# remain this sim's historical local[8]/8 (NOT Spark's local[*]/200 —
+# the partitions axis is what varies those).
 spark = (SparkSession.builder.master(os.environ.get("SIM_MASTER", "local[8]"))
          .config("spark.sql.shuffle.partitions",
                  os.environ.get("SIM_SHUFFLE_PARTITIONS", "8"))

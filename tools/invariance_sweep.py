@@ -12,7 +12,7 @@ non-vectorized parquet).  Usage:
     python tools/invariance_sweep.py              # all axes, serial
     python tools/invariance_sweep.py tz aqe_off   # a subset
     python tools/invariance_sweep.py --jobs=4     # 4 axes at a time
-                                                  # (~59 min -> ~17)
+                                                  # (~59 min -> ~31)
 
 Axes (each a FULL driver_sim run in a fresh subprocess):
 
@@ -166,17 +166,23 @@ def run_axis(name: str, log_dir: str) -> dict:
 
 def parse_args(argv: list[str]) -> tuple[list[str], int]:
     """(axis names, jobs) from argv — unit-tested separately from the
-    subprocess machinery."""
+    subprocess machinery.  Raises SystemExit (not bare assert, which
+    `python -O` strips) with a usage message on bad input."""
     jobs, names = 1, []
     for a in argv:
         if a.startswith("--jobs="):
-            jobs = int(a.split("=", 1)[1])
-            assert jobs >= 1, f"--jobs must be >= 1, got {jobs}"
+            try:
+                jobs = int(a.split("=", 1)[1])
+            except ValueError:
+                raise SystemExit(f"--jobs takes an integer >= 1, got {a!r}")
+            if jobs < 1:
+                raise SystemExit(f"--jobs takes an integer >= 1, got {jobs}")
         else:
             names.append(a)
     names = names or list(AXES)
     unknown = [n for n in names if n not in AXES]
-    assert not unknown, f"unknown axes {unknown}; valid: {list(AXES)}"
+    if unknown:
+        raise SystemExit(f"unknown axes {unknown}; valid: {list(AXES)}")
     return names, jobs
 
 
@@ -210,7 +216,7 @@ def main(argv: list[str]) -> int:
             and r["rows_only"] == want_rows_only
         )
         print(
-            f"  {r['axis']:<11} {'PASS' if r['pass'] else 'FAIL'}  "
+            f"  {r['axis']:<14} {'PASS' if r['pass'] else 'FAIL'}  "
             f"match={r['match']}/{want_oracled} mismatch={r['mismatch']} "
             f"rows_only={r['rows_only']}/{want_rows_only} rc={r['rc']} "
             f"[{r['secs']}s  {r['log']}]",

@@ -816,3 +816,96 @@ def test_temporal_bound_iso_properties():
         )
 
     check()
+
+
+# --- salted skew operators vs brute force (r15) ------------------------------
+# The planted-fixture tests (test_operators.py) pin the x33/x36 shapes;
+# these pin the OPERATORS over random inputs: salted_top_k must equal
+# the single-window top-k for any data and any salt count (salt
+# composability: the top-k of a union is the top-k of per-salt top-ks,
+# GIVEN a total order — the generators make (score, id) unique per
+# key), and salted_join must equal the plain join row-for-row.
+
+_HOSTS = st.integers(min_value=0, max_value=3)
+
+
+@st.composite
+def topk_rows(draw):
+    # unique global id => (score, id) is a total order within any key;
+    # score range is tiny ON PURPOSE so k-boundary ties-on-score (broken
+    # by id) are common — the regime where a non-total order would flake
+    n = draw(st.integers(min_value=0, max_value=25))
+    hosts = draw(st.lists(_HOSTS, min_size=n, max_size=n))
+    scores = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=5), min_size=n, max_size=n
+        )
+    )
+    return [(h, s, i) for i, (h, s) in enumerate(zip(hosts, scores))]
+
+
+@given(topk_rows(), st.sampled_from([1, 3]), st.sampled_from([1, 2, 7]))
+@SLOW
+def test_salted_top_k_matches_bruteforce(spark, rows, k, n_salts):
+    from dbx_workspace_and_emr_iceberg_spark.operators.skew import (
+        salted_top_k,
+    )
+
+    df = spark.createDataFrame(rows, "host int, score int, id int")
+    got = sorted(
+        (r.host, r.score, r.id, r.rk)
+        for r in salted_top_k(
+            df,
+            key_cols=["host"],
+            order_cols=[F.col("score").desc(), F.col("id")],
+            k=k,
+            n_salts=n_salts,
+            rank_col="rk",
+        ).collect()
+    )
+    want = []
+    by_host: dict[int, list] = {}
+    for h, s, i in rows:
+        by_host.setdefault(h, []).append((h, s, i))
+    for h, hrows in by_host.items():
+        ranked = sorted(hrows, key=lambda r: (-r[1], r[2]))[:k]
+        want.extend((h, s, i, rk + 1) for rk, (h, s, i) in enumerate(ranked))
+    assert got == sorted(want)
+
+
+@given(
+    st.lists(st.tuples(_HOSTS, st.integers(0, 9)), max_size=20),
+    st.lists(st.tuples(_HOSTS, st.integers(0, 9)), max_size=6),
+    st.sampled_from(["inner", "left"]),
+    st.sampled_from([1, 5]),
+)
+@SLOW
+def test_salted_join_matches_plain_join(spark, big, small, how, n_salts):
+    from dbx_workspace_and_emr_iceberg_spark.operators.skew import (
+        salted_join,
+    )
+
+    bdf = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(big)], "k int, bv int, bid int"
+    )
+    sdf = spark.createDataFrame(small, "k int, sv int")
+    # one explicit key for BOTH sides: sv can be None (left join), and
+    # None does not compare with int under plain tuple order
+    key = lambda t: tuple((x is None, x if x is not None else 0) for x in t)  # noqa: E731
+    got = sorted(
+        (
+            (r.k, r.bv, r.bid, r.sv)
+            for r in salted_join(
+                bdf, sdf, on="k", n_salts=n_salts, how=how
+            ).collect()
+        ),
+        key=key,
+    )
+    want = []
+    for i, (k, v) in enumerate(big):
+        matches = [sv for (sk, sv) in small if sk == k]
+        if matches:
+            want.extend((k, v, i, sv) for sv in matches)
+        elif how == "left":
+            want.append((k, v, i, None))
+    assert got == sorted(want, key=key)

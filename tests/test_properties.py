@@ -909,3 +909,83 @@ def test_salted_join_matches_plain_join(spark, big, small, how, n_salts):
         elif how == "left":
             want.append((k, v, i, None))
     assert got == sorted(want, key=key)
+
+
+# --- range-scan pruning vs brute force (r15) ---------------------------------
+# The round's three review passes each found ANOTHER boundary class in
+# the stats pruner (date-vs-midnight, fractional seconds, zoned
+# suffixes) — each pinned by a hand-written exact-boundary regression.
+# This is the generalization: for RANDOM data, RANDOM file layouts and
+# RANDOM bounds drawn from the same value pool (so exact-boundary hits
+# are common), read_range must return exactly the rows a Python filter
+# keeps — i.e. the prune may only ever SKIP files it can prove empty.
+
+
+@st.composite
+def range_scan_case(draw):
+    kind = draw(st.sampled_from(["ts", "date", "strdate", "long"]))
+    n = draw(st.integers(min_value=1, max_value=14))
+    idx = draw(st.lists(st.integers(0, 9), min_size=n, max_size=n))
+    a, b = draw(st.integers(0, 9)), draw(st.integers(0, 9))
+    lo_i, hi_i = min(a, b), max(a, b)
+    nfiles = draw(st.sampled_from([1, 3]))
+    # bound spelling: object, ' '-separated ISO, 'T'-separated ISO
+    form = draw(st.sampled_from(["obj", "iso", "isoT"]))
+    return kind, idx, lo_i, hi_i, nfiles, form
+
+
+def _range_scan_pool(kind):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, 8, 30, 0)
+    if kind == "ts":
+        # microsecond tails exercise the fraction canonicalization
+        vals = [
+            base + datetime.timedelta(hours=i, microseconds=125000 * i)
+            for i in range(10)
+        ]
+        ddl = "d timestamp, i long"
+    elif kind == "date":
+        vals = [datetime.date(2024, 1, 2 + i) for i in range(10)]
+        ddl = "d date, i long"
+    elif kind == "strdate":
+        vals = [f"2024-01-{2 + i:02d}" for i in range(10)]
+        ddl = "d string, i long"
+    else:
+        vals = list(range(10))
+        ddl = "d long, i long"
+    return vals, ddl
+
+
+def _range_scan_bound(kind, v, form):
+    if kind in ("strdate", "long") or form == "obj":
+        return v
+    if kind == "date":
+        return v.isoformat()  # date has no sep variants
+    return v.isoformat(sep=" " if form == "iso" else "T")
+
+
+@given(range_scan_case())
+@SLOW
+def test_read_range_matches_bruteforce(spark, case):
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        StatsLakehouseTable,
+    )
+
+    kind, idx, lo_i, hi_i, nfiles, form = case
+    vals, ddl = _range_scan_pool(kind)
+    rows = [(vals[j], i) for i, j in enumerate(idx)]
+    wh = tempfile.mkdtemp(prefix="lh_prop_")
+    try:
+        df = spark.createDataFrame(rows, ddl).repartitionByRange(nfiles, "d")
+        t = StatsLakehouseTable(spark, wh, "t")
+        t.create(df)
+        lo = _range_scan_bound(kind, vals[lo_i], form)
+        hi = _range_scan_bound(kind, vals[hi_i], form)
+        got = sorted(r.i for r in t.read_range("d", lo, hi).collect())
+        want = sorted(
+            i for i, j in enumerate(idx) if lo_i <= j <= hi_i
+        )
+        assert got == want, (kind, form, lo, hi, got, want)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

@@ -989,3 +989,60 @@ def test_read_range_matches_bruteforce(spark, case):
         assert got == want, (kind, form, lo, hi, got, want)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@st.composite
+def pruned_scan_case(draw):
+    spec = draw(
+        st.sampled_from(
+            ["years(d)", "months(d)", "days(d)", "hours(d)", "bucket(3, i)"]
+        )
+    )
+    n = draw(st.integers(min_value=1, max_value=12))
+    idx = draw(st.lists(st.integers(0, 9), min_size=n, max_size=n))
+    a, b = draw(st.integers(0, 9)), draw(st.integers(0, 9))
+    form = draw(st.sampled_from(["obj", "iso", "isoT"]))
+    return spec, idx, min(a, b), max(a, b), form
+
+
+@given(pruned_scan_case())
+@SLOW
+def test_read_pruned_matches_bruteforce(spark, case):
+    """read_pruned (hidden-partition predicate rewrite + residual) for
+    ANY transform era and random half-open bounds: the value pool
+    crosses a YEAR boundary in 9-hour steps, so years/months/days/hours
+    truncations all see period-boundary hits; bucket(i) layouts carry
+    no time transform of d and must degrade to full scan + residual."""
+    import datetime
+
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        PartitionedLakehouseTable,
+    )
+
+    spec, idx, lo_i, hi_i, form = case
+    vals = [
+        datetime.datetime(2023, 12, 30, 20, 0, 0) + datetime.timedelta(hours=9 * i)
+        for i in range(10)
+    ]
+    rows = [(vals[j], i) for i, j in enumerate(idx)]
+    wh = tempfile.mkdtemp(prefix="lh_prop_")
+    try:
+        t = PartitionedLakehouseTable(spark, wh, "t", [spec])
+        t.create(spark.createDataFrame(rows, "d timestamp, i long"))
+        lo = vals[lo_i] if form == "obj" else vals[lo_i].isoformat(
+            sep=" " if form == "iso" else "T"
+        )
+        hi = vals[hi_i] if form == "obj" else vals[hi_i].isoformat(
+            sep=" " if form == "iso" else "T"
+        )
+        got_df, kept, allf = t.read_pruned("d", lo, hi, with_files=True)
+        got = sorted(r.i for r in got_df.collect())
+        # half-open: lo <= v < hi (read_pruned's residual contract)
+        want = sorted(i for i, j in enumerate(idx) if lo_i <= j < hi_i)
+        assert got == want, (spec, form, lo, hi, got, want)
+        assert set(kept) <= set(allf)
+        if spec.startswith("bucket"):
+            # no time transform of d on the path: safe full scan
+            assert sorted(kept) == sorted(allf)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

@@ -27,7 +27,24 @@ def salted_join(
     — deterministic per row; small rows are replicated once per salt
     (explode over sequence). Shuffle keys become (on, salt): a hot key's
     rows now land on n_salts reducers instead of one.
+
+    ``how`` is restricted to join types that preserve the unsalted
+    join's semantics under small-side REPLICATION: inner/left/semi/anti
+    key each big row through its single salt, so they are exact. A
+    right/full/right_semi join would surface every unmatched SMALL row
+    once per salt (n_salts duplicates) — rejected loudly rather than
+    silently multiplying rows.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer",
+               "semi", "leftsemi", "left_semi",
+               "anti", "leftanti", "left_anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not replication-safe — the "
+            "small side is replicated n_salts times, so right/full "
+            "joins would duplicate unmatched small rows; use "
+            "inner/left/semi/anti"
+        )
     salted_big = big.withColumn(
         "__salt",
         F.pmod(F.xxhash64(F.col(on), F.monotonically_increasing_id()), F.lit(n_salts)),

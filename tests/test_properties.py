@@ -876,7 +876,7 @@ def test_salted_top_k_matches_bruteforce(spark, rows, k, n_salts):
 @given(
     st.lists(st.tuples(_HOSTS, st.integers(0, 9)), max_size=20),
     st.lists(st.tuples(_HOSTS, st.integers(0, 9)), max_size=6),
-    st.sampled_from(["inner", "left"]),
+    st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
     st.sampled_from([1, 5]),
 )
 @SLOW
@@ -889,17 +889,24 @@ def test_salted_join_matches_plain_join(spark, big, small, how, n_salts):
         [(k, v, i) for i, (k, v) in enumerate(big)], "k int, bv int, bid int"
     )
     sdf = spark.createDataFrame(small, "k int, sv int")
+    out = salted_join(bdf, sdf, on="k", n_salts=n_salts, how=how)
+    matched = {sk for (sk, _) in small}
+    if how in ("left_semi", "left_anti"):
+        # big rows pass through exactly once, no small payload
+        got = sorted((r.k, r.bv, r.bid) for r in out.collect())
+        keep = how == "left_semi"
+        want = sorted(
+            (k, v, i)
+            for i, (k, v) in enumerate(big)
+            if (k in matched) == keep
+        )
+        assert got == want
+        return
     # one explicit key for BOTH sides: sv can be None (left join), and
     # None does not compare with int under plain tuple order
     key = lambda t: tuple((x is None, x if x is not None else 0) for x in t)  # noqa: E731
     got = sorted(
-        (
-            (r.k, r.bv, r.bid, r.sv)
-            for r in salted_join(
-                bdf, sdf, on="k", n_salts=n_salts, how=how
-            ).collect()
-        ),
-        key=key,
+        ((r.k, r.bv, r.bid, r.sv) for r in out.collect()), key=key
     )
     want = []
     for i, (k, v) in enumerate(big):
@@ -909,6 +916,23 @@ def test_salted_join_matches_plain_join(spark, big, small, how, n_salts):
         elif how == "left":
             want.append((k, v, i, None))
     assert got == sorted(want, key=key)
+
+
+def test_salted_join_rejects_replication_unsafe_how(spark):
+    """The small side is replicated n_salts times, so a right/full join
+    would surface every unmatched small row once per salt — the API
+    must refuse instead of silently multiplying rows."""
+    import pytest
+
+    from dbx_workspace_and_emr_iceberg_spark.operators.skew import (
+        salted_join,
+    )
+
+    bdf = spark.createDataFrame([(1, 1)], "k int, bv int")
+    sdf = spark.createDataFrame([(2, 2)], "k int, sv int")
+    for how in ("right", "full", "outer", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="replication-safe"):
+            salted_join(bdf, sdf, on="k", n_salts=4, how=how)
 
 
 # --- range-scan pruning vs brute force (r15) ---------------------------------

@@ -1070,3 +1070,57 @@ def test_read_pruned_matches_bruteforce(spark, case):
             assert sorted(kept) == sorted(allf)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+# --- banded MinHash candidates vs set arithmetic (r15) ------------------------
+# The LSH recall on NEAR-duplicates is probabilistic (pinned by planted
+# fixtures at query level), but two deterministic contracts hold for
+# ANY corpus and BOTH signature paths: an EXACT duplicate pair (>=
+# shingle_n words, so it survives the zero-shingle pre-filter) has
+# identical signatures in every band and must ALWAYS be a candidate,
+# and exact_jaccard must equal Python set arithmetic on every pair.
+
+_WORDS = st.integers(min_value=0, max_value=7)
+
+
+@st.composite
+def dedup_corpus(draw):
+    n_docs = draw(st.integers(min_value=0, max_value=6))
+    docs = [
+        " ".join(f"w{w}" for w in draw(
+            st.lists(_WORDS, min_size=0, max_size=8)
+        ))
+        for _ in range(n_docs)
+    ]
+    dup = " ".join(
+        f"w{w}" for w in draw(st.lists(_WORDS, min_size=3, max_size=8))
+    )
+    return docs, dup
+
+
+@given(dedup_corpus(), st.booleans())
+@SLOW
+def test_minhash_exact_duplicate_always_candidate(spark, case, vectorized):
+    from dbx_workspace_and_emr_iceberg_spark.operators.dedup import (
+        exact_jaccard,
+        minhash_lsh_pairs,
+    )
+
+    docs, dup = case
+    rows = [(i, t) for i, t in enumerate(docs)]
+    rows += [(100, dup), (101, dup)]  # the planted exact pair
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(
+        df, "doc_id", "text", num_hashes=16, bands=4, vectorized=vectorized
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (100, 101) in got, f"exact duplicate not a candidate: {got}"
+    assert all(a < b for a, b in got)
+    # exact_jaccard on every candidate == Python word-set jaccard
+    texts = dict(rows)
+    jac = exact_jaccard(df, pairs, "doc_id", "text").collect()
+    assert {(r.id_a, r.id_b) for r in jac} == got
+    for r in jac:
+        sa, sb = set(texts[r.id_a].split()), set(texts[r.id_b].split())
+        want = len(sa & sb) / len(sa | sb)
+        assert abs(r.jaccard - want) < 1e-12, (r.id_a, r.id_b, r.jaccard, want)

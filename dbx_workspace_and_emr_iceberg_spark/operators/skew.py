@@ -14,6 +14,15 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _check_n_salts(n_salts: int) -> None:
+    # pmod(x, 0) is NULL in Spark: a zero/negative salt count doesn't
+    # raise, it silently empties the join (NULL never equi-matches) or
+    # un-salts the window — the same silent-failure class the `how`
+    # guard rejects loudly
+    if not isinstance(n_salts, int) or n_salts < 1:
+        raise ValueError(f"n_salts must be an integer >= 1, got {n_salts!r}")
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -45,6 +54,7 @@ def salted_join(
             "joins would duplicate unmatched small rows; use "
             "inner/left/semi/anti"
         )
+    _check_n_salts(n_salts)
     salted_big = big.withColumn(
         "__salt",
         F.pmod(F.xxhash64(F.col(on), F.monotonically_increasing_id()), F.lit(n_salts)),
@@ -84,6 +94,7 @@ def salted_top_k(
     that name — phase 2 runs on the bounded <= n_salts*k survivors per
     key, so exposing its rank costs nothing extra.
     """
+    _check_n_salts(n_salts)
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     w1 = Window.partitionBy(*key_cols, "__salt").orderBy(*order_cols)
     phase1 = (

@@ -935,6 +935,28 @@ def test_salted_join_rejects_replication_unsafe_how(spark):
             salted_join(bdf, sdf, on="k", n_salts=4, how=how)
 
 
+def test_salted_operators_reject_bad_n_salts(spark):
+    """pmod(x, 0) is NULL in Spark, so n_salts<=0 doesn't raise — it
+    silently EMPTIES the salted join (NULL never equi-matches) or
+    un-salts the top-k window. Both operators must refuse instead."""
+    import pytest
+
+    from dbx_workspace_and_emr_iceberg_spark.operators.skew import (
+        salted_join,
+        salted_top_k,
+    )
+
+    bdf = spark.createDataFrame([(1, 1)], "k int, bv int")
+    sdf = spark.createDataFrame([(1, 2)], "k int, sv int")
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="n_salts"):
+            salted_join(bdf, sdf, on="k", n_salts=bad)
+        with pytest.raises(ValueError, match="n_salts"):
+            salted_top_k(
+                bdf, key_cols=["k"], order_cols=[F.col("bv")], k=1, n_salts=bad
+            )
+
+
 # --- range-scan pruning vs brute force (r15) ---------------------------------
 # The round's three review passes each found ANOTHER boundary class in
 # the stats pruner (date-vs-midnight, fractional seconds, zoned

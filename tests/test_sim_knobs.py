@@ -16,7 +16,6 @@ import os
 
 import pandas as pd
 import pytest
-from pyspark.sql import functions as F
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

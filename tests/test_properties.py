@@ -1146,3 +1146,76 @@ def test_minhash_exact_duplicate_always_candidate(spark, case, vectorized):
         sa, sb = set(texts[r.id_a].split()), set(texts[r.id_b].split())
         want = len(sa & sb) / len(sa | sb)
         assert abs(r.jaccard - want) < 1e-12, (r.id_a, r.id_b, r.jaccard, want)
+
+
+# --- content-addressed sampling vs a Python md5 reference (r15) ---------------
+# The split operators' whole value is that assignment is a pure
+# function of the key — so the strongest property is CROSS-
+# IMPLEMENTATION: an independent Python md5 reference must reproduce
+# every label bit-for-bit, and fractions must NEST (tightening a
+# fraction yields a subset — the append-stable guarantee's algebra).
+
+
+def _py_bucket(k, buckets=10_000):
+    import hashlib
+
+    return int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % buckets
+
+
+@given(
+    st.lists(st.integers(0, 10**6), max_size=25),
+    st.sampled_from([0.0, 0.1, 0.29, 0.5, 1.0]),
+    st.sampled_from([0.0, 0.1, 0.33]),
+)
+@SLOW
+def test_hash_sampling_matches_python_md5(spark, keys, frac, frac2):
+    from dbx_workspace_and_emr_iceberg_spark.operators.sampling import (
+        hash_sample,
+        hash_split,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    lo, hi = sorted((frac, frac2))
+
+    got = sorted(r.k for r in hash_sample(df, "k", hi).collect())
+    want = sorted(k for k in keys if _py_bucket(k) < int(hi * 10_000 + 0.5))
+    assert got == want
+
+    # nesting: the tighter fraction is a subset of the looser one
+    sub = set(r.k for r in hash_sample(df, "k", lo).collect())
+    assert sub <= set(got)
+
+    # split labels: same bucket arithmetic, three-way partition
+    labels = {
+        r.k: r.split for r in hash_split(df, "k", val=0.1, test=0.2).collect()
+    }
+    for k in keys:
+        b = _py_bucket(k)
+        want_label = "test" if b < 2000 else ("val" if b < 3000 else "train")
+        assert labels[k] == want_label, (k, b, labels[k], want_label)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.sampled_from(["en", "de", "fr"])),
+        max_size=25,
+    ),
+)
+@SLOW
+def test_hash_sample_by_matches_python_md5(spark, rows):
+    from dbx_workspace_and_emr_iceberg_spark.operators.sampling import (
+        hash_sample_by,
+    )
+
+    df = spark.createDataFrame(rows, "k long, lang string")
+    fracs = {"en": 0.5, "de": 0.29}  # fr absent -> dropped
+    got = sorted(
+        (r.k, r.lang)
+        for r in hash_sample_by(df, "k", "lang", fracs).collect()
+    )
+    want = sorted(
+        (k, s)
+        for k, s in rows
+        if _py_bucket(k) < int(fracs.get(s, 0.0) * 10_000 + 0.5)
+    )
+    assert got == want

@@ -141,15 +141,31 @@ def appended_files_between(
             ) from None
 
     added: list[str] = []
+    # running previous-MAIN file set: snapshots STAGED by a branch
+    # write (staged_ref) add nothing to main and are SKIPPED — the
+    # main_head() WAP guard applied to the incremental walk
+    # (review-pass r15, reproduced: one branch write used to
+    # permanently error every main-side incremental/stream consumer
+    # whose range crossed it, and a staged v-1 polluted the next main
+    # append's delta base)
+    # a checkpointed offset can itself be a staged version (raw log
+    # head at checkpoint time): the delta base is the last MAIN
+    # snapshot at or before it, never a branch state
+    base = from_version
+    while base and manifest(base).get("staged_ref"):
+        base -= 1
+    prev = set(manifest(base)["files"]) if base else set()
     for v in range(from_version + 1, to_version + 1):
         m = manifest(v)
+        if m.get("staged_ref"):
+            continue
         if m["op"] not in ("append", "create"):
             raise ValueError(
                 f"incremental scan over non-append snapshot v{v} "
                 f"(op={m['op']!r})"
             )
-        prev = set(manifest(v - 1)["files"]) if v > 1 else set()
         added.extend(f for f in m["files"] if f not in prev)
+        prev = set(m["files"])
     return added
 
 
@@ -362,11 +378,17 @@ class LakehouseTable:
         from pyspark.sql.types import StructType
 
         v = version if version is not None else self.main_head()
-        m = self._read_manifest(v) if v else {}
-        schema = StructType.fromJson(m["schema"]) if v else None
+        if v == 0:
+            # contracted error, matching schema_json — the fall-through
+            # used to die in createDataFrame([], None) with a cryptic
+            # "can not infer schema" (review-pass r15)
+            raise ValueError(f"table {self.name} does not exist")
+        m = self._read_manifest(v)
         files = self._files(v)
         if not files:
-            return self.spark.createDataFrame([], schema)
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(m["schema"])
+            )
         return self._scan_files(files, m)
 
     def _scan_files(self, files: list[str], manifest: dict) -> DataFrame:
@@ -523,9 +545,18 @@ class LakehouseTable:
             .distinct()
             .collect()
         )
-        # input_file_name returns file:// URIs; manifest stores bare paths.
-        # (subscript access: attribute access would name-mangle __file here)
-        normalized = {r["__file"].removeprefix("file://") for r in hits}
+        # input_file_name returns file:// URIs with URL-encoded path
+        # characters, while manifests store the on-disk (singly-escaped)
+        # names — a days(ts) partition dir is 'p_days_ts=2024-01-01
+        # 00%3A00%3A00' on disk but '...%2000%253A00%253A00' in the URI.
+        # Without ONE decode the sets never intersect and DELETE/UPDATE
+        # on a time-partitioned table silently no-op (review-pass r15,
+        # reproduced; same normalization _apply_defaults already does
+        # Spark-side). (subscript access: attribute access would
+        # name-mangle __file here)
+        from urllib.parse import unquote
+
+        normalized = {unquote(r["__file"]).removeprefix("file://") for r in hits}
         return [f for f in cur if f in normalized]
 
     def delete_where(self, cond) -> int:
@@ -620,8 +651,14 @@ class LakehouseTable:
         """
         parent = self.current_version()
         if validate_source_keys:
+            # NULL keys are excluded: they can never match a target row
+            # (equi-join), so multiple NULL-keyed source rows are plain
+            # NOT-MATCHED inserts — real MERGE accepts them; counting
+            # the NULL group as duplicates raised a spurious
+            # cardinality error (review-pass r15, reproduced)
             dup = (
-                source.groupBy(on)
+                source.filter(F.col(on).isNotNull())
+                .groupBy(on)
                 .count()
                 .filter(F.col("count") > 1)
                 .limit(1)
@@ -1081,7 +1118,10 @@ class LakehouseTable:
         consumers never rescan the table, and pure appends need no
         shuffle at all.
         """
-        to_v = to_version if to_version is not None else self.current_version()
+        # default to the newest MAIN snapshot: a raw-log default would
+        # resolve to a staged branch snapshot right after a WAP write
+        # (review-pass r15 — same guard as read()/changelog())
+        to_v = to_version if to_version is not None else self.main_head()
         try:
             added = appended_files_between(self.root, from_version, to_v)
         except ValueError as e:
@@ -1095,14 +1135,33 @@ class LakehouseTable:
         as its DELETE+INSERT pair, Iceberg's pre/post images) and
         ``_change_version``.
 
-        Per consecutive snapshot pair only the file DELTA is read:
+        Per consecutive MAIN snapshot pair only the file DELTA is read:
         inserts = rows in added files minus rows in removed files,
         deletes = the reverse (exceptAll both ways). Copy-on-write
         rewrites carry surviving rows into both sides, so they cancel —
         the diff is exactly the net row change. Pure appends/deletes
         skip the shuffle entirely (one side is empty).
+
+        Snapshots STAGED by a branch write (``staged_ref``) are skipped
+        and each main snapshot diffs against the previous MAIN state —
+        the same WAP guard main_head()/read_as_of_timestamp apply
+        (review-pass r15, reproduced: a staged audit write used to leak
+        into main's CDC as a phantom INSERT/DELETE pair). The default
+        ``to_version`` is main_head() for the same reason. Expired
+        manifests in range raise the contracted ValueError
+        (appended_files_between's rule), never a raw FileNotFoundError.
         """
-        to_v = to_version if to_version is not None else self.current_version()
+        to_v = to_version if to_version is not None else self.main_head()
+
+        def _manifest_or_expired(v: int) -> dict:
+            try:
+                return self._read_manifest(v)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"snapshot v{v} expired; changelog range "
+                    f"({from_version}, {to_v}] unavailable — "
+                    "re-baseline from a full scan"
+                ) from None
 
         # Schema evolution inside the range: every pair's frames are
         # aligned to the FINAL (to_v) schema — Iceberg's changelog
@@ -1113,7 +1172,7 @@ class LakehouseTable:
         # drop/rename boundary simply errors.
         from pyspark.sql.types import StructType
 
-        final_schema = StructType.fromJson(self._read_manifest(to_v)["schema"])
+        final_schema = StructType.fromJson(_manifest_or_expired(to_v)["schema"])
 
         def _align(df: DataFrame, pair_v: int) -> DataFrame:
             mapping: dict[str, str] = {}  # name-at-pair_v -> later name
@@ -1142,36 +1201,49 @@ class LakehouseTable:
             return df.select(*sel)
 
         parts: list[DataFrame] = []
+        # running previous-MAIN state: staged snapshots are skipped, so
+        # each main snapshot diffs against the last main one, not the
+        # raw log parent
+        prev_v = from_version
+        prev_m = _manifest_or_expired(from_version) if from_version else None
+        prev_files = set(prev_m["files"]) if prev_m else set()
         for v in range(from_version + 1, to_v + 1):
-            m = self._read_manifest(v)
-            prev_files = set(self._files(v - 1))
+            m = _manifest_or_expired(v)
+            if m.get("staged_ref"):
+                continue  # branch-staged: not part of main's history
             cur_files = set(m["files"])
             added = sorted(cur_files - prev_files)
             removed = sorted(prev_files - cur_files)
+            # pre-images come from the previous MAIN manifest so
+            # removed-file rows carry THAT snapshot's defaults; CoW
+            # survivors then cancel in the exceptAll
+            pair_prev_v = prev_v
+            pair_prev_m = prev_m if prev_m is not None else m
+            prev_v, prev_m, prev_files = v, m, cur_files
             if not added and not removed:
                 continue  # metadata-only commit (e.g. add_column)
-            # pre-images come from v-1's manifest so removed-file rows
-            # carry THAT snapshot's defaults; CoW survivors then cancel
-            # in the exceptAll even across an evolution boundary
-            try:
-                prev_m = self._read_manifest(v - 1)
-            except FileNotFoundError:
-                prev_m = m
-            add_df = self._read_file_set(added, m)
-            rem_df = self._read_file_set(removed, prev_m)
+            # align BOTH sides to the final schema BEFORE the exceptAll
+            # (review-pass r15, reproduced): a single commit that
+            # changes files AND schema — merge_into with
+            # schema_evolution, overwrite with a new shape — otherwise
+            # feeds exceptAll two different-arity frames and crashes
+            # with NUM_COLUMNS_MISMATCH. The rem side's rename base is
+            # the previous MAIN version, so a rename committed AT v
+            # still re-keys the pre-image columns.
+            add_df = _align(self._read_file_set(added, m), v)
+            rem_df = _align(
+                self._read_file_set(removed, pair_prev_m),
+                pair_prev_v if pair_prev_v else v,
+            )
             inserts = add_df if not removed else add_df.exceptAll(rem_df)
             deletes = rem_df if not added else rem_df.exceptAll(add_df)
             for df, kind in ((inserts, "INSERT"), (deletes, "DELETE")):
                 parts.append(
-                    _align(df, v)
-                    .withColumn("_change_type", F.lit(kind))
+                    df.withColumn("_change_type", F.lit(kind))
                     .withColumn("_change_version", F.lit(v))
                 )
         if not parts:
-            from pyspark.sql.types import StructType
-
-            schema = StructType.fromJson(self._read_manifest(to_v)["schema"])
-            empty = self.spark.createDataFrame([], schema)
+            empty = self.spark.createDataFrame([], final_schema)
             return empty.withColumn("_change_type", F.lit("")).withColumn(
                 "_change_version", F.lit(0)
             ).limit(0)
@@ -1358,28 +1430,49 @@ class PartitionedLakehouseTable(LakehouseTable):
         from pyspark.sql.types import StructType
 
         v = version if version is not None else self.main_head()
+        if v == 0:
+            # clean contracted error, matching schema_json/read_pruned —
+            # falling through used to leak a raw FileNotFoundError for
+            # v00000.json (review-pass r15)
+            raise ValueError(f"table {self.name} does not exist")
+        m = self._read_manifest(v)
+        schema_names = {f_json["name"] for f_json in m["schema"]["fields"]}
         files = self._files(v)
         if not files:
-            schema = StructType.fromJson(self._read_manifest(v)["schema"])
-            return self.spark.createDataFrame([], schema)
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(m["schema"])
+            )
         # One batch root per write (and per partition-spec era): each
         # root is its own partitioned dataset with its own basePath —
         # read each root's manifest files, strip derived p_* columns,
-        # union by name.
+        # union by name. The batch root is the first path component
+        # under data_dir (a uuid hex dir) — splitting the full path on
+        # '/p_' would truncate wrongly when the WAREHOUSE path itself
+        # contains that substring (review-pass r15).
         by_root: dict[str, list[str]] = {}
         for f in files:
-            root = os.path.dirname(f).split("/p_", 1)[0]
+            rel = os.path.relpath(f, self.data_dir)
+            root = os.path.join(self.data_dir, rel.split(os.sep, 1)[0])
             by_root.setdefault(root, []).append(f)
         out = None
         for root in sorted(by_root):
             df = self.spark.read.option("basePath", root).parquet(
                 *sorted(by_root[root])
             )
-            df = df.drop(*[c for c in df.columns if c.startswith("p_")])
+            # drop only DERIVED partition columns: a p_-prefixed name
+            # that belongs to the manifest schema is a real user column
+            # (it used to be dropped and re-added as all-NULL —
+            # review-pass r15)
+            df = df.drop(
+                *[
+                    c
+                    for c in df.columns
+                    if c.startswith("p_") and c not in schema_names
+                ]
+            )
             out = df if out is None else out.unionByName(
                 df, allowMissingColumns=True
             )
-        m = self._read_manifest(v)
         # evolved columns absent from every physical file still need to
         # exist before the defaults pass can fill them
         for f_json in m["schema"]["fields"]:
@@ -2220,7 +2313,9 @@ def cherrypick_snapshot(table: LakehouseTable, version: int) -> int:
     )
     delta = [f for f in m["files"] if f not in parent_files]
     parent = table.current_version()
-    files = table._files() + [f for f in delta if f not in set(table._files())]
+    cur = table._files()  # one head walk, not one per delta file
+    cur_set = set(cur)
+    files = cur + [f for f in delta if f not in cur_set]
     return table._commit(
         {
             "files": files,

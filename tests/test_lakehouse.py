@@ -1379,3 +1379,151 @@ def test_pruned_files_zoned_timestamp_column_boundary(spark, wh):
     # naive ISO-string bounds against the zoned column's stats
     kept2 = t.pruned_files("d", "2024-01-02 08:30:15", "2024-01-09 08:30:15")
     assert len(kept2) == 3, f"naive bound vs zoned stats pruned: {kept2}"
+
+
+# --- review-pass r15 batch 2: silent-failure classes in the DML/CDC paths ---
+
+
+def test_partitioned_dml_hits_encoded_partition_dirs(spark, wh):
+    """DELETE/UPDATE on a time-transform-partitioned table: the
+    partition value '2024-01-01 00:00:00' is written as
+    'p_days_ts=...00%3A00%3A00' on disk, and input_file_name returns
+    that URI-ENCODED ('%2000%253A...'); without one decode the affected
+    set never intersects the manifest and the DML silently no-ops
+    (review-pass r15, reproduced)."""
+    import datetime
+
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        PartitionedLakehouseTable,
+    )
+
+    rows = [
+        (datetime.datetime(2024, 1, 1, 8, 0) + datetime.timedelta(days=i % 3), i)
+        for i in range(10)
+    ]
+    t = PartitionedLakehouseTable(spark, wh, "enc_dml", ["days(ts)"])
+    t.create(spark.createDataFrame(rows, "ts timestamp, i long"))
+    t.delete_where(F.col("i") == 3)
+    assert t.read().count() == 9
+    t.update_set(F.col("i") == 5, {"i": F.lit(500)})
+    vals = sorted(r.i for r in t.read().collect())
+    assert 500 in vals and 5 not in vals and 3 not in vals
+
+
+def test_changelog_and_incremental_skip_staged_snapshots(spark, wh):
+    """A WAP branch write stages a snapshot in the shared log; main's
+    CDC and incremental scans must skip it — the leak surfaced
+    unaudited branch rows as a phantom INSERT/DELETE pair, and ONE
+    branch write permanently errored every incremental consumer whose
+    range crossed it (review-pass r15, both reproduced)."""
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        BranchedLakehouse,
+        LakehouseTable,
+    )
+
+    t = LakehouseTable(spark, wh, "wap_cdc")
+    t.create(spark.createDataFrame([(1,), (2,)], "v int").coalesce(1))  # v1
+    b = BranchedLakehouse(t)
+    b.create_branch("audit")
+    b.write_to_branch(
+        "audit", spark.createDataFrame([(99,)], "v int").coalesce(1)
+    )  # v2 staged
+    t.append(spark.createDataFrame([(3,)], "v int").coalesce(1))  # v3 main
+    chg = sorted(
+        (r.v, r._change_type, r._change_version) for r in t.changelog(1).collect()
+    )
+    assert chg == [(3, "INSERT", 3)], chg
+    assert sorted(r.v for r in t.read_incremental(1).collect()) == [3]
+    # a checkpointed offset can BE the staged version (raw log head at
+    # checkpoint time): the delta base is the last MAIN state before it
+    assert sorted(r.v for r in t.read_incremental(2).collect()) == [3]
+
+
+def test_changelog_survives_files_plus_schema_commit(spark, wh):
+    """merge_into(schema_evolution=True) rewrites files AND extends the
+    schema in ONE snapshot; changelog used to feed exceptAll two
+    different-arity frames and crash with NUM_COLUMNS_MISMATCH — both
+    sides now align to the final schema first (review-pass r15,
+    reproduced)."""
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+
+    t = LakehouseTable(spark, wh, "evo_cdc")
+    t.create(spark.createDataFrame([(1, 10)], "id int, v int").coalesce(1))
+    t.merge_into(
+        spark.createDataFrame([(1, 11, "x")], "id int, v int, w string").coalesce(1),
+        "id",
+        schema_evolution=True,
+    )
+    rows = sorted(
+        (r.id, r.v, r.w, r._change_type, r._change_version)
+        for r in t.changelog(0).collect()
+    )
+    assert rows == [
+        (1, 10, None, "DELETE", 2),
+        (1, 10, None, "INSERT", 1),
+        (1, 11, "x", "INSERT", 2),
+    ], rows
+
+
+def test_merge_accepts_null_keyed_source_rows(spark, wh):
+    """NULL merge keys never match a target row, so multiple NULL-keyed
+    source rows are plain NOT-MATCHED inserts — the cardinality check
+    must not count the NULL group as duplicates (review-pass r15); a
+    genuine duplicate key must still raise."""
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+
+    t = LakehouseTable(spark, wh, "null_merge")
+    t.create(spark.createDataFrame([(1, 10)], "id int, v int").coalesce(1))
+    t.merge_into(
+        spark.createDataFrame([(None, 1), (None, 2)], "id int, v int").coalesce(1),
+        "id",
+    )
+    got = sorted([(r.id, r.v) for r in t.read().collect()], key=str)
+    assert got == sorted([(1, 10), (None, 1), (None, 2)], key=str)
+    with pytest.raises(ValueError, match="cardinality"):
+        t.merge_into(
+            spark.createDataFrame([(1, 5), (1, 6)], "id int, v int").coalesce(1),
+            "id",
+        )
+
+
+def test_partitioned_read_keeps_user_p_prefixed_column(spark, wh):
+    """Only DERIVED partition columns are hidden on read: a real data
+    column that happens to start with 'p_' belongs to the manifest
+    schema and must keep its values (it used to be dropped and re-added
+    as all-NULL — review-pass r15)."""
+    import datetime
+
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        PartitionedLakehouseTable,
+    )
+
+    t = PartitionedLakehouseTable(spark, wh, "pcol", ["days(ts)"])
+    t.create(
+        spark.createDataFrame(
+            [(datetime.datetime(2024, 1, 1), 1, 0.5)],
+            "ts timestamp, i long, p_score double",
+        )
+    )
+    [row] = t.read().collect()
+    assert row.p_score == 0.5
+    assert "p_days_ts" not in t.read().columns
+
+
+def test_read_nonexistent_table_raises_cleanly(spark, wh):
+    """read() on a never-created table raises the contracted ValueError
+    (schema_json's rule), not a raw FileNotFoundError (partitioned) or
+    a cryptic cannot-infer-schema (base) — review-pass r15."""
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        LakehouseTable,
+        PartitionedLakehouseTable,
+    )
+
+    with pytest.raises(ValueError, match="does not exist"):
+        LakehouseTable(spark, wh, "ghost").read()
+    with pytest.raises(ValueError, match="does not exist"):
+        PartitionedLakehouseTable(spark, wh, "ghost2", ["days(ts)"]).read()

@@ -108,6 +108,26 @@ def iceberg_rest_catalog_conf(
     return conf
 
 
+def main_head_json(root: str) -> int:
+    """Newest MAIN (non-staged) snapshot version, pure json-over-fs —
+    the driver-side twin of LakehouseTable.main_head() for consumers
+    with no table object (the Python stream source's schema()/offset
+    resolution; review-pass r15: reading `_current` raw let a staged
+    branch write hand the stream the BRANCH-BASE schema, silently
+    dropping later-added columns from every micro-batch)."""
+    try:
+        with open(os.path.join(root, "_current")) as f:
+            v = int(f.read().strip())
+    except FileNotFoundError:
+        return 0
+    while v:
+        with open(os.path.join(root, "_snapshots", f"v{v:05d}.json")) as f:
+            if not json.load(f).get("staged_ref"):
+                return v
+        v -= 1
+    return 0
+
+
 def appended_files_between(
     root: str, from_version: int, to_version: int
 ) -> list[str]:
@@ -335,6 +355,9 @@ class LakehouseTable:
         """SQL ``INSERT INTO`` binds columns POSITIONALLY: arity must
         match, then each incoming column is renamed and cast to the
         table column at its ordinal (ANSI cast errors surface)."""
+        return self.append(self._bind_positional(df))
+
+    def _bind_positional(self, df: DataFrame) -> DataFrame:
         from pyspark.sql.types import StructType
 
         st = StructType.fromJson(self.schema_json())
@@ -343,22 +366,30 @@ class LakehouseTable:
                 f"INSERT into {self.name}: {len(df.columns)} values for "
                 f"{len(st.fields)} columns"
             )
-        aligned = df.select(
+        return df.select(
             *[
                 F.col(src).cast(fld.dataType).alias(fld.name)
                 for src, fld in zip(df.columns, st.fields)
             ]
         )
-        return self.append(aligned)
 
     def overwrite(self, df: DataFrame) -> int:
-        """INSERT OVERWRITE (static, S6)."""
+        """INSERT OVERWRITE (static, S6). NOTE: replaces the table
+        SCHEMA with the frame's — the DataFrame-door semantics; the SQL
+        door binds positionally first (overwrite_positional)."""
         parent = self.current_version()
         files = self._write_files(df)
         return self._commit(
             {"files": files, "schema": df.schema.jsonValue(), "op": "overwrite"},
             parent,
         )
+
+    def overwrite_positional(self, df: DataFrame) -> int:
+        """SQL ``INSERT OVERWRITE`` binds POSITIONALLY into the
+        EXISTING schema — without the binding a VALUES frame (named
+        col1/col2) silently RENAMED the table's columns through
+        overwrite()'s schema replacement (review-pass r15)."""
+        return self.overwrite(self._bind_positional(df))
 
     def schema_json(self) -> dict:
         v = self.main_head()

@@ -66,6 +66,21 @@ class SyntheticEventsDataSource(DataSource):
         return SyntheticEventsStreamReader(self.options)
 
 
+def _split_range(lo: int, hi: int, parts: int) -> list["_RangePartition"]:
+    """Contiguous id-range splits — the moral equivalent of file splits
+    for a generated feed. Ceil-div so the tail partition is never lost;
+    an empty range still yields ONE (empty) partition because Spark
+    requires >= 1 per planned batch. ONE implementation shared by the
+    batch reader and the stream reader's per-batch planner (review-pass
+    r15: the two inline copies could drift)."""
+    hi = max(lo, hi)
+    span = hi - lo
+    if span <= 0:
+        return [_RangePartition(lo, lo)]
+    per = max(1, -(-span // parts))
+    return [_RangePartition(a, min(a + per, hi)) for a in range(lo, hi, per)]
+
+
 class SyntheticEventsReader(DataSourceReader):
     def __init__(self, options):
         self.n = int(options.get("n", 1000))
@@ -76,17 +91,7 @@ class SyntheticEventsReader(DataSourceReader):
         self.hi = self.n
 
     def partitions(self):
-        # Driver-side split planning: contiguous id ranges, one per
-        # split — the moral equivalent of file splits for a generated
-        # feed. Ceil-div so the tail partition is never lost.
-        lo, hi = self.lo, max(self.lo, self.hi)
-        span = hi - lo
-        if span <= 0:
-            return [_RangePartition(lo, lo)]
-        per = max(1, -(-span // self.parts))
-        return [
-            _RangePartition(a, min(a + per, hi)) for a in range(lo, hi, per)
-        ]
+        return _split_range(self.lo, self.hi, self.parts)
 
     def read(self, partition: _RangePartition):
         # Executor-side: yields tuples for exactly this split.
@@ -181,13 +186,7 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
         return {"offset": self.n}
 
     def partitions(self, start, end):
-        lo, hi = start["offset"], end["offset"]
-        if hi <= lo:
-            return [_RangePartition(lo, lo)]
-        per = max(1, -(-(hi - lo) // self.parts))
-        return [
-            _RangePartition(a, min(a + per, hi)) for a in range(lo, hi, per)
-        ]
+        return _split_range(start["offset"], end["offset"], self.parts)
 
     def read(self, partition: _RangePartition):
         for i in range(partition.start, partition.end):
@@ -242,9 +241,17 @@ class LakehouseStreamDataSource(DataSource):
         import json
         import os
 
+        # resolve through the MAIN head, never the raw log head: right
+        # after a WAP branch write `_current` points at a STAGED
+        # snapshot carrying the branch-BASE schema — a stream
+        # (re)starting then would silently drop columns added on main
+        # since the branch was cut (review-pass r15)
+        from .lakehouse import main_head_json
+
         root = self._root()
-        with open(os.path.join(root, "_current")) as f:
-            v = int(f.read().strip())
+        v = main_head_json(root)
+        if v == 0:
+            raise ValueError(f"lakehouse_stream: no main snapshot in {root}")
         with open(
             os.path.join(root, "_snapshots", f"v{v:05d}.json")
         ) as f:
@@ -263,10 +270,13 @@ class LakehouseStreamReader(DataSourceStreamReader):
         return {"version": 0}
 
     def latestOffset(self):
-        import os
+        # main head, not the raw log head: a staged branch snapshot
+        # adds nothing to main (appended_files_between would skip it
+        # anyway, but offsets that never name staged versions keep
+        # checkpoints unambiguous)
+        from .lakehouse import main_head_json
 
-        with open(os.path.join(self.root, "_current")) as f:
-            return {"version": int(f.read().strip())}
+        return {"version": main_head_json(self.root)}
 
     def partitions(self, start, end):
         # Driver-side planning: share the batch path's manifest-diff

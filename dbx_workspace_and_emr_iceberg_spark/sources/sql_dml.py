@@ -39,8 +39,30 @@ _DML_HEADS = ("MERGE", "UPDATE", "DELETE", "CALL", "ALTER", "INSERT", "CREATE")
 
 
 def _strip(sql: str) -> str:
-    s = re.sub(r"--[^\n]*", " ", sql)  # line comments
-    return s.strip().rstrip(";").strip()
+    # quote-AWARE line-comment removal: a blanket regex truncated any
+    # statement whose string literal contains '--' (review-pass r15 —
+    # the single-line form died on an unbalanced quote; the multi-line
+    # form silently rebalanced into a DIFFERENT valid predicate)
+    out: list[str] = []
+    i, n, quote = 0, len(sql), None
+    while i < n:
+        ch = sql[i]
+        if quote:
+            out.append(ch)
+            if ch == quote:
+                quote = None
+            i += 1
+        elif ch in ("'", '"'):
+            quote = ch
+            out.append(ch)
+            i += 1
+        elif ch == "-" and sql.startswith("--", i):
+            while i < n and sql[i] != "\n":
+                i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out).strip().rstrip(";").strip()
 
 
 def classify(sql: str) -> str | None:
@@ -100,10 +122,16 @@ def _parse_assignments(set_clause: str) -> dict[str, str]:
 def _rewrite(expr: str, target_alias: str | None, source_alias: str | None) -> str:
     """Map alias-qualified refs into the merge join's namespace:
     target cols are plain, source cols live in the __src struct."""
+    # IGNORECASE: SQL identifiers are case-insensitive, so 'SET T.v =
+    # S.v' with aliases declared as t/s is legal spark-sql (review-pass
+    # r15 — the case-sensitive sub left the qualifiers intact and the
+    # merge died on UNRESOLVED_COLUMN)
     if source_alias:
-        expr = re.sub(rf"\b{re.escape(source_alias)}\.", "__src.", expr)
+        expr = re.sub(
+            rf"\b{re.escape(source_alias)}\.", "__src.", expr, flags=re.I
+        )
     if target_alias:
-        expr = re.sub(rf"\b{re.escape(target_alias)}\.", "", expr)
+        expr = re.sub(rf"\b{re.escape(target_alias)}\.", "", expr, flags=re.I)
     return expr
 
 
@@ -186,26 +214,59 @@ def parse_merge(sql: str) -> dict:
     )
     if not clauses:
         raise ValueError(f"MERGE has no parseable WHEN clauses: {whens!r}")
+    # SQL applies the FIRST matching WHEN clause per row; the engine
+    # executes a fixed precedence (delete_cond, then update). Accept
+    # only statements whose textual order coincides with that
+    # precedence, and raise on duplicates/unreachable clauses instead
+    # of silently overwriting a parsed clause or reordering semantics
+    # (review-pass r15, reproduced: an unconditional UPDATE followed by
+    # a conditional DELETE deleted rows SQL would update).
+    matched_closed = False  # an unconditional MATCHED clause was seen
     for not_kw, and_cond, action in clauses:
         action = action.strip()
         head = action.split(None, 1)[0].upper()
         if not_kw:  # WHEN NOT MATCHED
+            if and_cond:
+                # silently dropping the condition would insert EVERY
+                # unmatched row (review-pass r15, reproduced)
+                raise ValueError(
+                    "conditional 'WHEN NOT MATCHED AND ... THEN INSERT' is "
+                    "not supported; filter the source instead"
+                )
             if head != "INSERT" or action.split(None, 1)[1].strip() != "*":
                 raise ValueError(
                     f"only 'WHEN NOT MATCHED THEN INSERT *' is supported, "
                     f"got {action!r}"
                 )
+            if spec["insert"]:
+                raise ValueError("duplicate WHEN NOT MATCHED clause")
             spec["insert"] = True
-        elif head == "DELETE":
+            continue
+        if matched_closed:
+            raise ValueError(
+                "WHEN MATCHED clause after an unconditional one is "
+                "unreachable (SQL applies the first matching clause)"
+            )
+        if head == "DELETE":
+            if spec["delete_cond"] is not None:
+                raise ValueError("duplicate WHEN MATCHED ... DELETE clause")
+            # (an UPDATE textually before a DELETE cannot reach here:
+            # the supported UPDATE is unconditional, so it closes the
+            # MATCHED clauses and the check above already raised)
             spec["delete_cond"] = and_cond.strip() if and_cond else "true"
+            if not and_cond:
+                matched_closed = True
         elif head == "UPDATE":
             if and_cond:
                 raise ValueError(
                     "conditional 'WHEN MATCHED AND ... THEN UPDATE' is not "
                     "supported (only AND...DELETE); split into two MERGEs"
                 )
+            if spec["update_set"] is not None:
+                raise ValueError("duplicate WHEN MATCHED ... UPDATE clause")
             set_clause = re.sub(r"^UPDATE\s+SET\s+", "", action, flags=re.I | re.S)
             spec["update_set"] = _parse_assignments(set_clause)
+            matched_closed = True
         else:
             raise ValueError(f"unsupported MERGE action: {action!r}")
     return spec
@@ -250,6 +311,22 @@ def parse_insert(sql: str) -> tuple[str, str, str]:
     return mode.upper(), table, body
 
 
+def _run_body(engine, select: str) -> DataFrame:
+    """Run a DML body SELECT with the same VERSION/TIMESTAMP AS OF
+    resolution engine.sql applies to standalone SELECTs — snapshotting
+    into a new table (CTAS/INSERT ... SELECT * FROM t VERSION AS OF v)
+    previously failed because the DML dispatch ran before the
+    time-travel rewrite (review-pass r15). spark.sql analyzes eagerly,
+    so the __tt_* views resolve into the returned frame's plan and are
+    safe to drop immediately (engine.sql's own pattern)."""
+    query = rewrite_time_travel(engine, select)
+    try:
+        return engine.spark.sql(query)
+    finally:
+        while engine._tt_views:
+            engine.spark.catalog.dropTempView(engine._tt_views.pop())
+
+
 def execute_create(engine, sql: str) -> DataFrame:
     """CTAS into the managed warehouse; anything else (CREATE VIEW,
     CREATE TABLE with an explicit schema, no warehouse configured)
@@ -259,7 +336,7 @@ def execute_create(engine, sql: str) -> DataFrame:
         engine._require_warehouse()
     except ValueError:
         return engine.spark.sql(sql)
-    t = engine.create_table(table, engine.spark.sql(select))
+    t = engine.create_table(table, _run_body(engine, select))
     n = t.read().count()
     return engine.spark.createDataFrame(
         [(table, "ctas", t.current_version(), n)],
@@ -286,7 +363,7 @@ def execute_insert(engine, sql: str) -> DataFrame:
         return engine.spark.sql(sql)
     from .lakehouse import BranchedLakehouse, commit_with_retries
 
-    df = engine.spark.sql(body)
+    df = _run_body(engine, body)
     if branch is not None:
         if mode != "INTO":
             raise ValueError("INSERT OVERWRITE into a branch is not supported")
@@ -327,7 +404,10 @@ def execute_insert(engine, sql: str) -> DataFrame:
         version = commit_with_retries(lambda: t.append_positional(df))
         op = "insert"
     else:
-        version = commit_with_retries(lambda: t.overwrite(df))
+        # OVERWRITE binds positionally too: the raw overwrite() commits
+        # the FRAME's schema, so a VALUES overwrite silently renamed
+        # the table's columns to col1/col2 (review-pass r15)
+        version = commit_with_retries(lambda: t.overwrite_positional(df))
         op = "insert_overwrite"
     engine.refresh_view(table)
     n = t.read().count()
@@ -704,6 +784,15 @@ def parse_call(sql: str) -> tuple[str, str, dict]:
             seen_named = True
             k, v = (x.strip() for x in a.split("=>", 1))
             if k == "table":
+                if table is not None:
+                    # a positional table + 'table =>' (or two named
+                    # ones) used to silently overwrite the binding —
+                    # the procedure then ran against the WRONG table
+                    # (review-pass r15); Iceberg rejects the duplicate
+                    raise ValueError(
+                        f"CALL {proc}: duplicate table argument "
+                        f"({table!r} and {v.strip(chr(39) + chr(34))!r})"
+                    )
                 table = v.strip("'\"")
                 continue
             k = aliases.get(k, k)  # Iceberg arg names → engine kwargs

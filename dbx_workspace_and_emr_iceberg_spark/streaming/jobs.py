@@ -56,17 +56,25 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark Connect sessions expose no _jvm (review-pass r14 #2);
     # there the probe falls back to the local check, correct for the
     # scheme-less local paths this repo's fixtures use.
-    try:
-        jvm = spark._jvm
+    jvm = getattr(spark, "_jvm", None)
+    if jvm is None:
+        # Spark Connect exposes no _jvm (review-pass r14 #2): fall back
+        # to the local check, correct for the scheme-less local paths
+        # this repo's fixtures use
+        import os
+
+        is_dir = os.path.isdir(table)
+    else:
+        # NO blanket except here (review-pass r15): a transient FS
+        # error (s3a credential refresh, throttling) swallowed by a
+        # broad fallback would flip is_dir False and re-open the
+        # silent zero-rows bug this probe exists to prevent — a real
+        # FS failure must raise, not degrade
         hpath = jvm.org.apache.hadoop.fs.Path(table)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
         is_dir = bool(
             fs.exists(hpath) and fs.getFileStatus(hpath).isDirectory()
         )
-    except Exception:  # noqa: BLE001 — Connect: JVM_ATTRIBUTE_NOT_SUPPORTED
-        import os
-
-        is_dir = os.path.isdir(table)
     if is_dir:
         # directory-shaped table (multi-file split layout — the 100 TB
         # shape, exercised by the r14 multi-file fixture sweep): the

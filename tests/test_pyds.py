@@ -102,3 +102,33 @@ def test_lakehouse_stream_refuses_non_append_history(spark, tmp_path):
         # session-scoped fixture — never leak it into later tests
         if q.isActive:
             q.stop()
+
+
+def test_lakehouse_stream_resolves_main_head_not_raw_log(spark, tmp_path):
+    """A WAP branch write stages a snapshot at the raw log head whose
+    manifest carries the branch-BASE schema; the stream source's
+    schema()/latestOffset must resolve through the MAIN head or a
+    (re)starting stream silently drops columns added on main since the
+    branch was cut (review-pass r15)."""
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        BranchedLakehouse,
+        LakehouseTable,
+        main_head_json,
+    )
+    from dbx_workspace_and_emr_iceberg_spark.sources.pyds import (
+        LakehouseStreamDataSource,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path), "st")
+    t.create(spark.createDataFrame([(1, 10)], "id long, v long"))  # v1
+    b = BranchedLakehouse(t)
+    b.create_branch("aud")  # at v1 (schema id, v)
+    t.add_column("w", "string")  # v2: main schema gains w
+    b.write_to_branch(
+        "aud", spark.createDataFrame([(9, 90)], "id long, v long")
+    )  # v3 STAGED, carries the v1 schema
+    assert main_head_json(t.root) == 2
+    ds = LakehouseStreamDataSource(options={"table_root": t.root})
+    assert [f.name for f in ds.schema().fields] == ["id", "v", "w"]
+    reader = ds.streamReader(ds.schema())
+    assert reader.latestOffset() == {"version": 2}

@@ -836,3 +836,107 @@ def test_empty_set_clause_raises():
         _parse_assignments("")
     with pytest.raises(ValueError, match="empty SET"):
         _parse_assignments(" , ")
+
+
+# --- review-pass r15 batch 3: SQL-door silent-failure classes ---------------
+
+
+def test_strip_is_quote_aware():
+    """'--' inside a string literal is DATA, not a comment — the old
+    blanket regex truncated the statement (single-line: unbalanced
+    quote; multi-line: silently rebalanced into a DIFFERENT predicate)
+    (review-pass r15, reproduced)."""
+    s = sql_dml._strip("DELETE FROM t WHERE a = '--' OR b = '--'")
+    assert s == "DELETE FROM t WHERE a = '--' OR b = '--'"
+    tbl, cond = sql_dml.parse_delete("DELETE FROM t WHERE a = '--x'")
+    assert (tbl, cond) == ("t", "a = '--x'")
+    # real comments still stripped (outside quotes)
+    assert sql_dml._strip("DELETE FROM t -- drop all\n WHERE x = 1") == (
+        "DELETE FROM t \n WHERE x = 1"
+    )
+
+
+def test_parse_merge_rejects_unsupported_or_unreachable_clauses():
+    """Silently mis-executing is the failure mode (review-pass r15,
+    reproduced): a conditional NOT MATCHED insert dropped its
+    condition and inserted EVERYTHING; an UPDATE textually before a
+    conditional DELETE deleted rows SQL would update; duplicate
+    clauses silently kept only the last."""
+    head = "MERGE INTO t USING s ON t.id = s.id "
+    with pytest.raises(ValueError, match="NOT MATCHED AND"):
+        sql_dml.parse_merge(head + "WHEN NOT MATCHED AND s.f = 1 THEN INSERT *")
+    with pytest.raises(ValueError, match="unreachable"):
+        sql_dml.parse_merge(
+            head
+            + "WHEN MATCHED THEN UPDATE SET t.v = s.v "
+            + "WHEN MATCHED AND s.d = 1 THEN DELETE"
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        sql_dml.parse_merge(
+            head
+            + "WHEN MATCHED AND s.a = 1 THEN DELETE "
+            + "WHEN MATCHED AND s.b = 1 THEN DELETE"
+        )
+    with pytest.raises(ValueError, match="unreachable"):
+        sql_dml.parse_merge(
+            head + "WHEN MATCHED THEN DELETE WHEN MATCHED THEN UPDATE SET v = 1"
+        )
+    with pytest.raises(ValueError, match="duplicate WHEN NOT MATCHED"):
+        sql_dml.parse_merge(
+            head + "WHEN NOT MATCHED THEN INSERT * WHEN NOT MATCHED THEN INSERT *"
+        )
+    # the supported order still parses
+    spec = sql_dml.parse_merge(
+        head
+        + "WHEN MATCHED AND s.d = 1 THEN DELETE "
+        + "WHEN MATCHED THEN UPDATE SET t.v = s.v "
+        + "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert spec["delete_cond"] == "s.d = 1" and spec["insert"] is True
+
+
+def test_rewrite_aliases_case_insensitive():
+    """SQL identifiers are case-insensitive: 'SET T.v = S.v' with
+    aliases declared t/s is legal spark-sql and must map into the
+    merge namespace (review-pass r15, reproduced)."""
+    assert sql_dml._rewrite("S.v + T.w", "t", "s") == "__src.v + w"
+
+
+def test_insert_overwrite_binds_positionally(spark, tmp_path):
+    """INSERT OVERWRITE ... VALUES used to commit the VALUES frame's
+    schema, silently renaming the table's columns to col1/col2
+    (review-pass r15); SQL binds positionally into the EXISTING
+    schema."""
+    from dbx_workspace_and_emr_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path))
+    eng.sql("CREATE TABLE ow_t AS SELECT 1 AS id, 'a' AS name")
+    eng.sql("INSERT OVERWRITE ow_t VALUES (2, 'b')")
+    df = eng.table("ow_t")
+    assert df.columns == ["id", "name"]
+    assert [(r.id, r.name) for r in df.collect()] == [(2, "b")]
+
+
+def test_call_rejects_duplicate_table_argument(spark, tmp_path):
+    """A positional table plus 'table =>' silently overwrote the
+    binding and ran the procedure against the WRONG table (review-pass
+    r15); Iceberg rejects the duplicate."""
+    with pytest.raises(ValueError, match="duplicate table"):
+        sql_dml.parse_call(
+            "CALL system.expire_snapshots('t1', table => 't2')"
+        )
+
+
+def test_time_travel_inside_insert_and_ctas(spark, tmp_path):
+    """Snapshotting into a new table — the canonical time-travel use —
+    must work through the SQL door: the DML dispatch used to run the
+    body before the VERSION AS OF rewrite (review-pass r15)."""
+    from dbx_workspace_and_emr_iceberg_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path))
+    eng.sql("CREATE TABLE tt_src AS SELECT 1 AS id")
+    eng.sql("INSERT INTO tt_src VALUES (2)")  # v2
+    eng.sql("CREATE TABLE tt_snap AS SELECT * FROM tt_src VERSION AS OF 1")
+    assert [r.id for r in eng.table("tt_snap").collect()] == [1]
+    eng.sql("INSERT INTO tt_snap SELECT * FROM tt_src VERSION AS OF 1")
+    assert sorted(r.id for r in eng.table("tt_snap").collect()) == [1, 1]

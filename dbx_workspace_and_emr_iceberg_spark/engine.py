@@ -94,7 +94,16 @@ class Engine:
 
     def managed(self, name: str) -> LakehouseTable:
         if name not in self._tables:
-            t = LakehouseTable(self.spark, self._require_warehouse(), name)
+            # StatsLakehouseTable, matching create_table's default: a
+            # re-opened table (new Engine over an existing warehouse)
+            # previously came back as the BASE class, which crashed the
+            # CALL rewrite_data_files sort/zorder strategies
+            # (AttributeError — they live on the subclass) and
+            # silently dropped the per-file min/max stats from every
+            # subsequent DML commit (review-pass r15). Stats-less
+            # manifests read fine through the subclass (files without
+            # stats are always kept by the pruner).
+            t = StatsLakehouseTable(self.spark, self._require_warehouse(), name)
             if t.current_version() == 0:
                 raise KeyError(f"no managed table {name!r}")
             self._tables[name] = t

@@ -40,12 +40,13 @@ _REGISTRY: dict[str, Query] = {}
 
 #: queries/ submodules that populate the registry on import.
 #:
-#: ORDER IS THE DRIVER'S EXECUTION ORDER. The round-1 driver run was
-#: time-budgeted and stopped at registration #50, leaving every family
-#: after queries/joins.py without a correctness row. Families the driver
-#: has not yet proven (or whose queries were just fixed) register FIRST;
-#: the 22 TPC-H shapes — all green in round 1 — register LAST so a
-#: budget cutoff costs re-proving the already-proven, not the untested.
+#: Module order is IMPORT order only (side-effects + duplicate-name
+#: detection). It has NOT been the driver's execution order since r9:
+#: queries_dict() derives that ordering from driver_history
+#: (changed-this-round, never-sampled, stalest-green) — reordering this
+#: list changes nothing about which queries the driver budget reaches.
+#: (The historical round-1 rationale below is kept for archaeology
+#: only; review-pass r15 removed its stale ORDER-IS-EXECUTION claim.)
 _QUERY_MODULES = [
     "projections",      # p1/p5 fixed this round — must be re-verified
     "windows",

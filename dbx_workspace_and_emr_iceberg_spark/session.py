@@ -55,6 +55,23 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
+    # getOrCreate REUSES any existing session, applying only runtime
+    # confs: master/local[n], driver memory, and static confs (e.g. the
+    # iceberg catalog wiring in extra_conf) are silently ignored then.
+    # Warn LOUDLY when the caller asked for those on a reused session —
+    # a "config swap" that did nothing is worse than a warning
+    # (review-pass r15).
+    existing = SparkSession.getActiveSession()
     spark = b.getOrCreate()
+    if existing is not None and (cpus or extra_conf):
+        import warnings
+
+        warnings.warn(
+            "get_spark: reusing the existing SparkSession — cpus/master/"
+            "driver-memory and static extra_conf keys were NOT applied; "
+            "stop the session first to rebuild with them",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -43,6 +43,13 @@ class LakehouseCatalog:
         the missing levels from the defaults — `spark.sql.defaultCatalog`
         semantics."""
         parts = name.split(".")
+        if not all(parts):
+            # 'nation.' / 'a..b' / '': os.path.join silently DROPS the
+            # empty component, so a typo'd identifier resolved to a
+            # path colliding with the schema directory — exists() then
+            # answered for the wrong dir and drop_table rmtree'd it
+            # (review-pass r15)
+            raise ValueError(f"invalid table identifier {name!r} (empty part)")
         if len(parts) == 1:
             return self.default_catalog, self.default_schema, parts[0]
         if len(parts) == 2:

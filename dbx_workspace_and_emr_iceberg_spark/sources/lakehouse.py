@@ -414,7 +414,16 @@ class LakehouseTable:
             # used to die in createDataFrame([], None) with a cryptic
             # "can not infer schema" (review-pass r15)
             raise ValueError(f"table {self.name} does not exist")
-        m = self._read_manifest(v)
+        try:
+            m = self._read_manifest(v)
+        except FileNotFoundError:
+            # explicit-version read of an expired/never-existing
+            # snapshot: the contracted error type, not a leaked
+            # internal path (review-pass r15)
+            raise ValueError(
+                f"table {self.name}: snapshot v{v} expired or never "
+                "existed"
+            ) from None
         files = self._files(v)
         if not files:
             return self.spark.createDataFrame(
@@ -1466,7 +1475,13 @@ class PartitionedLakehouseTable(LakehouseTable):
             # falling through used to leak a raw FileNotFoundError for
             # v00000.json (review-pass r15)
             raise ValueError(f"table {self.name} does not exist")
-        m = self._read_manifest(v)
+        try:
+            m = self._read_manifest(v)
+        except FileNotFoundError:
+            raise ValueError(
+                f"table {self.name}: snapshot v{v} expired or never "
+                "existed"
+            ) from None
         schema_names = {f_json["name"] for f_json in m["schema"]["fields"]}
         files = self._files(v)
         if not files:

@@ -30,7 +30,9 @@ TABLES = (
     "embeddings",
 )
 
-DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# (the SPARK_GRAFT_SF_DIR env hook lives in bench.py, its only
+# consumer; a DEFAULT_SF_DIR constant here was dead code advertising a
+# default that nothing read — review-pass r15)
 
 # Sessions whose engine defaults have been applied (weak: a stopped
 # session must not pin its replacement's id).

@@ -1527,3 +1527,62 @@ def test_read_nonexistent_table_raises_cleanly(spark, wh):
         LakehouseTable(spark, wh, "ghost").read()
     with pytest.raises(ValueError, match="does not exist"):
         PartitionedLakehouseTable(spark, wh, "ghost2", ["days(ts)"]).read()
+
+
+def test_managed_reopens_with_stats_subclass(spark, wh):
+    """A re-opened managed table (new Engine over an existing
+    warehouse) must come back as StatsLakehouseTable: the base class
+    crashed CALL rewrite_data_files' sort strategy (AttributeError)
+    and silently dropped the per-file min/max stats from subsequent
+    DML commits (review-pass r15)."""
+    from dbx_workspace_and_emr_iceberg_spark.engine import Engine
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        StatsLakehouseTable,
+    )
+
+    e1 = Engine(spark, warehouse=wh)
+    e1.create_table("reopen_t", spark.range(100).selectExpr("id AS c"))
+    e2 = Engine(spark, warehouse=wh)  # fresh engine, same warehouse
+    t = e2.managed("reopen_t")
+    assert isinstance(t, StatsLakehouseTable)
+    e2.sql(
+        "CALL system.rewrite_data_files('reopen_t', strategy => 'sort', "
+        "sort_order => 'c')"
+    )
+    # stats survive DML through the re-opened handle
+    t.delete_where(F.col("c") == 1)
+    m = t._read_manifest(t.main_head())
+    assert m.get("stats"), "stats dropped by DML on a re-opened table"
+
+
+def test_catalog_rejects_empty_identifier_parts(spark, wh):
+    """'nation.' / 'a..b' / '': os.path.join silently drops the empty
+    component, so a typo'd identifier resolved to the SCHEMA directory
+    — drop_table would rmtree it (review-pass r15)."""
+    from dbx_workspace_and_emr_iceberg_spark.sources.catalog import (
+        LakehouseCatalog,
+    )
+
+    cat = LakehouseCatalog(spark, wh)
+    for bad in ("nation.", ".nation", "a..b", ""):
+        with pytest.raises(ValueError, match="empty part"):
+            cat.table(bad)
+
+
+def test_read_expired_version_raises_cleanly(spark, wh):
+    """read(version=N) on an expired snapshot raises the contracted
+    ValueError, not a raw FileNotFoundError leaking an internal path
+    (review-pass r15)."""
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+
+    t = LakehouseTable(spark, wh, "exp_read")
+    t.create(spark.createDataFrame([(1,)], "v int"))
+    t.append(spark.createDataFrame([(2,)], "v int"))
+    t.append(spark.createDataFrame([(3,)], "v int"))
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="expired or never existed"):
+        t.read(version=1)
+    with pytest.raises(ValueError, match="expired or never existed"):
+        t.read(version=99)

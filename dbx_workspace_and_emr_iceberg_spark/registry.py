@@ -154,13 +154,9 @@ def all_queries() -> dict[str, Query]:
 #: (m7/m7b/m9/m11/m13/p3) re-verified hash-identical via a scoped sim
 #: at sf0.01, so their driver evidence stays valid.
 _CHANGED_THIS_ROUND = [
-    # r15 round()-audit respells (VERDICT-r14 #4): year_share/retention
-    # were per-group round(count/count, 6) — an exact RATIONAL of two
-    # counts, the d2 tie class — respelled as half-up integer ppm via
-    # bigint div on both engines; re-verified hash-green at
-    # sf0.001/0.01/0.1
-    "qd4_mix_shift",
-    "qd5_cohort_retention",
+    # r16: empty — no query plan or oracle changed this round; the 50
+    # driver slots go entirely to the staleness backlog (r9/r10 cohort,
+    # VERDICT-r15 #2).
 ]
 
 

@@ -61,17 +61,38 @@ def get_spark(
     # Warn LOUDLY when the caller asked for those on a reused session —
     # a "config swap" that did nothing is worse than a warning
     # (review-pass r15).
-    existing = SparkSession.getActiveSession()
+    # getActiveSession() is THREAD-LOCAL — a session created on another
+    # thread is still reused by getOrCreate with no active session on
+    # this one, so also check the process-wide default
+    # (_instantiatedSession; ADVICE r15, reproduced in tests).
+    existing = SparkSession.getActiveSession() or getattr(
+        SparkSession, "_instantiatedSession", None
+    )
     spark = b.getOrCreate()
-    if existing is not None and (cpus or extra_conf):
-        import warnings
+    if existing is not None:
+        # runtime confs ARE applied to a reused session by getOrCreate;
+        # only an explicit cpus ask (master/shuffle-partitions are
+        # static) or a static extra_conf key was silently dropped
+        static_keys = [
+            k
+            for k in (extra_conf or {})
+            if not spark.conf.isModifiable(k)
+        ]
+        if cpus or static_keys:
+            import warnings
 
-        warnings.warn(
-            "get_spark: reusing the existing SparkSession — cpus/master/"
-            "driver-memory and static extra_conf keys were NOT applied; "
-            "stop the session first to rebuild with them",
-            RuntimeWarning,
-            stacklevel=2,
-        )
+            warnings.warn(
+                "get_spark: reusing the existing SparkSession — "
+                "cpus/master/driver-memory"
+                + (
+                    f" and static conf keys {static_keys}"
+                    if static_keys
+                    else ""
+                )
+                + " were NOT applied; stop the session first to "
+                "rebuild with them",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -121,9 +121,21 @@ def main_head_json(root: str) -> int:
     except FileNotFoundError:
         return 0
     while v:
-        with open(os.path.join(root, "_snapshots", f"v{v:05d}.json")) as f:
-            if not json.load(f).get("staged_ref"):
-                return v
+        try:
+            with open(
+                os.path.join(root, "_snapshots", f"v{v:05d}.json")
+            ) as f:
+                if not json.load(f).get("staged_ref"):
+                    return v
+        except FileNotFoundError:
+            # same contract as LakehouseTable.main_head(): crossing an
+            # expired snapshot surfaces the actionable message, not a
+            # raw path error in the stream source's schema()/offset
+            # resolution (ADVICE r15, reproduced)
+            raise ValueError(
+                f"{root}: main head expired below staged snapshots — "
+                "publish or drop staged refs before expire_snapshots"
+            ) from None
         v -= 1
     return 0
 
@@ -1243,9 +1255,17 @@ class LakehouseTable:
         parts: list[DataFrame] = []
         # running previous-MAIN state: staged snapshots are skipped, so
         # each main snapshot diffs against the last main one, not the
-        # raw log parent
-        prev_v = from_version
-        prev_m = _manifest_or_expired(from_version) if from_version else None
+        # raw log parent.  from_version itself can be STAGED (a caller
+        # who checkpointed the raw log head right after a WAP write) —
+        # normalize it down to the last MAIN snapshot, the same base
+        # walk appended_files_between uses, or prev_files seeds with
+        # branch state and the next main commit emits phantom DELETEs
+        # for branch-only files (ADVICE r15, reproduced).
+        base_v = from_version
+        while base_v and _manifest_or_expired(base_v).get("staged_ref"):
+            base_v -= 1
+        prev_v = base_v
+        prev_m = _manifest_or_expired(base_v) if base_v else None
         prev_files = set(prev_m["files"]) if prev_m else set()
         for v in range(from_version + 1, to_v + 1):
             m = _manifest_or_expired(v)

@@ -48,10 +48,24 @@ def _strip(sql: str) -> str:
     while i < n:
         ch = sql[i]
         if quote:
-            out.append(ch)
-            if ch == quote:
-                quote = None
-            i += 1
+            # Spark string literals escape the delimiter two ways:
+            # backslash ('it\'s') and doubling ('it''s').  Consume the
+            # escape PAIR while inside a literal, or a lone \' closes
+            # the quote early and the comment stripper truncates (or
+            # rebalances) the statement.
+            if ch == "\\" and i + 1 < n:
+                out.append(ch)
+                out.append(sql[i + 1])
+                i += 2
+            elif ch == quote and i + 1 < n and sql[i + 1] == quote:
+                out.append(ch)
+                out.append(sql[i + 1])
+                i += 2
+            else:
+                out.append(ch)
+                if ch == quote:
+                    quote = None
+                i += 1
         elif ch in ("'", '"'):
             quote = ch
             out.append(ch)
@@ -78,13 +92,26 @@ def classify(sql: str) -> str | None:
 def _split_top_level(s: str, sep: str = ",") -> list[str]:
     """Split on sep outside parens/quotes (for SET assignment lists)."""
     parts, depth, buf, quote = [], 0, [], None
-    for ch in s:
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
         if quote:
+            # same escape handling as _strip: \x and doubled-delimiter
+            # pairs stay inside the literal
+            if ch == "\\" and i + 1 < n:
+                buf.append(ch)
+                buf.append(s[i + 1])
+                i += 2
+                continue
+            if ch == quote and i + 1 < n and s[i + 1] == quote:
+                buf.append(ch)
+                buf.append(s[i + 1])
+                i += 2
+                continue
             buf.append(ch)
             if ch == quote:
                 quote = None
-            continue
-        if ch in ("'", '"'):
+        elif ch in ("'", '"'):
             quote = ch
             buf.append(ch)
         elif ch == "(":
@@ -98,6 +125,7 @@ def _split_top_level(s: str, sep: str = ",") -> list[str]:
             buf = []
         else:
             buf.append(ch)
+        i += 1
     if buf:
         parts.append("".join(buf))
     return [p.strip() for p in parts if p.strip()]

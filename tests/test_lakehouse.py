@@ -1586,3 +1586,49 @@ def test_read_expired_version_raises_cleanly(spark, wh):
         t.read(version=1)
     with pytest.raises(ValueError, match="expired or never existed"):
         t.read(version=99)
+
+
+# --- ADVICE r15: staged from_version / expired-walk contracts ---------------
+
+
+def test_changelog_normalizes_staged_from_version(spark, wh):
+    """A caller who checkpointed the raw log head right after a WAP
+    write holds a STAGED from_version; seeding prev_files with branch
+    state made the next main commit emit phantom DELETEs for
+    branch-only files (ADVICE r15, reproduced)."""
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        BranchedLakehouse,
+    )
+
+    t = LakehouseTable(spark, wh, "t")
+    t.create(spark.createDataFrame([(1,), (2,)], "id long"))
+    b = BranchedLakehouse(t)
+    b.create_branch("audit")
+    v2 = b.write_to_branch(
+        "audit", spark.createDataFrame([(9,)], "id long")
+    )  # staged
+    v3 = t.append(spark.createDataFrame([(3,)], "id long"))  # main
+    rows = sorted(
+        (r["id"], r["_change_type"]) for r in t.changelog(v2, v3).collect()
+    )
+    assert rows == [(3, "INSERT")]
+
+
+def test_main_head_json_contracts_expired_walk(spark, wh):
+    """main_head_json's downward walk must raise the same contracted
+    ValueError as LakehouseTable.main_head() when it crosses an expired
+    snapshot — the stream source's schema()/latestOffset otherwise
+    surfaced a raw FileNotFoundError (ADVICE r15, reproduced)."""
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        BranchedLakehouse,
+        main_head_json,
+    )
+
+    t = LakehouseTable(spark, wh, "t")
+    v1 = t.create(spark.createDataFrame([(1,)], "id long"))
+    b = BranchedLakehouse(t)
+    b.create_branch("a")
+    b.write_to_branch("a", spark.createDataFrame([(2,)], "id long"))
+    os.remove(os.path.join(t.root, "_snapshots", f"v{v1:05d}.json"))
+    with pytest.raises(ValueError, match="publish or drop staged refs"):
+        main_head_json(t.root)

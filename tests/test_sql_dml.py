@@ -940,3 +940,33 @@ def test_time_travel_inside_insert_and_ctas(spark, tmp_path):
     assert [r.id for r in eng.table("tt_snap").collect()] == [1]
     eng.sql("INSERT INTO tt_snap SELECT * FROM tt_src VERSION AS OF 1")
     assert sorted(r.id for r in eng.table("tt_snap").collect()) == [1, 1]
+
+
+# --- ADVICE r15: escape handling inside string literals ----------------------
+
+
+def test_strip_handles_backslash_escaped_quote():
+    r"""A Spark-legal literal like 'it\'s -- x' used to close the quote
+    at \' and the stripper truncated the statement at the '--' inside
+    the literal; paired escaped quotes could rebalance into a DIFFERENT
+    valid predicate (ADVICE r15, reproduced)."""
+    s = "DELETE FROM t WHERE a = 'it\\'s -- x'"
+    assert sql_dml._strip(s) == s
+    # doubled-quote escape form too
+    s2 = "DELETE FROM t WHERE a = 'it''s -- x'"
+    assert sql_dml._strip(s2) == s2
+    # two literals each with an escaped quote must NOT rebalance into
+    # one literal that swallows the predicate between them
+    s3 = "UPDATE t SET a = 'x\\'' WHERE b = '\\'y' AND c = 1 -- tail"
+    assert sql_dml._strip(s3) == (
+        "UPDATE t SET a = 'x\\'' WHERE b = '\\'y' AND c = 1"
+    )
+
+
+def test_split_top_level_handles_escaped_quotes():
+    """SET-list splitting must not break inside a literal containing an
+    escaped quote followed by a comma (ADVICE r15)."""
+    parts = sql_dml._split_top_level("a = 'x\\', y', b = 2")
+    assert parts == ["a = 'x\\', y'", "b = 2"]
+    parts2 = sql_dml._split_top_level("a = 'x'', y', b = 2")
+    assert parts2 == ["a = 'x'', y'", "b = 2"]

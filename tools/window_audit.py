@@ -343,7 +343,11 @@ def main(argv: list[str]) -> int:
     # validate BEFORE paying JVM startup (driver_sim's arg pattern)
     unknown = [n for n in argv if n not in qs]
     assert not unknown, f"unknown query names: {unknown}"
-    spark = get_spark(app_name="window-audit", cpus=8)
+    # no cpus override: the audit reads plan STRINGS, not timings, and
+    # an explicit cpus on a reused session trips get_spark's
+    # dropped-settings warning for a knob that does nothing here
+    # (VERDICT r15 #5)
+    spark = get_spark(app_name="window-audit")
     names = argv or sorted(qs)
     bad: list[str] = []
     skipped: list[str] = []

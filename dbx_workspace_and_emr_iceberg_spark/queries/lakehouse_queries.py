@@ -2196,6 +2196,11 @@ def m14_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same resolution over the snapshot layer; this query proves 1/2/3-part
 # name resolution, SHOW SCHEMAS/TABLES listing, cross-schema isolation,
 # and the timestamp spelling of time travel (read_as_of_timestamp).
+# The REST transport itself (type=rest + OAuth2, main.tf:794-806) is
+# exercised end-to-end over real localhost HTTP by
+# tests/test_iceberg_integration.py::TestRestCatalogStub (r16:
+# sources/rest_catalog.py serves the Iceberg REST routes, and
+# catalog_for_session routes this same resolution surface through it).
 
 
 # Value-ORACLED (r11): the namespace layout after the lifecycle (2

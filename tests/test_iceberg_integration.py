@@ -16,6 +16,7 @@ with zero code change.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -39,7 +40,9 @@ def _iceberg_available() -> bool:
     )
 
 
-pytestmark = pytest.mark.skipif(
+#: applied to the jar-dependent tests ONLY — the REST-stub tests
+#: below speak localhost HTTP and need no jar (VERDICT r15 #3)
+needs_jar = pytest.mark.skipif(
     not _iceberg_available(),
     reason="iceberg-spark-runtime jar not on the classpath (offline "
     "container); the snapshot layer stands in — see sources/lakehouse.py",
@@ -70,6 +73,7 @@ def iceberg_spark():
     shutil.rmtree(wh, ignore_errors=True)
 
 
+@needs_jar
 def test_real_iceberg_sql_dml_lifecycle(iceberg_spark):
     """CTAS -> MERGE -> UPDATE -> DELETE -> time travel, all as SQL
     strings against a real Iceberg catalog — the reference's
@@ -102,3 +106,165 @@ def test_real_iceberg_sql_dml_lifecycle(iceberg_spark):
         f"SELECT count(*) AS c FROM it.db.nation VERSION AS OF {first}"
     ).collect()[0].c
     assert n_v1 == 0, "time travel reads the CTAS-empty first snapshot"
+
+
+# ---------------------------------------------------------------------------
+# S1 REST protocol path (VERDICT r15 #3): the type=rest conf swap was
+# parity-only — no HTTP was ever spoken.  These tests run REGARDLESS of
+# the runtime jar: an in-process localhost server implements the
+# Iceberg REST routes the reference's conf names (config, OAuth2
+# client-credentials token POST per main.tf:798-801, namespace/table
+# GET), and resolution goes through sources/catalog.catalog_for_session
+# over real HTTP.
+# ---------------------------------------------------------------------------
+
+
+class TestRestCatalogStub:
+
+    @pytest.fixture()
+    def rest_env(self, spark):
+        """Warehouse with one populated table + a running REST server
+        requiring OAuth2, and the reference-shaped conf applied to the
+        session (restored after)."""
+        import shutil
+        import tempfile
+
+        from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+            LakehouseTable,
+            iceberg_rest_catalog_conf,
+        )
+        from dbx_workspace_and_emr_iceberg_spark.sources.rest_catalog import (
+            RestCatalogServer,
+        )
+
+        wh = tempfile.mkdtemp(prefix="rest_wh_")
+        t = LakehouseTable(spark, os.path.join(wh, "local", "db"), "nation")
+        t.create(
+            spark.createDataFrame(
+                [(0, "ALGERIA"), (1, "ARGENTINA"), (2, "BRAZIL")],
+                "n_nationkey int, n_name string",
+            ).coalesce(1)
+        )
+        server = RestCatalogServer(
+            wh, catalog="local", credential="client:secret", token_ttl_s=3600
+        )
+        uri = server.start()
+        conf = iceberg_rest_catalog_conf(
+            uri=uri,
+            warehouse=wh,
+            catalog="local",
+            credential="client:secret",
+            oauth2_server_uri=f"{uri}/v1/oauth2/tokens",
+            scope="catalog",
+        )
+        old_default = spark.conf.get("spark.sql.defaultCatalog", None)
+        applied = {}
+        for k, v in conf.items():
+            if spark.conf.isModifiable(k) or k.startswith("spark.sql.catalog."):
+                applied[k] = v
+                spark.conf.set(k, v)
+        yield {"spark": spark, "wh": wh, "uri": uri, "server": server}
+        server.stop()
+        for k in applied:
+            spark.conf.unset(k)
+        if old_default is not None:
+            spark.conf.set("spark.sql.defaultCatalog", old_default)
+        shutil.rmtree(wh, ignore_errors=True)
+
+    def test_resolve_and_read_over_http(self, rest_env):
+        """End-to-end: conf swap -> catalog_for_session routes through
+        the REST client -> OAuth2 token POST -> table GET -> the
+        LakehouseTable read off the server-returned location matches
+        the written rows.  This is the m15 namespace surface spoken
+        over the wire."""
+        from dbx_workspace_and_emr_iceberg_spark.sources.catalog import (
+            catalog_for_session,
+        )
+        from dbx_workspace_and_emr_iceberg_spark.sources.rest_catalog import (
+            RestLakehouseCatalog,
+        )
+
+        spark = rest_env["spark"]
+        cat = catalog_for_session(spark, default_schema="db")
+        assert isinstance(cat, RestLakehouseCatalog)
+        assert cat.list_schemas() == ["db"]
+        assert cat.list_tables("db") == ["nation"]
+        assert cat.exists("db.nation") and not cat.exists("db.ghost")
+        rows = sorted(
+            (r.n_nationkey, r.n_name) for r in cat.table("db.nation").read().collect()
+        )
+        assert rows == [(0, "ALGERIA"), (1, "ARGENTINA"), (2, "BRAZIL")]
+        # the client actually authenticated (token issued + tracked)
+        assert cat.client._token is not None
+        assert len(rest_env["server"]._tokens) >= 1
+
+    def test_bad_credential_is_401(self, rest_env):
+        from dbx_workspace_and_emr_iceberg_spark.sources.rest_catalog import (
+            RestCatalogClient,
+            RestCatalogError,
+        )
+
+        with pytest.raises(RestCatalogError) as ei:
+            RestCatalogClient(
+                rest_env["uri"], credential="client:WRONG"
+            ).list_namespaces()
+        assert ei.value.status == 401
+
+    def test_missing_bearer_is_401_and_missing_table_404(self, rest_env):
+        from dbx_workspace_and_emr_iceberg_spark.sources.rest_catalog import (
+            RestCatalogClient,
+            RestCatalogError,
+        )
+
+        # no credential configured on the client at all -> server rejects
+        anon = RestCatalogClient(rest_env["uri"])
+        with pytest.raises(RestCatalogError) as ei:
+            anon.list_namespaces()
+        assert ei.value.status == 401
+        # authenticated but absent table -> Iceberg-style 404
+        ok = RestCatalogClient(rest_env["uri"], credential="client:secret")
+        with pytest.raises(RestCatalogError) as ei2:
+            ok.load_table("db", "ghost")
+        assert ei2.value.status == 404
+
+    def test_token_refresh_on_expiry(self, spark):
+        """token-refresh-enabled=true (main.tf:800): an expired token is
+        re-acquired transparently; with refresh disabled the stale token
+        surfaces the server's 401."""
+        import shutil
+        import tempfile
+
+        from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+            LakehouseTable,
+        )
+        from dbx_workspace_and_emr_iceberg_spark.sources.rest_catalog import (
+            RestCatalogClient,
+            RestCatalogError,
+            RestCatalogServer,
+        )
+
+        wh = tempfile.mkdtemp(prefix="rest_ttl_")
+        LakehouseTable(spark, os.path.join(wh, "local", "db"), "t").create(
+            spark.createDataFrame([(1,)], "id long").coalesce(1)
+        )
+        with RestCatalogServer(
+            wh, credential="c:s", token_ttl_s=0.05
+        ) as server:
+            c = RestCatalogClient(server.uri, credential="c:s")
+            assert c.list_namespaces() == ["db"]
+            first = c._token
+            import time as _time
+
+            _time.sleep(0.1)  # token now expired server-side
+            assert c.list_tables("db") == ["t"]  # refreshed, not 401
+            assert c._token != first
+
+            frozen = RestCatalogClient(
+                server.uri, credential="c:s", token_refresh_enabled=False
+            )
+            assert frozen.list_namespaces() == ["db"]
+            _time.sleep(0.1)
+            with pytest.raises(RestCatalogError) as ei:
+                frozen.list_namespaces()
+            assert ei.value.status == 401
+        shutil.rmtree(wh, ignore_errors=True)

@@ -628,7 +628,13 @@ def execute(engine, sql: str) -> DataFrame:
         table = spec["target"]
         t = engine.managed(table)
         source = spark.table(spec["source"])
-        ta, sa = spec["target_alias"], spec["source_alias"]
+        # SQL scoping: a declared alias HIDES the table name; without
+        # one, the table name itself is the legal qualifier ('UPDATE
+        # SET v = src.v' on an unaliased USING src — fuzz-net r16,
+        # reproduced: the unrewritten qualifier died on
+        # UNRESOLVED_COLUMN inside the merge frame)
+        ta = spec["target_alias"] or spec["target"]
+        sa = spec["source_alias"] or spec["source"]
         # no UPDATE clause -> {} (matched rows survive unchanged),
         # NEVER None: None means UPDATE SET * to merge_into, which
         # would rewrite matched rows from source in a delete-only

@@ -1219,3 +1219,471 @@ def test_hash_sample_by_matches_python_md5(spark, rows):
         if _py_bucket(k) < int(fracs.get(s, 0.0) * 10_000 + 0.5)
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# SQL-door generative fuzz (VERDICT r15 #4): the r15 hand-audit found
+# SEVEN silent mis-execution classes in sources/sql_dml.py — a hand
+# audit finds what it thinks of.  This net generates statements from a
+# random AST (so the expected semantics are known by construction),
+# renders them with hostile spellings (string literals containing '--',
+# quotes in both escape forms, mixed-case keywords/aliases, random
+# whitespace, shuffled clause orders), and checks:
+#   * parse level (~250 statements, no Spark): parse_merge/parse_call
+#     recover exactly the generated AST; illegal mutations RAISE
+#     instead of silently reordering/dropping clauses;
+#   * execution level: statement chains through Engine.sql versus a
+#     straight-line Python applier of SQL semantics over mirror state.
+# ---------------------------------------------------------------------------
+
+import random as _random
+import re as _re
+
+from dbx_workspace_and_emr_iceberg_spark.sources import sql_dml as _dml
+
+
+def _fuzz_string(rng: "_random.Random") -> str:
+    """Hostile literal content: comment markers, both quote chars,
+    separators the splitter cares about. No backslash VALUES (escape
+    normalization differs by engine); backslash appears via the
+    RENDERING of embedded quotes instead."""
+    pieces = rng.choices(
+        ["--", "'", '"', "ab", "Zq", " ", ",", "(", ")", "x=y", ""],
+        k=rng.randint(0, 4),
+    )
+    return "".join(pieces)
+
+
+def _render_str_lit(s: str, rng: "_random.Random") -> str:
+    """SQL single-quoted literal for s, escaping each embedded quote
+    randomly as '' (doubling) or \\' (backslash) — both Spark-legal."""
+    out = []
+    for ch in s:
+        if ch == "'":
+            out.append("''" if rng.random() < 0.5 else "\\'")
+        else:
+            out.append(ch)
+    return "'" + "".join(out) + "'"
+
+
+def _kw(word: str, rng: "_random.Random") -> str:
+    """Random-case keyword with random surrounding whitespace."""
+    w = "".join(c.upper() if rng.random() < 0.5 else c.lower() for c in word)
+    return rng.choice([" ", "  ", "\n ", " \t"]) + w + " "
+
+
+def _gen_merge_ast(
+    rng: "_random.Random", target: str = "t", source: str = "src"
+) -> dict:
+    """A VALID merge AST per the door's supported grammar.  SQL
+    scoping: a declared alias hides the table name; without one the
+    table name itself is the qualifier."""
+    t_alias = rng.choice([None, "T", "tg", "dst"])
+    s_alias = rng.choice([None, "S", "sr", "inc"])
+    tq = (t_alias or target) + "."
+    sq = (s_alias or source) + "."
+    conds = [
+        f"{tq}v < {sq}v",
+        f"{sq}v > {rng.randint(-5, 5)}",
+        f"{tq}s = {{lit}}",  # literal filled at render time
+        f"{sq}v % 2 = 0",
+    ]
+    shape = rng.choice(
+        ["upd", "del_cond", "del_cond+upd", "del_uncond"]
+    )
+    ast = {
+        "target": target,
+        "source": source,
+        "t_alias": t_alias,
+        "s_alias": s_alias,
+        "del_cond": None,  # None | "true" | cond string
+        "upd_expr": None,  # expr for SET v = ...
+        "insert": rng.random() < 0.7,
+        "lit": _fuzz_string(rng),
+    }
+    if "del_cond" in shape:
+        ast["del_cond"] = rng.choice(conds)
+    if shape == "del_uncond":
+        ast["del_cond"] = "true"
+    if "upd" in shape:
+        ast["upd_expr"] = rng.choice(
+            [f"{sq}v", f"{tq}v + {sq}v", f"{tq}v + {rng.randint(1, 9)}", "0"]
+        )
+    if not ast["insert"] and ast["del_cond"] is None and ast["upd_expr"] is None:
+        ast["insert"] = True
+    return ast
+
+
+def _render_merge(ast: dict, rng: "_random.Random") -> str:
+    r = lambda w: _kw(w, rng)  # noqa: E731
+    ta = (
+        (r("AS") if rng.random() < 0.5 else " ") + ast["t_alias"]
+        if ast["t_alias"]
+        else ""
+    )
+    sa = (
+        (r("AS") if rng.random() < 0.5 else " ") + ast["s_alias"]
+        if ast["s_alias"]
+        else ""
+    )
+    tq = (ast["t_alias"] or ast["target"]) + "."
+    sq = (ast["s_alias"] or ast["source"]) + "."
+    on = rng.choice([f"{tq}k = {sq}k", f"k = k", "(k)", "k"])
+    whens = []
+    lit = _render_str_lit(ast["lit"], rng)
+    if ast["del_cond"] == "true":
+        whens.append(r("WHEN") + r("MATCHED") + r("THEN") + r("DELETE"))
+    elif ast["del_cond"]:
+        cond = ast["del_cond"].replace("{lit}", lit)
+        whens.append(
+            r("WHEN") + r("MATCHED") + r("AND") + cond + r("THEN") + r("DELETE")
+        )
+    if ast["upd_expr"] is not None:
+        whens.append(
+            r("WHEN")
+            + r("MATCHED")
+            + r("THEN")
+            + r("UPDATE")
+            + r("SET")
+            + f"{tq}v"
+            + rng.choice([" = ", "= ", " ="])
+            + ast["upd_expr"]
+        )
+    if ast["insert"]:
+        ins = r("WHEN") + r("NOT") + r("MATCHED") + r("THEN") + r("INSERT") + "*"
+        whens.insert(rng.randrange(len(whens) + 1), ins)
+    comment = "-- trailing comment\n" if rng.random() < 0.3 else ""
+    return (
+        r("MERGE").lstrip()
+        + r("INTO")
+        + ast["target"]
+        + ta
+        + r("USING")
+        + ast["source"]
+        + sa
+        + r("ON")
+        + on
+        + " "
+        + " ".join(whens)
+        + (";" if rng.random() < 0.3 else "")
+        + ("\n" + comment if comment else "")
+    )
+
+
+def test_sql_dml_fuzz_merge_parser():
+    """250 generated-then-rendered MERGE statements: parse_merge must
+    recover the AST exactly; mutated-illegal variants must RAISE."""
+    rng = _random.Random(20260816)
+    n_valid = n_invalid = 0
+    for _ in range(250):
+        ast = _gen_merge_ast(rng)
+        sql = _render_merge(ast, rng)
+        spec = _dml.parse_merge(sql)
+        assert spec["target"] == "t" and spec["source"] == "src", sql
+        assert spec["on"] == "k", sql
+        assert spec["insert"] is ast["insert"], sql
+        if ast["del_cond"] is None:
+            assert spec["delete_cond"] is None, sql
+        elif ast["del_cond"] == "true":
+            assert spec["delete_cond"] == "true", sql
+        else:
+            want = " ".join(
+                ast["del_cond"].replace("{lit}", "L").split()
+            )
+            got = " ".join(spec["delete_cond"].split())
+            # literal content differs by escape spelling; compare the
+            # non-literal shape
+            if "{lit}" in ast["del_cond"]:
+                assert got.startswith(want.split("L")[0]), sql
+            else:
+                assert got == want, sql
+        if ast["upd_expr"] is None:
+            assert spec["update_set"] is None, sql
+        else:
+            assert list(spec["update_set"]) == ["v"], sql
+            assert " ".join(spec["update_set"]["v"].split()) == " ".join(
+                ast["upd_expr"].split()
+            ), sql
+        n_valid += 1
+
+        # mutate into an illegal statement: every mutation must raise,
+        # never silently drop/reorder a clause
+        mut = rng.choice(
+            ["dup_insert", "cond_update", "cond_insert", "upd_then_matched",
+             "insert_cols"]
+        )
+        if mut == "dup_insert":
+            bad = (
+                "MERGE INTO t USING src ON k "
+                "WHEN NOT MATCHED THEN INSERT * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+        elif mut == "cond_update":
+            bad = (
+                "MERGE INTO t USING src ON k "
+                "WHEN MATCHED AND t.v > 0 THEN UPDATE SET v = 1"
+            )
+        elif mut == "cond_insert":
+            bad = (
+                "MERGE INTO t USING src ON k "
+                "WHEN NOT MATCHED AND src.v > 0 THEN INSERT *"
+            )
+        elif mut == "upd_then_matched":
+            bad = (
+                "MERGE INTO t USING src ON k "
+                "WHEN MATCHED THEN UPDATE SET v = 1 "
+                "WHEN MATCHED AND t.v < 0 THEN DELETE"
+            )
+        else:  # insert_cols
+            bad = (
+                "MERGE INTO t USING src ON k "
+                "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, src.v)"
+            )
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            _dml.parse_merge(bad)
+        n_invalid += 1
+    assert n_valid == 250 and n_invalid == 250
+
+
+def test_sql_dml_fuzz_call_parser():
+    """CALL statements with random positional/named arg mixes against
+    the real procedure registry; illegal mixes raise."""
+    import pytest as _pt
+
+    rng = _random.Random(99)
+    for _ in range(200):
+        proc = rng.choice(sorted(_dml._PROCEDURES))
+        _method, spec, aliases = _dml._PROCEDURES[proc]
+        # build expected kwargs from a random subset of the signature
+        n_args = rng.randint(0, len(spec))
+        vals = {}
+        for name, conv in spec[:n_args]:
+            vals[name] = (
+                rng.randint(0, 10**6) if conv is int else f"v{rng.randint(0,9)}"
+            )
+        n_pos = rng.randint(0, n_args)  # first n_pos ride positionally
+        args = [rng.choice(["'tbl'", "tbl", '"tbl"'])]
+        for i, (name, conv) in enumerate(spec[:n_args]):
+            if i < n_pos:
+                args.append(str(vals[name]))
+            else:
+                # render via an Iceberg alias name when one exists
+                alias = next(
+                    (a for a, eng in aliases.items() if eng == name), name
+                )
+                key = alias if rng.random() < 0.5 else name
+                args.append(f"{key} => {vals[name]}")
+        # named args after the positional block may appear in any order
+        head, named_part = args[: 1 + n_pos], args[1 + n_pos :]
+        rng.shuffle(named_part)
+        sql = f"CALL system.{proc}({', '.join(head + named_part)})"
+        got_proc, got_table, got_kwargs = _dml.parse_call(sql)
+        assert got_proc == proc and got_table == "tbl", sql
+        assert got_kwargs == vals, sql
+
+        # illegal mutations
+        if named_part:
+            dup = sql[:-1] + f", {named_part[0]})"
+            with _pt.raises(ValueError, match="duplicate|unknown"):
+                _dml.parse_call(dup)
+            trailing_pos = sql[:-1] + ", 42)"
+            with _pt.raises(ValueError, match="positional|too many|unknown"):
+                _dml.parse_call(trailing_pos)
+        with _pt.raises(ValueError, match="duplicate table"):
+            _dml.parse_call(sql[:-1] + ", table => 'other')")
+
+
+def _eval_pred(pred, row):
+    """Evaluate a generated predicate AST on {'k':int,'v':int,'s':str}."""
+    kind = pred[0]
+    if kind == "cmp":
+        _, col, op, c = pred
+        x = row[col]
+        return {"<": x < c, ">": x > c, "=": x == c, "<=": x <= c,
+                ">=": x >= c, "!=": x != c}[op]
+    if kind == "eq_s":
+        return row["s"] == pred[1]
+    if kind == "and":
+        return _eval_pred(pred[1], row) and _eval_pred(pred[2], row)
+    if kind == "or":
+        return _eval_pred(pred[1], row) or _eval_pred(pred[2], row)
+    raise AssertionError(pred)
+
+
+def _render_pred(pred, rng):
+    kind = pred[0]
+    if kind == "cmp":
+        _, col, op, c = pred
+        return f"{col} {op} {c}"
+    if kind == "eq_s":
+        return f"s = {_render_str_lit(pred[1], rng)}"
+    op = _kw("AND" if kind == "and" else "OR", rng)
+    return f"({_render_pred(pred[1], rng)}){op}({_render_pred(pred[2], rng)})"
+
+
+def _gen_pred(rng, depth=0):
+    r = rng.random()
+    if depth < 1 and r < 0.3:
+        return (
+            rng.choice(["and", "or"]),
+            _gen_pred(rng, depth + 1),
+            _gen_pred(rng, depth + 1),
+        )
+    if r < 0.55:
+        return ("eq_s", _fuzz_string(rng))
+    return (
+        "cmp",
+        rng.choice(["k", "v"]),
+        rng.choice(["<", ">", "=", "<=", ">=", "!="]),
+        rng.randint(-2, 12),
+    )
+
+
+def test_sql_dml_fuzz_execution(spark, tmp_path):
+    """Statement chains through Engine.sql versus a straight-line
+    Python applier: INSERT INTO/OVERWRITE VALUES with hostile literals,
+    DELETE/UPDATE with generated predicates, and MERGE with random
+    clause combos — final multiset state must agree after EVERY
+    statement (VERDICT r15 #4)."""
+    from dbx_workspace_and_emr_iceberg_spark.engine import Engine
+
+    rng = _random.Random(7)
+    eng = Engine(spark, warehouse=str(tmp_path))
+
+    def fresh_rows(n):
+        return [
+            (rng.randint(0, 9), rng.randint(-5, 15), _fuzz_string(rng))
+            for _ in range(n)
+        ]
+
+    def values_sql(rows):
+        return ", ".join(
+            f"({k}, {v}, {_render_str_lit(s, rng)})" for k, v, s in rows
+        )
+
+    n_checked = 0
+    for chain in range(3):
+        tbl = f"fz{chain}"
+        init = fresh_rows(rng.randint(1, 6))
+        eng.sql(
+            f"CREATE TABLE {tbl} AS SELECT * FROM VALUES {values_sql(init)} "
+            "AS _v(k, v, s)"
+        )
+        state = list(init)  # multiset mirror
+        for _step in range(12):
+            op = rng.choice(["insert", "overwrite", "delete", "update", "merge"])
+            if op == "insert":
+                rows = fresh_rows(rng.randint(1, 4))
+                eng.sql(f"INSERT INTO {tbl} VALUES {values_sql(rows)}")
+                state.extend(rows)
+            elif op == "overwrite":
+                rows = fresh_rows(rng.randint(1, 4))
+                eng.sql(f"INSERT OVERWRITE {tbl} VALUES {values_sql(rows)}")
+                state = list(rows)
+            elif op == "delete":
+                pred = _gen_pred(rng)
+                eng.sql(
+                    f"DELETE FROM {tbl} WHERE {_render_pred(pred, rng)}"
+                    + ("  -- drop\n" if rng.random() < 0.3 else "")
+                )
+                state = [
+                    r for r in state
+                    if not _eval_pred(pred, dict(zip("kvs", r)))
+                ]
+            elif op == "update":
+                pred = _gen_pred(rng)
+                delta = rng.randint(-3, 3)
+                new_s = _fuzz_string(rng)
+                eng.sql(
+                    f"UPDATE {tbl} SET v = v + {delta}, "
+                    f"s = {_render_str_lit(new_s, rng)} "
+                    f"WHERE {_render_pred(pred, rng)}"
+                )
+                state = [
+                    (k, v + delta, new_s)
+                    if _eval_pred(pred, {"k": k, "v": v, "s": s})
+                    else (k, v, s)
+                    for k, v, s in state
+                ]
+            else:  # merge
+                # unique-key source (duplicate source keys are a
+                # cardinality error by SQL MERGE semantics)
+                src_rows = {}
+                for k, v, s in fresh_rows(rng.randint(1, 5)):
+                    src_rows[k] = (k, v, s)
+                src = sorted(src_rows.values())
+                spark.createDataFrame(
+                    src, "k int, v int, s string"
+                ).createOrReplaceTempView("src")
+                ast = _gen_merge_ast(rng, target=tbl, source="src")
+                eng.sql(_render_merge(ast, rng))
+                # --- python applier (engine precedence == SQL textual
+                # order for the accepted grammar: delete_cond, update) ---
+                by_k = {r[0]: r for r in src}
+                new_state = []
+                for row in state:
+                    srow = by_k.get(row[0])
+                    if srow is None:
+                        new_state.append(row)
+                        continue
+                    t_d = dict(zip("kvs", row))
+                    s_d = dict(zip("kvs", srow))
+                    dc = ast["del_cond"]
+                    hit_delete = False
+                    if dc == "true":
+                        hit_delete = True
+                    elif dc is not None:
+                        hit_delete = _eval_merge_cond(dc, t_d, s_d, ast["lit"])
+                    if hit_delete:
+                        continue
+                    if ast["upd_expr"] is not None:
+                        t_d["v"] = _eval_merge_expr(
+                            ast["upd_expr"], t_d, s_d, ast
+                        )
+                    new_state.append((t_d["k"], t_d["v"], t_d["s"]))
+                if ast["insert"]:
+                    tgt_keys = {r[0] for r in state}
+                    new_state.extend(
+                        r for r in src if r[0] not in tgt_keys
+                    )
+                state = new_state
+            got = sorted(
+                (r.k, r.v, r.s) for r in eng.table(tbl).collect()
+            )
+            assert got == sorted(state), (
+                f"state diverged after step {_step} ({op}) on {tbl}:\n"
+                f"spark={got}\npython={sorted(state)}"
+            )
+            n_checked += 1
+    assert n_checked == 36
+
+
+def _eval_merge_cond(cond, t, s, lit):
+    """Evaluate _gen_merge_ast's fixed condition menu."""
+    if _re.match(r"^\S+\.v < \S+\.v$", cond):
+        return t["v"] < s["v"]
+    m = _re.match(r"^\S+\.v > (-?\d+)$", cond)
+    if m:
+        return s["v"] > int(m.group(1))
+    if cond.endswith(".s = {lit}") or ".s = {lit}" in cond:
+        return t["s"] == lit
+    if cond.endswith("v % 2 = 0"):
+        return s["v"] % 2 == 0
+    raise AssertionError(cond)
+
+
+def _eval_merge_expr(expr, t, s, ast):
+    """Evaluate _gen_merge_ast's fixed SET-expr menu."""
+    e = expr.strip()
+    if e == "0":
+        return 0
+    sq = ast["s_alias"] or ast["source"]
+
+    def term(p):
+        if p.endswith(".v"):
+            return s["v"] if p.split(".")[0] == sq else t["v"]
+        return int(p)
+
+    return sum(term(p) for p in (x.strip() for x in e.split("+")))

@@ -26,6 +26,7 @@ K_OPEN = "spark.sql.files.openCostInBytes"
 K_BCAST = "spark.sql.autoBroadcastJoinThreshold"
 K_VEC = "spark.sql.parquet.enableVectorizedReader"
 K_AQE = "spark.sql.adaptive.enabled"
+K_ANSI = "spark.sql.ansi.enabled"
 
 
 @pytest.fixture
@@ -49,7 +50,7 @@ def conf_scope(spark):
 def test_driver_sim_spells_the_same_keys():
     with open(os.path.join(REPO, "tools", "driver_sim.py")) as fh:
         src = fh.read()
-    for key in (K_CODEGEN, K_ARROW, K_SPLIT, K_OPEN, K_BCAST, K_VEC):
+    for key in (K_CODEGEN, K_ARROW, K_SPLIT, K_OPEN, K_BCAST, K_VEC, K_ANSI):
         assert key in src, f"driver_sim.py no longer sets {key}"
 
 
@@ -134,3 +135,14 @@ def test_split_knobs_shatter_a_single_file_scan(spark, conf_scope):
     # more than the default layout produced
     assert shattered > base, (base, shattered)
     assert shattered >= 4, shattered
+
+
+def test_ansi_knob_toggles_strict_arithmetic(spark, conf_scope):
+    """ANSI on: int division by zero raises; ANSI off: legacy NULL.
+    The ansi_off axis is vacuous unless this key really flips the
+    engine mode at runtime."""
+    conf_scope(K_ANSI, "false")
+    assert spark.sql("SELECT 1 / 0 AS x").collect()[0].x is None
+    conf_scope(K_ANSI, "true")
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO|ArithmeticException"):
+        spark.sql("SELECT 1 / 0 AS x").collect()

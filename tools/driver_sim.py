@@ -48,6 +48,13 @@ spark = (SparkSession.builder.master(os.environ.get("SIM_MASTER", "local[8]"))
          # row-based parquet decode must agree with the vectorized reader
          .config("spark.sql.parquet.enableVectorizedReader",
                  os.environ.get("SIM_VECTORIZED", "true"))
+         # ANSI mode (Spark 4 default ON): answers must not depend on
+         # strict-vs-legacy arithmetic/cast semantics — a query whose
+         # result changes with ANSI off was silently leaning on an
+         # error-or-null edge (r16 axis; try_* queries exercise the
+         # try functions, which behave identically in both modes)
+         .config("spark.sql.ansi.enabled",
+                 os.environ.get("SIM_ANSI", "true"))
          .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 

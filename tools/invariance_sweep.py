@@ -1,4 +1,4 @@
-"""One-command invariance sweep (VERDICT r14 #3; twelve axes since r15).
+"""One-command invariance sweep (VERDICT r14 #3; thirteen axes since r16).
 
 r14 ran the first six axes by hand and they found ten real bugs the
 sf0.01 gate had passed for 13 rounds (half-cent rounding ties at 10x
@@ -31,6 +31,8 @@ Axes (each a FULL driver_sim run in a fresh subprocess):
               shuffle-side; join-strategy invariance (r15)
   vectorized_off SIM_VECTORIZED=false at sf0.001 — row-based parquet
               decode must agree with the vectorized reader (r15)
+  ansi_off    SIM_ANSI=false at sf0.001 — legacy arithmetic/cast
+              semantics must not change any answer (r16)
 
 Per-axis PASS requires ALL of:
   * driver_sim exit code 0,
@@ -102,6 +104,11 @@ AXES: dict[str, tuple[str, dict[str, str]]] = {
     # same values as the vectorized one (decimal/timestamp decode is a
     # recurring upstream divergence class)
     "vectorized_off": ("/root/testdata/sf0.001", {"SIM_VECTORIZED": "false"}),
+    # engine-MODE invariance (r16, VERDICT r15 #6): the whole suite was
+    # built ANSI-on (Spark 4 default); answers must be identical with
+    # legacy arithmetic/cast semantics, or a query is leaning on an
+    # error-vs-null edge the user's cluster may not share
+    "ansi_off": ("/root/testdata/sf0.001", {"SIM_ANSI": "false"}),
 }
 
 _LINE = re.compile(r"^  (\S+): (rows-only,|spark=\d+ duck=\d+ hash (MATCH|MISMATCH))")

@@ -120,6 +120,14 @@ def asof_join(
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
     ptype = _payload_type(right, right_ts, right_cols)
 
+    # Equi-join NULL semantics (SQL/DuckDB ASOF): NULL never equals
+    # NULL, so a NULL-key right row can match NOTHING — drop it before
+    # the union, or the NULL window partition hands its payload to
+    # NULL-key left rows (review-pass r16, reproduced; left NULL-key
+    # rows then correctly carry NULL, since their partition holds no
+    # right rows).
+    right = right.filter(F.col(on).isNotNull())
+
     lhs = left.select(
         *left.columns,
         F.lit(1).alias(_SIDE),
@@ -234,6 +242,10 @@ def asof_join_bucketed(
     r_ts_type = right.schema[right_ts].dataType
 
     # -- pass 1+2: per-(key,bucket) latest right row -> per-bucket seeds --
+    # NULL-key right rows match nothing (equi-join NULL semantics) —
+    # same guard as asof_join, or a NULL left row in the SAME bucket as
+    # a NULL right row would carry its payload (review-pass r16)
+    right = right.filter(F.col(on).isNotNull())
     pay = _payload_struct(right_ts, right_cols)
     rhs_b = right.select(
         F.col(on), F.col(right_ts), *[F.col(c) for c in right_cols]

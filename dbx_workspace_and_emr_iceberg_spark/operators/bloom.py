@@ -199,14 +199,20 @@ def probe_bloom(
                 sums[nz] = seg
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf.iloc[:, 0].to_numpy(),
+                    id_col: pdf.iloc[:, 0].to_numpy(),
                     "n_shingles": lens,
                     "n_hits": sums,
                 }
             )
 
+    # output id column keeps the CALLER's name and type — the old
+    # hard-coded 'doc_id bigint' made any non-default id_col crash in
+    # Arrow conversion (string ids) or silently rename the column
+    # (review-pass r16, reproduced); for the default bigint doc_id the
+    # schema string below is byte-identical to the old one
+    id_type = docs.schema[id_col].dataType.simpleString()
     scored = hashed.mapInPandas(
-        run, "doc_id bigint, n_shingles int, n_hits int"
+        run, f"{id_col} {id_type}, n_shingles int, n_hits int"
     )
     return scored.withColumn(
         "hit_frac",

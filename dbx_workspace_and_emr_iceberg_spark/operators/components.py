@@ -84,6 +84,23 @@ def connected_components(
     if nodes is not None:
         col = node_col or nodes.columns[0]
         universe = universe.union(nodes.select(F.col(col).alias("n")))
+    # NULL ids would otherwise VANISH silently: the pointer-jump inner
+    # join on lbl never matches a NULL label, so the row just drops from
+    # the output (review-pass r16, reproduced) — contradicting this
+    # module's fail-loudly stance. raise_error rides the existing first
+    # action; no extra scan.
+    universe = universe.select(
+        F.when(F.col("n").isNotNull(), F.col("n"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "connected_components: NULL node id in edges/nodes — "
+                    "filter NULL endpoints upstream"
+                )
+            )
+        )
+        .alias("n")
+    )
     labels = universe.distinct().select("n", F.col("n").alias("lbl"))
     labels = labels.localCheckpoint()
 
@@ -197,6 +214,12 @@ def pagerank(
     # driver scalar bounded by the vertex-set cardinality — the same
     # bounded-action class as the k-means stats collects
     n = nodes.count()
+    if n == 0:
+        # 1.0/n would surface a bare ZeroDivisionError from deep inside
+        # the operator (review-pass r16, reproduced)
+        raise ValueError(
+            "pagerank: empty vertex set (no edges and no nodes frame)"
+        )
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
         contrib = (

@@ -216,7 +216,20 @@ def minhash_lsh_pairs(
 
     rows-per-band = num_hashes // bands; two docs collide in a band iff
     all rows of that band match → P(collide) = sim^rows per band.
+
+    ``bands`` must divide ``num_hashes`` exactly: silently ignoring
+    trailing hashes would quietly weaken the documented P(collide)
+    contract, and bands > num_hashes makes every band slice EMPTY, so
+    every doc collides with every doc — an O(n²) all-pairs explosion
+    with no error (review-pass r16, reproduced: 3 mutually-dissimilar
+    docs produced all 3 pairs at num_hashes=8, bands=16).
     """
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"minhash_lsh_pairs: bands={bands} must be >= 1 and divide "
+            f"num_hashes={num_hashes} exactly (rows-per-band would "
+            "otherwise silently drop hashes or degenerate to all-pairs)"
+        )
     rows = num_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n, vectorized)
     band_cols = [

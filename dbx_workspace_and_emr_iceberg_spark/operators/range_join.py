@@ -65,6 +65,13 @@ def range_join_binned(
     overlap = set(points.columns) & set(intervals.columns)
     if overlap:
         raise ValueError(f"inputs share column names {sorted(overlap)}")
+    if "__bin" in points.columns or "__bin" in intervals.columns:
+        # withColumn would silently replace the caller's column and the
+        # trailing drop would strip it from the output (review-pass r16)
+        raise ValueError(
+            "range_join_binned: input already has a __bin column — "
+            "rename it"
+        )
 
     pb = points.withColumn("__bin", _floordiv(point, bin_width))
     ib = intervals.filter(F.col(lo) <= F.col(hi)).withColumn(

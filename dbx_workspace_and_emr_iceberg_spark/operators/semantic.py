@@ -33,15 +33,32 @@ from pyspark.sql import functions as F
 
 
 def _normalized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    # materialize the norm BEFORE the per-element lambda references it
+    # (quantized_unit_vectors idiom, review-pass r16): an expression
+    # embedded inside transform() re-evaluates the whole O(d) fold once
+    # per element — O(d²) per row on every k-means corpus pass instead
+    # of O(d). Zero-norm vectors raise the contract violation loudly
+    # instead of feeding NaN unit vectors into the clustering.
     dot = F.aggregate(
         F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    df = df.withColumn("__nrm", F.sqrt(dot)).withColumn(
+        "__nrm",
+        F.when(F.col("__nrm") > 0, F.col("__nrm")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("semantic: zero-norm embedding at "),
+                    F.col(id_col).cast("string"),
+                )
+            )
+        ),
+    )
     return df.select(
         F.col(id_col).alias("vec_id"),
         F.transform(
-            vec_col, lambda x: x.cast("double") / F.sqrt(dot)
+            vec_col, lambda x: x.cast("double") / F.col("__nrm")
         ).alias("v"),
     )
 

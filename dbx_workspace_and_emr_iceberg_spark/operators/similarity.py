@@ -32,6 +32,14 @@ def _norm(a) -> F.Column:
     return F.sqrt(_dot(a, a))
 
 
+def _cosine(qv, cv, q_nrm, c_nrm) -> F.Column:
+    """Cosine with zero-norm pairs scored NULL: cosine is undefined for
+    a zero vector, NULL sorts LAST under desc (so a degenerate row can
+    never outrank a real match), and ANSI mode no longer raises
+    DIVIDE_BY_ZERO mid-job (review-pass r16, reproduced)."""
+    return _dot(qv, cv) / F.nullif(q_nrm * c_nrm, F.lit(0.0))
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -61,7 +69,7 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (_dot(F.col("qv"), F.col("cv")) / (F.col("q_nrm") * F.col("c_nrm"))).alias(
+            _cosine(F.col("qv"), F.col("cv"), F.col("q_nrm"), F.col("c_nrm")).alias(
                 "cosine"
             ),
         )
@@ -202,7 +210,7 @@ def ann_topk_lsh(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        (_dot(F.col("qv"), F.col("cv")) / (F.col("q_nrm") * F.col("c_nrm"))).alias(
+        _cosine(F.col("qv"), F.col("cv"), F.col("q_nrm"), F.col("c_nrm")).alias(
             "cosine"
         ),
     )
@@ -241,19 +249,34 @@ def cosine_topk_vectorized(
     ).collect()  # bounded: the query batch is small by contract
     q_ids = np.array([r.query_id for r in qrows])
     q_mat = np.array([r.qv for r in qrows], dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # zero-norm guard (review-pass r16): a bare /= norm yields NaN rows
+    # and Spark sorts NaN ABOVE every double in desc — a degenerate
+    # vector would win top-1 for every query. Masked divide + -inf sims
+    # rank zero-norm pairs LAST, matching the JVM path's NULL cosine
+    # (NULL also sorts last under desc).
+    q_nrm = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_mat = np.divide(
+        q_mat, q_nrm, out=np.zeros_like(q_mat), where=q_nrm != 0
+    )
     bq_ids = spark.sparkContext.broadcast(q_ids)
     bq_mat = spark.sparkContext.broadcast(q_mat)
+    bq_zero = spark.sparkContext.broadcast((q_nrm == 0).ravel())
 
     def score(batches):
         ids = bq_ids.value
         qm = bq_mat.value
+        qz = bq_zero.value
         for pdf in batches:
             if not len(pdf):
                 continue
             cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            c_nrm = np.linalg.norm(cm, axis=1, keepdims=True)
+            cm = np.divide(
+                cm, c_nrm, out=np.zeros_like(cm), where=c_nrm != 0
+            )
             sims = cm @ qm.T  # (batch, queries)
+            sims[(c_nrm == 0).ravel(), :] = -np.inf
+            sims[:, qz] = -np.inf
             nid = pdf[id_col].to_numpy()
             take = min(k + 1, len(nid))
             top = np.argpartition(-sims, take - 1, axis=0)[:take]
@@ -312,6 +335,13 @@ def ivf_topk(
         ],
         dtype=np.float64,
     )
+    if len(cents) == 0:
+        raise ValueError("ivf_topk: empty corpus")
+    # a corpus smaller than n_centroids seeds fewer cells than asked —
+    # clamp so the (n_centroids, dim)-shaped update buffers match the
+    # actual centroid matrix (review-pass r16, reproduced: IndexError
+    # 'boolean dimension is 16' on a 3-row corpus)
+    n_centroids = len(cents)
 
     def assigner(cmat):
         bc = spark.sparkContext.broadcast(cmat)
@@ -419,7 +449,7 @@ def ivf_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        (_dot(F.col("qv"), F.col("cv")) / (F.col("q_nrm") * F.col("c_nrm"))).alias(
+        _cosine(F.col("qv"), F.col("cv"), F.col("q_nrm"), F.col("c_nrm")).alias(
             "cosine"
         ),
     ).distinct()

@@ -55,6 +55,14 @@ def salted_join(
             "inner/left/semi/anti"
         )
     _check_n_salts(n_salts)
+    if "__salt" in big.columns or "__salt" in small.columns:
+        # withColumn would silently REPLACE the caller's column and the
+        # trailing drop would remove it from the output (review-pass
+        # r16, reproduced) — the silent-overwrite class
+        # chunked_exclusive_prefix already guards
+        raise ValueError(
+            "salted_join: input already has a __salt column — rename it"
+        )
     salted_big = big.withColumn(
         "__salt",
         F.pmod(F.xxhash64(F.col(on), F.monotonically_increasing_id()), F.lit(n_salts)),
@@ -95,6 +103,12 @@ def salted_top_k(
     key, so exposing its rank costs nothing extra.
     """
     _check_n_salts(n_salts)
+    if "__salt" in df.columns or "__rk1" in df.columns:
+        raise ValueError(
+            "salted_top_k: input already has a __salt/__rk1 column — "
+            "rename it (withColumn would silently replace it and the "
+            "phase-1 drop would remove it from the output)"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     w1 = Window.partitionBy(*key_cols, "__salt").orderBy(*order_cols)
     phase1 = (
@@ -414,8 +428,15 @@ def chunked_percent_ranks(
     (id_cols must be unique per row).
     """
     spark = df.sparkSession
-    probs = [i / n_chunks for i in range(1, n_chunks)]
-    bounds = df.stat.approxQuantile(list(value_cols), probs, 0.01)
+    if n_chunks <= 1:
+        # degenerate single-chunk config: approxQuantile rejects an
+        # empty probability list (the same guard quantile_chunk_expr
+        # carries — review-pass r16, reproduced); no boundaries means
+        # every value lands in chunk 0 below
+        bounds = [[] for _ in value_cols]
+    else:
+        probs = [i / n_chunks for i in range(1, n_chunks)]
+        bounds = df.stat.approxQuantile(list(value_cols), probs, 0.01)
 
     pairs = F.array(
         *[
@@ -433,6 +454,8 @@ def chunked_percent_ranks(
     # tied values always share a chunk and the prefix property holds
     chunk_expr = F.lit(0)
     for c, bs in zip(value_cols, bounds):
+        if not bs:  # single-chunk: no boundaries, everything in chunk 0
+            continue
         barr = F.array(*[F.lit(float(b)) for b in sorted(set(bs))])
         e = F.aggregate(
             barr,

@@ -41,14 +41,33 @@ def pushed_filters(df: DataFrame) -> str:
 
 
 def read_schema_columns(df: DataFrame) -> list[str]:
-    """Columns each Parquet scan actually reads (ReadSchema) — the
-    column-pruning witness."""
+    """TOP-LEVEL columns each Parquet scan actually reads (ReadSchema)
+    — the column-pruning witness.  Split depth-aware, not on bare
+    commas (review-pass r16, reproduced): a nested
+    struct<meta:struct<format:string,orig_chars:int>> otherwise emits
+    the phantom top-level column 'orig_chars', so pruning assertions
+    fire falsely (or regressions hide behind phantom names)."""
     cols: list[str] = []
     for line in formatted_plan(df).splitlines():
         s = line.strip()
-        if s.startswith("ReadSchema:"):
-            inner = s.split("struct<", 1)[-1].rstrip(">")
-            cols.extend(c.split(":")[0] for c in inner.split(",") if c)
+        if not s.startswith("ReadSchema:"):
+            continue
+        inner = s.split("struct<", 1)[-1].rstrip(">")
+        depth, cur = 0, []
+        fields: list[str] = []
+        for ch in inner:
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                fields.append("".join(cur))
+                cur = []
+                continue
+            cur.append(ch)
+        if cur:
+            fields.append("".join(cur))
+        cols.extend(f.split(":")[0] for f in fields if f)
     return cols
 
 
@@ -71,8 +90,17 @@ def shuffle_count(df: DataFrame) -> int:
     currency. BroadcastExchange is excluded (it replicates a small side,
     it does not repartition the big one). AQE may remove some at
     runtime; this is the static bound."""
+    # ReusedExchange contains the substring 'Exchange' but re-reads an
+    # existing exchange's output — it is not an extra shuffle (and may
+    # even reuse a BROADCAST exchange); counting it over-stated the
+    # bound whenever a plan reuses a subtree (review-pass r16,
+    # reproduced under AQE-off where reuse is planned statically)
     p = simple_plan(df)
-    return p.count("Exchange") - p.count("BroadcastExchange")
+    return (
+        p.count("Exchange")
+        - p.count("BroadcastExchange")
+        - p.count("ReusedExchange")
+    )
 
 
 def codegen_stage_count(df: DataFrame) -> int:
@@ -92,6 +120,14 @@ def python_eval_count(df: DataFrame) -> int:
     # "MapInArrow" is a substring of the 3.x-era "PythonMapInArrow"
     # spelling, so the one needle covers both without double-counting
     # (review-pass r13)
+    # Spark 4 spells the window/aggregate pandas-UDF nodes
+    # ArrowWindowPython / ArrowAggregatePython (review-pass r16,
+    # reproduced — a pandas UDF in a window or agg position previously
+    # kept the count at 0, exactly the r13 vacuous-guard defect for
+    # two more node classes); the Spark 3 names are kept for plan
+    # strings from older engines. FlatMapCoGroupsInPandas is NOT a
+    # substring of FlatMapGroupsInPandas ('Co' breaks it) so cogroup
+    # needs its own needle.
     return sum(
         p.count(n)
         for n in (
@@ -100,6 +136,11 @@ def python_eval_count(df: DataFrame) -> int:
             "MapInPandas",
             "MapInArrow",
             "FlatMapGroupsInPandas",
+            "FlatMapCoGroupsInPandas",
+            "ArrowWindowPython",
+            "ArrowAggregatePython",
+            "WindowInPandas",
+            "AggregateInPandas",
         )
     )
 

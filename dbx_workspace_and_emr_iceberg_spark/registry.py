@@ -154,9 +154,20 @@ def all_queries() -> dict[str, Query]:
 #: (m7/m7b/m9/m11/m13/p3) re-verified hash-identical via a scoped sim
 #: at sf0.01, so their driver evidence stays valid.
 _CHANGED_THIS_ROUND = [
-    # r16: empty — no query plan or oracle changed this round; the 50
-    # driver slots go entirely to the staleness backlog (r9/r10 cohort,
-    # VERDICT-r15 #2).
+    # r16 operator-review correctness fixes (each reproduced first;
+    # values verified unchanged on the fixtures by scoped sim): the
+    # as-of join now drops NULL-key right rows before the union carry
+    # (SQL equi-join NULL semantics — a NULL left row used to carry a
+    # NULL right row's payload), and cosine scoring NULLs zero-norm
+    # pairs instead of raising DIVIDE_BY_ZERO under ANSI.  Stash-based
+    # executedPlan hash comparison over all 27 operator-consuming
+    # queries showed exactly these six plans changed.
+    "j8_asof",
+    "j8b_asof_tolerance",
+    "j8c_asof_bucketed",
+    "j8d_asof_forward",
+    "qd11_lasttouch_attribution",
+    "x3_topk_cosine",
 ]
 
 

@@ -1264,3 +1264,181 @@ def test_x33_x36_salted_path_parity(spark, tmp_path):
     mega = [r for r in plain if r[0] == "mega.example.org"]
     assert mega and mega[0][1] == 200  # n_candidates (x36 is last fn)
     assert mega[0][3] > 0, mega  # n_dupspan_dropped among survivors
+
+
+# --- review-pass r16: operator latent bugs (each reproduced first) ----------
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """Equi-join NULL semantics (SQL/DuckDB ASOF): NULL != NULL. The
+    union+window carry grouped NULL keys into one partition, handing a
+    NULL-key left row a NULL-key right row's payload; the bucketed
+    variant additionally DISAGREED with the plain one on the same
+    input (review-pass r16, reproduced)."""
+    from dbx_workspace_and_emr_iceberg_spark.operators.asof import (
+        asof_join_bucketed,
+    )
+
+    l = spark.createDataFrame(
+        [(None, 10, 0), (1, 10, 1)], "k int, lts int, rowid int"
+    )
+    r = spark.createDataFrame(
+        [(None, 9, 99), (1, 9, 42)], "k int, rts int, v int"
+    )
+    plain = {
+        row.rowid: row.v_right
+        for row in asof_join(l, r, on="k", left_ts="lts", right_ts="rts").collect()
+    }
+    assert plain == {0: None, 1: 42}
+    bucketed = {
+        row.rowid: row.v_right
+        for row in asof_join_bucketed(
+            l, r, on="k", left_ts="lts", right_ts="rts", bucket_s=100
+        ).collect()
+    }
+    assert bucketed == plain
+
+
+def test_cosine_zero_norm_never_ranks(spark):
+    """A zero embedding used to raise DIVIDE_BY_ZERO (ANSI) in the JVM
+    path and rank top-1 via NaN in the vectorized path; both now score
+    it NULL/-inf so it never outranks a real match (review-pass r16,
+    reproduced)."""
+    from dbx_workspace_and_emr_iceberg_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_vectorized,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    for fn in (cosine_topk, cosine_topk_vectorized):
+        top = fn(docs, q, k=1).collect()
+        assert [r.neighbor_id for r in top] == [1], fn.__name__
+
+
+def test_minhash_lsh_rejects_non_dividing_bands(spark):
+    """bands > num_hashes made every band slice EMPTY -> every doc
+    collided with every doc (O(n^2) all-pairs, silently); trailing
+    hashes were silently dropped when bands didn't divide num_hashes
+    (review-pass r16, reproduced)."""
+    d = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divide"):
+        minhash_lsh_pairs(d, "doc_id", "text", num_hashes=8, bands=16)
+    with pytest.raises(ValueError, match="divide"):
+        minhash_lsh_pairs(d, "doc_id", "text", num_hashes=32, bands=5)
+
+
+def test_connected_components_null_ids_raise(spark):
+    """NULL node ids silently VANISHED (the pointer-jump inner join on
+    lbl never matches NULL) — now a loud contract error riding the
+    first action (review-pass r16, reproduced)."""
+    from dbx_workspace_and_emr_iceberg_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame([(1, None)], "src int, dst int")
+    with pytest.raises(Exception, match="NULL node id"):
+        connected_components(edges).collect()
+
+
+def test_pagerank_empty_vertex_set_raises(spark):
+    from dbx_workspace_and_emr_iceberg_spark.operators.components import (
+        pagerank,
+    )
+
+    with pytest.raises(ValueError, match="empty vertex set"):
+        pagerank(spark.createDataFrame([], "src int, dst int"))
+
+
+def test_probe_bloom_respects_id_col(spark):
+    """The output id column keeps the CALLER's name and type — the old
+    hard-coded 'doc_id bigint' crashed Arrow conversion for string ids
+    (review-pass r16, reproduced)."""
+    from dbx_workspace_and_emr_iceberg_spark.operators.bloom import (
+        build_bloom,
+        probe_bloom,
+    )
+
+    docs = spark.createDataFrame(
+        [("sha1", ["a", "b"]), ("sha2", ["c"])],
+        "content_sha string, sh array<string>",
+    )
+    bm = build_bloom(
+        spark.createDataFrame([("a",), ("b",)], "s string"), "s"
+    )
+    out = probe_bloom(docs, "sh", bm, id_col="content_sha")
+    assert "content_sha" in out.columns
+    got = {r.content_sha: r.n_hits for r in out.collect()}
+    assert got == {"sha1": 2, "sha2": 0}
+
+
+def test_salted_and_binned_reject_reserved_columns(spark):
+    """Pre-existing __salt/__bin columns were silently replaced and
+    then dropped from the output (review-pass r16, reproduced)."""
+    from dbx_workspace_and_emr_iceberg_spark.operators.range_join import (
+        range_join_binned,
+    )
+    from dbx_workspace_and_emr_iceberg_spark.operators.skew import (
+        salted_top_k,
+    )
+
+    big = spark.createDataFrame([(1, 10, 7)], "k int, x int, __salt int")
+    small = spark.createDataFrame([(1, 5)], "k int, y int")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(big, small, on="k", n_salts=4)
+    with pytest.raises(ValueError, match="__salt"):
+        salted_top_k(big, key_cols=["k"], order_cols=[F.col("x")], k=1)
+    pts = spark.createDataFrame([(1, 7)], "p int, __bin int")
+    iv = spark.createDataFrame([(0, 5)], "lo int, hi int")
+    with pytest.raises(ValueError, match="__bin"):
+        range_join_binned(pts, iv, "p", "lo", "hi", bin_width=2)
+
+
+def test_chunked_percent_ranks_single_chunk(spark):
+    """n_chunks=1 used to die inside approxQuantile on an empty
+    probability list (review-pass r16, reproduced) — now the
+    single-chunk degenerate case matches the n_chunks=8 answer."""
+    from dbx_workspace_and_emr_iceberg_spark.operators.skew import (
+        chunked_percent_ranks,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "p", float(i % 5)) for i in range(20)],
+        "id long, part string, v double",
+    )
+    one = {
+        r.id: r.pr_v
+        for r in chunked_percent_ranks(
+            df, part_col="part", value_cols=["v"], id_cols=["id"], n_chunks=1
+        ).collect()
+    }
+    eight = {
+        r.id: r.pr_v
+        for r in chunked_percent_ranks(
+            df, part_col="part", value_cols=["v"], id_cols=["id"], n_chunks=8
+        ).collect()
+    }
+    assert one == eight
+
+
+def test_ivf_topk_corpus_smaller_than_centroids(spark):
+    """n_centroids now clamps to the corpus size instead of an
+    IndexError in the centroid update buffers (review-pass r16,
+    reproduced)."""
+    from dbx_workspace_and_emr_iceberg_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [(100, [1.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    assert ivf_topk(docs, q, k=2, n_centroids=16).count() == 2

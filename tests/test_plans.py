@@ -942,3 +942,70 @@ def test_window_audit_sweep_covers_rows_only(spark):
             os.environ.pop("SPARK_GRAFT_TEST_SF_DIR", None)
         else:
             os.environ["SPARK_GRAFT_TEST_SF_DIR"] = old
+
+
+# --- review-pass r16: witness-accuracy fixes (each reproduced first) --------
+
+
+def test_read_schema_columns_nested_struct(spark, tmp_path):
+    """Bare-comma splitting emitted phantom top-level columns for
+    nested struct fields ('orig_chars' from meta's inner field),
+    corrupting the pruning witness (review-pass r16, reproduced)."""
+    p = str(tmp_path / "nested")
+    spark.createDataFrame(
+        [(1, ("png", 10))],
+        "doc_id long, meta struct<format:string,orig_chars:int>",
+    ).write.mode("overwrite").parquet(p)
+    cols = X.read_schema_columns(spark.read.parquet(p).select("doc_id", "meta"))
+    assert cols == ["doc_id", "meta"]
+
+
+def test_shuffle_count_ignores_reused_exchange(spark):
+    """ReusedExchange re-reads an existing exchange's output — not an
+    extra shuffle; with AQE off (where reuse is planned statically) it
+    inflated the bound (review-pass r16, reproduced)."""
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        base = spark.range(0, 100).withColumn("g", F.col("id") % 7)
+        agg = base.groupBy("g").count()
+        j = agg.alias("a").join(agg.alias("b"), "g")
+        plan = X.simple_plan(j)
+        if "ReusedExchange" in plan:
+            # 1 shuffle to build the agg (reused) + 1 for the join key
+            # at most; the reuse itself must not count
+            assert X.shuffle_count(j) == plan.count("Exchange hashpartitioning")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def test_python_eval_count_sees_window_and_agg_pandas(spark):
+    """Spark 4 spells the window/agg pandas-UDF nodes ArrowWindowPython
+    / ArrowAggregatePython; the old needle list kept the count at 0 for
+    both — the r13 vacuous-guard defect for two more node classes
+    (review-pass r16, reproduced)."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.window import Window
+
+    # explicit functionType: this module runs under `from __future__
+    # import annotations`, which turns the hints into strings pyspark's
+    # Series->scalar inference rejects
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def pmean(v):
+        return float(v.mean())
+
+    base = spark.range(0, 50).withColumn("g", F.col("id") % 3)
+    assert (
+        X.python_eval_count(
+            base.withColumn("m", pmean("id").over(Window.partitionBy("g")))
+        )
+        == 1
+    )
+    assert X.python_eval_count(base.groupBy("g").agg(pmean("id").alias("m"))) == 1
+    cog = (
+        base.groupby("g")
+        .cogroup(base.groupby("g"))
+        .applyInPandas(lambda a, b: pd.DataFrame({"g": [0]}), "g long")
+    )
+    assert X.python_eval_count(cog) == 1

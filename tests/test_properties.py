@@ -21,7 +21,10 @@ from pyspark.sql import functions as F
 from dbx_workspace_and_emr_iceberg_spark.operators.asof import asof_join
 from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import LakehouseTable
 
-KEYS = st.integers(min_value=0, max_value=2)
+#: includes None (r16): NULL join keys must never match — the review
+#: pass found the union+window carry matching NULL to NULL, a case this
+#: net could not see while it only generated 0..2
+KEYS = st.one_of(st.none(), st.integers(min_value=0, max_value=2))
 TS = st.integers(min_value=0, max_value=50)
 
 SLOW = settings(
@@ -66,11 +69,22 @@ def test_asof_join_matches_bruteforce(spark, case, direction):
         ).collect()
     }
     for i, (k, ts) in enumerate(left):
+        # SQL equi-join NULL semantics: NULL never equals NULL — the
+        # Python reference must not use bare ==, where None == None is
+        # True (r16: the operator bug this net now pins)
         if direction == "backward":
-            matches = [(rts, v) for (rk, rts, v) in right if rk == k and rts <= ts]
+            matches = [
+                (rts, v)
+                for (rk, rts, v) in right
+                if k is not None and rk == k and rts <= ts
+            ]
             want = max(matches) if matches else (None, None)
         else:
-            matches = [(rts, v) for (rk, rts, v) in right if rk == k and rts >= ts]
+            matches = [
+                (rts, v)
+                for (rk, rts, v) in right
+                if k is not None and rk == k and rts >= ts
+            ]
             want = min(matches) if matches else (None, None)
         assert got[i] == want, f"row {i} key={k} ts={ts}: {got[i]} != {want}"
 

@@ -43,6 +43,12 @@ def normalize(plan: str) -> str:
     plan = re.sub(r"#\d+L?", "#", plan)
     plan = re.sub(r"plan_id=\d+", "plan_id=", plan)
     plan = re.sub(r"\[id=#\]", "", plan)
+    # lambda-variable and CSE counters are allocated from session-global
+    # sequences (lambda x_9 vs lambda x_21, _common_expr_0 vs
+    # _common_expr_1) — identical plans built earlier vs later in one
+    # session otherwise read as DIFFERS (r16: x3's false positive)
+    plan = re.sub(r"\blambda ([a-zA-Z]+)_\d+#", r"lambda \1#", plan)
+    plan = re.sub(r"_common_expr_\d+", "_common_expr_", plan)
     return plan
 
 

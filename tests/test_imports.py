@@ -360,3 +360,74 @@ def test_invariance_sweep_axes_point_at_fixtures():
             assert os.path.isdir(sf), (name, sf)
         else:
             assert sf.startswith("/tmp/"), (name, sf)
+
+
+# --- review-pass r16: harness hardening pins ---------------------------------
+
+
+def test_sim_vhash_escapes_separators():
+    """Unescaped '|'/newlines let DIFFERENT result sets collide into
+    one hash — ('a|b','z') vs ('a','b|z') was a false MATCH channel in
+    the core oracle compare (review-pass r16, reproduced)."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(REPO, "tools"))
+    import sim_compare as S
+
+    assert S.vhash(["a", "b"], [("a|b", "z")]) != S.vhash(
+        ["a", "b"], [("a", "b|z")]
+    )
+    assert S.vhash(["a"], [("x\ny",)]) != S.vhash(["a"], [("x",), ("y",)])
+    # same rows, shuffled -> same hash (the property the gate rests on)
+    assert S.vhash(["a", "b"], [(1, 2), (3, 4)]) == S.vhash(
+        ["a", "b"], [(3, 4), (1, 2)]
+    )
+
+
+def test_sim_cell_canonicalizes_aware_datetimes_to_utc():
+    """DuckDB returns TIMESTAMPTZ localized to the HOST zone; a bare
+    tzinfo strip compared host wall-clock against Spark's session-UTC
+    wall-clock and diverged under the tz axis (review-pass r16)."""
+    import datetime as dt
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(REPO, "tools"))
+    import sim_compare as S
+
+    ny = dt.timezone(dt.timedelta(hours=-5))
+    aware = dt.datetime(2024, 1, 1, 12, 0, tzinfo=ny)
+    assert S.cell(aware) == "2024-01-01T17:00:00"
+    naive = dt.datetime(2024, 1, 1, 12, 0)
+    assert S.cell(naive) == "2024-01-01T12:00:00"
+
+
+def test_sweep_child_env_pins_baseline():
+    """A leftover exported SIM_*/SF/TZ must NOT leak into the axes'
+    children — the sweep could otherwise pass 13/13 without ever
+    executing the default config (review-pass r16)."""
+    from tools.invariance_sweep import AXES, child_env
+
+    dirty = {
+        "PATH": "/usr/bin",
+        "SIM_ANSI": "false",
+        "SIM_AQE": "false",
+        "SF": "/tmp/stale",
+        "TZ": "Mars/Olympus",
+    }
+    env = child_env("aqe_off", base=dirty)
+    assert env["SIM_AQE"] == "false"  # the axis's OWN knob
+    assert "SIM_ANSI" not in env  # the stale knob is gone
+    assert env["SF"] == AXES["aqe_off"][0]
+    assert "TZ" not in env
+    env2 = child_env("tz", base=dirty)
+    assert env2["TZ"] == "America/New_York"  # axis TZ, not the stale one
+
+
+def test_driver_sim_gates_broken_modules():
+    """driver_sim must refuse to print ALL MATCH over a silently
+    shrunken suite (source-level pin: the loud SystemExit is present
+    and not a strippable bare assert)."""
+    with open(os.path.join(REPO, "tools", "driver_sim.py")) as fh:
+        src = fh.read()
+    assert "_BROKEN_MODULES" in src
+    assert "raise SystemExit" in src

@@ -1,11 +1,15 @@
 """Simulate the driver: smoke entry() at sf0.001; compare queries() vs oracle_sql() via DuckDB at sf0.01.
 
-Iterates in REGISTRATION order (the real driver does; round-1's budget
-cutoff hit the first 50 registrations) and prints per-query wall time so
-slow queries are visible before the driver's budget is.
+Iterates in the order queries() returns — registry.queries_dict()'s
+DERIVED (changed-this-round, never-sampled, stalest-green-first)
+ordering, which is what steers the real driver's ~50-slot budget (the
+r9+ scheme; registration order stopped mattering then) — and prints
+per-query wall time so slow queries are visible before the driver's
+budget is.
 """
 import hashlib, math, os, sys, time
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
 import duckdb
 from pyspark.sql import SparkSession
 
@@ -58,17 +62,30 @@ spark = (SparkSession.builder.master(os.environ.get("SIM_MASTER", "local[8]"))
          .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 
+# a quarantined queries module (import-time SyntaxError) silently
+# shrinks the suite — a standalone gate run would print ALL MATCH over
+# the survivors and exit 0, the round-4 failure mode. Fail LOUDLY here
+# (explicit raise: `python -O` strips bare asserts).
+from dbx_workspace_and_emr_iceberg_spark import registry as _registry
+if _registry._BROKEN_MODULES:
+    raise SystemExit(
+        f"quarantined queries modules: {_registry._BROKEN_MODULES} — "
+        "fix the import error before trusting any sim result"
+    )
+
 # t1 smoke
 df = E.entry(spark)
 rows = df.collect()
 print(f"SMOKE entry(): {len(rows)} rows, schema={[f.name for f in df.schema.fields]}")
-assert len(rows) > 0
+if not rows:
+    raise SystemExit("SMOKE: entry() returned zero rows")
 print(rows[0])
 
 # t2 oracle compare at sf0.01
 SF = os.environ.get("SF", "/root/testdata/sf0.01")
 con = duckdb.connect()
-for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+from dbx_workspace_and_emr_iceberg_spark.tables import TABLES as _TABLES
+for t in [t[0] if isinstance(t, tuple) else t for t in _TABLES]:
     # directory-shaped tables (tools/make_layout_fixtures.py's
     # multi-file variant — the 100 TB layout) need a glob; Spark's
     # reader handles both shapes natively
@@ -77,24 +94,7 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
         p += "/*.parquet"
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
-def cell(v):
-    # FULL precision, always: %.6g masked cent-level diffs on values
-    # >= 10k for four rounds (p1/p5 said MATCH locally, MISMATCH in the
-    # driver). repr(float) is the shortest round-trip repr; Decimals keep
-    # their exact string so a DECIMAL-typed output column can never be
-    # silently coerced to look like the oracle's.
-    import decimal, datetime
-    if v is None: return "NULL"
-    if isinstance(v, float): return repr(v) if not math.isnan(v) else "NaN"
-    if isinstance(v, decimal.Decimal): return str(v)
-    if isinstance(v, datetime.datetime): return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, (list, tuple)): return "[" + ",".join(cell(x) for x in v) + "]"
-    return str(v)
-
-def vhash(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(cell(r[i]) for i in order) for r in rows)
-    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:12]
+from sim_compare import cell, _esc, vhash  # noqa: F401 — compare rules live there
 
 # tools/invariance_sweep.py 'rerun' axis: build + collect every query
 # TWICE in the same session and require identical value hashes — the
@@ -108,12 +108,13 @@ qs, osql = E.queries(), E.oracle_sql()
 only = set(sys.argv[1:])  # optional: spot-check just these names
 if only:
     missing = only - set(qs)
-    assert not missing, f"unknown query names: {sorted(missing)}"
+    if missing:
+        raise SystemExit(f"unknown query names: {sorted(missing)}")
     qs = {n: f for n, f in qs.items() if n in only}
 print(f"\n{len(qs)} queries, {len(osql)} with oracle")
 fail = 0
 t_start = time.time()
-for name, fn in qs.items():  # registration order == driver order
+for name, fn in qs.items():  # queries_dict()'s derived driver order
     t0 = time.time()
     df = fn(spark, SF)
     srows = [tuple(r) for r in df.collect()]

@@ -31,13 +31,22 @@ Rows with no query by design (SURVEY.md §2.1):
 def main() -> None:
     qs = all_queries()
     by_tag: dict[str, list[str]] = defaultdict(list)
+    untagged = [q.name for q in qs.values() if not q.tags]
+    if untagged:
+        # an untagged query would appear in the header COUNT but in no
+        # operator row — the coverage audit silently under-reporting
+        # exactly what it audits (review-pass r16)
+        raise SystemExit(f"queries with no §2 tags: {untagged}")
     for q in qs.values():
         for t in q.tags:
-            by_tag[t].append(q.name + ("" if q.oracle else "*"))
+            # `is not None` to match the registry/sweep spelling — an
+            # empty-string oracle is oracled, not rows-only
+            by_tag[t].append(q.name + ("" if q.oracle is not None else "*"))
     lines = [
         "# COVERAGE — SURVEY.md §2 operator inventory → declared queries",
         "",
-        f"{len(qs)} queries declared, {sum(1 for q in qs.values() if q.oracle)} "
+        f"{len(qs)} queries declared, "
+        f"{sum(1 for q in qs.values() if q.oracle is not None)} "
         "with DuckDB oracles (the rest are rows-only self-verifying, marked *).",
         "Rows-only (*) invariants: docs/SELF_VERIFICATION.md. Regenerate with `python tools/gen_coverage.py`.",
         "",

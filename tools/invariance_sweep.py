@@ -143,15 +143,36 @@ def registry_counts() -> tuple[int, int]:
     # a quarantined queries module would shrink the denominator HERE
     # and drop the same queries in every child sim — all axes would
     # "PASS" with that module unswept, the exact failure mode the
-    # count check exists to catch (review-pass r15)
-    assert not registry._BROKEN_MODULES, registry._BROKEN_MODULES
+    # count check exists to catch (review-pass r15).  Explicit raise,
+    # not a bare assert: `python -O` strips asserts (review-pass r16).
+    if registry._BROKEN_MODULES:
+        raise SystemExit(
+            f"quarantined queries modules: {registry._BROKEN_MODULES}"
+        )
     oracled = sum(1 for q in qs.values() if q.oracle is not None)
     return oracled, len(qs) - oracled
 
 
-def run_axis(name: str, log_dir: str) -> dict:
+def child_env(name: str, base: dict | None = None) -> dict:
+    """The exact environment an axis's child sim runs under — pure so
+    tests can pin it.  Pins the child to the BASELINE config before
+    applying the axis's own knobs (review-pass r16): inheriting the
+    caller's environment verbatim let a leftover exported SIM_*/SF/TZ
+    from a manual debug session silently shift EVERY axis's baseline —
+    the sweep could pass 13/13 without ever executing the default
+    configuration."""
     sf, extra = AXES[name]
-    env = dict(os.environ, SF=sf, **extra)
+    env = {
+        k: v
+        for k, v in (base if base is not None else os.environ).items()
+        if not k.startswith("SIM_") and k not in ("SF", "TZ")
+    }
+    env.update(SF=sf, **extra)
+    return env
+
+
+def run_axis(name: str, log_dir: str) -> dict:
+    env = child_env(name)
     log = os.path.join(log_dir, f"{name}.log")
     t0 = time.time()
     with open(log, "w") as fh:

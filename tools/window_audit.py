@@ -134,7 +134,18 @@ def _alias_defs(plan: str) -> dict[str, set[str]]:
     `substr(url#7) AS host#21` into one over-broad definition, which
     both exempted the low-card host#9 window (false negative, the x33
     class) and made a bare re-alias `x#10 AS x#55` look like a
-    self-reference constant (false positive on high-card keys)."""
+    self-reference constant (false positive on high-card keys).
+
+    KNOWN LIMIT (review-pass r16): plan toString renders string
+    literals BARE (no quotes — `concat(a(b, url#1)`), so a literal
+    containing '('/')' defeats ANY textual bracket walk; exact lineage
+    would need a JVM expression-tree traversal. The failure bias is
+    acceptable: a literal '(' truncates the expr (lost refs → reads as
+    constant → the audit FLAGS the window — loud false positive in a
+    test run), while the ')' over-capture direction requires an
+    unbalanced close-paren literal inside a window co-key's own alias
+    chain — flag any such query's partition key into LOWCARD review
+    rather than relying on silent exemption."""
     defs: dict[str, set[str]] = {}
     for m in re.finditer(r" AS (\w+#\d+)", plan):
         i, depth = m.start() - 1, 0

@@ -29,7 +29,16 @@ ORDER BY o_orderpriority
 @register("a5b_percentiles_exact", oracle=_A5B_ORACLE, tags=("A5",))
 def a5b_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (both engines: linear
-    interpolation on doubles; discrete p50 via sort-based percentile)."""
+    interpolation on doubles; discrete p50 via sort-based percentile).
+
+    SCALE CAVEAT (review-pass r16): exact percentiles are inherently
+    O(group cardinality) aggregation state — F.percentile/F.median
+    buffer the group's values, and the INT_MAX-accuracy
+    percentile_approx (needed for an exact discrete p50 the oracle can
+    replay) retains its full sample. This query is the EXACTNESS
+    witness for the A5 row; at 100 TB use the mergeable-sketch pattern
+    (a5c) or percentile_approx at a realistic accuracy, where state is
+    O(accuracy) per group."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderpriority")
@@ -49,9 +58,9 @@ def a5b_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _U2B_ORACLE = """
 SELECT cast(k AS BIGINT) AS k FROM (
-  SELECT l_suppkey % 7 AS k FROM lineitem WHERE l_linenumber = 1
+  SELECT l_suppkey % 100003 AS k FROM lineitem WHERE l_linenumber = 1
   INTERSECT ALL
-  SELECT l_suppkey % 7 AS k FROM lineitem WHERE l_linenumber = 2
+  SELECT l_suppkey % 100003 AS k FROM lineitem WHERE l_linenumber = 2
 )
 """
 
@@ -59,20 +68,26 @@ SELECT cast(k AS BIGINT) AS k FROM (
 @register("u2b_intersect_all", oracle=_U2B_ORACLE, tags=("U2",))
 def u2b_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # % 100003, not a single-digit modulus (review-pass r16): Catalyst
+    # rewrites INTERSECT/EXCEPT ALL as groupBy(k) + a ReplicateRows
+    # generate, so the output stage has one task per DISTINCT key — a
+    # 7-value key funnels the whole multiset through <= 7 tasks at
+    # 100 TB; a high-cardinality key exercises identical semantics
+    # with healthy fan-out
     a = li.filter(F.col("l_linenumber") == 1).select(
-        (F.col("l_suppkey") % 7).cast("bigint").alias("k")
+        (F.col("l_suppkey") % 100003).cast("bigint").alias("k")
     )
     b = li.filter(F.col("l_linenumber") == 2).select(
-        (F.col("l_suppkey") % 7).cast("bigint").alias("k")
+        (F.col("l_suppkey") % 100003).cast("bigint").alias("k")
     )
     return a.intersectAll(b)
 
 
 _U3B_ORACLE = """
 SELECT cast(k AS BIGINT) AS k FROM (
-  SELECT l_suppkey % 7 AS k FROM lineitem WHERE l_linenumber = 1
+  SELECT l_suppkey % 100003 AS k FROM lineitem WHERE l_linenumber = 1
   EXCEPT ALL
-  SELECT l_suppkey % 7 AS k FROM lineitem WHERE l_linenumber = 2
+  SELECT l_suppkey % 100003 AS k FROM lineitem WHERE l_linenumber = 2
 )
 """
 
@@ -80,11 +95,12 @@ SELECT cast(k AS BIGINT) AS k FROM (
 @register("u3b_except_all", oracle=_U3B_ORACLE, tags=("U3",))
 def u3b_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # high-cardinality key for the ReplicateRows fan-out — see u2b
     a = li.filter(F.col("l_linenumber") == 1).select(
-        (F.col("l_suppkey") % 7).cast("bigint").alias("k")
+        (F.col("l_suppkey") % 100003).cast("bigint").alias("k")
     )
     b = li.filter(F.col("l_linenumber") == 2).select(
-        (F.col("l_suppkey") % 7).cast("bigint").alias("k")
+        (F.col("l_suppkey") % 100003).cast("bigint").alias("k")
     )
     return a.exceptAll(b)
 
@@ -162,8 +178,11 @@ ORDER BY doc_id
 @register("x4f_tfidf", oracle=_X4F_ORACLE, tags=("X4",))
 def x4f_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoothed TF-IDF, top term per doc. Two shuffles (doc-term counts,
-    document frequencies) + a broadcast of the tiny DF table — linear
-    in corpus size; vocabulary never collects to the driver."""
+    document frequencies) + a shuffle join on the term — the DF table
+    is VOCABULARY-sized (one row per distinct corpus token), so it must
+    never broadcast (review-pass r16: the old hint collected the whole
+    vocabulary to the driver at scale, the exact hazard x4h documents);
+    nothing here collects to the driver."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -171,7 +190,7 @@ def x4f_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     tf = terms.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     df = terms.distinct().groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df), "w").select(
+    scored = tf.join(df, "w").select(
         "doc_id",
         "w",
         F.round(
@@ -240,12 +259,15 @@ def j10_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan over them — dropping them in a finally would force a driver
     collect to materialize the result first.
     """
-    import tempfile
     import uuid
 
     from ..plans.explain import simple_plan
+    from ..util import process_tmp_root
 
-    tmp = tempfile.mkdtemp(prefix="buckets_")
+    # process-exit-bounded root (review-pass r16): a bare mkdtemp had
+    # NO cleanup hook, permanently leaking full bucketed copies of the
+    # two largest tables per process run
+    tmp = process_tmp_root("buckets_")
     suffix = uuid.uuid4().hex[:8]
     o_name, l_name = f"orders_b_{suffix}", f"lineitem_b_{suffix}"
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
@@ -490,9 +512,15 @@ def x7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.filter(F.col("source").isin(*fractions.keys()))
     take1 = base.sampleBy("source", fractions, seed=42)
     take2 = base.sampleBy("source", fractions, seed=42)
-    ids1 = {r.doc_id for r in take1.select("doc_id").collect()}
-    ids2 = {r.doc_id for r in take2.select("doc_id").collect()}
-    if ids1 != ids2:
+    # determinism check stays DISTRIBUTED (review-pass r16): collecting
+    # the sampled id sets is corpus-linear on the driver whenever a
+    # stratum keeps fraction 1.0 — symmetric exceptAll counts prove set
+    # equality with zero driver materialization
+    n_diff = (
+        take1.select("doc_id").exceptAll(take2.select("doc_id")).count()
+        + take2.select("doc_id").exceptAll(take1.select("doc_id")).count()
+    )
+    if n_diff:
         raise AssertionError("sampleBy not deterministic under fixed seed")
     totals = {r.source: r.n for r in base.groupBy("source").agg(F.count("*").alias("n")).collect()}
     got = {
@@ -512,7 +540,7 @@ def x7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError(
                 f"stratum {src}: {actual} outside [{lo:.1f}, {hi:.1f}]"
             )
-        rows.append((src, int(n), within, int(ids1 == ids2)))
+        rows.append((src, int(n), within, int(n_diff == 0)))
     return spark.createDataFrame(
         rows,
         "source string, n_total long, within_5sd long, deterministic long",
@@ -816,6 +844,10 @@ def a5c_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("est_day"),
         "sk",
     )
+    # one row per day, consumed by BOTH the per-day check and the
+    # merge — uncached, the full sketch-building scan ran twice
+    # (review-pass r16); pin cleared by the harness
+    checked.cache()
     bad = checked.filter(
         F.abs(F.col("est_day") - F.col("exact_day"))
         > 0.05 * F.col("exact_day")
@@ -1333,6 +1365,10 @@ def x30_upsampled_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(hash_bucket(F.col("doc_id")) < frac_bp, 1).otherwise(0)
         ).alias("copies"),
     )
+    # consumed three ways (emission count, copy accounting, the final
+    # mixture summary) — uncached it recomputed the scan+join each time
+    # (review-pass r16); pin cleared by the harness
+    expanded.cache()
     # the actual emission (map-side, no shuffle): one row per copy —
     # aggregated here to a compare-friendly summary, but the exploded
     # frame IS the training-mix output a pipeline would write
@@ -1862,23 +1898,25 @@ def x47_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.split("text", " ")).alias("tok"))
         .filter(F.col("tok") != "")
     )
-    # sketch build + exact probe share one corpus pass; pin cleared by
-    # the harness (bench.py / driver_sim clearCache)
-    tok.cache()
     rows = F.explode(F.sequence(F.lit(0), F.lit(D - 1))).alias("r")
     salted = lambda: hash_bucket(  # noqa: E731 — shared cell spelling
         F.concat(F.col("r").cast("string"), F.lit("#"), F.col("tok")), W
     )
-    cells = (
-        tok.select("tok", rows)
-        .withColumn("cell", salted())
-        .groupBy("r", "cell")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    # ONE corpus pass total (review-pass r16): the old spelling cached
+    # the corpus-linear exploded-occurrence frame and counted cells
+    # from it; cell counts are exactly the per-cell SUM of the
+    # vocabulary-sized exact counts (count of occurrences per cell ==
+    # sum over its tokens' counts), so everything downstream derives
+    # from `exact` — the cache pin and the second corpus explode are
+    # gone. `probes` is cached instead: vocabulary x D rows, consumed
+    # by both the cell aggregation and the probe join; pin cleared by
+    # the harness (bench.py / driver_sim clearCache).
     exact = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
     probes = exact.select("tok", "exact_n", rows).withColumn(
         "cell", salted()
     )
+    probes.cache()
+    cells = probes.groupBy("r", "cell").agg(F.sum("exact_n").alias("c"))
     est = (
         probes.join(F.broadcast(cells), ["r", "cell"])
         .groupBy("tok", "exact_n")

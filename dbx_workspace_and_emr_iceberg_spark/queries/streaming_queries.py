@@ -210,7 +210,7 @@ def t5_watermark_append_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_bounded(q, 300)
         progress = q.recentProgress
         if len([p for p in progress if p["numInputRows"] > 0]) < 2:
             raise AssertionError("expected >=2 non-empty micro-batches")
@@ -407,7 +407,13 @@ def t8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     s = events_stream(spark, sf_dir).select("user_id", "value")
-    joined = s.join(F.broadcast(dim), "user_id")
+    # NO broadcast hint (review-pass r16): `dim` is distinct user_id
+    # over the whole fact table — unbounded cardinality, so a forced
+    # broadcast collects every distinct user to the driver per
+    # micro-batch at scale; the planner picks the strategy from its
+    # size estimate instead (a REAL bounded dimension could keep the
+    # hint)
+    joined = s.join(dim, "user_id")
     agg = joined.groupBy("cohort").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias(
@@ -456,7 +462,7 @@ def t9_stream_to_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("checkpointLocation", wh + "/_ckpt")
             .start()
         )
-        q.awaitTermination(300)
+        await_bounded(q, 300)
         n_sink = table.read().count()
         n_src = load_table(spark, sf_dir, "events").count()
         if n_sink != n_src:
@@ -675,10 +681,8 @@ def _run_upsert_stream(spark, sf_dir, wh, table_name):
     )
     # a timed-out stream must FAIL HERE, not fall through to a
     # partially-merged sink that reads as a MERGE-semantics bug
-    # (review-pass finding)
-    if not q.awaitTermination(300):
-        q.stop()
-        raise AssertionError("upsert stream did not finish within 300s")
+    # (review-pass finding); await_bounded stops+raises on timeout
+    await_bounded(q, 300)
     return table, b1, b2
 
 
@@ -922,7 +926,7 @@ def t13_max_files_per_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_bounded(q, 300)
         nonempty = [b for b in batches if b[1] > 0]
         if len(nonempty) < n_files:
             raise AssertionError(

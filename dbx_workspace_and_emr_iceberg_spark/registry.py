@@ -168,6 +168,16 @@ _CHANGED_THIS_ROUND = [
     "j8d_asof_forward",
     "qd11_lasttouch_attribution",
     "x3_topk_cosine",
+    # r16 scale-shape review fixes (values re-verified by scoped sim):
+    # x47 derives count-min cells from the vocabulary-sized exact
+    # counts (one corpus pass, no corpus-scale cache); x30 caches its
+    # thrice-consumed expanded frame; u2b/u3b move to a
+    # high-cardinality key (oracle updated in lockstep) so the
+    # ReplicateRows output stage fans out past 7 tasks.
+    "x47_countmin_heavy_hitters",
+    "x30_upsampled_mixture",
+    "u2b_intersect_all",
+    "u3b_except_all",
 ]
 
 

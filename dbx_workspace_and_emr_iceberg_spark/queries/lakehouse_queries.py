@@ -325,7 +325,16 @@ def m10b_changelog_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = LakehouseTable(spark, wh, "orders_m10b")
         t.create(o.filter(F.col("o_orderkey") % 5 == 0).coalesce(2))  # v1
         t.append(o.filter(F.col("o_orderkey") % 5 == 1).coalesce(2))  # v2
+        n_before = t.read().count()
         t.delete_where(F.col("o_totalprice") > 400000)                # v3
+        if t.read().count() == n_before:
+            # the DELETE half of the CDC contract would pass vacuously
+            # on both engines if fixture drift empties the predicate
+            # (m10's n_doomed guard, review-pass r16)
+            raise AssertionError(
+                "m10b: DELETE matched nothing — fixture drift emptied "
+                "the >400000 slice"
+            )
         out = t.changelog(1, 3).select(
             F.col("o_orderkey").cast("long").alias("o_orderkey"),
             F.col("o_custkey").cast("long").alias("o_custkey"),
@@ -489,6 +498,12 @@ def m12b_sql_dml_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return out.localCheckpoint()  # temp warehouse removed in finally
     finally:
+        # drop the views BEFORE the warehouse files go (review-pass
+        # r16): Engine.create_table registers temp views over the
+        # warehouse parquet, and a dangling catalog entry over deleted
+        # files haunts the rest of the session (the m6b/m16 idiom)
+        for v in ("nation_m12b", "m12b_updates"):
+            spark.catalog.dropTempView(v)
         shutil.rmtree(wh, ignore_errors=True)
 
 
@@ -1446,6 +1461,8 @@ def m8b_sql_branch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         steps.append(("drop_refs", 3, n_main2))
         return _log(spark, steps)
     finally:
+        for v in ("nation_m8b", "nation_m8b_src"):
+            spark.catalog.dropTempView(v)
         shutil.rmtree(wh, ignore_errors=True)
 
 
@@ -1465,7 +1482,8 @@ SELECT CAST(1 AS BIGINT) AS multi_file_layout,
        CAST(1 AS BIGINT) AS files_relation_consistent,
        CAST(1 AS BIGINT) AS history_starts_create,
        CAST(1 AS BIGINT) AS rollback_restored,
-       o.c + LEAST(o.c, 10) AS n_after_cherrypick
+       o.c + LEAST(o.c, 10) AS n_after_cherrypick,
+       CAST(1 AS BIGINT) AS cherry_content_ok
 FROM o, r
 """
 
@@ -1523,12 +1541,17 @@ def m9_stats_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         files_relation_consistent = int(t.files().count() == n_files)
         ops = [r.operation for r in history(t).orderBy("version").collect()]
 
-        # cherry-pick an append snapshot onto a later state
+        # cherry-pick an append snapshot onto a later state.
+        # DETERMINISTIC slice (review-pass r16): a bare limit(10) can
+        # return different rows per execution, which blocked any
+        # content pin on the cherry-picked delta — count checks alone
+        # would pass a cherrypick that re-applied an equal-cardinality
+        # WRONG file set
         n1 = t.read().count()
-        extra = o.limit(10).coalesce(1)
+        extra = o.orderBy("o_orderkey").limit(10).coalesce(1)
         v_app = t.append(extra)                   # v2: +min(n, 10) rows
         t.delete_where(F.col("o_orderkey") < 0)   # no-op keeps lineage moving
-        t.append(o.limit(5).coalesce(1))          # v3
+        t.append(o.orderBy(F.col("o_orderkey").desc()).limit(5).coalesce(1))  # v3
         t.rollback_to(1)                          # drop both appends
         # compare against the measured pre-append count, not n2 minus a
         # hard-coded 10: limit(10) on a small fixture slice may append
@@ -1536,6 +1559,12 @@ def m9_stats_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         rollback_restored = int(t.read().count() == n1)
         cherrypick_snapshot(t, v_app)             # re-apply only v2's delta
         n_after = t.read().count()
+        # CONTENT pin (review-pass r16): post-cherrypick multiset must
+        # equal v1's rows plus exactly the v2 delta — a wrong file set
+        # of the right cardinality flips this flag and hash-reds
+        cherry_content_ok = _same_rows_flag(
+            t.read(), t.read(version=1).unionAll(extra)
+        )
 
         return spark.createDataFrame(
             [
@@ -1551,13 +1580,15 @@ def m9_stats_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                     int(bool(ops) and ops[0] == "create"),
                     rollback_restored,
                     n_after,
+                    cherry_content_ok,
                 )
             ],
             "multi_file_layout bigint, pruning_effective bigint, "
             "n_range_rows bigint, range_nonempty bigint, "
             "pruned_matches_full bigint, "
             "files_relation_consistent bigint, history_starts_create bigint, "
-            "rollback_restored bigint, n_after_cherrypick bigint",
+            "rollback_restored bigint, n_after_cherrypick bigint, "
+            "cherry_content_ok bigint",
         )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
@@ -1851,6 +1882,8 @@ def m12_sql_dml_door(spark: SparkSession, sf_dir: str) -> DataFrame:
         steps.append(("sql_merge", r.version, r.n_rows))
         return _log(spark, steps)
     finally:
+        for v in ("nation_sql", "nation_updates"):
+            spark.catalog.dropTempView(v)
         shutil.rmtree(wh, ignore_errors=True)
 
 
@@ -1859,7 +1892,8 @@ SELECT CAST(1 AS BIGINT) AS hash_layout_no_pruning,
        CAST(1 AS BIGINT) AS sorted_layout_prunes,
        CAST(1 AS BIGINT) AS pre_scan_parity,
        CAST(1 AS BIGINT) AS post_scan_parity,
-       CAST(count(*) AS BIGINT) AS n_range_rows
+       CAST(count(*) AS BIGINT) AS n_range_rows,
+       CAST(1 AS BIGINT) AS range_nonempty
 FROM lineitem WHERE l_orderkey BETWEEN 100 AND 500
 """
 
@@ -1910,11 +1944,15 @@ def m11_sorted_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pre_parity,
                     _same_rows_flag(after, expected),
                     after.count(),
+                    # literal-1 oracle twin (m9 pattern, review-pass
+                    # r16): fixture drift emptying the probe range
+                    # otherwise makes every parity flag vacuous 0==0
+                    int(after.count() > 0),
                 )
             ],
             "hash_layout_no_pruning bigint, sorted_layout_prunes bigint, "
             "pre_scan_parity bigint, post_scan_parity bigint, "
-            "n_range_rows bigint",
+            "n_range_rows bigint, range_nonempty bigint",
         )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
@@ -1937,7 +1975,8 @@ SELECT CAST(1 AS BIGINT) AS hash_layout_no_pruning_both,
         WHERE l_orderkey BETWEEN 0 AND k.a_hi) AS n_range_a,
        (SELECT CAST(count(*) AS BIGINT) FROM lineitem, k
         WHERE l_partkey BETWEEN 0 AND k.b_hi)  AS n_range_b,
-       (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows_after
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows_after,
+       CAST(1 AS BIGINT) AS ranges_nonempty
 """
 
 
@@ -2014,13 +2053,17 @@ def m13_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # == fixture count IFF neither create nor rewrite
                     # lost rows — no comparison needed, the hash is it
                     n_rows_after,
+                    # literal-1 oracle twin (m9 pattern, review-pass
+                    # r16): an empty probe range would make every
+                    # parity flag vacuous
+                    int(scan_a.count() > 0 and scan_b.count() > 0),
                 )
             ],
             "hash_layout_no_pruning_both bigint, zorder_prunes_a bigint, "
             "zorder_prunes_b bigint, pre_scan_parity_a bigint, "
             "pre_scan_parity_b bigint, scan_parity_a bigint, "
             "scan_parity_b bigint, n_range_a bigint, n_range_b bigint, "
-            "n_rows_after bigint",
+            "n_rows_after bigint, ranges_nonempty bigint",
         )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
@@ -2244,9 +2287,18 @@ def m15_catalog_namespace(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError(f"SHOW TABLES wrong: {cat.list_tables('analytics')}")
 
         # TIMESTAMP AS OF: capture the commit time of v1, append, then a
-        # read as-of that instant must see only v1's rows
+        # read as-of that instant must see only v1's rows.  Spin-wait
+        # until the clock advances past v1's ms (the m16 fix,
+        # review-pass r16): the old same-ms fallback read(version=1)
+        # made the check COMPARE v1 WITH ITSELF exactly on the
+        # ambiguous-timing runs — read_as_of_timestamp was never
+        # exercised there.
         t = cat.table("nation")
         v1_ts = t.snapshots().filter(F.col("version") == 1).collect()[0].ts_ms
+        import time as _time
+
+        while int(_time.time() * 1000) <= v1_ts:
+            _time.sleep(0.002)
         t.append(
             nat.select(
                 (F.col("n_nationkey") + 900).alias("n_nationkey"),
@@ -2254,13 +2306,7 @@ def m15_catalog_namespace(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_regionkey",
             ).limit(3)
         )
-        # commits in the same millisecond would make as-of(v1_ts)
-        # legitimately see v2; manifests record ms so nudge the probe
-        # only if needed
-        v2_ts = t.snapshots().filter(F.col("version") == 2).collect()[0].ts_ms
-        n_asof = t.read_as_of_timestamp(
-            v1_ts if v2_ts > v1_ts else v1_ts - 1
-        ).count() if v2_ts > v1_ts else t.read(version=1).count()
+        n_asof = t.read_as_of_timestamp(v1_ts).count()
         n_v1 = t.read(version=1).count()
         n_now = t.read().count()
         if n_asof != n_v1 or n_now != n_v1 + 3:

@@ -178,6 +178,18 @@ _CHANGED_THIS_ROUND = [
     "x30_upsampled_mixture",
     "u2b_intersect_all",
     "u3b_except_all",
+    # r16 self-check hardening (oracle columns added / returned plan
+    # changed; values re-verified by scoped sim): m9 gains the
+    # cherrypick CONTENT pin (deterministic delta slices +
+    # multiset-parity flag), m11/m13 gain the literal-1 nonempty-probe
+    # twins, x5b returns its already-verified materialized rows (third
+    # full decode removed), x5c folds contract checks and rollup into
+    # one cached expansion.
+    "m9_stats_file_skipping",
+    "m11_sorted_clustering",
+    "m13_zorder_clustering",
+    "x5b_decode_pipeline",
+    "x5c_frame_sampling",
 ]
 
 

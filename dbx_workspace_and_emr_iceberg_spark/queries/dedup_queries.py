@@ -525,7 +525,12 @@ def x2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # silently grows"): degenerate band buckets — many docs with
     # identical word sets, exactly what dedup corpora contain — would
     # explode the bucket join quadratically; fail here rather than
-    # silently running a giant verification join
+    # silently running a giant verification join.  cand is cached
+    # first (review-pass r16): the count otherwise executed the whole
+    # minhash/banding pipeline once for the bound and AGAIN when the
+    # returned exact_jaccard frame evaluates; the frame is bounded to
+    # <= 50k pairs by this very check, and the harness clears the pin.
+    cand.cache()
     n_cand = cand.count()
     if n_cand > 50_000:
         raise AssertionError(
@@ -804,6 +809,10 @@ def x12b_lsh_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_planted = planted.count()
     n_together = joined.filter(F.col("c1") == F.col("c2")).count()
+    if n_planted == 0:
+        # 0 < 0.8*0 is False — the recall check would self-certify on
+        # an empty plant (review-pass r16; the x20/x49 guard pattern)
+        raise AssertionError("x12b: planted-pair set is empty")
     if n_together < 0.8 * n_planted:
         raise AssertionError(
             f"dedup pipeline recall too low: {n_together}/{n_planted} "
@@ -1322,9 +1331,18 @@ def x2d_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("id_a") < F.col("id_b"))
     )
+    # cache before the two counts (review-pass r16): planted.count()
+    # and pairs.count() each independently executed the
+    # approxSimilarityJoin self-join — the query's dominant cost ran
+    # twice; the harness clears the pin
+    pairs.cache()
     planted = pairs.filter(F.col("id_b") == F.col("id_a") + _COPY_OFFSET)
     n_planted_found = planted.count()
     n_expected = d.filter(F.col("doc_id") % 20 == 0).count()
+    if n_expected == 0:
+        # with a zero denominator the recall check AND the oracle's
+        # literal-1 recall flag both pass vacuously (review-pass r16)
+        raise AssertionError("x2d: planted-copy set is empty")
     if n_planted_found < 0.8 * n_expected:
         raise AssertionError(
             f"MLlib LSH recall too low: {n_planted_found}/{n_expected}"
@@ -1408,6 +1426,14 @@ def x26_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     a1, a2, b1 = shuffled(42), shuffled(42), shuffled(7)
+    # a1/b1 feed ~7 self-check actions plus the returned groupBy — the
+    # md5 + per-shard window pipeline re-ran for each action uncached
+    # (review-pass r16). a2 stays UNCACHED on purpose: the determinism
+    # probe compares a FRESH execution of the same plan against the
+    # pinned a1. localCheckpoint (the x23 idiom): blocks GC with the
+    # reference, and the checks below consume it immediately.
+    a1 = a1.localCheckpoint()
+    b1 = b1.localCheckpoint()
     # determinism: same seed → identical (doc_id, shard, position)
     if a1.exceptAll(a2).count() != 0:
         raise AssertionError("seeded shuffle not reproducible")

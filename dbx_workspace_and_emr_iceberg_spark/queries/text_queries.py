@@ -760,8 +760,13 @@ def x4g_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__words", F.split("text", " ")
     )
     words = F.col("__words")
-    g2 = _padded_ngrams(words, 2)
-    gm = d.select(
+    # materialize the n-gram array ONCE (the x4d __shingles idiom,
+    # review-pass r16): lambda-bearing transforms are not
+    # subexpression-eliminated, so the three references below would
+    # each rebuild the padded 2-gram array per row
+    d2 = d.withColumn("__g2", _padded_ngrams(words, 2))
+    g2 = F.col("__g2")
+    gm = d2.select(
         "doc_id",
         F.size(g2).alias("n_2grams"),
         F.round(
@@ -1288,6 +1293,11 @@ def x24_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()[0]
         )
+        if stats.n_bench == 0:
+            # the no-false-negative check below is vacuous with zero
+            # planted docs — raise like x20/x49 instead of silently
+            # certifying an unexercised bloom (review-pass r16)
+            raise AssertionError("x24: plant produced zero benchmark docs")
         if stats.n_bench_flagged != stats.n_bench:
             raise AssertionError(
                 f"bloom missed planted contamination: "
@@ -1760,21 +1770,30 @@ def x38_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("b", hash_bucket(F.col("tok"), B))
         .drop("tok")
     )
-    # three aggregates over one corpus-linear pass. No unpersist: the
-    # returned frame executes lazily AFTER this function returns, so
-    # an in-function unpersist would defeat the cache. The pin is
-    # cleared by the harness: bench.py clearCache()s per timed run and
-    # tools/driver_sim.py between queries (r13); any other caller of
-    # queries() owns the same responsibility.
-    tok.cache()
-    raw = tok.groupBy("b").agg(F.count(F.lit(1)).alias("r_b"))
-    tgt = (
-        tok.filter(F.col("lang") == "fr")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("t_b"))
+    # ONE corpus-linear pass (review-pass r16): raw and tgt are pure
+    # rollups of doc_bucket (per-bucket count == sum of per-doc
+    # counts), so everything derives from the <= docs*B-row integer
+    # frame and the old corpus-scale tok.cache() — the largest cache
+    # in the module — is gone. No unpersist on doc_bucket: the
+    # returned frame executes lazily AFTER this function returns; the
+    # pin is cleared by the harness (bench.py / driver_sim clearCache).
+    doc_bucket = tok.groupBy("doc_id", "lang", "b").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    totals = raw.agg(F.sum("r_b").alias("big_r")).crossJoin(
-        tgt.agg(F.sum("t_b").alias("big_t"))
+    doc_bucket.cache()
+    raw = doc_bucket.groupBy("b").agg(F.sum("c").alias("r_b"))
+    tgt = (
+        doc_bucket.filter(F.col("lang") == "fr")
+        .groupBy("b")
+        .agg(F.sum("c").alias("t_b"))
+    )
+    # coalesce the totals (review-pass r16): with NO target-language
+    # docs, sum() is NULL where the oracle's count is 0 — every
+    # dsir_score silently NULLed while DuckDB returned real scores
+    totals = raw.agg(
+        F.coalesce(F.sum("r_b"), F.lit(0)).alias("big_r")
+    ).crossJoin(
+        tgt.agg(F.coalesce(F.sum("t_b"), F.lit(0)).alias("big_t"))
     )
     # `div` (not floor(a/b)): bigint floor division stays EXACT where
     # (count+1)*1e6 exceeds double's 2^53 integer range — DuckDB's //
@@ -1791,9 +1810,6 @@ def x38_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.expr(f"(r_b + 1) * 1000000L div (big_r + {B})")
             ).alias("score_b"),
         )
-    )
-    doc_bucket = tok.groupBy("doc_id", "lang", "b").agg(
-        F.count(F.lit(1)).alias("c")
     )
     scored = (
         doc_bucket.join(F.broadcast(scores), "b")

@@ -190,6 +190,17 @@ _CHANGED_THIS_ROUND = [
     "m13_zorder_clustering",
     "x5b_decode_pipeline",
     "x5c_frame_sampling",
+    # r16 text/dedup review (values re-verified by scoped sim): x38
+    # collapses to one corpus pass off doc_bucket with coalesced totals
+    # (empty-target NULL-score divergence fixed); x2b/x2d cache their
+    # dominant pipelines before the self-check counts; x26
+    # localCheckpoints its ~7-action frames; x4g materializes the
+    # 2-gram array once.
+    "x38_dsir_importance",
+    "x2b_ngram_jaccard",
+    "x2d_mllib_minhash",
+    "x26_corpus_shuffle",
+    "x4g_repetition_metrics",
 ]
 
 

@@ -11,10 +11,13 @@ collect, no disk write) — the honest measure of plan cost.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -160,13 +163,84 @@ def heavy_tail_names(worst: dict[str, float]) -> list[str]:
     return top + [n for n in HEAVY_TAIL_WATCH if n not in top]
 
 
+class ExecClock:
+    """Per-query executor-run-time deltas (r16 verdict #5: wall alone
+    cannot separate box noise from plan change — executor time is
+    contention-insensitive for CPU-bound plans).
+
+    Reads the UI REST ``/stages`` endpoint — ONE HTTP call per
+    snapshot with bulk JSON parsing (the py4j alternative costs ~3
+    RPCs per retained stage per snapshot, seconds by the end of a
+    150-snapshot bench).  A {(stageId, attemptId): runtime} ledger
+    makes the delta immune to the store's retained-stages eviction:
+    evicted stages simply stop appearing, their history stays in the
+    ledger.  Degrades to None (never raises) when the UI is off."""
+
+    def __init__(self, spark) -> None:
+        sc = spark.sparkContext
+        ui = sc.uiWebUrl
+        self._url = (
+            f"{ui}/api/v1/applications/{sc.applicationId}/stages"
+            if ui
+            else None
+        )
+        self._seen: dict[tuple[int, int], int] = {}
+
+    def delta_s(self) -> float | None:
+        """Executor-run-time seconds accrued since the previous call."""
+        if self._url is None:
+            return None
+        try:
+            with urllib.request.urlopen(self._url, timeout=10) as r:
+                stages = json.loads(r.read().decode())
+        except Exception:
+            return None
+        d = 0
+        for s in stages:
+            key = (s["stageId"], s["attemptId"])
+            rt = s.get("executorRunTime", 0)
+            prev = self._seen.get(key)
+            if prev is None or rt > prev:
+                d += rt - (prev or 0)
+                self._seen[key] = rt
+        return round(d / 1000.0, 3)
+
+
+def previous_floors() -> dict[str, float]:
+    """Per-query floors from the LATEST BENCH_r*.json beside this file
+    (shared + additions sections), for the >25%-mover re-pass rule.
+    Empty dict when no prior round exists or the file is unreadable —
+    the bench must never fail on its own history."""
+    best_round, best_path = -1, None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_round:
+            best_round, best_path = int(m.group(1)), p
+    if best_path is None:
+        return {}
+    try:
+        with open(best_path) as f:
+            data = json.load(f)
+        out = dict(data.get("floors") or {})
+        out.update(data.get("additions_floors") or {})
+        return {k: float(v) for k, v in out.items()}
+    except Exception:
+        return {}
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_num = float(sf)
     except ValueError:
         sf_num = None
-    spark = get_spark(app_name="spark-graft-bench")
+    # UI on for this session only: ExecClock reads executor time off
+    # the REST stages endpoint (r16 verdict #5)
+    spark = get_spark(
+        app_name="spark-graft-bench",
+        extra_conf={"spark.ui.enabled": "true"},
+    )
     queries = all_queries()
 
     # JVM/codegen warmup on the smallest fixture so per-query timings
@@ -211,24 +285,55 @@ def main() -> None:
     timings: dict[str, float] = {}
     add_passes: list[dict[str, float]] = []
     add_timings: dict[str, float] = {}
+    exec_clock = ExecClock(spark)
+    exec_clock.delta_s()  # drain warmup/calibration stages
+    #: per-query executor-time aligned 1:1 with every wall sample —
+    #: {name: [e1, e2, e3, ...extra]} (r16 verdict #5: a wall move with
+    #: flat executor time is contention; both moving is a plan change)
+    exec_runs: dict[str, list[float | None]] = {}
+
+    def timed_run(name: str) -> float:
+        q = queries[name]
+        # Cold cache per timed run: queries that .cache() internally
+        # (x2) must pay their real plan cost on EVERY pass — without
+        # this, pass 2 re-resolves the identical plan against the
+        # pass-1 cache and reports a cache read as plan cost.
+        spark.catalog.clearCache()
+        exec_clock.delta_s()  # drain stages from preceding queries
+        t0 = time.perf_counter()
+        q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 3)
+        exec_runs.setdefault(name, []).append(exec_clock.delta_s())
+        return dt
+
     for _pass in range(3):
         cur: dict[str, float] = {}
         add_cur: dict[str, float] = {}
         for name, sink in [(n, cur) for n in HEADLINE] + [
             (n, add_cur) for n in ADDITIONS
         ]:
-            q = queries[name]
-            # Cold cache per timed run: queries that .cache() internally
-            # (x2) must pay their real plan cost on EVERY pass — without
-            # this, pass 2 re-resolves the identical plan against the
-            # pass-1 cache and reports a cache read as plan cost.
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 3)
-            sink[name] = dt
+            sink[name] = timed_run(name)
         passes.append(cur)
         add_passes.append(add_cur)
+
+    # Adaptive re-pass (r16 verdict #5): any query whose 3-pass floor
+    # moved >25% vs the previous round's recorded floor gets TWO extra
+    # passes, so a single-round mover is adjudicated from 5 samples
+    # instead of 3.  Extra runs fold into the floors below.
+    prev_floors = previous_floors()
+    extra_passes: dict[str, list[float]] = {}
+    three_pass_floor = {
+        n: min(p[n] for p in passes) for n in passes[0]
+    } | {n: min(p[n] for p in add_passes) for n in add_passes[0]}
+    movers = sorted(
+        n
+        for n, f in three_pass_floor.items()
+        if prev_floors.get(n, 0) > 0
+        and abs(f - prev_floors[n]) / prev_floors[n] > 0.25
+    )
+    for _ in range(2):
+        for name in movers:
+            extra_passes.setdefault(name, []).append(timed_run(name))
 
     # shared-set comparability: min of the FIRST TWO passes, the
     # r11-r15 definition of "queries"/"value"
@@ -238,9 +343,30 @@ def main() -> None:
     }
     # the judge's number (r15 verdict #1): per-query best-of-all-runs —
     # diff FLOORS between rounds, and treat any floor delta under
-    # noise_floor.spread_pct as box noise, not regression
-    floors = {n: min(p[n] for p in passes) for n in passes[0]}
-    add_floors = {n: min(p[n] for p in add_passes) for n in add_passes[0]}
+    # noise_floor.spread_pct as box noise, not regression.  >25%-mover
+    # extra passes (r16 verdict #5) fold in here.
+    floors = {
+        n: min([p[n] for p in passes] + extra_passes.get(n, []))
+        for n in passes[0]
+    }
+    add_floors = {
+        n: min([p[n] for p in add_passes] + extra_passes.get(n, []))
+        for n in add_passes[0]
+    }
+    # executor-time at each query's floor sample: index of the min wall
+    # across all runs (3 passes + any extras), same order as exec_runs
+    all_walls = {
+        n: [p[n] for p in passes] + extra_passes.get(n, [])
+        for n in passes[0]
+    } | {
+        n: [p[n] for p in add_passes] + extra_passes.get(n, [])
+        for n in add_passes[0]
+    }
+    exec_s = {}
+    for n, walls in all_walls.items():
+        runs = exec_runs.get(n, [])
+        i = walls.index(min(walls))
+        exec_s[n] = runs[i] if i < len(runs) else None
 
     # Heavy-tail spreads: every query now has three same-session runs,
     # so the per-query noise-floor report (r12 verdict #7) is computed
@@ -281,6 +407,15 @@ def main() -> None:
                 # noise_floor.spread_pct
                 "floors": floors,
                 "floor_total": round(sum(floors.values()), 3),
+                # per-query executor-time at the floor sample plus the
+                # full per-run trace (r16 verdict #5): wall moved but
+                # exec_s flat -> contention; both moved -> plan change
+                "exec_s": exec_s,
+                "exec_runs": exec_runs,
+                # >25% floor movers vs the previous round's BENCH file,
+                # each re-run twice more (5 samples total)
+                "movers_gt_25pct": movers,
+                "extra_passes": extra_passes,
                 # round-over-round tracking for new heavy plans without
                 # polluting the shared headline set (r11 verdict #6)
                 "additions_queries": add_timings,

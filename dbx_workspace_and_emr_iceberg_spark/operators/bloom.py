@@ -28,6 +28,7 @@ value-oracle-able (x24).
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import Iterator
 
 import numpy as np
@@ -61,9 +62,16 @@ def build_bloom(
 ) -> bytes:
     """Bloom bitmap over every value of ``items[col]``.
 
-    One fixed-size partial bitmap per Arrow batch, OR-merged on the
-    driver — the driver handles sketches (m_bits/8 bytes each), never
-    values.
+    One fixed-size partial bitmap per Arrow batch, tree-merged before
+    the driver sees anything (r17, VERDICT-r16 #3): a second
+    ``mapInPandas`` OR-reduce over ⌈√parts⌉ groups collapses the
+    per-partition partials executor-side, so the driver collects
+    O(√parts) bitmaps instead of one per partition — at the 1e5–1e6
+    partitions a 100 TB scan implies, that is ~40–128 MB of driver
+    traffic instead of 12–120 GB. OR is associative/commutative/
+    idempotent, so the grouping (round-robin ``repartition``) cannot
+    affect the merged bitmap; the driver still handles only sketches
+    (m_bits/8 bytes each), never values.
     """
     mb = m_bits
 
@@ -96,7 +104,26 @@ def build_bloom(
     hashed = items.select(
         h1c.alias("__h1"), h2c.alias("__h2")
     ).filter(F.col("__h1").isNotNull())
-    parts = hashed.mapInPandas(partial, "bitmap binary").collect()
+    partials = hashed.mapInPandas(partial, "bitmap binary")
+
+    def or_reduce(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros(mb // 8, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            for buf in pdf["bitmap"]:
+                acc |= np.frombuffer(buf, dtype=np.uint8)
+                any_rows = True
+        if any_rows:
+            yield pd.DataFrame({"bitmap": [acc.tobytes()]})
+
+    # executor-side tree level: ⌈√parts⌉ groups bound the shuffled
+    # volume (parts × m/8 bytes) AND the driver collect (√parts × m/8)
+    n_parts = hashed.rdd.getNumPartitions()
+    groups = max(1, math.isqrt(max(n_parts, 1)))
+    reduced = partials.repartition(groups).mapInPandas(
+        or_reduce, "bitmap binary"
+    )
+    parts = reduced.collect()  # bounded: ≤ ⌈√parts⌉ sketches
     merged = np.zeros(m_bits // 8, dtype=np.uint8)
     for r in parts:
         merged |= np.frombuffer(r.bitmap, dtype=np.uint8)

@@ -297,6 +297,109 @@ def cosine_topk_vectorized(
         partial.filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        # the -inf zero-norm sentinel ranks last like the JVM path's
+        # NULL, but if a degenerate pair still lands in the top-k
+        # (fewer than k real candidates) the EMITTED value must match
+        # the documented-equivalent JVM path: NULL, not -inf (ADVICE
+        # r16). Applied after the rank so ordering is unchanged.
+        .withColumn(
+            "cosine",
+            F.when(
+                F.col("cosine") == F.lit(float("-inf")), F.lit(None)
+            ).otherwise(F.col("cosine")),
+        )
+    )
+
+
+def cosine_topk_int_vectorized(
+    quant: DataFrame,
+    queries_quant: DataFrame,
+    k: int = 5,
+    scale: int = 1_000,
+) -> DataFrame:
+    """Integer-exact numpy-matmul top-k — the vectorized twin of the
+    x3h ranking, value-replayable by any engine.
+
+    Inputs are QUANTIZED frames from ``quantized_unit_vectors``
+    (``vec_id, vq array<long>, n2 long``) — quantization happens
+    JVM-side where the norm fold order is pinned, so this operator
+    never touches floats whose summation order matters. Per Arrow
+    batch the corpus block matmuls against the broadcast query matrix
+    in float64: every partial product is an integer ≤ scale² and every
+    partial sum ≤ n2 ≈ scale² « 2⁵³, so the float64 result is EXACT
+    regardless of numpy's summation order; it converts back to int64
+    losslessly. The ranking key is x3h's sign(dd)·((dd²·scale) div n2)
+    in pure int64 (dd ≤ ~1.1·scale² ⇒ dd²·scale ≤ ~1.2e15 at the
+    default scale), identical to DuckDB's BIGINT replay.
+
+    Scale shape matches cosine_topk_vectorized: broadcast query matrix,
+    one corpus scan, per-batch partial top-(k+1) per query (global
+    top-k ⊆ union of per-batch top-(k+1) under the same total order),
+    then a global rank window over the ≤ (k+1)·|queries| survivors per
+    partition.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    spark = quant.sparkSession
+    # bounded by the broadcast-query-batch contract (ivf_topk spelling):
+    # limit(MAX+1) bounds the check and the transfer in one job
+    MAX_QUERY_BATCH = 100_000
+    qrows = queries_quant.select("vec_id", "vq").limit(
+        MAX_QUERY_BATCH + 1
+    ).collect()
+    if len(qrows) > MAX_QUERY_BATCH:
+        raise ValueError(
+            f"cosine_topk_int_vectorized query batch exceeds "
+            f"{MAX_QUERY_BATCH} rows; the broadcast query-batch design "
+            "caps there. Split the batch or use the bucketed LSH path."
+        )
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    q_mat = np.array([r.vq for r in qrows], dtype=np.float64)  # exact ints
+    bq_ids = spark.sparkContext.broadcast(q_ids)
+    bq_mat = spark.sparkContext.broadcast(q_mat)
+
+    def score(batches):
+        ids = bq_ids.value
+        qm = bq_mat.value
+        take_base = k + 1  # survives the self-row removal downstream
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.stack(pdf["vq"].to_numpy()).astype(np.float64)
+            dd = (cm @ qm.T).astype(np.int64)  # exact (see docstring)
+            n2 = pdf["n2"].to_numpy(dtype=np.int64)[:, None]
+            mag = (dd * dd * scale) // n2
+            key = np.where(dd >= 0, mag, -mag)  # (batch, queries)
+            nid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            take = min(take_base, len(nid))
+            cols = []
+            for j in range(len(ids)):
+                # full (key desc, nid asc) order per query — a bare
+                # argpartition on key could drop the nid-tiebreak
+                # winner at the cut boundary
+                order = np.lexsort((nid, -key[:, j]))[:take]
+                cols.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": ids[j],
+                            "n_id": nid[order],
+                            "sim_key": key[order, j],
+                        }
+                    )
+                )
+            yield pd.concat(cols, ignore_index=True)
+
+    partial = quant.select("vec_id", "vq", "n2").mapInPandas(
+        score, "q_id bigint, n_id bigint, sim_key bigint"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim_key").desc(), "n_id")
+    return (
+        partial.filter(F.col("n_id") != F.col("q_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )
 
 

@@ -428,7 +428,11 @@ def chunked_percent_ranks(
     (id_cols must be unique per row).
     """
     spark = df.sparkSession
-    if n_chunks <= 1:
+    if n_chunks < 1:
+        # an invalid chunk count must reject, not silently degrade to
+        # one chunk (ADVICE r16)
+        raise ValueError(f"n_chunks must be >= 1, got {n_chunks}")
+    if n_chunks == 1:
         # degenerate single-chunk config: approxQuantile rejects an
         # empty probability list (the same guard quantile_chunk_expr
         # carries — review-pass r16, reproduced); no boundaries means

@@ -582,6 +582,9 @@ def x2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- X1c: embedding-cosine near-duplicate detection (oracle-able) ----------
 
+_X1C_TNUM, _X1C_TDEN = 2401, 2500  # θ² = 0.98² = 9604/10000 exact rational
+_X1C_SCALE = 10_000
+
 _X1C_ORACLE = f"""
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -594,13 +597,32 @@ corpus AS (
          list_transform(v, x -> x * 1.01 + 0.001) AS v
   FROM base
 ),
-normed AS (
-  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus
+quant AS (
+  SELECT vec_id, vq,
+         CAST(list_sum(list_transform(vq, x -> x*x)) AS BIGINT) AS n2
+  FROM (
+    SELECT vec_id,
+           list_transform(
+             v, x -> CAST(floor(x / sqrt(n2d) * {_X1C_SCALE} + 0.5)
+                          AS BIGINT)) AS vq
+    FROM (SELECT vec_id, v,
+                 list_reduce(list_transform(v, x -> x*x),
+                             (a, b) -> a + b) AS n2d
+          FROM corpus))
+),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.n2 AS n2a, b.n2 AS n2b,
+         CAST(list_sum(list_transform(list_zip(a.vq, b.vq),
+                                      p -> p[1]*p[2])) AS BIGINT) AS dd
+  FROM quant a JOIN quant b ON a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
-FROM normed a JOIN normed b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.98
+SELECT id_a, id_b,
+       round(CAST(dd AS DOUBLE)
+             / sqrt(CAST(n2a AS DOUBLE) * CAST(n2b AS DOUBLE)), 6) AS cosine
+FROM scored
+WHERE dd > 0
+  AND CAST(dd AS HUGEINT) * CAST(dd AS HUGEINT) * {_X1C_TDEN}
+      >= {_X1C_TNUM} * CAST(n2a AS HUGEINT) * CAST(n2b AS HUGEINT)
 ORDER BY id_a, id_b
 """
 
@@ -611,8 +633,19 @@ def x1c_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted perturbed copies (v*1.01+0.001 — near-parallel, cosine ≈ 1).
     Exact all-pairs here; at scale the candidate set comes from the LSH/
     IVF buckets (operators/similarity.py) and only candidates are scored.
+
+    Integer-exact gate (r17, VERDICT-r16 #1 — the last documented
+    correctness latent): a raw float ``cosine >= 0.98`` filter flips
+    cross-engine when a pair lands within a ULP of the boundary, so the
+    gate respells as the x20/x49 rational predicate over quantized unit
+    vectors — ``dd > 0 AND dd²·2500 ≥ 2401·n2a·n2b`` in decimal(38,0)
+    (HUGEINT in DuckDB), every term an exact integer. The display
+    ``cosine`` derives AFTER the gate from the same integers via a fixed
+    sequence of single correctly-rounded IEEE ops (long→double casts are
+    exact at these magnitudes: dd ≤ 6.4e9, n2 ≈ 1e8), so both engines
+    emit bit-identical doubles.
     """
-    from ..functions.vector import cosine
+    from ..operators.semantic import quantized_unit_vectors
 
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
     base = e.select(
@@ -623,16 +656,46 @@ def x1c_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("v", lambda x: x * 1.01 + 0.001).alias("v"),
     )
     corpus = base.unionByName(planted)
-    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = cosine(F.col("va"), F.col("vb"))
-    return (
-        pairs.select("id_a", "id_b", cos.alias("raw_cos"))
-        .filter(F.col("raw_cos") >= 0.98)
-        .select("id_a", "id_b", F.round("raw_cos", 6).alias("cosine"))
-        .orderBy("id_a", "id_b")
+    quant = quantized_unit_vectors(corpus, "vec_id", "v", _X1C_SCALE)
+    a = quant.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("vq").alias("vqa"),
+        F.col("n2").alias("n2a"),
     )
+    b = quant.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("vq").alias("vqb"),
+        F.col("n2").alias("n2b"),
+    )
+    # materialize dd BEFORE the gate references it twice (__words idiom)
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        "n2a",
+        "n2b",
+        F.aggregate(
+            F.zip_with(F.col("vqa"), F.col("vqb"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dd"),
+    )
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    gated = pairs.filter(
+        (F.col("dd") > 0)
+        & (
+            dec(F.col("dd")) * dec(F.col("dd")) * F.lit(_X1C_TDEN)
+            >= F.lit(_X1C_TNUM) * dec(F.col("n2a")) * dec(F.col("n2b"))
+        )
+    )
+    return gated.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("dd").cast("double")
+            / F.sqrt(F.col("n2a").cast("double") * F.col("n2b").cast("double")),
+            6,
+        ).alias("cosine"),
+    ).orderBy("id_a", "id_b")
 
 
 # --- X12: transitive near-dup clusters (connected components) --------------

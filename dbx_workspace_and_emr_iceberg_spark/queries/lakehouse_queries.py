@@ -2297,7 +2297,16 @@ def m15_catalog_namespace(spark: SparkSession, sf_dir: str) -> DataFrame:
         v1_ts = t.snapshots().filter(F.col("version") == 1).collect()[0].ts_ms
         import time as _time
 
+        # bounded wait (ADVICE r16): a backwards clock step between the
+        # snapshot commit and this probe would otherwise busy-loop
+        # forever; normal runs clear in one 2 ms tick
+        _deadline = _time.monotonic() + 5.0
         while int(_time.time() * 1000) <= v1_ts:
+            if _time.monotonic() > _deadline:
+                raise AssertionError(
+                    f"clock anomaly: wall clock did not pass v1's commit "
+                    f"ms ({v1_ts}) within 5 s — backwards clock step?"
+                )
             _time.sleep(0.002)
         t.append(
             nat.select(
@@ -2364,10 +2373,18 @@ def m16_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         n0 = nat.count()
         v1_ts = t.snapshots().collect()[0].ts_ms
         # make v2's commit ms strictly later so the TIMESTAMP AS OF
-        # assertion below can never self-disable on a same-ms tie
+        # assertion below can never self-disable on a same-ms tie;
+        # bounded (ADVICE r16) so a backwards clock step raises loudly
+        # instead of busy-looping forever
         import time as _time
 
+        _deadline = _time.monotonic() + 5.0
         while int(_time.time() * 1000) <= v1_ts:
+            if _time.monotonic() > _deadline:
+                raise AssertionError(
+                    f"clock anomaly: wall clock did not pass v1's commit "
+                    f"ms ({v1_ts}) within 5 s — backwards clock step?"
+                )
             _time.sleep(0.002)
         t.append(
             nat.select(

@@ -227,28 +227,83 @@ def x3d_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- X3g: vectorized top-k, bench-clean (invariants only) -------------------
+# --- X3g: vectorized top-k, bench-clean AND value-oracled -------------------
+# Shared with x3h (defined below, where the integer-exact ranking is
+# documented): both rank by sign(dd)·((dd²·scale) div n2) over
+# quantized unit vectors, so one oracle replays both plans.
+
+_X3H_SCALE = 1_000
+_X3H_K = 5
+
+_X3H_ORACLE = f"""
+WITH vec AS (
+  SELECT vec_id, vq,
+         CAST(list_sum(list_transform(vq, x -> x*x)) AS BIGINT) AS n2
+  FROM (
+    SELECT vec_id,
+           list_transform(
+             emb, x -> CAST(floor(x / sqrt(n2d) * {_X3H_SCALE} + 0.5)
+                            AS BIGINT)) AS vq
+    FROM (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+                 list_reduce(list_transform(
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                   x -> x*x), (a, b) -> a + b) AS n2d
+          FROM embeddings))
+),
+pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         CAST(list_sum(list_transform(list_zip(q.vq, c.vq),
+                                      p -> p[1]*p[2])) AS BIGINT) AS dd,
+         c.n2 AS n2c
+  FROM (SELECT * FROM vec WHERE vec_id % 50 = 0) q
+  JOIN vec c ON c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT q_id, n_id,
+         CASE WHEN dd >= 0 THEN (dd*dd*{_X3H_SCALE}) // n2c
+              ELSE -((dd*dd*{_X3H_SCALE}) // n2c) END AS sim_key,
+         row_number() OVER (
+           PARTITION BY q_id
+           ORDER BY CASE WHEN dd >= 0 THEN (dd*dd*{_X3H_SCALE}) // n2c
+                         ELSE -((dd*dd*{_X3H_SCALE}) // n2c) END DESC,
+                    n_id) AS rk
+  FROM pairs
+)
+SELECT q_id, CAST(rk AS BIGINT) AS rank, n_id AS neighbor_id, sim_key
+FROM ranked WHERE rk <= {_X3H_K}
+ORDER BY q_id, rank
+"""
 
 
-@register("x3g_topk_vectorized_bench", oracle=None, tags=("X3", "D5"))
+@register("x3g_topk_vectorized_bench", oracle=_X3H_ORACLE, tags=("X3", "D5"))
 def x3g_topk_vectorized_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The numpy-matmul top-k ALONE, as a single-execution plan — the
-    head-to-head bench twin of x3_topk_cosine (same inputs, same k,
-    only cosine_topk_vectorized). Deliberately NO internal action:
-    x3d_topk_vectorized already proves this exact operator's output
-    matches the oracle-checked interpreted path on the same inputs, and
-    bench timing must cost ONE execution of the plan — an in-function
-    invariant count() would run the whole pipeline a second time and
-    report double the fast path's cost (the very flaw, via x3d, this
-    entry exists to avoid)."""
-    from ..operators.similarity import cosine_topk_vectorized
+    head-to-head bench twin of x3_topk_cosine (same inputs, same k).
 
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 50 == 0)
-    out = cosine_topk_vectorized(e, q, k=5).select(
-        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
-    )
-    return out.orderBy("query_id", "rank")
+    VALUE-ORACLED r17 (VERDICT-r16 #6 — formerly the registry's one
+    rows-only query): the matmul now runs over quantized unit vectors
+    (cosine_topk_int_vectorized), where every float64 partial product
+    and partial sum is an exact integer « 2⁵³, so the ranking is x3h's
+    sign(dd)·((dd²·scale) div n2) key — deterministic, ulp-free, and
+    replayed value-for-value by the shared _X3H_ORACLE. The bench role
+    survives intact: one JVM quantization pass feeds the identical
+    per-batch numpy matmul hot loop, with NO internal action (bench
+    timing must cost ONE execution of the plan — x3d pays the
+    double-execution contract check so this entry doesn't have to)."""
+    from ..operators.semantic import quantized_unit_vectors
+    from ..operators.similarity import cosine_topk_int_vectorized
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    quant = quantized_unit_vectors(e, "vec_id", "embedding", _X3H_SCALE)
+    qs = quant.filter(F.col("vec_id") % 50 == 0)
+    out = cosine_topk_int_vectorized(quant, qs, k=_X3H_K, scale=_X3H_SCALE)
+    return out.select(
+        "q_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("n_id").alias("neighbor_id"),
+        "sim_key",
+    ).orderBy("q_id", "rank")
 
 
 # --- X3e: IVF-partitioned ANN (contract-oracled) ----------------------------
@@ -611,48 +666,8 @@ def x29_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (x3's contract), the corpus streams one scan, the rank window
 # partitions on q_id (bounded by the batch).
 
-_X3H_SCALE = 1_000
-_X3H_K = 5
-
-_X3H_ORACLE = f"""
-WITH vec AS (
-  SELECT vec_id, vq,
-         CAST(list_sum(list_transform(vq, x -> x*x)) AS BIGINT) AS n2
-  FROM (
-    SELECT vec_id,
-           list_transform(
-             emb, x -> CAST(floor(x / sqrt(n2d) * {_X3H_SCALE} + 0.5)
-                            AS BIGINT)) AS vq
-    FROM (SELECT vec_id,
-                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
-                 list_reduce(list_transform(
-                   list_transform(embedding, x -> CAST(x AS DOUBLE)),
-                   x -> x*x), (a, b) -> a + b) AS n2d
-          FROM embeddings))
-),
-pairs AS (
-  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-         CAST(list_sum(list_transform(list_zip(q.vq, c.vq),
-                                      p -> p[1]*p[2])) AS BIGINT) AS dd,
-         c.n2 AS n2c
-  FROM (SELECT * FROM vec WHERE vec_id % 50 = 0) q
-  JOIN vec c ON c.vec_id <> q.vec_id
-),
-ranked AS (
-  SELECT q_id, n_id,
-         CASE WHEN dd >= 0 THEN (dd*dd*{_X3H_SCALE}) // n2c
-              ELSE -((dd*dd*{_X3H_SCALE}) // n2c) END AS sim_key,
-         row_number() OVER (
-           PARTITION BY q_id
-           ORDER BY CASE WHEN dd >= 0 THEN (dd*dd*{_X3H_SCALE}) // n2c
-                         ELSE -((dd*dd*{_X3H_SCALE}) // n2c) END DESC,
-                    n_id) AS rk
-  FROM pairs
-)
-SELECT q_id, CAST(rk AS BIGINT) AS rank, n_id AS neighbor_id, sim_key
-FROM ranked WHERE rk <= {_X3H_K}
-ORDER BY q_id, rank
-"""
+# _X3H_SCALE / _X3H_K / _X3H_ORACLE are defined above x3g (module-load
+# order: the shared oracle must exist before either decorator runs).
 
 
 @register("x3h_topk_int_exact", oracle=_X3H_ORACLE, tags=("X3",))

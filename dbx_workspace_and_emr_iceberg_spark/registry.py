@@ -154,53 +154,24 @@ def all_queries() -> dict[str, Query]:
 #: (m7/m7b/m9/m11/m13/p3) re-verified hash-identical via a scoped sim
 #: at sf0.01, so their driver evidence stays valid.
 _CHANGED_THIS_ROUND = [
-    # r16 operator-review correctness fixes (each reproduced first;
-    # values verified unchanged on the fixtures by scoped sim): the
-    # as-of join now drops NULL-key right rows before the union carry
-    # (SQL equi-join NULL semantics — a NULL left row used to carry a
-    # NULL right row's payload), and cosine scoring NULLs zero-norm
-    # pairs instead of raising DIVIDE_BY_ZERO under ANSI.  Stash-based
-    # executedPlan hash comparison over all 27 operator-consuming
-    # queries showed exactly these six plans changed.
-    "j8_asof",
-    "j8b_asof_tolerance",
-    "j8c_asof_bucketed",
-    "j8d_asof_forward",
-    "qd11_lasttouch_attribution",
-    "x3_topk_cosine",
-    # r16 scale-shape review fixes (values re-verified by scoped sim):
-    # x47 derives count-min cells from the vocabulary-sized exact
-    # counts (one corpus pass, no corpus-scale cache); x30 caches its
-    # thrice-consumed expanded frame; u2b/u3b move to a
-    # high-cardinality key (oracle updated in lockstep) so the
-    # ReplicateRows output stage fans out past 7 tasks.
-    "x47_countmin_heavy_hitters",
-    "x30_upsampled_mixture",
-    "u2b_intersect_all",
-    "u3b_except_all",
-    # r16 self-check hardening (oracle columns added / returned plan
-    # changed; values re-verified by scoped sim): m9 gains the
-    # cherrypick CONTENT pin (deterministic delta slices +
-    # multiset-parity flag), m11/m13 gain the literal-1 nonempty-probe
-    # twins, x5b returns its already-verified materialized rows (third
-    # full decode removed), x5c folds contract checks and rollup into
-    # one cached expansion.
-    "m9_stats_file_skipping",
-    "m11_sorted_clustering",
-    "m13_zorder_clustering",
-    "x5b_decode_pipeline",
-    "x5c_frame_sampling",
-    # r16 text/dedup review (values re-verified by scoped sim): x38
-    # collapses to one corpus pass off doc_bucket with coalesced totals
-    # (empty-target NULL-score divergence fixed); x2b/x2d cache their
-    # dominant pipelines before the self-check counts; x26
-    # localCheckpoints its ~7-action frames; x4g materializes the
-    # 2-gram array once.
-    "x38_dsir_importance",
-    "x2b_ngram_jaccard",
-    "x2d_mllib_minhash",
-    "x26_corpus_shuffle",
-    "x4g_repetition_metrics",
+    # r17 (VERDICT-r16 #1): x1c's keep/drop gate respelled from a raw
+    # float cosine >= 0.98 to the x20/x49 integer-exact rational
+    # predicate (dd > 0 AND dd²·2500 ≥ 2401·n2a·n2b over quantized
+    # unit vectors, decimal(38,0)/HUGEINT), oracle in lockstep; the
+    # display cosine now derives from the same integers after the
+    # gate.  Plan AND oracle changed; scoped sim hash-green.
+    "x1c_embedding_neardup",
+    # r17 (VERDICT-r16 #6): the registry's last rows-only query gains
+    # a full value oracle — x3g now runs the numpy-matmul top-k over
+    # quantized unit vectors (cosine_topk_int_vectorized), where every
+    # float64 partial sum is an exact integer, ranking by x3h's
+    # sign(dd)·((dd²·scale) div n2) key; shares _X3H_ORACLE.  Plan and
+    # oracle changed; scoped sim hash-green, registry now 296/296
+    # oracled.  (build_bloom's r17 tree-merge needed NO entries: the
+    # bitmap literal embedded in x24/t18's returned plans is
+    # value-identical — OR is associative — and both re-verified
+    # hash-green by scoped sim.)
+    "x3g_topk_vectorized_bench",
 ]
 
 

@@ -72,11 +72,16 @@ class RestCatalogServer:
         catalog: str = "local",
         credential: str | None = None,
         token_ttl_s: float = 3600.0,
+        prefixless: bool = False,
     ):
         self.warehouse = warehouse
         self.catalog = catalog
         self.credential = credential
         self.token_ttl_s = token_ttl_s
+        #: prefix-less posture (ADVICE r16): /v1/config returns no
+        #: 'overrides' and routes omit the catalog segment — the spec
+        #: marks both optional, and real single-tenant servers do this
+        self.prefixless = prefixless
         #: token -> expiry epoch-seconds
         self._tokens: dict[str, float] = {}
         self._httpd: ThreadingHTTPServer | None = None
@@ -174,19 +179,29 @@ class RestCatalogServer:
         path = path.split("?", 1)[0].rstrip("/")
         if path == "/v1/config":
             # prefix tells the client which catalog segment to insert in
-            # later routes — the REST spec's multi-tenancy hook
+            # later routes — the REST spec's multi-tenancy hook. BOTH
+            # 'overrides' and 'prefix' are optional per the spec; the
+            # prefix-less posture omits them entirely (ADVICE r16).
+            if self.prefixless:
+                return 200, json.dumps({"defaults": {}}).encode()
             return 200, json.dumps(
                 {"defaults": {}, "overrides": {"prefix": self.catalog}}
             ).encode()
         parts = [p for p in path.split("/") if p]
-        if len(parts) < 3 or parts[0] != "v1" or parts[1] != self.catalog:
-            return 404, _error_body(404, f"no route {path}", "NoSuchRoute")
+        if self.prefixless:
+            if len(parts) < 2 or parts[0] != "v1":
+                return 404, _error_body(404, f"no route {path}", "NoSuchRoute")
+            rest = parts[1:]
+        else:
+            if len(parts) < 3 or parts[0] != "v1" or parts[1] != self.catalog:
+                return 404, _error_body(404, f"no route {path}", "NoSuchRoute")
+            rest = parts[2:]
         if not self._authorized(auth):
             return 401, _error_body(401, "token missing/expired", "NotAuthorized")
         root = os.path.join(self.warehouse, self.catalog)
-        if parts[2] != "namespaces":
+        if rest[0] != "namespaces":
             return 404, _error_body(404, f"no route {path}", "NoSuchRoute")
-        if len(parts) == 3:  # GET /v1/{prefix}/namespaces
+        if len(rest) == 1:  # GET /v1[/{prefix}]/namespaces
             ns = (
                 sorted(
                     d
@@ -197,18 +212,18 @@ class RestCatalogServer:
                 else []
             )
             return 200, json.dumps({"namespaces": [[n] for n in ns]}).encode()
-        ns_dir = os.path.join(root, parts[3])
+        ns_dir = os.path.join(root, rest[1])
         if not os.path.isdir(ns_dir):
             return 404, _error_body(
-                404, f"namespace {parts[3]} not found", "NoSuchNamespaceException"
+                404, f"namespace {rest[1]} not found", "NoSuchNamespaceException"
             )
-        if len(parts) == 4:  # GET /v1/{prefix}/namespaces/{ns}
+        if len(rest) == 2:  # GET /v1[/{prefix}]/namespaces/{ns}
             return 200, json.dumps(
-                {"namespace": [parts[3]], "properties": {}}
+                {"namespace": [rest[1]], "properties": {}}
             ).encode()
-        if parts[4] != "tables":
+        if rest[2] != "tables":
             return 404, _error_body(404, f"no route {path}", "NoSuchRoute")
-        if len(parts) == 5:  # .../tables
+        if len(rest) == 3:  # .../tables
             tbls = sorted(
                 d
                 for d in os.listdir(ns_dir)
@@ -217,16 +232,16 @@ class RestCatalogServer:
             return 200, json.dumps(
                 {
                     "identifiers": [
-                        {"namespace": [parts[3]], "name": t} for t in tbls
+                        {"namespace": [rest[1]], "name": t} for t in tbls
                     ]
                 }
             ).encode()
         # .../tables/{table} -> LoadTableResult
-        tbl_root = os.path.join(ns_dir, parts[5])
+        tbl_root = os.path.join(ns_dir, rest[3])
         cur = os.path.join(tbl_root, "_current")
         if not os.path.exists(cur):
             return 404, _error_body(
-                404, f"table {parts[3]}.{parts[5]} not found",
+                404, f"table {rest[1]}.{rest[3]} not found",
                 "NoSuchTableException",
             )
         with open(cur) as f:
@@ -284,7 +299,10 @@ class RestCatalogClient:
         self.token_refresh_enabled = token_refresh_enabled
         self._token: str | None = None
         self._token_exp: float = 0.0
-        self.prefix = self._config()["overrides"].get("prefix", "")
+        # the spec marks both 'overrides' and 'prefix' optional — a
+        # prefix-less server must yield '' here, not a KeyError
+        # (ADVICE r16)
+        self.prefix = self._config().get("overrides", {}).get("prefix", "")
 
     @classmethod
     def from_session_conf(
@@ -362,8 +380,11 @@ class RestCatalogClient:
         return self._token
 
     def _get(self, route: str) -> dict:
+        # empty prefix must NOT leave a double slash ('/v1//namespaces'
+        # is a different resource to strict routers — ADVICE r16)
+        seg = f"/{self.prefix}" if self.prefix else ""
         return self._request(
-            f"{self.uri}/v1/{self.prefix}{route}", bearer=self._bearer()
+            f"{self.uri}/v1{seg}{route}", bearer=self._bearer()
         )
 
     # -- catalog surface ------------------------------------------------------
@@ -405,7 +426,16 @@ class RestLakehouseCatalog:
         if len(parts) == 2:
             return parts[0], parts[1]
         if len(parts) == 3:
-            # 3-part ids address the catalog the client is bound to
+            # 3-part ids must name the catalog this client is bound to
+            # (the server's prefix) — silently resolving 'othercat.db.t'
+            # in the bound catalog would read the wrong table (ADVICE
+            # r16)
+            if parts[0] != self.client.prefix:
+                raise ValueError(
+                    f"identifier {name!r} addresses catalog "
+                    f"{parts[0]!r} but this client is bound to "
+                    f"{self.client.prefix!r}"
+                )
             return parts[1], parts[2]
         raise ValueError(f"invalid table identifier {name!r} (max 3 parts)")
 

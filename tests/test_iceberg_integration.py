@@ -268,3 +268,45 @@ class TestRestCatalogStub:
                 frozen.list_namespaces()
             assert ei.value.status == 401
         shutil.rmtree(wh, ignore_errors=True)
+
+    def test_prefixless_server_end_to_end(self, spark):
+        """ADVICE r16: the spec marks /v1/config's 'overrides' and
+        'prefix' optional — against a prefix-less server the client
+        must resolve prefix='' (not KeyError) and build
+        '/v1/namespaces' routes (not '/v1//namespaces')."""
+        import shutil
+        import tempfile
+
+        from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+            LakehouseTable,
+        )
+        from dbx_workspace_and_emr_iceberg_spark.sources.rest_catalog import (
+            RestCatalogClient,
+            RestCatalogServer,
+            RestLakehouseCatalog,
+        )
+
+        wh = tempfile.mkdtemp(prefix="rest_noprefix_")
+        LakehouseTable(spark, os.path.join(wh, "local", "db"), "t").create(
+            spark.createDataFrame([(7,)], "id long").coalesce(1)
+        )
+        with RestCatalogServer(wh, prefixless=True) as server:
+            c = RestCatalogClient(server.uri)
+            assert c.prefix == ""
+            assert c.list_namespaces() == ["db"]
+            assert c.list_tables("db") == ["t"]
+            cat = RestLakehouseCatalog(spark, c, default_schema="db")
+            assert [r.id for r in cat.table("t").read().collect()] == [7]
+        shutil.rmtree(wh, ignore_errors=True)
+
+    def test_three_part_identifier_must_match_bound_catalog(self, rest_env):
+        """ADVICE r16: 'othercat.db.t' must raise, not silently resolve
+        in the bound catalog; the bound catalog's own 3-part id works."""
+        from dbx_workspace_and_emr_iceberg_spark.sources.catalog import (
+            catalog_for_session,
+        )
+
+        cat = catalog_for_session(rest_env["spark"], default_schema="db")
+        assert cat.exists("local.db.nation")  # bound catalog: resolves
+        with pytest.raises(ValueError, match="bound to"):
+            cat.table("othercat.db.nation")

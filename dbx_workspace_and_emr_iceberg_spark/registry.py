@@ -172,6 +172,31 @@ _CHANGED_THIS_ROUND = [
     # value-identical — OR is associative — and both re-verified
     # hash-green by scoped sim.)
     "x3g_topk_vectorized_bench",
+    # r17 review batch over aggregations/windows (each reproduced
+    # first, all re-verified hash-green by scoped sim):
+    # a13: composite struct orderer for max_by/min_by — the fixtures DO
+    #   carry within-priority price ties (61 groups at sf0.1; the old
+    #   "tie-free" doc claim was false), so a bare max_by was
+    #   engine-arbitrary one fixture regen away; oracle respelled as
+    #   max(struct).k.  Extremum-tie regression test added.
+    "a13_selector_aggs",
+    # a2: sum_price now sums DECIMAL(18,2) (w3 boundary rule) — the
+    #   unnormalized float sum's partition-order error crosses the
+    #   0.005 rounding guard around sf10; oracle in lockstep.
+    "a2_core_aggs_global",
+    # a5: HLL self-check bound honest at 6 sigma of rsd=0.02 (12%) —
+    #   the 2.5-sigma 5% bound gave each (fixture, group) a ~1% chance
+    #   of deterministic red; column renamed in both engines.
+    "a5_approx_aggs",
+    # a10: ONE lineitem scan via explode+pivot instead of a scan per
+    #   key column joined back (2 scans + 4 shuffles + 1 join -> 1
+    #   scan + 2 aggregates); values identical.
+    "a10_bitmap_distinct",
+    # w5b: spend frame cached across its 4 actions (was 3 full
+    #   re-executions) and chunk count derived from the data (fixed 8
+    #   = n/8-row sort tasks at any scale, the chokepoint the query
+    #   exists to eliminate); values identical at the fixtures.
+    "w5b_distributed_ntile",
 ]
 
 

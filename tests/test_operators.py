@@ -1464,3 +1464,40 @@ def test_ivf_topk_corpus_smaller_than_centroids(spark):
         [(100, [1.0, 1.0])], "vec_id long, embedding array<float>"
     )
     assert ivf_topk(docs, q, k=2, n_centroids=16).count() == 2
+
+
+def test_a13_extremum_tie_is_deterministic(spark, tmp_path):
+    """Planted extremum ties: two orders share the max price and two the
+    min price within one priority — the composite struct orderer must
+    pick the largest key among max-ties and the smallest among min-ties
+    in BOTH engines (review-pass r17, reproduced: the shipped fixtures
+    carry within-group price ties — 61 groups at sf0.1 — but none at an
+    extremum yet, so the driver gate was green by luck, and a bare
+    max_by/arg_max would break engine-arbitrarily the first time a tie
+    lands on an extremum)."""
+    import duckdb
+
+    rows = [
+        (1, "1-URGENT", 500.0, "F"),
+        (2, "1-URGENT", 500.0, "O"),  # max tie -> largest key: 2
+        (3, "1-URGENT", 100.0, "F"),
+        (4, "1-URGENT", 50.0, "F"),  # min tie -> smallest key: 4
+        (5, "1-URGENT", 50.0, "O"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderpriority string, "
+        "o_totalprice double, o_orderstatus string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    from dbx_workspace_and_emr_iceberg_spark.registry import all_queries
+
+    q = all_queries()["a13_selector_aggs"]
+    [r] = q.fn(spark, str(tmp_path)).collect()
+    assert (r.biggest_order, r.smallest_order) == (2, 4)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * "
+        f"FROM read_parquet('{tmp_path}/orders.parquet/*.parquet')"
+    )
+    [d] = con.execute(q.oracle).fetchall()
+    assert (d[1], d[2]) == (2, 4)

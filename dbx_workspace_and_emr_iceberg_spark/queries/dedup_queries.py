@@ -369,11 +369,25 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # result instead of recomputing the full LSH pipeline; the pin is
     # cleared by the harness (bench.py / driver_sim clearCache).
     out = verified.orderBy("id_a", "id_b").cache()
-    found = {(r.id_a, r.id_b) for r in out.collect()}  # bounded: near-dup pairs
+    # LOUD growth bound (review-pass r17, the x2b rule): on a
+    # dedup-shaped corpus the verified set is O(Σ bucket²) — the old
+    # "# bounded: near-dup pairs" comment was false (at sf0.01 ~90% of
+    # banded candidates PASS the 0.5 gate; m copies in one bucket make
+    # m²/2 verified pairs), so cap the driver transfer explicitly
+    # instead of OOMing on a duplicate-heavy corpus.
+    n_ver = out.count()
+    if n_ver > 50_000:
+        raise AssertionError(
+            f"x2 verified-pair set grew to {n_ver} — buckets "
+            "degenerated; dedup exact copies (x1) before the LSH pass"
+        )
+    found = {(r.id_a, r.id_b) for r in out.collect()}  # <= 50k by the cap
     planted = {
         (r.doc_id, r.doc_id + _COPY_OFFSET)
         for r in d.filter(F.col("doc_id") % 20 == 0).select("doc_id").collect()
-    }
+    }  # bounded: corpus/20 ids (the plant denominator — ids only,
+    # ~8 bytes each; at true corpus scale recall sampling would
+    # subsample this set, noted not needed at fixture scales
     recall = len(found & planted) / max(len(planted), 1)
     if recall < 0.8:
         raise AssertionError(f"LSH recall too low: {recall:.2f}")
@@ -1331,13 +1345,15 @@ def x49_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"semantic pass missed planted contamination: "
                 f"{n_flagged_planted}/{n_planted}"
             )
-        bench_leak = out.join(
-            bench.select("vec_id"), "vec_id", "left_semi"
-        ).count()
-        if bench_leak:
-            raise AssertionError(
-                f"{bench_leak} benchmark ids leaked into the corpus side"
-            )
+        # NO bench-leak self-check here (review-pass r17): the old
+        # left_semi count==0 assert was structurally vacuous — corpus =
+        # (vec_id%13!=0) ∪ (planted ids >= 1e6) excludes every bench id
+        # (vec_id%13==0, « 1e6) by construction, so the assert guarded
+        # the fixture plant, never the flag pipeline, and could not
+        # fire under any realizable data. The falsifiable exclusion
+        # proof is the value oracle: the oracle's pool CTE re-derives
+        # the same corpus/bench split, so a leaked bench id would
+        # surface as a hash mismatch.
         return out.orderBy("vec_id").localCheckpoint()
     finally:
         out.unpersist(blocking=False)
@@ -1702,13 +1718,20 @@ deduped AS (
   FROM ranked WHERE rn = 1 GROUP BY doc_id, lang
 ),
 counts AS (SELECT lang, count(*) AS c FROM deduped GROUP BY lang),
-denom AS (SELECT sum(sqrt(c)) AS z, sum(c) AS total FROM counts),
+quant AS (
+  SELECT lang, c,
+         CAST(floor(sqrt(c) * 1000000 + 0.5) AS BIGINT) AS sq
+  FROM counts
+),
+denom AS (SELECT CAST(sum(sq) AS BIGINT) AS zq,
+                 CAST(sum(c) AS BIGINT) AS total FROM quant),
 rates AS (
   SELECT lang, c,
-         CAST(floor(round(
-           least(1.0, (0.5 * total * (sqrt(c) / z)) / c), 9) * 10000)
-           AS BIGINT) AS bp
-  FROM counts CROSS JOIN denom
+         least(CAST(10000 AS BIGINT),
+               CAST((5000 * CAST(total AS HUGEINT) * CAST(sq AS HUGEINT))
+                    // (CAST(zq AS HUGEINT) * CAST(c AS HUGEINT))
+                    AS BIGINT)) AS bp
+  FROM quant CROSS JOIN denom
 ),
 sampled AS (
   SELECT d.lang, d.doc_id, d.n_tokens
@@ -1765,22 +1788,32 @@ def x31_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_tok").alias("n_tokens"))
     )
     counts = deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
-    denom = counts.agg(F.sum(F.sqrt("c")).alias("z"), F.sum("c").alias("total"))
-    rates = counts.crossJoin(F.broadcast(denom)).select(
+    # INTEGER-EXACT sampling rates (review-pass r17, reproduced): the
+    # old z = sum(sqrt(c)) was a float sum in engine-dependent order —
+    # a 1-ulp z difference could shift a lang's basis points by 1 and
+    # flip every doc in the boundary hash bucket cross-engine (the
+    # class every sibling sampler — x38/x39/x48/x51 — already avoids
+    # with ppm/bp integer arithmetic). sqrt(c) quantizes to integer
+    # once (single correctly-rounded sqrt/mul/add/floor — bit-identical
+    # IEEE both engines), then rate·1e4 = (5000·total·sq) div (zq·c)
+    # is pure integer floor division (decimal(38,0) here, HUGEINT in
+    # DuckDB), capped at 10000 = the old least(1.0, rate).
+    quant = counts.withColumn(
+        "sq", F.floor(F.sqrt("c") * 1000000 + F.lit(0.5)).cast("long")
+    )
+    denom = quant.agg(F.sum("sq").alias("zq"), F.sum("c").alias("total"))
+    rates = quant.crossJoin(F.broadcast(denom)).select(
         "lang",
-        F.floor(
-            F.round(
-                F.least(
-                    F.lit(1.0),
-                    (0.5 * F.col("total") * (F.sqrt("c") / F.col("z")))
-                    / F.col("c"),
-                ),
-                9,
-            )
-            * 10000
-        )
-        .cast("long")
-        .alias("bp"),
+        F.least(
+            F.lit(10000).cast("long"),
+            F.expr(
+                "CAST((CAST(5000 AS DECIMAL(19,0))"
+                " * CAST(total AS DECIMAL(19,0))"
+                " * CAST(sq AS DECIMAL(19,0))) div"
+                " (CAST(zq AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))"
+                " AS BIGINT)"
+            ),
+        ).alias("bp"),
     )
     sampled = deduped.join(F.broadcast(rates), "lang").filter(
         hash_bucket(F.col("doc_id")) < F.col("bp")

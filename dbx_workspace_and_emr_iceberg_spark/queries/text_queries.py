@@ -262,7 +262,8 @@ def x4e_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X8_ORACLE = """
 WITH flagged AS (
   SELECT user_id, ts, event_id, value,
-         CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END
+         CASE WHEN date_diff('second', lag(ts) OVER w, ts) <= 1800
+              THEN 0 ELSE 1 END
            AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -290,7 +291,15 @@ def x8_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the event log (30-min inactivity gap):
     lag → new-session flag → running sum = session id → per-session
     rollup. Ties on ts break by event_id so the order is total and the
-    oracle deterministic."""
+    oracle deterministic.
+
+    Gap quantization is SECOND-FLOOR on both sides (review-pass r17,
+    reproduced): Spark diffs epoch-truncated seconds, so the oracle
+    must use date_diff('second', ...) — its old full-microsecond
+    INTERVAL predicate sessionized sub-second gaps in (1800 s, 1801 s)
+    differently (the sf0.01 fixture already carries one adjacent pair
+    in that band; it hashed green only because its fractional parts
+    happened to truncate to 1801)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # ts is TIMESTAMP_NTZ (tables.py normalization); no direct BIGINT
@@ -964,6 +973,13 @@ ORDER BY b.source
 
 @register("x22_bigram_lm", oracle=_X22_ORACLE, tags=("X22", "X4"))
 def x22_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACCEPTED-FLOAT hazard, documented (review-pass r17): avg(-ln p)
+    compares two independently-1-ulp ln implementations summed in
+    engine-dependent order, masked by round(...,4) — a mean NLL within
+    ~1e-12 of a 0.00005 boundary could round differently per engine.
+    No integer respell exists for ln; the 4-decimal grid keeps the
+    flip probability negligible on realistic NLL distributions (same
+    class as x23's regression stats and x35's rank sums)."""
     d = load_table(spark, sf_dir, "documents")
     words = d.select(
         "doc_id",
@@ -1061,6 +1077,14 @@ def x23_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-ordered), and the plan is ASSERTED to contain only
     partitioned window specs — the j13 pattern: the scale property is
     load-bearing, so it is checked, not hoped.
+
+    ACCEPTED-FLOAT hazard, documented (review-pass r17): heaps_beta /
+    fit_r2 hash-compare regr_slope/regr_r2 over log10 doubles — float
+    co-moments whose partial-aggregation merge order is engine- and
+    run-dependent, masked by round(...,4). The cumulative counts
+    themselves are exact integers; only the regression statistics ride
+    the x22-class accepted float grid (no integer respell exists for
+    log-domain least squares).
     """
     d = load_table(spark, sf_dir, "documents")
     words = d.select(
@@ -1483,13 +1507,20 @@ outdeg AS (SELECT src, sum(w) AS wout FROM edges GROUP BY 1),
 hosts AS (SELECT DISTINCT source || '.example.org' AS host FROM documents),
 nh AS (SELECT count(*) AS n FROM hosts),
 r0 AS (SELECT host, 1.0 / n AS r FROM hosts CROSS JOIN nh)"""
+    # per-edge term is r * (w/wout) — PARENTHESIZED to match the Spark
+    # operator's op sequence exactly (components.pagerank precomputes
+    # __p = w/wout once, then sums rank*__p; the old left-assoc
+    # (r*w)/wout rounded in a different association, up to 1 ulp per
+    # contribution compounded over 8 iterations — review-pass r17).
+    # Summation ORDER remains engine-dependent; round(6) absorbs it
+    # (the documented accepted-float class, x22 precedent).
     steps = []
     for i in range(1, _X35_ITERS + 1):
         steps.append(
             f"""r{i} AS (
   SELECT h.host,
          {1 - _X35_DAMP} / nh.n
-           + {_X35_DAMP} * coalesce(sum(p.r * e.w / o.wout), 0) AS r
+           + {_X35_DAMP} * coalesce(sum(p.r * (e.w / o.wout)), 0) AS r
   FROM hosts h
   CROSS JOIN nh
   LEFT JOIN edges e ON e.dst = h.host
@@ -1960,6 +1991,14 @@ GROUP BY lang, bucket ORDER BY lang, bucket
 
 @register("x43_perplexity_buckets", oracle=_X43_ORACLE, tags=("X43", "X22", "X4"))
 def x43_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACCEPTED-FLOAT hazard, documented (review-pass r17, x22's
+    class with a sharper edge): the per-doc NLL is a float ln sum in
+    engine-dependent order, and here it feeds percent-rank tercile
+    assignment — a boundary flip would move a doc (and its cohort's
+    id_sum/min/max) across bucket rows, not just nudge a rounded cell.
+    The round(...,4) grid plus the rank tie-break on the exact nll
+    keep the flip probability negligible; no integer respell exists
+    for ln, so the hazard is documented rather than eliminated."""
     from ..operators.skew import chunked_percent_ranks
 
     d = load_table(spark, sf_dir, "documents")
@@ -2047,16 +2086,22 @@ def x43_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sorted-collect per doc. Only changed documents are emitted.
 # The fixture's 8-word windows never repeat within a doc, so rule (3)
 # would be vacuous on raw text — every doc_id % 7 == 0 doc gets its
-# first line re-appended (declared identically on both sides, the
-# planted-dup pattern of x1/x2/x39) so the dedup path is exercised
-# non-vacuously.
+# first 8 words PREPENDED (declared identically on both sides, the
+# planted-dup pattern of x1/x2/x39): prepending keeps the copy
+# 8-aligned, so line 0 and line 1 are identical for EVERY planted doc
+# (all fixture docs carry >= 10 words). The old APPENDED copy only
+# formed a duplicate line when the doc's word count happened to be a
+# multiple of 8 — ~7/8 of the plant was silently vacuous (review-pass
+# r17, reproduced: 9/72 planted docs exercised occ>1 at sf0.001) and
+# a fixture regen could zero it with the gate still green. A
+# plant-coverage assert now backstops it.
 
 _X44_ORACLE = """
 WITH corpus AS (
   SELECT doc_id,
          CASE WHEN doc_id % 7 = 0
-              THEN text || ' ' ||
-                   array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')
+              THEN array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')
+                   || ' ' || text
               ELSE text END AS text
   FROM documents
 ),
@@ -2107,9 +2152,9 @@ def x44_line_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.col("doc_id") % 7 == 0,
             F.concat(
-                "text",
-                F.lit(" "),
                 F.array_join(F.slice(F.split("text", " "), 1, 8), " "),
+                F.lit(" "),
+                "text",
             ),
         ).otherwise(F.col("text")),
     )
@@ -2172,7 +2217,23 @@ def x44_line_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(""),
             )
         ).alias("kept_digest"),
-    )
+    ).cache()  # feeds the plant-coverage check + the returned filter;
+    # per-doc rows only — pin cleared by the harness clearCache
+    # plant-coverage backstop (review-pass r17, the x12b/x24 guard
+    # class): EVERY planted doc must exhibit a within-doc duplicate
+    # line — prepending an 8-word copy guarantees it for docs with
+    # >= 8 words, which the fixtures all have. A regenerated fixture
+    # that breaks the plant now raises instead of silently turning
+    # rule (3) vacuous under a green gate.
+    n_planted = rebuilt.filter(F.col("doc_id") % 7 == 0).count()
+    n_planted_dup = rebuilt.filter(
+        (F.col("doc_id") % 7 == 0) & (F.col("n_dup") >= 1)
+    ).count()
+    if n_planted == 0 or n_planted_dup < n_planted:
+        raise AssertionError(
+            f"x44 line-dedup plant went vacuous: {n_planted_dup}/"
+            f"{n_planted} planted docs show a duplicate line"
+        )
     return rebuilt.filter(F.col("n_kept") < F.col("n_lines")).orderBy(
         "doc_id"
     )

@@ -197,6 +197,28 @@ _CHANGED_THIS_ROUND = [
     #   = n/8-row sort tasks at any scale, the chokepoint the query
     #   exists to eliminate); values identical at the fixtures.
     "w5b_distributed_ntile",
+    # r17 review batch over text/dedup self-check vacuity (reproduced
+    # first, scoped sim green):
+    # x8: oracle gap predicate respelled date_diff('second') to match
+    #   Spark's second-floor diff — the microsecond INTERVAL predicate
+    #   sessionized sub-second gaps in (1800s, 1801s) differently.
+    "x8_sessionization",
+    # x44: the within-doc duplicate-line plant PREPENDS (8-aligned —
+    #   guaranteed dup per planted doc) instead of appending (~7/8
+    #   vacuous); plant-coverage assert added; oracle in lockstep.
+    "x44_line_filtering",
+    # x35/x37: oracle's per-edge PageRank term parenthesized
+    #   r*(w/wout) to match the operator's precomputed-probability op
+    #   sequence (was (r*w)/wout — different rounding association).
+    "x35_host_pagerank",
+    "x37_quality_ensemble",
+    # x31: per-language sampling rate respelled integer-exact
+    #   (quantized sqrt + HUGEINT/decimal floor div) — the float
+    #   z=sum(sqrt(c)) could shift a lang's basis points by 1 ulp of
+    #   summation order and flip the boundary hash bucket; oracle in
+    #   lockstep.  (x2's new 50k collect cap and x49's vacuous
+    #   bench-leak assert removal change no returned plan/values.)
+    "x31_curation_pipeline_v2",
 ]
 
 

@@ -182,7 +182,15 @@ def x4f_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     is VOCABULARY-sized (one row per distinct corpus token), so it must
     never broadcast (review-pass r16: the old hint collected the whole
     vocabulary to the driver at scale, the exact hazard x4h documents);
-    nothing here collects to the driver."""
+    nothing here collects to the driver.
+
+    ACCEPTED-FLOAT hazard, documented (review-pass r17, x22's class):
+    the ranked tfidf is log-derived — JVM Math.log and DuckDB's libm
+    each carry ≤1 ulp independently, and the rank keys on the rounded
+    value, so a score within ~1e-12 of a 0.5e-6 grid point could flip
+    a cell or swap rn=1 cross-engine. No integer respell exists for
+    ln; the 6-decimal grid plus deterministic (tfidf, w) tie-break
+    keep the flip probability negligible."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -448,7 +456,7 @@ SELECT
   round(value / nullif(user_id % 5, 0), 4)                    AS safe_ratio,
   TRY_CAST(CASE WHEN user_id % 3 = 0 THEN 'n/a'
                 ELSE json_extract_string(props, '$.k') END AS INTEGER) AS maybe_k,
-  string_split(event_type, '')[10]                            AS char10
+  string_split(event_type, '')[5]                             AS char5
 FROM events
 WHERE event_id % 17 = 0
 ORDER BY event_id
@@ -460,7 +468,13 @@ def p5b_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """try_divide → NULL on zero divisor, try_cast → NULL on bad input,
     try_element_at → NULL past the end — the DuckDB oracle models each
     with its native NULL-on-failure form (nullif-division, TRY_CAST,
-    OOB list index)."""
+    OOB list index).
+
+    The element_at index is 5 (review-pass r17): in-bounds for four of
+    the five event_type values and past-the-end for 'view' (4 chars),
+    so ONE column exercises both the successful 1-based lookup and the
+    NULL-past-end path — the old index 10 was out of bounds for every
+    row (max length 8), leaving the in-bounds path never checked."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 17 == 0)
     return (
         ev.select(
@@ -473,7 +487,7 @@ def p5b_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.get_json_object("props", "$.k"))
             .try_cast("int")
             .alias("maybe_k"),
-            F.try_element_at(F.split("event_type", ""), F.lit(10)).alias("char10"),
+            F.try_element_at(F.split("event_type", ""), F.lit(5)).alias("char5"),
         )
         .orderBy("event_id")
     )
@@ -505,8 +519,11 @@ def x7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     stratum, n_total plus 0/1 flags for (a) identical seed → identical
     sample, (b) realized count within 5 binomial standard deviations
     (a frac-0 stratum must be exactly empty). A violated property
-    flips a flag and the driver hash goes red; the raises remain for
-    local debuggability."""
+    flips a flag and the driver hash goes red — flags are computed
+    with NO preceding raise (review-pass r17: the old raises fired
+    BEFORE the flags were built, so the hashed flags were constant 1
+    and the documented hash-red path was dead code; a violation
+    instead aborted the whole driver sweep)."""
     docs = load_table(spark, sf_dir, "documents")
     fractions = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
     base = docs.filter(F.col("source").isin(*fractions.keys()))
@@ -520,8 +537,6 @@ def x7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         take1.select("doc_id").exceptAll(take2.select("doc_id")).count()
         + take2.select("doc_id").exceptAll(take1.select("doc_id")).count()
     )
-    if n_diff:
-        raise AssertionError("sampleBy not deterministic under fixed seed")
     totals = {r.source: r.n for r in base.groupBy("source").agg(F.count("*").alias("n")).collect()}
     got = {
         r.source: r.n
@@ -536,10 +551,6 @@ def x7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo, hi = expect - 5 * sd, expect + 5 * sd
         actual = got.get(src, 0)
         within = int(lo <= actual <= hi and not (frac == 0.0 and actual))
-        if not within:
-            raise AssertionError(
-                f"stratum {src}: {actual} outside [{lo:.1f}, {hi:.1f}]"
-            )
         rows.append((src, int(n), within, int(n_diff == 0)))
     return spark.createDataFrame(
         rows,
@@ -697,7 +708,15 @@ def x4h_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats, query terms, and document frequencies all derive; only the
     3-row (term, df) table broadcasts. Deterministic: query terms derived (not
     hard-coded), ties broken alphabetically / by doc_id on both
-    engines."""
+    engines.
+
+    ACCEPTED-FLOAT hazard, documented (review-pass r17, x22's class):
+    the score sums 3 ln-derived per-term doubles in engine-specific
+    order and the top-10 cut keys on round(score, 6) — a score within
+    ~1e-12 of a 0.5e-6 boundary could flip a cell or the returned row
+    set cross-engine. ln has no integer respell (tf/df are integers
+    but idf is transcendental); the 6-decimal grid plus the doc_id
+    tie-break keep the flip probability negligible."""
     d = load_table(spark, sf_dir, "documents")
     # ONE corpus scan: the doc-term count is cached and every other
     # statistic (doc lengths, query terms, document frequencies, corpus
@@ -810,7 +829,8 @@ def f2c_date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 _A5C_ORACLE = """
 SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_day_sketches,
        CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
-       CAST(1 AS BIGINT) AS merged_within_5pct
+       CAST(1 AS BIGINT) AS daily_within_10pct,
+       CAST(1 AS BIGINT) AS merged_within_10pct
 FROM events
 """
 
@@ -822,15 +842,18 @@ def a5c_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     column), then `hll_union_agg` merges the day sketches into the
     global distinct-user estimate WITHOUT rescanning history. New data
     only ever sketches its own partition; the union is sketch-count ×
-    sketch-size work. Self-verifies: the merged estimate must land
-    within 5% of the exact distinct count (Datasketches HLL, lgK=12 →
-    ~1.6% rse), and per-day sketch estimates must each match their
-    day's exact count within 5%.
+    sketch-size work. Self-verifies: the merged estimate and every
+    per-day estimate must land within 10% of their exact counts
+    (Datasketches HLL, lgK=12 → ~1.6% rse; 10% ≈ 6 sigma — the a5
+    rule, review-pass r17: sketch error is deterministic per dataset,
+    so a ~3-sigma bound risks a permanently-red fixture).
 
     Value-ORACLED (r11): the sketch ESTIMATE is Datasketches-internal
     (not DuckDB-replayable), so the contract is pinned as the exact
-    fixture-derivable counts plus a 0/1 "merged estimate within 5%"
-    flag — an estimator drift past the bound hash-reds.
+    fixture-derivable counts plus 0/1 bound flags computed with NO
+    preceding raise (review-pass r17: the old raises fired before the
+    flags, so the hashed flags were constant 1 and a violation aborted
+    the whole driver sweep instead of hash-redding one row).
     """
     ev = load_table(spark, sf_dir, "events")
     day = F.col("ts").cast("date").alias("day")
@@ -850,10 +873,8 @@ def a5c_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked.cache()
     bad = checked.filter(
         F.abs(F.col("est_day") - F.col("exact_day"))
-        > 0.05 * F.col("exact_day")
+        > 0.10 * F.col("exact_day")
     ).count()
-    if bad:
-        raise AssertionError(f"{bad} daily HLL estimates off by > 5%")
 
     merged = checked.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_total"),
@@ -861,19 +882,19 @@ def a5c_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact_total = ev.agg(F.countDistinct("user_id").alias("e")).first()["e"]
     row = merged.first()
-    if abs(row["est_total"] - exact_total) > 0.05 * exact_total:
-        raise AssertionError(
-            f"merged HLL estimate {row['est_total']} vs exact {exact_total}"
-        )
     return spark.createDataFrame(
         [
             (
                 int(row["n_day_sketches"]),
                 int(exact_total),
-                int(abs(row["est_total"] - exact_total) <= 0.05 * exact_total),
+                int(bad == 0),
+                int(
+                    abs(row["est_total"] - exact_total) <= 0.10 * exact_total
+                ),
             )
         ],
-        "n_day_sketches long, exact_distinct long, merged_within_5pct long",
+        "n_day_sketches long, exact_distinct long, "
+        "daily_within_10pct long, merged_within_10pct long",
     )
 
 
@@ -1016,7 +1037,8 @@ def u7_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
 _F11_ORACLE = """
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(avg(o_totalprice), 2) AS avg_price
+       CAST((2 * sum(CAST(round(o_totalprice * 100) AS HUGEINT)) + count(*))
+            // (2 * count(*)) AS BIGINT) AS avg_price_cents
 FROM orders
 WHERE o_totalprice > 150000.0 AND o_orderstatus = 'F'
 GROUP BY o_orderpriority
@@ -1026,12 +1048,22 @@ ORDER BY o_orderpriority
 
 @register("f11_parameterized_sql", oracle=_F11_ORACLE, tags=("F11",))
 def f11_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # avg emitted as integer CENTS, not round(avg(double), 2)
+    # (review-pass r17, f21/f23's lesson): a float avg has no
+    # 2-decimal nominal anchor, so a group mean near a half-cent flips
+    # between Spark's shortest-repr HALF_UP and DuckDB's binary
+    # rounding. (2·S + n) div (2·n) over exact cent sums is the same
+    # HALF_UP, order-free in both engines (all-positive here).
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_f11")
     return spark.sql(
         """
         SELECT o_orderpriority,
                count(*) AS n_orders,
-               round(avg(o_totalprice), 2) AS avg_price
+               CAST((2 * sum(CAST(round(o_totalprice * 100)
+                                  AS DECIMAL(19,0)))
+                     + CAST(count(*) AS DECIMAL(19,0)))
+                    div (2 * CAST(count(*) AS DECIMAL(19,0)))
+                    AS BIGINT) AS avg_price_cents
         FROM orders_f11
         WHERE o_totalprice > :min_price AND o_orderstatus = :status
         GROUP BY o_orderpriority
@@ -1402,7 +1434,12 @@ def x30_upsampled_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 _F19_ORACLE = """
 SELECT c_mktsegment,
        CAST(count(*) AS BIGINT) AS n_customers,
-       round(avg(c_acctbal), 2) AS avg_bal
+       CAST(CASE WHEN sum(CAST(round(c_acctbal * 100) AS HUGEINT)) >= 0
+                 THEN (2 * sum(CAST(round(c_acctbal * 100) AS HUGEINT))
+                       + count(*)) // (2 * count(*))
+                 ELSE -((-2 * sum(CAST(round(c_acctbal * 100) AS HUGEINT))
+                         + count(*)) // (2 * count(*)))
+            END AS BIGINT) AS avg_bal_cents
 FROM customer
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
@@ -1411,6 +1448,11 @@ ORDER BY c_mktsegment
 
 @register("f19_identifier_clause", oracle=_F19_ORACLE, tags=("F19", "F11"))
 def f19_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # avg emitted as integer CENTS with the sign factored out of the
+    # floor division (review-pass r17, the x3h rule: div truncation
+    # vs flooring diverges on negative operands, and acctbal CAN be
+    # negative) — HALF_UP away from zero, order-free in both engines,
+    # while the query's real subject (IDENTIFIER binding) is unchanged.
     load_table(spark, sf_dir, "customer").createOrReplaceTempView(
         "customer_f19"
     )
@@ -1418,7 +1460,18 @@ def f19_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT c_mktsegment,
                count(*) AS n_customers,
-               round(avg(IDENTIFIER(:balcol)), 2) AS avg_bal
+               CAST(CASE
+                 WHEN sum(CAST(round(IDENTIFIER(:balcol) * 100)
+                               AS DECIMAL(19,0))) >= 0
+                 THEN (2 * sum(CAST(round(IDENTIFIER(:balcol) * 100)
+                                    AS DECIMAL(19,0)))
+                       + CAST(count(*) AS DECIMAL(19,0)))
+                      div (2 * CAST(count(*) AS DECIMAL(19,0)))
+                 ELSE -((-2 * sum(CAST(round(IDENTIFIER(:balcol) * 100)
+                                       AS DECIMAL(19,0)))
+                         + CAST(count(*) AS DECIMAL(19,0)))
+                        div (2 * CAST(count(*) AS DECIMAL(19,0))))
+               END AS BIGINT) AS avg_bal_cents
         FROM IDENTIFIER(:tbl)
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
@@ -1735,7 +1788,10 @@ SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN NULL
                      ELSE o_orderkey * 1000000 END) AS BIGINT) AS scaled_sum,
-       round(sum(o_totalprice / NULLIF(o_orderkey % 5, 0)), 2) AS ratio_sum,
+       CAST((2 * sum(CASE WHEN o_orderkey % 5 = 0 THEN 0
+                          ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                               * (12 // (o_orderkey % 5)) END) + 12)
+            // 24 AS DOUBLE) / 100 AS ratio_sum,
        CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_null_div
 FROM orders
@@ -1763,13 +1819,28 @@ def f22_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(
             F.col("o_totalprice"), (F.col("o_orderkey") % 5)
         ).alias("ratio"),
+        # integer twelfth-cents of the same ratio (review-pass r17):
+        # the displayed ratio_sum used to be a float sum of thousands
+        # of /1../4 quotients rounded to cents — /3 never terminates,
+        # so the true sum can sit arbitrarily close to a half-cent at
+        # ANY scale and cross-engine summation order alone could flip
+        # the cent. cents·(12 div d) is exact bigint per row (divisors
+        # 1..4 all divide 12), the sum is order-free, and the cent
+        # rounding is (2·S12 + 12) div 24 — HALF_UP, all-positive.
+        F.when(
+            F.col("o_orderkey") % 5 != 0,
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            * F.expr("12 div (o_orderkey % 5)"),
+        ).otherwise(F.lit(0)).alias("twelfth_cents"),
     )
     return (
         e.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.try_sum("scaled").alias("scaled_sum"),
-            F.round(F.sum("ratio"), 2).alias("ratio_sum"),
+            F.expr(
+                "CAST((2 * sum(twelfth_cents) + 12) div 24 AS DOUBLE) / 100"
+            ).alias("ratio_sum"),
             F.sum(F.col("ratio").isNull().cast("long")).alias("n_null_div"),
         )
         .orderBy("o_orderpriority")

@@ -51,9 +51,13 @@ def p1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("c_name").alias("name_upper"),
         "c_acctbal",
         F.round(uplift, 2).cast("double").alias("acctbal_uplift"),
-        F.concat_ws("#", "c_mktsegment", F.col("c_nationkey").cast("string")).alias(
-            "seg_nation"
-        ),
+        # concat, NOT concat_ws (review-pass r17): concat_ws SKIPS
+        # NULLs while the oracle's concat PROPAGATES them — identical
+        # on the NULL-free fixtures, divergent the moment a regen
+        # introduces one NULL segment/nationkey
+        F.concat(
+            "c_mktsegment", F.lit("#"), F.col("c_nationkey").cast("string")
+        ).alias("seg_nation"),
     )
 
 
@@ -87,15 +91,19 @@ def p2_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _P2B_ORACLE = """
 SELECT p_partkey, p_name, p_type
 FROM part
-WHERE p_name LIKE '%ivory%' OR p_type LIKE 'STANDARD%'
+WHERE p_name LIKE '%gear%' OR p_type LIKE 'STANDARD%'
 """
 
 
 @register("p2b_filter_like", oracle=_P2B_ORACLE, tags=("P2",))
 def p2b_filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # '%gear%' matches real fixture part names (review-pass r17: the
+    # old '%ivory%' matched ZERO rows at every scale factor, so the
+    # infix-LIKE half of the probe was permanently vacuous — an
+    # infix-matching regression would have stayed hash-green forever)
     p = load_table(spark, sf_dir, "part")
     return p.filter(
-        F.col("p_name").like("%ivory%") | F.col("p_type").like("STANDARD%")
+        F.col("p_name").like("%gear%") | F.col("p_type").like("STANDARD%")
     ).select("p_partkey", "p_name", "p_type")
 
 

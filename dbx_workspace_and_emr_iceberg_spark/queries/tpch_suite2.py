@@ -36,10 +36,16 @@ def _ts(s: str):
 
 _Q2_ORACLE = """
 WITH cost AS (
-  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS supplycost
+  SELECT l_partkey, l_suppkey,
+         (min({'v': l_extendedprice / l_quantity,
+               'c': CAST(round(l_extendedprice * 100) AS BIGINT),
+               'q': CAST(l_quantity AS BIGINT)})) AS m
   FROM lineitem GROUP BY 1, 2
 ), eu AS (
-  SELECT c.l_partkey, c.supplycost, s_name, round(s_acctbal, 2) AS s_acctbal, n_name
+  SELECT c.l_partkey, (c.m).v AS supplycost,
+         CAST((200 * (c.m).c + (c.m).q) // (2 * (c.m).q) AS DOUBLE) / 10000
+           AS supplycost4,
+         s_name, round(s_acctbal, 2) AS s_acctbal, n_name
   FROM cost c
   JOIN supplier ON c.l_suppkey = s_suppkey
   JOIN nation   ON s_nationkey = n_nationkey
@@ -47,7 +53,7 @@ WITH cost AS (
   WHERE r_name = 'EUROPE'
 )
 SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey,
-       round(e.supplycost, 4) AS supplycost
+       e.supplycost4 AS supplycost
 FROM eu e JOIN part p ON e.l_partkey = p.p_partkey
 WHERE p.p_size <= 15 AND p.p_type = 'LARGE'
   AND e.supplycost = (SELECT min(e2.supplycost) FROM eu e2
@@ -62,7 +68,18 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-min subquery realized as a window min over the partition
     key — one shuffle, no self-join (the decorrelated plan Catalyst would
     produce, stated explicitly).  min over doubles is order-insensitive,
-    so the equality filter is hash-stable vs the oracle."""
+    so the equality filter is hash-stable vs the oracle.
+
+    The DISPLAYED supplycost rounds via integer arithmetic (review-pass
+    r17): round(raw_double, 4) splits on 5th-decimal half-ties between
+    Spark's shortest-repr HALF_UP and DuckDB's binary-value rounding
+    (the fixtures carry ~1490 such quotients at sf0.01, none surviving
+    the filters yet — green by luck). The min aggregates a struct
+    (quotient, cents, qty) — lexicographic in both engines, quotient
+    doubles identical cross-engine (one IEEE divide of equal inputs),
+    cents/qty tie-break deterministic — and the display is
+    (200·cents + qty) div (2·qty), the exact HALF_UP 4-dp scaling of
+    cents/(100·qty), over a single identical final divide."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
@@ -70,8 +87,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")
     )
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    cost = li.select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("v"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+        F.col("l_quantity").cast("long").alias("q"),
+    ).groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.struct("v", "c", "q")).alias("m")
     )
     eu = (
         cost.join(s, cost.l_suppkey == s.s_suppkey)
@@ -79,7 +102,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select(
             "l_partkey",
-            "supplycost",
+            F.col("m.v").alias("supplycost"),
+            F.expr(
+                "CAST((200 * m.c + m.q) div (2 * m.q) AS DOUBLE) / 10000"
+            ).alias("supplycost4"),
             "s_name",
             F.round("s_acctbal", 2).alias("s_acctbal"),
             "n_name",
@@ -96,7 +122,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             "n_name",
             "p_partkey",
-            F.round("supplycost", 4).alias("supplycost"),
+            F.col("supplycost4").alias("supplycost"),
         )
         .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_name")
         .limit(20)
@@ -218,9 +244,12 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q8_ORACLE = """
 SELECT o_year,
-       round(cast(sum(CASE WHEN nation = 'NATION_3' THEN volume
-                           ELSE cast(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-             / cast(sum(volume) AS DOUBLE), 4) AS mkt_share
+       CAST((20000 * CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+                                   ELSE cast(0 AS DECIMAL(18,4)) END)
+                          * 10000 AS HUGEINT)
+             + CAST(sum(volume) * 10000 AS HUGEINT))
+            // (2 * CAST(sum(volume) * 10000 AS HUGEINT))
+            AS DOUBLE) / 10000 AS mkt_share
 FROM (
   SELECT year(o_orderdate) AS o_year,
          cast(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume,
@@ -279,12 +308,27 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_year")
         .agg(
-            F.round(
-                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(zero))
-                .cast("double")
-                / F.sum("volume").cast("double"),
-                4,
-            ).alias("mkt_share")
+            F.sum(
+                F.when(
+                    F.col("nation") == "NATION_3", F.col("volume")
+                ).otherwise(zero)
+            ).alias("num"),
+            F.sum("volume").alias("den"),
+        )
+        # integer HALF_UP 4-dp share (review-pass r17): round(double,4)
+        # splits on 5th-decimal half-ties between Spark's shortest-repr
+        # HALF_UP and DuckDB's binary rounding. num/den are exact
+        # scale-4 decimals, so share·1e4 = (2e4·N + D) div (2·D) over
+        # the ×1e4 integers is exact in decimal(38,0)/HUGEINT, and the
+        # final /10000 is one identical IEEE divide.
+        .select(
+            "o_year",
+            F.expr(
+                "CAST((20000 * CAST(num * 10000 AS DECIMAL(38,0))"
+                " + CAST(den * 10000 AS DECIMAL(38,0)))"
+                " div (2 * CAST(den * 10000 AS DECIMAL(38,0)))"
+                " AS DOUBLE) / 10000"
+            ).alias("mkt_share"),
         )
         .orderBy("o_year")
     )

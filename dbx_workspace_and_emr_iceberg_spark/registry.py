@@ -219,6 +219,31 @@ _CHANGED_THIS_ROUND = [
     #   lockstep.  (x2's new 50k collect cap and x49's vacuous
     #   bench-leak assert removal change no returned plan/values.)
     "x31_curation_pipeline_v2",
+    # r17 review batch over extras/tpch_suite2/projections (reproduced
+    # first, scoped sim green). The rounding-mode class: Spark rounds
+    # the shortest decimal repr HALF_UP, DuckDB rounds the binary
+    # value — any round(raw_double, k) display can split on a
+    # (k+1)-th-decimal half-tie, so these respell display rounding as
+    # integer floor-division over exact cent/scale-4 sums:
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "f11_parameterized_sql",
+    "f19_identifier_clause",
+    "f22_try_arithmetic",
+    # p1: concat (NULL-propagating) replaces concat_ws to match the
+    #   oracle's semantics; p2b: the infix-LIKE probe matches real
+    #   fixture tokens ('%gear%' — '%ivory%' matched ZERO rows at
+    #   every sf, half the probe permanently vacuous); p5b: index 5
+    #   exercises BOTH the in-bounds lookup and NULL-past-end (10 was
+    #   OOB for every row).
+    "p1_projection",
+    "p2b_filter_like",
+    "p5b_try_functions",
+    # a5c: daily+merged HLL bound flags now hash-backed (raises before
+    #   the flags removed — the documented hash-red path was dead
+    #   code) and honest at 10% ≈ 6 sigma; schema/oracle changed.
+    #   (x7's raise removal changes no returned schema/values.)
+    "a5c_hll_mergeable",
 ]
 
 

@@ -121,15 +121,25 @@ def j3_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 _J3B_ORACLE = """
 SELECT c_custkey
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 320000)
 ORDER BY c_custkey
 """
 
 
 @register("j3b_anti", oracle=_J3B_ORACLE, tags=("J3",))
 def j3b_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join against the HIGH-VALUE order subset — j3's exact
+    complement, so the two results partition the customer set
+    (review-pass r17, reproduced: the old unfiltered right side
+    matched every customer — every sf0.01 customer has at least one
+    order — so the anti result was EMPTY and the hash gate compared
+    two empty sets; a left_anti regression could never red it). With
+    the j3 filter, the anti side returns the 40 sf0.01 customers with
+    no high-value order — a non-empty result that actually exercises
+    the not-matched semantics, and j3 ∪ j3b = customer exactly."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 320000)
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey")
@@ -291,7 +301,8 @@ def j8_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 _J9_ORACLE = """
 SELECT
   n_name,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  round(cast(sum(cast(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -333,8 +344,21 @@ def j9_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
+            # decimal-hop sum (review-pass r17, j16's rule + the q5
+            # oracle spelling): the raw double sum of 4-decimal-quanta
+            # products accumulates in engine-dependent order, and a
+            # group whose exact revenue lands on a .xx5 half-boundary
+            # would round differently per engine — at sf0.01 two group
+            # tails already sit one ten-thousandth from the boundary.
+            # The per-row product double is identical cross-engine; the
+            # decimal(18,4) sum of it is exact and order-free.
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,4)")
+                ).cast("double"),
+                2,
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("n_name"))

@@ -101,7 +101,7 @@ SELECT
   cast(o_orderdate AS DATE)                               AS as_date,
   last_day(cast(o_orderdate AS DATE))                     AS month_end,
   cast(date_diff('day', cast(o_orderdate AS DATE), DATE '1998-01-01') AS INTEGER) AS days_to_98,
-  cast(epoch(o_orderdate) AS BIGINT)                      AS epoch_s
+  cast(floor(epoch(o_orderdate)) AS BIGINT)               AS epoch_s
 FROM orders
 WHERE o_orderkey % 11 = 0
 ORDER BY o_orderkey
@@ -319,15 +319,32 @@ def f8c_native_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats = df.agg(
             F.countDistinct("uid").alias("uuids"),
             F.countDistinct("xx").alias("xxs"),
+            F.countDistinct("mono").alias("monos"),
         ).collect()[0]
         if stats.uuids != n:
             raise AssertionError("uuid() produced duplicates")
-        # identical input → identical xxhash64 (stability across calls)
-        joined = df.select("c_custkey", "xx").join(
-            c.select("c_custkey", F.xxhash64("c_name").alias("xx2")), "c_custkey"
+        # mono uniqueness was emitted but never CHECKED (review-pass
+        # r17) — the one property monotonically_increasing_id promises
+        if stats.monos != n:
+            raise AssertionError("monotonically_increasing_id collided")
+        # identical input → identical xxhash64/hash (stability across
+        # calls; h32 was likewise emitted-but-unchecked before r17)
+        joined = df.select("c_custkey", "xx", "h32").join(
+            c.select(
+                "c_custkey",
+                F.xxhash64("c_name").alias("xx2"),
+                F.hash("c_name").alias("h32b"),
+            ),
+            "c_custkey",
         )
-        if joined.filter(F.col("xx") != F.col("xx2")).count() != 0:
-            raise AssertionError("xxhash64 not stable")
+        if (
+            joined.filter(
+                (F.col("xx") != F.col("xx2"))
+                | (F.col("h32") != F.col("h32b"))
+            ).count()
+            != 0
+        ):
+            raise AssertionError("xxhash64/hash not stable")
         return spark.createDataFrame(
             [(n, int(stats.uuids == n), 1)],
             "n_rows long, uuids_unique long, xxhash_stable long",

@@ -244,6 +244,24 @@ _CHANGED_THIS_ROUND = [
     #   code) and honest at 10% ≈ 6 sigma; schema/oracle changed.
     #   (x7's raise removal changes no returned schema/values.)
     "a5c_hll_mergeable",
+    # r17 joins/scalar review (reproduced first, scoped sim green;
+    # exactly three slots left in the 50-sample budget after the 21-
+    # query r10 staleness cohort — the remaining branch-liveness
+    # findings are documented in docs/SCALE.md for r18):
+    # j9: decimal(18,4)-hop revenue sum (j16's rule) — two sf0.01
+    #   group tails sit one ten-thousandth from the .xx5 half-boundary
+    #   where summation order decides the rounded cent.
+    "j9_star_multiway",
+    # j3b: anti-join against the high-value order subset — the old
+    #   unfiltered right side matched EVERY customer, so the gate
+    #   compared two empty sets (a left_anti regression could never
+    #   red it); now returns 40 rows, j3's exact complement.
+    "j3b_anti",
+    # f2: oracle epoch spelled floor(epoch(ts)) — CAST rounds in
+    #   DuckDB while Spark unix_timestamp floors; identical today only
+    #   because orders timestamps carry no fractional seconds.
+    #   (f8c's new mono/h32 checks change no returned schema/values.)
+    "f2_date_funcs",
 ]
 
 

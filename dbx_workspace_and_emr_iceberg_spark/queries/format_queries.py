@@ -146,12 +146,10 @@ def s2e_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         # don't leak executor storage memory for the rest of a long
         # driver run — the counts are materialized, the cache is done
         perm.unpersist()
-    if n_all != n_clean + len(bad_lines):
-        raise AssertionError(f"PERMISSIVE lost rows: {n_all} != {n_clean}+{len(bad_lines)}")
-    if n_corrupt != len(bad_lines):
-        raise AssertionError(
-            f"PERMISSIVE flagged {n_corrupt} corrupt rows, planted {len(bad_lines)}"
-        )
+    # no pre-asserts on n_all/n_corrupt (review-pass r17, the a5c
+    # rule): the returned counts are the hashed carriers of the
+    # PERMISSIVE contract — raising on the same conditions here made
+    # every returned cell constant and the oracle compare unreachable
 
     dropped = (
         spark.read.schema("k int, name string, r string")
@@ -164,8 +162,8 @@ def s2e_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expression constant-folds back to count(*) — verified). collect()
     # forces the full-row parse; nation is 25 rows, bounded at any SF.
     n_dropped = len(dropped.collect())
-    if n_dropped != n_clean:
-        raise AssertionError(f"DROPMALFORMED kept {n_dropped}, expected {n_clean}")
+    # likewise no pre-assert on n_dropped — the hashed
+    # dropmalformed_kept cell carries it
 
     failfast_raised = False
     try:
@@ -180,15 +178,15 @@ def s2e_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not ("MALFORMED" in msg.upper() or "FAILFAST" in msg.upper()):
             raise
         failfast_raised = True
-    if not failfast_raised:
-        raise AssertionError("FAILFAST did not raise on malformed input")
 
     return spark.createDataFrame(
         [
             ("permissive_total", n_all),
             ("permissive_corrupt", n_corrupt),
             ("dropmalformed_kept", n_dropped),
-            ("failfast_raised", 1),
+            # the MEASURED flag, not a literal 1 behind a raise
+            # (review-pass r17): a FAILFAST regression now hash-reds
+            ("failfast_raised", int(failfast_raised)),
         ],
         "label string, n long",
     ).orderBy("label")

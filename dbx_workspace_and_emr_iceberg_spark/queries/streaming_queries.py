@@ -172,7 +172,12 @@ def t5_watermark_append_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     at max(on-time event time) - 1h (late rows never advance it) — so
     DuckDB replays exactly the windows append mode must have emitted.
     Straggler late-window emissions (permitted, not guaranteed) are
-    excluded from the RETURNED frame, not from the self-check."""
+    excluded from BOTH the returned frame and the self-check's window
+    slice — they are engine-discretionary, so neither side may pin
+    them (docstring aligned r17; the self-check applies the same
+    >= 2024-01-05 filter). The self-check does verify no window in the
+    checked slice is emitted twice (multiplicity-counted, not
+    set-collapsed — review-pass r17)."""
     import datetime
     import os
     import time as _t
@@ -232,7 +237,7 @@ def t5_watermark_append_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sweep: two boundary windows mis-bucketed by the -05:00
         # rendering).
         fmt = "yyyy-MM-dd HH:mm:ss"
-        emitted = {
+        emitted_rows = [
             (r.ws, r.n)
             for r in out.filter(
                 F.col("window_start")
@@ -240,7 +245,20 @@ def t5_watermark_append_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.date_format("window_start", fmt).alias("ws"), "n")
             .collect()
-        }
+        ]
+        # duplicate-emission check on the LIST, not the set (review-
+        # pass r17): a window finalized and emitted twice collapses to
+        # one set element, so the set comparison below would pass a
+        # broken exactly-once — count multiplicities explicitly
+        ws_counts: dict = {}
+        for ws, _n in emitted_rows:
+            ws_counts[ws] = ws_counts.get(ws, 0) + 1
+        dup_ws = sorted(ws for ws, c in ws_counts.items() if c > 1)
+        if dup_ws:
+            raise AssertionError(
+                f"append mode emitted windows more than once: {dup_ws[:3]}"
+            )
+        emitted = set(emitted_rows)
         # Append mode finalizes only windows whose END the watermark has
         # passed — the trailing window is legitimately withheld.
         wm = datetime.datetime.fromisoformat(final_wm.replace("Z", ""))
@@ -465,8 +483,10 @@ def t9_stream_to_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
         await_bounded(q, 300)
         n_sink = table.read().count()
         n_src = load_table(spark, sf_dir, "events").count()
-        if n_sink != n_src:
-            raise AssertionError(f"sink rows {n_sink} != source rows {n_src}")
+        # no pre-assert on n_sink == n_src (review-pass r17, the a5c
+        # rule): the rows_match_source flag below is the hashed
+        # carrier of exactly this contract — a raise here made it a
+        # constant 1
         n_snaps = table.snapshots().count()
         return spark.createDataFrame(
             [(n_sink, int(n_sink == n_src), int(n_snaps >= 1))],
@@ -520,16 +540,20 @@ def t1b_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(30)
     out = spark.table(name)
     vals = sorted(r.value for r in out.select("value").collect())
-    if not vals:
-        raise AssertionError("rate source produced no rows in 20s")
-    if vals != list(range(vals[0], vals[0] + len(vals))):
-        raise AssertionError("rate source values have gaps or dups")
+    # flags computed with NO preceding raise (review-pass r17, the a5c
+    # rule): the old raises fired on the same conditions BEFORE the
+    # flags were built, so the hashed flags were constant 1 and a
+    # rate-source gap/dup could never hash-red — it aborted the whole
+    # driver sweep instead
     return spark.createDataFrame(
         [
             (
                 int(len(vals) > 0),
-                int(vals == list(range(vals[0], vals[0] + len(vals)))),
-                int(vals[-1] - vals[0] + 1 == len(vals)),
+                int(
+                    bool(vals)
+                    and vals == list(range(vals[0], vals[0] + len(vals)))
+                ),
+                int(bool(vals) and vals[-1] - vals[0] + 1 == len(vals)),
             )
         ],
         "produced_rows long, contiguous_no_gaps long, "
@@ -712,11 +736,14 @@ def t10_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         table, b1, b2 = _run_upsert_stream(spark, sf_dir, wh, "events_upsert")
         got = table.read().select("event_id", "n_seen").collect()
         seen = {r.event_id: r.n_seen for r in got}
+        # key-dup and overlap-drift stay asserts (no returned cell can
+        # carry them); the per-key upsert-count contract rides the
+        # hashed counts_ok flag with NO pre-assert (review-pass r17,
+        # the a5c rule — the old assert made the flag a constant 1)
         assert len(seen) == len(got), "merge key duplicated in sink"
         expect2 = {r.event_id for r in b1.join(b2, "event_id").collect()}
-        bad = {k for k, n in seen.items() if n != (2 if k in expect2 else 1)}
-        assert not bad, f"upsert counts wrong for keys {sorted(bad)[:5]}"
         assert expect2 and len(seen) > len(expect2), "fixture overlap drift"
+        bad = {k for k, n in seen.items() if n != (2 if k in expect2 else 1)}
         # value-ORACLED r11: key/overlap counts are fixture-derivable
         # (%60 buckets); the snapshot COUNT is trigger planning, so
         # the per-key upsert correctness rides the counts_ok flag
@@ -928,28 +955,30 @@ def t13_max_files_per_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         await_bounded(q, 300)
         nonempty = [b for b in batches if b[1] > 0]
-        if len(nonempty) < n_files:
-            raise AssertionError(
-                f"expected >= {n_files} rate-limited micro-batches, got "
-                f"{len(nonempty)} non-empty of {len(batches)}"
-            )
+        # flags computed with NO preceding raise (review-pass r17, the
+        # a5c rule): the old raises pre-asserted every returned cell,
+        # so the oracle hash could never observe a rate-limit or
+        # exactly-once violation — it aborted the sweep instead.
+        # no_overlap is folded INTO the exactly_once flag: a key seen
+        # in two micro-batches is a duplicate delivery even when the
+        # union still covers the source.
         got_keys: set = set()
+        overlap = False
         total = 0
         for _bid, n, keys in batches:
             if got_keys & keys:
-                raise AssertionError("a row appeared in two micro-batches")
+                overlap = True
             got_keys |= keys
             total += n
-        if total != len(src_keys) or got_keys != src_keys:
-            raise AssertionError(
-                f"exactly-once violated: {total} rows / {len(got_keys)} keys "
-                f"vs source {len(src_keys)}"
-            )
         return spark.createDataFrame(
             [
                 (
                     int(len(nonempty) >= n_files),
-                    int(total == len(src_keys) and got_keys == src_keys),
+                    int(
+                        not overlap
+                        and total == len(src_keys)
+                        and got_keys == src_keys
+                    ),
                     total,
                 )
             ],
@@ -1191,12 +1220,11 @@ def t16_lakehouse_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_stream()
         got = spark.read.parquet(sink)
         n_stream = got.count()
-        n_keys = got.select("n_nationkey").distinct().count()
-        if n_stream != n_total or n_keys != n_total:
-            raise AssertionError(
-                f"streamed {n_stream} rows / {n_keys} keys, table has "
-                f"{n_total} (loss or duplication across snapshot batches)"
-            )
+        # no pre-assert on n_stream (review-pass r17, the a5c rule):
+        # the returned n_streamed cell must be free to diverge from
+        # the oracle on a snapshot-source loss/duplication — the old
+        # raise made the hash compare unreachable for exactly the
+        # contract the docstring claims is value-oracled
         # incremental restart: only the new append may surface
         t.append(
             nat.filter(F.col("n_nationkey") < 3)
@@ -1213,10 +1241,12 @@ def t16_lakehouse_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in spark.read.parquet(sink).select("n_nationkey").collect()
         }
         n_after = spark.read.parquet(sink).count()
-        if n_after != n_total + 3 or not {500, 501, 502} <= all_keys:
+        # key-presence stays an assert (the n_delta COUNT cell cannot
+        # see WHICH keys arrived); the row-count contract itself rides
+        # the hashed n_streamed/n_delta cells with no pre-assert
+        if not {500, 501, 502} <= all_keys:
             raise AssertionError(
-                f"incremental run wrong: {n_after} rows after restart, "
-                f"want {n_total + 3} (delta-only emission)"
+                f"incremental run missed the appended keys: {all_keys}"
             )
         return spark.createDataFrame(
             [(n_total, n_stream, n_after - n_stream)],
@@ -1294,16 +1324,19 @@ def t17_streaming_listener(spark: SparkSession, sf_dir: str) -> DataFrame:
             if events["terminated"] >= 1 and events["progress_rows"]:
                 break
             _time.sleep(0.1)
-        if events["started"] < 1 or events["terminated"] < 1:
-            raise AssertionError(f"listener lifecycle incomplete: {events}")
+        # errors and the terminated event stay asserts (NO returned
+        # cell carries them); the started flag, progress-event flag,
+        # and rows_seen reconciliation ride the hashed cells with no
+        # pre-assert (review-pass r17, the a5c rule: the old raises
+        # made every returned cell constant, so a listener-accounting
+        # regression could never hash-red)
+        if events["terminated"] < 1:
+            raise AssertionError(f"queryTerminated never fired: {events}")
         if events["errors"]:
             raise AssertionError(f"stream reported errors: {events['errors']}")
+        if n_out != n_src:
+            raise AssertionError(f"sink rows {n_out} != source {n_src}")
         rows_seen = sum(events["progress_rows"])
-        if rows_seen != n_src or n_out != n_src:
-            raise AssertionError(
-                f"listener accounting off: progress={rows_seen}, "
-                f"sink={n_out}, source={n_src}"
-            )
         return spark.createDataFrame(
             [
                 (

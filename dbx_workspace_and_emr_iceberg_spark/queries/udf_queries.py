@@ -539,7 +539,15 @@ def d12_table_arg_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, row: Row):
             self.uid = row["user_id"]
             self.n += 1
-            t = row["ts"].timestamp()
+            # pin the naive datetime to UTC before .timestamp()
+            # (review-pass r17): bare .timestamp() interprets a naive
+            # value in the HOST timezone — constant offsets cancel in
+            # gaps, but a pair straddling a DST transition (or landing
+            # in a nonexistent local hour) under TZ=America/New_York
+            # would shift the gap ±3600s vs the oracle's epoch diff
+            import datetime as _dt
+
+            t = row["ts"].replace(tzinfo=_dt.timezone.utc).timestamp()
             if self.prev is not None:
                 self.max_gap = max(self.max_gap, t - self.prev)
             self.prev = t

@@ -206,11 +206,33 @@ class ExecClock:
         return round(d / 1000.0, 3)
 
 
+#: Full-result sidecar: the driver records only the LAST 2000 chars of
+#: the printed line (BENCH_r*.json has carried tail-only, parsed=None
+#: since r8), so bench.py persists the complete result dict here —
+#: the judge's per-query exec_s/exec_runs live in this file, and
+#: previous_floors() reads it for the >25%-mover rule.
+FULL_RESULT_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LAST.json"
+)
+
+
 def previous_floors() -> dict[str, float]:
-    """Per-query floors from the LATEST BENCH_r*.json beside this file
-    (shared + additions sections), for the >25%-mover re-pass rule.
-    Empty dict when no prior round exists or the file is unreadable —
-    the bench must never fail on its own history."""
+    """Per-query floors from the previous bench run, for the
+    >25%-mover re-pass rule: prefer the full-result sidecar (written by
+    the previous run; this run overwrites it only at the very end),
+    fall back to the latest driver BENCH_r*.json (useful only through
+    r7 — later rounds are tail-truncated with parsed=None). Empty dict
+    when no usable history exists — the bench must never fail on its
+    own history."""
+    try:
+        with open(FULL_RESULT_PATH) as f:
+            data = json.load(f)
+        out = dict(data.get("floors") or {})
+        out.update(data.get("additions_floors") or {})
+        if out:
+            return {k: float(v) for k, v in out.items()}
+    except Exception:
+        pass
     best_round, best_path = -1, None
     here = os.path.dirname(os.path.abspath(__file__))
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
@@ -222,8 +244,9 @@ def previous_floors() -> dict[str, float]:
     try:
         with open(best_path) as f:
             data = json.load(f)
-        out = dict(data.get("floors") or {})
-        out.update(data.get("additions_floors") or {})
+        parsed = data.get("parsed") or data
+        out = dict(parsed.get("floors") or {})
+        out.update(parsed.get("additions_floors") or {})
         return {k: float(v) for k, v in out.items()}
     except Exception:
         return {}
@@ -386,50 +409,59 @@ def main() -> None:
         }
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "passes": passes,
-                "pass_totals": [
-                    round(sum(p.values()), 3) for p in passes
-                ],
-                # cold pass-1 total is as informative as the min total
-                # (r6 verdict #6): surfaced explicitly so readers don't
-                # have to derive it from passes
-                "cold_total": round(sum(passes[0].values()), 3),
-                # per-query best-of-all-runs (r15 verdict #1) — the
-                # round-over-round adjudication numbers: diff these,
-                # not single samples, and read deltas against
-                # noise_floor.spread_pct
-                "floors": floors,
-                "floor_total": round(sum(floors.values()), 3),
-                # per-query executor-time at the floor sample plus the
-                # full per-run trace (r16 verdict #5): wall moved but
-                # exec_s flat -> contention; both moved -> plan change
-                "exec_s": exec_s,
-                "exec_runs": exec_runs,
-                # >25% floor movers vs the previous round's BENCH file,
-                # each re-run twice more (5 samples total)
-                "movers_gt_25pct": movers,
-                "extra_passes": extra_passes,
-                # round-over-round tracking for new heavy plans without
-                # polluting the shared headline set (r11 verdict #6)
-                "additions_queries": add_timings,
-                "additions_total": round(sum(add_timings.values()), 3),
-                "additions_passes": add_passes,
-                "additions_floors": add_floors,
-                # per-query noise floors for the historically heaviest
-                # plans (r12 verdict #7): 3 same-session runs each
-                "heavy_tail": heavy_tail,
-                "noise_floor": noise_floor,
-                "sf": sf_num,
-            }
-        )
-    )
+    # KEY ORDER IS LOAD-BEARING: the driver records only the LAST 2000
+    # chars of this line (tail-only since r8), so the judge-critical
+    # summary — floors, movers, floor_total, noise floor — sits at the
+    # END and the bulky per-run traces at the front. The COMPLETE dict
+    # is persisted to BENCH_FULL_LAST.json (committed) for everything
+    # the tail cannot hold (per-query exec_s/exec_runs, full passes).
+    result = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "passes": passes,
+        "pass_totals": [round(sum(p.values()), 3) for p in passes],
+        # cold pass-1 total is as informative as the min total
+        # (r6 verdict #6): surfaced explicitly so readers don't
+        # have to derive it from passes
+        "cold_total": round(sum(passes[0].values()), 3),
+        # round-over-round tracking for new heavy plans without
+        # polluting the shared headline set (r11 verdict #6)
+        "additions_queries": add_timings,
+        "additions_total": round(sum(add_timings.values()), 3),
+        "additions_passes": add_passes,
+        # per-query executor-time trace + floor-sample value
+        # (r16 verdict #5): wall moved but exec flat -> contention;
+        # both moved -> plan change
+        "exec_runs": exec_runs,
+        "exec_s": exec_s,
+        # per-query noise floors for the historically heaviest
+        # plans (r12 verdict #7): 3 same-session runs each
+        "heavy_tail": heavy_tail,
+        "additions_floors": add_floors,
+        # per-query best-of-all-runs (r15 verdict #1) — the
+        # round-over-round adjudication numbers: diff these,
+        # not single samples, and read deltas against
+        # noise_floor.spread_pct
+        "floors": floors,
+        # >25% floor movers vs the previous run's floors, each re-run
+        # twice more (5 samples total)
+        "movers_gt_25pct": movers,
+        "extra_passes": extra_passes,
+        "floor_total": round(sum(floors.values()), 3),
+        "exec_total_s": round(
+            sum(v for v in exec_s.values() if v is not None), 3
+        ),
+        "noise_floor": noise_floor,
+        "sf": sf_num,
+    }
+    try:
+        with open(FULL_RESULT_PATH, "w") as f:
+            json.dump(result, f)
+    except Exception:
+        pass  # the printed line is the contract; the sidecar is best-effort
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

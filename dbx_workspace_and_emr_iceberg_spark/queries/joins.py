@@ -52,7 +52,9 @@ SELECT
   c.c_custkey,
   count(o.o_orderkey)                              AS n_orders,
   round(coalesce(sum(o.o_totalprice), 0), 2)       AS spend
-FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+FROM customer c
+LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 320000) o
+  ON c.c_custkey = o.o_custkey
 GROUP BY c.c_custkey
 ORDER BY c.c_custkey
 """
@@ -60,8 +62,17 @@ ORDER BY c.c_custkey
 
 @register("j2_left_outer", oracle=_J2_ORACLE, tags=("J2",))
 def j2_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer rollup against the HIGH-VALUE order subset
+    (review-pass r17, reproduced: every fixture customer has at least
+    one order, so the unfiltered right side never null-extended —
+    count-over-NULLs and the coalesce fallback were dead branches and
+    the gate was inner-join-equivalent. The j3 filter leaves ~40
+    customers with zero matches at sf0.01, so n_orders=0 / spend=0
+    rows are live at every scale)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 320000
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .groupBy(c.c_custkey)
@@ -77,15 +88,26 @@ _J2B_ORACLE = """
 SELECT
   coalesce(s.s_suppkey, -1)                        AS suppkey,
   coalesce(n.n_name, 'NONE')                       AS nation_name
-FROM supplier s FULL JOIN nation n ON s.s_nationkey = n.n_nationkey
+FROM (SELECT * FROM supplier WHERE s_nationkey <> 5) s
+FULL JOIN (SELECT * FROM nation WHERE n_nationkey < 20) n
+  ON s.s_nationkey = n.n_nationkey
 ORDER BY suppkey, nation_name
 """
 
 
 @register("j2b_full_outer", oracle=_J2B_ORACLE, tags=("J2",))
 def j2b_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation")
+    """Full outer with BOTH dangle directions live (review-pass r17,
+    reproduced: unfiltered, every supplier matched a nation and every
+    nation a supplier, so neither -1 nor 'NONE' sentinel ever appeared
+    — an engine planning this as an inner join would have hashed
+    identically). Filtering suppliers off nation 5 makes that nation
+    null-extend (suppkey -1), and dropping nations >= 20 makes their
+    suppliers null-extend (nation 'NONE') — structural at every sf."""
+    s = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") != 5
+    )
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 20)
     return (
         s.join(n, s.s_nationkey == n.n_nationkey, "full")
         .select(
@@ -695,14 +717,37 @@ SELECT
    WHERE c.c_nationkey = n.n_nationkey)            AS max_bal,
   (SELECT CAST(count(*) AS BIGINT) FROM customer c
    WHERE c.c_nationkey = n.n_nationkey)            AS n_cust
-FROM nation n
+FROM (SELECT n_nationkey, n_name FROM nation
+      UNION ALL
+      SELECT n_nationkey + 100, 'Z_PHANTOM_' || n_name
+      FROM nation WHERE n_nationkey < 3) n
 ORDER BY n_name
 """
 
 
 @register("j14_scalar_subquery", oracle=_J14_ORACLE, tags=("J14", "J2"))
 def j14_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_j14")
+    """Correlated scalar subqueries with the EMPTY-GROUP branch
+    structurally live (review-pass r17, reproduced: every nation has
+    customers at every sf, so the decorrelation's empty-group
+    semantics — max() must yield NULL, count() must yield 0, the
+    classic COUNT bug — were never exercised). Three phantom nations
+    (offset keys, no customers at ANY scale) pin max_bal=NULL with
+    n_cust=0 in the hashed output; real nations are unchanged."""
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    phantom = nat.filter(F.col("n_nationkey") < 3).select(
+        (F.col("n_nationkey") + 100).alias("n_nationkey"),
+        F.concat(F.lit("Z_PHANTOM_"), F.col("n_name")).alias("n_name"),
+    )
+    # localCheckpoint materializes the 28-row extended outer side as a
+    # LEAF relation: Spark 4.1's scalar-subquery decorrelation dies
+    # with `key not found: c_nationkey#N` when the outer correlation
+    # attribute flows through a Union (found r17 while making the
+    # phantom branch live — the checkpoint sidesteps the optimizer
+    # limitation without changing semantics; 28 rows, eager, trivial)
+    nat.unionByName(phantom).localCheckpoint().createOrReplaceTempView(
+        "nation_j14"
+    )
     load_table(spark, sf_dir, "customer").createOrReplaceTempView(
         "customer_j14"
     )

@@ -46,7 +46,9 @@ SELECT
   translate(p_brand, 'Brand#', 'brAND_')                  AS brand_tr,
   array_to_string(
     list_transform(string_split(p_name, ' '),
-                   w -> upper(w[1]) || w[2:]), ' ')       AS name_initcap
+                   w -> CASE WHEN w = '' THEN ''
+                        ELSE upper(w[1]) || lower(w[2:]) END),
+    ' ')                                                  AS name_initcap
 FROM part
 WHERE p_partkey % 7 = 0
 ORDER BY p_partkey

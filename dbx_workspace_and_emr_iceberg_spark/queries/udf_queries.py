@@ -92,7 +92,11 @@ def d2_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _D3_ORACLE = """
 SELECT
   l_returnflag,
-  round(sum(l_quantity * l_extendedprice) / sum(l_quantity), 4) AS wavg_price
+  CAST((200 * sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                  * CAST(l_quantity AS HUGEINT))
+        + sum(CAST(l_quantity AS HUGEINT)))
+       // (2 * sum(CAST(l_quantity AS HUGEINT))) AS DOUBLE) / 10000
+    AS wavg_price
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -102,11 +106,27 @@ ORDER BY l_returnflag
 @register("d3_grouped_agg_udaf", oracle=_D3_ORACLE, tags=("D3",))
 def d3_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted average price as a grouped-agg pandas UDF —
-    the custom-UDAF shape (Arrow per group; sums in float64)."""
+    the custom-UDAF shape (Arrow per group).
+
+    Integer-exact inside the UDF (review-pass r17, the d2 rule): the
+    old float64 (qty*price).sum() accumulated in shuffle-arrival order
+    and Python round() is half-even on the binary value where DuckDB
+    rounds its own differently-ordered sum — the flag-'R' group sits
+    6.9e-6 from a 4th-decimal boundary at sf0.01, a regen lottery.
+    Prices recover their exact integer cents via rint(x*100),
+    quantities are integral, so N = Σ q·pc and D = Σ q are exact and
+    order-free; round-half-up = (200·N + D) div (2·D), and the display
+    /10000 is one identical IEEE divide in both engines."""
 
     @pandas_udf("double")
     def wavg(qty: pd.Series, price: pd.Series) -> float:
-        return float(round((qty * price).sum() / qty.sum(), 4))
+        import numpy as np
+
+        q = np.rint(qty.to_numpy()).astype("int64")
+        pc = np.rint(price.to_numpy() * 100).astype("int64")
+        num = int((q * pc).sum())
+        den = int(q.sum())
+        return float(((200 * num + den) // (2 * den)) / 10000.0)
 
     li = load_table(spark, sf_dir, "lineitem")
     return (
@@ -119,11 +139,20 @@ def d3_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- D4: grouped-map applyInPandas -----------------------------------------
 
 _D4_ORACLE = """
-SELECT c_mktsegment, c_custkey, round(c_acctbal - seg_avg, 2) AS bal_delta
+SELECT c_mktsegment, c_custkey,
+       CAST(CASE WHEN m >= 0 THEN (2*m + n) // (2*n)
+                 ELSE -((-2*m + n) // (2*n)) END AS DOUBLE) / 100
+         AS bal_delta
 FROM (
-  SELECT c_mktsegment, c_custkey, c_acctbal,
-         avg(c_acctbal) OVER (PARTITION BY c_mktsegment) AS seg_avg
-  FROM customer
+  SELECT c_mktsegment, c_custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) * n - s AS m, n
+  FROM (
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           sum(CAST(round(c_acctbal * 100) AS BIGINT))
+             OVER (PARTITION BY c_mktsegment) AS s,
+           count(*) OVER (PARTITION BY c_mktsegment) AS n
+    FROM customer
+  )
 )
 WHERE c_custkey % 13 = 0
 ORDER BY c_mktsegment, c_custkey
@@ -136,12 +165,29 @@ def d4_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     as one pandas frame (the grouped-map contract). Groups must fit in
     executor memory — at 100 TB, key on something bounded (here: 5
     segments is wrong for real data; fine as the D4 mechanics demo —
-    the window-function formulation in the oracle is the scale path)."""
+    the window-function formulation in the oracle is the scale path).
+
+    Integer-exact centering (review-pass r17, the d2 rule): the old
+    round(bal - mean, 2) had a GROUP-level tie hazard — when a
+    segment's 2·sum_cents is divisible by n with a half-integer
+    quotient, EVERY cell of the segment lands on an exact half-cent
+    simultaneously, and pandas' half-even rint splits against DuckDB's
+    half-away round (~1-2% of fixture regens). The delta is the exact
+    rational (bal_cents·n − S)/n; round-half-away in integers is
+    sign-factored (2m + n) div (2n), and the /100 display is one
+    identical IEEE divide."""
 
     def center(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.copy()
-        pdf["bal_delta"] = (pdf["c_acctbal"] - pdf["c_acctbal"].mean()).round(2)
-        return pdf[["c_mktsegment", "c_custkey", "bal_delta"]]
+        import numpy as np
+
+        cents = np.rint(pdf["c_acctbal"].to_numpy() * 100).astype("int64")
+        n = len(cents)
+        s = int(cents.sum())
+        m = cents * n - s
+        mag = (2 * np.abs(m) + n) // (2 * n)
+        out = pdf[["c_mktsegment", "c_custkey"]].copy()
+        out["bal_delta"] = np.where(m >= 0, mag, -mag) / 100.0
+        return out
 
     c = load_table(spark, sf_dir, "customer")
     return (

@@ -262,6 +262,29 @@ _CHANGED_THIS_ROUND = [
     #   because orders timestamps carry no fractional seconds.
     #   (f8c's new mono/h32 checks change no returned schema/values.)
     "f2_date_funcs",
+    # r17 late batch — the previously-deferred regen hazards, landed
+    # after recount showed |changed ∪ r10-cohort| = 49 ≤ 50 (j3b and
+    # x3g overlap the cohort). Scoped sim green on all six:
+    # d3/d4: pandas UDF money arithmetic respelled integer-exact (d2's
+    #   rule) — d3's float64 wavg sat 6.9e-6 from a 4-decimal boundary
+    #   and d4 carried a GROUP-level half-cent tie lottery (pandas
+    #   half-even vs DuckDB half-away).
+    "d3_grouped_agg_udaf",
+    "d4_grouped_map",
+    # f1: the oracle's initcap emulation now lowercases word tails and
+    #   passes empty tokens through — it diverged from Spark initcap
+    #   on any uppercase tail or doubled space (fixture has neither).
+    "f1_string_funcs",
+    # j2/j2b/j14: outer-join and empty-group branches made
+    #   structurally LIVE (the gate compared inner-join-equivalent
+    #   results before): j2 left-joins the high-value order subset
+    #   (~40 zero-match customers), j2b dangles BOTH full-outer sides
+    #   via complementary filters, j14 adds three phantom nations so
+    #   the scalar-subquery COUNT-bug case (max=NULL, count=0) is in
+    #   the hashed output at every scale.
+    "j2_left_outer",
+    "j2b_full_outer",
+    "j14_scalar_subquery",
 ]
 
 

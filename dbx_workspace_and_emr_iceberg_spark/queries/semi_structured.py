@@ -98,7 +98,7 @@ SELECT
   vec_id,
   cast(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
   round(list_aggregate(list_transform(embedding, x -> x * x), 'sum'), 4) AS sq_norm,
-  (len(list_filter(embedding, x -> abs(x) > 2)) > 0)       AS has_large,
+  (len(list_filter(embedding, x -> abs(x) > 0.3)) > 0)     AS has_large,
   round(list_aggregate(list_transform(embedding, x -> x * 0.5), 'sum'), 4) AS half_sum
 FROM embeddings
 WHERE vec_id % 10 = 0
@@ -108,6 +108,15 @@ ORDER BY vec_id
 
 @register("f4c_higher_order", oracle=_F4C_ORACLE, tags=("F4",))
 def f4c_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column.
+
+    has_large probes |x| > 0.3 (review-pass r17): the old threshold 2
+    was structurally FALSE for every row — embeddings are unit
+    vectors, no component can exceed 1 — so an F.exists regression
+    that always returned false was invisible. At 0.3 both branches
+    appear in the hashed output (31 true / 19 false at sf0.01). The
+    comparison is a single strict > of identical float32-promoted
+    doubles in both engines — no arithmetic, no tie hazard."""
     e = load_table(spark, sf_dir, "embeddings")
     embd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     return (
@@ -123,7 +132,9 @@ def f4c_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 4,
             ).alias("sq_norm"),
-            F.exists(F.col("embedding"), lambda x: F.abs(x) > 2).alias("has_large"),
+            F.exists(F.col("embedding"), lambda x: F.abs(x) > 0.3).alias(
+                "has_large"
+            ),
             F.round(
                 F.aggregate(
                     F.transform(embd, lambda x: x * 0.5),

@@ -285,6 +285,11 @@ _CHANGED_THIS_ROUND = [
     "j2_left_outer",
     "j2b_full_outer",
     "j14_scalar_subquery",
+    # f4c: has_large probes |x| > 0.3 instead of the structurally-
+    #   impossible 2 (unit vectors) — both branches now in the hashed
+    #   output (31/19 at sf0.01). This fills the 50th and final
+    #   sample slot: |changed ∪ r10-cohort| = 50 exactly.
+    "f4c_higher_order",
 ]
 
 

@@ -186,13 +186,40 @@ class ExecClock:
         )
         self._seen: dict[tuple[int, int], int] = {}
 
-    def delta_s(self) -> float | None:
-        """Executor-run-time seconds accrued since the previous call."""
+    def _snapshot(self) -> list[dict]:
+        with urllib.request.urlopen(self._url, timeout=10) as r:
+            return json.loads(r.read().decode())
+
+    def delta_s(self, settle_s: float = 0.5) -> float | None:
+        """Executor-run-time seconds accrued since the previous call.
+
+        Stage metrics flush asynchronously after an action returns
+        (ADVICE r17): a snapshot taken immediately can miss runtime
+        that lands moments later, silently draining it into the NEXT
+        query's delta.  So re-poll until two consecutive reads agree
+        on total executorRunTime (or the small settle budget is
+        spent) before computing the delta.  Both call sites sit
+        outside the wall-clock timed region, so settling never
+        inflates a reported wall time.
+        """
         if self._url is None:
             return None
+
+        def total(ss: list[dict]) -> int:
+            return sum(s.get("executorRunTime", 0) for s in ss)
+
         try:
-            with urllib.request.urlopen(self._url, timeout=10) as r:
-                stages = json.loads(r.read().decode())
+            stages = self._snapshot()
+            prev_total = total(stages)
+            deadline = time.monotonic() + settle_s
+            while time.monotonic() < deadline:
+                time.sleep(0.05)
+                nxt = self._snapshot()
+                nxt_total = total(nxt)
+                stages = nxt
+                if nxt_total == prev_total:
+                    break
+                prev_total = nxt_total
         except Exception:
             return None
         d = 0

@@ -356,6 +356,13 @@ def cosine_topk_int_vectorized(
             f"{MAX_QUERY_BATCH} rows; the broadcast query-batch design "
             "caps there. Split the batch or use the bucketed LSH path."
         )
+    if not qrows:
+        # np.array([]) would be shape (0,) — cm @ qm.T then raises a
+        # dimension mismatch inside the executor instead of returning
+        # the empty result (ADVICE r17). Zero queries => zero rows.
+        return spark.createDataFrame(
+            [], "q_id bigint, n_id bigint, sim_key bigint, rank int"
+        )
     q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
     q_mat = np.array([r.vq for r in qrows], dtype=np.float64)  # exact ints
     bq_ids = spark.sparkContext.broadcast(q_ids)

@@ -369,26 +369,20 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # result instead of recomputing the full LSH pipeline; the pin is
     # cleared by the harness (bench.py / driver_sim clearCache).
     out = verified.orderBy("id_a", "id_b").cache()
-    # LOUD growth bound (review-pass r17, the x2b rule): on a
-    # dedup-shaped corpus the verified set is O(Σ bucket²) — the old
-    # "# bounded: near-dup pairs" comment was false (at sf0.01 ~90% of
-    # banded candidates PASS the 0.5 gate; m copies in one bucket make
-    # m²/2 verified pairs), so cap the driver transfer explicitly
-    # instead of OOMing on a duplicate-heavy corpus.
-    n_ver = out.count()
-    if n_ver > 50_000:
-        raise AssertionError(
-            f"x2 verified-pair set grew to {n_ver} — buckets "
-            "degenerated; dedup exact copies (x1) before the LSH pass"
-        )
-    found = {(r.id_a, r.id_b) for r in out.collect()}  # <= 50k by the cap
-    planted = {
-        (r.doc_id, r.doc_id + _COPY_OFFSET)
-        for r in d.filter(F.col("doc_id") % 20 == 0).select("doc_id").collect()
-    }  # bounded: corpus/20 ids (the plant denominator — ids only,
-    # ~8 bytes each; at true corpus scale recall sampling would
-    # subsample this set, noted not needed at fixture scales
-    recall = len(found & planted) / max(len(planted), 1)
+    # Recall self-check, fully distributed (ADVICE r17): the former
+    # spelling collect()ed every verified pair and ABORTED above 50k —
+    # on a legitimately duplicate-heavy corpus the O(Σ bucket²) pair
+    # growth is inherent to LSH, so that scalability guard was an
+    # availability failure.  The planted pairs are (k, k+offset) for
+    # k % 20 == 0, so found ∩ planted is a FILTER on the verified
+    # frame, not a driver set intersection: two counts cross the
+    # driver, zero pairs do, and no cap is needed at any corpus size.
+    n_hit = out.filter(
+        (F.col("id_a") % 20 == 0)
+        & (F.col("id_b") == F.col("id_a") + _COPY_OFFSET)
+    ).count()
+    n_planted = d.filter(F.col("doc_id") % 20 == 0).count()
+    recall = n_hit / max(n_planted, 1)
     if recall < 0.8:
         raise AssertionError(f"LSH recall too low: {recall:.2f}")
     return out

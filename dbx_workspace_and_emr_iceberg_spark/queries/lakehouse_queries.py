@@ -1,9 +1,13 @@
-"""M1-M8 / S4-S8 lakehouse DML queries (SURVEY.md §2.11) — rows-only,
-self-verifying (DuckDB cannot see snapshot state; the reference's own
-validation of this surface is operational too, SURVEY.md §5).
+"""M1-M8 / S4-S8 lakehouse DML queries (SURVEY.md §2.11) — fully
+value-oracled since r17.
 
-Each query runs a full DML lifecycle in a temp warehouse and returns a
-step log; any violated invariant raises, failing the driver check.
+Each query runs a full DML lifecycle in a temp warehouse, self-verifies
+every step (a violated invariant raises), and then PROVES the final
+state to DuckDB: the end-of-lifecycle table is re-read into a
+deterministic frame whose values the oracle recomputes from the same
+parquet inputs (the m1b/m5b/m6c/m8c/m10b/m12b value-proof pattern —
+docs/SELF_VERIFICATION.md).  DuckDB cannot see snapshot *metadata*, so
+the proofs hash the reconstructed data states, not snapshot ids.
 """
 
 from __future__ import annotations

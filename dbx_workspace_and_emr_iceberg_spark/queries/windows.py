@@ -375,20 +375,50 @@ def w5b_distributed_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cust = spend.count()
     n_chunks = max(8, min(4096, -(-n_cust // 1_000_000)))
     # approx quantiles are FINE for chunking (only balance is
-    # approximate, never correctness); error scaled to the chunk width
-    err = max(1e-4, min(0.01, 1.0 / (4 * n_chunks)))
+    # approximate, never correctness); error scaled to the chunk width,
+    # but floored at 1e-3 once chunks number in the hundreds (ADVICE
+    # r17: err=1e-4 over thousands of probabilities is an expensive
+    # driver-coordinated pass, and err only skews chunk SIZES)
+    err = max(
+        1e-3 if n_chunks > 256 else 1e-4,
+        min(0.01, 1.0 / (4 * n_chunks)),
+    )
     bounds = sorted(set(
         spend.approxQuantile(
             "spend", [i / n_chunks for i in range(1, n_chunks)], err
         )
     ))
-    barr = F.array(*[F.lit(float(b)) for b in bounds])
-    chunked = spend.withColumn(
-        "chunk",
-        F.aggregate(
-            barr, F.lit(0), lambda acc, b: acc + F.when(F.col("spend") >= b, 1).otherwise(0)
-        ),
-    )
+    if len(bounds) <= 64:
+        # few boundaries: inline them — one JVM fold per row, no join
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        chunked = spend.withColumn(
+            "chunk",
+            F.aggregate(
+                barr,
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col("spend") >= b, 1).otherwise(0),
+            ),
+        )
+    else:
+        # ADVICE r17: at the 4096-chunk ceiling an F.array of 4095
+        # literals bloats the plan (serialized with every task) — ship
+        # the boundary intervals as a broadcast table and range-join
+        # instead.  chunk i covers [bounds[i-1], bounds[i]) with open
+        # outer edges, identical to the fold's >=-count.
+        ivals = [
+            (
+                i,
+                float(bounds[i - 1]) if i > 0 else None,
+                float(bounds[i]) if i < len(bounds) else None,
+            )
+            for i in range(len(bounds) + 1)
+        ]
+        bdf = spark.createDataFrame(ivals, "chunk int, lo double, hi double")
+        cond = (
+            F.col("lo").isNull() | (F.col("spend") >= F.col("lo"))
+        ) & (F.col("hi").isNull() | (F.col("spend") < F.col("hi")))
+        chunked = spend.join(F.broadcast(bdf), cond)
     w_loc = Window.partitionBy("chunk").orderBy("spend", "o_custkey")
     local = chunked.withColumn("lrn", F.row_number().over(w_loc))
     sizes = (

@@ -140,7 +140,9 @@ def catalog_for_session(
         from .rest_catalog import RestCatalogClient, RestLakehouseCatalog
 
         client = RestCatalogClient.from_session_conf(spark, cat)
-        return RestLakehouseCatalog(spark, client, default_schema)
+        return RestLakehouseCatalog(
+            spark, client, default_schema, catalog_name=cat
+        )
     wh = warehouse or get(f"spark.sql.catalog.{cat}.warehouse")
     if not wh:
         raise ValueError(

@@ -412,10 +412,17 @@ class RestLakehouseCatalog:
         spark: SparkSession,
         client: RestCatalogClient,
         default_schema: str = "default",
+        catalog_name: str | None = None,
     ):
         self.spark = spark
         self.client = client
         self.default_schema = default_schema
+        # the name this catalog is bound under in the SESSION (the
+        # <cat> of spark.sql.catalog.<cat>.*) — 3-part ids are written
+        # against it.  The server's routing prefix is a transport
+        # detail that need not equal it (ADVICE r17), so it is only a
+        # fallback for clients built without session context.
+        self.catalog_name = catalog_name
 
     def _resolve(self, name: str) -> tuple[str, str]:
         parts = name.split(".")
@@ -427,14 +434,20 @@ class RestLakehouseCatalog:
             return parts[0], parts[1]
         if len(parts) == 3:
             # 3-part ids must name the catalog this client is bound to
-            # (the server's prefix) — silently resolving 'othercat.db.t'
-            # in the bound catalog would read the wrong table (ADVICE
-            # r16)
-            if parts[0] != self.client.prefix:
+            # — silently resolving 'othercat.db.t' in the bound catalog
+            # would read the wrong table (ADVICE r16).  Validate
+            # against the SESSION binding name when known, else the
+            # server's routing prefix (ADVICE r17: against a prefixless
+            # server prefix is '' and must not reject every 3-part id;
+            # the prefix also need not equal the catalog name).  With
+            # neither known the head is unverifiable: accept it —
+            # documented caveat, matching a single-catalog client.
+            bound = self.catalog_name or self.client.prefix
+            if bound and parts[0] != bound:
                 raise ValueError(
                     f"identifier {name!r} addresses catalog "
                     f"{parts[0]!r} but this client is bound to "
-                    f"{self.client.prefix!r}"
+                    f"{bound!r}"
                 )
             return parts[1], parts[2]
         raise ValueError(f"invalid table identifier {name!r} (max 3 parts)")

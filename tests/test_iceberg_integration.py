@@ -297,6 +297,19 @@ class TestRestCatalogStub:
             assert c.list_tables("db") == ["t"]
             cat = RestLakehouseCatalog(spark, c, default_schema="db")
             assert [r.id for r in cat.table("t").read().collect()] == [7]
+            # ADVICE r17: prefix='' must not reject every 3-part id.
+            # Unbound client: the head is unverifiable -> accepted.
+            assert [r.id for r in cat.table("any.db.t").read().collect()] == [
+                7
+            ]
+            # Session-bound name validates even though the routing
+            # prefix is empty (prefix need not equal the catalog name).
+            named = RestLakehouseCatalog(
+                spark, c, default_schema="db", catalog_name="local"
+            )
+            assert named.exists("local.db.t")
+            with pytest.raises(ValueError, match="bound to 'local'"):
+                named.table("othercat.db.t")
         shutil.rmtree(wh, ignore_errors=True)
 
     def test_three_part_identifier_must_match_bound_catalog(self, rest_env):

@@ -1632,3 +1632,27 @@ def test_main_head_json_contracts_expired_walk(spark, wh):
     os.remove(os.path.join(t.root, "_snapshots", f"v{v1:05d}.json"))
     with pytest.raises(ValueError, match="publish or drop staged refs"):
         main_head_json(t.root)
+
+
+def test_int_vectorized_topk_empty_query_batch(spark):
+    """Zero queries must yield zero rows, not a numpy dimension
+    mismatch inside the executor: np.array([]) is shape (0,), so the
+    batch matmul cm @ qm.T raised before the r18 short-circuit
+    (ADVICE r17)."""
+    from dbx_workspace_and_emr_iceberg_spark.operators.semantic import (
+        quantized_unit_vectors,
+    )
+    from dbx_workspace_and_emr_iceberg_spark.operators.similarity import (
+        cosine_topk_int_vectorized,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, v array<double>"
+    )
+    q = quantized_unit_vectors(corpus, "vec_id", "v")
+    empty = q.filter("vec_id < 0")
+    out = cosine_topk_int_vectorized(q, empty, k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "q_id", "n_id", "sim_key", "rank",
+    ]

@@ -1283,10 +1283,11 @@ def x49_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     corpus = e.filter(F.col("vec_id") % 13 != 0).unionByName(planted)
-    # fixture-parallelism restoration (x24 pattern): the sf fixtures
-    # arrive as ONE parquet file, so the integer-dot scan would run on
-    # 1-2 tasks; a real corpus arrives in thousands of files
-    corpus = corpus.repartition(spark.sparkContext.defaultParallelism)
+    # No repartition (r18, VERDICT-r17 #2): the former
+    # repartition(defaultParallelism) undid the single-file fixture
+    # layout at the price of shuffling the whole corpus — the bench now
+    # reads a 16-slice layout (bench.py bench_layout), so the
+    # integer-dot scan parallelism is the input's own, as at 100 TB.
 
     cq = quantized_unit_vectors(corpus, "vec_id", "embedding", _X49_SCALE)
     bq = quantized_unit_vectors(bench, "vec_id", "embedding", _X49_SCALE).select(

@@ -1242,13 +1242,13 @@ def x24_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bloom import build_bloom, probe_bloom
     from ..operators.dedup import word_shingles
 
-    # fixture-parallelism restoration: each sf's documents arrive as
-    # ONE parquet file, so every map stage downstream (probe, the
-    # self-check explode+join) would inherit a single task; a real
-    # corpus arrives in thousands of files and needs no repartition
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # No repartition here (r18, VERDICT-r17 #2): the old
+    # repartition(defaultParallelism) existed only to undo the
+    # single-file fixture layout and cost a full corpus shuffle that a
+    # real multi-split table never needs — the bench now reads a
+    # 16-slice layout (bench.py bench_layout), so scan parallelism is
+    # the input's own, exactly as at 100 TB.
+    d = load_table(spark, sf_dir, "documents")
     # "benchmark" = docs 0 mod 11; "training corpus" = all docs, so the
     # benchmark docs themselves are planted contamination
     bench = d.filter(F.col("doc_id") % 11 == 0)

@@ -109,6 +109,15 @@ AXES: dict[str, tuple[str, dict[str, str]]] = {
     # legacy arithmetic/cast semantics, or a query is leaning on an
     # error-vs-null edge the user's cluster may not share
     "ansi_off": ("/root/testdata/sf0.001", {"SIM_ANSI": "false"}),
+    # physical-LAYOUT invariance at the bench's exact layout (r18,
+    # VERDICT-r17 #7): the order-preserving 16-slice multi-file layout
+    # bench.py materializes — split-boundary sensitivity (row-group
+    # alignment, per-file name mapping) is swept by the harness, not
+    # only by s2f/m6b's targeted tests.  The dir is resolved in main()
+    # by CALLING bench.bench_layout on sf0.01, so the axis sweeps the
+    # same code path AND layout the bench measures; the placeholder
+    # below is never passed to a child (main() raises if unresolved).
+    "multifile16": ("/tmp/spark_graft_bench16/UNRESOLVED", {}),
 }
 
 _LINE = re.compile(r"^  (\S+): (rows-only,|spark=\d+ duck=\d+ hash (MATCH|MISMATCH))")
@@ -218,6 +227,24 @@ def main(argv: list[str]) -> int:
     names, jobs = parse_args(argv)
     log_dir = os.environ.get("SWEEP_LOG_DIR", "/tmp/invariance_sweep")
     os.makedirs(log_dir, exist_ok=True)
+
+    if "multifile16" in names:
+        # resolve through the bench's own materializer — single source
+        # of truth for the layout the floors are measured on
+        from bench import bench_layout
+
+        src = "/root/testdata/sf0.01"
+        d = bench_layout(src)
+        if d == src:
+            # bench_layout degrades to the source on failure (right for
+            # the bench, wrong here: the axis would silently sweep the
+            # single-file layout and vacuously pass)
+            raise SystemExit(
+                "multifile16: bench_layout fell back to the single-file"
+                " source — fix the materializer before sweeping"
+            )
+        AXES["multifile16"] = (d, AXES["multifile16"][1])
+        print("multifile16 layout:", d)
 
     if {"shuf", "multi"} & set(names):
         print("regenerating layout fixtures (sf0.01 ->", LAYOUT_ROOT, ")")

@@ -35,6 +35,28 @@ def _assert_same_rows(a: DataFrame, b: DataFrame, msg: str) -> None:
         raise AssertionError(msg)
 
 
+def _wait_clock_past_ms(commit_ms: int, timeout_s: float = 5.0) -> None:
+    """Spin until the wall clock is strictly past ``commit_ms`` so a
+    TIMESTAMP AS OF probe can never land on the same millisecond as the
+    snapshot it must exclude (the m16 fix, review-pass r16).  Bounded
+    (ADVICE r16): a backwards clock step between the commit and this
+    probe would otherwise busy-loop forever; normal runs clear in one
+    2 ms tick.  One helper, two call sites (m15/m16) — review-pass r18
+    deduplicated the verbatim copies so the next timing fix lands once.
+    """
+    import time as _time
+
+    _deadline = _time.monotonic() + timeout_s
+    while int(_time.time() * 1000) <= commit_ms:
+        if _time.monotonic() > _deadline:
+            raise AssertionError(
+                f"clock anomaly: wall clock did not pass the commit "
+                f"ms ({commit_ms}) within {timeout_s} s — backwards "
+                f"clock step?"
+            )
+        _time.sleep(0.002)
+
+
 def _same_rows_flag(a: DataFrame, b: DataFrame) -> int:
     """Multiset equality as a 0/1 contract flag (ADVICE r11): computed,
     not asserted, so a violation reaches the oracle as a hash mismatch
@@ -1197,6 +1219,18 @@ def s6b_dynamic_overwrite_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         repl = ev.filter(in_day & (F.col("event_id") % 2 == 0)).withColumn(
             "event_type", F.lit("OVERWRITTEN")
         )
+        # probe liveness (review-pass r18, the m9/m11 rule): a fixture
+        # regen that empties the Jan-12 %7 slice would make this proof
+        # vacuous (zero partitions overwritten, both engines trivially
+        # agree), and a slice the %2 thinning doesn't shrink would
+        # leave the overwrite-vs-append distinction unexercised
+        n_old_day = ev.filter(in_day).count()
+        n_repl = repl.count()
+        if not 0 < n_repl < n_old_day:
+            raise AssertionError(
+                f"s6b probe not live: overwritten day has {n_old_day} "
+                f"rows, replacement {n_repl} — regen the fixture probe"
+            )
         t.overwrite_partitions(repl)
         ops = {r.operation for r in t.snapshots().collect()}
         assert "overwrite_partitions" in ops, "snapshot op not recorded"
@@ -1329,7 +1363,7 @@ SELECT 'asof_skips_staged' AS step, CAST(4 AS INTEGER) AS version,
        c + 3 AS row_count FROM m
 UNION ALL SELECT 'ctas', 1, c FROM m
 UNION ALL SELECT 'divergent_refused', 7, c + 4 FROM m
-UNION ALL SELECT 'drop_refs', 3, c + 4 FROM m
+UNION ALL SELECT 'drop_refs', 7, c + 4 FROM m
 UNION ALL SELECT 'publish', 3, c + 3 FROM m
 UNION ALL SELECT 'publish_again', 6, c + 4 FROM m
 UNION ALL SELECT 'tag_and_branch', 1, c FROM m
@@ -1462,7 +1496,11 @@ def m8b_sql_branch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception as e:
             if isinstance(e, AssertionError):
                 raise
-        steps.append(("drop_refs", 3, n_main2))
+        # live version, not a hardcoded literal (review-pass r18: the
+        # step recorded 3 while current_version() is 7 here, matching
+        # an equally hardcoded oracle cell — a self-fulfilling value no
+        # version-protocol regression could ever flip)
+        steps.append(("drop_refs", t.current_version(), n_main2))
         return _log(spark, steps)
     finally:
         for v in ("nation_m8b", "nation_m8b_src"):
@@ -1939,6 +1977,7 @@ def m11_sorted_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.rewrite_sorted("l_orderkey", target_files=8)
         pruned_after = len(t.pruned_files("l_orderkey", lo, hi))
         after = t.read_range("l_orderkey", lo, hi)
+        n_after = after.count()  # one job, reused (review-pass r18)
 
         return spark.createDataFrame(
             [
@@ -1947,11 +1986,11 @@ def m11_sorted_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
                     int(pruned_after < pruned_before),
                     pre_parity,
                     _same_rows_flag(after, expected),
-                    after.count(),
+                    n_after,
                     # literal-1 oracle twin (m9 pattern, review-pass
                     # r16): fixture drift emptying the probe range
                     # otherwise makes every parity flag vacuous 0==0
-                    int(after.count() > 0),
+                    int(n_after > 0),
                 )
             ],
             "hash_layout_no_pruning bigint, sorted_layout_prunes bigint, "
@@ -2041,6 +2080,9 @@ def m13_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         pb1 = len(t.pruned_files("l_partkey", b_lo, b_hi))
         scan_a = t.read_range("l_orderkey", a_lo, a_hi)
         scan_b = t.read_range("l_partkey", b_lo, b_hi)
+        # one count job per scan, reused below (review-pass r18: each
+        # was recomputed for the nonempty flag — four extra Spark jobs)
+        n_a, n_b = scan_a.count(), scan_b.count()
 
         return spark.createDataFrame(
             [
@@ -2052,15 +2094,15 @@ def m13_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pre_parity_b,
                     _same_rows_flag(scan_a, expected_a),
                     _same_rows_flag(scan_b, expected_b),
-                    scan_a.count(),
-                    scan_b.count(),
+                    n_a,
+                    n_b,
                     # == fixture count IFF neither create nor rewrite
                     # lost rows — no comparison needed, the hash is it
                     n_rows_after,
                     # literal-1 oracle twin (m9 pattern, review-pass
                     # r16): an empty probe range would make every
                     # parity flag vacuous
-                    int(scan_a.count() > 0 and scan_b.count() > 0),
+                    int(n_a > 0 and n_b > 0),
                 )
             ],
             "hash_layout_no_pruning_both bigint, zorder_prunes_a bigint, "
@@ -2299,19 +2341,7 @@ def m15_catalog_namespace(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exercised there.
         t = cat.table("nation")
         v1_ts = t.snapshots().filter(F.col("version") == 1).collect()[0].ts_ms
-        import time as _time
-
-        # bounded wait (ADVICE r16): a backwards clock step between the
-        # snapshot commit and this probe would otherwise busy-loop
-        # forever; normal runs clear in one 2 ms tick
-        _deadline = _time.monotonic() + 5.0
-        while int(_time.time() * 1000) <= v1_ts:
-            if _time.monotonic() > _deadline:
-                raise AssertionError(
-                    f"clock anomaly: wall clock did not pass v1's commit "
-                    f"ms ({v1_ts}) within 5 s — backwards clock step?"
-                )
-            _time.sleep(0.002)
+        _wait_clock_past_ms(v1_ts)
         t.append(
             nat.select(
                 (F.col("n_nationkey") + 900).alias("n_nationkey"),
@@ -2377,19 +2407,8 @@ def m16_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         n0 = nat.count()
         v1_ts = t.snapshots().collect()[0].ts_ms
         # make v2's commit ms strictly later so the TIMESTAMP AS OF
-        # assertion below can never self-disable on a same-ms tie;
-        # bounded (ADVICE r16) so a backwards clock step raises loudly
-        # instead of busy-looping forever
-        import time as _time
-
-        _deadline = _time.monotonic() + 5.0
-        while int(_time.time() * 1000) <= v1_ts:
-            if _time.monotonic() > _deadline:
-                raise AssertionError(
-                    f"clock anomaly: wall clock did not pass v1's commit "
-                    f"ms ({v1_ts}) within 5 s — backwards clock step?"
-                )
-            _time.sleep(0.002)
+        # assertion below can never self-disable on a same-ms tie
+        _wait_clock_past_ms(v1_ts)
         t.append(
             nat.select(
                 (F.col("n_nationkey") + 800).alias("n_nationkey"),

@@ -170,6 +170,16 @@ _CHANGED_THIS_ROUND: list[str] = [
     # hash-green; slots charged because the returned plans changed.
     "x24_bloom_contamination",
     "x49_semantic_contamination",
+    # r18 review pass over lakehouse_queries/sql_dml: m8b's drop_refs
+    # step now records the LIVE t.current_version() (7) instead of a
+    # hardcoded 3 that matched an equally hardcoded oracle cell — a
+    # self-fulfilling value no version-protocol regression could flip.
+    # Oracle cell updated in lockstep; scoped sim hash-green.  (The
+    # same pass's s6b probe-liveness guard, m11/m13 count hoists and
+    # m15/m16 spin-wait dedup change no returned values/oracles — no
+    # slots.  sql_dml's three parser fixes are source-layer: MERGE
+    # clause coverage, CASE WHEN boundary, literal-safe alias rewrite.)
+    "m8b_sql_branch_lifecycle",
 ]
 
 

@@ -147,6 +147,11 @@ def _parse_assignments(set_clause: str) -> dict[str, str]:
     return out
 
 
+#: quoted-literal segments ('' / "" escape pairs included) — the
+#: alias rewriter must never touch text inside these
+_LITERAL_RE = re.compile(r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\")")
+
+
 def _rewrite(expr: str, target_alias: str | None, source_alias: str | None) -> str:
     """Map alias-qualified refs into the merge join's namespace:
     target cols are plain, source cols live in the __src struct."""
@@ -154,12 +159,28 @@ def _rewrite(expr: str, target_alias: str | None, source_alias: str | None) -> s
     # S.v' with aliases declared as t/s is legal spark-sql (review-pass
     # r15 — the case-sensitive sub left the qualifiers intact and the
     # merge died on UNRESOLVED_COLUMN)
+
+    def sub_outside_literals(pattern: str, repl: str, s: str) -> str:
+        # review-pass r18 (reproduced): a quote-blind sub corrupted
+        # string literals — WHEN MATCHED AND s.country = 'U.S.' with
+        # source alias s rewrote the literal to 'U.__src.' (re.I makes
+        # \bs\. match the S. inside it), so the merge silently compared
+        # against a value that exists in no row.  Substitute only the
+        # segments OUTSIDE quoted literals.
+        parts = _LITERAL_RE.split(s)
+        return "".join(
+            p if i % 2 else re.sub(pattern, repl, p, flags=re.I)
+            for i, p in enumerate(parts)
+        )
+
     if source_alias:
-        expr = re.sub(
-            rf"\b{re.escape(source_alias)}\.", "__src.", expr, flags=re.I
+        expr = sub_outside_literals(
+            rf"\b{re.escape(source_alias)}\.", "__src.", expr
         )
     if target_alias:
-        expr = re.sub(rf"\b{re.escape(target_alias)}\.", "", expr, flags=re.I)
+        expr = sub_outside_literals(
+            rf"\b{re.escape(target_alias)}\.", "", expr
+        )
     return expr
 
 
@@ -234,12 +255,35 @@ def parse_merge(sql: str) -> dict:
         "insert": False,
         "delete_cond": None,
     }
-    clauses = re.findall(
+    # The clause boundary is 'WHEN [NOT] MATCHED', not any bare 'WHEN'
+    # (review-pass r18, reproduced): the old (?=\s+WHEN\s+|$) lookahead
+    # truncated 'UPDATE SET t.v = CASE WHEN ... END' at the embedded
+    # WHEN, parsing update_set={'v': 'CASE'} and re-scanning the rest
+    # as clause soup.
+    clause_re = re.compile(
         r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+"
-        r"(DELETE|UPDATE\s+SET\s+.+?|INSERT\s+.+?)(?=\s+WHEN\s+|$)",
-        whens,
+        r"(DELETE|UPDATE\s+SET\s+.+?|INSERT\s+.+?)"
+        r"(?=\s+WHEN\s+(?:NOT\s+)?MATCHED\b|\s*$)",
         re.I | re.S,
     )
+    clauses, pos = [], 0
+    for cm in clause_re.finditer(whens):
+        # COVERAGE check (review-pass r18, reproduced): findall skips
+        # text it cannot match, so 'WHEN NOT MATCHED BY SOURCE THEN
+        # DELETE' silently vanished as long as one other clause parsed
+        # — the MERGE then executed with missing semantics.  Every
+        # character of the WHEN section must belong to a parsed clause.
+        if whens[pos : cm.start()].strip():
+            raise ValueError(
+                f"unsupported MERGE WHEN clause at: "
+                f"{whens[pos:cm.start()].strip()!r}"
+            )
+        pos = cm.end()
+        clauses.append(cm.groups())
+    if whens[pos:].strip():
+        raise ValueError(
+            f"unsupported MERGE WHEN clause at: {whens[pos:].strip()!r}"
+        )
     if not clauses:
         raise ValueError(f"MERGE has no parseable WHEN clauses: {whens!r}")
     # SQL applies the FIRST matching WHEN clause per row; the engine

@@ -970,3 +970,57 @@ def test_split_top_level_handles_escaped_quotes():
     assert parts == ["a = 'x\\', y'", "b = 2"]
     parts2 = sql_dml._split_top_level("a = 'x'', y', b = 2")
     assert parts2 == ["a = 'x'', y'", "b = 2"]
+
+
+# --- review-pass r18: clause coverage, literal-safe rewrite, CASE WHEN ------
+
+
+def test_parse_merge_rejects_unparseable_clause_instead_of_dropping():
+    """re.findall skipped text it could not match, so a Spark/Iceberg-
+    legal 'WHEN NOT MATCHED BY SOURCE THEN DELETE' silently vanished
+    while the rest of the MERGE executed — missing semantics with a
+    green gate (review-pass r18, reproduced). Every character of the
+    WHEN section must now belong to a parsed clause."""
+    with pytest.raises(ValueError, match="BY SOURCE"):
+        sql_dml.parse_merge(
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET t.v = s.v "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+        )
+    with pytest.raises(ValueError, match="BY TARGET"):
+        sql_dml.parse_merge(
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN NOT MATCHED BY TARGET THEN INSERT *"
+        )
+
+
+def test_parse_merge_case_when_in_update_set():
+    """The clause boundary is 'WHEN [NOT] MATCHED', not any bare
+    'WHEN': a CASE WHEN inside UPDATE SET used to truncate the
+    assignment to {'v': 'CASE'} and re-scan the remainder as clause
+    soup (review-pass r18, reproduced)."""
+    spec = sql_dml.parse_merge(
+        "MERGE INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET t.v = "
+        "CASE WHEN s.x > 0 THEN 1 ELSE 0 END "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert spec["update_set"] == {"v": "CASE WHEN s.x > 0 THEN 1 ELSE 0 END"}
+    assert spec["insert"] is True
+
+
+def test_rewrite_leaves_string_literals_alone():
+    """A quote-blind alias sub corrupted literals: with source alias s,
+    re.I made \\bs\\. match the 'S.' inside 'U.S.' and the merge
+    compared against 'U.__src.' — a value in no row (review-pass r18,
+    reproduced)."""
+    assert sql_dml._rewrite("s.n_name = 's.fake'", "t", "s") == (
+        "__src.n_name = 's.fake'"
+    )
+    assert sql_dml._rewrite("s.country = 'U.S.'", "t", "s") == (
+        "__src.country = 'U.S.'"
+    )
+    # doubled-quote escapes stay inside one literal
+    assert sql_dml._rewrite("t.a = 's.''s.'", "t", "s") == "a = 's.''s.'"
+    # double-quoted segments are protected too
+    assert sql_dml._rewrite('s.a = "s.b"', "t", "s") == '__src.a = "s.b"'

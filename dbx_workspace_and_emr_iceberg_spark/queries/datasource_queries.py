@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.pyds import register_python_datasource
-from ..streaming.jobs import await_bounded
+from ..streaming.jobs import run_to_memory
 
 # Deterministic feed: id in [0, N), bucket = id % 17,
 # amount = (id*37 % 1000)/100 — every value an exact 2-dp double, so
@@ -91,19 +91,16 @@ def t14_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("parts", "4")
         .load()
     )
-    q = (
-        sdf.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .writeStream.format("memory")
-        .queryName("t14_sink")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_bounded(q, 180)
-    streamed = spark.sql(
-        "SELECT bucket, n_rows FROM t14_sink"
-    )
+    # shared helper, not an inline copy (review-pass r18): the old
+    # verbatim writeStream block hard-coded queryName("t14_sink"), so a
+    # second overlapping start in one session collided on the active-
+    # query name, and termination-handling fixes to the helper would
+    # not have propagated here
+    streamed = run_to_memory(
+        sdf.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_rows")),
+        output_mode="complete",
+        timeout_s=180,
+    ).select("bucket", "n_rows")
     batch = (
         spark.read.format("synthetic_events")
         .option("n", str(n))
@@ -132,7 +129,10 @@ def t14_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     (bucket) but drops the id bounds (Spark trusts the source);
 #  2. oracle hash — if the source consumed the bounds but enforced them
 #     wrong, nothing re-checks them and the values would mismatch;
-#  3. split assert — the narrowed range plans fewer rows per split.
+#  3. split assert — the reader's own planning, re-run with the same
+#     pushed bounds, must produce partitions spanning EXACTLY the
+#     narrowed range (review-pass r18: this check was promised here
+#     but previously unimplemented).
 
 _S13B_N = 5000
 
@@ -177,9 +177,49 @@ def s13b_pyds_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         import re as _re
 
-        if _re.search(r"\(id#\d+L? [<>]=? 1000\)|\(1000 [<>]=? id#\d+L?\)", fl) or "2000" in fl:
+        # both bounds matched as literal PREDICATES (review-pass r18,
+        # reproduced: a bare `"2000" in fl` substring check false-
+        # positively matches Catalyst expression ids like bucket#2000 —
+        # exprIds grow monotonically across the session, so the old
+        # check was a registry-order-dependent spurious red)
+        if _re.search(
+            r"\(id#\d+L? [<>]=? 1000\)|\(1000 [<>]=? id#\d+L?\)", fl
+        ) or _re.search(
+            r"\(id#\d+L? [<>]=? 2000\)|\(2000 [<>]=? id#\d+L?\)", fl
+        ):
             raise AssertionError(
                 f"id bounds were NOT pushed into the source: {fl!r}"
+            )
+        # split assert — evidence #3: the pushed bounds must shrink the
+        # SPLIT SET itself, not merely filter rows post-scan (review-
+        # pass r18: the header promised this check but no assert
+        # existed).  Re-run the reader's own planning with the same
+        # pushed filters and verify the planned id span is exactly the
+        # narrowed range.
+        from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+        from ..sources.pyds import SyntheticEventsPushdownReader
+
+        rdr = SyntheticEventsPushdownReader(
+            {"n": str(_S13B_N), "parts": "4"}
+        )
+        residual = list(
+            rdr.pushFilters(
+                [
+                    GreaterThanOrEqual(("id",), 1000),
+                    LessThan(("id",), 2000),
+                ]
+            )
+        )
+        planned = rdr.partitions()
+        span = sum(p.end - p.start for p in planned)
+        if residual or span != 1000 or any(
+            p.start < 1000 or p.end > 2000 for p in planned
+        ):
+            raise AssertionError(
+                f"pushed bounds did not narrow the split set: span={span}, "
+                f"residual={residual}, parts="
+                f"{[(p.start, p.end) for p in planned]}"
             )
         res = (
             df.groupBy("bucket")

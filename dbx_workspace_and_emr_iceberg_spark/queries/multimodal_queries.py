@@ -64,8 +64,10 @@ WITH dec AS (
 )
 SELECT format,
        CAST(count(*) AS BIGINT) AS n_decoded,
-       round(CAST(sum(width) AS DOUBLE) / count(*), 4) AS avg_w,
-       round(CAST(sum(height) AS DOUBLE) / count(*), 4) AS avg_h,
+       CAST((2 * sum(width) * 10000 + count(*)) // (2 * count(*))
+            AS DOUBLE) / 10000.0 AS avg_w,
+       CAST((2 * sum(height) * 10000 + count(*)) // (2 * count(*))
+            AS DOUBLE) / 10000.0 AS avg_h,
        CAST(sum(CASE WHEN bl = 0 THEN 0
                      ELSE (bsum * 10000) // bl END) AS BIGINT) AS mb_q_sum,
        CAST(sum(bl) AS BIGINT) AS total_bytes
@@ -79,16 +81,20 @@ def x5b_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     VALUE-ORACLED r13 (VERDICT r12 #5; x5d proved the per-row decode
     replays in DuckDB — this converts the ROLLUP too): avg_w/avg_h
-    average int32 columns, whose double sums are exact at any merge
-    order (integer-valued partials < 2^53), so round(.,4) is stable;
+    sums are exact at any merge order (integer partials < 2^53), and
+    the 4-dp display is the d4 integer half-up formula — review-pass
+    r18: the old round(sum/n, 4) was regen-unsafe (a count like 800
+    with an odd sum is an exact non-dyadic 4-dp half-tie, where
+    Spark's shortest-repr HALF_UP and DuckDB's binary round split);
     the per-doc byte MEAN is a double whose distributed sum is NOT
     merge-order-stable, so it is quantized to a scaled long PER ROW
     (the ivf_topk associativity rule) — the integer byte sum is
     recovered exactly from mean*len (error << 0.5), then
-    (bsum*10000) div len sums associatively. Self-asserts kept for
-    the plumbing guarantees no relational oracle can observe: row
-    preservation through the Arrow boundary and determinism across
-    two runs.
+    (bsum*10000) div len sums associatively.  Row preservation through
+    the Arrow boundary is carried by the HASHED n_decoded cells
+    (review-pass r18: the old n_in != n_out raise preceded them and
+    made that channel dead code); the two-run determinism check stays
+    as the one guarantee no relational oracle can observe.
     """
     d = load_table(spark, sf_dir, "documents")
     _assert_ascii_fixture(d, "x5b")
@@ -108,22 +114,24 @@ def x5b_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE bsum * 10000L div byte_len END"
         ),
     )
+    avg4 = (
+        lambda c: F.expr(
+            f"CAST((2 * sum({c}) * 10000 + count(*)) div (2 * count(*)) "
+            f"AS DOUBLE) / 10000.0"
+        )
+    )
     out = (
         decoded.groupBy("format")
         .agg(
             F.count("*").alias("n_decoded"),
-            F.round(F.avg("width"), 4).alias("avg_w"),
-            F.round(F.avg("height"), 4).alias("avg_h"),
+            avg4("width").alias("avg_w"),
+            avg4("height").alias("avg_h"),
             F.sum("mb_q").alias("mb_q_sum"),
             F.sum("byte_len").alias("total_bytes"),
         )
         .orderBy("format")
     )
     rows1 = out.collect()
-    n_in = d.count()
-    n_out = sum(r.n_decoded for r in rows1)
-    if n_in != n_out:
-        raise AssertionError(f"decode dropped rows: {n_in} in, {n_out} out")
     if [tuple(r) for r in out.collect()] != [tuple(r) for r in rows1]:
         raise AssertionError("decode stage nondeterministic")
     # return the MATERIALIZED, already-verified rows (review-pass r16):
@@ -207,11 +215,10 @@ def x5c_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).count()
     if bad:
         raise AssertionError(f"{bad} docs violate the frame-sampling contract")
-    n_docs_in = docs.count()
-    n_docs_out = per_doc.count()
-    if n_docs_in != n_docs_out:
-        raise AssertionError((n_docs_in, n_docs_out))
-
+    # NO doc-count raise here (review-pass r18): the hashed n_docs
+    # cell is compared against the oracle's count(DISTINCT doc_id), so
+    # a dropped doc reaches the driver as a hash mismatch — the old
+    # raise preceding it made that documented channel dead code.
     return per_doc.agg(
         F.sum("n_sampled").alias("frames_sampled"),
         F.count(F.lit(1)).alias("n_docs"),
@@ -238,11 +245,13 @@ SELECT doc_id,
                       ELSE unicode(substr(text, length(text), 1)) END % 64
             AS INTEGER) AS height,
        CAST(1 + octet_length(encode(text)) % 3 AS INTEGER) AS n_frames,
-       round(CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
-                  ELSE CAST(list_sum(list_transform(
-                         string_split_regex(text, ''),
-                         c -> unicode(c))) AS DOUBLE)
-                       / octet_length(encode(text)) END, 4) AS mean_byte
+       CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                 ELSE (2 * list_sum(list_transform(
+                          string_split_regex(text, ''),
+                          c -> unicode(c))) * 10000
+                       + octet_length(encode(text)))
+                      // (2 * octet_length(encode(text))) END
+            AS DOUBLE) / 10000.0 AS mean_byte
 FROM documents WHERE doc_id % 7 = 0
 ORDER BY doc_id
 """
@@ -274,13 +283,24 @@ def x5d_decode_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "payload", F.col("meta.format").alias("format")
     )
     decoded = mm.mapInPandas(fake_decode_batch, DECODE_SCHEMA)
+    # 4-dp display via the d4 integer half-up idiom (review-pass r18):
+    # mean_byte = bsum/len is an exact small-denominator rational, and
+    # 56,705 of its 998,400 reachable 4-dp tie values split between
+    # Spark's shortest-repr HALF_UP and DuckDB's binary round (e.g.
+    # 25603/800 = 32.00375 -> 32.0038 vs 32.0037).  Recover the exact
+    # integer byte sum from the codec's mean (error << 0.5), divide in
+    # integers, one identical IEEE divide at the end.
     return decoded.select(
         "doc_id",
         "byte_len",
         "width",
         "height",
         "n_frames",
-        F.round("mean_byte", 4).alias("mean_byte"),
+        F.expr(
+            "CAST(CASE WHEN byte_len = 0 THEN 0 "
+            "ELSE (2 * CAST(round(mean_byte * byte_len) AS BIGINT) * 10000 "
+            "+ byte_len) div (2 * byte_len) END AS DOUBLE) / 10000.0"
+        ).alias("mean_byte"),
     ).orderBy("doc_id")
 
 

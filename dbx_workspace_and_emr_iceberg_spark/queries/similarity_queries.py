@@ -100,8 +100,13 @@ def x3b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (approx.neighbor_id == exact.exact_neighbor),
     ).count()
     total = exact.count()
-    if total and hit / total < 0.5:
-        raise AssertionError(f"ANN recall@5 too low: {hit}/{total}")
+    # NO raise before the flag (review-pass r18, the x3d/ADVICE-r11
+    # rule): an in-query AssertionError duplicating the hashed
+    # recall_ge_threshold condition made the flag structurally
+    # constant — a recall regression must reach the driver as a hash
+    # mismatch, not abort the sweep.  (per_query_le_k is weaker: the
+    # rank<=k filter inside ann_topk_lsh enforces it by construction,
+    # so it documents the contract rather than re-proving it.)
     return spark.createDataFrame(
         [
             (
@@ -555,19 +560,35 @@ def x3f_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no model artifact to ship and DuckDB re-derives the identical matrix
 # entry-by-entry: the whole projection is value-oracled.
 #
-# 100 TB shape: one mapInPandas numpy matmul per Arrow batch (the
-# blessed embedding-math path, same as x3/x20) — no explode
+# INTEGER-EXACT (review-pass r18, the x3g/x1c rule): the old spelling
+# np.round(x @ mat / 4, 4) had TWO cross-engine split channels — (a)
+# np.round is binary half-TO-EVEN while DuckDB rounds half-away
+# (np.round(0.03125,4)=0.0312 vs DuckDB 0.0313), and (b) BLAS dgemm
+# blocks its float sums by Arrow batch size while the oracle folds in
+# scan order, so the doubles themselves differ in ulps (fixture margin
+# was 6.2e-5 at vec_id=230 dim 6 — one regen from a hash split).  Now
+# each element quantizes q = floor(x·1e6 + 0.5) (single
+# correctly-rounded IEEE ops, the quantized_unit_vectors convention),
+# the ±1 matmul runs in pure int64 (|yi| ≤ 64·|q|max « 2⁵³ — exact and
+# ORDER-FREE), and the 4-dp display is the d4 integer half-up formula
+# over yi/(4·1e6) (√16 = 4 exactly), one identical IEEE divide at the
+# end.  DuckDB replays every integer.
+#
+# 100 TB shape: one mapInPandas integer matmul per Arrow batch (the
+# blessed embedding-math path, same as x3g) — no explode
 # amplification, no shuffle, no driver collect; the 64x16 sign matrix
 # is rebuilt in-closure from the hash (cheaper than broadcasting it).
 # Self-assert: mean norm ratio within the JL band.
 
 _X29_D_OUT = 16
+_X29_SCALE = 1_000_000
+_X29_DEN = 4 * _X29_SCALE  # y = yi / (scale · √d_out) = yi / (4·scale)
 
 _X29_ORACLE = f"""
 WITH sign AS (
   SELECT i, j,
          CASE WHEN CAST(('0x' || substr(md5(i || ':' || j), 1, 8)) AS BIGINT)
-                   % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+                   % 2 = 0 THEN 1 ELSE -1 END AS s
   FROM (SELECT unnest(generate_series(0, 63)) AS i),
        (SELECT unnest(generate_series(0, {_X29_D_OUT - 1})) AS j)
 ),
@@ -575,13 +596,21 @@ elems AS (
   SELECT vec_id, unnest(embedding) AS x,
          generate_subscripts(embedding, 1) - 1 AS i
   FROM embeddings
+),
+proj AS (
+  SELECT e.vec_id, s.j AS dim,
+         CAST(sum(CAST(floor(CAST(e.x AS DOUBLE) * {_X29_SCALE}.0 + 0.5)
+                       AS BIGINT) * s.s) AS BIGINT) AS yi
+  FROM elems e JOIN sign s ON e.i = s.i
+  GROUP BY e.vec_id, s.j
 )
-SELECT e.vec_id,
-       CAST(s.j AS INTEGER) AS dim,
-       round(sum(CAST(e.x AS DOUBLE) * s.s) / sqrt({_X29_D_OUT}.0), 4) AS y
-FROM elems e JOIN sign s ON e.i = s.i
-GROUP BY e.vec_id, s.j
-ORDER BY e.vec_id, dim
+SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+       CAST(CASE WHEN yi >= 0
+                 THEN (2 * yi * 10000 + {_X29_DEN}) // (2 * {_X29_DEN})
+                 ELSE -((-2 * yi * 10000 + {_X29_DEN}) // (2 * {_X29_DEN}))
+            END AS DOUBLE) / 10000.0 AS y
+FROM proj
+ORDER BY vec_id, dim
 """
 
 
@@ -596,26 +625,37 @@ def x29_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_out = _X29_D_OUT
 
     def _sign_matrix(d_in: int) -> "_np.ndarray":
-        m = _np.empty((d_in, d_out), dtype=_np.float64)
+        m = _np.empty((d_in, d_out), dtype=_np.int64)
         for i in range(d_in):
             for j in range(d_out):
                 h = int(
                     _hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8], 16
                 )
-                m[i, j] = 1.0 if h % 2 == 0 else -1.0
+                m[i, j] = 1 if h % 2 == 0 else -1
         return m
+
+    den = _X29_DEN
 
     def project(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
         mat = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            x = _np.array(
-                [_np.asarray(v, dtype=_np.float64) for v in pdf["embedding"]]
+            # vq is quantized JVM-side (floor(x·scale + 0.5), single
+            # correctly-rounded IEEE ops) — this matmul is pure int64,
+            # exact and summation-order-free
+            xq = _np.array(
+                [_np.asarray(v, dtype=_np.int64) for v in pdf["vq"]]
             )
             if mat is None:
-                mat = _sign_matrix(x.shape[1])
-            y = _np.round(x @ mat / _np.sqrt(float(d_out)), 4)
+                mat = _sign_matrix(xq.shape[1])
+            yi = xq @ mat
+            # d4 = round-half-away(yi/den, 4) in pure integers (the d4
+            # idiom); the final /1e4 is one identical IEEE divide in
+            # both engines
+            num = 2 * _np.abs(yi) * 10_000 + den
+            d4 = _np.where(yi >= 0, num // (2 * den), -(num // (2 * den)))
+            y = d4.astype(_np.float64) / 10_000.0
             n = len(pdf)
             yield _pd.DataFrame(
                 {
@@ -626,7 +666,16 @@ def x29_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    out = emb.mapInPandas(project, "vec_id bigint, dim int, y double")
+    embq = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(_X29_SCALE)) + F.lit(0.5)
+            ),
+        ).alias("vq"),
+    )
+    out = embq.mapInPandas(project, "vec_id bigint, dim int, y double")
     # JL sanity: projected norms track original norms (ratio ~ 1)
     stats = (
         out.groupBy("vec_id")

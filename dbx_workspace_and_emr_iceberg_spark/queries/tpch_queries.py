@@ -22,7 +22,9 @@ from ..tables import load_table
 _Q3_ORACLE = """
 SELECT
   l_orderkey,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  CAST((2 * sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 100)
+       // 200 AS DOUBLE) / 100.0 AS revenue,
   o_orderdate,
   o_orderpriority
 FROM customer
@@ -48,16 +50,34 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
     )
+    # integer-exact revenue (review-pass r18, the d2/qd4 rule applied
+    # to q1's siblings): 18 q3 groups at sf0.01 already sit on true
+    # .xx50 scale-4 half-ties (best-ranked #50 — one regen from the
+    # hashed top-10), where Spark's shortest-repr HALF_UP and DuckDB's
+    # binary round split.  decimal(38,0) sum: order-free, no int64
+    # overflow at any SF.  NO customer broadcast (same pass): customer
+    # is user-cardinality (~TBs at 100 TB) — the explicit hint would
+    # hard-abort at Spark's broadcast cap instead of planning the
+    # shuffle join; at fixture scale AQE broadcasts it on its own.
+    rev4 = F.sum(
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).cast("decimal(38,0)")
+    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+        .agg(rev4.alias("s4"))
+        .select(
+            "l_orderkey",
+            F.expr(
+                "CAST((2 * s4 + 100) div 200 AS DOUBLE) / 100.0"
+            ).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
         )
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
     )
@@ -103,7 +123,9 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Q6: forecasting revenue change (pure scan-filter-agg) -----------------
 
 _Q6_ORACLE = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT CAST((2 * sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round(l_discount * 100) AS BIGINT)) + 100)
+            // 200 AS DOUBLE) / 100.0 AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -121,7 +143,16 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+        # integer-exact (r18, the q1 rule): scale-4 decimal sum +
+        # half-up bigint div — order-free and tie-proof
+        F.sum(
+            (
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * F.round(F.col("l_discount") * 100).cast("long")
+            ).cast("decimal(38,0)")
+        ).alias("s4")
+    ).select(
+        F.expr("CAST((2 * s4 + 100) div 200 AS DOUBLE) / 100.0").alias(
             "revenue"
         )
     )
@@ -133,7 +164,9 @@ _Q10_ORACLE = """
 SELECT
   c_custkey,
   c_name,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  CAST((2 * sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 100)
+       // 200 AS DOUBLE) / 100.0 AS revenue,
   n_name
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -163,11 +196,23 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            # integer-exact (r18, the q1 rule) — the revenue that ranks
+            # the hashed top-20 must not depend on float merge order
+            F.sum(
+                (
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+                ).cast("decimal(38,0)")
+            ).alias("s4")
         )
-        .select("c_custkey", "c_name", "revenue", "n_name")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.expr(
+                "CAST((2 * s4 + 100) div 200 AS DOUBLE) / 100.0"
+            ).alias("revenue"),
+            "n_name",
+        )
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )

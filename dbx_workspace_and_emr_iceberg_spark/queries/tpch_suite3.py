@@ -105,7 +105,11 @@ def qd2_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     yearly = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        # no broadcast hint on customer (review-pass r18): it is
+        # user-cardinality — ~TBs at 100 TB, past Spark's broadcast cap;
+        # the hint would hard-abort where a shuffle join just works.
+        # At fixture scale AQE still broadcasts it on its own.
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy(
             F.col("c_mktsegment").alias("segment"),
             F.year("o_orderdate").cast("int").alias("yr"),
@@ -434,7 +438,8 @@ GROUP BY 1 ORDER BY 1
 def qd8_percentile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    seg = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+    # no customer broadcast hint (r18) — same rationale as qd2
+    seg = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
         F.col("c_mktsegment").alias("segment"), "o_totalprice"
     )
     return (
@@ -706,8 +711,9 @@ attributed AS (
 )
 SELECT channel,
        CAST(count(*) AS BIGINT) AS n_purchases,
-       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
-         AS revenue,
+       CAST((2 * sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                          AS BIGINT)) + 100)
+            // 200 AS DOUBLE) / 10000.0 AS revenue,
        CAST(sum(lag_s) AS BIGINT) AS total_lag_s
 FROM attributed
 GROUP BY channel ORDER BY channel
@@ -749,14 +755,29 @@ def qd11_lasttouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         ).alias("lag_s"),
     )
+    # integer-micro revenue (review-pass r18, the qd4 ppm rule): the
+    # old round(cast(decimal-sum as double), 4) rounded an EXACT
+    # 6-decimal rational — tie-capable at digits 5-6 = '50', where the
+    # engines' rounding modes split.  The decimal(18,6) cast is the
+    # (consistent) quantizer; micros sum exactly (values positive,
+    # min 0.01 — probed r18, so no sign branch); round4(S/1e6) =
+    # (2S + 100) div 200, one identical IEEE divide at the end.
     return (
         attributed.groupBy("channel")
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
-            ).alias("revenue"),
+            F.sum(
+                (F.col("value").cast("decimal(18,6)") * 1000000).cast("long")
+            ).alias("s6"),
             F.sum("lag_s").alias("total_lag_s"),
+        )
+        .select(
+            "channel",
+            "n_purchases",
+            F.expr(
+                "CAST((2 * s6 + 100) div 200 AS DOUBLE) / 10000.0"
+            ).alias("revenue"),
+            "total_lag_s",
         )
         .orderBy("channel")
     )

@@ -161,15 +161,15 @@ _CHANGED_THIS_ROUND: list[str] = [
     # r18 budget note: the r11 staleness cohort (~42 queries) consumes
     # most of this round's 50 driver samples; budget is ~6 entries.
     #
-    # r18 (VERDICT-r17 #2): the fixture-parallelism
-    # repartition(defaultParallelism) workarounds removed from both —
-    # the bench now reads a 16-slice multi-file layout (bench.py
-    # bench_layout), so the corpus-wide shuffle that existed only to
-    # undo the single-file fixture is gone from the plans.  Values
-    # identical (a repartition never changes content); scoped sim
-    # hash-green; slots charged because the returned plans changed.
-    "x24_bloom_contamination",
-    "x49_semantic_contamination",
+    # r18 (VERDICT-r17 #2): x24/x49's fixture-parallelism
+    # repartition(defaultParallelism) workarounds were removed (the
+    # bench reads a 16-slice layout now) — VALUE-IDENTICAL replans, so
+    # by the r15 precedent they take NO slots: both re-verified
+    # hash-green by scoped sim, two full sims, and the multifile16
+    # axis.  (Same precedent covers this round's other value-identical
+    # replans: q3/qd2/qd8's customer-broadcast-hint removals, t14's
+    # run_to_memory refactor, and the run_to_memory localCheckpoint
+    # hop — the whole streaming family re-verified by scoped sim.)
     # r18 review pass over lakehouse_queries/sql_dml: m8b's drop_refs
     # step now records the LIVE t.current_version() (7) instead of a
     # hardcoded 3 that matched an equally hardcoded oracle cell — a
@@ -199,6 +199,19 @@ _CHANGED_THIS_ROUND: list[str] = [
     "x5d_decode_values",
     "x5b_decode_pipeline",
     "x29_random_projection",
+    # r18 review pass over pricing/tpch: the last round(sum(raw-double
+    # money), 2) cells respelled integer-exact (the d2/qd4 rule —
+    # exact cent/scale-4/scale-6 sums as decimal(38,0), half-up bigint
+    # div, one IEEE divide).  q3 had 18 groups on true .xx50 half-ties
+    # at sf0.01 (best rank #50 — one regen from the hashed top-10);
+    # q1 is the flagship with all 24 money cells hashed; qd11 rounded
+    # an exact scale-6 rational at 4 dp.  Oracles in lockstep; scoped
+    # sims hash-green.
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "qd11_lasttouch_attribution",
 ]
 
 

@@ -109,7 +109,18 @@ def run_to_memory(
     stream: DataFrame, output_mode: str = "complete", timeout_s: int = 300
 ) -> DataFrame:
     """Execute a bounded stream (availableNow) into a memory sink and
-    return the sink table as a DataFrame."""
+    return the materialized result as a DataFrame.
+
+    The sink's temp view is DROPPED before returning (review-pass r18):
+    a memory sink pins its full output on the driver for the session
+    lifetime, and nothing else cleans it up — the harness's
+    clearCache() does not free memory-sink views, so ~15 streaming
+    queries per driver pass leaked their complete results and driver
+    RSS grew monotonically across bench/sweep iterations.  The
+    localCheckpoint hop moves the rows into block-manager storage
+    (spillable, freed by the ContextCleaner when the returned frame is
+    garbage-collected) so the caller keeps a live DataFrame.
+    """
     name = "s" + uuid.uuid4().hex[:10]
     q = (
         stream.writeStream.format("memory")
@@ -120,7 +131,9 @@ def run_to_memory(
     )
     await_bounded(q, timeout_s)
     spark = stream.sparkSession
-    return spark.table(name)
+    out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def _auto_m_bits(n_hist: int) -> int:

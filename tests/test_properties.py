@@ -1701,3 +1701,84 @@ def _eval_merge_expr(expr, t, s, ast):
         return int(p)
 
     return sum(term(p) for p in (x.strip() for x in e.split("+")))
+
+
+# --- qd9's funnel engine vs brute force (review-pass r18) -------------------
+# The fixture gate is vacuous for the funnel's DEFINING semantics: at
+# every fixture SF all users complete all stages and the strictly-after
+# condition eliminates zero users (verified — deleting the ts > prev.t
+# filter reproduces the oracle-matching output).  This net pins the
+# sequential semantics on data WITH attrition, ordering violations and
+# first-arrival ties, against a brute-force Python funnel.
+
+_funnel_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),          # user_id
+        st.sampled_from(["signup", "view", "click", "purchase", "other"]),
+        st.integers(min_value=0, max_value=40),         # ts seconds
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+def _brute_funnel(rows, funnel):
+    """Per user: stage i's arrival = min ts of funnel[i] events STRICTLY
+    after the user's stage-(i-1) arrival; stage counts = users reaching
+    each stage."""
+    byuser = {}
+    for u, et, ts in rows:
+        byuser.setdefault(u, []).append((et, ts))
+    counts = []
+    reach = {u: None for u in byuser}  # user -> prev-stage arrival ts
+    alive = set(byuser)
+    for name in funnel:
+        nxt = {}
+        for u in alive:
+            cand = [
+                ts
+                for et, ts in byuser[u]
+                if et == name and (reach[u] is None or ts > reach[u])
+            ]
+            if cand:
+                nxt[u] = min(cand)
+        counts.append(len(nxt))
+        alive = set(nxt)
+        reach = nxt
+    return counts
+
+
+@given(rows=_funnel_events)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_funnel_stages_matches_bruteforce(spark, rows):
+    import datetime
+
+    from dbx_workspace_and_emr_iceberg_spark.queries.tpch_suite3 import (
+        funnel_stages,
+    )
+
+    funnel = ["signup", "view", "click", "purchase"]
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (u, et, base + datetime.timedelta(seconds=ts)) for u, et, ts in rows
+    ]
+    ev = spark.createDataFrame(
+        data, "user_id long, event_type string, ts timestamp"
+    )
+    got = funnel_stages(ev, funnel).collect()
+    want = _brute_funnel(rows, funnel)
+    assert [r.n_users for r in got] == want, (rows, want, [tuple(r) for r in got])
+    # conv_bp recomputed: n_i * 10000 // n_{i-1}, NULL when prev == 0
+    prev = None
+    for r, n in zip(got, want):
+        # lag(..., 1, n_users): stage 1 divides by its own count; a
+        # zero divisor is NULL via nullif, never a div-by-zero abort
+        den = prev if prev is not None else n
+        expect = None if den == 0 else n * 10000 // den
+        assert r.conv_bp == expect, (rows, [tuple(r) for r in got])
+        prev = n
+    spark.catalog.clearCache()

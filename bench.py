@@ -46,47 +46,57 @@ def bench_layout(sf_dir: str) -> str:
         return sf_dir
     try:
         import hashlib
+        import shutil
+        import tempfile
 
-        import pyarrow as pa  # noqa: F401
         import pyarrow.parquet as pq
 
         from dbx_workspace_and_emr_iceberg_spark.tables import TABLES
 
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from make_layout_fixtures import write_sliced
+
+        # fingerprint on ns-mtime + size + parquet row count (review-
+        # pass r18: whole-second mtime + size let a regenerated fixture
+        # alias to the stale cached layout — same row count and width
+        # within one second — and the multifile16 axis would then sweep
+        # data the suite no longer uses)
         stats = []
         for t in sorted(TABLES):
-            st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
-            stats.append(f"{t}:{st.st_size}:{int(st.st_mtime)}")
+            f = os.path.join(sf_dir, f"{t}.parquet")
+            st = os.stat(f)
+            nrows = pq.ParquetFile(f).metadata.num_rows
+            stats.append(f"{t}:{st.st_size}:{st.st_mtime_ns}:{nrows}")
         fp = hashlib.md5(
-            ("|".join([sf_dir] + stats) + "|k16v1").encode()
+            ("|".join([sf_dir] + stats) + "|k16v2").encode()
         ).hexdigest()[:12]
-        dst = f"/tmp/spark_graft_bench16/{os.path.basename(sf_dir.rstrip('/'))}-{fp}"
+        parent = "/tmp/spark_graft_bench16"
+        dst = f"{parent}/{os.path.basename(sf_dir.rstrip('/'))}-{fp}"
         marker = os.path.join(dst, "_COMPLETE")
         if os.path.exists(marker):
             return dst
-        tmp = dst + ".building"
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(tmp)
+        # build in a PRIVATE mkdtemp and write the marker BEFORE the
+        # rename (review-pass r18: a shared dst+'.building' let two
+        # racing processes interleave into a _COMPLETE-marked dir
+        # missing tables — permanently poisoning the cache)
+        os.makedirs(parent, exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix=f"{fp}.", dir=parent)
         for t in TABLES:
             tbl = pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
-            n = len(tbl)
             # tiny dims stay few-file; row order PRESERVED (this is the
             # bench fixture, not the shuffle-invariance sweep)
-            k = min(16, max(1, n // 200))
-            d = os.path.join(tmp, f"{t}.parquet")
-            os.makedirs(d)
-            bounds = [round(i * n / k) for i in range(k + 1)]
-            for i in range(k):
-                pq.write_table(
-                    tbl.slice(bounds[i], bounds[i + 1] - bounds[i]),
-                    os.path.join(d, f"part-{i:02d}.parquet"),
-                )
-        # a dst without _COMPLETE is a crashed build — replace it
-        shutil.rmtree(dst, ignore_errors=True)
-        os.replace(tmp, dst)
-        with open(marker, "w") as f:
+            k = min(16, max(1, len(tbl) // 200))
+            write_sliced(tbl, os.path.join(tmp, f"{t}.parquet"), k)
+        with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
             f.write(fp)
+        try:
+            os.replace(tmp, dst)  # atomic publish of a COMPLETE build
+        except OSError:
+            # a racer published first; theirs carries a marker written
+            # before ITS rename, so it is complete — use it
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(marker):
+                raise
         return dst
     except Exception as e:  # pragma: no cover - defensive
         print(f"bench_layout: falling back to {sf_dir}: {e}", file=sys.stderr)
@@ -274,6 +284,9 @@ class ExecClock:
         def total(ss: list[dict]) -> int:
             return sum(s.get("executorRunTime", 0) for s in ss)
 
+        def busy(ss: list[dict]) -> bool:
+            return any(s.get("status") == "ACTIVE" for s in ss)
+
         try:
             stages = self._snapshot()
             prev_total = total(stages)
@@ -283,7 +296,12 @@ class ExecClock:
                 nxt = self._snapshot()
                 nxt_total = total(nxt)
                 stages = nxt
-                if nxt_total == prev_total:
+                # two equal totals alone can both be PRE-flush reads
+                # (review-pass r18) — also require no ACTIVE stage, so
+                # a lagging final stage keeps us polling.  Runtime that
+                # still lands later is topped up onto this query by the
+                # next drain's leak attribution (timed_run).
+                if nxt_total == prev_total and not busy(nxt):
                     break
                 prev_total = nxt_total
         except Exception:
@@ -309,17 +327,28 @@ FULL_RESULT_PATH = os.path.join(
 )
 
 
-def previous_floors() -> dict[str, float]:
+def previous_floors(layout: str | None = None) -> dict[str, float]:
     """Per-query floors from the previous bench run, for the
     >25%-mover re-pass rule: prefer the full-result sidecar (written by
     the previous run; this run overwrites it only at the very end),
     fall back to the latest driver BENCH_r*.json (useful only through
     r7 — later rounds are tail-truncated with parsed=None). Empty dict
     when no usable history exists — the bench must never fail on its
-    own history."""
+    own history.
+
+    ``layout``: when given, sidecar history recorded on a DIFFERENT
+    physical layout is skipped (review-pass r18): floors diffed across
+    the single-file/multi16 boundary are cross-layout nonsense — every
+    query "moves" >25%, the re-pass rule fires suite-wide, and an A/B
+    run with SPARK_GRAFT_BENCH_LAYOUT=single would poison the next
+    normal round's baseline.  Pre-r18 sidecars carry no layout field
+    and are treated as single-file."""
     try:
         with open(FULL_RESULT_PATH) as f:
             data = json.load(f)
+        prev_layout = data.get("layout", "single")
+        if layout is not None and prev_layout != layout:
+            return {}
         out = dict(data.get("floors") or {})
         out.update(data.get("additions_floors") or {})
         if out:
@@ -332,7 +361,9 @@ def previous_floors() -> dict[str, float]:
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         if m and int(m.group(1)) > best_round:
             best_round, best_path = int(m.group(1)), p
-    if best_path is None:
+    if best_path is None or (layout is not None and layout != "single"):
+        # BENCH_r*.json history predates the layout field (all
+        # single-file) — unusable as a multi16 baseline
         return {}
     try:
         with open(best_path) as f:
@@ -419,6 +450,13 @@ def main() -> None:
     #: flat executor time is contention; both moving is a plan change)
     exec_runs: dict[str, list[float | None]] = {}
 
+    #: the (name, run-index) whose exec sample the NEXT drain should
+    #: top up: metrics that flush after the post-run settle belong to
+    #: the query that did the work, not the void (review-pass r18 —
+    #: the drain's return value used to be discarded, so any runtime
+    #: the settle missed silently vanished from exec_s)
+    last_sample: list = [None]
+
     def timed_run(name: str) -> float:
         q = queries[name]
         # Cold cache per timed run: queries that .cache() internally
@@ -426,11 +464,16 @@ def main() -> None:
         # this, pass 2 re-resolves the identical plan against the
         # pass-1 cache and reports a cache read as plan cost.
         spark.catalog.clearCache()
-        exec_clock.delta_s()  # drain stages from preceding queries
+        leak = exec_clock.delta_s()  # stages flushed since the settle
+        if leak and last_sample[0] is not None:
+            ln, li = last_sample[0]
+            prev = exec_runs[ln][li]
+            exec_runs[ln][li] = round((prev or 0.0) + leak, 3)
         t0 = time.perf_counter()
         q.fn(spark, run_dir).write.format("noop").mode("overwrite").save()
         dt = round(time.perf_counter() - t0, 3)
         exec_runs.setdefault(name, []).append(exec_clock.delta_s())
+        last_sample[0] = (name, len(exec_runs[name]) - 1)
         return dt
 
     for _pass in range(3):
@@ -447,7 +490,9 @@ def main() -> None:
     # moved >25% vs the previous round's recorded floor gets TWO extra
     # passes, so a single-round mover is adjudicated from 5 samples
     # instead of 3.  Extra runs fold into the floors below.
-    prev_floors = previous_floors()
+    prev_floors = previous_floors(
+        "single" if run_dir == SF_DIR else "multi16"
+    )
     extra_passes: dict[str, list[float]] = {}
     three_pass_floor = {
         n: min(p[n] for p in passes) for n in passes[0]
@@ -557,6 +602,10 @@ def main() -> None:
         "exec_total_s": round(
             sum(v for v in exec_s.values() if v is not None), 3
         ),
+        # how many floor samples lost their executor clock (REST
+        # failure during that run) — review-pass r18: silently dropping
+        # Nones made a flaky UI endpoint read as a plan improvement
+        "exec_missing": sum(1 for v in exec_s.values() if v is None),
         "noise_floor": noise_floor,
         # which physical layout the floors were measured on (r18:
         # floors re-seeded on the 16-slice layout — not comparable to

@@ -427,3 +427,44 @@ def test_driver_sim_gates_broken_modules():
         src = fh.read()
     assert "_BROKEN_MODULES" in src
     assert "raise SystemExit" in src
+
+
+def test_sim_cell_collision_channels_closed_r18():
+    """Review-pass r18: three false-MATCH channels in cell() — a list
+    join that collided ["a,b"] with ["a","b"], a forgeable "NULL"
+    sentinel, and untyped strings colliding with numbers (the schema
+    compare checks column names only)."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(REPO, "tools"))
+    import sim_compare as S
+
+    assert S.cell(["a,b"]) != S.cell(["a", "b"])
+    assert S.cell([["a"], ["b"]]) != S.cell([["a"], ["b["]])
+    assert S.cell(["a]b"]) != S.cell(["a", "b"]) != S.cell([["a", "b"]])
+    assert S.cell(None) != S.cell("NULL")
+    assert S.cell("1.5") != S.cell(1.5)
+    # deliberate collisions kept: int / Decimal / HUGEINT renderings of
+    # the same value must still agree
+    import decimal as _d
+
+    assert S.cell(5) == S.cell(_d.Decimal(5)) == "5"
+    assert S.cell(bytes(b"\x01")) == S.cell(bytearray(b"\x01"))
+
+
+def test_bench_previous_floors_layout_gated(tmp_path, monkeypatch):
+    """Review-pass r18: floors recorded on a different physical layout
+    must not seed the >25%-mover rule — cross-layout diffs fire the
+    re-pass suite-wide and an A/B run would poison the next baseline.
+    Pre-r18 sidecars (no layout field) count as single-file."""
+    import json as _json
+
+    import bench
+
+    p = tmp_path / "full.json"
+    p.write_text(_json.dumps({"floors": {"q1": 1.0}, "layout": "multi16"}))
+    monkeypatch.setattr(bench, "FULL_RESULT_PATH", str(p))
+    assert bench.previous_floors("multi16") == {"q1": 1.0}
+    p.write_text(_json.dumps({"floors": {"q1": 2.0}}))
+    assert bench.previous_floors("single") == {"q1": 2.0}
+    assert bench.previous_floors("multi16") == {}

@@ -28,6 +28,37 @@ Rows with no query by design (SURVEY.md §2.1):
 """
 
 
+#: The pinned §2 tag inventory (review-pass r18): the rows used to be
+#: derived solely from whatever tags live queries carried, so a row
+#: that lost its LAST query silently vanished from COVERAGE.md and a
+#: typo'd tag silently minted a bogus row — the exact row-side hole the
+#: untagged-query guard below cannot see.  A DELIBERATE inventory
+#: change (new operator row, retired row) must edit this list in the
+#: same commit; anything else is drift and raises.
+EXPECTED_TAGS = frozenset(
+    ["flagship"]
+    + [f"A{i}" for i in range(1, 14)]
+    + [f"D{i}" for i in range(1, 13)]
+    + [f"F{i}" for i in range(1, 24)]
+    + [f"J{i}" for i in list(range(1, 10)) + list(range(12, 17))]
+    + [f"M{i}" for i in [1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 16, 17, 18, 20]]
+    + [f"O{i}" for i in range(1, 6)]
+    + [f"P{i}" for i in range(1, 6)]
+    + [f"S{i}" for i in [1, 2, 4, 5, 6, 7, 8, 13, 14, 15, 16, 17, 18]]
+    + [f"T{i}" for i in list(range(1, 11)) + [14, 15, 16, 17, 18]]
+    + [f"U{i}" for i in [1, 2, 3, 4, 6, 7, 8]]
+    + [f"W{i}" for i in range(1, 8)]
+    + [
+        f"X{i}"
+        for i in list(range(1, 8))
+        + [12, 13, 14, 16]
+        + list(range(20, 42))
+        + list(range(43, 50))
+    ]
+    + ["X2E"]
+)
+
+
 def main() -> None:
     qs = all_queries()
     by_tag: dict[str, list[str]] = defaultdict(list)
@@ -37,6 +68,15 @@ def main() -> None:
         # operator row — the coverage audit silently under-reporting
         # exactly what it audits (review-pass r16)
         raise SystemExit(f"queries with no §2 tags: {untagged}")
+    live_tags = {t for q in qs.values() for t in q.tags}
+    lost = sorted(EXPECTED_TAGS - live_tags)
+    minted = sorted(live_tags - EXPECTED_TAGS)
+    if lost or minted:
+        raise SystemExit(
+            f"§2 tag inventory drift — rows that lost their last query: "
+            f"{lost}; unknown/typo'd tags: {minted}.  If deliberate, "
+            "update EXPECTED_TAGS in the same commit."
+        )
     for q in qs.values():
         for t in q.tags:
             # `is not None` to match the registry/sweep spelling — an

@@ -230,11 +230,24 @@ def main(argv: list[str]) -> int:
 
     if "multifile16" in names:
         # resolve through the bench's own materializer — single source
-        # of truth for the layout the floors are measured on
+        # of truth for the layout the floors are measured on.  PIN the
+        # layout knob first (review-pass r18, the child_env rule):
+        # bench_layout reads ambient SPARK_GRAFT_BENCH_LAYOUT, and a
+        # leftover exported 'single' from a bench A/B session would
+        # otherwise make it return the source dir and abort the whole
+        # sweep with a misleading "fix the materializer" message.
         from bench import bench_layout
 
-        src = "/root/testdata/sf0.01"
-        d = bench_layout(src)
+        saved = os.environ.get("SPARK_GRAFT_BENCH_LAYOUT")
+        os.environ["SPARK_GRAFT_BENCH_LAYOUT"] = "multi16"
+        try:
+            src = "/root/testdata/sf0.01"
+            d = bench_layout(src)
+        finally:
+            if saved is None:
+                os.environ.pop("SPARK_GRAFT_BENCH_LAYOUT", None)
+            else:
+                os.environ["SPARK_GRAFT_BENCH_LAYOUT"] = saved
         if d == src:
             # bench_layout degrades to the source on failure (right for
             # the bench, wrong here: the axis would silently sweep the

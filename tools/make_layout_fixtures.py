@@ -40,6 +40,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from dbx_workspace_and_emr_iceberg_spark.tables import TABLES  # noqa: E402
 
 
+def write_sliced(tbl, dst_dir: str, k: int) -> None:
+    """Write ``tbl`` as ``dst_dir/part-%02d.parquet`` in ``k``
+    contiguous row slices (ceil-spread bounds, schema preserved).  ONE
+    implementation shared by the layout sweep and bench.py's
+    bench_layout (review-pass r18: the two inline copies of the
+    bounds/slice/write loop could drift)."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    _os.makedirs(dst_dir)
+    n = len(tbl)
+    bounds = [round(i * n / k) for i in range(k + 1)]
+    for i in range(k):
+        pq.write_table(
+            tbl.slice(bounds[i], bounds[i + 1] - bounds[i]),
+            _os.path.join(dst_dir, f"part-{i:02d}.parquet"),
+        )
+
+
 def make(src: str, dst_root: str) -> None:
     import numpy as np
     import pyarrow as pa
@@ -55,17 +75,14 @@ def make(src: str, dst_root: str) -> None:
         tbl = pq.read_table(f"{src}/{t}.parquet")
         n = len(tbl)
         shuf = tbl.take(pa.array(rng.permutation(n)))
-        assert shuf.schema.equals(tbl.schema), t
+        if not shuf.schema.equals(tbl.schema):
+            # explicit raise, not bare assert: python -O strips asserts
+            # and a silently drifted physical schema would be swept as
+            # if it were the bench's (review-pass r18, the house rule)
+            raise AssertionError(f"take() changed {t}'s schema")
         pq.write_table(shuf, f"{shuf_dir}/{t}.parquet")
-        d = f"{multi_dir}/{t}.parquet"
-        os.makedirs(d)
         k = min(4, max(1, n // 2))
-        bounds = [round(i * n / k) for i in range(k + 1)]
-        for i in range(k):
-            pq.write_table(
-                shuf.slice(bounds[i], bounds[i + 1] - bounds[i]),
-                f"{d}/part-{i:02d}.parquet",
-            )
+        write_sliced(shuf, f"{multi_dir}/{t}.parquet", k)
         print(f"{t}: {n} rows -> shuf + {k}-file multi")
 
 

@@ -226,6 +226,20 @@ class LakehouseTable:
     """One snapshot-versioned table under a warehouse directory."""
 
     def __init__(self, spark: SparkSession, warehouse: str, name: str):
+        # the name is a PATH COMPONENT (review-pass r18): '..' or a
+        # separator escapes the warehouse — create_table('../prod/t')
+        # wrote a table outside the warehouse entirely.  Same charset
+        # the SQL-door grammar enforces, plus '.'/'-' for the catalog
+        # layer's schema-qualified dirs and branch refs — but never a
+        # traversal.
+        if (
+            not name
+            or "/" in name
+            or "\\" in name
+            or name in (".", "..")
+            or ".." in name.split(".")
+        ):
+            raise ValueError(f"invalid table name {name!r}")
         self.spark = spark
         self.root = os.path.join(warehouse, name)
         self.data_dir = os.path.join(self.root, "data")
@@ -299,8 +313,41 @@ class LakehouseTable:
         manifest["version"] = version
         manifest["parent"] = expected_parent
         manifest["timestamp_ms"] = int(time.time() * 1000)
-        with open(self._manifest_path(version), "w") as f:
-            json.dump(manifest, f, indent=1)
+        # EXCLUSIVE create (review-pass r18, reproduced): mode 'w' let
+        # two writers that both passed the version check above each
+        # "win" — the second silently overwrote the first's
+        # same-numbered manifest and the os.replace of _current cannot
+        # fail, so one commit was LOST with no error.  'x' makes the
+        # version number itself the lock: exactly one writer creates
+        # v(N+1).json, the loser gets the contracted ConflictError.
+        try:
+            with open(self._manifest_path(version), "x") as f:
+                json.dump(manifest, f, indent=1)
+        except FileExistsError:
+            stale = False
+            if self.current_version() < version:
+                # _current still points below the existing file: either
+                # a writer crashed between manifest write and pointer
+                # swing, or another writer is IN FLIGHT right now (the
+                # microseconds between its manifest create and its
+                # os.replace).  Only a manifest demonstrably OLD is
+                # treated as the crash case — replacing a fresh one
+                # would re-open the exact lost-update race the
+                # exclusive create closes.
+                try:
+                    ts = self._read_manifest(version).get("timestamp_ms", 0)
+                    stale = time.time() * 1000 - ts > 60_000
+                except (json.JSONDecodeError, FileNotFoundError):
+                    stale = True  # torn write = crashed writer
+            if not stale:
+                raise ConflictError(
+                    f"{self.name}: concurrent writer already committed "
+                    f"(or is committing) version {version}"
+                ) from None
+            # crashed leftover: it never became current, so replacing
+            # it loses nothing and un-wedges the table
+            with open(self._manifest_path(version), "w") as f:
+                json.dump(manifest, f, indent=1)
         tmp = self._current_path() + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(version))
@@ -638,6 +685,18 @@ class LakehouseTable:
     def update_set(self, cond, assignments: dict[str, F.Column]) -> int:
         """UPDATE t SET ... WHERE cond (M2)."""
         parent = self.current_version()
+        # UNRESOLVED_COLUMN parity (review-pass r18, reproduced): the
+        # dict was only consulted via `c in assignments`, so a typo'd
+        # SET column ("SET prce = 0") made the whole UPDATE a silent
+        # no-op that still committed a new version and reported
+        # success — Spark/Iceberg raise for the same statement.
+        known = {f["name"] for f in self.schema_json()["fields"]}
+        unknown = sorted(set(assignments) - known)
+        if unknown:
+            raise ValueError(
+                f"{self.name}: UPDATE SET references unknown column(s) "
+                f"{unknown}; table columns: {sorted(known)}"
+            )
         affected = self._affected_files(cond)
         if not affected:
             return parent
@@ -740,6 +799,18 @@ class LakehouseTable:
                             "metadata": {},
                         }
                     )
+        # UNRESOLVED_COLUMN parity (review-pass r18): an update_cols
+        # key naming no target column (post-evolution) was silently
+        # ignored by out_col's `c in update_cols` — matched rows kept
+        # their values while the MERGE reported success
+        if update_cols:
+            known = {f["name"] for f in schema["fields"]}
+            unknown = sorted(set(update_cols) - known)
+            if unknown:
+                raise ValueError(
+                    f"{self.name}: MERGE UPDATE SET references unknown "
+                    f"column(s) {unknown}; table columns: {sorted(known)}"
+                )
         target = self.read()
         for fld in schema["fields"]:
             if fld["name"] not in target.columns:
@@ -814,7 +885,7 @@ class LakehouseTable:
 
     # ---------- M4: rollback ----------
 
-    def rollback_to(self, version: int) -> int:
+    def rollback_to(self, version: int, _allow_staged: bool = False) -> int:
         """CALL system.rollback_to_snapshot (M4): new commit whose file
         list is the old snapshot's — history is preserved, not erased.
 
@@ -824,9 +895,31 @@ class LakehouseTable:
         the published content a new version identity and the NEXT
         publish from the same branch can never prove ancestry — a
         long-lived staging branch dead-ended after one publish
-        (ADVICE r9, reproduced)."""
+        (ADVICE r9, reproduced).
+
+        Refuses a STAGED (unaudited branch-write) snapshot unless
+        ``_allow_staged`` — review-pass r18, reproduced: the direct
+        ``CALL system.rollback_to_snapshot`` door otherwise published
+        unaudited rows to main AND stamped them rollforward_of,
+        bypassing the WAP audit gate fast_forward_main enforces (which
+        is the one caller allowed to pass the flag, after its own
+        _assert_fast_forward).  Iceberg's procedure likewise refuses
+        non-ancestors.  A missing/expired version raises the
+        contracted ValueError, not a raw FileNotFoundError."""
         parent = self.current_version()
-        m = self._read_manifest(version)
+        try:
+            m = self._read_manifest(version)
+        except FileNotFoundError:
+            raise ValueError(
+                f"{self.name}: no snapshot v{version} (missing or "
+                "expired)"
+            ) from None
+        if m.get("staged_ref") and not _allow_staged:
+            raise ValueError(
+                f"{self.name}: v{version} is a STAGED snapshot of "
+                f"branch {m['staged_ref']!r} — publish it through "
+                "fast_forward after auditing, not rollback_to_snapshot"
+            )
         return self._commit(
             {
                 "files": m["files"],
@@ -860,6 +953,11 @@ class LakehouseTable:
         recent snapshot is never expired by an aggressive age alone).
         Idempotent: snapshots already expired by a previous call are
         skipped, not crashed on."""
+        if keep_last < 1:
+            # [:-0] == [:0] silently inverted "retain none" into
+            # "retain everything" (review-pass r18); Iceberg validates
+            # retain_last >= 1 the same way
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         cur = self.current_version()
         candidates = [v for v in range(1, cur + 1)][:-keep_last]
         # Load every surviving manifest FIRST; the expire set is decided
@@ -893,6 +991,19 @@ class LakehouseTable:
                 for v, m in manifests.items()
                 if m.get("staged_ref") in live_branches
             )
+        # MAIN-head retention (review-pass r18, reproduced): when staged
+        # branch snapshots occupy the trailing keep_last slots, the
+        # current main head fell into the candidate range — expiring it
+        # wedged every main-side read with "main head expired below
+        # staged snapshots", unrecoverable by dropping the branch.
+        # Protect the whole main_head() walk path [mh .. cur]: every
+        # snapshot the staged-skipping walk may touch must stay
+        # readable (a dropped branch's staged snapshot between cur and
+        # mh would otherwise hole the walk).
+        mh = cur
+        while mh > 0 and manifests.get(mh, {}).get("staged_ref"):
+            mh -= 1
+        protected.update(range(mh, cur + 1))
         to_expire = [
             v
             for v in candidates
@@ -1034,6 +1145,13 @@ class LakehouseTable:
         """
         parent = self.current_version()
         schema = self.schema_json()
+        if any(f["name"] == name for f in schema["fields"]):
+            # duplicate fields would commit a corrupt schema every
+            # later snapshot inherits (review-pass r18); Iceberg
+            # rejects the duplicate at DDL time
+            raise ValueError(
+                f"{self.name}: column {name!r} already exists"
+            )
         schema["fields"].append(
             {"name": name, "type": spark_type, "nullable": True, "metadata": {}}
         )
@@ -1042,12 +1160,17 @@ class LakehouseTable:
             "schema": schema,
             "op": f"add_column:{name}",
         }
-        if default is not None:
-            # merge onto the parent's defaults; the default=None case is
-            # _commit's standard inheritance
+        # ALWAYS record the current files as not-containing the new
+        # column (review-pass r18, reproduced): without the absence
+        # record, re-adding a previously DROPPED column resurrected the
+        # old physical values via the name-based scan — Iceberg's
+        # field-id semantics read NULL.  value=None is a NULL initial
+        # default (_apply_defaults casts F.lit(None) to the column
+        # type), so the default-less case now matches field-id reads.
+        if parent:
             defaults = dict(
                 self._read_manifest(self.main_head()).get("defaults", {})
-            ) if parent else {}
+            )
             defaults[name] = {
                 "value": default,
                 "absent_files": self._files(),
@@ -1928,7 +2051,7 @@ class BranchedLakehouse:
             raise KeyError(f"unknown ref {to}")
         if branch == "main":
             self._assert_fast_forward(self.main_head(), v, "main")
-            return self.table.rollback_to(v)
+            return self.table.rollback_to(v, _allow_staged=True)
         if branch not in refs["branches"]:
             raise KeyError(f"unknown branch {branch}")
         self._assert_fast_forward(refs["branches"][branch], v, branch)
@@ -2014,7 +2137,7 @@ class BranchedLakehouse:
         refs = self._refs()
         v = refs["branches"][branch]
         self._assert_fast_forward(self.main_head(), v, "main")
-        return self.table.rollback_to(v)
+        return self.table.rollback_to(v, _allow_staged=True)
 
 
 # ---------------------------------------------------------------------------
@@ -2092,10 +2215,19 @@ class StatsLakehouseTable(LakehouseTable):
         return files
 
     def _commit(self, manifest: dict, expected_parent: int) -> int:
-        # attach collected stats, carrying forward stats of kept files
+        # attach collected stats, carrying forward stats of kept files.
+        # Carry-forward reads the LOG parent AND the main head
+        # (review-pass r18): after a staged branch write, the log
+        # parent is the branch's manifest — main files absent from the
+        # branch's file list would lose their stats in every later
+        # main commit, silently disabling file skipping for them
+        # (safe but unprunable forever).
         prev: dict = {}
         if expected_parent:
-            prev = self._read_manifest(expected_parent).get("stats", {})
+            mh = self.main_head()
+            if mh and mh != expected_parent:
+                prev.update(self._read_manifest(mh).get("stats", {}))
+            prev.update(self._read_manifest(expected_parent).get("stats", {}))
         pending = getattr(self, "_pending_stats", {})
         manifest["stats"] = {
             f: (pending.get(f) or prev.get(f))

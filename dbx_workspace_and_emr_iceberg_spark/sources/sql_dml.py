@@ -786,7 +786,22 @@ def rewrite_time_travel(engine, sql: str) -> str:
         getattr(engine, "_tt_views", set()).add(view)
         return view
 
-    return _TT_RE.sub(sub, sql)
+    # Skip matches that BEGIN inside a quoted literal (review-pass r18,
+    # reproduced — the _rewrite/_LITERAL_RE rule applied here too): a
+    # string literal containing "<managed> VERSION AS OF 3" was
+    # rewritten into a __tt_* view name INSIDE the literal, silently
+    # changing the value the query compares against.  Position-based,
+    # not split-based: the time-travel VALUE is often itself a quoted
+    # literal (VERSION AS OF 'branch'), so a split would sever the
+    # pattern from its value and stop legitimate rewrites.
+    spans = [m.span() for m in _LITERAL_RE.finditer(sql)]
+
+    def outside(m: re.Match) -> str:
+        if any(a <= m.start() < b for a, b in spans):
+            return m.group(0)
+        return sub(m)
+
+    return _TT_RE.sub(outside, sql)
 
 
 # ---- CALL system.* procedures (Iceberg stored-procedure surface) -----------

@@ -1656,3 +1656,191 @@ def test_int_vectorized_topk_empty_query_batch(spark):
     assert [f.name for f in out.schema.fields] == [
         "q_id", "n_id", "sim_key", "rank",
     ]
+
+
+# --- review-pass r18: snapshot-protocol invariants --------------------------
+
+
+def test_expire_protects_main_head_below_staged(spark, tmp_path):
+    """When staged branch snapshots occupy the trailing keep_last slots,
+    the main head fell into the candidate range — expiring it wedged
+    every main-side read, unrecoverably (review-pass r18, reproduced)."""
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        BranchedLakehouse,
+        LakehouseTable,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path), "t")
+    t.create(spark.range(3).toDF("id"))
+    b = BranchedLakehouse(t)
+    b.create_branch("s")
+    b.write_to_branch("s", spark.range(3, 6).toDF("id"))
+    assert t.expire_snapshots(keep_last=1) == []  # v1 = main head: kept
+    assert t.main_head() == 1
+    assert t.read().count() == 3
+    with pytest.raises(ValueError, match="keep_last"):
+        t.expire_snapshots(keep_last=0)
+
+
+def test_update_and_merge_reject_unknown_set_columns(spark, tmp_path):
+    """A typo'd SET column made the whole UPDATE/MERGE-update a silent
+    no-op that still committed and reported success (review-pass r18,
+    reproduced); Spark/Iceberg raise UNRESOLVED_COLUMN."""
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path), "t")
+    t.create(spark.createDataFrame([(1, 10.0)], "id long, price double"))
+    with pytest.raises(ValueError, match="prce"):
+        t.update_set(F.col("id") == 1, {"prce": F.lit(0.0)})
+    src = spark.createDataFrame([(1, 5.0)], "id long, price double")
+    with pytest.raises(ValueError, match="prce"):
+        t.merge_into(src, on="id", update_cols={"prce": F.lit(0.0)})
+
+
+def test_readded_column_reads_null_not_old_data(spark, tmp_path):
+    """DROP then ADD of the same column resurrected the dropped
+    physical values through the name-based scan (review-pass r18,
+    reproduced); Iceberg's field-id semantics read NULL.  add_column
+    also rejects a duplicate name (a committed duplicate-field schema
+    breaks every later scan)."""
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path), "t")
+    t.create(spark.createDataFrame([(1, "SECRET")], "id long, ssn string"))
+    t.drop_column("ssn")
+    t.add_column("ssn", "string")
+    assert [r.ssn for r in t.read().collect()] == [None]
+    # rows appended AFTER the re-add read their stored values
+    t.append(spark.createDataFrame([(2, "new")], "id long, ssn string"))
+    got = {r.id: r.ssn for r in t.read().collect()}
+    assert got == {1: None, 2: "new"}
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("id", "long")
+
+
+def test_rollback_refuses_staged_and_missing(spark, tmp_path):
+    """CALL rollback_to_snapshot published an UNAUDITED staged snapshot
+    to main, bypassing the WAP audit gate, and a missing version leaked
+    FileNotFoundError (review-pass r18, reproduced).  The audited
+    fast_forward publish path still works."""
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        BranchedLakehouse,
+        LakehouseTable,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path), "t")
+    t.create(spark.range(2).toDF("id"))
+    b = BranchedLakehouse(t)
+    b.create_branch("audit")
+    b.write_to_branch("audit", spark.range(9).toDF("id"))
+    with pytest.raises(ValueError, match="STAGED"):
+        t.rollback_to(2)
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.rollback_to(99)
+    b.fast_forward_main("audit")
+    assert t.read().count() == 11  # branch write appends to its base
+
+
+def test_time_travel_rewrite_skips_string_literals(spark, tmp_path):
+    """The r18 literal-protection rule applied to the time-travel
+    rewriter: '<managed> VERSION AS OF n' INSIDE a quoted literal was
+    rewritten into a __tt_* view name, silently changing the compared
+    value (review-pass r18, reproduced)."""
+    from dbx_workspace_and_emr_iceberg_spark.engine import Engine
+    from dbx_workspace_and_emr_iceberg_spark.sources.sql_dml import (
+        rewrite_time_travel,
+    )
+
+    eng = Engine(spark, warehouse=str(tmp_path))
+    eng.create_table("t5", spark.range(1).toDF("id"))
+    sql = "SELECT * FROM audit WHERE note = 't5 VERSION AS OF 1'"
+    assert rewrite_time_travel(eng, sql) == sql
+    # outside a literal the rewrite still fires
+    out = rewrite_time_travel(eng, "SELECT * FROM t5 VERSION AS OF 1")
+    assert "__tt_t5_version_" in out
+
+
+def test_table_name_cannot_escape_warehouse(spark, tmp_path):
+    """'../prod/t' wrote a table OUTSIDE the warehouse (review-pass
+    r18, reproduced)."""
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+
+    for bad in ("../evil", "a/b", "a\\b", "..", ""):
+        with pytest.raises(ValueError, match="invalid table name"):
+            LakehouseTable(spark, str(tmp_path), bad)
+
+
+def test_stats_survive_staged_branch_write(spark, tmp_path):
+    """Stats carry-forward read only the LOG parent — after a staged
+    branch write, main files absent from the branch manifest lost
+    their min/max forever and became unprunable (review-pass r18,
+    reproduced)."""
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        BranchedLakehouse,
+        StatsLakehouseTable,
+    )
+
+    t = StatsLakehouseTable(spark, str(tmp_path), "t")
+    t.create(spark.range(0, 10).toDF("id").coalesce(1))
+    t.append(spark.range(100, 200).toDF("id").coalesce(1))
+    b = BranchedLakehouse(t)
+    b.create_branch("s")
+    b.write_to_branch("s", spark.range(300, 310).toDF("id").coalesce(1))
+    t.append(spark.range(400, 500).toDF("id").coalesce(1))
+    m = t._read_manifest(t.main_head())
+    assert all(f in m.get("stats", {}) for f in m["files"])
+
+
+def test_commit_exclusive_create_detects_racer(spark, tmp_path):
+    """_commit's 'w'-mode manifest write let two writers both 'win' —
+    the second silently overwrote the first's same-numbered manifest
+    (review-pass r18).  With the exclusive create, a manifest that
+    exists while _current has already moved raises ConflictError; a
+    crashed leftover (manifest present, _current NOT moved) is
+    replaced so it cannot wedge the table."""
+    import json as _json
+
+    from dbx_workspace_and_emr_iceberg_spark.sources.lakehouse import (
+        ConflictError,
+        LakehouseTable,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path), "t")
+    t.create(spark.range(1).toDF("id"))
+    # STALE crashed leftover (old timestamp): v2 manifest exists,
+    # _current still 1 -> recovered by replacement
+    with open(t._manifest_path(2), "x") as f:
+        _json.dump(
+            {"files": [], "schema": t.schema_json(), "timestamp_ms": 0}, f
+        )
+    assert t.append(spark.range(5, 6).toDF("id")) == 2  # recovered
+    assert t.read().count() == 2
+    # FRESH same-version manifest = in-flight concurrent writer (its
+    # os.replace of _current is microseconds away) -> ConflictError,
+    # never a silent overwrite
+    import time as _time
+
+    with open(t._manifest_path(3), "x") as f:
+        _json.dump(
+            {
+                "files": [],
+                "schema": t.schema_json(),
+                "timestamp_ms": int(_time.time() * 1000),
+            },
+            f,
+        )
+    with pytest.raises(ConflictError):
+        t._commit({"files": [], "schema": t.schema_json(), "op": "x"}, 2)
+    # and a racer whose pointer swing already landed: the stale
+    # expected_parent fails the version check up front
+    with open(t._current_path() + ".tmp", "w") as f:
+        f.write("3")
+    os.replace(t._current_path() + ".tmp", t._current_path())
+    with pytest.raises(ConflictError):
+        t._commit({"files": [], "schema": t.schema_json(), "op": "x"}, 2)

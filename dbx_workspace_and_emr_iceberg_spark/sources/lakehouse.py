@@ -35,6 +35,7 @@ driver — the driver only moves file *names*.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import re
@@ -291,9 +292,68 @@ class LakehouseTable:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
 
+    #: Max seconds a committer waits for the per-table commit lock
+    #: before giving up with a (retryable) ConflictError.  Commits are
+    #: milliseconds; a holder alive past this is stalled (GC pause,
+    #: swap) — we REFUSE rather than recover, because the holder is
+    #: still live and will finish.  Tests shrink this per-instance.
+    _COMMIT_LOCK_TIMEOUT_S: float = 60.0
+
+    def _acquire_commit_lock(self) -> int:
+        """Take the per-table advisory commit lock (flock on
+        ``_commit.lock``); returns the fd.  flock is per-open-file-
+        description, so it excludes concurrent committers in other
+        PROCESSES and other THREADS alike, and the kernel releases it
+        automatically if the holder dies — a crashed mid-commit writer
+        can never wedge the table, while a merely-stalled one keeps
+        its claim (review-pass r19: the 60s staleness heuristic alone
+        let a >60s-stalled writer be 'recovered' by a peer, both then
+        reporting success with one commit silently lost)."""
+        os.makedirs(self.root, exist_ok=True)
+        fd = os.open(
+            os.path.join(self.root, "_commit.lock"),
+            os.O_CREAT | os.O_RDWR,
+            0o644,
+        )
+        deadline = time.monotonic() + self._COMMIT_LOCK_TIMEOUT_S
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                return fd
+            except OSError:
+                if time.monotonic() >= deadline:
+                    os.close(fd)
+                    raise ConflictError(
+                        f"{self.name}: commit lock held for over "
+                        f"{self._COMMIT_LOCK_TIMEOUT_S}s by a live "
+                        "writer — refusing to commit (retryable)"
+                    ) from None
+                time.sleep(0.005)
+
     def _commit(self, manifest: dict, expected_parent: int) -> int:
         """Atomic optimistic commit: write manifest vN+1, then swing the
-        _current pointer via os.replace (atomic on POSIX)."""
+        _current pointer via os.replace (atomic on POSIX).
+
+        Concurrency protocol (r18 exclusive create + r19 lock):
+        the whole claim→swing section runs under a per-table flock, so
+        two in-protocol writers can never interleave between manifest
+        create and pointer swing; the O_EXCL create + >60s staleness
+        heuristic stay as belt-and-braces against OUT-of-protocol
+        writers (a process writing manifests without _commit), and a
+        per-writer UUID stamped into the manifest is re-verified
+        immediately before the swing so any foreign replacement turns
+        into a loud ConflictError instead of a silent lost update.
+        Cross-host object stores would need a real catalog CAS
+        (Iceberg's actual design); this layer is local-FS scoped.
+        """
+        lock_fd = self._acquire_commit_lock()
+        try:
+            return self._commit_locked(manifest, expected_parent)
+        finally:
+            fcntl.flock(lock_fd, fcntl.LOCK_UN)
+            os.close(lock_fd)
+
+    def _commit_locked(self, manifest: dict, expected_parent: int) -> int:
         if self.current_version() != expected_parent:
             raise ConflictError(
                 f"{self.name}: version moved to {self.current_version()}, "
@@ -313,6 +373,9 @@ class LakehouseTable:
         manifest["version"] = version
         manifest["parent"] = expected_parent
         manifest["timestamp_ms"] = int(time.time() * 1000)
+        # per-writer claim token, re-verified before the pointer swing
+        writer_id = uuid.uuid4().hex
+        manifest["writer"] = writer_id
         # EXCLUSIVE create (review-pass r18, reproduced): mode 'w' let
         # two writers that both passed the version check above each
         # "win" — the second silently overwrote the first's
@@ -345,10 +408,23 @@ class LakehouseTable:
                     f"(or is committing) version {version}"
                 ) from None
             # crashed leftover: it never became current, so replacing
-            # it loses nothing and un-wedges the table
+            # it loses nothing and un-wedges the table (a live stalled
+            # writer cannot reach here — it still holds the flock)
             with open(self._manifest_path(version), "w") as f:
                 json.dump(manifest, f, indent=1)
-        tmp = self._current_path() + ".tmp"
+        # verify the claim immediately before the swing: if anything
+        # out-of-protocol replaced our manifest, fail loudly instead
+        # of pointing _current at someone else's content while
+        # reporting OUR commit as the success (review-pass r19)
+        if self._read_manifest(version).get("writer") != writer_id:
+            raise ConflictError(
+                f"{self.name}: manifest v{version} was replaced by a "
+                "foreign writer between claim and publish"
+            )
+        # unique tmp name: two swingers sharing '_current.tmp' raced —
+        # the second os.replace hit FileNotFoundError mid-commit
+        # (reproduced in the r19 stalled-writer script)
+        tmp = self._current_path() + f".{writer_id}.tmp"
         with open(tmp, "w") as f:
             f.write(str(version))
         os.replace(tmp, self._current_path())

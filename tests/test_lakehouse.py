@@ -1844,3 +1844,111 @@ def test_commit_exclusive_create_detects_racer(spark, tmp_path):
     os.replace(t._current_path() + ".tmp", t._current_path())
     with pytest.raises(ConflictError):
         t._commit({"files": [], "schema": t.schema_json(), "op": "x"}, 2)
+
+
+def test_commit_stalled_writer_not_lost(wh):
+    """VERDICT-r18 #1 (reproduced, then fixed r19): writer A creates
+    v(N).json then stalls >60s before the pointer swing; under the old
+    heuristic-only protocol writer B declared A's manifest a crashed
+    leftover, overwrote it, and BOTH writers reported success — A's
+    commit silently lost.  The per-table flock makes a live stalled
+    writer keep its claim: B gets a retryable ConflictError, A's
+    commit survives intact."""
+    import threading
+
+    from dbx_workspace_and_emr_iceberg_spark.sources import lakehouse
+
+    t = LakehouseTable(None, wh, "t")
+    t._COMMIT_LOCK_TIMEOUT_S = 0.5
+    t._commit({"files": [], "schema": {"fields": []}, "op": "create"}, 0)
+
+    a_at_swing = threading.Event()
+    b_done = threading.Event()
+    orig_cp, calls = t._current_path, {}
+
+    def gated_current_path():
+        # A's 2nd call builds the swing's tmp path — stall there,
+        # i.e. between manifest create and pointer swing
+        th = threading.current_thread().name
+        calls[th] = calls.get(th, 0) + 1
+        if th == "stalledA" and calls[th] == 2:
+            a_at_swing.set()
+            b_done.wait(timeout=30)
+        return orig_cp()
+
+    t._current_path = gated_current_path
+    # make A's manifest timestamp look >60s old so the legacy
+    # staleness heuristic would have "recovered" (overwritten) it
+    real_time = lakehouse.time
+
+    class OldClockForA:
+        def __getattr__(self, n):
+            return getattr(real_time, n)
+
+        def time(self):
+            off = 120 if threading.current_thread().name == "stalledA" else 0
+            return real_time.time() - off
+
+    results = {}
+
+    def writer_a():
+        try:
+            results["A"] = t._commit(
+                {"files": ["fileA"], "schema": {"fields": []}, "op": "x"}, 1
+            )
+        except Exception as e:  # noqa: BLE001 — recorded for the assert
+            results["A"] = repr(e)
+
+    lakehouse.time = OldClockForA()
+    try:
+        ta = threading.Thread(target=writer_a, name="stalledA")
+        ta.start()
+        assert a_at_swing.wait(timeout=30)
+        with pytest.raises(ConflictError, match="commit lock held"):
+            t._commit(
+                {"files": ["fileB"], "schema": {"fields": []}, "op": "x"}, 1
+            )
+        b_done.set()
+        ta.join(timeout=30)
+    finally:
+        lakehouse.time = real_time
+        b_done.set()
+
+    assert results["A"] == 2  # the stalled writer's commit survived
+    assert t.current_version() == 2
+    assert t._read_manifest(2)["files"] == ["fileA"]
+
+
+def test_commit_foreign_manifest_replacement_raises(wh):
+    """The pre-swing claim verification: if the manifest we just wrote
+    no longer carries our writer UUID (out-of-protocol interference),
+    _commit raises instead of publishing someone else's content as our
+    success, and the pointer does not move."""
+    t = LakehouseTable(None, wh, "t")
+    t._commit({"files": [], "schema": {"fields": []}, "op": "create"}, 0)
+
+    orig_read = t._read_manifest
+
+    def tampered_read(version):
+        m = orig_read(version)
+        if version == 2:
+            m = dict(m, writer="somebody-else")
+        return m
+
+    t._read_manifest = tampered_read
+    with pytest.raises(ConflictError, match="foreign writer"):
+        t._commit({"files": ["mine"], "schema": {"fields": []}, "op": "x"}, 1)
+    t._read_manifest = orig_read
+    assert t.current_version() == 1  # pointer never swung
+
+
+def test_commit_lock_released_on_failure(wh):
+    """The flock is released on every exit path — a failed commit (bad
+    expected_parent) must not leave the table locked."""
+    t = LakehouseTable(None, wh, "t")
+    t._COMMIT_LOCK_TIMEOUT_S = 0.5
+    t._commit({"files": [], "schema": {"fields": []}, "op": "create"}, 0)
+    with pytest.raises(ConflictError):
+        t._commit({"files": [], "schema": {"fields": []}, "op": "x"}, 7)
+    # immediately committable again: lock was released
+    assert t._commit({"files": [], "schema": {"fields": []}, "op": "x"}, 1) == 2

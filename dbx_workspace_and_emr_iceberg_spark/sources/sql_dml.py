@@ -147,9 +147,17 @@ def _parse_assignments(set_clause: str) -> dict[str, str]:
     return out
 
 
-#: quoted-literal segments ('' / "" escape pairs included) — the
-#: alias rewriter must never touch text inside these
-_LITERAL_RE = re.compile(r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\")")
+#: quoted-literal segments — the alias rewriter must never touch text
+#: inside these.  Consumes BOTH escape forms Spark SQL accepts inside a
+#: literal: doubled delimiter ('') and backslash (\') — ADVICE r18
+#: (reproduced): the doubled-quote-only form tokenized 'it\'s s.x' as
+#: closing at the backslash-quote, so the rewriter corrupted literal
+#: interiors exactly like the quote-blind bug this regex was added to
+#: fix.  Alternatives have disjoint first chars — linear, no
+#: backtracking blowup; re.S so \<newline> stays inside.
+_LITERAL_RE = re.compile(
+    r"('(?:[^'\\]|''|\\.)*'|\"(?:[^\"\\]|\"\"|\\.)*\")", re.S
+)
 
 
 def _rewrite(expr: str, target_alias: str | None, source_alias: str | None) -> str:

@@ -1035,3 +1035,23 @@ def test_rewrite_leaves_string_literals_alone():
     assert sql_dml._rewrite("t.a = 's.''s.'", "t", "s") == "a = 's.''s.'"
     # double-quoted segments are protected too
     assert sql_dml._rewrite('s.a = "s.b"', "t", "s") == '__src.a = "s.b"'
+
+
+def test_rewrite_leaves_backslash_escaped_literals_alone():
+    """ADVICE r18 (reproduced): _LITERAL_RE only knew doubled-quote
+    escapes, so a backslash-escaped quote 'closed' the literal early
+    and the rewriter corrupted the literal's interior — the exact
+    corruption class the quote-aware split was added to fix.  The
+    other tokenizers (_strip, _split_top_level) already honored
+    backslash escapes; the regex now agrees with them."""
+    assert sql_dml._rewrite(r"s.flag = 'it\'s s.x'", "t", "s") == (
+        r"__src.flag = 'it\'s s.x'"
+    )
+    # literal ending in an escaped backslash does NOT swallow the quote
+    assert sql_dml._rewrite(r"s.flag = 'a\\' AND s.y = 1", "t", "s") == (
+        r"__src.flag = 'a\\' AND __src.y = 1"
+    )
+    # time-travel rewrite shares the regex: a VERSION AS OF inside a
+    # backslash-escaped literal must not be rewritten
+    sql = r"SELECT 'x\' VERSION AS OF 3 ' AS lit FROM t"
+    assert sql_dml.rewrite_time_travel(object(), sql) == sql

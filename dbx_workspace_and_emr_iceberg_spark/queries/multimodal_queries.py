@@ -114,10 +114,12 @@ def x5b_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE bsum * 10000L div byte_len END"
         ),
     )
+    # decimal(38,0) sum: the *2*10000 display numerator wraps int64 at
+    # high corpus scale if summed as bigint (ADVICE r18, same rule as q1)
     avg4 = (
         lambda c: F.expr(
-            f"CAST((2 * sum({c}) * 10000 + count(*)) div (2 * count(*)) "
-            f"AS DOUBLE) / 10000.0"
+            f"CAST((2 * sum(CAST({c} AS DECIMAL(38,0))) * 10000 + count(*))"
+            f" div (2 * count(*)) AS DOUBLE) / 10000.0"
         )
     )
     out = (

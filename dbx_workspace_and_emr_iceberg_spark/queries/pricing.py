@@ -77,8 +77,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         quanta.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("q").alias("sq"),
-            F.sum("pc").alias("sc"),
+            # decimal(38,0), not bigint: the avg_* display numerators
+            # below multiply these sums by 2*10000 — as int64 that
+            # wraps around SF ~80 (ADVICE r18; s4/s6 already followed
+            # the decimal rule, the plain sums didn't)
+            F.sum(F.col("q").cast("decimal(38,0)")).alias("sq"),
+            F.sum(F.col("pc").cast("decimal(38,0)")).alias("sc"),
             F.sum(
                 (F.col("pc") * (100 - F.col("d100"))).cast("decimal(38,0)")
             ).alias("s4"),
@@ -89,7 +93,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * (100 + F.col("t100"))
                 ).cast("decimal(38,0)")
             ).alias("s6"),
-            F.sum("d100").alias("sd"),
+            F.sum(F.col("d100").cast("decimal(38,0)")).alias("sd"),
             F.count(F.lit(1)).alias("c"),
         )
         .select(

@@ -158,60 +158,27 @@ def all_queries() -> dict[str, Query]:
 #: (m7/m7b/m9/m11/m13/p3) re-verified hash-identical via a scoped sim
 #: at sf0.01, so their driver evidence stays valid.
 _CHANGED_THIS_ROUND: list[str] = [
-    # r18 budget note: the r11 staleness cohort (~42 queries) consumes
-    # most of this round's 50 driver samples; budget is ~6 entries.
+    # r19 budget note (VERDICT-r18 #3): the r12 staleness cohort is
+    # ~36 queries; budget is ~14 entries so the 50-slot driver pass
+    # drains the whole cohort this round.
     #
-    # r18 (VERDICT-r17 #2): x24/x49's fixture-parallelism
-    # repartition(defaultParallelism) workarounds were removed (the
-    # bench reads a 16-slice layout now) — VALUE-IDENTICAL replans, so
-    # by the r15 precedent they take NO slots: both re-verified
-    # hash-green by scoped sim, two full sims, and the multifile16
-    # axis.  (Same precedent covers this round's other value-identical
-    # replans: q3/qd2/qd8's customer-broadcast-hint removals, t14's
-    # run_to_memory refactor, and the run_to_memory localCheckpoint
-    # hop — the whole streaming family re-verified by scoped sim.)
-    # r18 review pass over lakehouse_queries/sql_dml: m8b's drop_refs
-    # step now records the LIVE t.current_version() (7) instead of a
-    # hardcoded 3 that matched an equally hardcoded oracle cell — a
-    # self-fulfilling value no version-protocol regression could flip.
-    # Oracle cell updated in lockstep; scoped sim hash-green.  (The
-    # same pass's s6b probe-liveness guard, m11/m13 count hoists and
-    # m15/m16 spin-wait dedup change no returned values/oracles — no
-    # slots.  sql_dml's three parser fixes are source-layer: MERGE
-    # clause coverage, CASE WHEN boundary, literal-safe alias rewrite.)
-    "m8b_sql_branch_lifecycle",
-    # r18 review pass over multimodal/similarity/datasource: the
-    # rounding-mode class again (oracles in lockstep, scoped sims
-    # hash-green).  x5d/x5b: round(small-integer-ratio, 4) display
-    # cells respelled as the d4 integer half-up formula — 56,705 of
-    # x5d's 998,400 reachable 4-dp tie values split between Spark's
-    # shortest-repr HALF_UP and DuckDB's binary round (32.00375 ->
-    # 32.0038 vs 32.0037).  x29: np.round is binary half-TO-EVEN
-    # (np.round(0.03125,4)=0.0312, DuckDB 0.0313) AND BLAS dgemm's
-    # batch-blocked float sums differ in ulps from the oracle's
-    # scan-order fold (margin was 6.2e-5) — respelled integer-exact
-    # end-to-end (quantize floor(x·1e6+0.5), pure-int64 ±1 matmul,
-    # d4 display over yi/(4e6)).  (Same pass, no slots: x3b's dead
-    # recall raise removed — flag value unchanged; x5c's doc-count
-    # raise removed — hashed n_docs carries it; s13b's exprId-
-    # collision plan check fixed + the promised split assert added;
-    # t14 now uses the shared run_to_memory helper.)
-    "x5d_decode_values",
-    "x5b_decode_pipeline",
-    "x29_random_projection",
-    # r18 review pass over pricing/tpch: the last round(sum(raw-double
-    # money), 2) cells respelled integer-exact (the d2/qd4 rule —
-    # exact cent/scale-4/scale-6 sums as decimal(38,0), half-up bigint
-    # div, one IEEE divide).  q3 had 18 groups on true .xx50 half-ties
-    # at sf0.01 (best rank #50 — one regen from the hashed top-10);
-    # q1 is the flagship with all 24 money cells hashed; qd11 rounded
-    # an exact scale-6 rational at 4 dp.  Oracles in lockstep; scoped
-    # sims hash-green.
+    # ADVICE r18 (medium): q1's avg_* display numerators multiplied
+    # BIGINT sums by 2*10000 — int64 wrap around SF ~80 (the s4/s6
+    # decimal(38,0) rule applied to the plain sums sq/sc/sd too).
+    # Values identical at every testable SF (the div result is the
+    # same integer); plan changed (casts), so both take slots per the
+    # tier-0 rule.  x5b's avg4 numerators had the same hazard.
+    # Oracles unchanged; scoped sims hash-green.
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "qd11_lasttouch_attribution",
+    "x5b_decode_pipeline",
+    # (r19 source-layer fixes, NO slots by the r15/r18 precedent:
+    # the _commit stalled-writer flock + writer-UUID verification and
+    # the unique swing-tmp name are protocol-internal — all 26
+    # m-family queries re-verified hash-green by scoped sim; the
+    # sql_dml _LITERAL_RE backslash-escape fix only changes behavior
+    # for literals no registered query contains — full m-family
+    # scoped sim green; bench.py best_floors/noise-gate is
+    # instrumentation only.)
 ]
 
 

@@ -347,12 +347,23 @@ def previous_floors(layout: str | None = None) -> dict[str, float]:
         with open(FULL_RESULT_PATH) as f:
             data = json.load(f)
         prev_layout = data.get("layout", "single")
-        if layout is not None and prev_layout != layout:
-            return {}
-        out = dict(data.get("floors") or {})
-        out.update(data.get("additions_floors") or {})
-        if out:
-            return {k: float(v) for k, v in out.items()}
+        if layout is None or prev_layout == layout:
+            # best_floors (r19): the layout-gated running min across
+            # rounds — strictly better mover baseline than one run's
+            # floors, which lagged the best observed by up to 48%
+            # (VERDICT r18 #2: the sidecar as "best known" mis-baselined
+            # anyone reading it)
+            out = dict(data.get("floors") or {})
+            out.update(data.get("additions_floors") or {})
+            out.update(data.get("best_floors") or {})
+            if out:
+                return {k: float(v) for k, v in out.items()}
+        # sidecar recorded on a different layout: fall through to the
+        # BENCH_r*.json scan below rather than returning empty — that
+        # single-file history is explicitly valid when layout=='single'
+        # (ADVICE r18: the early return starved an A/B run with
+        # SPARK_GRAFT_BENCH_LAYOUT=single of any floors, so its
+        # >25%-mover re-pass could never fire)
     except Exception:
         pass
     best_round, best_path = -1, None
@@ -557,6 +568,36 @@ def main() -> None:
             ),
         }
 
+    # best_floors (r19, VERDICT r18 #2): layout-gated running min —
+    # the sidecar must always carry the best floor ever observed on
+    # this layout (it lagged the driver's own best run by up to 48%,
+    # mis-baselining every reader).  Noise gate (VERDICT r18 #5): a
+    # run whose q1 calibration spread is >=50% is too noisy to be
+    # floor EVIDENCE — its samples are kept out of the running min
+    # (min-folding only rejects inflated samples anyway, but the gate
+    # makes the evidentiary rule explicit and reportable), except to
+    # seed queries with no prior floor at all.
+    this_run_floors = {**floors, **add_floors}
+    layout_name = "single" if run_dir == SF_DIR else "multi16"
+    prev_best = prev_floors  # same layout-gated lookup the mover rule used
+    gate_accept = noise_floor["spread_pct"] < 50.0
+    best_floors = {}
+    seeded = []
+    for n, f in this_run_floors.items():
+        if n in prev_best:
+            best_floors[n] = round(min(prev_best[n], f), 3) if gate_accept else prev_best[n]
+        else:
+            best_floors[n] = f
+            if not gate_accept:
+                seeded.append(n)
+    floor_gate = {
+        "spread_pct": noise_floor["spread_pct"],
+        "accepted": gate_accept,
+        # queries whose best floor this run seeded despite the gate
+        # (no prior same-layout floor existed)
+        "seeded_under_noise": seeded,
+    }
+
     total = round(sum(timings.values()), 3)
     # KEY ORDER IS LOAD-BEARING: the driver records only the LAST 2000
     # chars of this line (tail-only since r8), so the judge-critical
@@ -598,6 +639,13 @@ def main() -> None:
         # twice more (5 samples total)
         "movers_gt_25pct": movers,
         "extra_passes": extra_passes,
+        # layout-gated running min across rounds (r19): the "best
+        # known" number — always <= this run's floors; the mover rule
+        # baselines against these via previous_floors()
+        "best_floors": best_floors,
+        # noise gate decision (r19): whether this run's samples were
+        # clean enough (q1 spread <50%) to fold into best_floors
+        "floor_gate": floor_gate,
         "floor_total": round(sum(floors.values()), 3),
         "exec_total_s": round(
             sum(v for v in exec_s.values() if v is not None), 3
@@ -610,7 +658,7 @@ def main() -> None:
         # which physical layout the floors were measured on (r18:
         # floors re-seeded on the 16-slice layout — not comparable to
         # r17-and-earlier single-file floors)
-        "layout": "single" if run_dir == SF_DIR else "multi16",
+        "layout": layout_name,
         "sf": sf_num,
     }
     try:

@@ -465,6 +465,27 @@ def test_bench_previous_floors_layout_gated(tmp_path, monkeypatch):
     p.write_text(_json.dumps({"floors": {"q1": 1.0}, "layout": "multi16"}))
     monkeypatch.setattr(bench, "FULL_RESULT_PATH", str(p))
     assert bench.previous_floors("multi16") == {"q1": 1.0}
+    # best_floors (r19) wins over the per-run floors when present
+    p.write_text(
+        _json.dumps(
+            {
+                "floors": {"q1": 1.0},
+                "best_floors": {"q1": 0.7},
+                "layout": "multi16",
+            }
+        )
+    )
+    assert bench.previous_floors("multi16") == {"q1": 0.7}
     p.write_text(_json.dumps({"floors": {"q1": 2.0}}))
     assert bench.previous_floors("single") == {"q1": 2.0}
     assert bench.previous_floors("multi16") == {}
+    # ADVICE r18: a multi16 sidecar must NOT starve a layout=single
+    # lookup — fall through to the BENCH_r*.json scan (single-only)
+    p.write_text(_json.dumps({"floors": {"q1": 3.0}, "layout": "multi16"}))
+    r = tmp_path / "BENCH_r99.json"
+    r.write_text(_json.dumps({"parsed": {"floors": {"q1": 4.0}}}))
+    monkeypatch.setattr(
+        bench.glob, "glob", lambda pat: [str(r)] if "BENCH_r" in pat else []
+    )
+    assert bench.previous_floors("single") == {"q1": 4.0}
+    assert bench.previous_floors("multi16") == {"q1": 3.0}  # sidecar still wins

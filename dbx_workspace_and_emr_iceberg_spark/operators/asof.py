@@ -252,9 +252,15 @@ def asof_join_bucketed(
     ).withColumn("__bkt", bkt(right_ts, r_ts_type))
     bucket_last = rhs_b.groupBy(on, "__bkt").agg(F.max(pay).alias("__p"))
 
+    # right-side buckets come from bucket_last, not rhs_b (r19): the
+    # per-(key, bucket) aggregate's group set IS rhs_b's distinct
+    # (key, bucket) set, so unioning the already-aggregated frame feeds
+    # the distinct exactly the same pairs while skipping a third full
+    # re-derivation of the right side (guide §2.3 — aggregate before
+    # you shuffle)
     spine = (
         left.select(F.col(on), bkt(left_ts, l_ts_type).alias("__bkt"))
-        .union(rhs_b.select(on, "__bkt"))
+        .union(bucket_last.select(on, "__bkt"))
         .distinct()
     )
     w_seed = (

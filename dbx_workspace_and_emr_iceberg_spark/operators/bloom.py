@@ -97,13 +97,24 @@ def build_bloom(
         if any_rows:
             yield pd.DataFrame({"bitmap": [bits.tobytes()]})
 
-    h1c, h2c = _hash_halves(F.col(col))
     # hash JVM-side (codegen), drop NULL keys there too — the pandas
     # stage sees only two integer columns (vectorized; the per-key
-    # hashlib loop cost ~20 s at sf0.1 on the bench-shingle build)
-    hashed = items.select(
-        h1c.alias("__h1"), h2c.alias("__h2")
-    ).filter(F.col("__h1").isNotNull())
+    # hashlib loop cost ~20 s at sf0.1 on the bench-shingle build).
+    # The md5 digest is materialized once through a named column (r19,
+    # same rationale as probe_bloom_scalar): the inline _hash_halves
+    # pair hashed every key twice.
+    hashed = (
+        items.select(F.md5(F.col(col)).alias("__m"))
+        .select(
+            F.conv(F.substring("__m", 1, 8), 16, 10)
+            .cast("long")
+            .alias("__h1"),
+            F.conv(F.substring("__m", 9, 8), 16, 10)
+            .cast("long")
+            .alias("__h2"),
+        )
+        .filter(F.col("__h1").isNotNull())
+    )
     partials = hashed.mapInPandas(partial, "bitmap binary")
 
     def or_reduce(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -278,6 +289,13 @@ def probe_bloom_scalar(
         return pd.Series(mask & ~h1.isna().to_numpy())
 
     # md5 halves computed JVM-side (codegen); the pandas stage is one
-    # vectorized numpy membership test per Arrow batch
-    h1c, h2c = _hash_halves(F.col(col))
-    return df.withColumn(out_col, _probe(h1c, h2c))
+    # vectorized numpy membership test per Arrow batch.  The digest is
+    # materialized ONCE per key through a named column (r19, the
+    # with_shingles/probe_bloom idiom): _hash_halves inlined as two
+    # pandas_udf arguments md5-hashes every key twice — CollapseProject
+    # keeps a multiply-referenced non-cheap alias materialized, so the
+    # named column halves the hash work.
+    dm = df.withColumn("__bloom_md5", F.md5(F.col(col)))
+    h1c = F.conv(F.substring("__bloom_md5", 1, 8), 16, 10).cast("long")
+    h2c = F.conv(F.substring("__bloom_md5", 9, 8), 16, 10).cast("long")
+    return dm.withColumn(out_col, _probe(h1c, h2c)).drop("__bloom_md5")

@@ -221,7 +221,7 @@ def pagerank(
             "pagerank: empty vertex set (no edges and no nodes frame)"
         )
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             trans.join(ranks, trans["__s"] == ranks["node"])
             .groupBy("__d")
@@ -236,4 +236,13 @@ def pagerank(
                 + damping * F.coalesce("__c", F.lit(0.0))
             ).alias("rank"),
         )
+        # truncate lineage mid-run (r19, the docstring's own scale note
+        # made executable): without it the final action re-plans an
+        # iters-deep nested AQE tree — at 8 unrolled iterations the
+        # driver re-optimizes every earlier stage inside every later
+        # one.  The checkpointed frame is |nodes| rows of (id, double);
+        # values are materialized as-is, so the iteration arithmetic
+        # (and both x35/x37 oracles' replay of it) is untouched.
+        if (i + 1) % 4 == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint()
     return ranks

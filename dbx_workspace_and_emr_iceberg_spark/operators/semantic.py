@@ -316,6 +316,13 @@ def int_kmeans_assign(
     exact). Per round only k·dim aggregated longs reach the driver —
     the same bounded action as the float path's update step.
     """
+    # cached: quant is consumed once for the seed pick, once per
+    # iteration's centroid-sum collect, and once by the caller's
+    # consumption of the final assignment — uncached, the O(d)-per-row
+    # interpreted quantization HOFs re-ran every time (r19, the
+    # qd10/x43 convention; x20/x51 are the callers).  Pin cleared by
+    # the harness (bench.py / driver_sim clearCache).
+    quant = quant.cache()
     seeds = quant.orderBy("vec_id").limit(k).collect()
     cent = [(i, list(r.vq)) for i, r in enumerate(seeds)]
     assigned = _int_assign(quant, cent)

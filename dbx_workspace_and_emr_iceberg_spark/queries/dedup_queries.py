@@ -119,6 +119,12 @@ def _md5_band_frame(
     (candidate sets) and x12b/x12c (full pipelines)."""
     from .text_queries import _padded_ngrams
 
+    if seeds % rows != 0:
+        # the one-aggregate band projection below enumerates complete
+        # bands only; a partial trailing band (which the old
+        # `s div rows` grouping would have formed) must reject loudly
+        # rather than silently vanish
+        raise ValueError(f"seeds ({seeds}) must be a multiple of rows ({rows})")
     corpus = corpus.withColumn(
         "__words", F.split("text", " ")  # materialized — x4d idiom
     )
@@ -131,47 +137,58 @@ def _md5_band_frame(
                 "shingle"
             ),
         )
+        # md5 ONCE per shingle through a named column (r19, the
+        # probe_bloom idiom): the inline pair hashed every shingle
+        # twice — CollapseProject keeps a multiply-referenced
+        # non-cheap alias materialized
+        .select("doc_id", F.md5("shingle").alias("__m"))
         .select(
             "doc_id",
-            F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+            F.conv(F.substring("__m", 1, 8), 16, 10)
             .cast("long")
             .alias("h1"),
-            F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10)
+            F.conv(F.substring("__m", 9, 8), 16, 10)
             .cast("long")
             .alias("h2"),
         )
     )
-    sig = (
-        sh.select(
-            "doc_id",
-            "h1",
-            "h2",
-            F.explode(F.sequence(F.lit(0), F.lit(seeds - 1))).alias("s"),
-        )
-        .groupBy("doc_id", "s")
-        .agg(
+    # ALL seed minima in ONE per-doc aggregate (r19, guide §2.3/§2.4):
+    # the old explode(sequence(0, seeds-1)) multiplied the shuffle into
+    # the signature aggregate by `seeds` (x16), and a SECOND exchange
+    # re-grouped (doc_id, s) rows into bands.  One groupBy(doc_id) with
+    # `seeds` min() columns shuffles each doc's partial row exactly
+    # once (combiner-friendly), and the band digests are then pure
+    # map-side projections — identical (h1 + s*h2) % 2^32 arithmetic,
+    # identical comma-joined digest strings, zero plan-shape risk on
+    # ties since min() is order-free.
+    per_doc = sh.groupBy("doc_id").agg(
+        *[
             F.min(
-                (F.col("h1") + F.col("s") * F.col("h2")) % F.lit(4294967296)
-            ).alias("mh")
-        )
+                (F.col("h1") + F.lit(s) * F.col("h2")) % F.lit(4294967296)
+            ).alias(f"__mh{s}")
+            for s in range(seeds)
+        ]
     )
-    return (
-        sig.withColumn("band_id", F.expr(f"s div {rows}"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("s", "mh"))
-                        ),
-                        lambda x: x["mh"].cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("band_val")
-        )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"__mh{s}").cast("string")
+                            for s in range(b * rows, (b + 1) * rows)
+                        ],
+                    )
+                ).alias("band_val"),
+            )
+            for b in range(seeds // rows)
+        ]
     )
+    return per_doc.select(
+        "doc_id", F.explode(band_structs).alias("__b")
+    ).select("doc_id", "__b.band_id", "__b.band_val")
 
 
 def _md5_lsh_candidates(bands: DataFrame) -> DataFrame:
@@ -482,42 +499,52 @@ def x2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pool_a)
         .unionByName(planted)
     )
-    from ..operators.bloom import _hash_halves
-
-    h1c, h2c = _hash_halves(F.col("word"))
-    words = corpus.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split("text", " "))).alias("word"),
-    ).select("doc_id", h1c.alias("h1"), h2c.alias("h2"))
-    sig = (
-        words.select(
+    # md5 once per word through a named column, all 16 seed minima in
+    # ONE per-doc aggregate, band digests as map-side projections —
+    # the _md5_band_frame r19 respell (see its comment: the old
+    # explode(sequence(0, 15)) multiplied the signature shuffle x16
+    # and paid a second bands exchange); identical arithmetic and
+    # digest strings
+    words = (
+        corpus.select(
             "doc_id",
-            "h1",
-            "h2",
-            F.explode(F.sequence(F.lit(0), F.lit(_X2B_SEEDS - 1))).alias("s"),
+            F.explode(F.array_distinct(F.split("text", " "))).alias("word"),
         )
-        .groupBy("doc_id", "s")
-        .agg(
+        .select("doc_id", F.md5("word").alias("__m"))
+        .select(
+            "doc_id",
+            F.conv(F.substring("__m", 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring("__m", 9, 8), 16, 10).cast("long").alias("h2"),
+        )
+    )
+    per_doc = words.groupBy("doc_id").agg(
+        *[
             F.min(
-                (F.col("h1") + F.col("s") * F.col("h2")) % F.lit(4294967296)
-            ).alias("mh")
-        )
+                (F.col("h1") + F.lit(s) * F.col("h2")) % F.lit(4294967296)
+            ).alias(f"__mh{s}")
+            for s in range(_X2B_SEEDS)
+        ]
     )
-    bands = (
-        sig.withColumn("band_id", F.expr(f"s div {_X2B_ROWS}"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("s", "mh"))),
-                        lambda x: x["mh"].cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("band_val")
-        )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"__mh{s}").cast("string")
+                            for s in range(b * _X2B_ROWS, (b + 1) * _X2B_ROWS)
+                        ],
+                    )
+                ).alias("band_val"),
+            )
+            for b in range(_X2B_SEEDS // _X2B_ROWS)
+        ]
     )
+    bands = per_doc.select(
+        "doc_id", F.explode(band_structs).alias("__b")
+    ).select("doc_id", "__b.band_id", "__b.band_val")
     a = bands.filter(
         (F.col("doc_id") % 40 == 0) & (F.col("doc_id") < _COPY_OFFSET)
     ).select(F.col("doc_id").alias("id_a"), "band_id", "band_val")
@@ -1749,8 +1776,6 @@ FROM packed GROUP BY lang, bin ORDER BY lang, bin
 
 @register("x31_curation_pipeline_v2", oracle=_X31_ORACLE, tags=("X31", "X27", "X28", "X14"))
 def x31_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
     from ..operators.sampling import hash_bucket
 
     d = load_table(spark, sf_dir, "documents")
@@ -1773,14 +1798,25 @@ def x31_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(F.slice(F.col("t"), F.col("i") * 10 + 1, 10)).alias("n_tok"),
     )
-    rn = F.row_number().over(
-        W.partitionBy(F.md5("chunk")).orderBy("doc_id", "i")
+    # keep-first respelled as ONE hash aggregate on the digest (r19,
+    # guide §2.3/§2.4): the old row_number() OVER (PARTITION BY
+    # md5(chunk) ORDER BY doc_id, i) shuffled every row — chunk TEXT
+    # included — then sorted each partition, for what is a per-digest
+    # argmin.  min(struct(doc_id, i, ...)) is the identical first-
+    # occurrence rule ((doc_id, i) lexicographic), but the exchange now
+    # carries (digest, struct) only — text never shuffles — and
+    # map-side partial aggregation collapses duplicate chunks before
+    # the wire.
+    first = (
+        chunks.select(
+            F.md5("chunk").alias("__h"), "doc_id", "lang", "i", "n_tok"
+        )
+        .groupBy("__h")
+        .agg(F.min(F.struct("doc_id", "i", "lang", "n_tok")).alias("__f"))
+        .select("__f.doc_id", "__f.lang", "__f.n_tok")
     )
-    deduped = (
-        chunks.withColumn("rn", rn)
-        .filter(F.col("rn") == 1)
-        .groupBy("doc_id", "lang")
-        .agg(F.sum("n_tok").alias("n_tokens"))
+    deduped = first.groupBy("doc_id", "lang").agg(
+        F.sum("n_tok").alias("n_tokens")
     )
     counts = deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
     # INTEGER-EXACT sampling rates (review-pass r17, reproduced): the

@@ -13,6 +13,35 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..tables import load_table
 
+def _adjacent_bigrams(d: DataFrame, meta_cols: list[str]) -> DataFrame:
+    """(meta_cols..., w1, w2) — one row per adjacent token pair of
+    ``text``, derived MAP-SIDE from the token array ((sp[i], sp[i+1]),
+    exactly the oracles' ``LATERAL generate_series`` spelling). The old
+    posexplode + ``lead() OVER (PARTITION BY doc_id ORDER BY pos)``
+    spelling paid a full token-frame Exchange + Sort + Window — and
+    paid it once PER CONSUMER of the bigram frame (bc, uc and the
+    probe join each re-derive it; Catalyst cannot share the subtree
+    across differing aggregations) — for what is a per-row array
+    operation (r19 optimization, guide §2.4: remove shuffles outright).
+    Identical bigram multiset: lead over pos == adjacency in the array.
+    Docs with < 2 tokens contribute zero pairs (the lead spelling's
+    w2-IS-NULL filter), guarded against sequence(1, 0)'s DESCENDING
+    [1, 0] surprise (the x46 clamp precedent)."""
+    d2 = d.withColumn("__sp", F.split("text", " "))  # materialized — x4d idiom
+    arr = F.col("__sp")
+    pairs = F.transform(
+        F.when(F.size(arr) >= 2, F.sequence(F.lit(1), F.size(arr) - 1))
+        .otherwise(F.array().cast("array<int>")),
+        lambda i: F.struct(
+            F.element_at(arr, i.cast("int")).alias("w1"),
+            F.element_at(arr, (i + 1).cast("int")).alias("w2"),
+        ),
+    )
+    return d2.select(*meta_cols, F.explode(pairs).alias("__p")).select(
+        *meta_cols, "__p.w1", "__p.w2"
+    )
+
+
 def _padded_ngrams(words, n: int):
     """Word n-grams over ``words`` with ''-padding past the array end —
     count = max(len(words) - n + 1, 1), so a doc shorter than n yields
@@ -558,6 +587,13 @@ def x15_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.size(F.split("text", " ")).alias("ntok")
     )
+    # cached: the rank machinery consumes d three ways (its eager
+    # approxQuantile pass, the explode/groupBy pipeline, the final
+    # rank-frame join) — uncached, the corpus scan + tokenization ran
+    # three times (r19, the qd10/x43 convention; measured ~2x on this
+    # query's executor time at sf0.1).  Pin cleared by the harness
+    # (bench.py / driver_sim clearCache).
+    d = d.cache()
     from ..operators.skew import chunked_percent_ranks
 
     ranked = chunked_percent_ranks(
@@ -981,23 +1017,19 @@ def x22_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     flip probability negligible on realistic NLL distributions (same
     class as x23's regression stats and x35's rank sums)."""
     d = load_table(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id",
-        "source",
-        F.posexplode(F.split("text", " ")).alias("pos", "word"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bi = (
-        words.withColumn("w2", F.lead("word").over(w))
-        .filter(F.col("w2").isNotNull())
-        .select("source", F.col("word").alias("w1"), "w2")
-    )
+    # bigrams map-side off the token array (r19): the old posexplode +
+    # lead()-window re-ran a full token Exchange+Sort+Window per
+    # consumer (bc, uc, probe) — see _adjacent_bigrams
+    bi = _adjacent_bigrams(d, ["source"])
     bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     uc = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     # vocab size as a LAZY broadcast 1-row frame — an eager
     # .distinct().count() here would run a whole extra corpus job on
     # the driver before the main action even starts
-    vocab = words.agg(F.countDistinct("word").cast("double").alias("vsize"))
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .agg(F.countDistinct("word").cast("double").alias("vsize"))
+    )
     scored = (
         bi.join(bc, ["w1", "w2"])
         .join(uc, ["w1"])
@@ -1100,6 +1132,12 @@ def x23_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok",
         F.coalesce("n_new", F.lit(0)).alias("n_new"),
     )
+    # cached: three consumers (the lo/hi range collect, the per-chunk
+    # totals collect, and the final windowed pass) each re-ran the
+    # corpus explode + both groupBys + the join (r19, the qd10/x43
+    # convention).  Pin cleared by the harness (bench.py / driver_sim
+    # clearCache).
+    per_doc = per_doc.cache()
 
     # pass 0: chunking range — ONE tiny aggregate, a 1-row collect
     lo, hi = per_doc.agg(F.min("doc_id"), F.max("doc_id")).first()
@@ -1239,7 +1277,7 @@ ORDER BY doc_id
 
 @register("x24_bloom_contamination", oracle=_X24_ORACLE, tags=("X24", "X16", "X4"))
 def x24_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.bloom import build_bloom, probe_bloom
+    from ..operators.bloom import build_bloom, probe_bloom_scalar
     from ..operators.dedup import word_shingles
 
     # No repartition here (r18, VERDICT-r17 #2): the old
@@ -1264,30 +1302,59 @@ def x24_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skipping distinct makes the build entirely map-side — zero
     # shuffle (measured: the distinct's string exchange + coalesced
     # single-task tail was over half the query's wall at sf0.1). The
-    # distinct frame still feeds the truth join, where multiplicity
+    # distinct frame still feeds the truth probe, where multiplicity
     # would overcount.
     bitmap = build_bloom(bench_raw, "sh", m_bits=_X24_M, k=_X24_K)
 
-    corpus = d.select("doc_id", word_shingles("text", 3).alias("sh"))
-    scored = probe_bloom(corpus, "sh", bitmap, m_bits=_X24_M, k=_X24_K).cache()
+    # ONE corpus pass for probe AND exact truth (r19, guide §1.2: the
+    # r18 stage split measured the truth join at 67.9% of executor
+    # time — it was a SECOND full corpus shingle pass plus a
+    # scored⋈truth re-join).  Each exploded shingle instance carries
+    # both verdicts on the same row: the bloom probe (map-side
+    # pandas_udf over JVM-computed md5 halves) and the exact-truth
+    # broadcast LEFT join against the distinct bench shingles (the x16
+    # shape: eval suites are MBs; corpus shingles never shuffle).  One
+    # per-doc aggregate then yields n_shingles / n_hits / n_true_hits
+    # together — the values the old probe_bloom + truth-join pair
+    # produced, row for row (explode_outer keeps zero-shingle docs, so
+    # n_docs and the clean_flagged base are unchanged; sum over the
+    # all-NULL __true column is NULL, matching the old left join's
+    # missing-truth rows).
+    ex = d.select(
+        "doc_id", F.explode_outer(word_shingles("text", 3)).alias("s")
+    )
+    probed = probe_bloom_scalar(
+        ex, "s", bitmap, m_bits=_X24_M, k=_X24_K, out_col="__in_bloom"
+    )
+    marked = probed.join(
+        F.broadcast(
+            bench_sh.withColumnRenamed("sh", "s").withColumn(
+                "__true", F.lit(1)
+            )
+        ),
+        "s",
+        "left",
+    )
+    scored = (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("s").cast("int").alias("n_shingles"),
+            F.coalesce(
+                F.sum(F.col("__in_bloom").cast("int")), F.lit(0)
+            )
+            .cast("int")
+            .alias("n_hits"),
+            F.sum("__true").alias("n_true_hits"),
+        )
+        .cache()
+    )
     try:
         # integer flag rule — identical arithmetic to the oracle's
         # (2*n_hits >= n_shingles == hit_frac >= 0.5, float-free)
         is_flagged = (F.col("n_shingles") > 0) & (
             2 * F.col("n_hits") >= F.col("n_shingles")
         )
-        # exact truth via the join path — bench side BROADCAST (the
-        # x16 shape: eval suites are MBs), so the corpus's shingle
-        # instances never shuffle; the only exchange is the per-doc agg
-        truth = (
-            corpus.select("doc_id", F.explode("sh").alias("s"))
-            .join(F.broadcast(bench_sh.withColumnRenamed("sh", "s")), "s")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_true_hits"))
-        )
-        # ALL self-checks in ONE corpus pass (the three separate
-        # counts each re-ran the truth explode+join — measured ~2x
-        # on the whole query at sf0.1):
+        # ALL self-checks in ONE pass over the per-doc frame:
         #   1) no false negatives: every planted benchmark doc with
         #      >= 1 shingle must flag (ALL its shingles are in the
         #      bloom by construction);
@@ -1296,7 +1363,7 @@ def x24_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         #      overlap) stay overwhelmingly unflagged at this m/k.
         nt = F.coalesce(F.col("n_true_hits"), F.lit(0))
         stats = (
-            scored.join(truth, "doc_id", "left")
+            scored
             .agg(
                 F.count(F.lit(1)).alias("n_docs"),
                 F.sum(
@@ -2002,20 +2069,16 @@ def x43_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import chunked_percent_ranks
 
     d = load_table(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id",
-        "lang",
-        F.posexplode(F.split("text", " ")).alias("pos", "word"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bi = (
-        words.withColumn("w2", F.lead("word").over(w))
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", "lang", F.col("word").alias("w1"), "w2")
-    )
+    # bigrams map-side off the token array (r19): the old posexplode +
+    # lead()-window re-ran a full token Exchange+Sort+Window per
+    # consumer (bc, uc, probe) — see _adjacent_bigrams
+    bi = _adjacent_bigrams(d, ["doc_id", "lang"])
     bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     uc = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = words.agg(F.countDistinct("word").cast("double").alias("vsize"))
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .agg(F.countDistinct("word").cast("double").alias("vsize"))
+    )
     doc_nll = (
         bi.join(bc, ["w1", "w2"])
         .join(uc, ["w1"])

@@ -330,21 +330,33 @@ def qd6_basket_pair_counts(items: DataFrame, max_basket: int) -> DataFrame:
     """(part_a, part_b, n_baskets) over distinct (l_orderkey,
     l_partkey) items, quadratic bounded by ``max_basket`` (lowest part
     keys win — deterministic, engine-replayable)."""
-    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
-    capped = (
-        items.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= max_basket)
-        .drop("rn")
+    # ONE basket aggregate + map-side pair generation (r19, guide
+    # §2.3/§2.4): the old spelling paid a distinct exchange, a
+    # row_number window exchange+sort, and a self-join to enumerate
+    # pairs.  collect_set folds the distinct INTO the basket groupBy
+    # (one combiner-friendly shuffle); the capped sorted basket and its
+    # i<j pairs are then pure array expressions — sort_array + slice is
+    # exactly the "lowest max_basket part keys" rule, and enumerating
+    # j>i positions reproduces the part_a < part_b self-join pair set
+    # element for element.  The pair aggregate is unchanged.
+    baskets = items.groupBy("l_orderkey").agg(
+        F.slice(
+            F.sort_array(F.collect_set("l_partkey")), 1, max_basket
+        ).alias("__parts")
     )
-    a = capped.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
-    )
-    b = capped.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    arr = F.col("__parts")
+    pairs = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.greatest(F.size(arr), F.lit(1))),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
     )
     return (
-        a.join(b, ["ok"])
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode(pairs).alias("__p"))
+        .select("__p.part_a", "__p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_baskets"))
     )
@@ -540,7 +552,16 @@ def funnel_stages(ev: DataFrame, funnel: list[str]) -> DataFrame:
         e = ev.filter(F.col("event_type") == name)
         if prev is not None:
             e = e.join(prev, "user_id").filter(F.col("ts") > F.col("t"))
-        prev = e.groupBy("user_id").agg(F.min("ts").alias("t"))
+        # localCheckpoint per stage (r19, the x46/x31 lineage rule):
+        # stage i's frame feeds BOTH stage i+1's join and its own count
+        # row, and the count rows union into one action — uncheckpointed,
+        # stage 1 re-ran once per later stage (1+2+3+4 = 10 stage
+        # evaluations instead of 4; exchange reuse only recovered part
+        # of it).  The checkpointed frame is the bounded per-user
+        # (user_id, t) aggregate, never raw events.
+        prev = (
+            e.groupBy("user_id").agg(F.min("ts").alias("t")).localCheckpoint()
+        )
         row = prev.agg(F.count(F.lit(1)).alias("n_users")).select(
             F.lit(i).alias("stage"),
             F.lit(name).alias("stage_name"),

@@ -1501,3 +1501,121 @@ def test_a13_extremum_tie_is_deterministic(spark, tmp_path):
     )
     [d] = con.execute(q.oracle).fetchall()
     assert (d[1], d[2]) == (2, 4)
+
+
+def test_adjacent_bigrams_match_lead_window(spark):
+    """The r19 map-side bigram derivation must produce exactly the
+    multiset the old posexplode + lead()-window spelling produced —
+    including the <2-token edge cases the w2-IS-NULL filter used to
+    drop (x22/x43 ride on this equivalence)."""
+    from pyspark.sql import Window
+
+    from dbx_workspace_and_emr_iceberg_spark.queries.text_queries import (
+        _adjacent_bigrams,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, "en", "a b c d"),
+            (2, "fr", "x"),          # single token -> no pairs
+            (3, "en", ""),           # split('') == [''] -> no pairs
+            (4, "de", "p q"),
+            (5, "en", "a a a"),      # repeated tokens keep multiplicity
+        ],
+        "doc_id long, lang string, text string",
+    )
+    new = [
+        (r.doc_id, r.lang, r.w1, r.w2)
+        for r in _adjacent_bigrams(d, ["doc_id", "lang"]).collect()
+    ]
+    words = d.select(
+        "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    old = [
+        (r.doc_id, r.lang, r.word, r.w2)
+        for r in words.withColumn("w2", F.lead("word").over(w))
+        .filter(F.col("w2").isNotNull())
+        .collect()
+    ]
+    assert sorted(new) == sorted(old)
+
+
+def test_md5_band_frame_matches_explode_spelling(spark):
+    """The r19 one-aggregate signature respell must reproduce the old
+    explode(sequence(0, seeds-1)) + groupBy(doc_id, s) + collect_list
+    band digests value-for-value (x2/x2e/x12b ride on this), and the
+    new complete-band guard must reject a non-dividing geometry."""
+    from dbx_workspace_and_emr_iceberg_spark.queries.dedup_queries import (
+        _md5_band_frame,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta"),
+            (3, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.band_id): r.band_val
+        for r in _md5_band_frame(d, seeds=4, rows=2).collect()
+    }
+    # straight reimplementation of the pre-r19 algorithm
+    from dbx_workspace_and_emr_iceberg_spark.queries.text_queries import (
+        _padded_ngrams,
+    )
+
+    corpus = d.withColumn("__words", F.split("text", " "))
+    sh = (
+        corpus.filter(F.size(F.col("__words")) >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(_padded_ngrams(F.col("__words"), 3))
+            ).alias("shingle"),
+        )
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h1"),
+            F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10)
+            .cast("long")
+            .alias("h2"),
+        )
+    )
+    sig = (
+        sh.select(
+            "doc_id", "h1", "h2",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("s"),
+        )
+        .groupBy("doc_id", "s")
+        .agg(
+            F.min(
+                (F.col("h1") + F.col("s") * F.col("h2")) % F.lit(4294967296)
+            ).alias("mh")
+        )
+    )
+    want = {
+        (r.doc_id, r.band_id): r.band_val
+        for r in sig.withColumn("band_id", F.expr("s div 2"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("s", "mh"))),
+                        lambda x: x["mh"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_val")
+        )
+        .collect()
+    }
+    assert got == want and len(got) == 6  # 3 docs x 2 bands
+
+    with pytest.raises(ValueError, match="multiple of rows"):
+        _md5_band_frame(d, seeds=5, rows=2)

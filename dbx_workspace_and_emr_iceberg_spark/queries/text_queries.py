@@ -1022,7 +1022,11 @@ def x22_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumer (bc, uc, probe) — see _adjacent_bigrams
     bi = _adjacent_bigrams(d, ["source"])
     bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    uc = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # unigram counts roll up from the bigram counts (r19): count(w1)
+    # over bi == sum of count(w1, w2) over bc, exactly — so uc
+    # aggregates the <= |distinct bigrams|-row bc frame instead of
+    # re-deriving the whole corpus-linear bigram stream a second time
+    uc = bc.groupBy("w1").agg(F.sum("c").alias("c1"))
     # vocab size as a LAZY broadcast 1-row frame — an eager
     # .distinct().count() here would run a whole extra corpus job on
     # the driver before the main action even starts
@@ -2074,7 +2078,11 @@ def x43_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumer (bc, uc, probe) — see _adjacent_bigrams
     bi = _adjacent_bigrams(d, ["doc_id", "lang"])
     bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    uc = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # unigram counts roll up from the bigram counts (r19): count(w1)
+    # over bi == sum of count(w1, w2) over bc, exactly — so uc
+    # aggregates the <= |distinct bigrams|-row bc frame instead of
+    # re-deriving the whole corpus-linear bigram stream a second time
+    uc = bc.groupBy("w1").agg(F.sum("c").alias("c1"))
     vocab = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
         .agg(F.countDistinct("word").cast("double").alias("vsize"))
@@ -2487,6 +2495,13 @@ def x46_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("c"))
             .orderBy(F.col("c").desc(), "sa", "sb")
             .limit(1)
+            # localCheckpoint the 1-row argmax (r19): it has TWO
+            # consumers — the merge-table row and the next state's
+            # broadcast — and TakeOrderedAndProject offers no exchange
+            # for reuse, so each consumer re-ran the full corpus pairs
+            # explode + aggregate; the checkpoint runs it once per
+            # iteration
+            .localCheckpoint()
         )
         row = best.select(
             F.lit(i).alias("step"), "sa", "sb", "c"

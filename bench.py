@@ -549,7 +549,10 @@ def main() -> None:
     for n, walls in all_walls.items():
         runs = exec_runs.get(n, [])
         i = walls.index(min(walls))
-        exec_s[n] = runs[i] if i < len(runs) else None
+        v = runs[i] if i < len(runs) else None
+        # 2dp: the dict must fit the driver's 2000-char tail window
+        # together with floor_total/noise_floor (r19 verdict #2)
+        exec_s[n] = None if v is None else round(v, 2)
 
     # Heavy-tail spreads: every query now has three same-session runs,
     # so the per-query noise-floor report (r12 verdict #7) is computed
@@ -621,11 +624,11 @@ def main() -> None:
         "additions_queries": add_timings,
         "additions_total": round(sum(add_timings.values()), 3),
         "additions_passes": add_passes,
-        # per-query executor-time trace + floor-sample value
-        # (r16 verdict #5): wall moved but exec flat -> contention;
-        # both moved -> plan change
+        # per-query executor-time trace (r16 verdict #5): wall moved
+        # but exec flat -> contention; both moved -> plan change.
+        # The floor-sample exec_s dict sits in the TAIL section below
+        # (r19 verdict #2).
         "exec_runs": exec_runs,
-        "exec_s": exec_s,
         # per-query noise floors for the historically heaviest
         # plans (r12 verdict #7): 3 same-session runs each
         "heavy_tail": heavy_tail,
@@ -646,6 +649,12 @@ def main() -> None:
         # noise gate decision (r19): whether this run's samples were
         # clean enough (q1 spread <50%) to fold into best_floors
         "floor_gate": floor_gate,
+        # per-query executor time at each query's floor sample —
+        # placed HERE, inside the last-2000-chars window the driver
+        # archives (r19 verdict #2: exec_s is the contention-immune
+        # adjudication number and must survive tail truncation; 2dp
+        # keeps the whole tail section under the cap)
+        "exec_s": exec_s,
         "floor_total": round(sum(floors.values()), 3),
         "exec_total_s": round(
             sum(v for v in exec_s.values() if v is not None), 3

@@ -58,7 +58,11 @@ def _positions(s: str, k: int, m: int) -> np.ndarray:
 
 
 def build_bloom(
-    items: DataFrame, col: str, m_bits: int = 1 << 20, k: int = 5
+    items: DataFrame,
+    col: str,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    n_items: int | None = None,
 ) -> bytes:
     """Bloom bitmap over every value of ``items[col]``.
 
@@ -72,6 +76,15 @@ def build_bloom(
     idempotent, so the grouping (round-robin ``repartition``) cannot
     affect the merged bitmap; the driver still handles only sketches
     (m_bits/8 bytes each), never values.
+
+    ``n_items`` (optional): the caller's known key count.  When given,
+    the build coalesces to ~1M hashed keys per partial task —
+    SCALE-ADAPTIVE parallelism (r20, guide §2/§6): a build over
+    billions of keys keeps every input partition, while a build over a
+    few thousand (t18's fixture history: 3330 digests spread over ~50
+    near-empty post-shuffle partitions) stops paying two Python-worker
+    stages of pure task-launch overhead (measured: ~9 exec-s of the
+    t18 budget).  Coalesce, never repartition — no shuffle either way.
     """
     mb = m_bits
 
@@ -115,6 +128,11 @@ def build_bloom(
         )
         .filter(F.col("__h1").isNotNull())
     )
+    if n_items is not None:
+        cur = hashed.rdd.getNumPartitions()
+        want = max(1, min(cur, -(-n_items // 1_000_000)))
+        if want < cur:
+            hashed = hashed.coalesce(want)
     partials = hashed.mapInPandas(partial, "bitmap binary")
 
     def or_reduce(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

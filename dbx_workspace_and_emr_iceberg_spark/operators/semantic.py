@@ -317,30 +317,39 @@ def int_kmeans_assign(
     the same bounded action as the float path's update step.
     """
     # cached: quant is consumed once for the seed pick, once per
-    # iteration's centroid-sum collect, and once by the caller's
-    # consumption of the final assignment — uncached, the O(d)-per-row
-    # interpreted quantization HOFs re-ran every time (r19, the
-    # qd10/x43 convention; x20/x51 are the callers).  Pin cleared by
-    # the harness (bench.py / driver_sim clearCache).
+    # iteration's centroid-sum collect, and once by the final
+    # assignment below — uncached, the O(d)-per-row interpreted
+    # quantization HOFs re-ran every time (r19, the qd10/x43
+    # convention; x20/x51 are the callers).  r20 (VERDICT r19 #3): the
+    # pin used to outlive the call — now the FINAL assignment is
+    # localCheckpoint-materialized off the cache and the pin released
+    # in finally, so two callers in one session no longer stack pinned
+    # frames, AND a caller that consumes the assignment more than once
+    # (x20's semdedup self-join) no longer re-runs the mapInPandas
+    # assignment per consumer.
     quant = quant.cache()
-    seeds = quant.orderBy("vec_id").limit(k).collect()
-    cent = [(i, list(r.vq)) for i, r in enumerate(seeds)]
-    assigned = _int_assign(quant, cent)
-    for _ in range(iters):
-        sums = (
-            assigned.select("cluster", F.posexplode("vq").alias("d", "x"))
-            .groupBy("cluster", "d")
-            .agg(F.sum("x").alias("sx"))
-            .collect()
-        )  # k*dim rows — bounded collect
-        by_c: dict[int, dict[int, int]] = {}
-        for r in sums:
-            by_c.setdefault(int(r.cluster), {})[int(r.d)] = int(r.sx)
-        cent = [
-            (c, [dims[d] for d in sorted(dims)]) for c, dims in by_c.items()
-        ]
+    try:
+        seeds = quant.orderBy("vec_id").limit(k).collect()
+        cent = [(i, list(r.vq)) for i, r in enumerate(seeds)]
         assigned = _int_assign(quant, cent)
-    return assigned
+        for _ in range(iters):
+            sums = (
+                assigned.select("cluster", F.posexplode("vq").alias("d", "x"))
+                .groupBy("cluster", "d")
+                .agg(F.sum("x").alias("sx"))
+                .collect()
+            )  # k*dim rows — bounded collect
+            by_c: dict[int, dict[int, int]] = {}
+            for r in sums:
+                by_c.setdefault(int(r.cluster), {})[int(r.d)] = int(r.sx)
+            cent = [
+                (c, [dims[d] for d in sorted(dims)])
+                for c, dims in by_c.items()
+            ]
+            assigned = _int_assign(quant, cent)
+        return assigned.localCheckpoint()
+    finally:
+        quant.unpersist()
 
 
 def int_semdedup_keep(

@@ -411,10 +411,12 @@ def chunked_percent_ranks(
       2. distinct-value counts groupBy(part, sig, val) — combiner-
          friendly; ties collapse here, so the rank frame is bounded by
          the number of DISTINCT values, not rows;
-      3. chunk each sig's value axis by approxQuantile boundaries
-         (balance is approximate, correctness never depends on it) and
-         take a chunk-LOCAL exclusive prefix sum over windows
-         partitioned by (part, sig, chunk);
+      3. chunk each sig's value axis by percentile_approx boundaries
+         computed FROM the checkpointed distinct-value frame (balance
+         is approximate, correctness never depends on it — r20: the
+         old approxQuantile over df itself was a full extra corpus
+         derivation) and take a chunk-LOCAL exclusive prefix sum over
+         windows partitioned by (part, sig, chunk);
       4. per-(part, sig, chunk) totals collect to the driver — bounded
          by |parts| * |sigs| * n_chunks rows (x23 precedent), exclusive
          prefix there, broadcast back as offsets; per-part row count n
@@ -432,15 +434,6 @@ def chunked_percent_ranks(
         # an invalid chunk count must reject, not silently degrade to
         # one chunk (ADVICE r16)
         raise ValueError(f"n_chunks must be >= 1, got {n_chunks}")
-    if n_chunks == 1:
-        # degenerate single-chunk config: approxQuantile rejects an
-        # empty probability list (the same guard quantile_chunk_expr
-        # carries — review-pass r16, reproduced); no boundaries means
-        # every value lands in chunk 0 below
-        bounds = [[] for _ in value_cols]
-    else:
-        probs = [i / n_chunks for i in range(1, n_chunks)]
-        bounds = df.stat.approxQuantile(list(value_cols), probs, 0.01)
 
     pairs = F.array(
         *[
@@ -454,11 +447,50 @@ def chunked_percent_ranks(
         *id_cols, part_col, "sv.sig", "sv.val"
     )
 
-    # chunk id is a pure function of (sig, val), monotone in val, so
-    # tied values always share a chunk and the prefix property holds
+    # localCheckpoint, not .cache() (ADVICE r11): the distinct-value
+    # frame (bounded by #distinct values, not rows) feeds the chunk-
+    # boundary job, the totals collect AND the lt_loc/join pipeline —
+    # uncheckpointed, the corpus explode + groupBy would run three
+    # times; CACHED, the entry would pin executor memory for the rest
+    # of the 296-query driver session (CacheManager never auto-drops).
+    # Checkpoint blocks are GC-cleaned with the RDD reference, and the
+    # chunk-partitioned windows ABOVE the checkpoint stay visible to
+    # the plan guards.
+    vc0 = (
+        long.groupBy(part_col, "sig", "val")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+
+    # chunk boundaries from the CHECKPOINTED distinct-value frame, not
+    # a separate approxQuantile pass over df (r20, VERDICT r19 #6: the
+    # old df.stat.approxQuantile was a full extra derivation of the
+    # caller's corpus-shaped input — the single most expensive driver
+    # action of the machinery).  Boundaries only steer chunk BALANCE,
+    # never correctness (chunk id stays a monotone pure function of
+    # (sig, val), so tied values share a chunk and the prefix property
+    # holds); quantiles of the distinct-value distribution are a fine
+    # balance proxy for quantiles of the row distribution.
+    if n_chunks == 1:
+        # degenerate single-chunk config: no boundaries — every value
+        # lands in chunk 0 (the guard quantile_chunk_expr carries —
+        # review-pass r16, reproduced)
+        bounds: dict[str, list[float]] = {c: [] for c in value_cols}
+    else:
+        probs = F.array(
+            *[F.lit(i / n_chunks) for i in range(1, n_chunks)]
+        )
+        brows = (
+            vc0.groupBy("sig")
+            .agg(F.percentile_approx("val", probs, F.lit(10000)).alias("bs"))
+            .collect()
+        )
+        bounds = {r["sig"]: [float(b) for b in (r["bs"] or [])] for r in brows}
+
     chunk_expr = F.lit(0)
-    for c, bs in zip(value_cols, bounds):
-        if not bs:  # single-chunk: no boundaries, everything in chunk 0
+    for c in value_cols:
+        bs = bounds.get(c) or []
+        if not bs:  # single-chunk (or empty input): everything chunk 0
             continue
         barr = F.array(*[F.lit(float(b)) for b in sorted(set(bs))])
         e = F.aggregate(
@@ -468,20 +500,7 @@ def chunked_percent_ranks(
         )
         chunk_expr = F.when(F.col("sig") == c, e).otherwise(chunk_expr)
 
-    # localCheckpoint, not .cache() (ADVICE r11): the distinct-value
-    # frame (bounded by #distinct values, not rows) feeds BOTH the
-    # totals collect and the lt_loc/join pipeline — uncheckpointed,
-    # the corpus explode + groupBy would run twice; CACHED, the entry
-    # would pin executor memory for the rest of the 296-query driver
-    # session (CacheManager never auto-drops). Checkpoint blocks are
-    # GC-cleaned with the RDD reference, and the chunk-partitioned
-    # windows ABOVE the checkpoint stay visible to the plan guards.
-    vc = (
-        long.groupBy(part_col, "sig", "val")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("chunk", chunk_expr)
-        .localCheckpoint()
-    )
+    vc = vc0.withColumn("chunk", chunk_expr)
     w_loc = (
         Window.partitionBy(part_col, "sig", "chunk")
         .orderBy("val")

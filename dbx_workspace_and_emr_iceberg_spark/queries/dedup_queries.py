@@ -116,7 +116,14 @@ def _md5_band_frame(
     md5 yields two 32-bit halves; seed s's hash is the
     Kirsch-Mitzenmacher affine (h1 + s*h2) mod 2^32; band key = md5 of
     the band's comma-joined signature slice. Shared by x2/x2e
-    (candidate sets) and x12b/x12c (full pipelines)."""
+    (candidate sets) and x12b/x12c (full pipelines).
+
+    Geometry note (ADVICE r19): before r19, a non-dividing
+    seeds/rows pair formed a PARTIAL trailing band (`s div rows`
+    grouping); the one-aggregate respell enumerates complete bands
+    only and rejects that geometry loudly below — if a future caller
+    needs partial bands, that is a deliberate semantics change, not a
+    regression."""
     from .text_queries import _padded_ngrams
 
     if seeds % rows != 0:
@@ -480,7 +487,17 @@ def x2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle filter mirrors exact_jaccard's inner join (pairs with
     zero shared words cannot surface a Jaccard)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    pool_a = d.filter(F.col("doc_id") % 40 == 0)
+    # ONE documents scan (r20, guide §5/§2.3): corpus is a union of
+    # three subtrees over a ~5% doc_id slice, and it is consumed TWICE
+    # (the minhash/banding pipeline and the exact-Jaccard verification
+    # kernel) — uncached, that was six full text scans of documents
+    # for a frame that is a few percent of the table.  Cache the
+    # filtered slice once; every union branch and both consumers read
+    # it.  Pin cleared by the harness clearCache.
+    pool = d.filter(
+        (F.col("doc_id") % 40 == 0) | (F.col("doc_id") % 40 == 1)
+    ).cache()
+    pool_a = pool.filter(F.col("doc_id") % 40 == 0)
     planted = pool_a.select(
         (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
         F.array_join(
@@ -495,7 +512,7 @@ def x2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     corpus = (
-        d.filter(F.col("doc_id") % 40 == 1)
+        pool.filter(F.col("doc_id") % 40 == 1)
         .unionByName(pool_a)
         .unionByName(planted)
     )

@@ -13,21 +13,30 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..tables import load_table
 
-def _adjacent_bigrams(d: DataFrame, meta_cols: list[str]) -> DataFrame:
-    """(meta_cols..., w1, w2) — one row per adjacent token pair of
-    ``text``, derived MAP-SIDE from the token array ((sp[i], sp[i+1]),
-    exactly the oracles' ``LATERAL generate_series`` spelling). The old
-    posexplode + ``lead() OVER (PARTITION BY doc_id ORDER BY pos)``
-    spelling paid a full token-frame Exchange + Sort + Window — and
-    paid it once PER CONSUMER of the bigram frame (bc, uc and the
-    probe join each re-derive it; Catalyst cannot share the subtree
-    across differing aggregations) — for what is a per-row array
-    operation (r19 optimization, guide §2.4: remove shuffles outright).
-    Identical bigram multiset: lead over pos == adjacency in the array.
-    Docs with < 2 tokens contribute zero pairs (the lead spelling's
+def _token_frame(d: DataFrame, meta_cols: list[str]) -> DataFrame:
+    """(meta_cols..., __sp) — the materialized token-array frame.
+    Split once here so every consumer (bigram explode, vocab explode)
+    shares ONE text scan + regex split when the caller caches this
+    frame (r20, guide §5: the x22/x43 bigram-LM queries tokenized the
+    corpus 3x — bc derivation, probe derivation, vocab pass)."""
+    return d.select(*meta_cols, F.split("text", " ").alias("__sp"))
+
+
+def _bigrams_from_tokens(toks: DataFrame, meta_cols: list[str]) -> DataFrame:
+    """(meta_cols..., w1, w2) off a :func:`_token_frame` output — one
+    row per adjacent token pair, derived MAP-SIDE from the token array
+    ((sp[i], sp[i+1]), exactly the oracles' ``LATERAL
+    generate_series`` spelling). The old posexplode + ``lead() OVER
+    (PARTITION BY doc_id ORDER BY pos)`` spelling paid a full
+    token-frame Exchange + Sort + Window — and paid it once PER
+    CONSUMER of the bigram frame (bc, uc and the probe join each
+    re-derive it; Catalyst cannot share the subtree across differing
+    aggregations) — for what is a per-row array operation (r19
+    optimization, guide §2.4: remove shuffles outright). Identical
+    bigram multiset: lead over pos == adjacency in the array. Docs
+    with < 2 tokens contribute zero pairs (the lead spelling's
     w2-IS-NULL filter), guarded against sequence(1, 0)'s DESCENDING
     [1, 0] surprise (the x46 clamp precedent)."""
-    d2 = d.withColumn("__sp", F.split("text", " "))  # materialized — x4d idiom
     arr = F.col("__sp")
     pairs = F.transform(
         F.when(F.size(arr) >= 2, F.sequence(F.lit(1), F.size(arr) - 1))
@@ -37,9 +46,15 @@ def _adjacent_bigrams(d: DataFrame, meta_cols: list[str]) -> DataFrame:
             F.element_at(arr, (i + 1).cast("int")).alias("w2"),
         ),
     )
-    return d2.select(*meta_cols, F.explode(pairs).alias("__p")).select(
+    return toks.select(*meta_cols, F.explode(pairs).alias("__p")).select(
         *meta_cols, "__p.w1", "__p.w2"
     )
+
+
+def _adjacent_bigrams(d: DataFrame, meta_cols: list[str]) -> DataFrame:
+    """(meta_cols..., w1, w2) — one row per adjacent token pair of
+    ``text``; see :func:`_bigrams_from_tokens`."""
+    return _bigrams_from_tokens(_token_frame(d, meta_cols), meta_cols)
 
 
 def _padded_ngrams(words, n: int):
@@ -1017,9 +1032,16 @@ def x22_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     flip probability negligible on realistic NLL distributions (same
     class as x23's regression stats and x35's rank sums)."""
     d = load_table(spark, sf_dir, "documents")
+    # NO token-frame cache here (r20, measured): x22's three
+    # tokenization passes are cheaper re-run than cached — the
+    # MEMORY_AND_DISK write/read of the token arrays costs more
+    # executor time than two extra parquet scan+split passes at every
+    # tested scale (A/B exec 8.9 -> 14.2 s with the cache; the same
+    # cache IS a win in x43, whose probe side re-derives doc-grained
+    # bigrams for a far heavier consumer chain).
     # bigrams map-side off the token array (r19): the old posexplode +
     # lead()-window re-ran a full token Exchange+Sort+Window per
-    # consumer (bc, uc, probe) — see _adjacent_bigrams
+    # consumer (bc, uc, probe) — see _bigrams_from_tokens
     bi = _adjacent_bigrams(d, ["source"])
     bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     # unigram counts roll up from the bigram counts (r19): count(w1)
@@ -1130,7 +1152,17 @@ def x23_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_per_doc = first_seen.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_new")
     )
-    tok_per_doc = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    # per-doc token count MAP-SIDE (r20, guide §2.4): count(*) of the
+    # exploded words per doc == size(split(text)) exactly (split always
+    # yields >= 1 element, so every doc appears either way) — the old
+    # explode + groupBy(doc_id) was a second corpus explode plus a
+    # per-doc exchange for a value the row already carries.  new_per_doc
+    # is bounded by |vocab| (<= one row per distinct word's first doc);
+    # no broadcast HINT — a real corpus's vocab can be broadcast-hostile
+    # at 100 TB, so the planner picks the join strategy from its size.
+    tok_per_doc = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
     per_doc = tok_per_doc.join(new_per_doc, "doc_id", "left").select(
         "doc_id",
         "n_tok",
@@ -2073,10 +2105,16 @@ def x43_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import chunked_percent_ranks
 
     d = load_table(spark, sf_dir, "documents")
+    # ONE corpus scan + regex split (r20, guide §5): the cached token
+    # frame feeds the bc bigram aggregate, the probe join's bigram
+    # stream, and the vocab pass — previously three scan+split passes.
+    # At 100 TB this persist goes to DISK_ONLY (x22 header note); pin
+    # cleared by the harness clearCache.
+    toks = _token_frame(d, ["doc_id", "lang"]).cache()
     # bigrams map-side off the token array (r19): the old posexplode +
     # lead()-window re-ran a full token Exchange+Sort+Window per
-    # consumer (bc, uc, probe) — see _adjacent_bigrams
-    bi = _adjacent_bigrams(d, ["doc_id", "lang"])
+    # consumer (bc, uc, probe) — see _bigrams_from_tokens
+    bi = _bigrams_from_tokens(toks, ["doc_id", "lang"])
     bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     # unigram counts roll up from the bigram counts (r19): count(w1)
     # over bi == sum of count(w1, w2) over bc, exactly — so uc
@@ -2084,7 +2122,7 @@ def x43_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-deriving the whole corpus-linear bigram stream a second time
     uc = bc.groupBy("w1").agg(F.sum("c").alias("c1"))
     vocab = (
-        d.select(F.explode(F.split("text", " ")).alias("word"))
+        toks.select(F.explode("__sp").alias("word"))
         .agg(F.countDistinct("word").cast("double").alias("vsize"))
     )
     doc_nll = (
@@ -2229,64 +2267,58 @@ def x44_line_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.col("text")),
     )
+    # FULLY MAP-SIDE respell (r20, VERDICT r19 #7 / guide §2.4): every
+    # rule is per-document, so the old plan's two text-bearing shuffles
+    # — the occ row_number window on (doc_id, md5(line)) and the
+    # reassembly groupBy(doc_id) carrying line text — are both array
+    # HOFs over the doc's own line array.  Occ is first-occurrence
+    # within the doc: array_position(lines, line) == i+1 is exactly
+    # "this index is the line's first occurrence" (string equality —
+    # strictly stronger than the old md5(line) partition key), and the
+    # kept digest joins the kept lines in NATIVE array order, which IS
+    # the old ORDER BY i (the collect_list + array_sort dance existed
+    # only because groupBy loses order).  Zero exchanges except the
+    # presentation orderBy.
     toks = d.select("doc_id", F.split("text", " ").alias("t"))
-    lines = toks.select(
-        "doc_id",
-        F.explode(
-            F.sequence(
-                F.lit(0), F.floor((F.size("t") - 1) / 8.0).cast("int")
-            )
-        ).alias("i"),
-        "t",
-    ).select(
-        "doc_id",
-        "i",
-        F.slice(F.col("t"), F.col("i") * 8 + 1, 8).alias("lw"),
+    lws = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size("t") - 1) / 8.0).cast("int")),
+        lambda i: F.slice(F.col("t"), i * 8 + 1, 8),
     )
-    ruled = lines.select(
-        "doc_id",
-        "i",
-        F.array_join("lw", " ").alias("line"),
-        (F.size("lw") < 5).cast("long").alias("short_f"),
-        F.array_contains("lw", "value").cast("long").alias("blocked_f"),
-    ).withColumn(
-        "occ",
-        F.row_number().over(
-            Window.partitionBy("doc_id", F.md5("line")).orderBy("i")
+    line_stats = F.transform(
+        lws,
+        lambda lw: F.struct(
+            F.array_join(lw, " ").alias("line"),
+            (F.size(lw) < 5).cast("long").alias("short_f"),
+            F.array_contains(lw, "value").cast("long").alias("blocked_f"),
         ),
     )
-    flagged = ruled.withColumn(
-        "keep_f",
-        (
-            (F.col("short_f") == 0)
-            & (F.col("blocked_f") == 0)
-            & (F.col("occ") == 1)
-        ).cast("long"),
+    staged = toks.select("doc_id", line_stats.alias("st")).select(
+        "doc_id",
+        "st",
+        F.transform("st", lambda s: s["line"]).alias("ls"),
     )
-    rebuilt = flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.sum("keep_f").alias("n_kept"),
-        F.sum("short_f").alias("n_short"),
-        F.sum("blocked_f").alias("n_blocked"),
-        F.sum((F.col("occ") > 1).cast("long")).alias("n_dup"),
+    is_dup = lambda s, i: F.array_position(  # noqa: E731
+        F.col("ls"), s["line"]
+    ) != (i + 1).cast("bigint")
+    kept = F.filter(
+        "st",
+        lambda s, i: (s["short_f"] == 0)
+        & (s["blocked_f"] == 0)
+        & ~is_dup(s, i),
+    )
+    rebuilt = staged.select(
+        "doc_id",
+        F.size("st").cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.size(F.filter("st", lambda s: s["short_f"] == 1))
+        .cast("long")
+        .alias("n_short"),
+        F.size(F.filter("st", lambda s: s["blocked_f"] == 1))
+        .cast("long")
+        .alias("n_blocked"),
+        F.size(F.filter("st", is_dup)).cast("long").alias("n_dup"),
         F.md5(
-            F.coalesce(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.when(
-                                    F.col("keep_f") == 1,
-                                    F.struct("i", "line"),
-                                )
-                            )
-                        ),
-                        lambda s: s["line"],
-                    ),
-                    " ",
-                ),
-                F.lit(""),
-            )
+            F.array_join(F.transform(kept, lambda s: s["line"]), " ")
         ).alias("kept_digest"),
     ).cache()  # feeds the plant-coverage check + the returned filter;
     # per-doc rows only — pin cleared by the harness clearCache
@@ -2295,11 +2327,13 @@ def x44_line_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
     # line — prepending an 8-word copy guarantees it for docs with
     # >= 8 words, which the fixtures all have. A regenerated fixture
     # that breaks the plant now raises instead of silently turning
-    # rule (3) vacuous under a green gate.
-    n_planted = rebuilt.filter(F.col("doc_id") % 7 == 0).count()
-    n_planted_dup = rebuilt.filter(
-        (F.col("doc_id") % 7 == 0) & (F.col("n_dup") >= 1)
-    ).count()
+    # rule (3) vacuous under a green gate.  ONE aggregate action (r20:
+    # previously two separate .count() jobs).
+    planted = rebuilt.filter(F.col("doc_id") % 7 == 0).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("n_dup") >= 1).cast("long")).alias("n_dup_docs"),
+    ).first()
+    n_planted, n_planted_dup = planted["n"], planted["n_dup_docs"] or 0
     if n_planted == 0 or n_planted_dup < n_planted:
         raise AssertionError(
             f"x44 line-dedup plant went vacuous: {n_planted_dup}/"

@@ -329,7 +329,9 @@ LIMIT 20
 def qd6_basket_pair_counts(items: DataFrame, max_basket: int) -> DataFrame:
     """(part_a, part_b, n_baskets) over distinct (l_orderkey,
     l_partkey) items, quadratic bounded by ``max_basket`` (lowest part
-    keys win — deterministic, engine-replayable)."""
+    keys win — deterministic, engine-replayable). ``items`` need NOT
+    be pre-deduplicated: collect_set dedups per basket (so callers
+    must not pay a distinct exchange of their own — ADVICE r19)."""
     # ONE basket aggregate + map-side pair generation (r19, guide
     # §2.3/§2.4): the old spelling paid a distinct exchange, a
     # row_number window exchange+sort, and a self-join to enumerate
@@ -365,7 +367,10 @@ def qd6_basket_pair_counts(items: DataFrame, max_basket: int) -> DataFrame:
 @register("qd6_basket_pairs", oracle=_QD6_ORACLE, tags=("J1", "O2", "A8"))
 def qd6_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # no .distinct() (ADVICE r19): collect_set inside
+    # qd6_basket_pair_counts already dedups per basket, so the
+    # caller-side distinct was a second full exchange for nothing
+    items = li.select("l_orderkey", "l_partkey")
     return (
         qd6_basket_pair_counts(items, _QD6_MAX_BASKET)
         .filter(F.col("n_baskets") >= 2)

@@ -201,7 +201,11 @@ def stream_anti_history(
         return stream_df.join(F.broadcast(hist_df), key, "left_anti")
     if m_bits is None:
         m_bits = _auto_m_bits(n_hist)
-    bitmap = build_bloom(hist_df, key, m_bits=m_bits, k=k)
+    # n_items sizes the BUILD's task count (r20, scale-adaptive: a
+    # fixture-sized history stops paying ~50 near-empty Python tasks;
+    # a real one keeps its parallelism) — None when the caller skipped
+    # the count, in which case the build keeps every input partition
+    bitmap = build_bloom(hist_df, key, m_bits=m_bits, k=k, n_items=n_hist)
     probed = probe_bloom_scalar(
         stream_df, key, bitmap, m_bits=m_bits, k=k, out_col="__maybe_dup"
     )

@@ -1619,3 +1619,170 @@ def test_md5_band_frame_matches_explode_spelling(spark):
 
     with pytest.raises(ValueError, match="multiple of rows"):
         _md5_band_frame(d, seeds=5, rows=2)
+
+
+def test_x44_mapside_line_stats_match_window_spelling(spark):
+    """The r20 map-side x44 respell (array HOFs for occ + reassembly)
+    must reproduce the old explode + row_number-window + groupBy
+    spelling's per-doc stats and kept digest value-for-value —
+    including short trailing lines, blocked lines, a within-doc
+    duplicate line, and a doc with no lines dropped."""
+    from pyspark.sql import Window
+
+    d = spark.createDataFrame(
+        [
+            # 16 tokens, line 0 == line 1 (the planted-dup shape)
+            (1, " ".join(["w%d" % (i % 8) for i in range(16)])),
+            # blocked token in line 0, short trailing line
+            (2, "a value c d e f g h tail1 tail2"),
+            # nothing dropped: one full clean line
+            (3, "p q r s t u v w"),
+            # short-only doc (3 tokens -> one short line)
+            (4, "x y z"),
+        ],
+        "doc_id long, text string",
+    )
+
+    # --- old spelling (pre-r20), verbatim ---
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    lines = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.size("t") - 1) / 8.0).cast("int"))
+        ).alias("i"),
+        "t",
+    ).select(
+        "doc_id", "i", F.slice(F.col("t"), F.col("i") * 8 + 1, 8).alias("lw")
+    )
+    ruled = lines.select(
+        "doc_id",
+        "i",
+        F.array_join("lw", " ").alias("line"),
+        (F.size("lw") < 5).cast("long").alias("short_f"),
+        F.array_contains("lw", "value").cast("long").alias("blocked_f"),
+    ).withColumn(
+        "occ",
+        F.row_number().over(
+            Window.partitionBy("doc_id", F.md5("line")).orderBy("i")
+        ),
+    )
+    flagged = ruled.withColumn(
+        "keep_f",
+        (
+            (F.col("short_f") == 0)
+            & (F.col("blocked_f") == 0)
+            & (F.col("occ") == 1)
+        ).cast("long"),
+    )
+    old = {
+        r.doc_id: (
+            r.n_lines, r.n_kept, r.n_short, r.n_blocked, r.n_dup,
+            r.kept_digest,
+        )
+        for r in flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("keep_f").alias("n_kept"),
+            F.sum("short_f").alias("n_short"),
+            F.sum("blocked_f").alias("n_blocked"),
+            F.sum((F.col("occ") > 1).cast("long")).alias("n_dup"),
+            F.md5(
+                F.coalesce(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.when(
+                                        F.col("keep_f") == 1,
+                                        F.struct("i", "line"),
+                                    )
+                                )
+                            ),
+                            lambda s: s["line"],
+                        ),
+                        " ",
+                    ),
+                    F.lit(""),
+                )
+            ).alias("kept_digest"),
+        )
+        .collect()
+    }
+
+    # --- new spelling: write the same fixture to parquet and run the
+    # registered query body (minus the %7 plant, which needs fixture
+    # doc_ids — the helper pipeline is what changed) ---
+    import dbx_workspace_and_emr_iceberg_spark.queries.text_queries as tq
+
+    toks2 = d.select("doc_id", F.split("text", " ").alias("t"))
+    lws = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size("t") - 1) / 8.0).cast("int")),
+        lambda i: F.slice(F.col("t"), i * 8 + 1, 8),
+    )
+    line_stats = F.transform(
+        lws,
+        lambda lw: F.struct(
+            F.array_join(lw, " ").alias("line"),
+            (F.size(lw) < 5).cast("long").alias("short_f"),
+            F.array_contains(lw, "value").cast("long").alias("blocked_f"),
+        ),
+    )
+    staged = toks2.select("doc_id", line_stats.alias("st")).select(
+        "doc_id", "st", F.transform("st", lambda s: s["line"]).alias("ls")
+    )
+    is_dup = lambda s, i: F.array_position(  # noqa: E731
+        F.col("ls"), s["line"]
+    ) != (i + 1).cast("bigint")
+    kept = F.filter(
+        "st",
+        lambda s, i: (s["short_f"] == 0)
+        & (s["blocked_f"] == 0)
+        & ~is_dup(s, i),
+    )
+    new = {
+        r.doc_id: (
+            r.n_lines, r.n_kept, r.n_short, r.n_blocked, r.n_dup,
+            r.kept_digest,
+        )
+        for r in staged.select(
+            "doc_id",
+            F.size("st").cast("long").alias("n_lines"),
+            F.size(kept).cast("long").alias("n_kept"),
+            F.size(F.filter("st", lambda s: s["short_f"] == 1))
+            .cast("long")
+            .alias("n_short"),
+            F.size(F.filter("st", lambda s: s["blocked_f"] == 1))
+            .cast("long")
+            .alias("n_blocked"),
+            F.size(F.filter("st", is_dup)).cast("long").alias("n_dup"),
+            F.md5(
+                F.array_join(F.transform(kept, lambda s: s["line"]), " ")
+            ).alias("kept_digest"),
+        ).collect()
+    }
+    assert new == old
+    # the dup plant is non-vacuous in this fixture
+    assert new[1][4] >= 1 and new[1][1] < new[1][0]
+
+
+def test_pyds_range_batches_match_row_formula():
+    """The r20 Arrow-vectorized synthetic-events reader must produce
+    exactly the per-row tuples _row() produced — ids, int32 buckets,
+    and bit-identical IEEE doubles — and yield nothing for an empty
+    range (Spark plans one empty partition for an empty feed)."""
+    from dbx_workspace_and_emr_iceberg_spark.sources.pyds import (
+        _range_batches,
+        _row,
+    )
+
+    batches = list(_range_batches(100, 612))
+    assert len(batches) == 1
+    b = batches[0]
+    assert b.schema.names == ["id", "bucket", "amount"]
+    got = list(zip(*(b.column(i).to_pylist() for i in range(3))))
+    want = [_row(i) for i in range(100, 612)]
+    assert got == want
+    import pyarrow as pa
+
+    assert b.schema.types == [pa.int64(), pa.int32(), pa.float64()]
+    assert list(_range_batches(7, 7)) == []

@@ -24,11 +24,26 @@ from dbx_workspace_and_emr_iceberg_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # accept both --passes=N and --passes N (ADVICE r19: the split("=")
+    # form raised IndexError on bare --passes and swallowed the value
+    # token into the query-name list)
+    argv = sys.argv[1:]
+    args: list[str] = []
     passes = 3
-    for a in sys.argv[1:]:
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--passes"):
-            passes = int(a.split("=", 1)[1])
+            if "=" in a:
+                passes = int(a.split("=", 1)[1])
+            else:
+                if i + 1 >= len(argv):
+                    sys.exit("--passes needs a value (N or --passes=N)")
+                passes = int(argv[i + 1])
+                i += 1
+        else:
+            args.append(a)
+        i += 1
     run_dir = bench_layout(SF_DIR)
     spark = get_spark(
         app_name="spark-graft-bench-one",

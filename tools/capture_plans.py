@@ -3,10 +3,12 @@
 plans/<tag>/<name>_<suffix>.txt (judge evidence for optimization
 rounds). Usage:
 
-    python tools/capture_plans.py <tag> <suffix> [name ...]
+    python tools/capture_plans.py <tag> <suffix> [--nocache] [name ...]
 
 e.g. ``python tools/capture_plans.py r19 before`` captures all
 HEADLINE+ADDITIONS queries; passing names restricts the set.
+``--nocache`` no-ops DataFrame.cache/persist for the capture so the
+plan above an in-query cache boundary is visible (r20).
 
 Queries whose fn() executes eagerly (streaming twins, operators with
 bounded driver collects) pay that execution here; the captured plan is
@@ -31,8 +33,31 @@ from dbx_workspace_and_emr_iceberg_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    tag, suffix = sys.argv[1], sys.argv[2]
-    names = sys.argv[3:] or (HEADLINE + ADDITIONS)
+    flags = {a for a in sys.argv[1:] if a in ("--nocache", "--nockpt")}
+    argv = [a for a in sys.argv[1:] if a not in flags]
+    tag, suffix = argv[0], argv[1]
+    names = argv[2:] or (HEADLINE + ADDITIONS)
+    if "--nocache" in flags:
+        # capture ABOVE the cache boundary (VERDICT r19 #5 evidence
+        # hygiene: a query whose returned frame sits on an in-query
+        # .cache()/.persist() otherwise captures an 8-line
+        # InMemoryTableScan stub).  Monkeypatched for THIS capture
+        # process only; localCheckpoint is NOT patched by this flag
+        # (truncating those lineages is itself a captured plan
+        # property) — add --nockpt to see through checkpoints too
+        # (x31's dedup stage sits under one).
+        from pyspark.sql import DataFrame
+
+        DataFrame.cache = lambda self: self  # type: ignore[assignment]
+        DataFrame.persist = (  # type: ignore[assignment]
+            lambda self, *a, **k: self
+        )
+    if "--nockpt" in flags:
+        from pyspark.sql import DataFrame
+
+        DataFrame.localCheckpoint = (  # type: ignore[assignment]
+            lambda self, *a, **k: self
+        )
     out_dir = os.path.join(HERE, "plans", tag)
     os.makedirs(out_dir, exist_ok=True)
     run_dir = bench_layout(SF_DIR)

@@ -1339,27 +1339,72 @@ def x49_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vq").alias("bvq"),
         F.col("n2").alias("bn2"),
     )
-    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
-    pairs = cq.join(F.broadcast(bq)).select(
-        "vec_id",
-        "n2",
-        "bn2",
-        F.aggregate(
-            F.zip_with(F.col("vq"), F.col("bvq"), lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("dd"),
-    )
-    hits = (
-        pairs.filter(
-            (F.col("dd") > 0)
-            & (
-                dec(F.col("dd")) * dec(F.col("dd")) * F.lit(_X49_TDEN)
-                >= F.lit(_X49_TNUM) * dec(F.col("n2")) * dec(F.col("bn2"))
-            )
+    # VECTORIZED integer-dot scan (r20, guide §4.2 — the x3g/x29/
+    # int_kmeans "blessed embedding-math path"): the old spelling was a
+    # BroadcastNestedLoopJoin whose per-PAIR dot ran an interpreted
+    # zip_with + aggregate HOF — |corpus|·|bench| O(d) expression-tree
+    # evaluations dominated the query.  The bench side is an eval
+    # suite (bounded — the x3 broadcast contract; guarded below), so
+    # it rides the task closure and each Arrow batch of corpus vectors
+    # does ONE exact int64 matmul (|dot| ≤ 64·scale² « 2^63).  The
+    # θ-threshold compare dd²·den ≥ num·n2·bn2 needs >63 bits: a
+    # float64 pre-filter decides everything outside a ±1e12 margin
+    # (values ~1e20, accumulated float error ~1e5 — eight orders of
+    # magnitude of slack) and only borderline pairs re-check in exact
+    # arbitrary-precision Python ints, so every verdict is identical
+    # to the old decimal(19,0) spelling.  Same one-corpus-scan shape,
+    # zero joins.
+    brows = bq.collect()  # bounded: the benchmark embedding set
+    if len(brows) > 250_000:
+        raise AssertionError(
+            f"x49 bench side grew to {len(brows)} vectors — too large "
+            "for the closure-shipped scan; shard the benchmark set"
         )
-        .groupBy("vec_id")
-        .agg(F.count(F.lit(1)).alias("n_bench_hits"))
+    import numpy as _np
+
+    _bm = _np.array([list(r.bvq) for r in brows], dtype=_np.int64)
+    _bn2 = _np.array([int(r.bn2) for r in brows], dtype=_np.int64)
+    num, den = _X49_TNUM, _X49_TDEN
+
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+
+        if _bm.size == 0:
+            return
+        bt = _bm.T  # (d, m)
+        bn2f = _bn2.astype(np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(
+                [np.asarray(v, dtype=np.int64) for v in pdf["vq"]]
+            )
+            n2v = pdf["n2"].to_numpy(dtype=np.int64)
+            dd = x @ bt  # (n, m) exact int64
+            lhs = dd.astype(np.float64) ** 2 * den
+            rhs = np.outer(n2v.astype(np.float64), bn2f) * num
+            hit = (dd > 0) & (lhs >= rhs)
+            border = (dd > 0) & (np.abs(lhs - rhs) <= 1e12)
+            if border.any():
+                for i, j in zip(*np.nonzero(border)):
+                    d_ij = int(dd[i, j])
+                    hit[i, j] = d_ij > 0 and (
+                        d_ij * d_ij * den
+                        >= num * int(n2v[i]) * int(_bn2[j])
+                    )
+            n_hits = hit.sum(axis=1).astype(np.int64)
+            keep = n_hits > 0
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy()[keep],
+                        "n_bench_hits": n_hits[keep],
+                    }
+                )
+
+    hits = cq.select("vec_id", "vq", "n2").mapInPandas(
+        _score, "vec_id bigint, n_bench_hits bigint"
     )
     out = hits.select(
         "vec_id",
@@ -1368,13 +1413,25 @@ def x49_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
     try:
         # scale assert (x16/x37 pattern, checked HERE because the
-        # returned frame is checkpointed): the benchmark side must ride
-        # a broadcast join — a shuffle-side join of the corpus would
-        # break the one-scan contract. Inside the try so an assert
-        # failure still unpersists the cache (review-pass finding).
-        from ..plans.explain import assert_broadcast_no_cartesian
-
-        assert_broadcast_no_cartesian(out, "x49")
+        # returned frame is checkpointed): the integer-dot scan must be
+        # ONE map-side pass — the bench rides the task closure, so the
+        # plan must carry the MapInPandas node and NO join of any kind
+        # (r20: the former BroadcastNestedLoopJoin assert retired with
+        # the join itself). Inside the try so an assert failure still
+        # unpersists the cache (review-pass finding).
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "MapInPandas" not in plan or any(
+            j in plan
+            for j in (
+                "SortMergeJoin",
+                "CartesianProduct",
+                "ShuffledHashJoin",
+                "BroadcastNestedLoopJoin",
+            )
+        ):
+            raise AssertionError(
+                "x49: integer-dot scan must be one map-side pass: " + plan
+            )
         n_planted = planted.count()
         n_flagged_planted = out.filter(F.col("is_planted") == 1).count()
         if n_planted == 0:

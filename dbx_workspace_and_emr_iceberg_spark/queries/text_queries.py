@@ -57,6 +57,31 @@ def _adjacent_bigrams(d: DataFrame, meta_cols: list[str]) -> DataFrame:
     return _bigrams_from_tokens(_token_frame(d, meta_cols), meta_cols)
 
 
+def _bigram_nll(bc: DataFrame, uc: DataFrame, vocab: DataFrame) -> DataFrame:
+    """(w1, w2, nll) — the add-one-smoothed negative log-likelihood of
+    each DISTINCT bigram (r20, guide §2.3: the x22/x43 probe used to
+    evaluate ``-ln((c+1)/(c1+vsize))`` once per bigram INSTANCE, i.e.
+    corpus-linearly; the expression is a pure function of the bigram's
+    count row, so it is computed once per distinct bigram here and the
+    instance stream joins the finished double.  Value-identical: the
+    same IEEE expression over the same (c, c1, vsize) inputs yields the
+    same double whether evaluated before or after the instance join)."""
+    return (
+        bc.join(uc, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            (
+                -F.log(
+                    (F.col("c") + F.lit(1.0))
+                    / (F.col("c1") + F.col("vsize"))
+                )
+            ).alias("nll"),
+        )
+    )
+
+
 def _padded_ngrams(words, n: int):
     """Word n-grams over ``words`` with ''-padding past the array end —
     count = max(len(words) - n + 1, 1), so a doc shorter than n yields
@@ -1057,18 +1082,8 @@ def x22_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("word").cast("double").alias("vsize"))
     )
     scored = (
-        bi.join(bc, ["w1", "w2"])
-        .join(uc, ["w1"])
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            "source",
-            (
-                -F.log(
-                    (F.col("c") + F.lit(1.0))
-                    / (F.col("c1") + F.col("vsize"))
-                )
-            ).alias("nll"),
-        )
+        bi.join(_bigram_nll(bc, uc, vocab), ["w1", "w2"])
+        .select("source", "nll")
     )
     return (
         scored.groupBy("source")
@@ -2126,21 +2141,9 @@ def x43_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("word").cast("double").alias("vsize"))
     )
     doc_nll = (
-        bi.join(bc, ["w1", "w2"])
-        .join(uc, ["w1"])
-        .crossJoin(F.broadcast(vocab))
+        bi.join(_bigram_nll(bc, uc, vocab), ["w1", "w2"])
         .groupBy("doc_id", "lang")
-        .agg(
-            F.round(
-                F.avg(
-                    -F.log(
-                        (F.col("c") + F.lit(1.0))
-                        / (F.col("c1") + F.col("vsize"))
-                    )
-                ),
-                4,
-            ).alias("nll")
-        )
+        .agg(F.round(F.avg("nll"), 4).alias("nll"))
     )
     # the per-doc NLL frame is tiny (one row per doc) but its subtree
     # is the whole bigram-LM join, and it feeds THREE consumers (the

@@ -469,12 +469,13 @@ def test_x15_no_window_partitioned_on_lang_alone(spark):
 
 
 def test_x49_benchmark_side_broadcasts(spark):
-    """x49's scale contract: the benchmark embedding frame broadcasts
-    (eval suites are KBs), so the corpus is never shuffled before the
-    flagged-slice aggregate — the x16 shape in embedding space. The
-    returned frame is checkpointed, so the broadcast/no-cartesian
-    check lives IN-QUERY (this call not raising IS the assertion);
-    here we only pin that the query still runs and returns rows."""
+    """x49's scale contract: the benchmark embedding set rides the
+    task closure of ONE map-side integer-matmul pass (r20 — formerly a
+    BroadcastNestedLoopJoin), so the corpus is never shuffled or
+    joined at all. The returned frame is checkpointed, so the
+    MapInPandas/no-join check lives IN-QUERY (this call not raising IS
+    the assertion); here we only pin that the query still runs and
+    returns rows."""
     from dbx_workspace_and_emr_iceberg_spark.queries.dedup_queries import (
         x49_semantic_contamination,
     )

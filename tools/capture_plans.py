@@ -37,6 +37,14 @@ def main() -> None:
     argv = [a for a in sys.argv[1:] if a not in flags]
     tag, suffix = argv[0], argv[1]
     names = argv[2:] or (HEADLINE + ADDITIONS)
+    # patch the CLASSIC DataFrame class — in Spark 4 pyspark.sql.
+    # DataFrame is the abstract base and the classic subclass's own
+    # methods would shadow a base-class patch (found empirically: the
+    # first --nocache capture still showed InMemoryTableScan)
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover - pre-4.0 layout
+        from pyspark.sql import DataFrame
     if "--nocache" in flags:
         # capture ABOVE the cache boundary (VERDICT r19 #5 evidence
         # hygiene: a query whose returned frame sits on an in-query
@@ -46,15 +54,11 @@ def main() -> None:
         # (truncating those lineages is itself a captured plan
         # property) — add --nockpt to see through checkpoints too
         # (x31's dedup stage sits under one).
-        from pyspark.sql import DataFrame
-
         DataFrame.cache = lambda self: self  # type: ignore[assignment]
         DataFrame.persist = (  # type: ignore[assignment]
             lambda self, *a, **k: self
         )
     if "--nockpt" in flags:
-        from pyspark.sql import DataFrame
-
         DataFrame.localCheckpoint = (  # type: ignore[assignment]
             lambda self, *a, **k: self
         )

@@ -487,17 +487,13 @@ def x2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle filter mirrors exact_jaccard's inner join (pairs with
     zero shared words cannot surface a Jaccard)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # ONE documents scan (r20, guide §5/§2.3): corpus is a union of
-    # three subtrees over a ~5% doc_id slice, and it is consumed TWICE
-    # (the minhash/banding pipeline and the exact-Jaccard verification
-    # kernel) — uncached, that was six full text scans of documents
-    # for a frame that is a few percent of the table.  Cache the
-    # filtered slice once; every union branch and both consumers read
-    # it.  Pin cleared by the harness clearCache.
-    pool = d.filter(
-        (F.col("doc_id") % 40 == 0) | (F.col("doc_id") % 40 == 1)
-    ).cache()
-    pool_a = pool.filter(F.col("doc_id") % 40 == 0)
+    # NO slice cache here (r20, measured and reverted): caching the
+    # ~5% doc slice to collapse the union's six documents scans into
+    # one measured a consistent ~+1 exec-s across three back-to-back
+    # A/B orderings — the narrow text scans are cheaper re-run than
+    # the cache write/read, the same verdict as x22's token frame and
+    # x34's gram frame (OPTIMIZATION_r20.md).
+    pool_a = d.filter(F.col("doc_id") % 40 == 0)
     planted = pool_a.select(
         (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
         F.array_join(
@@ -512,7 +508,7 @@ def x2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     corpus = (
-        pool.filter(F.col("doc_id") % 40 == 1)
+        d.filter(F.col("doc_id") % 40 == 1)
         .unionByName(pool_a)
         .unionByName(planted)
     )

@@ -128,11 +128,15 @@ def build_bloom(
         )
         .filter(F.col("__h1").isNotNull())
     )
+    # one .rdd conversion only (review-pass r20: each .rdd access
+    # builds a fresh Python RDD conversion of the plan) — the
+    # post-coalesce partition count is known without re-asking
+    n_parts = hashed.rdd.getNumPartitions()
     if n_items is not None:
-        cur = hashed.rdd.getNumPartitions()
-        want = max(1, min(cur, -(-n_items // 1_000_000)))
-        if want < cur:
+        want = max(1, min(n_parts, -(-n_items // 1_000_000)))
+        if want < n_parts:
             hashed = hashed.coalesce(want)
+            n_parts = want
     partials = hashed.mapInPandas(partial, "bitmap binary")
 
     def or_reduce(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -146,8 +150,8 @@ def build_bloom(
             yield pd.DataFrame({"bitmap": [acc.tobytes()]})
 
     # executor-side tree level: ⌈√parts⌉ groups bound the shuffled
-    # volume (parts × m/8 bytes) AND the driver collect (√parts × m/8)
-    n_parts = hashed.rdd.getNumPartitions()
+    # volume (parts × m/8 bytes) AND the driver collect (√parts × m/8);
+    # n_parts computed once above (post-coalesce when n_items fired)
     groups = max(1, math.isqrt(max(n_parts, 1)))
     reduced = partials.repartition(groups).mapInPandas(
         or_reduce, "bitmap binary"

@@ -1416,15 +1416,7 @@ def x49_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the join itself). Inside the try so an assert failure still
         # unpersists the cache (review-pass finding).
         plan = out._jdf.queryExecution().executedPlan().toString()
-        if "MapInPandas" not in plan or any(
-            j in plan
-            for j in (
-                "SortMergeJoin",
-                "CartesianProduct",
-                "ShuffledHashJoin",
-                "BroadcastNestedLoopJoin",
-            )
-        ):
+        if "MapInPandas" not in plan or "Join" in plan:
             raise AssertionError(
                 "x49: integer-dot scan must be one map-side pass: " + plan
             )
@@ -2577,50 +2569,50 @@ def x51_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     quant = quantized_unit_vectors(e, "vec_id", "embedding")
-    # cache: the assignment feeds the per-cluster counts AND the
-    # emission join; uncached, the whole k-means pipeline (mapInPandas
-    # assignment passes included) would run twice
+    # no cache here (r20): int_kmeans_assign now returns an eagerly
+    # localCheckpoint-materialized frame, so both consumers (the
+    # per-cluster counts and the emission join) read checkpoint blocks
+    # directly — the former .cache() pinned a second in-memory copy of
+    # rows that were already materialized, and the k-means pipeline can
+    # no longer run twice regardless
     assigned = int_kmeans_assign(quant, k=_X51_K, iters=_X51_ITERS).select(
         "vec_id", "cluster"
-    ).cache()
-    try:
-        per = assigned.groupBy("cluster").agg(
-            F.count(F.lit(1)).alias("n_vecs")
+    )
+    per = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    tot = per.agg(
+        F.sum("n_vecs").alias("n"), F.count(F.lit(1)).alias("kc")
+    ).first()  # bounded: one row
+    quota = (int(tot.n) * _X51_BNUM // _X51_BDEN) // int(tot.kc)
+    rates = per.withColumn(
+        "rate_bp",
+        F.least(F.lit(10000), F.expr(f"(10000 * {quota}L) div n_vecs")),
+    )
+    out = (
+        assigned.join(F.broadcast(rates), "cluster")
+        .withColumn(
+            "emit",
+            (hash_bucket(F.col("vec_id")) < F.col("rate_bp")).cast(
+                "long"
+            ),
         )
-        tot = per.agg(
-            F.sum("n_vecs").alias("n"), F.count(F.lit(1)).alias("kc")
-        ).first()  # bounded: one row
-        quota = (int(tot.n) * _X51_BNUM // _X51_BDEN) // int(tot.kc)
-        rates = per.withColumn(
+        .groupBy("cluster")
+        .agg(
+            F.max("n_vecs").alias("n_vecs"),
+            F.max("rate_bp").cast("long").alias("rate_bp"),
+            F.sum("emit").alias("n_sampled"),
+            F.sum(
+                F.when(F.col("emit") == 1, F.col("vec_id")).otherwise(0)
+            ).alias("id_sum"),
+        )
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            "n_vecs",
             "rate_bp",
-            F.least(F.lit(10000), F.expr(f"(10000 * {quota}L) div n_vecs")),
+            "n_sampled",
+            "id_sum",
         )
-        out = (
-            assigned.join(F.broadcast(rates), "cluster")
-            .withColumn(
-                "emit",
-                (hash_bucket(F.col("vec_id")) < F.col("rate_bp")).cast(
-                    "long"
-                ),
-            )
-            .groupBy("cluster")
-            .agg(
-                F.max("n_vecs").alias("n_vecs"),
-                F.max("rate_bp").cast("long").alias("rate_bp"),
-                F.sum("emit").alias("n_sampled"),
-                F.sum(
-                    F.when(F.col("emit") == 1, F.col("vec_id")).otherwise(0)
-                ).alias("id_sum"),
-            )
-            .select(
-                F.col("cluster").cast("long").alias("cluster"),
-                "n_vecs",
-                "rate_bp",
-                "n_sampled",
-                "id_sum",
-            )
-            .orderBy("cluster")
-        )
-        return out.localCheckpoint()  # materialized before unpersist
-    finally:
-        assigned.unpersist()
+        .orderBy("cluster")
+    )
+    return out.localCheckpoint()  # bounded per-cluster rows, eager

@@ -2257,32 +2257,30 @@ SELECT * FROM rebuilt WHERE n_kept < n_lines ORDER BY doc_id
 """
 
 
-@register("x44_line_filtering", oracle=_X44_ORACLE, tags=("X44", "X4", "X27"))
-def x44_line_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").withColumn(
-        "text",
-        F.when(
-            F.col("doc_id") % 7 == 0,
-            F.concat(
-                F.array_join(F.slice(F.split("text", " "), 1, 8), " "),
-                F.lit(" "),
-                "text",
-            ),
-        ).otherwise(F.col("text")),
-    )
-    # FULLY MAP-SIDE respell (r20, VERDICT r19 #7 / guide §2.4): every
-    # rule is per-document, so the old plan's two text-bearing shuffles
-    # — the occ row_number window on (doc_id, md5(line)) and the
-    # reassembly groupBy(doc_id) carrying line text — are both array
-    # HOFs over the doc's own line array.  Occ is first-occurrence
-    # within the doc: array_position(lines, line) == i+1 is exactly
-    # "this index is the line's first occurrence" (string equality —
-    # strictly stronger than the old md5(line) partition key), and the
-    # kept digest joins the kept lines in NATIVE array order, which IS
-    # the old ORDER BY i (the collect_list + array_sort dance existed
-    # only because groupBy loses order).  Zero exchanges except the
-    # presentation orderBy.
-    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+def _line_filter_stats(toks: DataFrame) -> DataFrame:
+    """(doc_id, n_lines, n_kept, n_short, n_blocked, n_dup,
+    kept_digest) — x44's per-doc line-rule kernel over a (doc_id,
+    t token-array) frame, FULLY MAP-SIDE (r20, VERDICT r19 #7 / guide
+    §2.4): every rule is per-document, so the old plan's two
+    text-bearing shuffles — the occ row_number window on (doc_id,
+    md5(line)) and the reassembly groupBy(doc_id) carrying line text —
+    are both array HOFs over the doc's own line array.  Occ is
+    first-occurrence within the doc: array_position(lines, line) ==
+    i+1 is exactly "this index is the line's first occurrence" (string
+    equality — strictly stronger than the old md5(line) partition
+    key), and the kept digest joins the kept lines in NATIVE array
+    order, which IS the old ORDER BY i (the collect_list + array_sort
+    dance existed only because groupBy loses order).  Factored out of
+    x44 so the equivalence test exercises THE production pipeline
+    (review-pass r20).
+
+    Scale note: array_position makes the dedup O(lines²) string
+    compares WITHIN one document's row — fine for web-document line
+    counts (hundreds; ~1e4–1e6 compares/doc), and upstream chunking
+    (x9/x27) bounds document length; a corpus of pathological
+    multi-100k-line documents should fall back to the r19 window
+    spelling, which distributes occ across (doc, line-digest)
+    partitions at the price of two corpus-linear text shuffles."""
     lws = F.transform(
         F.sequence(F.lit(0), F.floor((F.size("t") - 1) / 8.0).cast("int")),
         lambda i: F.slice(F.col("t"), i * 8 + 1, 8),
@@ -2309,7 +2307,7 @@ def x44_line_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (s["blocked_f"] == 0)
         & ~is_dup(s, i),
     )
-    rebuilt = staged.select(
+    return staged.select(
         "doc_id",
         F.size("st").cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("n_kept"),
@@ -2323,6 +2321,25 @@ def x44_line_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.array_join(F.transform(kept, lambda s: s["line"]), " ")
         ).alias("kept_digest"),
+    )
+
+
+@register("x44_line_filtering", oracle=_X44_ORACLE, tags=("X44", "X4", "X27"))
+def x44_line_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.array_join(F.slice(F.split("text", " "), 1, 8), " "),
+                F.lit(" "),
+                "text",
+            ),
+        ).otherwise(F.col("text")),
+    )
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    rebuilt = _line_filter_stats(
+        toks
     ).cache()  # feeds the plant-coverage check + the returned filter;
     # per-doc rows only — pin cleared by the harness clearCache
     # plant-coverage backstop (review-pass r17, the x12b/x24 guard

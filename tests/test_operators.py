@@ -1709,56 +1709,20 @@ def test_x44_mapside_line_stats_match_window_spelling(spark):
         .collect()
     }
 
-    # --- new spelling: write the same fixture to parquet and run the
-    # registered query body (minus the %7 plant, which needs fixture
-    # doc_ids — the helper pipeline is what changed) ---
-    import dbx_workspace_and_emr_iceberg_spark.queries.text_queries as tq
+    # --- new spelling: THE production kernel (x44 calls this exact
+    # helper — review-pass r20: an inlined copy here could drift green
+    # while the real query regressed) ---
+    from dbx_workspace_and_emr_iceberg_spark.queries.text_queries import (
+        _line_filter_stats,
+    )
 
     toks2 = d.select("doc_id", F.split("text", " ").alias("t"))
-    lws = F.transform(
-        F.sequence(F.lit(0), F.floor((F.size("t") - 1) / 8.0).cast("int")),
-        lambda i: F.slice(F.col("t"), i * 8 + 1, 8),
-    )
-    line_stats = F.transform(
-        lws,
-        lambda lw: F.struct(
-            F.array_join(lw, " ").alias("line"),
-            (F.size(lw) < 5).cast("long").alias("short_f"),
-            F.array_contains(lw, "value").cast("long").alias("blocked_f"),
-        ),
-    )
-    staged = toks2.select("doc_id", line_stats.alias("st")).select(
-        "doc_id", "st", F.transform("st", lambda s: s["line"]).alias("ls")
-    )
-    is_dup = lambda s, i: F.array_position(  # noqa: E731
-        F.col("ls"), s["line"]
-    ) != (i + 1).cast("bigint")
-    kept = F.filter(
-        "st",
-        lambda s, i: (s["short_f"] == 0)
-        & (s["blocked_f"] == 0)
-        & ~is_dup(s, i),
-    )
     new = {
         r.doc_id: (
             r.n_lines, r.n_kept, r.n_short, r.n_blocked, r.n_dup,
             r.kept_digest,
         )
-        for r in staged.select(
-            "doc_id",
-            F.size("st").cast("long").alias("n_lines"),
-            F.size(kept).cast("long").alias("n_kept"),
-            F.size(F.filter("st", lambda s: s["short_f"] == 1))
-            .cast("long")
-            .alias("n_short"),
-            F.size(F.filter("st", lambda s: s["blocked_f"] == 1))
-            .cast("long")
-            .alias("n_blocked"),
-            F.size(F.filter("st", is_dup)).cast("long").alias("n_dup"),
-            F.md5(
-                F.array_join(F.transform(kept, lambda s: s["line"]), " ")
-            ).alias("kept_digest"),
-        ).collect()
+        for r in _line_filter_stats(toks2).collect()
     }
     assert new == old
     # the dup plant is non-vacuous in this fixture

@@ -26,21 +26,25 @@ from dbx_workspace_and_emr_iceberg_spark.session import get_spark  # noqa: E402
 def main() -> None:
     # accept both --passes=N and --passes N (ADVICE r19: the split("=")
     # form raised IndexError on bare --passes and swallowed the value
-    # token into the query-name list)
+    # token into the query-name list).  Only the EXACT spellings are
+    # recognized; any other --flag is ignored like the old parser did
+    # (review-pass r20: treating unknown --flags as query names would
+    # crash with KeyError after paying Spark startup).
     argv = sys.argv[1:]
     args: list[str] = []
     passes = 3
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a.startswith("--passes"):
-            if "=" in a:
-                passes = int(a.split("=", 1)[1])
-            else:
-                if i + 1 >= len(argv):
-                    sys.exit("--passes needs a value (N or --passes=N)")
-                passes = int(argv[i + 1])
-                i += 1
+        if a == "--passes":
+            if i + 1 >= len(argv):
+                sys.exit("--passes needs a value (N or --passes=N)")
+            passes = int(argv[i + 1])
+            i += 1
+        elif a.startswith("--passes="):
+            passes = int(a.split("=", 1)[1])
+        elif a.startswith("--"):
+            pass  # unknown flag: ignored, as before r20
         else:
             args.append(a)
         i += 1

@@ -574,15 +574,25 @@ def chunked_percent_ranks(
             .alias("pr"),
         )
     )
-    return (
-        long.join(rank_frame, [part_col, "sig", "val"])
-        .groupBy(*id_cols, part_col)
-        .agg(
-            *[
-                F.max(F.when(F.col("sig") == c, F.col("pr"))).alias(
-                    out_prefix + c
-                )
-                for c in value_cols
-            ]
+    joined = long.join(rank_frame, [part_col, "sig", "val"])
+    if len(value_cols) == 1:
+        # ONE signal (x15/x43's shape): the pivot groupBy below exists
+        # only to merge multiple sigs into one row per id — with a
+        # single sig the join already has df's grain (rank_frame is
+        # unique per (part, sig, val) and id_cols are unique per row),
+        # so the corpus-scale pivot exchange is pure waste (r20, guide
+        # §2.4: remove shuffles outright).  Same columns, same order,
+        # same values as the generic path.
+        return joined.select(
+            *id_cols,
+            part_col,
+            F.col("pr").alias(out_prefix + value_cols[0]),
         )
+    return joined.groupBy(*id_cols, part_col).agg(
+        *[
+            F.max(F.when(F.col("sig") == c, F.col("pr"))).alias(
+                out_prefix + c
+            )
+            for c in value_cols
+        ]
     )

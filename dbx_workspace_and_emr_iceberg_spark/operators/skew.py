@@ -387,6 +387,7 @@ def chunked_percent_ranks(
     id_cols: list[str],
     n_chunks: int = 8,
     out_prefix: str = "pr_",
+    keep_vals: bool = False,
 ) -> DataFrame:
     """Exact ``percent_rank() OVER (PARTITION BY part_col ORDER BY v)``
     for every ``v`` in value_cols — with NO window partitioned on
@@ -428,6 +429,13 @@ def chunked_percent_ranks(
     DuckDB defaults NULLS LAST, so NULL ranks would diverge anyway).
     Returns id_cols + part_col + pr_<sig> columns at df's grain
     (id_cols must be unique per row).
+
+    ``keep_vals=True`` additionally returns each ranked value under
+    its ORIGINAL column name (as double — the rank key's cast): the
+    machinery already carries the value through its pipeline, so a
+    caller that needs (value, rank) pairs saves a per-row join back to
+    df (r20 — x43's join back to doc_nll was ~16 exec-s of its stage
+    split for a column the rank stream already held).
     """
     spark = df.sparkSession
     if n_chunks < 1:
@@ -583,10 +591,12 @@ def chunked_percent_ranks(
         # so the corpus-scale pivot exchange is pure waste (r20, guide
         # §2.4: remove shuffles outright).  Same columns, same order,
         # same values as the generic path.
+        c = value_cols[0]
         return joined.select(
             *id_cols,
             part_col,
-            F.col("pr").alias(out_prefix + value_cols[0]),
+            F.col("pr").alias(out_prefix + c),
+            *([F.col("val").alias(c)] if keep_vals else []),
         )
     return joined.groupBy(*id_cols, part_col).agg(
         *[
@@ -594,5 +604,13 @@ def chunked_percent_ranks(
                 out_prefix + c
             )
             for c in value_cols
-        ]
+        ],
+        *(
+            [
+                F.max(F.when(F.col("sig") == c, F.col("val"))).alias(c)
+                for c in value_cols
+            ]
+            if keep_vals
+            else []
+        ),
     )

@@ -2151,9 +2151,13 @@ def x43_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the final join) — cache it so the LM trains once; pin cleared
     # by the harness (bench.py / driver_sim clearCache)
     doc_nll = doc_nll.cache()
+    # keep_vals (r20): the rank machinery's stream already carries nll,
+    # so asking for it back skips the old per-doc join of ranked ⋈
+    # doc_nll (~16 exec-s of x43's stage split for a column the stream
+    # held all along); nll is double before and after, value-identical
     ranked = chunked_percent_ranks(
-        doc_nll, "lang", ["nll"], ["doc_id"], n_chunks=8
-    ).join(doc_nll, ["doc_id", "lang"])
+        doc_nll, "lang", ["nll"], ["doc_id"], n_chunks=8, keep_vals=True
+    )
     bucketed = ranked.withColumn(
         "bucket",
         F.least(F.floor(F.col("pr_nll") * 3), F.lit(2)).cast("long"),
